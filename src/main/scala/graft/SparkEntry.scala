@@ -1,13 +1,148 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented capability has a `queries` entry; those with an
+  * ANSI-SQL-expressible semantics also carry a DuckDB oracle in
+  * `oracleSql` (same column names, same ordering, deterministic
+  * numerics — see Relational.dsum).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.aggGroupBy(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_agg_groupby"    -> Relational.aggGroupBy _,
+    "q21_join_agg"       -> Relational.joinAgg _,
+    "q22_broadcast_dim"  -> Relational.broadcastDim _,
+    "q23_topk_order"     -> Relational.topkOrder _,
+    "q24_filter_pushdown" -> Relational.filterPushdown _,
+    "q25_distinct_count" -> Relational.distinctCount _,
+    "q26_window_rank"    -> Relational.windowRank _,
+    "q27_semi_anti_join" -> Relational.semiAntiJoin _,
+    "q28_conditional_agg" -> Relational.conditionalAgg _,
+    "q29_rollup"         -> Relational.rollupAgg _,
+    "q30_union_dedup"    -> Relational.unionDedup _,
+    "q31_running_total"  -> Relational.runningTotal _,
+    "q32_sessionize"     -> Relational.sessionize _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q21_join_agg" ->
+      """SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q22_broadcast_dim" ->
+      """SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS brand_revenue,
+           COUNT(*) AS n_lines
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_size <= 20
+         JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q23_topk_order" ->
+      """SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spent,
+           COUNT(*) AS n_orders
+         FROM orders GROUP BY o_custkey
+         ORDER BY total_spent DESC, o_custkey LIMIT 10""",
+    "q24_filter_pushdown" ->
+      """SELECT l_orderkey, l_shipdate,
+           ROUND(l_extendedprice * l_discount, 4) AS disc_amount
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_discount >= 0.05 AND l_quantity < 24
+         ORDER BY l_orderkey, l_shipdate, disc_amount""",
+    "q25_distinct_count" ->
+      """SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS distinct_orders,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q26_window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders)
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q27_semi_anti_join" ->
+      """SELECT c_custkey, 'has_open' AS status FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         UNION ALL
+         SELECT c_custkey, 'no_open' AS status FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+         ORDER BY c_custkey, status""",
+    "q28_conditional_agg" ->
+      """SELECT user_id,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE) AS purchase_value,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+           COUNT(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q29_rollup" ->
+      """SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "q30_union_dedup" ->
+      """SELECT DISTINCT o_custkey FROM (
+           SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+           UNION ALL
+           SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 5000)
+         ORDER BY o_custkey""",
+    "q31_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q32_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), sessions AS (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged
+         )
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
+         FROM sessions GROUP BY user_id, session_id
+         ORDER BY user_id, session_id"""
+  )
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated test data
+  * (TESTDATA.md). `dir` is an sf directory such as
+  * `/root/testdata/sf0.01`. At production scale the same loaders point
+  * at a partitioned table root; nothing below depends on data volume.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String)    = load(s, d, "region")
+  def nation(s: SparkSession, d: String)    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = load(s, d, "part")
+  def orders(s: SparkSession, d: String)    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
+    * TimestampType (µs) cannot read directly — read the raw int64
+    * nanos and truncate to µs (same truncation DuckDB applies when
+    * casting TIMESTAMP_NS → TIMESTAMP, so oracles agree).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String) = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
+}

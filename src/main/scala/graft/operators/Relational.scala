@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational engine core (SURVEY.md §2B): the general query surface
+  * the reference's SQL implies — grouped aggregation, star joins,
+  * window ranking, semi/anti joins, rollups, sessionization.
+  *
+  * Every query is a plain declarative DataFrame plan: Catalyst pushes
+  * filters/projections into the parquet scan, plans broadcast joins
+  * for the dims, and does partial (map-side) aggregation before every
+  * shuffle. Monetary aggregates are summed as DECIMAL so results are
+  * order-independent (bit-exact vs the DuckDB oracle regardless of
+  * partitioning) — double sums would differ in the last ulp between
+  * engines / partition counts.
+  */
+object Relational {
+
+  private val dec = "decimal(28,6)"
+
+  /** Deterministic double sum: accumulate exactly as DECIMAL (order-
+    * independent across partitionings), convert once to double at the
+    * end — bit-identical to the DuckDB oracle doing the same.
+    */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(dec)).cast("double")
+
+  /** q20: grouped multi-aggregate over lineitem (pricing summary). */
+  def aggGroupBy(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q21: revenue by nation — orders ⋈ customer ⋈ nation ⋈ region,
+    * dims broadcast, one shuffle for the final aggregation.
+    */
+  def joinAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders   = Tables.orders(s, dir)
+    val customer = Tables.customer(s, dir)
+    val nation   = Tables.nation(s, dir)
+    val region   = Tables.region(s, dir)
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** q22: star-schema fact ⋈ two broadcast dims with pre-join filters. */
+  def broadcastDim(s: SparkSession, dir: String): DataFrame = {
+    val li   = Tables.lineitem(s, dir)
+    val part = Tables.part(s, dir).filter(col("p_size") <= 20)
+    val supp = Tables.supplier(s, dir)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dsum(col("l_extendedprice")).as("brand_revenue"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy(col("p_brand"))
+  }
+
+  /** q23: global top-k customers by order revenue, deterministic
+    * tie-break on key. TakeOrderedAndProject — no full sort at scale.
+    */
+  def topkOrder(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spent"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spent").desc, col("o_custkey"))
+      .limit(10)
+
+  /** q24: selective predicate + narrow projection — both reach the
+    * parquet scan (PushedFilters / ReadSchema in explain).
+    */
+  def filterPushdown(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 24)
+      .select(
+        col("l_orderkey"),
+        col("l_shipdate"),
+        round(col("l_extendedprice") * col("l_discount"), 4).as("disc_amount")
+      )
+      .orderBy(col("l_orderkey"), col("l_shipdate"), col("disc_amount"))
+
+  /** q25: exact distinct counts, global and per group. */
+  def distinctCount(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("distinct_orders"),
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** q26: rank per group — each customer's 3 largest orders. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables
+      .orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+              col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** q27: customers with ≥1 open order (semi) and with none (anti). */
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val open = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+    val semi = cust
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_open").as("status"))
+    val anti = cust
+      .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_open").as("status"))
+    semi.unionAll(anti).orderBy(col("c_custkey"), col("status"))
+  }
+
+  /** q28: pivot-style conditional aggregation (case-when sums). */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0)))
+          .as("purchase_value"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+        count(lit(1)).as("n_events")
+      )
+      .orderBy(col("user_id"))
+
+  /** q29: hierarchical rollup — revenue at (region, nation), region
+    * subtotal, grand total.
+    */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+    base
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** q30: union two sources then eliminate duplicates on the key. */
+  def unionDedup(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey"))
+    val b = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("o_custkey"))
+    a.unionAll(b).distinct().orderBy(col("o_custkey"))
+  }
+
+  /** q31: cumulative revenue per customer over order time. */
+  def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double").as("cum_revenue")
+      )
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** q32: sessionize events — a new session starts after a >30 min
+    * gap per user; classic gaps-and-islands with one window chain.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull ||
+               unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+             1).otherwise(0)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        dsum(col("value")).as("session_value")
+      )
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}
