@@ -14,9 +14,19 @@ object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.aggGroupBy(spark, "/root/testdata/sf0.001")
+    TickerAnomaly.report(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_lag_diff"       -> TickerAnomaly.q01LagDiff _,
+    "q02_rolling_avg"    -> TickerAnomaly.q02RollingAvg _,
+    "q03_topn_per_key"   -> TickerAnomaly.q03TopnPerKey _,
+    "q04_min_history_filter" -> TickerAnomaly.q04MinHistoryFilter _,
+    "q05_window_stats"   -> TickerAnomaly.q05WindowStats _,
+    "q06_zscore"         -> TickerAnomaly.q06Zscore _,
+    "q07_islands_repetition" -> TickerAnomaly.q07IslandsRepetition _,
+    "q08_staleness"      -> TickerAnomaly.q08Staleness _,
+    "q09_anomaly_flags"  -> TickerAnomaly.q09AnomalyFlags _,
+    "q10_anomaly_report" -> TickerAnomaly.q10AnomalyReport _,
     "q20_agg_groupby"    -> Relational.aggGroupBy _,
     "q21_join_agg"       -> Relational.joinAgg _,
     "q22_broadcast_dim"  -> Relational.broadcastDim _,
@@ -33,6 +43,16 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q01_lag_diff"       -> AnomalyOracle.q01,
+    "q02_rolling_avg"    -> AnomalyOracle.q02,
+    "q03_topn_per_key"   -> AnomalyOracle.q03,
+    "q04_min_history_filter" -> AnomalyOracle.q04,
+    "q05_window_stats"   -> AnomalyOracle.q05,
+    "q06_zscore"         -> AnomalyOracle.q06,
+    "q07_islands_repetition" -> AnomalyOracle.q07,
+    "q08_staleness"      -> AnomalyOracle.q08,
+    "q09_anomaly_flags"  -> AnomalyOracle.q09,
+    "q10_anomaly_report" -> AnomalyOracle.q10,
     "q20_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Thresholds and the evaluation instant for the ticker anomaly
+  * pipeline. Mirrors the reference's declared script variables
+  * (anomaly_proj_query.sql:1-16): data_periods, stddev_lim,
+  * value_rep_lim, update_lim — sized to this dataset's ~13 rows per
+  * ticker. `evalTs` replaces the reference's `current_date` so results
+  * are reproducible.
+  */
+case class AnomalyConfig(
+    dataPeriods: Int = 10,
+    stddevLim: Double = 4.5,
+    repLim: Int = 3,
+    updateLim: Double = 1.0,
+    evalTs: String = "2024-02-01 00:00:00"
+)
+
+/** The reference's windowed anomaly pipeline (anomaly_proj_query.sql),
+  * re-staged as composable DataFrame transforms over
+  * `events(user_id, event_type, ts, value)` — ticker key =
+  * (user_id, event_type), mirroring the reference's
+  * (index_id, granularity_item_id).
+  *
+  * Scale design: every stage windows over the SAME partition key, so
+  * Catalyst plans ONE hash-partition exchange for the whole chain —
+  * lag, rolling mean, row_number, per-key stats, islands and flags all
+  * run inside that single shuffle's partitions, sorted once. The dim
+  * join at the end is broadcast. No driver-side loops, no UDFs — all
+  * codegen'd built-ins.
+  */
+object TickerAnomaly {
+
+  private val keyCols = Seq(col("user_id"), col("event_type"))
+
+  private def wAsc =
+    Window.partitionBy(keyCols: _*).orderBy(col("ts"), col("event_id"))
+  private def wDesc =
+    Window.partitionBy(keyCols: _*).orderBy(col("ts").desc, col("event_id").desc)
+  private def wKey = Window.partitionBy(keyCols: _*)
+
+  private def evalTsCol(cfg: AnomalyConfig): Column =
+    lit(cfg.evalTs).cast("timestamp")
+
+  /** Stage 1 — `row_data` (sql:20-52): per-ticker lag/lead context,
+    * descending row_number, rolling prior-7 mean.
+    */
+  def rowData(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame =
+    Tables
+      .events(s, dir)
+      .filter(col("ts") <= evalTsCol(cfg))
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("event_id"),
+        col("ts").as("date_recorded"),
+        lag(col("ts"), 1).over(wAsc).as("last_date"),
+        evalTsCol(cfg).as("run_date"),
+        max(col("ts")).over(wKey).as("most_recent_date"),
+        row_number().over(wDesc).as("row_num"),
+        round(col("value"), 4).as("value"),
+        round(lag(col("value"), 1).over(wAsc), 4).as("previous_value"),
+        round(avg(col("value")).over(wAsc.rowsBetween(-7, -1)), 4)
+          .as("previous_seven_period_avg")
+      )
+      .withColumn("max_row_num", max(col("row_num")).over(wKey))
+
+  /** Stage 2 — `detrended_data` (sql:54-68): absolute one-period
+    * difference + inter-arrival gap, keep the latest `dataPeriods`
+    * rows of tickers with at least that much history (func.R:59-66).
+    */
+  def detrended(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame =
+    rowData(s, dir, cfg)
+      .withColumn(
+        "absolute_one_period_difference",
+        abs(round(col("value") - col("previous_value"), 4)))
+      .withColumn(
+        "time_diff_us",
+        unix_micros(col("date_recorded")) - unix_micros(col("last_date")))
+      .filter(col("row_num") <= cfg.dataPeriods &&
+        col("max_row_num") >= cfg.dataPeriods)
+
+  /** Stage 3 — `stats_data` (sql:69-97): per-ticker mean + sample
+    * stddev of the abs diff, repetition / reset indicators.
+    */
+  def stats(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame =
+    detrended(s, dir, cfg)
+      .withColumn("average",
+        round(avg(col("absolute_one_period_difference")).over(wKey), 4))
+      .withColumn("standard_deviation",
+        round(stddev_samp(col("absolute_one_period_difference")).over(wKey), 4))
+      .withColumn("avg_gap_us", avg(col("time_diff_us")).over(wKey))
+      .withColumn("repeated_values",
+        when(col("absolute_one_period_difference") === 0, 1).otherwise(0))
+      .withColumn("reset_count",
+        when(col("absolute_one_period_difference") === 0, 0).otherwise(1))
+
+  /** Stage 4 — `stddev_data` (sql:98-120): staleness measures,
+    * z-score with zero-variance guard, island ids for repetition runs.
+    * Gap units: exact fractional days from µs, rather than the
+    * reference's EXTRACT(HOUR)/24 approximation (sql:100-104) — same
+    * intent, no truncation artifact.
+    */
+  def zscored(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame = {
+    val wCum = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col("date_recorded"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stats(s, dir, cfg)
+      .withColumn("avg_days_bw_data", col("avg_gap_us") / lit(86400e6))
+      .withColumn(
+        "days_since_last_update",
+        (unix_micros(evalTsCol(cfg)) - unix_micros(col("date_recorded"))) / lit(86400e6))
+      .withColumn(
+        "absolute_standard_deviations_from_avg",
+        when(col("standard_deviation") =!= 0,
+          round(
+            abs(col("absolute_one_period_difference") - col("average")) /
+              col("standard_deviation"), 4)).otherwise(0))
+      .withColumn("reset_reps_sum", sum(col("reset_count")).over(wCum))
+  }
+
+  /** Stage 5 — `repeated_data` (sql:121-133): gaps-and-islands —
+    * cumulative run length of consecutive repeated values, restarting
+    * at each value change (island id = running reset count).
+    */
+  def repetitions(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame = {
+    val wIsland = Window
+      .partitionBy((keyCols :+ col("reset_reps_sum")): _*)
+      .orderBy(col("date_recorded"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zscored(s, dir, cfg)
+      .withColumn(
+        "data_repetitions",
+        sum(when(col("reset_count") === 1, 1).otherwise(col("repeated_values")))
+          .over(wIsland))
+  }
+
+  /** Stage 6 — `flag_data` (sql:134-150): threshold flags. */
+  def flags(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame =
+    repetitions(s, dir, cfg)
+      .withColumn("standard_deviation_flag",
+        when(col("absolute_standard_deviations_from_avg") >= cfg.stddevLim, 1)
+          .otherwise(0))
+      .withColumn("data_repetitions_flag",
+        when(col("data_repetitions") >= cfg.repLim, 1).otherwise(0))
+      .withColumn("days_since_last_update_flag",
+        when(col("days_since_last_update") >
+          lit(cfg.updateLim) * col("avg_days_bw_data"), 1).otherwise(0))
+      .withColumn("anomaly",
+        when(col("standard_deviation_flag") === 1 ||
+          col("data_repetitions_flag") === 1 ||
+          col("days_since_last_update_flag") === 1, 1).otherwise(0))
+
+  /** Final report (sql:152-230): latest observation per ticker, signed
+    * z-score, broadcast dim join (customer ≈ indx_index_definition),
+    * ordered by severity.
+    */
+  def report(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    flags(s, dir, cfg)
+      .filter(col("date_recorded") === col("most_recent_date"))
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .select(
+        col("anomaly"),
+        col("standard_deviation_flag"),
+        col("data_repetitions_flag"),
+        col("days_since_last_update_flag"),
+        col("value"),
+        col("previous_value"),
+        col("previous_seven_period_avg"),
+        col("absolute_one_period_difference"),
+        col("average"),
+        col("standard_deviation"),
+        col("absolute_standard_deviations_from_avg"),
+        when(col("value") - col("previous_value") < 0,
+          -col("absolute_standard_deviations_from_avg"))
+          .otherwise(col("absolute_standard_deviations_from_avg"))
+          .as("standard_deviations_from_avg"),
+        col("data_repetitions"),
+        col("date_recorded"),
+        col("run_date"),
+        col("c_name").as("ticker"),
+        col("event_type").as("granularity"),
+        col("c_mktsegment").as("ticker_segment"),
+        col("avg_days_bw_data"),
+        col("days_since_last_update"),
+        col("user_id"),
+        col("event_type")
+      )
+      .orderBy(
+        col("absolute_standard_deviations_from_avg").desc_nulls_last,
+        col("date_recorded").desc,
+        col("user_id"),
+        col("event_type"))
+  }
+
+  // ---- driver-facing query wrappers (stable column sets + total order) ----
+
+  private def ordered(df: DataFrame, cols: String*)(sort: Column*): DataFrame =
+    df.select(cols.map(col): _*).orderBy(sort: _*)
+
+  private val keyOrder =
+    Seq(col("user_id"), col("event_type"), col("date_recorded"), col("event_id"))
+
+  def q01LagDiff(s: SparkSession, dir: String): DataFrame =
+    ordered(
+      rowData(s, dir).withColumn(
+        "abs_one_period_diff",
+        abs(round(col("value") - col("previous_value"), 4))),
+      "user_id", "event_type", "event_id", "date_recorded", "last_date",
+      "value", "previous_value", "abs_one_period_diff")(keyOrder: _*)
+
+  def q02RollingAvg(s: SparkSession, dir: String): DataFrame =
+    ordered(rowData(s, dir),
+      "user_id", "event_type", "event_id", "date_recorded", "value",
+      "previous_seven_period_avg")(keyOrder: _*)
+
+  def q03TopnPerKey(s: SparkSession, dir: String): DataFrame =
+    ordered(rowData(s, dir).filter(col("row_num") <= 5),
+      "user_id", "event_type", "event_id", "date_recorded", "row_num",
+      "value")(keyOrder: _*)
+
+  def q04MinHistoryFilter(s: SparkSession, dir: String): DataFrame =
+    rowData(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("row_num")).as("n_obs"),
+        max(col("date_recorded")).as("latest"))
+      .filter(col("n_obs") >= 10)
+      .orderBy(col("user_id"), col("event_type"))
+
+  def q05WindowStats(s: SparkSession, dir: String): DataFrame =
+    ordered(stats(s, dir),
+      "user_id", "event_type", "event_id", "date_recorded",
+      "absolute_one_period_difference", "average", "standard_deviation")(
+      keyOrder: _*)
+
+  def q06Zscore(s: SparkSession, dir: String): DataFrame =
+    ordered(zscored(s, dir),
+      "user_id", "event_type", "event_id", "date_recorded",
+      "absolute_one_period_difference", "average", "standard_deviation",
+      "absolute_standard_deviations_from_avg")(keyOrder: _*)
+
+  def q07IslandsRepetition(s: SparkSession, dir: String): DataFrame =
+    ordered(repetitions(s, dir),
+      "user_id", "event_type", "event_id", "date_recorded",
+      "repeated_values", "reset_count", "reset_reps_sum",
+      "data_repetitions")(keyOrder: _*)
+
+  def q08Staleness(s: SparkSession, dir: String): DataFrame =
+    zscored(s, dir)
+      .filter(col("date_recorded") === col("most_recent_date"))
+      .select(col("user_id"), col("event_type"), col("date_recorded"),
+        col("avg_days_bw_data"), col("days_since_last_update"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  def q09AnomalyFlags(s: SparkSession, dir: String): DataFrame =
+    ordered(flags(s, dir),
+      "user_id", "event_type", "event_id", "date_recorded",
+      "standard_deviation_flag", "data_repetitions_flag",
+      "days_since_last_update_flag", "anomaly")(keyOrder: _*)
+
+  def q10AnomalyReport(s: SparkSession, dir: String): DataFrame =
+    report(s, dir)
+}
