@@ -27,6 +27,11 @@ object SparkEntry {
     "q08_staleness"      -> TickerAnomaly.q08Staleness _,
     "q09_anomaly_flags"  -> TickerAnomaly.q09AnomalyFlags _,
     "q10_anomaly_report" -> TickerAnomaly.q10AnomalyReport _,
+    "q11_stl_decompose"  -> Decompose.q11StlDecompose _,
+    "q12_iqr_anomalize"  -> Decompose.q12IqrAnomalize _,
+    "q13_anomaly_summary" -> Decompose.q13AnomalySummary _,
+    "q14_seasonal_esd"   -> ((s, d) => Decompose.q14SeasonalEsd(s, d)),
+    "q15_fault_inject"   -> Decompose.q15FaultInject _,
     "q20_agg_groupby"    -> Relational.aggGroupBy _,
     "q21_join_agg"       -> Relational.joinAgg _,
     "q22_broadcast_dim"  -> Relational.broadcastDim _,
@@ -53,6 +58,11 @@ object SparkEntry {
     "q08_staleness"      -> AnomalyOracle.q08,
     "q09_anomaly_flags"  -> AnomalyOracle.q09,
     "q10_anomaly_report" -> AnomalyOracle.q10,
+    "q11_stl_decompose"  -> DecomposeOracle.q11,
+    "q12_iqr_anomalize"  -> DecomposeOracle.q12,
+    "q13_anomaly_summary" -> DecomposeOracle.q13,
+    // q14_seasonal_esd: iterative ESD — no single-SQL oracle (rows-only)
+    "q15_fault_inject"   -> DecomposeOracle.q15,
     "q20_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

@@ -25,9 +25,13 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df // already µs-precision timestamps
+    }
   }
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")

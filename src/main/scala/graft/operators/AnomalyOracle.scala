@@ -9,9 +9,13 @@ object AnomalyOracle {
 
   private val EvalTs = "TIMESTAMP '2024-02-01 00:00:00'"
 
-  private val chain: String =
+  /** Same chain with a substitutable base value expression — q15's
+    * fault injection replays the whole pipeline over perturbed values.
+    */
+  def chainWith(valueExpr: String): String =
     s"""WITH base AS (
-       |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+       |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    $valueExpr AS value
        |  FROM events WHERE ts <= $EvalTs
        |), row_data AS (
        |  SELECT user_id, event_type, event_id,
@@ -73,6 +77,8 @@ object AnomalyOracle {
        |         THEN 1 ELSE 0 END AS anomaly
        |  FROM flags
        |)""".stripMargin
+
+  private val chain: String = chainWith("value")
 
   private val keyOrder = "user_id, event_type, date_recorded, event_id"
 

@@ -1,0 +1,265 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series decomposition + decomposition-based detectors — the
+  * Spark-native rendering of the reference's R path (func.R:92-126:
+  * `time_decompose` → `anomalize(remainder)` → `time_recompose` →
+  * score; model.R drives it per ticker).
+  *
+  * The reference runs single-node STL per ticker in a driver loop
+  * (`apply` over tickers, func.R:150). Here the same decomposition is
+  * ONE declarative plan over all tickers at once: trend = centered
+  * rolling mean, seasonal = phase-mean of the detrended series
+  * (period = 7), remainder = value − trend − seasonal. Everything
+  * windows on the ticker key, so the whole thing shares the anomaly
+  * pipeline's single-shuffle property and scales horizontally.
+  *
+  * Every derived column is rounded to 4 decimals at each stage — the
+  * same rounding the DuckDB oracle applies — so cross-engine float
+  * drift cannot accumulate.
+  */
+object Decompose {
+
+  /** Cross-engine-stable rounding: floor(x·10^k + 0.5)/10^k is the same
+    * IEEE-754 op sequence in Spark and DuckDB, unlike round(), which
+    * Spark applies to the double's shortest decimal representation and
+    * DuckDB to its binary expansion — they disagree on .xxxx5
+    * boundaries, which decompose arithmetic hits constantly.
+    */
+  private def r4(c: org.apache.spark.sql.Column) =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  private def r6(c: org.apache.spark.sql.Column) =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  private val keyCols = Seq(col("user_id"), col("event_type"))
+  private def wAsc =
+    Window.partitionBy(keyCols: _*).orderBy(col("ts"), col("event_id"))
+  private def wKey = Window.partitionBy(keyCols: _*)
+
+  val Period   = 7
+  val HalfWin  = 3
+  /** Tukey-fence multiplier ≈ anomalize's IQR method at default alpha. */
+  val IqrMult  = 3.0
+
+  /** q11: observed = trend + seasonal + remainder, per ticker. */
+  def decompose(s: SparkSession, dir: String): DataFrame =
+    decomposeFrom(Tables.events(s, dir))
+
+  /** Decomposition arithmetic runs in FIXED POINT (values scaled by
+    * 10^4 into longs) wherever an aggregate is involved: long sums are
+    * exact and order-independent, so Spark and DuckDB produce
+    * bit-identical results no matter how each engine orders its window
+    * accumulation — a plain double `avg()` differs in the last ulp
+    * between engines and flips the 4-decimal rounding.
+    */
+  def decomposeFrom(events: DataFrame): DataFrame = {
+    val wTrend = wAsc.rowsBetween(-HalfWin, HalfWin)
+    val wPhase = Window.partitionBy((keyCols :+ col("phase")): _*)
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).as("value_s"))
+      .withColumn("value", col("value_s") / lit(10000.0))
+      .withColumn("seq", row_number().over(wAsc) - 1)
+      .withColumn("trend",
+        floor(sum(col("value_s")).over(wTrend) /
+          count(col("value_s")).over(wTrend) + lit(0.5)) / lit(10000.0))
+      .withColumn("detrended_s",
+        floor((col("value") - col("trend")) * lit(10000.0) + lit(0.5)))
+      .withColumn("detrended", col("detrended_s") / lit(10000.0))
+      .withColumn("phase", col("seq") % Period)
+      .withColumn("seasonal_raw_s",
+        floor(sum(col("detrended_s")).over(wPhase) /
+          count(col("detrended_s")).over(wPhase) + lit(0.5)))
+      .withColumn("seasonal_s",
+        floor(col("seasonal_raw_s") -
+          sum(col("seasonal_raw_s")).over(wKey) /
+            count(col("seasonal_raw_s")).over(wKey) + lit(0.5)))
+      .withColumn("seasonal", col("seasonal_s") / lit(10000.0))
+      .withColumn("remainder_s",
+        floor((col("value") - col("trend") - col("seasonal")) * lit(10000.0) + lit(0.5)))
+      .withColumn("remainder", col("remainder_s") / lit(10000.0))
+  }
+
+  /** q12: IQR limits on the remainder (anomalize's `iqr` method),
+    * recomposed bands, and the reference's buffer score
+    * (func.R:106-110): score = |remainder − mid(l1,l2)| / radius.
+    */
+  def anomalize(s: SparkSession, dir: String): DataFrame =
+    anomalizeFrom(decompose(s, dir))
+
+  def anomalizeFrom(decomposed: DataFrame): DataFrame = {
+    val q = decomposed
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        (floor(percentile(col("remainder_s"), lit(0.25)) + lit(0.5)) / lit(10000.0)).as("q25"),
+        (floor(percentile(col("remainder_s"), lit(0.75)) + lit(0.5)) / lit(10000.0)).as("q75"))
+    decomposed
+      .join(q, Seq("user_id", "event_type"))
+      .withColumn("iqr", r4(col("q75") - col("q25")))
+      .withColumn("remainder_l1", r4(col("q25") - lit(IqrMult) * col("iqr")))
+      .withColumn("remainder_l2", r4(col("q75") + lit(IqrMult) * col("iqr")))
+      .withColumn("buffer_zero",
+        r4((col("remainder_l1") + col("remainder_l2")) / 2))
+      .withColumn("buffer_radius",
+        r4(col("remainder_l2") - col("buffer_zero")))
+      .withColumn("score",
+        when(col("buffer_radius") =!= 0,
+          r4(abs(col("remainder") - col("buffer_zero")) / col("buffer_radius")))
+          .otherwise(0))
+      .withColumn("is_anomaly", when(col("score") > 1, 1).otherwise(0))
+  }
+
+  /** q13: per-ticker last-row verdict (func.R:112-121): value, mean of
+    * the last 8 observations, score, repetitions of the current value
+    * among the prior 8, last inter-arrival gap in days.
+    */
+  def summary(s: SparkSession, dir: String): DataFrame = {
+    val w8 = wAsc.rowsBetween(-7, 0)
+    val eightAvg =
+      floor(sum(col("value_s")).over(w8) / count(col("value_s")).over(w8) +
+        lit(0.5)) / lit(10000.0)
+    val reps = (1 to 8)
+      .map(i => when(lag(col("value"), i).over(wAsc) === col("value"), 1).otherwise(0))
+      .reduce(_ + _)
+    val freqDays = r6(
+      (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wAsc))) / lit(86400e6))
+    anomalize(s, dir)
+      .withColumn("seven_day_avg", eightAvg)
+      .withColumn("repetitions", reps)
+      .withColumn("frequency_days", freqDays)
+      .withColumn("max_seq", max(col("seq")).over(wKey))
+      .filter(col("seq") === col("max_seq"))
+      .select(
+        concat(col("user_id"), lit("_"), col("event_type")).as("ticker_index"),
+        col("ts").as("date"),
+        col("value"),
+        col("seven_day_avg"),
+        col("score"),
+        col("is_anomaly"),
+        col("repetitions"),
+        col("frequency_days"),
+        col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q14: seasonal-ESD-style detector (archive/dev2.R's
+    * AnomalyDetectionTs): residual = value − phase median − key median,
+    * then iterative ESD with robust location/scale (median / MAD),
+    * k = maxAnoms·n rounds. Per-key iterative → typed `mapGroups`
+    * (bounded per-key state; keys process in parallel). No SQL oracle
+    * — verified by spec.
+    */
+  def seasonalEsd(s: SparkSession, dir: String,
+      maxAnomFrac: Double = 0.1, lambda: Double = 3.0): DataFrame = {
+    import s.implicits._
+    val base = decompose(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("seq"), col("phase"), col("value"))
+      .as[(Long, String, Long, Int, Int, Double)]
+
+    def median(xs: Seq[Double]): Double = {
+      val sorted = xs.sorted
+      val n = sorted.size
+      if (n == 0) 0.0
+      else if (n % 2 == 1) sorted(n / 2)
+      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    }
+
+    base
+      .groupByKey { case (u, e, _, _, _, _) => (u, e) }
+      .flatMapGroups { (key: (Long, String),
+          it: Iterator[(Long, String, Long, Int, Int, Double)]) =>
+        val (u, e) = key
+        val rows = it.toVector.sortBy(_._4) // by seq
+        val keyMed = median(rows.map(_._6))
+        val phaseMed: Map[Int, Double] =
+          rows.groupBy(_._5).map { case (p, rs) => p -> median(rs.map(_._6)) }
+        // residuals
+        var rem = rows.map(r => (r._3, r._4, r._6 - phaseMed(r._5) - keyMed))
+        val k = math.max(1, math.round(maxAnomFrac * rows.size).toInt)
+        val out = Vector.newBuilder[(Long, String, Long, Int, Double, Int)]
+        var round_ = 1
+        var continue = true
+        while (round_ <= k && continue) {
+          val med = median(rem.map(_._3))
+          val mad = median(rem.map(r => math.abs(r._3 - med)))
+          // MAD degenerates to 0 when >50% of residuals are identical
+          // (e.g. perfectly seasonal series) — fall back to stddev.
+          val scale =
+            if (mad > 0) mad * 1.4826
+            else {
+              val n = rem.size
+              if (n < 2) 0.0
+              else {
+                val mean = rem.map(_._3).sum / n
+                math.sqrt(rem.map(r => (r._3 - mean) * (r._3 - mean)).sum / (n - 1))
+              }
+            }
+          if (scale == 0) { continue = false }
+          else {
+            val (worst, z) = rem
+              .map(r => (r, math.abs(r._3 - med) / scale))
+              .maxBy { case (r, zz) => (zz, r._1) } // deterministic tie-break
+            if (z > lambda) {
+              out += ((u, e, worst._1, worst._2, z, round_))
+              rem = rem.filterNot(_._1 == worst._1)
+              round_ += 1
+            } else continue = false
+          }
+        }
+        out.result()
+      }
+      .toDF("user_id", "event_type", "event_id", "seq", "esd_z", "esd_round")
+      .orderBy(col("user_id"), col("event_type"), col("esd_round"))
+  }
+
+  /** q15: fault injection (func.R:81-88 impute_fakes + model.R:15-20):
+    * zero out a deterministic subset of values, rerun the flag chain,
+    * return the flagged rows.
+    */
+  def injectFaults(events: DataFrame): DataFrame =
+    events.withColumn("value",
+      when(col("event_id") % 97 === 0, lit(0.0)).otherwise(col("value")))
+
+  def faultInjectedFlags(s: SparkSession, dir: String): DataFrame =
+    TickerAnomaly
+      .flagsFromEvents(injectFaults(Tables.events(s, dir)))
+      .filter(col("anomaly") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("date_recorded"),
+        col("standard_deviation_flag"), col("data_repetitions_flag"),
+        col("days_since_last_update_flag"),
+        col("absolute_standard_deviations_from_avg"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+
+  // ---- driver-facing wrappers ----
+
+  def q11StlDecompose(s: SparkSession, dir: String): DataFrame =
+    decompose(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        col("seq"), col("value"), col("trend"), col("seasonal"),
+        col("remainder"))
+      .orderBy(col("user_id"), col("event_type"), col("seq"))
+
+  def q12IqrAnomalize(s: SparkSession, dir: String): DataFrame =
+    anomalize(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        col("seq"), col("remainder"), col("remainder_l1"), col("remainder_l2"),
+        col("score"), col("is_anomaly"))
+      .orderBy(col("user_id"), col("event_type"), col("seq"))
+
+  def q13AnomalySummary(s: SparkSession, dir: String): DataFrame =
+    summary(s, dir)
+
+  def q14SeasonalEsd(s: SparkSession, dir: String): DataFrame =
+    seasonalEsd(s, dir)
+
+  def q15FaultInject(s: SparkSession, dir: String): DataFrame =
+    faultInjectedFlags(s, dir)
+}

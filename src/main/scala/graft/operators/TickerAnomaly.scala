@@ -50,8 +50,13 @@ object TickerAnomaly {
     * descending row_number, rolling prior-7 mean.
     */
   def rowData(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame =
-    Tables
-      .events(s, dir)
+    rowDataFrom(Tables.events(s, dir), cfg)
+
+  /** df-based stage entry so callers can pre-transform events (e.g.
+    * fault injection, streaming micro-batches) and reuse the chain.
+    */
+  def rowDataFrom(events: DataFrame, cfg: AnomalyConfig): DataFrame =
+    events
       .filter(col("ts") <= evalTsCol(cfg))
       .select(
         col("user_id"),
@@ -74,7 +79,10 @@ object TickerAnomaly {
     * rows of tickers with at least that much history (func.R:59-66).
     */
   def detrended(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame =
-    rowData(s, dir, cfg)
+    detrendedFrom(rowData(s, dir, cfg), cfg)
+
+  def detrendedFrom(rowData: DataFrame, cfg: AnomalyConfig): DataFrame =
+    rowData
       .withColumn(
         "absolute_one_period_difference",
         abs(round(col("value") - col("previous_value"), 4)))
@@ -88,7 +96,10 @@ object TickerAnomaly {
     * stddev of the abs diff, repetition / reset indicators.
     */
   def stats(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame =
-    detrended(s, dir, cfg)
+    statsFrom(detrended(s, dir, cfg), cfg)
+
+  def statsFrom(detrended: DataFrame, cfg: AnomalyConfig): DataFrame =
+    detrended
       .withColumn("average",
         round(avg(col("absolute_one_period_difference")).over(wKey), 4))
       .withColumn("standard_deviation",
@@ -105,12 +116,15 @@ object TickerAnomaly {
     * reference's EXTRACT(HOUR)/24 approximation (sql:100-104) — same
     * intent, no truncation artifact.
     */
-  def zscored(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame = {
+  def zscored(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame =
+    zscoredFrom(stats(s, dir, cfg), cfg)
+
+  def zscoredFrom(stats: DataFrame, cfg: AnomalyConfig): DataFrame = {
     val wCum = Window
       .partitionBy(keyCols: _*)
       .orderBy(col("date_recorded"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    stats(s, dir, cfg)
+    stats
       .withColumn("avg_days_bw_data", col("avg_gap_us") / lit(86400e6))
       .withColumn(
         "days_since_last_update",
@@ -128,12 +142,15 @@ object TickerAnomaly {
     * cumulative run length of consecutive repeated values, restarting
     * at each value change (island id = running reset count).
     */
-  def repetitions(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame = {
+  def repetitions(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame =
+    repetitionsFrom(zscored(s, dir, cfg), cfg)
+
+  def repetitionsFrom(zscored: DataFrame, cfg: AnomalyConfig): DataFrame = {
     val wIsland = Window
       .partitionBy((keyCols :+ col("reset_reps_sum")): _*)
       .orderBy(col("date_recorded"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    zscored(s, dir, cfg)
+    zscored
       .withColumn(
         "data_repetitions",
         sum(when(col("reset_count") === 1, 1).otherwise(col("repeated_values")))
@@ -142,7 +159,15 @@ object TickerAnomaly {
 
   /** Stage 6 — `flag_data` (sql:134-150): threshold flags. */
   def flags(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame =
-    repetitions(s, dir, cfg)
+    flagsFrom(repetitions(s, dir, cfg), cfg)
+
+  /** Full flag chain from a raw events DataFrame. */
+  def flagsFromEvents(events: DataFrame, cfg: AnomalyConfig = AnomalyConfig()): DataFrame =
+    flagsFrom(repetitionsFrom(zscoredFrom(statsFrom(detrendedFrom(
+      rowDataFrom(events, cfg), cfg), cfg), cfg), cfg), cfg)
+
+  def flagsFrom(repetitions: DataFrame, cfg: AnomalyConfig): DataFrame =
+    repetitions
       .withColumn("standard_deviation_flag",
         when(col("absolute_standard_deviations_from_avg") >= cfg.stddevLim, 1)
           .otherwise(0))

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Decompose
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecomposeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("decomposition recomposes: value = trend + seasonal + remainder (±1e-4)") {
+    val bad = Decompose
+      .decompose(spark, dir)
+      .withColumn("recomposed",
+        col("trend") + col("seasonal") + col("remainder"))
+      .filter(abs(col("recomposed") - col("value")) > 0.00011)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("anomalize scores are non-negative and flags require score > 1") {
+    val rows = Decompose.anomalize(spark, dir)
+      .select("score", "is_anomaly").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0)
+      assert(r.getInt(1) == (if (r.getDouble(0) > 1) 1 else 0))
+    }
+  }
+
+  test("seasonal ESD finds an injected point spike") {
+    import spark.implicits._
+    // Build a synthetic single-ticker series with one gross outlier.
+    val rows = (0 until 40).map { i =>
+      val v = if (i == 25) 500.0 else 10.0 + (i % 7)
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i / 2 + 1}%02d 0${i % 2}:00:00"),
+        1L, "tick", v)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("esd").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val found = Decompose.seasonalEsd(spark, tmp)
+      .filter(col("event_id") === 25L).count()
+    assert(found == 1, "ESD should flag the injected spike")
+  }
+
+  test("fault injection produces flagged anomalies") {
+    val flagged = Decompose.faultInjectedFlags(spark, dir)
+    assert(flagged.count() > 0)
+  }
+
+  test("ESD is deterministic across runs") {
+    val a = Decompose.seasonalEsd(spark, dir).collect()
+    val b = Decompose.seasonalEsd(spark, dir).collect()
+    assert(a.sameElements(b))
+  }
+}
