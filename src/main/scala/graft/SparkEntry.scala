@@ -44,7 +44,19 @@ object SparkEntry {
     "q29_rollup"         -> Relational.rollupAgg _,
     "q30_union_dedup"    -> Relational.unionDedup _,
     "q31_running_total"  -> Relational.runningTotal _,
-    "q32_sessionize"     -> Relational.sessionize _
+    "q32_sessionize"     -> Relational.sessionize _,
+    "d01_dedup_exact"    -> graft.dedup.Dedup.exactDedup _,
+    "d02_dedup_minhash_lsh" -> ((s, d) => graft.dedup.MinHashLSH.q(s, d)),
+    "d03_dedup_simhash"  -> ((s, d) => graft.dedup.SimHash.q(s, d)),
+    "d04_ngram_jaccard"  -> ((s, d) => graft.dedup.Dedup.ngramJaccard(s, d)),
+    "d05_dedup_embedding" -> ((s, d) => graft.dedup.Dedup.embeddingDedup(s, d)),
+    "s01_ann_bruteforce" -> ((s, d) => graft.similarity.Ann.bruteForceTopK(s, d)),
+    "s02_ann_lsh"        -> ((s, d) => graft.similarity.Ann.lshTopK(s, d)),
+    "t01_langid"         -> graft.text.TextFns.langId _,
+    "t02_quality_score"  -> graft.text.TextFns.qualityScore _,
+    "t03_token_count"    -> graft.text.TextFns.tokenCount _,
+    "t04_fingerprint"    -> graft.text.TextFns.fingerprint _,
+    "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -173,6 +185,15 @@ object SparkEntry {
            CAST(MAX(ts) AS TIMESTAMP) AS session_end,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
          FROM sessions GROUP BY user_id, session_id
-         ORDER BY user_id, session_id"""
+         ORDER BY user_id, session_id""",
+    "d01_dedup_exact"    -> LlmOracle.d01,
+    "d04_ngram_jaccard"  -> LlmOracle.d04,
+    "d05_dedup_embedding" -> LlmOracle.d05,
+    "s01_ann_bruteforce" -> LlmOracle.s01,
+    "t01_langid"         -> LlmOracle.t01,
+    "t02_quality_score"  -> LlmOracle.t02,
+    "t03_token_count"    -> LlmOracle.t03,
+    "t04_fingerprint"    -> LlmOracle.t04
+    // d02/d03/s02 (hash-seeded) and m01 (decode stub): rows-only
   )
 }

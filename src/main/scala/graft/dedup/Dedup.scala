@@ -1,0 +1,91 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents(doc_id, text, ...)` and
+  * `embeddings(vec_id, embedding, label)` — the training-data-pipeline
+  * side of the engine (SURVEY.md §2C).
+  *
+  * Scale design: d01 is a pure hash groupBy (one shuffle on the digest,
+  * map-side partial agg). d04's candidate generation is an inverted-
+  * index join — pairs only materialize for docs sharing a token, the
+  * standard blocking scheme; swap the token for a MinHash band (d02) to
+  * bound candidates when the corpus has heavy-hitter tokens. d05 is
+  * pairwise within the corpus (embeddings table is fixed-size here);
+  * the scale path for large corpora is the LSH-bucketed variant (s02).
+  */
+object Dedup {
+
+  /** Canonical text normalization shared by every text-dedup operator:
+    * trim, lowercase, collapse runs of whitespace.
+    */
+  def normText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** d01: exact dedup — group by content digest, keep the smallest id. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("norm_hash"))
+
+  /** d04: word-set Jaccard similarity pairs via inverted-index join:
+    * explode distinct tokens, join docs sharing a token, count the
+    * intersection, recover |A∪B| from per-doc set sizes. Jaccard is an
+    * exact integer ratio — no float drift against the oracle.
+    */
+  def ngramJaccard(s: SparkSession, dir: String, tau: Double = 0.8): DataFrame = {
+    val tok = Tables
+      .documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(normText(col("text")), " "))).as("tok"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val a = tok.as("a")
+    val b = tok.as("b")
+    a.join(b, col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_tok", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_tok", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Sequential left-fold dot product — the exact op order DuckDB's
+    * list_reduce uses, so cosines agree bitwise across engines.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / sqrt(na * nb)
+
+  /** d05: embedding-cosine near-duplicate pairs ≥ τ. */
+  def embeddingDedup(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val v = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm2", dot(col("v"), col("v")))
+    val a = v.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("norm2").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("norm2").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("cos") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("cos6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** d02: MinHash + banded LSH near-duplicate detection.
+  *
+  * Pipeline: word 3-shingles → 64-permutation MinHash signature (one
+  * universal-hash family over xxhash64 of each shingle) → 16 bands × 4
+  * rows; docs colliding in any band become candidate pairs → verified
+  * by signature-estimated Jaccard.
+  *
+  * Scale: signatures are fixed 64-long arrays computed row-locally (no
+  * shuffle); the only shuffle is the band-bucket join, whose fan-out is
+  * the number of true near-duplicate collisions, not O(n²). This is the
+  * standard web-scale dedup shape. Rows-only (hash-seed specific, no
+  * SQL oracle) — planted near-dups are spec-verified.
+  */
+object MinHashLSH {
+
+  val NumHashes = 64
+  val Bands     = 16
+  val RowsPerBand = NumHashes / Bands
+  private val Prime = 2147483647L // 2^31 - 1
+
+  /** Deterministic universal-hash coefficients (LCG from fixed seed). */
+  private val coeffs: Seq[(Long, Long)] = {
+    var x = 0x5DEECE66DL
+    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); (x >>> 33) % Prime }
+    (0 until NumHashes).map(_ => (next() | 1L, next()))
+  }
+
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = split(Dedup.normText(text), " ")
+    array_distinct(
+      when(size(ws) <= n, array(concat_ws(" ", ws)))
+        .otherwise(transform(
+          sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+  }
+
+  /** 64-long MinHash signature of a shingle array. */
+  def signature(sh: Column): Column = {
+    val hs = transform(sh, x => pmod(xxhash64(x), lit(Prime)))
+    val aArr = array(coeffs.map(c => lit(c._1)): _*)
+    val bArr = array(coeffs.map(c => lit(c._2)): _*)
+    transform(
+      sequence(lit(0), lit(NumHashes - 1)),
+      i => aggregate(hs, lit(Long.MaxValue),
+        (acc, h) => least(acc,
+          pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(Prime)))))
+  }
+
+  def signatures(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), signature(shingles(col("text"))).as("sig"))
+
+  /** Candidate pairs via banded buckets, scored by the fraction of
+    * agreeing signature components (the MinHash Jaccard estimate).
+    */
+  def nearDupPairs(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val sigs = signatures(s, dir).cache()
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(transform(
+        sequence(lit(0), lit(Bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(b, slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))
+            .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def q(s: SparkSession, dir: String): DataFrame = nearDupPairs(s, dir)
+}

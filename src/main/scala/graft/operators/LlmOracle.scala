@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.text.TextFns
+
+/** DuckDB oracles for the LLM-data-pipeline operators that are
+  * SQL-expressible (d01, d04, d05, s01, t01–t04). Hash-seeded ops
+  * (d02 MinHash, d03 SimHash, s02 LSH) and the decode stub (m01) are
+  * rows-only, verified by specs.
+  *
+  * Cross-engine parity relies on: identical normalization regexes,
+  * integer-ratio Jaccard, and cosine as a sequential left-fold
+  * (list_reduce ≡ Spark aggregate) over doubles.
+  */
+object LlmOracle {
+
+  private val Norm = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+  val d01: String =
+    s"""SELECT md5($Norm) AS norm_hash, min(doc_id) AS keep_doc_id,
+       |  count(*) AS n_copies
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val d04: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split($Norm, ' ')) AS tok
+       |  FROM documents
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, inter, sa.n_tok AS n_a, sb.n_tok AS n_b,
+       |  CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Sequential left-fold dot product, same op order as Spark's
+    * aggregate(zip_with(...)).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       |      list_transform(list_zip($a, $b), p -> p[1] * p[2])),
+       |      (acc, x) -> acc + x)""".stripMargin
+
+  val d05: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM v
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dotSql("a.v", "b.v")} / sqrt(a.norm2 * b.norm2) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |)
+       |SELECT id_a, id_b, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos6
+       |FROM pairs WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
+  val s01: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM v
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    floor(${dotSql("q.v", "c.v")} / sqrt(q.norm2 * c.norm2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cos6
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos6 DESC, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, vec_id, cos6 FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
+  private def profileSql(l: String, stops: Seq[String]): String = {
+    val set = stops.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split($Norm, ' '), w -> w IN ($set))) AS score_$l"
+  }
+
+  val t01: String = {
+    val scores = TextFns.Profiles
+      .map { case (l, st) => profileSql(l, st) }.mkString(",\n  ")
+    val best = TextFns.Profiles.foldLeft(("'und'", "0")) {
+      case ((langAcc, scoreAcc), (l, _)) =>
+        (s"CASE WHEN score_$l > $scoreAcc THEN '$l' ELSE $langAcc END",
+          s"greatest($scoreAcc, score_$l)")
+    }._1
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $scores
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, $best AS predicted_lang,
+       |  ${TextFns.Profiles.map { case (l, _) => s"score_$l" }.mkString(", ")}
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  val t02: String = {
+    val stops = TextFns.Profiles.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    length(text) AS n_char,
+       |    len(string_split($Norm, ' ')) AS n_words,
+       |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+       |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+       |    len(list_filter(string_split($Norm, ' '), w -> w IN ($stops))) AS n_stop,
+       |    length($Norm) AS n_char_norm
+       |  FROM documents
+       |), r AS (
+       |  SELECT *,
+       |    CAST(n_char_norm - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+       |    CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       |    CAST(n_punct AS DOUBLE) / n_char AS punct_ratio
+       |  FROM m
+       |)
+       |SELECT doc_id, n_char, n_words, n_punct, n_digit, n_stop, stop_ratio,
+       |  floor((
+       |    (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END) +
+       |    (CASE WHEN avg_word_len BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END) +
+       |    (CASE WHEN stop_ratio >= 0.01 THEN 0.2 ELSE 0.0 END) +
+       |    (CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END)
+       |  ) * 1000000.0 + 0.5) / 1000000.0 AS quality
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  val t03: String =
+    s"""SELECT doc_id,
+       |  len(string_split($Norm, ' ')) AS ws_tokens,
+       |  len(regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]')) AS re_tokens,
+       |  CAST(ceil(CAST(length(text) AS DOUBLE) / 3.6) AS BIGINT) AS subword_est
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val RollFold =
+    "(acc, x) -> (acc * 31 + x) % 1000000007"
+
+  val t04: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, $Norm AS norm FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(norm, ''),
+       |        c -> CAST(unicode(c) AS BIGINT))), $RollFold) AS fp_full,
+       |    list_min(list_transform(
+       |      generate_series(0, CAST(floor((length(norm) - 1) / 128.0) AS BIGINT)),
+       |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(substr(norm, CAST(1 + i * 128 AS BIGINT), 128), ''),
+       |          c -> CAST(unicode(c) AS BIGINT))), $RollFold))) AS fp_min_block
+       |  FROM n
+       |)
+       |SELECT doc_id, fp_full, fp_min_block FROM f ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,130 @@
+package graft.text
+
+import graft.Tables
+import graft.dedup.Dedup.normText
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2C): language
+  * ID, quality scoring, token counting, rolling-hash fingerprints. All
+  * pure `functions._` compositions — codegen'd, no UDFs, shuffle-free
+  * (row-local), so they stream through a 100 TB corpus at scan speed.
+  */
+object TextFns {
+
+  /** Tiny per-language stopword profiles (top function words). The
+    * scorer is the operator; on synthetic corpora accuracy is
+    * meaningless, determinism is what the oracle checks.
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "que")
+  )
+
+  private def words(c: Column): Column = split(normText(c), " ")
+
+  private def stopHits(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => array_contains(array(stop.map(lit): _*), w)))
+
+  /** t01: stopword-profile language ID with deterministic tie-break
+    * (profile order wins ties; all-zero → 'und').
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val scored = Profiles.foldLeft(Tables.documents(s, dir)) {
+      case (df, (l, stop)) => df.withColumn(s"score_$l", stopHits(ws, stop))
+    }
+    val best = Profiles.foldLeft((lit("und"), lit(0))) {
+      case ((langAcc, scoreAcc), (l, _)) =>
+        (when(col(s"score_$l") > scoreAcc, lit(l)).otherwise(langAcc),
+          greatest(scoreAcc, col(s"score_$l")))
+    }
+    scored
+      .select((Seq(col("doc_id"), col("lang"),
+        best._1.as("predicted_lang")) ++
+        Profiles.map { case (l, _) => col(s"score_$l") }): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** t02: document quality heuristics — length, word stats, punctuation
+    * / digit / stopword ratios, and a composite score. Integer counts +
+    * one fixed double formula → bit-stable across engines.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables
+      .documents(s, dir)
+      .withColumn("n_char", length(col("text")))
+      .withColumn("n_words", size(ws))
+      .withColumn("n_punct",
+        length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", "")))
+      .withColumn("n_digit",
+        length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+      .withColumn("n_stop", stopHits(ws, Profiles.head._2))
+      .withColumn("avg_word_len",
+        (length(normText(col("text"))) - (col("n_words") - 1)).cast("double") /
+          col("n_words"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_char"))
+      .withColumn("quality",
+        floor((
+          when(col("n_words") >= 20 && col("n_words") <= 1000, lit(0.4)).otherwise(lit(0.0)) +
+          when(col("avg_word_len") >= 3 && col("avg_word_len") <= 10, lit(0.3)).otherwise(lit(0.0)) +
+          when(col("stop_ratio") >= 0.01, lit(0.2)).otherwise(lit(0.0)) +
+          when(col("punct_ratio") <= 0.2, lit(0.1)).otherwise(lit(0.0))
+        ) * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .select(col("doc_id"), col("n_char"), col("n_words"), col("n_punct"),
+        col("n_digit"), col("n_stop"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t03: token counting — whitespace tokens, regex word/punct tokens
+    * (a BPE-ish segmentation proxy), and a subword estimate.
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .withColumn("ws_tokens", size(split(normText(col("text")), " ")))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(normText(col("text")),
+          lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))))
+      .withColumn("subword_est",
+        ceil(length(col("text")).cast("double") / lit(3.6)).cast("long"))
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"),
+        col("subword_est"))
+      .orderBy(col("doc_id"))
+
+  private val Mod = 1000000007L
+
+  /** Polynomial rolling hash (Rabin–Karp) of a string column, as a
+    * sequential fold over code points — same fold DuckDB's list_reduce
+    * performs, so fingerprints agree exactly.
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % Mod)
+
+  /** t04: document fingerprints — whole-text rolling hash plus the min
+    * over per-128-char block hashes (winnowing-style locality).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = normText(col("text"))
+    val blocks = transform(
+      sequence(lit(0), floor((length(norm) - 1) / lit(128.0)).cast("int")),
+      i => norm.substr(lit(1) + i * 128, lit(128)))
+    Tables
+      .documents(s, dir)
+      .withColumn("fp_full", rollingHash(norm))
+      .withColumn("fp_min_block",
+        array_min(transform(blocks, b => aggregate(
+          transform(split(b, ""), ch => ascii(ch).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % Mod))))
+      .select(col("doc_id"), col("fp_full"), col("fp_min_block"))
+      .orderBy(col("doc_id"))
+  }
+}

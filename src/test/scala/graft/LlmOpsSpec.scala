@@ -1,0 +1,112 @@
+package graft
+
+import graft.dedup.{Dedup, MinHashLSH, SimHash}
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** A corpus with planted exact + near duplicates. */
+  lazy val plantedDir: String = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    val near = base.replace("lazy", "sleepy") // one-word edit
+    val other = "completely different content about spark query engines " * 5
+    val docs = Seq(
+      (1L, base, "en", "s1", base.length.toLong),
+      (2L, base, "en", "s2", base.length.toLong),   // exact dup of 1
+      (3L, near, "en", "s3", near.length.toLong),   // near dup of 1
+      (4L, other, "en", "s4", other.length.toLong),
+      (5L, "tiny doc", "en", "s5", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("planted").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("d01 exact dedup collapses identical docs") {
+    val groups = Dedup.exactDedup(spark, plantedDir).collect()
+    val dupGroup = groups.filter(_.getLong(2) > 1)
+    assert(dupGroup.length == 1 && dupGroup.head.getLong(1) == 1L)
+  }
+
+  test("d02 minhash LSH finds planted exact and near dups") {
+    val pairs = MinHashLSH.nearDupPairs(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc flagged: $pairs")
+  }
+
+  test("d03 simhash: exact dups at distance 0, distinct docs not paired") {
+    // One-word edits on short (~13 distinct-token) docs flip > 3 of 60
+    // bits — SimHash's hamming radius targets long documents, so the
+    // contract here is: identical docs collide, unrelated docs don't,
+    // and every reported pair respects the radius.
+    val rows = SimHash.nearDupPairs(spark, plantedDir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L))
+    rows.foreach(r => assert(r.getInt(2) <= 3))
+  }
+
+  test("d04 jaccard gives 1.0 for exact dups, high for near dups") {
+    val rows = Dedup.ngramJaccard(spark, plantedDir, tau = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(rows((1L, 2L)) == 1.0)
+    assert(rows((1L, 3L)) > 0.8 && rows((1L, 3L)) < 1.0)
+  }
+
+  test("d05 embedding dedup is thresholded, ordered, and non-empty") {
+    val pairs = Dedup.embeddingDedup(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4 - 1e-6)
+    }
+  }
+
+  test("s01 brute-force top-k returns k ranked neighbours per query") {
+    val rows = Ann.bruteForceTopK(spark, dir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      val cosines = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("s02 LSH achieves nonzero recall against s01 and never scores cross-bucket") {
+    val exact = Ann.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.lshTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"LSH recall too low: $recall")
+  }
+
+  test("m01 multimodal plumbing: schema, determinism, feature shape") {
+    val df = Multimodal.q(spark, dir)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getSeq[Double](1).length == 4)
+      assert(r.getInt(2) >= 640 && r.getInt(3) >= 360)
+    }
+    assert(df.collect().sameElements(rows), "decode stub must be deterministic")
+  }
+
+  test("t04 fingerprints: identical docs share fp, distinct docs differ") {
+    val fps = graft.text.TextFns.fingerprint(spark, plantedDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(4L))
+  }
+}
