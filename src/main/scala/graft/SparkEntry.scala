@@ -56,7 +56,10 @@ object SparkEntry {
     "t02_quality_score"  -> graft.text.TextFns.qualityScore _,
     "t03_token_count"    -> graft.text.TextFns.tokenCount _,
     "t04_fingerprint"    -> graft.text.TextFns.fingerprint _,
-    "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d))
+    "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
+    "st01_stream_window_agg" -> graft.streaming.StreamingAnomaly.st01WindowAgg _,
+    "st02_stream_anomaly" -> ((s, d) =>
+      graft.streaming.StreamingAnomaly.st02StatefulFlags(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
 object MinHashLSH {
 
   val NumHashes = 64
-  val Bands     = 16
+  // 8 bands x 8 rows: a pair colliding in some band needs est-Jaccard
+  // ~(1/8)^(1/8)=0.77+ to be likely -- tuned for near-dup similarity
+  // (j >= 0.9 collides w.p. ~0.99) while keeping candidates ~linear on
+  // corpora where everything is mildly similar (16x4 banding admitted
+  // j~0.3 pairs and exploded quadratically).
+  val Bands     = 8
   val RowsPerBand = NumHashes / Bands
   private val Prime = 2147483647L // 2^31 - 1
 
@@ -40,17 +45,13 @@ object MinHashLSH {
           i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
   }
 
-  /** 64-long MinHash signature of a shingle array. */
-  def signature(sh: Column): Column = {
-    val hs = transform(sh, x => pmod(xxhash64(x), lit(Prime)))
-    val aArr = array(coeffs.map(c => lit(c._1)): _*)
-    val bArr = array(coeffs.map(c => lit(c._2)): _*)
-    transform(
-      sequence(lit(0), lit(NumHashes - 1)),
-      i => aggregate(hs, lit(Long.MaxValue),
-        (acc, h) => least(acc,
-          pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(Prime)))))
-  }
+  /** 64-long MinHash signature of a shingle array, via the native
+    * one-pass expression (graft.functions.MinHashSignature).
+    */
+  def signature(sh: Column): Column =
+    graft.functions.VectorFunctions.minhash_sig(
+      transform(sh, x => pmod(xxhash64(x), lit(Prime))),
+      NumHashes, Prime, coeffs.map(_._1), coeffs.map(_._2))
 
   def signatures(s: SparkSession, dir: String): DataFrame =
     Tables

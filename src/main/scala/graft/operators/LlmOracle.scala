@@ -21,9 +21,20 @@ object LlmOracle {
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   val d04: String =
-    s"""WITH tok AS (
-       |  SELECT DISTINCT doc_id, unnest(string_split($Norm, ' ')) AS tok
-       |  FROM documents
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+       |), alltok AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(ws) >= 2
+       |      THEN list_transform(range(len(ws) - 1),
+       |        i -> ws[i + 1] || ' ' || ws[i + 2])
+       |      ELSE [array_to_string(ws, ' ')] END) AS tok
+       |  FROM w
+       |), hot AS (
+       |  SELECT tok FROM alltok GROUP BY tok HAVING count(*) > 100
+       |), tok AS (
+       |  SELECT a.doc_id, a.tok FROM alltok a
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.tok = a.tok)
        |), sizes AS (
        |  SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
        |), inter AS (

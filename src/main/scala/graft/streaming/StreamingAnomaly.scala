@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.operators.AnomalyConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators (SURVEY.md §2D) — the streaming
+  * rendering of the ticker pipeline, which is what the reference's
+  * daily BigQuery batch becomes when run continuously.
+  *
+  * Both run the events parquet through a real `readStream` →
+  * `writeStream` graph with a memory sink driven synchronously
+  * (`processAllAvailable`), so the driver can still collect a
+  * DataFrame; on a cluster the same code points at a Kafka/file
+  * source and a real sink.
+  */
+object StreamingAnomaly {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Events as a file stream. The batch parquet has ns timestamps the
+    * streaming reader can't use directly, so stage a µs copy once.
+    */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val staged = new java.io.File(
+      s"/tmp/graft_stream_stage/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    if (!staged.exists()) {
+      graft.Tables.events(s, dir).write.mode("overwrite")
+        .parquet(staged.getAbsolutePath)
+    }
+    s.readStream.schema(eventSchema).parquet(staged.getAbsolutePath)
+  }
+
+  /** st01: sliding-window aggregation with a watermark — events per
+    * (6h window, event_type) with value sums.
+    */
+  def st01WindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val name = s"st01_out_${counter.incrementAndGet()}"
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  case class TickEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class TickerState(lastValue: Double, runLength: Int,
+      diffs: List[Double])
+
+  case class Flagged(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, zscore: Double,
+      stddev_flag: Int, repetition_flag: Int, anomaly: Int)
+
+  /** st02: the q09 flag semantics as continuously-updating state —
+    * per-ticker rolling window of one-period diffs, z-score and
+    * repetition-run flags per arriving event. State is O(dataPeriods)
+    * per key, so a 1000-executor cluster holds billions of tickers.
+    */
+  def st02StatefulFlags(s: SparkSession, dir: String,
+      cfg: AnomalyConfig = AnomalyConfig()): DataFrame = {
+    import s.implicits._
+    val name = s"st02_out_${counter.incrementAndGet()}"
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[TickerState]): Iterator[Flagged] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(TickerState(Double.NaN, 0, Nil))
+      val out = sorted.map { e =>
+        if (st.lastValue.isNaN) {
+          st = TickerState(e.value, 1, Nil)
+          Flagged(key._1, key._2, e.event_id, e.ts, e.value, 0.0, 0, 0, 0)
+        } else {
+          val diff = math.abs(
+            math.floor((e.value - st.lastValue) * 10000.0 + 0.5) / 10000.0)
+          val newRun = if (diff == 0) st.runLength + 1 else 1
+          val ds = (diff :: st.diffs).take(cfg.dataPeriods)
+          val n = ds.size
+          val mean = ds.sum / n
+          val sd =
+            if (n < 2) 0.0
+            else math.sqrt(ds.map(d => (d - mean) * (d - mean)).sum / (n - 1))
+          val z = if (sd != 0) math.abs(diff - mean) / sd else 0.0
+          st = TickerState(e.value, newRun, ds)
+          val sdFlag = if (z >= cfg.stddevLim) 1 else 0
+          val repFlag = if (newRun >= cfg.repLim) 1 else 0
+          Flagged(key._1, key._2, e.event_id, e.ts, e.value, z, sdFlag,
+            repFlag, if (sdFlag == 1 || repFlag == 1) 1 else 0)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    val q = eventStream(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.streaming.StreamingAnomaly
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("st01 windowed agg totals match the batch count") {
+    val windows = StreamingAnomaly.st01WindowAgg(spark, dir)
+    val total = windows.agg(sum("n_events")).collect()(0).getLong(0)
+    val batchTotal = Tables.events(spark, dir).count()
+    // 6h windows sliding every 3h → each event lands in exactly 2 windows
+    assert(total == 2 * batchTotal, s"windowed total $total vs batch $batchTotal")
+  }
+
+  test("st02 stateful flags emit one row per event and match batch run-length semantics") {
+    val out = StreamingAnomaly.st02StatefulFlags(spark, dir)
+    val n = out.count()
+    assert(n == Tables.events(spark, dir).count())
+    val bad = out.filter(
+      (col("anomaly") === 1 && col("stddev_flag") === 0 && col("repetition_flag") === 0) ||
+      (col("anomaly") === 0 && (col("stddev_flag") === 1 || col("repetition_flag") === 1)))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("st02 is deterministic across runs") {
+    val a = StreamingAnomaly.st02StatefulFlags(spark, dir).collect()
+    val b = StreamingAnomaly.st02StatefulFlags(spark, dir).collect()
+    assert(a.sameElements(b))
+  }
+}
