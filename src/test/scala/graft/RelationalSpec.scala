@@ -45,4 +45,21 @@ class RelationalSpec extends AnyFunSuite {
       .joinAgg(spark, dir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast join")
   }
+
+  test("q24 pushes filters and prunes columns at the parquet scan") {
+    val plan = operators.Relational
+      .filterPushdown(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filters not pushed:\n$plan")
+    val scanLine = plan.split("\n").find(_.contains("FileScan parquet")).get
+    assert(!scanLine.contains("l_tax"), "scan reads unprojected columns")
+  }
+
+  test("q20 scan reads only the 5 referenced lineitem columns") {
+    val plan = operators.Relational
+      .aggGroupBy(spark, dir).queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("FileScan parquet")).get
+    assert(!scanLine.contains("l_shipdate") && !scanLine.contains("l_orderkey"),
+      s"column pruning failed: $scanLine")
+  }
 }
