@@ -45,6 +45,11 @@ object SparkEntry {
     "q30_union_dedup"    -> Relational.unionDedup _,
     "q31_running_total"  -> Relational.runningTotal _,
     "q32_sessionize"     -> Relational.sessionize _,
+    "q33_asof_join"      -> ScaleOps.asofJoin _,
+    "q34_salted_agg"     -> ((s, d) => ScaleOps.saltedAgg(s, d)),
+    "q35_bucketed_join"  -> ScaleOps.bucketedJoin _,
+    "q36_partitioned_scan" -> ScaleOps.partitionedScan _,
+    "q37_approx_distinct" -> ScaleOps.approxDistinct _,
     "d01_dedup_exact"    -> graft.dedup.Dedup.exactDedup _,
     "d02_dedup_minhash_lsh" -> ((s, d) => graft.dedup.MinHashLSH.q(s, d)),
     "d03_dedup_simhash"  -> ((s, d) => graft.dedup.SimHash.q(s, d)),
@@ -189,6 +194,40 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
          FROM sessions GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "q33_asof_join" ->
+      """WITH o AS (
+           SELECT o_custkey AS user_id, o_orderdate AS ots, o_orderkey,
+             o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey, o_orderdate
+               ORDER BY o_orderkey DESC) AS rn
+           FROM orders
+         ), od AS (
+           SELECT user_id, ots, o_orderkey, o_totalprice FROM o WHERE rn = 1
+         ), e AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events
+         )
+         SELECT e.event_id, e.user_id, e.ts, e.value, od.o_orderkey,
+           od.o_totalprice
+         FROM e ASOF LEFT JOIN od
+           ON e.user_id = od.user_id AND e.ts >= od.ots
+         ORDER BY e.event_id""",
+    "q34_salted_agg" ->
+      """SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q35_bucketed_join" ->
+      """SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q36_partitioned_scan" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           event_type
+         FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
+    // q37_approx_distinct: HLL sketch values are engine-specific (rows-only)
     "d01_dedup_exact"    -> LlmOracle.d01,
     "d04_ngram_jaccard"  -> LlmOracle.d04,
     "d05_dedup_embedding" -> LlmOracle.d05,

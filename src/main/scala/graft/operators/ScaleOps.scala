@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators (SURVEY.md §2B extension): the join /
+  * aggregation shapes that keep a 100 TB pipeline off the shuffle
+  * cliff — as-of joins for time-series enrichment, salted two-phase
+  * aggregation for skewed keys, approximate sketches for cheap
+  * cardinality.
+  */
+object ScaleOps {
+
+  private val dec = "decimal(28,6)"
+
+  /** q33: AS-OF JOIN — each event enriched with the user's most recent
+    * order at-or-before the event timestamp.
+    *
+    * Spark has no asof-join operator; the scalable composition is the
+    * union-and-carry trick: tag both streams, sort per user by
+    * (time, tag), and carry the latest order attributes forward with
+    * `last_value(ignoreNulls)`. ONE shuffle on the join key, no range
+    * explosion, no per-row probing — at 100 TB this is a single
+    * sort-merge pass. Ties on order date are pre-collapsed to the max
+    * order key so semantics are deterministic (and match DuckDB's
+    * ASOF JOIN oracle).
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").as("ts"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"),
+        col("o_orderkey"), col("o_totalprice"), lit(0).as("tag"))
+    val events = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"), lit(1).as("tag"))
+    val carryW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionAll(events)
+      .withColumn("last_orderkey",
+        last(col("o_orderkey"), ignoreNulls = true).over(carryW))
+      .withColumn("last_totalprice",
+        last(col("o_totalprice"), ignoreNulls = true).over(carryW))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("last_orderkey").as("o_orderkey"),
+        col("last_totalprice").as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q34: salted two-phase aggregation — the skew guard: partial
+    * aggregate on (key, salt) spreads a hot key over `salts`
+    * reducers, the final aggregate collapses the partials. DECIMAL
+    * partials make the result identical to the direct groupBy.
+    */
+  def saltedAgg(s: SparkSession, dir: String, salts: Int = 16): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(sum(col("value").cast(dec)).as("partial_sum"),
+        count(lit(1)).as("partial_n"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("partial_sum")).cast("double").as("total_value"),
+        sum(col("partial_n")).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** q36: partitioned write + partition-pruned scan — stage events
+    * partitioned by event_type, read back one partition. The spec
+    * asserts the scan shows PartitionFilters (directory pruning), the
+    * oracle checks the rows.
+    */
+  def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val staged = s"/tmp/graft_partitioned/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(staged).exists()) {
+      Tables.events(s, dir)
+        .write.mode("overwrite").partitionBy("event_type").parquet(staged)
+    }
+    s.read.parquet(staged)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q37: sketch aggregation — HyperLogLog++ approximate distinct
+    * users per event type next to the exact count (rows-only; the
+    * spec bounds relative error). At 100 TB the sketch is the only
+    * affordable distinct — fixed-size partials merge map-side.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** q35: bucketed co-located join — both sides written bucketed on
+    * the join key, so the sort-merge join needs NO exchange (spec
+    * asserts the plan). This is the pre-partitioning strategy for
+    * repeatedly-joined 100 TB fact tables.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ordersT = s"orders_b_$tag"
+    val custT = s"customer_b_$tag"
+    if (!s.catalog.tableExists(ordersT)) {
+      Tables.orders(s, dir).write
+        .option("path", s"/tmp/graft_bucketed/$ordersT")
+        .mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ordersT)
+      Tables.customer(s, dir).write
+        .option("path", s"/tmp/graft_bucketed/$custT")
+        .mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(custT)
+    }
+    // hint forces sort-merge so the spec can prove bucketing removed
+    // the exchanges (a broadcast would hide it at this scale)
+    s.table(ordersT).hint("merge")
+      .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.ScaleOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("q33 asof join picks the latest order at-or-before each event") {
+    val rows = ScaleOps.asofJoin(spark, dir)
+    assert(rows.count() == Tables.events(spark, dir).count())
+    // spot-check one event against a direct subquery
+    val sample = rows.filter(col("o_orderkey").isNotNull).head()
+    val (uid, ts, ok) = (sample.getLong(1), sample.getTimestamp(2),
+      sample.getLong(4))
+    val expect = Tables.orders(spark, dir)
+      .filter(col("o_custkey") === uid && col("o_orderdate") <= lit(ts))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .head()
+    assert(expect.getLong(0) == ok)
+  }
+
+  test("q34 salted agg equals the direct aggregation") {
+    val salted = ScaleOps.saltedAgg(spark, dir).collect()
+    val direct = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(28,6)")).cast("double")
+        .as("total_value"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id")).collect()
+    assert(salted.sameElements(direct))
+  }
+
+  test("q35 bucketed join plans no shuffle exchange") {
+    val df = ScaleOps.bucketedJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinShuffles = plan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning") &&
+        (l.contains("custkey")))
+    assert(joinShuffles == 0, s"bucketed join still shuffles:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("q36 partition-pruned scan only reads the filtered partition") {
+    val df = ScaleOps.partitionedScan(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition pruning:\n$plan")
+    val direct = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(df.count() == direct)
+  }
+
+  test("q37 HLL sketch lands within 5% of exact distinct") {
+    ScaleOps.approxDistinct(spark, dir).collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+}
