@@ -1,0 +1,31 @@
+package graft
+
+import graft.functions.{ArrayDotProduct, MinHashSignature}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registration so graft's native expressions
+  * are first-class SQL functions — `SELECT array_dot(a, b)` works in
+  * `spark.sql`, notebooks and JDBC alike, not just the Scala DSL.
+  * Activate with
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      (children: Seq[Expression]) =>
+        ArrayDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig64"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig64"),
+      (children: Seq[Expression]) =>
+        MinHashSignature(children.head, graft.dedup.MinHashLSH.NumHashes,
+          2147483647L, graft.dedup.MinHashLSH.coeffA,
+          graft.dedup.MinHashLSH.coeffB)))
+  }
+}

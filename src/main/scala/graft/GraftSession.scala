@@ -15,6 +15,7 @@ object GraftSession {
   def builder(master: String = "local[32]"): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new GraftExtensions)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", "32")

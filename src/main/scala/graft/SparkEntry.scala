@@ -50,6 +50,8 @@ object SparkEntry {
     "q35_bucketed_join"  -> ScaleOps.bucketedJoin _,
     "q36_partitioned_scan" -> ScaleOps.partitionedScan _,
     "q37_approx_distinct" -> ScaleOps.approxDistinct _,
+    "q38_csv_roundtrip"  -> graft.sources.Sources.csvRoundtrip _,
+    "q39_json_roundtrip" -> graft.sources.Sources.jsonRoundtrip _,
     "d01_dedup_exact"    -> graft.dedup.Dedup.exactDedup _,
     "d02_dedup_minhash_lsh" -> ((s, d) => graft.dedup.MinHashLSH.q(s, d)),
     "d03_dedup_simhash"  -> ((s, d) => graft.dedup.SimHash.q(s, d)),
@@ -228,6 +230,13 @@ object SparkEntry {
            event_type
          FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
     // q37_approx_distinct: HLL sketch values are engine-specific (rows-only)
+    "q38_csv_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_balance
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q39_json_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+         FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""",
     "d01_dedup_exact"    -> LlmOracle.d01,
     "d04_ngram_jaccard"  -> LlmOracle.d04,
     "d05_dedup_embedding" -> LlmOracle.d05,

@@ -29,6 +29,9 @@ object MinHashLSH {
   val RowsPerBand = NumHashes / Bands
   private val Prime = 2147483647L // 2^31 - 1
 
+  def coeffA: Seq[Long] = coeffs.map(_._1)
+  def coeffB: Seq[Long] = coeffs.map(_._2)
+
   /** Deterministic universal-hash coefficients (LCG from fixed seed). */
   private val coeffs: Seq[(Long, Long)] = {
     var x = 0x5DEECE66DL

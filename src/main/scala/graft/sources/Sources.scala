@@ -1,0 +1,59 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips beyond parquet (SURVEY.md §2B extension).
+  * The engine's ingestion surface: schema-checked CSV and JSON
+  * (line-delimited) with explicit timestamp formats — the two formats
+  * a 100 TB raw landing zone actually arrives in. Staged once per sf
+  * under /tmp; queries prove write → read → query fidelity against
+  * the parquet oracle.
+  */
+object Sources {
+
+  private def stage(s: SparkSession, dir: String, fmt: String): String = {
+    val out = s"/tmp/graft_sources/${fmt}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(out).exists()) {
+      val cust = Tables.customer(s, dir)
+      fmt match {
+        case "csv" =>
+          cust.write.mode("overwrite").option("header", "true").csv(out)
+        case "json" =>
+          cust.write.mode("overwrite").json(out)
+      }
+    }
+    out
+  }
+
+  /** q38: CSV round-trip — write customer as headered CSV, read it
+    * back with an explicit schema (no inference at scale), aggregate.
+    */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = stage(s, dir, "csv")
+    s.read
+      .schema(Tables.customer(s, dir).schema)
+      .option("header", "true")
+      .csv(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(28,6)")).cast("double")
+          .as("total_balance"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q39: JSON-lines round-trip — same fidelity check over the other
+    * landing format.
+    */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = stage(s, dir, "json")
+    s.read
+      .schema(Tables.customer(s, dir).schema)
+      .json(path)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("array_dot is callable from SQL via GraftExtensions") {
+    val v = spark
+      .sql("SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(v == 32.0)
+  }
+
+  test("minhash_sig64 is callable from SQL and returns 64 minima") {
+    val sig = spark
+      .sql("SELECT minhash_sig64(array(42L, 7L, 1234567L)) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 64)
+    assert(sig.forall(v => v >= 0 && v < 2147483647L))
+  }
+
+  test("sources round-trips preserve aggregates") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val viaCsv = sources.Sources.csvRoundtrip(spark, dir)
+      .agg(sum("n_customers")).head().getLong(0)
+    assert(viaCsv == Tables.customer(spark, dir).count())
+    val viaJson = sources.Sources.jsonRoundtrip(spark, dir).count()
+    val direct = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0).count()
+    assert(viaJson == direct)
+  }
+}
