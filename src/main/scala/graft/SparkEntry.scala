@@ -51,6 +51,7 @@ object SparkEntry {
     "q36_partitioned_scan" -> ScaleOps.partitionedScan _,
     "q37_approx_distinct" -> ScaleOps.approxDistinct _,
     "q38_csv_roundtrip"  -> graft.sources.Sources.csvRoundtrip _,
+    "q40_topk_aggregate" -> ((s, d) => ScaleOps.topkAggregate(s, d)),
     "q39_json_roundtrip" -> graft.sources.Sources.jsonRoundtrip _,
     "d01_dedup_exact"    -> graft.dedup.Dedup.exactDedup _,
     "d02_dedup_minhash_lsh" -> ((s, d) => graft.dedup.MinHashLSH.q(s, d)),
@@ -230,6 +231,13 @@ object SparkEntry {
            event_type
          FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
     // q37_approx_distinct: HLL sketch values are engine-specific (rows-only)
+    "q40_topk_aggregate" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders)
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
     "q38_csv_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_balance

@@ -105,6 +105,22 @@ object ScaleOps {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** q40: top-k per key via the bounded-heap TypedImperativeAggregate
+    * (graft.functions.TopKByAggregate) — same rows as q26's
+    * window-rank formulation, but the shuffle carries at most k tuples
+    * per key per map task instead of a full per-partition sort.
+    */
+  def topkAggregate(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKAggregate
+        .top_k_by(col("o_totalprice"), col("o_orderkey"), k).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).as("rk"),
+        col("col.tie").as("o_orderkey"),
+        col("col.sort_val").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+
   /** q35: bucketed co-located join — both sides written bucketed on
     * the join key, so the sort-merge join needs NO exchange (spec
     * asserts the plan). This is the pre-partitioning strategy for

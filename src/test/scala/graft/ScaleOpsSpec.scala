@@ -52,6 +52,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(df.count() == direct)
   }
 
+  test("q40 heap top-k aggregate emits exactly the window-rank rows") {
+    val viaHeap = ScaleOps.topkAggregate(spark, dir).collect()
+    val viaWindow = operators.Relational.windowRank(spark, dir).collect()
+    assert(viaHeap.length == viaWindow.length)
+    viaHeap.zip(viaWindow).foreach { case (h, w) =>
+      assert(h.getLong(0) == w.getLong(0) && h.getInt(1) == w.getInt(1) &&
+        h.getLong(2) == w.getLong(2) && h.getDouble(3) == w.getDouble(3),
+        s"mismatch: $h vs $w")
+    }
+  }
+
   test("q37 HLL sketch lands within 5% of exact distinct") {
     ScaleOps.approxDistinct(spark, dir).collect().foreach { r =>
       val (approx, exact) = (r.getLong(1), r.getLong(2))
