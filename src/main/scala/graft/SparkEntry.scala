@@ -67,7 +67,8 @@ object SparkEntry {
     "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
     "st01_stream_window_agg" -> graft.streaming.StreamingAnomaly.st01WindowAgg _,
     "st02_stream_anomaly" -> ((s, d) =>
-      graft.streaming.StreamingAnomaly.st02StatefulFlags(s, d))
+      graft.streaming.StreamingAnomaly.st02StatefulFlags(s, d)),
+    "st03_stream_dedup" -> graft.streaming.StreamingAnomaly.st03StreamDedup _
   )
 
   def oracleSql: Map[String, String] = Map(

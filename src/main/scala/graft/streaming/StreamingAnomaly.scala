@@ -64,6 +64,28 @@ object StreamingAnomaly {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** st03: streaming deduplication — `dropDuplicates` keyed on the
+    * content identity with a watermark bounding the dedup state (the
+    * streaming half of d01: late duplicates beyond the watermark age
+    * out of state instead of growing it forever).
+    */
+  def st03StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val name = s"st03_out_${counter.incrementAndGet()}"
+    val q = eventStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type", "value")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).orderBy(col("user_id"), col("event_type"), col("value"),
+      col("event_id"))
+  }
+
   case class TickEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -27,6 +27,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("st03 streaming dedup emits each (user, type, value) once") {
+    val out = StreamingAnomaly.st03StreamDedup(spark, dir)
+    val n = out.count()
+    val distinct = Tables.events(spark, dir)
+      .select("user_id", "event_type", "value").distinct().count()
+    assert(n == distinct, s"stream dedup $n vs batch distinct $distinct")
+  }
+
   test("st02 is deterministic across runs") {
     val a = StreamingAnomaly.st02StatefulFlags(spark, dir).collect()
     val b = StreamingAnomaly.st02StatefulFlags(spark, dir).collect()
