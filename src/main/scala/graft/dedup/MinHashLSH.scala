@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** d02: MinHash + banded LSH near-duplicate detection.
   *
   * Pipeline: word 3-shingles → 64-permutation MinHash signature (one
-  * universal-hash family over xxhash64 of each shingle) → 16 bands × 4
+  * universal-hash family over xxhash64 of each shingle) → 8 bands × 8
   * rows; docs colliding in any band become candidate pairs → verified
   * by signature-estimated Jaccard.
   *

@@ -50,6 +50,9 @@ object SimHash {
   }
 
   def nearDupPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < Chunks,
+      s"pigeonhole candidate generation with $Chunks chunks only " +
+        s"guarantees recall for hamming < $Chunks (got $maxHamming)")
     val sigs = signatures(s, dir).cache()
     // chunk value = bits [c*15, (c+1)*15)
     val withChunks = sigs.select(

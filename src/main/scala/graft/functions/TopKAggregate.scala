@@ -123,5 +123,5 @@ object TopKAggregate {
   def top_k_by(sort: Column, tie: Column, k: Int): Column =
     ColumnBridge.column(
       TopKByAggregate(ColumnBridge.expression(sort.cast("double")),
-        ColumnBridge.expression(tie), k).toAggregateExpression())
+        ColumnBridge.expression(tie.cast("long")), k).toAggregateExpression())
 }

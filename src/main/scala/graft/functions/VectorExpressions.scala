@@ -24,12 +24,13 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(DoubleType, false) ||
-      left.dataType == ArrayType(DoubleType, true)) {
+    def ok(dt: DataType) =
+      dt == ArrayType(DoubleType, false) || dt == ArrayType(DoubleType, true)
+    if (ok(left.dataType) && ok(right.dataType)) {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     } else {
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-        .TypeCheckFailure(s"array<double> expected, got ${left.dataType}")
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"array<double> expected, got (${left.dataType}, ${right.dataType})")
     }
   }
 

@@ -155,14 +155,16 @@ object LlmOracle {
        |  SELECT doc_id, $Norm AS norm FROM documents
        |), f AS (
        |  SELECT doc_id,
+       |    CASE WHEN length(norm) = 0 THEN NULL ELSE
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(string_split(norm, ''),
-       |        c -> CAST(unicode(c) AS BIGINT))), $RollFold) AS fp_full,
+       |        c -> CAST(unicode(c) AS BIGINT))), $RollFold) END AS fp_full,
+       |    CASE WHEN length(norm) = 0 THEN NULL ELSE
        |    list_min(list_transform(
        |      generate_series(0, CAST(floor((length(norm) - 1) / 128.0) AS BIGINT)),
        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
        |        list_transform(string_split(substr(norm, CAST(1 + i * 128 AS BIGINT), 128), ''),
-       |          c -> CAST(unicode(c) AS BIGINT))), $RollFold))) AS fp_min_block
+       |          c -> CAST(unicode(c) AS BIGINT))), $RollFold))) END AS fp_min_block
        |  FROM n
        |)
        |SELECT doc_id, fp_full, fp_min_block FROM f ORDER BY doc_id""".stripMargin

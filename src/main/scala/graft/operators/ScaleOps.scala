@@ -80,7 +80,7 @@ object ScaleOps {
     */
   def partitionedScan(s: SparkSession, dir: String): DataFrame = {
     val staged = s"/tmp/graft_partitioned/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (!new java.io.File(staged).exists()) {
+    if (!new java.io.File(staged, "_SUCCESS").exists()) {
       Tables.events(s, dir)
         .write.mode("overwrite").partitionBy("event_type").parquet(staged)
     }

@@ -15,7 +15,7 @@ object Sources {
 
   private def stage(s: SparkSession, dir: String, fmt: String): String = {
     val out = s"/tmp/graft_sources/${fmt}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (!new java.io.File(out).exists()) {
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
       val cust = Tables.customer(s, dir)
       fmt match {
         case "csv" =>

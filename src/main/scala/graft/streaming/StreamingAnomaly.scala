@@ -35,7 +35,9 @@ object StreamingAnomaly {
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     val staged = new java.io.File(
       s"/tmp/graft_stream_stage/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    if (!staged.exists()) {
+    // gate on _SUCCESS: a bare directory check would reuse a partial
+    // write left by a killed JVM forever
+    if (!new java.io.File(staged, "_SUCCESS").exists()) {
       graft.Tables.events(s, dir).write.mode("overwrite")
         .parquet(staged.getAbsolutePath)
     }
@@ -52,8 +54,11 @@ object StreamingAnomaly {
       .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    // Update mode: the watermark can evict closed windows (Complete
+    // would pin every window forever); the staged source arrives as one
+    // micro-batch so the memory table still holds each group once.
     val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
+      .outputMode(OutputMode.Update)
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
@@ -73,7 +78,7 @@ object StreamingAnomaly {
     val name = s"st03_out_${counter.incrementAndGet()}"
     val q = eventStream(s, dir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type", "value")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
       .writeStream
@@ -111,12 +116,14 @@ object StreamingAnomaly {
       val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var st = state.getOption.getOrElse(TickerState(Double.NaN, 0, Nil))
       val out = sorted.map { e =>
+        // batch q09 rounds each value to 4 decimals before differencing
+        val v4 = math.floor(e.value * 10000.0 + 0.5) / 10000.0
         if (st.lastValue.isNaN) {
-          st = TickerState(e.value, 1, Nil)
+          st = TickerState(v4, 1, Nil)
           Flagged(key._1, key._2, e.event_id, e.ts, e.value, 0.0, 0, 0, 0)
         } else {
           val diff = math.abs(
-            math.floor((e.value - st.lastValue) * 10000.0 + 0.5) / 10000.0)
+            math.floor((v4 - st.lastValue) * 10000.0 + 0.5) / 10000.0)
           val newRun = if (diff == 0) st.runLength + 1 else 1
           val ds = (diff :: st.diffs).take(cfg.dataPeriods)
           val n = ds.size
@@ -125,7 +132,7 @@ object StreamingAnomaly {
             if (n < 2) 0.0
             else math.sqrt(ds.map(d => (d - mean) * (d - mean)).sum / (n - 1))
           val z = if (sd != 0) math.abs(diff - mean) / sd else 0.0
-          st = TickerState(e.value, newRun, ds)
+          st = TickerState(v4, newRun, ds)
           val sdFlag = if (z >= cfg.stddevLim) 1 else 0
           val repFlag = if (newRun >= cfg.repLim) 1 else 0
           Flagged(key._1, key._2, e.event_id, e.ts, e.value, z, sdFlag,

@@ -116,14 +116,19 @@ object TextFns {
     val blocks = transform(
       sequence(lit(0), floor((length(norm) - 1) / lit(128.0)).cast("int")),
       i => norm.substr(lit(1) + i * 128, lit(128)))
+    // empty text → NULL on both engines: Spark's sequence(0,-1) yields
+    // [0,-1] while DuckDB's generate_series(0,-1) is empty, so the
+    // unguarded expressions diverge exactly there
     Tables
       .documents(s, dir)
-      .withColumn("fp_full", rollingHash(norm))
+      .withColumn("fp_full",
+        when(length(norm) === 0, lit(null)).otherwise(rollingHash(norm)))
       .withColumn("fp_min_block",
-        array_min(transform(blocks, b => aggregate(
-          transform(split(b, ""), ch => ascii(ch).cast("long")),
-          lit(0L),
-          (acc, x) => (acc * 31 + x) % Mod))))
+        when(length(norm) === 0, lit(null)).otherwise(
+          array_min(transform(blocks, b => aggregate(
+            transform(split(b, ""), ch => ascii(ch).cast("long")),
+            lit(0L),
+            (acc, x) => (acc * 31 + x) % Mod)))))
       .select(col("doc_id"), col("fp_full"), col("fp_min_block"))
       .orderBy(col("doc_id"))
   }
