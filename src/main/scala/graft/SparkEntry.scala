@@ -58,6 +58,7 @@ object SparkEntry {
     "d03_dedup_simhash"  -> ((s, d) => graft.dedup.SimHash.q(s, d)),
     "d04_ngram_jaccard"  -> ((s, d) => graft.dedup.Dedup.ngramJaccard(s, d)),
     "d05_dedup_embedding" -> ((s, d) => graft.dedup.Dedup.embeddingDedup(s, d)),
+    "d06_dedup_clusters" -> ((s, d) => graft.dedup.Dedup.dedupClusters(s, d)),
     "s01_ann_bruteforce" -> ((s, d) => graft.similarity.Ann.bruteForceTopK(s, d)),
     "s02_ann_lsh"        -> ((s, d) => graft.similarity.Ann.lshTopK(s, d)),
     "t01_langid"         -> graft.text.TextFns.langId _,
@@ -249,6 +250,7 @@ object SparkEntry {
     "d01_dedup_exact"    -> LlmOracle.d01,
     "d04_ngram_jaccard"  -> LlmOracle.d04,
     "d05_dedup_embedding" -> LlmOracle.d05,
+    "d06_dedup_clusters" -> LlmOracle.d06,
     "s01_ann_bruteforce" -> LlmOracle.s01,
     "t01_langid"         -> LlmOracle.t01,
     "t02_quality_score"  -> LlmOracle.t02,

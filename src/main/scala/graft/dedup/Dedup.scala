@@ -76,6 +76,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d06: near-duplicate CLUSTERS — connected components over the d04
+    * similarity graph via min-label propagation, the step that turns
+    * pairwise matches into dedup groups (keep one doc per component).
+    *
+    * Each iteration is one distributed join+groupBy; the driver only
+    * checks convergence. Iterations needed = graph diameter (≤ log n
+    * with the standard large-star variant; near-dup graphs are tiny
+    * cliques so this converges in 2–3 passes). Output: every doc that
+    * appears in a pair, its component id (min doc_id in the
+    * component), and whether it is the kept representative.
+    */
+  def dedupClusters(s: SparkSession, dir: String, maxIter: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("comp"))
+      val next = labels.unionAll(prop)
+        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+        .cache()
+      changed = next
+        .join(labels.withColumnRenamed("comp", "old"), "doc_id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+      .withColumn("is_kept", (col("doc_id") === col("comp")).cast("int"))
+      .select(col("doc_id"), col("comp").as("component_id"), col("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequential dot product via the native codegen'd expression —
     * same accumulation order as DuckDB's list_reduce left-fold, so
     * cosines agree bitwise across engines, ~50× faster than the

@@ -50,6 +50,24 @@ object LlmOracle {
        |WHERE CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d06: connected components of the d04 pair graph by transitive
+    * closure (recursive CTE) — component id = min reachable doc.
+    */
+  val d06: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($d04)
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT a AS doc_id, least(a, min(b)) AS component_id,
+       |  CASE WHEN least(a, min(b)) = a THEN 1 ELSE 0 END AS is_kept
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   /** Sequential left-fold dot product, same op order as Spark's
     * aggregate(zip_with(...)).
     */

@@ -65,6 +65,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows((1L, 3L)) > 0.6 && rows((1L, 3L)) < 1.0)
   }
 
+  test("d06 clusters: planted dup trio lands in one component, keeper is min id") {
+    val comps = graft.dedup.Dedup.dedupClusters(spark, plantedDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // docs 1,2,3 are mutual near-dups (jaccard >= 0.8 pairwise)
+    assert(comps(1L) == (1L, 1) && comps(2L) == (1L, 0) && comps(3L) == (1L, 0))
+    assert(!comps.contains(4L), "unrelated doc must not join a cluster")
+  }
+
   test("d05 embedding dedup is thresholded, ordered, and non-empty") {
     val pairs = Dedup.embeddingDedup(spark, dir).collect()
     assert(pairs.nonEmpty)
