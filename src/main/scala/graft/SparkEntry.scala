@@ -69,7 +69,9 @@ object SparkEntry {
     "st01_stream_window_agg" -> graft.streaming.StreamingAnomaly.st01WindowAgg _,
     "st02_stream_anomaly" -> ((s, d) =>
       graft.streaming.StreamingAnomaly.st02StatefulFlags(s, d)),
-    "st03_stream_dedup" -> graft.streaming.StreamingAnomaly.st03StreamDedup _
+    "st03_stream_dedup" -> graft.streaming.StreamingAnomaly.st03StreamDedup _,
+    "st04_stream_stream_join" ->
+      graft.streaming.StreamingAnomaly.st04StreamStreamJoin _
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -88,7 +88,10 @@ object Dedup {
     * component), and whether it is the kept representative.
     */
   def dedupClusters(s: SparkSession, dir: String, maxIter: Int = 20): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    // cache the pair list BEFORE the union: both direction branches and
+    // every propagation iteration reuse it — uncached, the expensive
+    // similarity join would run once per reference
+    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()

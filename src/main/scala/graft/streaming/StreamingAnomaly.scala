@@ -91,6 +91,42 @@ object StreamingAnomaly {
       col("event_id"))
   }
 
+  /** st04: stream-stream interval join — click-to-purchase
+    * attribution: each purchase joined to the same user's clicks in
+    * the preceding hour. Both streams carry watermarks plus the
+    * time-range predicate, which is exactly what lets Spark bound the
+    * join state on both sides (rows older than watermark + interval
+    * are evicted).
+    */
+  def st04StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = s"st04_out_${counter.incrementAndGet()}"
+    val purchases = eventStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val clicks = eventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("click_user"))
+      .withWatermark("click_ts", "2 hours")
+    val joined = purchases.join(
+      clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+    val q = joined
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).orderBy(col("purchase_id"), col("click_id"))
+  }
+
   case class TickEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -35,6 +35,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinct, s"stream dedup $n vs batch distinct $distinct")
   }
 
+  test("st04 stream-stream interval join matches the batch formulation") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingAnomaly.st04StreamStreamJoin(spark, dir).count()
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("click_user"))
+    val batch = purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .count()
+    assert(streamed == batch && batch > 0,
+      s"stream join $streamed vs batch $batch")
+  }
+
   test("st02 is deterministic across runs") {
     val a = StreamingAnomaly.st02StatefulFlags(spark, dir).collect()
     val b = StreamingAnomaly.st02StatefulFlags(spark, dir).collect()
