@@ -52,6 +52,8 @@ object SparkEntry {
     "q37_approx_distinct" -> ScaleOps.approxDistinct _,
     "q38_csv_roundtrip"  -> graft.sources.Sources.csvRoundtrip _,
     "q40_topk_aggregate" -> ((s, d) => ScaleOps.topkAggregate(s, d)),
+    "q41_cube"           -> Relational.cubeAgg _,
+    "t05_entropy_score"  -> graft.text.TextFns.entropyScore _,
     "q39_json_roundtrip" -> graft.sources.Sources.jsonRoundtrip _,
     "d01_dedup_exact"    -> graft.dedup.Dedup.exactDedup _,
     "d02_dedup_minhash_lsh" -> ((s, d) => graft.dedup.MinHashLSH.q(s, d)),
@@ -249,6 +251,15 @@ object SparkEntry {
     "q39_json_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
          FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""",
+    "q41_cube" ->
+      """SELECT c_mktsegment, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY CUBE (c_mktsegment, o_orderpriority)
+         ORDER BY c_mktsegment ASC NULLS FIRST,
+           o_orderpriority ASC NULLS FIRST""",
+    "t05_entropy_score"  -> LlmOracle.t05,
     "d01_dedup_exact"    -> LlmOracle.d01,
     "d04_ngram_jaccard"  -> LlmOracle.d04,
     "d05_dedup_embedding" -> LlmOracle.d05,

@@ -165,6 +165,30 @@ object LlmOracle {
        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 3.6) AS BIGINT) AS subword_est
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  private def entropySql(splitExpr: String): String =
+    s"""SELECT doc_id, -CAST(sum(term_s) AS DOUBLE) / 1e9 AS h FROM (
+       |  SELECT doc_id,
+       |    CAST(floor(p * (ln(p) / 0.6931471805599453) * 1e9 + 0.5) AS BIGINT)
+       |      AS term_s
+       |  FROM (
+       |    SELECT doc_id, n / CAST(sum(n) OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+       |    FROM (
+       |      SELECT doc_id, sym, count(*) AS n FROM (
+       |        SELECT doc_id, unnest($splitExpr) AS sym FROM documents
+       |      ) GROUP BY doc_id, sym
+       |    )
+       |  )
+       |) GROUP BY doc_id""".stripMargin
+
+  val t05: String =
+    s"""WITH ch AS (${entropySql(s"string_split($Norm, '')")}),
+       |     wd AS (${entropySql(s"string_split($Norm, ' ')")})
+       |SELECT ch.doc_id,
+       |  floor(ch.h * 1000000.0 + 0.5) / 1000000.0 AS char_entropy,
+       |  floor(wd.h * 1000000.0 + 0.5) / 1000000.0 AS word_entropy
+       |FROM ch JOIN wd ON ch.doc_id = wd.doc_id
+       |ORDER BY ch.doc_id""".stripMargin
+
   private val RollFold =
     "(acc, x) -> (acc * 31 + x) % 1000000007"
 

@@ -175,6 +175,20 @@ object Relational {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** q41: CUBE — all grouping-set combinations of (market segment,
+    * order priority) in one pass.
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** q30: union two sources then eliminate duplicates on the key. */
   def unionDedup(s: SparkSession, dir: String): DataFrame = {
     val a = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
