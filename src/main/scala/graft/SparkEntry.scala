@@ -158,8 +158,8 @@ object SparkEntry {
     "q28_conditional_agg" ->
       """SELECT user_id,
            CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE) AS purchase_value,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
            COUNT(*) AS n_events
          FROM events GROUP BY user_id ORDER BY user_id""",
     "q29_rollup" ->
@@ -193,8 +193,8 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ), sessions AS (
            SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM flagged
          )
          SELECT user_id, session_id, COUNT(*) AS n_events,

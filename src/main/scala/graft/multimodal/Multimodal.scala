@@ -62,13 +62,18 @@ object Multimodal {
 
   /** m01 query: decode-stub features + a resolution histogram —
     * exercises payload bytes, metadata struct, and the partition-batch
-    * decode path end to end.
+    * decode path end to end. Features are projected to scalar columns
+    * (the harness canonicalizes row-wise; array cells aren't sortable).
     */
   def q(s: SparkSession, dir: String): DataFrame =
     decodeStub(mediaTable(s, dir))
       .withColumn("aspect_bucket",
         floor(col("width").cast("double") / col("height") * 10).cast("int"))
-      .select(col("media_id"), col("features"), col("width"), col("height"),
-        col("aspect_bucket"))
+      .select(col("media_id"),
+        element_at(col("features"), 1).as("f_bytes"),
+        element_at(col("features"), 2).as("f_first"),
+        element_at(col("features"), 3).as("f_last"),
+        element_at(col("features"), 4).as("f_aspect"),
+        col("width"), col("height"), col("aspect_bucket"))
       .orderBy(col("media_id"))
 }

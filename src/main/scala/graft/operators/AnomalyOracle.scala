@@ -53,16 +53,16 @@ object AnomalyOracle {
        |    CASE WHEN standard_deviation != 0
        |      THEN round(abs(absolute_one_period_difference - average) / standard_deviation, 4)
        |      ELSE 0 END AS absolute_standard_deviations_from_avg,
-       |    sum(reset_count) OVER (PARTITION BY user_id, event_type
+       |    CAST(sum(reset_count) OVER (PARTITION BY user_id, event_type
        |      ORDER BY date_recorded, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reset_reps_sum
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS reset_reps_sum
        |  FROM stats
        |), reps AS (
        |  SELECT *,
-       |    sum(CASE WHEN reset_count = 1 THEN 1 ELSE repeated_values END) OVER (
+       |    CAST(sum(CASE WHEN reset_count = 1 THEN 1 ELSE repeated_values END) OVER (
        |      PARTITION BY user_id, event_type, reset_reps_sum
        |      ORDER BY date_recorded, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS data_repetitions
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS data_repetitions
        |  FROM zs
        |), flags AS (
        |  SELECT *,

@@ -107,8 +107,10 @@ class LlmOpsSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      assert(r.getSeq[Double](1).length == 4)
-      assert(r.getInt(2) >= 640 && r.getInt(3) >= 360)
+      // f_bytes/f_first/f_last/f_aspect scalars + width/height
+      assert(r.getDouble(1) > 0) // n_bytes feature
+      assert(r.getDouble(4) > 0) // aspect feature
+      assert(r.getInt(5) >= 640 && r.getInt(6) >= 360)
     }
     assert(df.collect().sameElements(rows), "decode stub must be deterministic")
   }
