@@ -14,7 +14,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JIT + filesystem metadata, not attributed to any query
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val only = args.toSet // optional subset for local iteration
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

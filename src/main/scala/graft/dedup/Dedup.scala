@@ -44,35 +44,61 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String, tau: Double = 0.8,
       maxDf: Int = 100): DataFrame = {
+    // zip_with over two slices, NOT element_at inside transform: HOF
+    // lambdas are interpreted, so element_at(split(..), i) would re-run
+    // the split regex per element — O(words²) per doc.
     val ws = split(normText(col("text")), " ")
     val bigrams = array_distinct(
       when(size(ws) >= 2,
-        transform(sequence(lit(0), size(ws) - 2),
-          i => concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))))
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b)))
         .otherwise(array(concat_ws(" ", ws))))
     val allTok = Tables
       .documents(s, dir)
       .select(col("doc_id"), explode(bigrams).as("tok"))
-    val hot = allTok.groupBy(col("tok"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select(col("tok"))
+    val dfTab = allTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val hot = dfTab.filter(col("df") > maxDf).select(col("tok"))
     val tok = allTok.join(broadcast(hot), Seq("tok"), "left_anti")
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
-    val a = tok.as("a")
-    val b = tok.as("b")
-    a.join(b, col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_tok", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_tok", "n_b"), Seq("doc_b"))
+    // AllPairs/PPJoin prefix filtering: order each doc's tokens by
+    // global rarity (df asc, tok asc); two docs with Jaccard >= tau MUST
+    // share a token within their first (n - ceil(tau*n) + 1) rarest
+    // tokens, so only that prefix enters the candidate join. Exact — no
+    // false negatives — and the exploded tokens are precisely the ones
+    // with the smallest join fan-out. Verification then recomputes the
+    // true intersection from the full token sets, so the output is the
+    // same integer-ratio Jaccard as the naive all-pairs join.
+    val docs = tok
+      .join(dfTab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), t => t("tok")).as("tokset"),
+        size(col("st")).as("n_tok"))
+      .withColumn("prefix",
+        slice(col("tokset"), lit(1),
+          greatest(lit(1),
+            col("n_tok") - ceil(lit(tau) * col("n_tok")).cast("int") + 1)))
+    val pref = docs.select(col("doc_id"), col("n_tok"),
+      explode(col("prefix")).as("tok"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: j <= min/max, so max*tau <= min is necessary
+          col("a.n_tok") >= col("b.n_tok") * tau &&
+          col("b.n_tok") >= col("a.n_tok") * tau)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("tokset").as("ta"),
+        col("n_tok").as("n_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("tokset").as("tb"),
+        col("n_tok").as("n_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
-        col("n_b"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -41,11 +41,16 @@ object MinHashLSH {
 
   def shingles(text: Column, n: Int = 3): Column = {
     val ws = split(Dedup.normText(text), " ")
+    // n-gram build via zip_with folds over shifted slices: split() is
+    // only ever a lambda ARGUMENT (evaluated once per row), never inside
+    // the lambda body — interpreted HOF lambdas would re-split per
+    // element, making shingling O(words²) per doc.
+    val m = size(ws) - (n - 1) // number of n-grams
+    val grams = (2 to n).foldLeft(slice(ws, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(ws, lit(k), m), (a, b) => concat(a, lit(" "), b))
+    }
     array_distinct(
-      when(size(ws) <= n, array(concat_ws(" ", ws)))
-        .otherwise(transform(
-          sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+      when(size(ws) <= n, array(concat_ws(" ", ws))).otherwise(grams))
   }
 
   /** 64-long MinHash signature of a shingle array, via the native
