@@ -42,10 +42,36 @@ object Scratch {
         .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
       t("docs agg")(docs.count())
     }
-    t("d04")(graft.dedup.Dedup.ngramJaccard(spark, sfDir).count())
-    t("d02")(graft.dedup.MinHashLSH.q(spark, sfDir).count())
-    t("d06")(graft.dedup.Dedup.dedupClusters(spark, sfDir).count())
-    t("d03")(graft.dedup.SimHash.q(spark, sfDir).count())
+    t("d04 warm")(graft.dedup.Dedup.ngramJaccard(spark, sfDir).count())
+    locally {
+      import graft.dedup.Dedup._
+      val pairs = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b")).cache()
+      t("pairs cache")(pairs.count())
+      val edges = pairs
+        .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .cache()
+      t("edges cache")(edges.count())
+      var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("comp", col("doc_id"))
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < 20) {
+        val prop = edges
+          .join(labels, edges("doc_b") === labels("doc_id"))
+          .select(edges("doc_a").as("doc_id"), col("comp"),
+            lit(null).cast("long").as("old"))
+        val next = labels
+          .select(col("doc_id"), col("comp"), col("comp").as("old"))
+          .unionAll(prop)
+          .groupBy(col("doc_id"))
+          .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
+          .cache()
+        t(s"iter $i")({ changed = next.filter(col("comp") =!= col("old")).count(); changed })
+        labels = next.select(col("doc_id"), col("comp"))
+        i += 1
+      }
+    }
+    t("d06 full")(graft.dedup.Dedup.dedupClusters(spark, sfDir).count())
     spark.stop()
   }
 }

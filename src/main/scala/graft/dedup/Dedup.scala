@@ -123,19 +123,28 @@ object Dedup {
       .cache()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
+    var prevCache: DataFrame = null
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
-        .select(edges("doc_a").as("doc_id"), col("comp"))
-      val next = labels.unionAll(prop)
-        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+        .select(edges("doc_a").as("doc_id"), col("comp"),
+          lit(null).cast("long").as("old"))
+      // carry each doc's previous label through the union so the
+      // convergence check rides the same groupBy — one shuffle per
+      // iteration, no separate old-vs-new join (every doc has exactly
+      // one labels row, so max(old) recovers it; prop rows are null)
+      val next = labels
+        .select(col("doc_id"), col("comp"), col("comp").as("old"))
+        .unionAll(prop)
+        .groupBy(col("doc_id"))
+        .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
         .cache()
-      changed = next
-        .join(labels.withColumnRenamed("comp", "old"), "doc_id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("comp") =!= col("old")).count()
+      if (prevCache != null) prevCache.unpersist()
+      prevCache = next
+      labels = next.select(col("doc_id"), col("comp"))
       i += 1
     }
     labels

@@ -29,6 +29,21 @@ object StreamingAnomaly {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `body` with the streaming state-partition count pinned to
+    * `n`, restoring the session's batch shuffle setting afterwards.
+    * The number of state stores per stateful operator is fixed at the
+    * query's first start from `spark.sql.shuffle.partitions`; batch
+    * sizing (one partition per core) is wrong for it — state commit
+    * cost scales with partition count, and on a cluster you size it to
+    * executors × state volume, not local cores.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Events as a file stream. The batch parquet has ns timestamps the
     * streaming reader can't use directly, so stage a µs copy once.
     */
@@ -57,12 +72,14 @@ object StreamingAnomaly {
     // Update mode: the watermark can evict closed windows (Complete
     // would pin every window forever); the staged source arrives as one
     // micro-batch so the memory table still holds each group once.
-    val q = agg.writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(name)
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
@@ -76,17 +93,19 @@ object StreamingAnomaly {
     */
   def st03StreamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = s"st03_out_${counter.incrementAndGet()}"
-    val q = eventStream(s, dir)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"))
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(s, 8) {
+      val q = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(name).orderBy(col("user_id"), col("event_type"), col("value"),
       col("event_id"))
   }
@@ -115,15 +134,17 @@ object StreamingAnomaly {
       col("user_id") === col("click_user") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
-    val q = joined
-      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
-        col("purchase_value"), col("click_id"), col("click_ts"))
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(s, 8) {
+      val q = joined
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("purchase_value"), col("click_id"), col("click_ts"))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(name).orderBy(col("purchase_id"), col("click_id"))
   }
 
@@ -179,19 +200,21 @@ object StreamingAnomaly {
       out.iterator
     }
 
-    val q = eventStream(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[TickEvent]
-      .groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(s, 8) {
+      val q = eventStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .as[TickEvent]
+        .groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(update)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     s.table(name)
       .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
   }
