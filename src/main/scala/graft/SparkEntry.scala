@@ -63,6 +63,7 @@ object SparkEntry {
     "d06_dedup_clusters" -> ((s, d) => graft.dedup.Dedup.dedupClusters(s, d)),
     "s01_ann_bruteforce" -> ((s, d) => graft.similarity.Ann.bruteForceTopK(s, d)),
     "s02_ann_lsh"        -> ((s, d) => graft.similarity.Ann.lshTopK(s, d)),
+    "s03_ann_ivf"        -> ((s, d) => graft.similarity.Ann.ivfTopK(s, d)),
     "t01_langid"         -> graft.text.TextFns.langId _,
     "t02_quality_score"  -> graft.text.TextFns.qualityScore _,
     "t03_token_count"    -> graft.text.TextFns.tokenCount _,

@@ -75,8 +75,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   */
 case class MinHashSignature(child: Expression, numHashes: Int, prime: Long,
     coeffA: Seq[Long], coeffB: Seq[Long])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   private lazy val aArr = coeffA.toArray
   private lazy val bArr = coeffB.toArray
@@ -101,6 +100,37 @@ case class MinHashSignature(child: Expression, numHashes: Int, prime: Long,
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
+
+  /** Same double loop as nullSafeEval, emitted into whole-stage
+    * codegen (the CodegenFallback version forced every enclosing
+    * projection out of codegen). Coefficients ride along as reference
+    * objects, not literals — 64 longs each.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val aRef = ctx.addReferenceObj("minhashCoeffA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("minhashCoeffB", bArr, "long[]")
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $c.getLong($j);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = ($aRef[$i] * $h + $bRef[$i]) % ${prime}L;
+         |    if ($v < 0) $v += ${prime}L;
+         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)

@@ -106,4 +106,94 @@ object Ann {
       .select(col("query_id"), col("rk"), col("vec_id"), col("cos6"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** s03: IVF (inverted-file) ANN — the coarse-quantizer scale path.
+    *
+    * Build: deterministic seed centroids (smallest xxhash64(vec_id)),
+    * then `iters` Lloyd rounds. Assignment is a broadcast cross join
+    * (nCentroids rows) + min-by — map-side only, no corpus shuffle;
+    * the recompute shuffles just (cluster, dim) partial sums, summed
+    * as DECIMAL so centroids are bit-stable across partition orders.
+    * Query: rank centroids per query, probe the nProbe nearest
+    * inverted lists, exact cosine inside them. Scored pairs ≈
+    * |Q|·N·nProbe/nCentroids vs brute force's |Q|·N. At 100 TB the
+    * corpus is written clustered by centroid id, so a probe reads
+    * only its lists' files. Rows-only (recall spec-tested vs s01).
+    */
+  def ivfTopK(s: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16,
+      nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val v = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm2", dot(col("v"), col("v")))
+      .cache()
+
+    def centroidDf(cents: Array[(Int, Array[Double])]) = {
+      import s.implicits._
+      cents.toSeq.toDF("cid", "c")
+        .withColumn("cn2", dot(col("c"), col("c")))
+    }
+
+    // squared L2 = |v|^2 - 2 v.c + |c|^2; min over (dist, cid) struct
+    // keeps ties deterministic
+    def assign(cents: Array[(Int, Array[Double])]): DataFrame =
+      v.crossJoin(broadcast(centroidDf(cents)))
+        .withColumn("dist",
+          col("norm2") - lit(2.0) * dot(col("v"), col("c")) + col("cn2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+
+    var cents: Array[(Int, Array[Double])] = v
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .limit(nCentroids)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(cents)
+      val recomputed = v.join(assigned, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast("decimal(38,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("sm"))
+        .select(col("cid"), transform(col("sm"), x => x("m")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      // clusters can empty out; keep the previous centroid for those
+      val byId = recomputed.toMap
+      cents = cents.map { case (i, c) => (i, byId.getOrElse(i, c)) }
+    }
+
+    val lists = v.join(assign(cents), Seq("vec_id"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn"))
+    val probes = q.crossJoin(broadcast(centroidDf(cents)))
+      .withColumn("dist",
+        col("qn") - lit(2.0) * dot(col("qv"), col("c")) + col("cn2"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist"), col("cid"))))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos6").desc, col("vec_id"))
+    lists
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        cosine(col("qv"), col("v"), col("qn"), col("norm2")))
+      .withColumn("cos6",
+        floor(col("cos") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 }

@@ -102,6 +102,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH recall too low: $recall")
   }
 
+  test("s03 IVF achieves recall against s01 and beats random probing") {
+    val exact = Ann.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // nProbe/nCentroids = 1/4 of the corpus scanned; random probing
+    // would land ~0.25 recall in expectation
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
   test("m01 multimodal plumbing: schema, determinism, feature shape") {
     val df = Multimodal.q(spark, dir)
     val rows = df.collect()
