@@ -53,6 +53,12 @@ object SparkEntry {
     "q38_csv_roundtrip"  -> graft.sources.Sources.csvRoundtrip _,
     "q40_topk_aggregate" -> ((s, d) => ScaleOps.topkAggregate(s, d)),
     "q41_cube"           -> Relational.cubeAgg _,
+    "q42_median_groups"  -> Relational.medianGroups _,
+    "q43_string_agg"     -> Relational.stringAgg _,
+    "q44_correlated_subquery" -> Relational.correlatedAboveAvg _,
+    "q45_window_distribution" -> Relational.windowDistribution _,
+    "q46_pivot"          -> Relational.pivotSegments _,
+    "q50_monthly_revenue" -> Relational.monthlyRevenue _,
     "t05_entropy_score"  -> graft.text.TextFns.entropyScore _,
     "q39_json_roundtrip" -> graft.sources.Sources.jsonRoundtrip _,
     "d01_dedup_exact"    -> graft.dedup.Dedup.exactDedup _,
@@ -260,6 +266,51 @@ object SparkEntry {
          GROUP BY CUBE (c_mktsegment, o_orderpriority)
          ORDER BY c_mktsegment ASC NULLS FIRST,
            o_orderpriority ASC NULLS FIRST""",
+    "q42_median_groups" ->
+      """WITH r AS (
+           SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type, value AS median_value, n AS n_rows
+         FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type""",
+    "q43_string_agg" ->
+      """SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n_nations
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q44_correlated_subquery" ->
+      """WITH stats AS (
+           SELECT o_custkey AS k,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS s,
+             count(*) AS n
+           FROM orders GROUP BY 1)
+         SELECT o_orderkey, o_custkey, o_totalprice, n AS n_orders
+         FROM orders JOIN stats ON o_custkey = k
+         WHERE CAST(o_totalprice AS DECIMAL(28,6)) * n > s
+         ORDER BY o_orderkey""",
+    "q45_window_distribution" ->
+      """SELECT event_id, event_type, value,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY event_type, value, event_id""",
+    "q46_pivot" ->
+      """SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+           CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+           CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q50_monthly_revenue" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "t05_entropy_score"  -> LlmOracle.t05,
     "d01_dedup_exact"    -> LlmOracle.d01,
     "d04_ngram_jaccard"  -> LlmOracle.d04,

@@ -240,4 +240,99 @@ object Relational {
       )
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** q42: exact per-group median by deterministic selection — rank the
+    * rows, pick row (n+1)/2 (lower median). Element SELECTION, not
+    * interpolation, so the result is an input value and bit-exact
+    * across engines; one shuffle on the group key.
+    */
+  def medianGroups(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    Tables
+      .events(s, dir)
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === floor((col("n") + 1) / 2)) // Column./ is double division; floor ≡ integral div here
+      .select(col("event_type"), col("value").as("median_value"),
+        col("n").as("n_rows"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q43: ordered string aggregation — nation names per region as one
+    * sorted comma-joined string (collect_list + array_sort keeps the
+    * concatenation order independent of partitioning).
+    */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .nation(s, dir)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("n_regionkey"))
+
+  /** q44: correlated scalar subquery — orders above their customer's
+    * average order value. Decorrelated to a grouped join; the
+    * comparison is price·n > sum in exact DECIMAL, dodging cross-
+    * engine decimal-division scale rules entirely.
+    */
+  def correlatedAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val stats = o.groupBy(col("o_custkey").as("k"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("s"),
+        count(lit(1)).as("n"))
+    o.join(stats, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice").cast(dec) * col("n") > col("s"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("n").as("n_orders"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q45: window distribution functions — quartile bucket,
+    * percent_rank and cume_dist per event_type. Both are ratios of
+    * integers ((rank−1)/(n−1), rows≤current/n), so doubles agree
+    * bitwise across engines.
+    */
+  def windowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("event_type"), col("value"), col("event_id"))
+  }
+
+  /** q46: PIVOT — order counts and revenue per priority × market
+    * segment, segments as columns. Explicit value list keeps the
+    * output schema static (required at scale: no extra pass to
+    * discover pivot values, and Catalyst folds it to one conditional
+    * aggregation pass).
+    */
+  def pivotSegments(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    Tables
+      .orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q50: calendar truncation — monthly revenue (date_trunc to month,
+    * decimal-summed). The partition-prune-friendly reporting shape.
+    */
+  def monthlyRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("month"))
 }

@@ -40,6 +40,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(perUser.forall(_.getLong(1) >= 1))
   }
 
+  test("q42 median is an actual element with half the group at or below it") {
+    import org.apache.spark.sql.functions._
+    val med = operators.Relational.medianGroups(spark, dir).collect()
+    val ev = Tables.events(spark, dir).cache()
+    med.foreach { r =>
+      val (et, m, n) = (r.getString(0), r.getDouble(1), r.getLong(2))
+      val below = ev.filter(col("event_type") === et && col("value") <= m).count()
+      assert(below >= (n + 1) / 2, s"$et: $below of $n at or below median $m")
+      assert(ev.filter(col("event_type") === et && col("value") === m).count() >= 1)
+    }
+  }
+
+  test("q44 returns only orders strictly above their customer mean") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Relational.correlatedAboveAvg(spark, dir)
+    val joined = out.join(
+      Tables.orders(spark, dir).groupBy(col("o_custkey").as("k"))
+        .agg(avg(col("o_totalprice")).as("mean")),
+      col("o_custkey") === col("k"))
+    assert(joined.filter(col("o_totalprice") <= col("mean") - 1e-6).count() == 0)
+  }
+
+  test("q46 pivot cells sum to the order count") {
+    import org.apache.spark.sql.functions._
+    val p = operators.Relational.pivotSegments(spark, dir)
+    val cells = p.collect().map(r => (1 to 5).map(i => r.getLong(i)).sum).sum
+    assert(cells == Tables.orders(spark, dir).count())
+  }
+
   test("broadcast joins planned for dim tables in q21") {
     val plan = operators.Relational
       .joinAgg(spark, dir).queryExecution.executedPlan.toString
