@@ -60,6 +60,7 @@ object SparkEntry {
     "q46_pivot"          -> Relational.pivotSegments _,
     "q50_monthly_revenue" -> Relational.monthlyRevenue _,
     "t05_entropy_score"  -> graft.text.TextFns.entropyScore _,
+    "p01_corpus_pipeline" -> ((s, d) => CorpusPipeline.prepare(s, d)),
     "q39_json_roundtrip" -> graft.sources.Sources.jsonRoundtrip _,
     "d01_dedup_exact"    -> graft.dedup.Dedup.exactDedup _,
     "d02_dedup_minhash_lsh" -> ((s, d) => graft.dedup.MinHashLSH.q(s, d)),
@@ -79,6 +80,9 @@ object SparkEntry {
     "st02_stream_anomaly" -> ((s, d) =>
       graft.streaming.StreamingAnomaly.st02StatefulFlags(s, d)),
     "st03_stream_dedup" -> graft.streaming.StreamingAnomaly.st03StreamDedup _,
+    "q47_orc_roundtrip"  -> graft.sources.Sources.orcRoundtrip _,
+    "st05_stream_static_join" ->
+      graft.streaming.StreamingAnomaly.st05StreamStaticJoin _,
     "st04_stream_stream_join" ->
       graft.streaming.StreamingAnomaly.st04StreamStreamJoin _
   )
@@ -320,7 +324,18 @@ object SparkEntry {
     "t01_langid"         -> LlmOracle.t01,
     "t02_quality_score"  -> LlmOracle.t02,
     "t03_token_count"    -> LlmOracle.t03,
-    "t04_fingerprint"    -> LlmOracle.t04
+    "t04_fingerprint"    -> LlmOracle.t04,
+    "p01_corpus_pipeline" -> LlmOracle.p01,
+    "q47_orc_roundtrip" ->
+      """SELECT c_nationkey, count(*) AS n_negative,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS neg_balance
+         FROM customer WHERE c_acctbal < 0
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "st05_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2 ORDER BY 1, 2"""
     // d02/d03/s02 (hash-seeded) and m01 (decode stub): rows-only
   )
 }

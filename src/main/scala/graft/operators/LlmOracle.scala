@@ -210,4 +210,51 @@ object LlmOracle {
        |  FROM n
        |)
        |SELECT doc_id, fp_full, fp_min_block FROM f ORDER BY doc_id""".stripMargin
+
+  /** p01: the corpus-prep composition — language ID + quality +
+    * token count as one scan, dedup among the survivors.
+    */
+  val p01: String = {
+    val scores = TextFns.Profiles
+      .map { case (l, st) => profileSql(l, st) }.mkString(",\n  ")
+    val best = TextFns.Profiles.foldLeft(("'und'", "0")) {
+      case ((langAcc, scoreAcc), (l, _)) =>
+        (s"CASE WHEN score_$l > $scoreAcc THEN '$l' ELSE $langAcc END",
+          s"greatest($scoreAcc, score_$l)")
+    }._1
+    val stops = TextFns.Profiles.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id, source, $scores,
+       |    length(text) AS n_char,
+       |    len(string_split($Norm, ' ')) AS n_words,
+       |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+       |    len(list_filter(string_split($Norm, ' '), w -> w IN ($stops))) AS n_stop,
+       |    length($Norm) AS n_char_norm,
+       |    len(regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]')) AS re_tokens,
+       |    md5($Norm) AS norm_hash
+       |  FROM documents
+       |), r AS (
+       |  SELECT *,
+       |    CAST(n_char_norm - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+       |    CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       |    CAST(n_punct AS DOUBLE) / n_char AS punct_ratio
+       |  FROM m
+       |), f AS (
+       |  SELECT doc_id, source, re_tokens, norm_hash, $best AS predicted_lang,
+       |    floor((
+       |      (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END) +
+       |      (CASE WHEN avg_word_len BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END) +
+       |      (CASE WHEN stop_ratio >= 0.01 THEN 0.2 ELSE 0.0 END) +
+       |      (CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END)
+       |    ) * 1000000.0 + 0.5) / 1000000.0 AS quality
+       |  FROM r
+       |), filtered AS (
+       |  SELECT * FROM f WHERE predicted_lang = 'en' AND quality >= 0.5
+       |), keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM filtered GROUP BY norm_hash
+       |)
+       |SELECT doc_id, predicted_lang, quality, re_tokens, source
+       |FROM filtered JOIN keep USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

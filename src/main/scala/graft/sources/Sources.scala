@@ -22,6 +22,8 @@ object Sources {
           cust.write.mode("overwrite").option("header", "true").csv(out)
         case "json" =>
           cust.write.mode("overwrite").json(out)
+        case "orc" =>
+          cust.write.mode("overwrite").orc(out)
       }
     }
     out
@@ -41,6 +43,22 @@ object Sources {
         sum(col("c_acctbal").cast("decimal(28,6)")).cast("double")
           .as("total_balance"))
       .orderBy(col("c_mktsegment"))
+  }
+
+  /** q47: ORC round-trip — the columnar alternative to parquet; same
+    * write → read → query fidelity check (predicate pushdown and
+    * column pruning work the same way on the ORC scan).
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = stage(s, dir, "orc")
+    s.read
+      .orc(path)
+      .filter(col("c_acctbal") < 0)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_negative"),
+        sum(col("c_acctbal").cast("decimal(28,6)")).cast("double")
+          .as("neg_balance"))
+      .orderBy(col("c_nationkey"))
   }
 
   /** q39: JSON-lines round-trip — same fidelity check over the other

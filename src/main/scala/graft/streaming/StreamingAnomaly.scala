@@ -148,6 +148,34 @@ object StreamingAnomaly {
     s.table(name).orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** st05: stream-static join — the streaming events enriched against
+    * a static broadcast dimension (customer), then aggregated per
+    * (segment, event_type). The static side is re-planned per
+    * micro-batch (so a dim refresh is picked up) and broadcast, so the
+    * stream side never shuffles for the join — the canonical
+    * enrichment shape for a 100 TB/day event feed.
+    */
+  def st05StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = s"st05_out_${counter.incrementAndGet()}"
+    val dim = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = eventStream(s, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+    withStatePartitions(s, 8) {
+      val q = enriched.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name).orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   case class TickEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -28,6 +28,41 @@ object TextFns {
   private def stopHits(ws: Column, stop: Seq[String]): Column =
     size(filter(ws, w => array_contains(array(stop.map(lit): _*), w)))
 
+  /** Predicted language as a single expression (t01's fold inlined) —
+    * for one-pass pipelines that don't need the per-profile scores.
+    */
+  def predictedLangCol(c: Column): Column = {
+    val ws = words(c)
+    Profiles.foldLeft((lit("und"), lit(0))) {
+      case ((langAcc, scoreAcc), (l, stop)) =>
+        val sc = stopHits(ws, stop)
+        (when(sc > scoreAcc, lit(l)).otherwise(langAcc),
+          greatest(scoreAcc, sc))
+    }._1
+  }
+
+  /** Composite quality score as a single expression (t02's formula). */
+  def qualityCol(c: Column): Column = {
+    val ws = words(c)
+    val nWords = size(ws)
+    val avgWordLen =
+      (length(normText(c)) - (nWords - 1)).cast("double") / nWords
+    val stopRatio = stopHits(ws, Profiles.head._2).cast("double") / nWords
+    val punctRatio =
+      (length(c) - length(regexp_replace(c, "[.!?,;:]", ""))).cast("double") /
+        length(c)
+    floor((
+      when(nWords >= 20 && nWords <= 1000, lit(0.4)).otherwise(lit(0.0)) +
+      when(avgWordLen >= 3 && avgWordLen <= 10, lit(0.3)).otherwise(lit(0.0)) +
+      when(stopRatio >= 0.01, lit(0.2)).otherwise(lit(0.0)) +
+      when(punctRatio <= 0.2, lit(0.1)).otherwise(lit(0.0))
+    ) * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+  }
+
+  /** Regex token count as a single expression (t03's BPE-ish proxy). */
+  def reTokensCol(c: Column): Column =
+    size(regexp_extract_all(normText(c), lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0)))
+
   /** t01: stopword-profile language ID with deterministic tie-break
     * (profile order wins ties; all-zero → 'und').
     */

@@ -126,6 +126,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(df.collect().sameElements(rows), "decode stub must be deterministic")
   }
 
+  test("p01 pipeline keeps only en docs above quality with unique content") {
+    import graft.operators.CorpusPipeline
+    val kept = CorpusPipeline.prepare(spark, dir).collect()
+    assert(kept.nonEmpty)
+    assert(kept.forall(_.getString(1) == "en"))
+    assert(kept.forall(_.getDouble(2) >= 0.5))
+    // no two kept docs share normalized content
+    import org.apache.spark.sql.functions.{col, md5}
+    val keptIds = kept.map(_.getLong(0)).toSet
+    val hashes = Tables.documents(spark, dir)
+      .filter(col("doc_id").isin(keptIds.toSeq: _*))
+      .select(md5(graft.dedup.Dedup.normText(col("text")))).collect()
+      .map(_.getString(0))
+    assert(hashes.length == hashes.distinct.length)
+  }
+
   test("t04 fingerprints: identical docs share fp, distinct docs differ") {
     val fps = graft.text.TextFns.fingerprint(spark, plantedDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

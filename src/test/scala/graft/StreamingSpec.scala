@@ -54,6 +54,18 @@ class StreamingSpec extends AnyFunSuite {
       s"stream join $streamed vs batch $batch")
   }
 
+  test("st05 stream-static join matches the batch join-aggregate") {
+    val streamed = StreamingAnomaly.st05StreamStaticJoin(spark, dir).collect()
+    val batch = Tables.events(spark, dir)
+      .join(Tables.customer(spark, dir), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      assert(batch((r.getString(0), r.getString(1))) == r.getLong(2))
+    }
+  }
+
   test("st02 is deterministic across runs") {
     val a = StreamingAnomaly.st02StatefulFlags(spark, dir).collect()
     val b = StreamingAnomaly.st02StatefulFlags(spark, dir).collect()
