@@ -84,7 +84,9 @@ object SparkEntry {
     "st05_stream_static_join" ->
       graft.streaming.StreamingAnomaly.st05StreamStaticJoin _,
     "st04_stream_stream_join" ->
-      graft.streaming.StreamingAnomaly.st04StreamStreamJoin _
+      graft.streaming.StreamingAnomaly.st04StreamStreamJoin _,
+    "st06_stream_session_window" ->
+      graft.streaming.StreamingAnomaly.st06SessionWindow _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -335,7 +337,117 @@ object SparkEntry {
       """SELECT c_mktsegment, event_type, count(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // st01: each event lands in exactly two 6h/3h sliding windows,
+    // aligned to the epoch exactly as Spark's window() aligns them.
+    "st01_stream_window_agg" ->
+      """WITH e AS (
+           SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+         ), w AS (
+           SELECT make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 10800)
+                    * 10800 * 1000000) AS win_start, event_type, value
+           FROM e
+           UNION ALL
+           SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 10800)
+                    * 10800 - 10800) * 1000000), event_type, value
+           FROM e
+         )
+         SELECT win_start, event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    // st02: the stateful flags recomputed as windowed SQL — fixed-point
+    // scaled-long diffs make mean/variance exact-integer sums, so the
+    // z ratio is bit-identical (the 1e-4 scale cancels).
+    "st02_stream_anomaly" ->
+      """WITH b AS (
+           SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             value, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vl
+           FROM events
+         ), d AS (
+           SELECT user_id, event_type, event_id, ts, value,
+             abs(vl - lag(vl) OVER w) AS dl
+           FROM b
+           WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         ), g AS (
+           SELECT *,
+             SUM(CASE WHEN dl = 0 THEN 0 ELSE 1 END) OVER
+               (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp,
+             CAST(SUM(dl) OVER f AS DOUBLE) AS sumd,
+             CAST(SUM(dl * dl) OVER f AS DOUBLE) AS sumsq,
+             COUNT(dl) OVER f AS n
+           FROM d
+           WINDOW f AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+         ), r AS (
+           SELECT *, COUNT(*) OVER
+               (PARTITION BY user_id, event_type, grp ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM g
+         ), z AS (
+           SELECT user_id, event_type, event_id, ts, value, dl,
+             CASE WHEN dl IS NULL THEN 0.0
+                  WHEN n >= 2 AND (sumsq - sumd * sumd / n) > 0
+                  THEN abs(CAST(dl AS DOUBLE) - sumd / n)
+                       / sqrt((sumsq - sumd * sumd / n) / (n - 1))
+                  ELSE 0.0 END AS zscore,
+             run
+           FROM r
+         )
+         SELECT user_id, event_type, event_id, ts, value, zscore,
+           CASE WHEN zscore >= 4.5 THEN 1 ELSE 0 END AS stddev_flag,
+           CASE WHEN dl IS NOT NULL AND run >= 3 THEN 1 ELSE 0 END
+             AS repetition_flag,
+           CASE WHEN zscore >= 4.5 OR (dl IS NOT NULL AND run >= 3)
+                THEN 1 ELSE 0 END AS anomaly
+         FROM z ORDER BY user_id, event_type, ts, event_id""",
+    // st03: the surviving key set of watermark-bounded streaming dedup
+    // is exactly the distinct keys (single source, no late arrivals).
+    "st03_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, value FROM events
+         ORDER BY user_id, event_type, value""",
+    "st04_stream_stream_join" ->
+      """WITH p AS (
+           SELECT event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+             user_id, value AS purchase_value
+           FROM events WHERE event_type = 'purchase'
+         ), c AS (
+           SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts,
+             user_id AS click_user
+           FROM events WHERE event_type = 'click'
+         )
+         SELECT purchase_id, user_id, purchase_ts, purchase_value, click_id,
+           click_ts
+         FROM p JOIN c ON user_id = click_user
+           AND click_ts <= purchase_ts
+           AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+         ORDER BY purchase_id, click_id""",
+    // st06: session_window semantics — merge while the gap to the
+    // previous event is < 30 min; session end = last event + gap.
+    "st06_stream_session_window" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+           FROM events
+         ), flagged AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts)
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), sess AS (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged
+         )
+         SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start"""
     // d02/d03/s02 (hash-seeded) and m01 (decode stub): rows-only
   )
 }

@@ -97,8 +97,10 @@ object StreamingAnomaly {
       val q = eventStream(s, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"))
+        // project to the dedup key only: WHICH physical row survives
+        // depends on shuffle arrival order (nondeterministic across
+        // runs), but the surviving key set is exactly the distinct keys
+        .select(col("user_id"), col("event_type"), col("value"))
         .writeStream
         .outputMode(OutputMode.Append)
         .format("memory").queryName(name)
@@ -106,8 +108,7 @@ object StreamingAnomaly {
       q.processAllAvailable()
       q.stop()
     }
-    s.table(name).orderBy(col("user_id"), col("event_type"), col("value"),
-      col("event_id"))
+    s.table(name).orderBy(col("user_id"), col("event_type"), col("value"))
   }
 
   /** st04: stream-stream interval join — click-to-purchase
@@ -176,11 +177,69 @@ object StreamingAnomaly {
     s.table(name).orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** st06: streaming sessionization — `session_window` with a 30-min
+    * gap per user (the streaming rendering of q32). Sessions merge
+    * while successive events are < gap apart; window end = last event
+    * + gap. State per key is one open session, closed and emitted once
+    * the watermark passes its end — bounded regardless of stream
+    * length.
+    */
+  def st06SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val name = s"st06_out_${counter.incrementAndGet()}"
+    // Session windows only support Append mode, which emits a session
+    // when the watermark passes its end — so stage a copy of events
+    // with one far-future sentinel row (user_id = -1). The sentinel
+    // drags the watermark past every real session's end (the no-data
+    // micro-batch after the file batch then flushes them all); its own
+    // open session stays in state and is never emitted.
+    val staged = new java.io.File(
+      s"/tmp/graft_stream_stage/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_flush")
+    if (!new java.io.File(staged, "_SUCCESS").exists()) {
+      val ev = graft.Tables.events(s, dir)
+      val sentinel = ev.sparkSession.range(1)
+        .select(lit(-1L).as("event_id"),
+          (max_ts(ev) + expr("INTERVAL 10 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      ev.unionByName(sentinel).write.mode("overwrite")
+        .parquet(staged.getAbsolutePath)
+    }
+    // NOTE: the sentinel must reach the watermark node (do not filter
+    // it stream-side) — its session simply never closes, so it never
+    // reaches the sink; the batch-side filter below is belt-and-braces.
+    val agg = s.readStream.schema(eventSchema).parquet(staged.getAbsolutePath)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double")
+          .as("session_value"))
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"),
+        col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Scalar max(ts) as a literal column (driver-side, one tiny scan of
+    * the stats footer) — used only to place the st06 sentinel.
+    */
+  private def max_ts(ev: DataFrame): org.apache.spark.sql.Column =
+    lit(ev.agg(max(col("ts"))).head().getTimestamp(0))
+
   case class TickEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  case class TickerState(lastValue: Double, runLength: Int,
-      diffs: List[Double])
+  case class TickerState(lastScaled: Long, runLength: Int,
+      diffs: List[Long])
 
   case class Flagged(user_id: Long, event_type: String, event_id: Long,
       ts: java.sql.Timestamp, value: Double, zscore: Double,
@@ -190,6 +249,12 @@ object StreamingAnomaly {
     * per-ticker rolling window of one-period diffs, z-score and
     * repetition-run flags per arriving event. State is O(dataPeriods)
     * per key, so a 1000-executor cluster holds billions of tickers.
+    *
+    * Values are rounded to 4 decimals and held as scaled longs; the
+    * rolling mean/variance come from EXACT integer sums converted to
+    * double once, so the z-score is bit-identical to the windowed SQL
+    * a DuckDB oracle computes (§8 fixed-point discipline — the scale
+    * factor cancels in the z ratio, so no 1e-4 division ever happens).
     */
   def st02StatefulFlags(s: SparkSession, dir: String,
       cfg: AnomalyConfig = AnomalyConfig()): DataFrame = {
@@ -199,25 +264,26 @@ object StreamingAnomaly {
     def update(key: (Long, String), events: Iterator[TickEvent],
         state: GroupState[TickerState]): Iterator[Flagged] = {
       val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var st = state.getOption.getOrElse(TickerState(Double.NaN, 0, Nil))
+      var st = state.getOption.getOrElse(TickerState(Long.MinValue, 0, Nil))
       val out = sorted.map { e =>
         // batch q09 rounds each value to 4 decimals before differencing
-        val v4 = math.floor(e.value * 10000.0 + 0.5) / 10000.0
-        if (st.lastValue.isNaN) {
-          st = TickerState(v4, 1, Nil)
+        val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+        if (st.lastScaled == Long.MinValue) {
+          st = TickerState(vl, 1, Nil)
           Flagged(key._1, key._2, e.event_id, e.ts, e.value, 0.0, 0, 0, 0)
         } else {
-          val diff = math.abs(
-            math.floor((v4 - st.lastValue) * 10000.0 + 0.5) / 10000.0)
-          val newRun = if (diff == 0) st.runLength + 1 else 1
-          val ds = (diff :: st.diffs).take(cfg.dataPeriods)
+          val dl = math.abs(vl - st.lastScaled)
+          val newRun = if (dl == 0L) st.runLength + 1 else 1
+          val ds = (dl :: st.diffs).take(cfg.dataPeriods)
           val n = ds.size
-          val mean = ds.sum / n
-          val sd =
-            if (n < 2) 0.0
-            else math.sqrt(ds.map(d => (d - mean) * (d - mean)).sum / (n - 1))
-          val z = if (sd != 0) math.abs(diff - mean) / sd else 0.0
-          st = TickerState(v4, newRun, ds)
+          val sumd = ds.sum.toDouble
+          val sumsq = ds.map(d => d * d).sum.toDouble
+          val num = sumsq - sumd * sumd / n
+          val z =
+            if (n >= 2 && num > 0)
+              math.abs(dl.toDouble - sumd / n) / math.sqrt(num / (n - 1))
+            else 0.0
+          st = TickerState(vl, newRun, ds)
           val sdFlag = if (z >= cfg.stddevLim) 1 else 0
           val repFlag = if (newRun >= cfg.repLim) 1 else 0
           Flagged(key._1, key._2, e.event_id, e.ts, e.value, z, sdFlag,
