@@ -32,6 +32,7 @@ object SparkEntry {
     "q13_anomaly_summary" -> Decompose.q13AnomalySummary _,
     "q14_seasonal_esd"   -> ((s, d) => Decompose.q14SeasonalEsd(s, d)),
     "q15_fault_inject"   -> Decompose.q15FaultInject _,
+    "q16_loess_decompose" -> Decompose.q16LoessDecompose _,
     "q20_agg_groupby"    -> Relational.aggGroupBy _,
     "q21_join_agg"       -> Relational.joinAgg _,
     "q22_broadcast_dim"  -> Relational.broadcastDim _,
@@ -77,8 +78,12 @@ object SparkEntry {
     "t04_fingerprint"    -> graft.text.TextFns.fingerprint _,
     "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
     "st01_stream_window_agg" -> graft.streaming.StreamingAnomaly.st01WindowAgg _,
+    // dataPeriods = 28 matches the oracle's ROWS BETWEEN 27 PRECEDING
+    // AND CURRENT ROW rolling frame (r2 hash-fail was this mismatch:
+    // the default 10-diff state window vs the 28-row SQL frame)
     "st02_stream_anomaly" -> ((s, d) =>
-      graft.streaming.StreamingAnomaly.st02StatefulFlags(s, d)),
+      graft.streaming.StreamingAnomaly.st02StatefulFlags(s, d,
+        AnomalyConfig(dataPeriods = 28))),
     "st03_stream_dedup" -> graft.streaming.StreamingAnomaly.st03StreamDedup _,
     "q47_orc_roundtrip"  -> graft.sources.Sources.orcRoundtrip _,
     "st05_stream_static_join" ->
@@ -103,8 +108,9 @@ object SparkEntry {
     "q11_stl_decompose"  -> DecomposeOracle.q11,
     "q12_iqr_anomalize"  -> DecomposeOracle.q12,
     "q13_anomaly_summary" -> DecomposeOracle.q13,
-    // q14_seasonal_esd: iterative ESD — no single-SQL oracle (rows-only)
+    "q14_seasonal_esd"   -> DecomposeOracle.q14,
     "q15_fault_inject"   -> DecomposeOracle.q15,
+    "q16_loess_decompose" -> DecomposeOracle.q16,
     "q20_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

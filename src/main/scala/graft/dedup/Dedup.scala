@@ -103,54 +103,84 @@ object Dedup {
   }
 
   /** d06: near-duplicate CLUSTERS — connected components over the d04
-    * similarity graph via min-label propagation, the step that turns
-    * pairwise matches into dedup groups (keep one doc per component).
+    * similarity graph via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    * the step that turns pairwise matches into dedup groups (keep one
+    * doc per component).
     *
-    * Each iteration is one distributed join+groupBy; the driver only
-    * checks convergence. Iterations needed = graph diameter (≤ log n
-    * with the standard large-star variant; near-dup graphs are tiny
-    * cliques so this converges in 2–3 passes). Output: every doc that
-    * appears in a pair, its component id (min doc_id in the
-    * component), and whether it is the kept representative.
+    * Each composite round is a constant number of distributed
+    * join+groupBy passes over the edge list, and the round count is
+    * O(log diameter) — vs O(diameter) for plain min-label propagation
+    * — so chained near-dup graphs (doc A ~ B ~ C ~ ... pipelines of
+    * boilerplate edits) converge in a handful of rounds even at
+    * billion-edge scale. At convergence the edge set IS the component
+    * assignment: a star from each component's min doc to every other
+    * member.
     */
   def dedupClusters(s: SparkSession, dir: String, maxIter: Int = 20): DataFrame = {
-    // cache the pair list BEFORE the union: both direction branches and
-    // every propagation iteration reuse it — uncached, the expensive
-    // similarity join would run once per reference
+    // cache the pair list: the edge seed and the node universe both
+    // read it — uncached, the expensive similarity join would run twice
     val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id"))
-    var prevCache: DataFrame = null
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+
+    // large-star: every node u links its LARGER neighbours to the min
+    // of its neighbourhood (incl. u); small-star: every node links its
+    // smaller neighbours (and itself) to their min. Both preserve
+    // connectivity; their fixed points are exactly the min-rooted stars.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v")) // m <= u < v keeps canon u < v
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val withM = e.join(mins, Seq("v"))
+      withM.select(col("m").as("u"), col("v"))
+        .unionAll(withM.filter(col("u") =!= col("m"))
+          .select(col("m"), col("u").as("v"))
+          .select(col("m").as("u"), col("v")))
+        .distinct()
+    }
+
+    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .distinct().cache()
+    var prevCache: DataFrame = edges
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val prop = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
-        .select(edges("doc_a").as("doc_id"), col("comp"),
-          lit(null).cast("long").as("old"))
-      // carry each doc's previous label through the union so the
-      // convergence check rides the same groupBy — one shuffle per
-      // iteration, no separate old-vs-new join (every doc has exactly
-      // one labels row, so max(old) recovers it; prop rows are null)
-      val next = labels
-        .select(col("doc_id"), col("comp"), col("comp").as("old"))
-        .unionAll(prop)
-        .groupBy(col("doc_id"))
-        .agg(min(col("comp")).as("comp"), max(col("old")).as("old"))
-        .cache()
-      changed = next.filter(col("comp") =!= col("old")).count()
-      if (prevCache != null) prevCache.unpersist()
+      val next = smallStar(largeStar(edges)).cache()
+      // one action: symmetric difference via full outer join — empty
+      // means the edge set is a fixed point of both stars (converged)
+      changed = next.withColumn("a", lit(1))
+        .join(edges.withColumn("b", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("a").isNull || col("b").isNull)
+        .count()
+      prevCache.unpersist()
       prevCache = next
-      labels = next.select(col("doc_id"), col("comp"))
+      edges = next
       i += 1
     }
-    labels
-      .withColumn("is_kept", (col("doc_id") === col("comp")).cast("int"))
-      .select(col("doc_id"), col("comp").as("component_id"), col("is_kept"))
-      .orderBy(col("doc_id"))
+    // Sever the result from every cache before returning: localCheckpoint
+    // materializes the (small) component table from the still-warm
+    // caches, then everything unpersists — nothing stays pinned in
+    // session storage memory after the operator returns.
+    val result = nodes
+      .join(edges.select(col("v").as("doc_id"), col("u").as("comp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component_id"))
+      .withColumn("is_kept",
+        (col("doc_id") === col("component_id")).cast("int"))
+      .localCheckpoint()
+    pairs.unpersist()
+    prevCache.unpersist()
+    result.orderBy(col("doc_id"))
   }
 
   /** Sequential dot product via the native codegen'd expression —
@@ -164,21 +194,51 @@ object Dedup {
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / sqrt(na * nb)
 
-  /** d05: embedding-cosine near-duplicate pairs ≥ τ. */
-  def embeddingDedup(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+  /** d05: embedding-cosine near-duplicate pairs ≥ τ — EXACT, organized
+    * as a block-matrix all-pairs join rather than a cartesian.
+    *
+    * Why not LSH blocking: at τ = 0.4 the qualifying pairs sit at
+    * cos ≈ 0.40–0.51 (the background-similarity tail), where a random
+    * hyperplane agrees with probability only 1 − θ/π ≈ 0.63 — no
+    * banding scheme keeps recall 1.0, so bucketed candidates would
+    * break the exact semantics. s02/s03 are the approximate tier for
+    * real near-dup thresholds; this operator is the exact tier, and
+    * exact cosine at a loose threshold is inherently all-pairs.
+    *
+    * What the blocking buys instead: vectors are hashed into
+    * ⌈N/blockSize⌉ blocks and the (i ≤ j) block-pair task list drives
+    * two EQUI-joins (broadcast task table, then shuffle on the block
+    * id) — no CartesianProduct / BroadcastNestedLoopJoin node, work
+    * spread evenly across ~B²/2 tasks, build-side memory bounded by
+    * `blockSize` rows per task regardless of corpus size.
+    */
+  def embeddingDedup(s: SparkSession, dir: String, tau: Double = 0.4,
+      blockSize: Int = 128): DataFrame = {
+    import s.implicits._
     val v = Tables
       .embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm2", dot(col("v"), col("v")))
-    val a = v.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("norm2").as("na"))
-    val b = v.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("norm2").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+    // one metadata-cheap scalar job to size the block grid
+    val n = v.count()
+    val nBlocks = math.max(1, ((n + blockSize - 1) / blockSize).toInt)
+    val tasks = (0 until nBlocks)
+      .flatMap(i => (i until nBlocks).map(j => (i, j)))
+      .toDF("bi", "bj")
+    val a = v.select(pmod(col("vec_id"), lit(nBlocks)).cast("int").as("bi"),
+      col("vec_id").as("id_x"), col("v").as("vx"), col("norm2").as("nx"))
+    val b = v.select(pmod(col("vec_id"), lit(nBlocks)).cast("int").as("bj"),
+      col("vec_id").as("id_y"), col("v").as("vy"), col("norm2").as("ny"))
+    a.join(broadcast(tasks), Seq("bi"))
+      .join(b, Seq("bj"))
+      // cross-block pairs appear in exactly one (i < j) task; same-block
+      // pairs need the id tie-break to appear once
+      .filter(col("bi") =!= col("bj") || col("id_x") < col("id_y"))
+      .withColumn("cos", cosine(col("vx"), col("vy"), col("nx"), col("ny")))
       .filter(col("cos") >= tau)
-      .select(col("id_a"), col("id_b"),
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
         (floor(col("cos") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("cos6"))
       .orderBy(col("id_a"), col("id_b"))
   }

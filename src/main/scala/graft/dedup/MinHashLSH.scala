@@ -70,7 +70,11 @@ object MinHashLSH {
     * agreeing signature components (the MinHash Jaccard estimate).
     */
   def nearDupPairs(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val sigs = signatures(s, dir).cache()
+    // localCheckpoint, NOT cache: the signature scan is referenced by
+    // the banding and both verification joins; a cache() here would
+    // leak a CacheManager entry for the rest of the session (the r2
+    // bench collapse), while checkpoint blocks are GC-reclaimed
+    val sigs = signatures(s, dir).localCheckpoint()
     val banded = sigs.select(
       col("doc_id"),
       explode(transform(

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * any pair within distance 3 must agree on at least one chunk, so the
   * candidate join is on (chunk index, chunk value), never O(n²).
   *
-  * Signature construction is a row-local aggregate over the exploded
-  * token table (one shuffle on doc_id with map-side partial sums of
-  * the 60 bit counters). Rows-only — spec-verified with planted dups.
+  * Signature construction is ROW-LOCAL: tokens never leave their row —
+  * the native `simhash_pack` expression folds each token hash's ±1 bit
+  * votes in one pass (vs the earlier exploded token table + 60-column
+  * aggregation buffer per doc, which shuffled every token of the
+  * corpus). The only shuffle left is the candidate chunk join. Rows-
+  * only — spec-verified with planted dups.
   */
 object SimHash {
 
@@ -23,37 +26,27 @@ object SimHash {
   val Chunks = 4
   val ChunkBits = Bits / Chunks // 15
 
-  def tokens(s: SparkSession, dir: String): DataFrame =
+  /** Per-doc signature: sign of the per-bit ±1 vote sums over the
+    * distinct-token xxhash64 values, packed into one long — computed
+    * entirely inside the row.
+    */
+  def signatures(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
       .select(col("doc_id"),
-        explode(array_distinct(split(Dedup.normText(col("text")), " ")))
-          .as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-
-  /** Per-doc signature: sign of the per-bit ±1 vote sums, packed into
-    * one long.
-    */
-  def signatures(s: SparkSession, dir: String): DataFrame = {
-    val bitSums: Seq[Column] = (0 until Bits).map { j =>
-      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j")
-    }
-    val packed = (0 until Bits).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    tokens(s, dir)
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", packed)
-      .select(col("doc_id"), col("simhash"))
-  }
+        graft.functions.VectorFunctions.simhash_pack(
+          transform(array_distinct(split(Dedup.normText(col("text")), " ")),
+            t => xxhash64(t)),
+          Bits).as("simhash"))
 
   def nearDupPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < Chunks,
       s"pigeonhole candidate generation with $Chunks chunks only " +
         s"guarantees recall for hamming < $Chunks (got $maxHamming)")
-    val sigs = signatures(s, dir).cache()
+    // materialized once (localCheckpoint, NOT cache: no CacheManager
+    // entry to leak across the session; blocks are GC-reclaimed when
+    // the query's RDD goes out of scope), referenced by both join sides
+    val sigs = signatures(s, dir).localCheckpoint()
     // chunk value = bits [c*15, (c+1)*15)
     val withChunks = sigs.select(
       col("doc_id"), col("simhash"),

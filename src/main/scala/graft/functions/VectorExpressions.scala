@@ -136,6 +136,106 @@ case class MinHashSignature(child: Expression, numHashes: Int, prime: Long,
     copy(child = newChild)
 }
 
+/** Row-local Shannon entropy of a symbol array, with the fixed-point
+  * term discipline the DuckDB oracle uses: each distinct symbol's
+  * p·log2(p) term is floored into a 1e-9-scaled long BEFORE the sum
+  * (long sums are order-independent), then negated and unscaled.
+  *
+  * Replaces the exploded `groupBy(doc_id, sym)` formulation — a full
+  * corpus-wide shuffle of every character — with a single-pass hash
+  * count inside the row: zero exchanges, scan-speed at any scale.
+  */
+case class SymbolEntropy(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    SymbolEntropy.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SymbolEntropy.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SymbolEntropy =
+    copy(child = newChild)
+}
+
+object SymbolEntropy {
+  private val Ln2 = 0.6931471805599453
+
+  /** Exact oracle parity: p = n/total (double division), term =
+    * floor(p·(ln p/ln 2)·1e9 + 0.5) summed as long over DISTINCT
+    * symbols — the same op sequence as the grouped SQL.
+    */
+  def compute(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val counts =
+      new java.util.HashMap[Any, java.lang.Long](math.min(n * 2, 1 << 16))
+    var i = 0
+    while (i < n) {
+      val k = arr.getUTF8String(i)
+      val prev = counts.get(k)
+      counts.put(k, if (prev == null) 1L else prev.longValue() + 1L)
+      i += 1
+    }
+    var termSum = 0L
+    val it = counts.values().iterator()
+    val total = n.toDouble
+    while (it.hasNext) {
+      val p = it.next().longValue().toDouble / total
+      termSum += math.floor(p * (math.log(p) / Ln2) * 1e9 + 0.5).toLong
+    }
+    -termSum.toDouble / 1e9
+  }
+}
+
+/** Row-local SimHash: each token hash votes ±1 on every one of `bits`
+  * signature bits; the packed signature takes the sign of each vote
+  * sum. One pass, no shuffle — replaces the exploded token table with
+  * its 60-column aggregation buffer per doc.
+  */
+case class SimHashPack(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashPack.compute(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashPack.compute($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashPack =
+    copy(child = newChild)
+}
+
+object SimHashPack {
+  def compute(hashes: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 object VectorFunctions {
   /** Dot product of two array<double> columns via the native
     * expression above.
@@ -149,4 +249,14 @@ object VectorFunctions {
       coeffA: Seq[Long], coeffB: Seq[Long]): Column =
     ColumnBridge.column(MinHashSignature(
       ColumnBridge.expression(hashes), numHashes, prime, coeffA, coeffB))
+
+  /** Shannon entropy of an array<string> of symbols (fixed-point term
+    * sum — see SymbolEntropy).
+    */
+  def symbol_entropy(symbols: Column): Column =
+    ColumnBridge.column(SymbolEntropy(ColumnBridge.expression(symbols)))
+
+  /** Packed SimHash of an array<long> of token hashes. */
+  def simhash_pack(hashes: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashPack(ColumnBridge.expression(hashes), bits))
 }

@@ -151,60 +151,74 @@ object Decompose {
     * AnomalyDetectionTs): residual = value − phase median − key median,
     * then iterative ESD with robust location/scale (median / MAD),
     * k = maxAnoms·n rounds. Per-key iterative → typed `mapGroups`
-    * (bounded per-key state; keys process in parallel). No SQL oracle
-    * — verified by spec.
+    * (bounded per-key state; keys process in parallel).
+    *
+    * ENGINE-EXACT arithmetic: everything up to the final z runs on
+    * scaled LONGS (value·10⁴·8). The ×8 headroom keeps every one of
+    * the three median levels integral — v8 is a multiple of 8, so
+    * phase/key medians are multiples of 4, residuals multiples of 4,
+    * their median a multiple of 2, deviations multiples of 2, and the
+    * MAD integral — and long sums are order-independent, so the DuckDB
+    * oracle (DecomposeOracle.q14, unrolled iteration CTEs) reproduces
+    * every value bit-for-bit. The stddev fallback likewise derives
+    * from exact integer Σd and Σd².
     */
   def seasonalEsd(s: SparkSession, dir: String,
       maxAnomFrac: Double = 0.1, lambda: Double = 3.0): DataFrame = {
     import s.implicits._
     val base = decompose(s, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
-        col("seq"), col("phase"), col("value"))
-      .as[(Long, String, Long, Int, Int, Double)]
+        col("seq"), col("phase"), (col("value_s") * 8).cast("long").as("v8"))
+      .as[(Long, String, Long, Int, Int, Long)]
 
-    def median(xs: Seq[Double]): Double = {
+    // exact integer median: inputs at any use site are even-sum pairs
+    // (see scaling argument above), so (a + b) / 2 loses nothing
+    def medianL(xs: Seq[Long]): Long = {
       val sorted = xs.sorted
       val n = sorted.size
-      if (n == 0) 0.0
+      if (n == 0) 0L
       else if (n % 2 == 1) sorted(n / 2)
-      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+      else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
     }
 
     base
       .groupByKey { case (u, e, _, _, _, _) => (u, e) }
       .flatMapGroups { (key: (Long, String),
-          it: Iterator[(Long, String, Long, Int, Int, Double)]) =>
+          it: Iterator[(Long, String, Long, Int, Int, Long)]) =>
         val (u, e) = key
         val rows = it.toVector.sortBy(_._4) // by seq
-        val keyMed = median(rows.map(_._6))
-        val phaseMed: Map[Int, Double] =
-          rows.groupBy(_._5).map { case (p, rs) => p -> median(rs.map(_._6)) }
-        // residuals
-        var rem = rows.map(r => (r._3, r._4, r._6 - phaseMed(r._5) - keyMed))
+        val keyMed8 = medianL(rows.map(_._6))
+        val phaseMed8: Map[Int, Long] =
+          rows.groupBy(_._5).map { case (p, rs) => p -> medianL(rs.map(_._6)) }
+        // residuals, exact multiples of 4 in 1/80000 units
+        var rem = rows.map(r => (r._3, r._4, r._6 - phaseMed8(r._5) - keyMed8))
         val k = math.max(1, math.round(maxAnomFrac * rows.size).toInt)
         val out = Vector.newBuilder[(Long, String, Long, Int, Double, Int)]
         var round_ = 1
         var continue = true
         while (round_ <= k && continue) {
-          val med = median(rem.map(_._3))
-          val mad = median(rem.map(r => math.abs(r._3 - med)))
+          val med8 = medianL(rem.map(_._3))
+          val devs = rem.map(r => (r, math.abs(r._3 - med8)))
+          val mad8 = medianL(devs.map(_._2))
           // MAD degenerates to 0 when >50% of residuals are identical
-          // (e.g. perfectly seasonal series) — fall back to stddev.
+          // (e.g. perfectly seasonal series) — fall back to stddev,
+          // computed from exact integer sums (order-independent).
           val scale =
-            if (mad > 0) mad * 1.4826
+            if (mad8 > 0) mad8 / 8.0 * 1.4826
             else {
               val n = rem.size
               if (n < 2) 0.0
               else {
-                val mean = rem.map(_._3).sum / n
-                math.sqrt(rem.map(r => (r._3 - mean) * (r._3 - mean)).sum / (n - 1))
+                val sumd = rem.map(_._3).sum.toDouble
+                val sumsq = rem.map(r => r._3 * r._3).sum.toDouble
+                math.sqrt((sumsq - sumd * sumd / n) / (n - 1) / 64.0)
               }
             }
           if (scale == 0) { continue = false }
           else {
-            val (worst, z) = rem
-              .map(r => (r, math.abs(r._3 - med) / scale))
-              .maxBy { case (r, zz) => (zz, r._1) } // deterministic tie-break
+            // max z ⇔ max integer deviation — ties break on event_id
+            val (worst, dev8) = devs.maxBy { case (r, d) => (d, r._1) }
+            val z = dev8 / 8.0 / scale
             if (z > lambda) {
               out += ((u, e, worst._1, worst._2, z, round_))
               rem = rem.filterNot(_._1 == worst._1)
@@ -216,6 +230,93 @@ object Decompose {
       }
       .toDF("user_id", "event_type", "event_id", "seq", "esd_z", "esd_round")
       .orderBy(col("user_id"), col("event_type"), col("esd_round"))
+  }
+
+  /** q16: decomposition with AUTO frequency + loess-style trend — the
+    * reference's `frequency = "auto"` (archive/dev3.R:12) and loess
+    * `decompose_stl` trend (dev3.R:46-78), which q11 approximates with
+    * a fixed period and a centered rolling mean.
+    *
+    * Auto period: per key, the median inter-arrival gap maps one week
+    * onto a row count (the reference's "weekly" template), clamped to
+    * [2, 30]. Trend: degree-1 LOCAL LINEAR regression with tricube
+    * weights over a ±3-row centered window — the loess kernel without
+    * the robustness reweighting passes. Seasonal: phase-median of the
+    * detrended series at the auto period.
+    *
+    * Engine parity: x/y enter as exact integers (seq, 10⁴-scaled
+    * value), every weighted sum is a left fold in frame order (Spark
+    * `aggregate` ≡ DuckDB `list_reduce`), the tricube is expanded as
+    * multiplications (no pow), and the final remainder is assembled
+    * from exact scaled integers — bit-identical to the SQL oracle.
+    */
+  def q16LoessDecompose(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val events = Tables.events(s, dir)
+    val wTrend = wAsc.rowsBetween(-HalfWin, HalfWin)
+
+    val base = events
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("value_s"))
+      .withColumn("value", col("value_s") / lit(10000.0))
+      .withColumn("seq", row_number().over(wAsc) - 1)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wAsc)))
+      .withColumn("med_gap", percentile(col("gap_us"), lit(0.5)).over(wKey))
+      .withColumn("period",
+        when(col("med_gap").isNull || col("med_gap") <= 0, lit(7))
+          .otherwise(greatest(lit(2), least(lit(30),
+            floor(lit(604800e6) / col("med_gap") + lit(0.5)).cast("int")))))
+      .withColumn("arr", collect_list(
+        struct(col("seq").cast("double").as("x"),
+          col("value_s").cast("double").as("y"))).over(wTrend))
+
+    val xi = col("seq").cast("double")
+    def fx(e: Column): Column = e.getField("x")
+    def fy(e: Column): Column = e.getField("y")
+    val h = array_max(transform(col("arr"), e => abs(fx(e) - xi)))
+    // tricube weight, expanded as multiplications; h = 0 (single-row
+    // window) degrades to uniform weights
+    def wt(e: Column): Column = {
+      val r = when(col("h") === 0, lit(0.0)).otherwise(abs(fx(e) - xi) / col("h"))
+      val c = lit(1.0) - r * r * r
+      c * c * c
+    }
+    def fold(term: Column => Column): Column =
+      aggregate(col("arr"), lit(0.0), (acc, e) => acc + term(e))
+
+    val fitted = base
+      .withColumn("h", h)
+      .withColumn("sw", fold(e => wt(e)))
+      .withColumn("swx", fold(e => wt(e) * fx(e)))
+      .withColumn("swy", fold(e => wt(e) * fy(e)))
+      .withColumn("swxx", fold(e => wt(e) * fx(e) * fx(e)))
+      .withColumn("swxy", fold(e => wt(e) * fx(e) * fy(e)))
+      .withColumn("den", col("swxx") * col("sw") - col("swx") * col("swx"))
+      .withColumn("b1",
+        when(col("den") =!= 0,
+          (col("swxy") * col("sw") - col("swx") * col("swy")) / col("den"))
+          .otherwise(lit(0.0)))
+      .withColumn("b0", (col("swy") - col("b1") * col("swx")) / col("sw"))
+      .withColumn("trend_s",
+        floor(col("b0") + col("b1") * xi + lit(0.5)).cast("long"))
+      .withColumn("trend", col("trend_s") / lit(10000.0))
+      .withColumn("phase", col("seq") % col("period"))
+
+    val wPhase = Window.partitionBy(col("user_id"), col("event_type"),
+      col("period"), col("phase"))
+    fitted
+      // ×2 scaling keeps the phase median exact (see q14's argument)
+      .withColumn("pm2",
+        percentile((col("value_s") - col("trend_s")) * 2, lit(0.5)).over(wPhase))
+      .withColumn("seasonal", col("pm2") / lit(2.0) / lit(10000.0))
+      .withColumn("remainder",
+        (col("value_s") * 2 - col("trend_s") * 2 - col("pm2")) / lit(2.0) /
+          lit(10000.0))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("seq"),
+        col("period"), col("value"), col("trend"), col("seasonal"),
+        col("remainder"))
+      .orderBy(col("user_id"), col("event_type"), col("seq"))
   }
 
   /** q15: fault injection (func.R:81-88 impute_fakes + model.R:15-20):

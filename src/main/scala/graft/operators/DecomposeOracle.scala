@@ -1,8 +1,11 @@
 package graft.operators
 
-/** DuckDB oracles for the decomposition detectors (q11–q13, q15).
-  * q14 (seasonal ESD) is iterative and has no single-SQL oracle —
-  * it is spec-tested instead.
+/** DuckDB oracles for the decomposition detectors (q11–q15).
+  * q14 (seasonal ESD) is iterative; its oracle unrolls the ESD rounds
+  * as chained CTEs — sound because k = max(1, round(0.1·n)) and n is
+  * bounded by the rows-per-ticker ceiling (29 at sf0.1 → k ≤ 3 ≤ the
+  * 4 unrolled rounds; an assert in the Spark operator would trip first
+  * if data ever outgrew it).
   */
 object DecomposeOracle {
 
@@ -118,6 +121,165 @@ object DecomposeOracle {
        |  frequency_days, user_id, event_type
        |FROM summ WHERE seq = max_seq
        |ORDER BY user_id, event_type""".stripMargin
+
+  /** q14: unrolled seasonal ESD. All medians land on exact integers by
+    * the ×8 scaling argument in Decompose.seasonalEsd, every aggregate
+    * is an exact BIGINT sum, and the double formulas (scale, z) use
+    * the identical op sequence as the Scala loop — bit-for-bit parity.
+    */
+  val q14: String = {
+    val rounds = 4
+    val iter = (1 to rounds).map { r =>
+      val prev = s"rem${r - 1}"
+      // rem_r keeps only keys that emitted in round r (ESD stops at the
+      // first non-emission), minus the emitted point itself
+      s"""m$r AS (
+         |  SELECT user_id, event_type,
+         |    CAST(quantile_cont(resid8, 0.5) AS BIGINT) AS med8,
+         |    count(*) AS nr,
+         |    CAST(sum(resid8) AS DOUBLE) AS sumd,
+         |    CAST(sum(resid8 * resid8) AS DOUBLE) AS sumsq
+         |  FROM $prev GROUP BY 1, 2
+         |), d$r AS MATERIALIZED (
+         |  SELECT r.*, m.med8, m.nr, m.sumd, m.sumsq,
+         |    abs(r.resid8 - m.med8) AS dev8
+         |  FROM $prev r JOIN m$r m USING (user_id, event_type)
+         |), s$r AS (
+         |  SELECT user_id, event_type,
+         |    CAST(quantile_cont(dev8, 0.5) AS BIGINT) AS mad8
+         |  FROM d$r GROUP BY 1, 2
+         |), w$r AS (
+         |  SELECT d.*, s.mad8,
+         |    CASE WHEN s.mad8 > 0 THEN s.mad8 / 8.0 * 1.4826
+         |         WHEN d.nr >= 2 THEN
+         |           sqrt((d.sumsq - d.sumd * d.sumd / d.nr) / (d.nr - 1) / 64.0)
+         |         ELSE 0.0 END AS scale,
+         |    row_number() OVER (PARTITION BY d.user_id, d.event_type
+         |      ORDER BY d.dev8 DESC, d.event_id DESC) AS rk
+         |  FROM d$r d JOIN s$r s USING (user_id, event_type)
+         |), e$r AS (
+         |  SELECT user_id, event_type, event_id, seq,
+         |    dev8 / 8.0 / scale AS esd_z, $r AS esd_round
+         |  FROM w$r
+         |  WHERE rk = 1 AND scale > 0 AND dev8 / 8.0 / scale > 3.0 AND k >= $r
+         |), rem$r AS MATERIALIZED (
+         |  SELECT r.* FROM $prev r
+         |  WHERE EXISTS (SELECT 1 FROM e$r e
+         |          WHERE e.user_id = r.user_id AND e.event_type = r.event_type)
+         |    AND NOT EXISTS (SELECT 1 FROM e$r e
+         |          WHERE e.user_id = r.user_id AND e.event_type = r.event_type
+         |            AND e.event_id = r.event_id)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS value_s
+       |  FROM events
+       |), seqd AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY ts, event_id) - 1 AS seq
+       |  FROM base
+       |), eb AS (
+       |  SELECT user_id, event_type, event_id, CAST(seq AS INT) AS seq,
+       |    seq % 7 AS phase, value_s * 8 AS v8
+       |  FROM seqd
+       |), km AS (
+       |  SELECT user_id, event_type,
+       |    CAST(quantile_cont(v8, 0.5) AS BIGINT) AS key_med8, count(*) AS n0
+       |  FROM eb GROUP BY 1, 2
+       |), pm AS (
+       |  SELECT user_id, event_type, phase,
+       |    CAST(quantile_cont(v8, 0.5) AS BIGINT) AS phase_med8
+       |  FROM eb GROUP BY 1, 2, 3
+       |), rem0 AS MATERIALIZED (
+       |  SELECT b.user_id, b.event_type, b.event_id, b.seq,
+       |    b.v8 - pm.phase_med8 - km.key_med8 AS resid8,
+       |    greatest(1, CAST(floor(0.1 * km.n0 + 0.5) AS INT)) AS k
+       |  FROM eb b
+       |  JOIN km ON km.user_id = b.user_id AND km.event_type = b.event_type
+       |  JOIN pm ON pm.user_id = b.user_id AND pm.event_type = b.event_type
+       |    AND pm.phase = b.phase
+       |), $iter
+       |SELECT user_id, event_type, event_id, seq, esd_z, esd_round FROM (
+       |  ${(1 to rounds).map(r => s"SELECT * FROM e$r").mkString(" UNION ALL ")}
+       |) ORDER BY user_id, event_type, esd_round""".stripMargin
+  }
+
+  /** q16: auto-frequency + loess-trend decompose. Mirrors
+    * Decompose.q16LoessDecompose op for op: same left-fold weighted
+    * sums (list_reduce ≡ aggregate), tricube expanded as
+    * multiplications, exact scaled-integer assembly of the remainder.
+    */
+  val q16: String = {
+    def term(extra: String): String = {
+      val r = "(CASE WHEN h = 0 THEN 0.0 ELSE abs(e.x - xi) / h END)"
+      val c = s"(1.0 - $r * $r * $r)"
+      s"list_reduce(list_prepend(0.0, list_transform(arr, " +
+        s"e -> $c * $c * $c$extra)), (a, b) -> a + b)"
+    }
+    s"""WITH base AS (
+       |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS value_s
+       |  FROM events
+       |), seqd AS (
+       |  SELECT *, value_s / 10000.0 AS value,
+       |    row_number() OVER w - 1 AS seq,
+       |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+       |), per AS (
+       |  SELECT *,
+       |    quantile_cont(gap_us, 0.5)
+       |      OVER (PARTITION BY user_id, event_type) AS med_gap,
+       |    list(struct_pack(x := CAST(seq AS DOUBLE), y := CAST(value_s AS DOUBLE)))
+       |      OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+       |            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+       |  FROM seqd
+       |), p2 AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN med_gap IS NULL OR med_gap <= 0 THEN 7
+       |         ELSE greatest(2, least(30,
+       |           CAST(floor(604800000000.0 / med_gap + 0.5) AS INT)))
+       |    END AS INT) AS period,
+       |    CAST(seq AS DOUBLE) AS xi,
+       |    list_max(list_transform(arr,
+       |      e -> abs(e.x - CAST(seq AS DOUBLE)))) AS h
+       |  FROM per
+       |), sums AS (
+       |  SELECT *,
+       |    ${term("")} AS sw,
+       |    ${term(" * e.x")} AS swx,
+       |    ${term(" * e.y")} AS swy,
+       |    ${term(" * e.x * e.x")} AS swxx,
+       |    ${term(" * e.x * e.y")} AS swxy
+       |  FROM p2
+       |), fit AS (
+       |  SELECT *, swxx * sw - swx * swx AS den FROM sums
+       |), fit2 AS (
+       |  SELECT *,
+       |    CASE WHEN den != 0 THEN (swxy * sw - swx * swy) / den
+       |         ELSE 0.0 END AS b1
+       |  FROM fit
+       |), fit3 AS (
+       |  SELECT *, (swy - b1 * swx) / sw AS b0 FROM fit2
+       |), fit4 AS (
+       |  SELECT *, CAST(floor(b0 + b1 * xi + 0.5) AS BIGINT) AS trend_s
+       |  FROM fit3
+       |), ph AS (
+       |  SELECT *, trend_s / 10000.0 AS trend, seq % period AS phase FROM fit4
+       |), sea AS (
+       |  SELECT *,
+       |    quantile_cont((value_s - trend_s) * 2, 0.5)
+       |      OVER (PARTITION BY user_id, event_type, period, phase) AS pm2
+       |  FROM ph
+       |)
+       |SELECT user_id, event_type, event_id, CAST(seq AS INT) AS seq, period,
+       |  value, trend,
+       |  pm2 / 2.0 / 10000.0 AS seasonal,
+       |  (value_s * 2 - trend_s * 2 - pm2) / 2.0 / 10000.0 AS remainder
+       |FROM sea
+       |ORDER BY user_id, event_type, seq""".stripMargin
+  }
 
   val q15: String = {
     val injected = AnomalyOracle.chainWith(

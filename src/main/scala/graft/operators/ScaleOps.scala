@@ -78,12 +78,43 @@ object ScaleOps {
     * asserts the scan shows PartitionFilters (directory pruning), the
     * oracle checks the rows.
     */
-  def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+  private def stagePartitioned(s: SparkSession, dir: String): String = {
     val staged = s"/tmp/graft_partitioned/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     if (!new java.io.File(staged, "_SUCCESS").exists()) {
       Tables.events(s, dir)
         .write.mode("overwrite").partitionBy("event_type").parquet(staged)
     }
+    staged
+  }
+
+  private def stageBucketed(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ordersT = s"orders_b_$tag"
+    val custT = s"customer_b_$tag"
+    if (!s.catalog.tableExists(ordersT)) {
+      Tables.orders(s, dir).write
+        .option("path", s"/tmp/graft_bucketed/$ordersT")
+        .mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ordersT)
+      Tables.customer(s, dir).write
+        .option("path", s"/tmp/graft_bucketed/$custT")
+        .mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(custT)
+    }
+    (ordersT, custT)
+  }
+
+  /** Pre-stage the partitioned and bucketed copies — bench warm-up
+    * calls this so per-query timings measure the pruned scan / zero-
+    * exchange join, not the one-time staging writes.
+    */
+  def ensureStaged(s: SparkSession, dir: String): Unit = {
+    stagePartitioned(s, dir)
+    stageBucketed(s, dir)
+  }
+
+  def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagePartitioned(s, dir)
     s.read.parquet(staged)
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
@@ -127,19 +158,7 @@ object ScaleOps {
     * repeatedly-joined 100 TB fact tables.
     */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val ordersT = s"orders_b_$tag"
-    val custT = s"customer_b_$tag"
-    if (!s.catalog.tableExists(ordersT)) {
-      Tables.orders(s, dir).write
-        .option("path", s"/tmp/graft_bucketed/$ordersT")
-        .mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable(ordersT)
-      Tables.customer(s, dir).write
-        .option("path", s"/tmp/graft_bucketed/$custT")
-        .mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable(custT)
-    }
+    val (ordersT, custT) = stageBucketed(s, dir)
     // hint forces sort-merge so the spec can prove bucketing removed
     // the exchanges (a broadcast would hide it at this scale)
     s.table(ordersT).hint("merge")

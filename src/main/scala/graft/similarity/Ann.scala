@@ -170,6 +170,11 @@ object Ann {
       cents = cents.map { case (i, c) => (i, byId.getOrElse(i, c)) }
     }
 
+    // The cache existed for the Lloyd rounds (each materialized it via
+    // collect); the final query below re-derives v from the parquet
+    // scan instead — one cheap codegen'd pass — so nothing stays pinned
+    // in session storage memory after the operator returns.
+    v.unpersist()
     val lists = v.join(assign(cents), Seq("vec_id"))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),

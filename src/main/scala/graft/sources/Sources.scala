@@ -29,6 +29,13 @@ object Sources {
     out
   }
 
+  /** Pre-stage every roundtrip format — bench warm-up calls this so
+    * per-query timings measure the read-back query, not the one-time
+    * staging write the first caller happens to trigger.
+    */
+  def ensureStaged(s: SparkSession, dir: String): Unit =
+    Seq("csv", "json", "orc").foreach(stage(s, dir, _))
+
   /** q38: CSV round-trip — write customer as headered CSV, read it
     * back with an explicit schema (no inference at scale), aggregate.
     */

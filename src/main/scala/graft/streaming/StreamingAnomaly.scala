@@ -44,18 +44,51 @@ object StreamingAnomaly {
     try body finally s.conf.set(key, prev)
   }
 
-  /** Events as a file stream. The batch parquet has ns timestamps the
-    * streaming reader can't use directly, so stage a µs copy once.
+  /** One-time staging of the µs-timestamp events copy the streaming
+    * readers consume. Gated on _SUCCESS: a bare directory check would
+    * reuse a partial write left by a killed JVM forever.
     */
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+  private def stageEvents(s: SparkSession, dir: String): java.io.File = {
     val staged = new java.io.File(
       s"/tmp/graft_stream_stage/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    // gate on _SUCCESS: a bare directory check would reuse a partial
-    // write left by a killed JVM forever
     if (!new java.io.File(staged, "_SUCCESS").exists()) {
       graft.Tables.events(s, dir).write.mode("overwrite")
         .parquet(staged.getAbsolutePath)
     }
+    staged
+  }
+
+  /** One-time staging of the st06 copy with the watermark-flush
+    * sentinel row appended (see st06SessionWindow).
+    */
+  private def stageFlush(s: SparkSession, dir: String): java.io.File = {
+    val staged = new java.io.File(
+      s"/tmp/graft_stream_stage/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_flush")
+    if (!new java.io.File(staged, "_SUCCESS").exists()) {
+      val ev = graft.Tables.events(s, dir)
+      val sentinel = ev.sparkSession.range(1)
+        .select(lit(-1L).as("event_id"),
+          (max_ts(ev) + expr("INTERVAL 10 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      ev.unionByName(sentinel).write.mode("overwrite")
+        .parquet(staged.getAbsolutePath)
+    }
+    staged
+  }
+
+  /** Pre-stage both streaming copies — bench warm-up calls this so the
+    * per-query timings measure the query, not the one-time staging
+    * write it happens to trigger first.
+    */
+  def ensureStaged(s: SparkSession, dir: String): Unit = {
+    stageEvents(s, dir)
+    stageFlush(s, dir)
+  }
+
+  /** Events as a file stream over the staged µs copy. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageEvents(s, dir)
     s.readStream.schema(eventSchema).parquet(staged.getAbsolutePath)
   }
 
@@ -192,18 +225,7 @@ object StreamingAnomaly {
     // drags the watermark past every real session's end (the no-data
     // micro-batch after the file batch then flushes them all); its own
     // open session stays in state and is never emitted.
-    val staged = new java.io.File(
-      s"/tmp/graft_stream_stage/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_flush")
-    if (!new java.io.File(staged, "_SUCCESS").exists()) {
-      val ev = graft.Tables.events(s, dir)
-      val sentinel = ev.sparkSession.range(1)
-        .select(lit(-1L).as("event_id"),
-          (max_ts(ev) + expr("INTERVAL 10 DAYS")).as("ts"),
-          lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-          lit(0.0).as("value"), lit(null).cast("string").as("props"))
-      ev.unionByName(sentinel).write.mode("overwrite")
-        .parquet(staged.getAbsolutePath)
-    }
+    val staged = stageFlush(s, dir)
     // NOTE: the sentinel must reach the watermark node (do not filter
     // it stream-side) — its session simply never closes, so it never
     // reaches the sink; the batch-side filter below is belt-and-braces.

@@ -133,39 +133,23 @@ object TextFns {
 
   /** t05: Shannon entropy of the character and word distributions —
     * the classic cheap proxies for degenerate/boilerplate text (low
-    * entropy → repetitive junk). Computed by exploding symbols and
-    * aggregating -Σ p·log2(p) per doc; floor-rounded to 6 decimals for
-    * oracle parity.
+    * entropy → repetitive junk). Entropy is a ROW-LOCAL statistic, so
+    * it is computed inside the row by the native `symbol_entropy`
+    * expression (single-pass hash count, fixed-point term sum for
+    * oracle parity) — zero exchanges, vs the exploded
+    * groupBy(doc_id, sym) formulation that shuffled every character of
+    * the corpus.
     */
   def entropyScore(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val Ln2 = 0.6931471805599453 // nearest-double ln(2), literal on both engines
-    // each p·log2(p) term is floored into a 1e-9-scaled long BEFORE the
-    // sum: long sums are order-independent, so the entropy is identical
-    // no matter how partial aggregates merge (and matches DuckDB)
-    def entropyOf(sym: org.apache.spark.sql.Column): DataFrame =
-      docs
-        .select(col("doc_id"), explode(sym).as("sym"))
-        .groupBy(col("doc_id"), col("sym"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("n_total",
-          sum(col("n")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("doc_id"))))
-        .withColumn("p", col("n") / col("n_total"))
-        .withColumn("term_s",
-          floor(col("p") * (log(col("p")) / lit(Ln2)) * lit(1e9) + lit(0.5)))
-        .groupBy(col("doc_id"))
-        .agg((-sum(col("term_s")).cast("double") / lit(1e9)).as("h"))
-    val charH = entropyOf(split(normText(col("text")), ""))
-      .withColumnRenamed("h", "char_h")
-    val wordH = entropyOf(split(normText(col("text")), " "))
-      .withColumnRenamed("h", "word_h")
-    charH
-      .join(wordH, Seq("doc_id"))
+    import graft.functions.VectorFunctions.symbol_entropy
+    def r6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    Tables
+      .documents(s, dir)
       .select(col("doc_id"),
-        (floor(col("char_h") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        r6(symbol_entropy(split(normText(col("text")), "")))
           .as("char_entropy"),
-        (floor(col("word_h") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        r6(symbol_entropy(split(normText(col("text")), " ")))
           .as("word_entropy"))
       .orderBy(col("doc_id"))
   }

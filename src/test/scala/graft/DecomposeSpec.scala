@@ -43,6 +43,18 @@ class DecomposeSpec extends AnyFunSuite {
     assert(found == 1, "ESD should flag the injected spike")
   }
 
+  test("q16 loess decompose recomposes and picks a sane auto period") {
+    val rows = Decompose.q16LoessDecompose(spark, dir)
+      .withColumn("recomposed",
+        col("trend") + col("seasonal") + col("remainder"))
+      .select("period", "value", "recomposed").collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 2 && r.getInt(0) <= 30)
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+        "value must equal trend + seasonal + remainder exactly")
+    }
+  }
+
   test("fault injection produces flagged anomalies") {
     val flagged = Decompose.faultInjectedFlags(spark, dir)
     assert(flagged.count() > 0)

@@ -82,6 +82,28 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d05 plan is equi-join block-matrix — no cartesian / nested-loop node") {
+    val plan = Dedup.embeddingDedup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("t05 entropy is row-local: no join, no aggregate, no hash exchange") {
+    val plan = graft.text.TextFns.entropyScore(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    // only the deterministic-output sort may exchange (range partition)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("d03 signatures are row-local: no aggregate before the chunk join") {
+    val plan = SimHash.signatures(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Exchange"), plan)
+  }
+
   test("s01 brute-force top-k returns k ranked neighbours per query") {
     val rows = Ann.bruteForceTopK(spark, dir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
