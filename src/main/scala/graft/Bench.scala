@@ -27,6 +27,7 @@ object Bench {
     // warm-up: JIT + filesystem metadata + one-time staging writes
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     graft.streaming.StreamingAnomaly.ensureStaged(spark, sfDir)
+    graft.streaming.StreamingCorpus.ensureStaged(spark, sfDir)
     graft.sources.Sources.ensureStaged(spark, sfDir)
     graft.operators.ScaleOps.ensureStaged(spark, sfDir)
     val only = args.toSet // optional subset for local iteration

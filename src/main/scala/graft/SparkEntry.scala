@@ -33,6 +33,7 @@ object SparkEntry {
     "q14_seasonal_esd"   -> ((s, d) => Decompose.q14SeasonalEsd(s, d)),
     "q15_fault_inject"   -> Decompose.q15FaultInject _,
     "q16_loess_decompose" -> Decompose.q16LoessDecompose _,
+    "q17_twitter_decompose" -> Decompose.q17TwitterDecompose _,
     "q20_agg_groupby"    -> Relational.aggGroupBy _,
     "q21_join_agg"       -> Relational.joinAgg _,
     "q22_broadcast_dim"  -> Relational.broadcastDim _,
@@ -91,7 +92,9 @@ object SparkEntry {
     "st04_stream_stream_join" ->
       graft.streaming.StreamingAnomaly.st04StreamStreamJoin _,
     "st06_stream_session_window" ->
-      graft.streaming.StreamingAnomaly.st06SessionWindow _
+      graft.streaming.StreamingAnomaly.st06SessionWindow _,
+    "st07_stream_corpus" ->
+      graft.streaming.StreamingCorpus.st07StreamCorpus _
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -111,6 +114,8 @@ object SparkEntry {
     "q14_seasonal_esd"   -> DecomposeOracle.q14,
     "q15_fault_inject"   -> DecomposeOracle.q15,
     "q16_loess_decompose" -> DecomposeOracle.q16,
+    "q17_twitter_decompose" -> DecomposeOracle.q17,
+    "st07_stream_corpus" -> LlmOracle.st07,
     "q20_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

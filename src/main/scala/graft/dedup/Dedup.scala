@@ -148,23 +148,28 @@ object Dedup {
         .distinct()
     }
 
+    // localCheckpoint (eager) each round, NOT cache: the star operators
+    // reference their input ~3× apiece, so a lineage-preserving plan
+    // grows ~12× per round and Catalyst ANALYSIS goes exponential
+    // (minutes of driver CPU by round 5) — checkpointing resets each
+    // round's logical plan to a LogicalRDD leaf. Blocks are edge-list
+    // sized and GC-reclaimed; no CacheManager entry to leak.
     var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .distinct().cache()
-    var prevCache: DataFrame = edges
+      .distinct().localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val next = smallStar(largeStar(edges)).cache()
-      // one action: symmetric difference via full outer join — empty
-      // means the edge set is a fixed point of both stars (converged)
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // symmetric difference via full outer join — empty means the edge
+      // set is a fixed point of both stars (converged)
       changed = next.withColumn("a", lit(1))
         .join(edges.withColumn("b", lit(1)), Seq("u", "v"), "full_outer")
         .filter(col("a").isNull || col("b").isNull)
         .count()
-      prevCache.unpersist()
-      prevCache = next
       edges = next
       i += 1
+      if (sys.env.contains("GRAFT_DEBUG"))
+        System.err.println(s"[d06] round $i changed=$changed")
     }
     // Sever the result from every cache before returning: localCheckpoint
     // materializes the (small) component table from the still-warm
@@ -179,7 +184,6 @@ object Dedup {
         (col("doc_id") === col("component_id")).cast("int"))
       .localCheckpoint()
     pairs.unpersist()
-    prevCache.unpersist()
     result.orderBy(col("doc_id"))
   }
 

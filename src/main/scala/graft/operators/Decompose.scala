@@ -319,6 +319,36 @@ object Decompose {
       .orderBy(col("user_id"), col("event_type"), col("seq"))
   }
 
+  /** q17: Twitter-style (S-H-ESD) decomposition — the reference's
+    * `decompose_twitter` variant (archive/dev3.R:22-24): seasonal =
+    * phase median of the raw series, trend = the per-key MEDIAN
+    * (Twitter AnomalyDetection replaces the STL trend with the series
+    * median for robustness), remainder = value − seasonal − trend.
+    * This is q14's residual base exposed as its own decompose method.
+    *
+    * Engine parity: both medians act directly on the 10⁴-scaled
+    * integer values, and an interpolated median of two ≤2⁵²-magnitude
+    * integers is exact in doubles — no scaling tricks needed; every
+    * output is a deterministic dyadic divided by 10⁴.
+    */
+  def q17TwitterDecompose(s: SparkSession, dir: String): DataFrame = {
+    val wPhase = Window.partitionBy((keyCols :+ col("phase")): _*)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("value_s"))
+      .withColumn("seq", row_number().over(wAsc) - 1)
+      .withColumn("phase", col("seq") % Period)
+      .withColumn("phase_med_s", percentile(col("value_s"), lit(0.5)).over(wPhase))
+      .withColumn("key_med_s", percentile(col("value_s"), lit(0.5)).over(wKey))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("seq"),
+        (col("value_s") / lit(10000.0)).as("value"),
+        (col("key_med_s") / lit(10000.0)).as("trend"),
+        (col("phase_med_s") / lit(10000.0)).as("seasonal"),
+        ((col("value_s") - col("phase_med_s") - col("key_med_s")) / lit(10000.0))
+          .as("remainder"))
+      .orderBy(col("user_id"), col("event_type"), col("seq"))
+  }
+
   /** q15: fault injection (func.R:81-88 impute_fakes + model.R:15-20):
     * zero out a deterministic subset of values, rerun the flag chain,
     * return the flagged rows.

@@ -281,6 +281,36 @@ object DecomposeOracle {
        |ORDER BY user_id, event_type, seq""".stripMargin
   }
 
+  /** q17: Twitter/median decompose — two independent medians over the
+    * scaled-integer values, exact in doubles on both engines.
+    */
+  val q17: String =
+    s"""WITH base AS (
+       |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS value_s
+       |  FROM events
+       |), seqd AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY ts, event_id) - 1 AS seq
+       |  FROM base
+       |), ph AS (
+       |  SELECT *, seq % 7 AS phase FROM seqd
+       |), med AS (
+       |  SELECT *,
+       |    quantile_cont(value_s, 0.5)
+       |      OVER (PARTITION BY user_id, event_type, phase) AS phase_med_s,
+       |    quantile_cont(value_s, 0.5)
+       |      OVER (PARTITION BY user_id, event_type) AS key_med_s
+       |  FROM ph
+       |)
+       |SELECT user_id, event_type, event_id, CAST(seq AS INT) AS seq,
+       |  value_s / 10000.0 AS value,
+       |  key_med_s / 10000.0 AS trend,
+       |  phase_med_s / 10000.0 AS seasonal,
+       |  (value_s - phase_med_s - key_med_s) / 10000.0 AS remainder
+       |FROM med
+       |ORDER BY user_id, event_type, seq""".stripMargin
+
   val q15: String = {
     val injected = AnomalyOracle.chainWith(
       "CASE WHEN event_id % 97 = 0 THEN 0.0 ELSE value END")

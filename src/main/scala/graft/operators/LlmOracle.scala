@@ -211,6 +211,28 @@ object LlmOracle {
        |)
        |SELECT doc_id, fp_full, fp_min_block FROM f ORDER BY doc_id""".stripMargin
 
+  /** st07: the streaming corpus-prep result set — every feature is a
+    * function of the normalized text, so the watermarkless streaming
+    * dedup's survivor set is exactly SELECT DISTINCT.
+    */
+  val st07: String = {
+    val scores = TextFns.Profiles
+      .map { case (l, st) => profileSql(l, st) }.mkString(",\n  ")
+    val best = TextFns.Profiles.foldLeft(("'und'", "0")) {
+      case ((langAcc, scoreAcc), (l, _)) =>
+        (s"CASE WHEN score_$l > $scoreAcc THEN '$l' ELSE $langAcc END",
+          s"greatest($scoreAcc, score_$l)")
+    }._1
+    s"""WITH scored AS (
+       |  SELECT md5($Norm) AS norm_hash, $scores,
+       |    CAST(len(regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]')) AS INT)
+       |      AS re_tokens
+       |  FROM documents
+       |)
+       |SELECT DISTINCT norm_hash, $best AS predicted_lang, re_tokens
+       |FROM scored ORDER BY norm_hash""".stripMargin
+  }
+
   /** p01: the corpus-prep composition — language ID + quality +
     * token count as one scan, dedup among the survivors.
     */

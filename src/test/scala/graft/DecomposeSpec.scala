@@ -55,6 +55,21 @@ class DecomposeSpec extends AnyFunSuite {
     }
   }
 
+  test("q17 twitter decompose: median trend is constant per key, exact recompose") {
+    val rows = Decompose.q17TwitterDecompose(spark, dir)
+      .select("user_id", "event_type", "value", "trend", "seasonal", "remainder")
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) -
+        (r.getDouble(3) + r.getDouble(4) + r.getDouble(5))) < 1e-9,
+        "value must equal trend + seasonal + remainder")
+    }
+    val trendsPerKey = rows
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .values.map(_.map(_.getDouble(3)).distinct.size)
+    assert(trendsPerKey.forall(_ == 1), "median trend must be one value per key")
+  }
+
   test("fault injection produces flagged anomalies") {
     val flagged = Decompose.faultInjectedFlags(spark, dir)
     assert(flagged.count() > 0)

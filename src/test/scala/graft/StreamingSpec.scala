@@ -35,6 +35,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinct, s"stream dedup $n vs batch distinct $distinct")
   }
 
+  test("st07 streaming corpus prep matches the batch distinct feature set") {
+    val out = graft.streaming.StreamingCorpus.st07StreamCorpus(spark, dir)
+    val n = out.count()
+    val distinct = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.md5(
+        graft.dedup.Dedup.normText(org.apache.spark.sql.functions.col("text"))))
+      .distinct().count()
+    assert(n == distinct, s"stream corpus $n vs batch distinct $distinct")
+  }
+
   test("st04 stream-stream interval join matches the batch formulation") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingAnomaly.st04StreamStreamJoin(spark, dir).count()
