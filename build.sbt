@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g starved the 69-query bench session: accumulated broadcasts /
+  // checkpoint blocks / memory-sink tables pushed the old gen to the
+  // GC wall and the run's tail degraded 10-50x (369 s vs 89 s total).
+  // The box has 128 GiB; size the single local[32] JVM accordingly.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
