@@ -24,8 +24,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JIT + filesystem metadata + one-time staging writes
+    // warm-up: JIT + filesystem metadata + one-time staging writes.
+    // The mini window/join/agg exercise compiles the codegen paths the
+    // real queries use, so the alphabetically-first queries stop
+    // absorbing several seconds of JIT.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(spark, sfDir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      ev.withColumn("lg", lag(col("value"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(sum(col("value").cast("decimal(28,6)")).as("s"),
+          count(lit(1)).as("n"))
+        .join(broadcast(graft.Tables.nation(spark, sfDir)),
+          col("n") =!= col("n_nationkey"), "left_semi")
+        .count()
+    }
     graft.streaming.StreamingAnomaly.ensureStaged(spark, sfDir)
     graft.streaming.StreamingCorpus.ensureStaged(spark, sfDir)
     graft.sources.Sources.ensureStaged(spark, sfDir)
