@@ -41,6 +41,11 @@ object Bench {
         .join(broadcast(graft.Tables.nation(spark, sfDir)),
           col("n") =!= col("n_nationkey"), "left_semi")
         .count()
+      // interpreted higher-order-function path (text features)
+      graft.Tables.documents(spark, sfDir).limit(50)
+        .select(size(filter(split(lower(col("text")), " "),
+          w => array_contains(array(lit("the"), lit("a")), w))).as("s"))
+        .agg(sum(col("s"))).count()
     }
     graft.streaming.StreamingAnomaly.ensureStaged(spark, sfDir)
     graft.streaming.StreamingCorpus.ensureStaged(spark, sfDir)

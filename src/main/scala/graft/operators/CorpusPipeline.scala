@@ -32,12 +32,15 @@ object CorpusPipeline {
         TextFns.reTokensCol(t).cast("long").as("re_tokens"),
         md5(normText(t)).as("norm_hash"))
       .filter(col("predicted_lang") === lang && col("quality") >= minQuality)
-    val keepers = filtered
-      .groupBy(col("norm_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    // keep-min-per-hash as a window over the digest shuffle: ONE pass
+    // over the feature expressions (a groupBy + self-semi-join would
+    // re-evaluate the whole interpreted feature projection twice) and
+    // the same single norm_hash exchange
+    val wHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm_hash"))
     filtered
-      .join(keepers, Seq("doc_id"), "left_semi")
+      .withColumn("min_doc", min(col("doc_id")).over(wHash))
+      .filter(col("doc_id") === col("min_doc"))
       .select(col("doc_id"), col("predicted_lang"), col("quality"),
         col("re_tokens"), col("source"))
       .orderBy(col("doc_id"))
