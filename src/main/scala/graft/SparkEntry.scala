@@ -61,6 +61,7 @@ object SparkEntry {
     "q45_window_distribution" -> Relational.windowDistribution _,
     "q46_pivot"          -> Relational.pivotSegments _,
     "q50_monthly_revenue" -> Relational.monthlyRevenue _,
+    "q51_upsert_merge"   -> Relational.upsertMerge _,
     "t05_entropy_score"  -> graft.text.TextFns.entropyScore _,
     "p01_corpus_pipeline" -> ((s, d) => CorpusPipeline.prepare(s, d)),
     "q39_json_roundtrip" -> graft.sources.Sources.jsonRoundtrip _,
@@ -328,6 +329,25 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
            count(*) AS n_orders
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "q51_upsert_merge" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, 0 AS version
+           FROM orders
+         ), upd AS (
+           SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+             1 AS version
+           FROM orders WHERE o_orderkey % 7 = 0
+         ), u AS (
+           SELECT * FROM base UNION ALL SELECT * FROM upd
+         ), r AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             ORDER BY version DESC) AS rn
+           FROM u
+         )
+         SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+           CAST(version AS INT) AS version
+         FROM r WHERE rn = 1 ORDER BY o_orderkey""",
     "t05_entropy_score"  -> LlmOracle.t05,
     "d01_dedup_exact"    -> LlmOracle.d01,
     "d04_ngram_jaccard"  -> LlmOracle.d04,

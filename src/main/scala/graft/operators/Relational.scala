@@ -335,4 +335,32 @@ object Relational {
       .agg(dsum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("month"))
+
+  /** q51: latest-wins UPSERT merge — apply a change batch to a base
+    * table, newest version per key wins. This is the CDC / MERGE INTO
+    * shape without a table format: union the deltas, one shuffle on
+    * the merge key, `row_number` picks the survivor. At 100 TB the
+    * base side arrives hash-partitioned on the key (or bucketed, q35
+    * style) and only the delta shuffles. Prices compare as exact
+    * cents (scaled long) so the oracle match is arithmetic-free.
+    */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit(0).as("version"))
+    // deterministic simulated change batch: every 7th order re-priced
+    val updates = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"),
+        lit(1).as("version"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+    base.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("price_c"),
+        col("version"))
+      .orderBy(col("o_orderkey"))
+  }
 }

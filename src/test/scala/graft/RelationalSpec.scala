@@ -84,6 +84,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(!scanLine.contains("l_tax"), "scan reads unprojected columns")
   }
 
+  test("q51 upsert: updated keys carry version 1, others keep the base row") {
+    val rows = operators.Relational.upsertMerge(spark, dir).collect()
+    val byKey = rows.map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(byKey.nonEmpty)
+    byKey.foreach { case (k, v) =>
+      assert(v == (if (k % 7 == 0) 1 else 0),
+        s"key $k has version $v")
+    }
+    assert(rows.length == byKey.size, "exactly one surviving row per key")
+  }
+
   test("q20 scan reads only the 5 referenced lineitem columns") {
     val plan = operators.Relational
       .aggGroupBy(spark, dir).queryExecution.executedPlan.toString
