@@ -24,7 +24,11 @@ object Tables {
     * casting TIMESTAMP_NS → TIMESTAMP, so oracles agree).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // GraftSession sets this at build time; sessions constructed
+    // elsewhere (Bench/Verify mains, foreign callers) get a one-time
+    // defensive set rather than a mutation on every call.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(key).contains("true")) s.conf.set(key, "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -156,17 +156,34 @@ object Dedup {
     // sized and GC-reclaimed; no CacheManager entry to leak.
     var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .distinct().localCheckpoint()
+
+    // Convergence probe: (count, bit_xor of xxhash64(u,v)) — one narrow
+    // scan of the checkpointed edge list, no join. Both rounds' edge
+    // sets are distinct sets, so matching signatures means set equality
+    // up to a 2^-64 hash coincidence; the exact full-outer-join
+    // symmetric diff runs ONLY as a confirm when signatures first match
+    // (once per call) instead of as a full extra pass every round.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def exactDiff(a: DataFrame, b: DataFrame): Long =
+      a.withColumn("a", lit(1))
+        .join(b.withColumn("b", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("a").isNull || col("b").isNull)
+        .count()
+
+    var edgeSig = sig(edges)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // symmetric difference via full outer join — empty means the edge
-      // set is a fixed point of both stars (converged)
-      changed = next.withColumn("a", lit(1))
-        .join(edges.withColumn("b", lit(1)), Seq("u", "v"), "full_outer")
-        .filter(col("a").isNull || col("b").isNull)
-        .count()
+      val nextSig = sig(next)
+      changed =
+        if (nextSig != edgeSig) 1L
+        else exactDiff(next, edges)
       edges = next
+      edgeSig = nextSig
       i += 1
       if (sys.env.contains("GRAFT_DEBUG"))
         System.err.println(s"[d06] round $i changed=$changed")
@@ -217,7 +234,7 @@ object Dedup {
     * `blockSize` rows per task regardless of corpus size.
     */
   def embeddingDedup(s: SparkSession, dir: String, tau: Double = 0.4,
-      blockSize: Int = 128): DataFrame = {
+      blockSize: Int = 128, maxExactRows: Long = 1000000L): DataFrame = {
     import s.implicits._
     val v = Tables
       .embeddings(s, dir)
@@ -226,6 +243,15 @@ object Dedup {
       .withColumn("norm2", dot(col("v"), col("v")))
     // one metadata-cheap scalar job to size the block grid
     val n = v.count()
+    // Exact all-pairs cosine is O(N²) dot products BY SEMANTICS (see
+    // scaladoc) — fine as the verification tier, a scale-killer if
+    // pointed at a real corpus. Guard rather than silently grind:
+    // 10⁶ rows ≈ 5·10¹¹ pairs is already generous for a single job.
+    require(n <= maxExactRows,
+      s"d05 embeddingDedup is the EXACT all-pairs tier: n=$n rows exceeds " +
+        s"maxExactRows=$maxExactRows (~${n * n / 2} candidate pairs). Use the " +
+        "LSH-bucketed operators (d02 MinHashLSH / s02 Ann.lshTopK / s03 " +
+        "Ann.ivfTopK) at corpus scale, or raise maxExactRows deliberately.")
     val nBlocks = math.max(1, ((n + blockSize - 1) / blockSize).toInt)
     val tasks = (0 until nBlocks)
       .flatMap(i => (i until nBlocks).map(j => (i, j)))

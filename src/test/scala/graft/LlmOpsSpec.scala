@@ -89,6 +89,13 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("d05 guard refuses corpora beyond the exact-tier cap") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingDedup(spark, dir, maxExactRows = 3)
+    }
+    assert(e.getMessage.contains("MinHashLSH"), e.getMessage)
+  }
+
   test("t05 entropy is row-local: no join, no aggregate, no hash exchange") {
     val plan = graft.text.TextFns.entropyScore(spark, dir)
       .queryExecution.executedPlan.toString
