@@ -388,31 +388,50 @@ object SparkEntry {
          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     // st02: the stateful flags recomputed as windowed SQL — fixed-point
     // scaled-long diffs make mean/variance exact-integer sums, so the
-    // z ratio is bit-identical (the 1e-4 scale cancels).
+    // z ratio is bit-identical (the 1e-4 scale cancels). Staleness
+    // semantics mirror the EventTimeTimeout: a gap > 8 days (µs) splits
+    // a ticker into segments (fresh baseline), every non-final segment
+    // emits one staleness row, and the final segment emits one iff the
+    // final watermark (ms-floor(max ts) − 1 h, strict <) outlives
+    // lastTs + 8 d — the exact firing rule of the streaming timeout.
     "st02_stream_anomaly" ->
       """WITH b AS (
            SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
              value, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vl
            FROM events
-         ), d AS (
-           SELECT user_id, event_type, event_id, ts, value,
-             abs(vl - lag(vl) OVER w) AS dl
+         ), sgap AS (
+           SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
            FROM b
            WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         ), seg AS (
+           SELECT *,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+                 THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+           FROM sgap
+         ), d AS (
+           SELECT user_id, event_type, event_id, ts, value, seg_id,
+             abs(vl - lag(vl) OVER w) AS dl
+           FROM seg
+           WINDOW w AS (PARTITION BY user_id, event_type, seg_id
+                        ORDER BY ts, event_id)
          ), g AS (
            SELECT *,
              SUM(CASE WHEN dl = 0 THEN 0 ELSE 1 END) OVER
-               (PARTITION BY user_id, event_type ORDER BY ts, event_id
+               (PARTITION BY user_id, event_type, seg_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp,
              CAST(SUM(dl) OVER f AS DOUBLE) AS sumd,
              CAST(SUM(dl * dl) OVER f AS DOUBLE) AS sumsq,
              COUNT(dl) OVER f AS n
            FROM d
-           WINDOW f AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+           WINDOW f AS (PARTITION BY user_id, event_type, seg_id
+                        ORDER BY ts, event_id
                         ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
          ), r AS (
            SELECT *, COUNT(*) OVER
-               (PARTITION BY user_id, event_type, grp ORDER BY ts, event_id
+               (PARTITION BY user_id, event_type, seg_id, grp
+                ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
            FROM g
          ), z AS (
@@ -424,14 +443,32 @@ object SparkEntry {
                   ELSE 0.0 END AS zscore,
              run
            FROM r
+         ), ev AS (
+           SELECT user_id, event_type, event_id, ts, value, zscore,
+             CASE WHEN zscore >= 4.5 THEN 1 ELSE 0 END AS stddev_flag,
+             CASE WHEN dl IS NOT NULL AND run >= 3 THEN 1 ELSE 0 END
+               AS repetition_flag,
+             0 AS staleness_flag,
+             CASE WHEN zscore >= 4.5 OR (dl IS NOT NULL AND run >= 3)
+                  THEN 1 ELSE 0 END AS anomaly
+           FROM z
+         ), ends AS (
+           SELECT user_id, event_type, seg_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type, seg_id
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             max(seg_id) OVER (PARTITION BY user_id, event_type) AS max_seg
+           FROM seg
+         ), stale AS (
+           SELECT user_id, event_type, CAST(-1 AS BIGINT) AS event_id, ts,
+             value, 0.0 AS zscore, 0 AS stddev_flag, 0 AS repetition_flag,
+             1 AS staleness_flag, 1 AS anomaly
+           FROM ends
+           WHERE rn = 1 AND (seg_id < max_seg
+             OR epoch_ms(ts) + 691200000 <
+                (SELECT epoch_ms(max(ts)) FROM b) - 3600000)
          )
-         SELECT user_id, event_type, event_id, ts, value, zscore,
-           CASE WHEN zscore >= 4.5 THEN 1 ELSE 0 END AS stddev_flag,
-           CASE WHEN dl IS NOT NULL AND run >= 3 THEN 1 ELSE 0 END
-             AS repetition_flag,
-           CASE WHEN zscore >= 4.5 OR (dl IS NOT NULL AND run >= 3)
-                THEN 1 ELSE 0 END AS anomaly
-         FROM z ORDER BY user_id, event_type, ts, event_id""",
+         SELECT * FROM ev UNION ALL SELECT * FROM stale
+         ORDER BY user_id, event_type, ts, event_id""",
     // st03: the surviving key set of watermark-bounded streaming dedup
     // is exactly the distinct keys (single source, no late arrivals).
     "st03_stream_dedup" ->

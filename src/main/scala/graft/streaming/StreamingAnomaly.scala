@@ -260,70 +260,128 @@ object StreamingAnomaly {
   case class TickEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  case class TickerState(lastScaled: Long, runLength: Int,
-      diffs: List[Long])
+  case class TickerState(lastTs: java.sql.Timestamp, lastValue: Double,
+      lastScaled: Long, runLength: Int, diffs: List[Long])
 
   case class Flagged(user_id: Long, event_type: String, event_id: Long,
       ts: java.sql.Timestamp, value: Double, zscore: Double,
-      stddev_flag: Int, repetition_flag: Int, anomaly: Int)
+      stddev_flag: Int, repetition_flag: Int, staleness_flag: Int,
+      anomaly: Int)
+
+  /** Epoch µs of a µs-precision Timestamp (getTime is ms-floor). */
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
   /** st02: the q09 flag semantics as continuously-updating state —
     * per-ticker rolling window of one-period diffs, z-score and
     * repetition-run flags per arriving event. State is O(dataPeriods)
-    * per key, so a 1000-executor cluster holds billions of tickers.
+    * per key AND BOUNDED IN KEY COUNT: a ticker quiet longer than
+    * `staleDays` (event time) is declared stale via `EventTimeTimeout`
+    * — one staleness-flag row is emitted (q09's third flag, rendered in
+    * event time) and the key's state is REMOVED, so key churn on an
+    * unbounded feed cannot leak the state store. A ticker that resumes
+    * after staleness starts a fresh baseline (segment semantics): the
+    * same gap rule is applied inline when the quiet period is observed
+    * within arriving data, so timeout-eviction and in-data gaps produce
+    * identical output — exactly one staleness row per closed segment,
+    * plus one for final segments the watermark outlives.
     *
     * Values are rounded to 4 decimals and held as scaled longs; the
     * rolling mean/variance come from EXACT integer sums converted to
     * double once, so the z-score is bit-identical to the windowed SQL
     * a DuckDB oracle computes (§8 fixed-point discipline — the scale
     * factor cancels in the z ratio, so no 1e-4 division ever happens).
+    * Timeout arithmetic is ms-floor on both sides (Timestamp.getTime ↔
+    * DuckDB epoch_ms; Spark watermark = ms-floor(max event ts) − delay,
+    * timeout fires on strict <) so the staleness row set is exact too.
+    *
+    * In-order contract: within a micro-batch events sort by event time;
+    * ACROSS batches the source must deliver each key's events
+    * non-decreasing in event time up to the watermark delay (true of
+    * the staged time-sliced file source and of any log-compacted feed;
+    * StreamingSpec proves batch-split invariance with
+    * maxFilesPerTrigger=1).
     */
   def st02StatefulFlags(s: SparkSession, dir: String,
-      cfg: AnomalyConfig = AnomalyConfig()): DataFrame = {
+      cfg: AnomalyConfig = AnomalyConfig(),
+      staleDays: Double = 8.0): DataFrame =
+    st02FromStream(s, eventStream(s, dir), cfg, staleDays)
+
+  /** Core of st02 over any streaming events frame (spec entry point for
+    * the multi-batch file source).
+    */
+  def st02FromStream(s: SparkSession, stream: DataFrame,
+      cfg: AnomalyConfig = AnomalyConfig(),
+      staleDays: Double = 8.0): DataFrame = {
     import s.implicits._
     val name = s"st02_out_${counter.incrementAndGet()}"
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+
+    def staleRow(key: (Long, String), st: TickerState): Flagged =
+      Flagged(key._1, key._2, -1L, st.lastTs, st.lastValue, 0.0, 0, 0, 1, 1)
 
     def update(key: (Long, String), events: Iterator[TickEvent],
         state: GroupState[TickerState]): Iterator[Flagged] = {
-      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var st = state.getOption.getOrElse(TickerState(Long.MinValue, 0, Nil))
-      val out = sorted.map { e =>
-        // batch q09 rounds each value to 4 decimals before differencing
-        val vl = math.floor(e.value * 10000.0 + 0.5).toLong
-        if (st.lastScaled == Long.MinValue) {
-          st = TickerState(vl, 1, Nil)
-          Flagged(key._1, key._2, e.event_id, e.ts, e.value, 0.0, 0, 0, 0)
-        } else {
-          val dl = math.abs(vl - st.lastScaled)
-          val newRun = if (dl == 0L) st.runLength + 1 else 1
-          val ds = (dl :: st.diffs).take(cfg.dataPeriods)
-          val n = ds.size
-          val sumd = ds.sum.toDouble
-          val sumsq = ds.map(d => d * d).sum.toDouble
-          val num = sumsq - sumd * sumd / n
-          val z =
-            if (n >= 2 && num > 0)
-              math.abs(dl.toDouble - sumd / n) / math.sqrt(num / (n - 1))
-            else 0.0
-          st = TickerState(vl, newRun, ds)
-          val sdFlag = if (z >= cfg.stddevLim) 1 else 0
-          val repFlag = if (newRun >= cfg.repLim) 1 else 0
-          Flagged(key._1, key._2, e.event_id, e.ts, e.value, z, sdFlag,
-            repFlag, if (sdFlag == 1 || repFlag == 1) 1 else 0)
+      if (state.hasTimedOut) {
+        // watermark passed lastTs + staleDays with no new data: flag the
+        // ticker stale and EVICT — the state store stays bounded by the
+        // number of live tickers, not every ticker ever seen
+        val row = staleRow(key, state.get)
+        state.remove()
+        Iterator.single(row)
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[Flagged]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          // the same staleness rule, observed inside arriving data: a
+          // gap > staleDays closes the old segment (same row the timeout
+          // path would have emitted) and restarts the baseline
+          stOpt.filter(st => usOf(e.ts) - usOf(st.lastTs) > staleUs)
+            .foreach { st => out += staleRow(key, st); stOpt = None }
+          // batch q09 rounds each value to 4 decimals before differencing
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          stOpt match {
+            case None =>
+              stOpt = Some(TickerState(e.ts, e.value, vl, 1, Nil))
+              out += Flagged(key._1, key._2, e.event_id, e.ts, e.value,
+                0.0, 0, 0, 0, 0)
+            case Some(st) =>
+              val dl = math.abs(vl - st.lastScaled)
+              val newRun = if (dl == 0L) st.runLength + 1 else 1
+              val ds = (dl :: st.diffs).take(cfg.dataPeriods)
+              val n = ds.size
+              val sumd = ds.sum.toDouble
+              val sumsq = ds.map(d => d * d).sum.toDouble
+              val num = sumsq - sumd * sumd / n
+              val z =
+                if (n >= 2 && num > 0)
+                  math.abs(dl.toDouble - sumd / n) / math.sqrt(num / (n - 1))
+                else 0.0
+              stOpt = Some(TickerState(e.ts, e.value, vl, newRun, ds))
+              val sdFlag = if (z >= cfg.stddevLim) 1 else 0
+              val repFlag = if (newRun >= cfg.repLim) 1 else 0
+              out += Flagged(key._1, key._2, e.event_id, e.ts, e.value, z,
+                sdFlag, repFlag, 0, if (sdFlag == 1 || repFlag == 1) 1 else 0)
+          }
         }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastTs.getTime + staleMs)
+        out.result().iterator
       }
-      state.update(st)
-      out.iterator
     }
 
     withStatePartitions(s, 8) {
-      val q = eventStream(s, dir)
+      val q = stream
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
+        .withWatermark("ts", "1 hour")
         .as[TickEvent]
         .groupByKey(e => (e.user_id, e.event_type))
         .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.NoTimeout)(update)
+          GroupStateTimeout.EventTimeTimeout)(update)
         .writeStream
         .outputMode(OutputMode.Append)
         .format("memory").queryName(name)

@@ -16,15 +16,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == 2 * batchTotal, s"windowed total $total vs batch $batchTotal")
   }
 
-  test("st02 stateful flags emit one row per event and match batch run-length semantics") {
+  test("st02 stateful flags emit one row per event plus staleness rows") {
     val out = StreamingAnomaly.st02StatefulFlags(spark, dir)
-    val n = out.count()
-    assert(n == Tables.events(spark, dir).count())
+    // one row per event; staleness rows carry event_id = -1
+    assert(out.filter(col("event_id") >= 0).count() ==
+      Tables.events(spark, dir).count())
+    val nStale = out.filter(col("event_id") === -1).count()
+    assert(nStale > 0, "8-day staleness horizon must flag some tickers")
+    out.filter(col("event_id") === -1).collect().foreach { r =>
+      assert(r.getAs[Int]("staleness_flag") == 1 && r.getAs[Int]("anomaly") == 1)
+    }
     val bad = out.filter(
-      (col("anomaly") === 1 && col("stddev_flag") === 0 && col("repetition_flag") === 0) ||
-      (col("anomaly") === 0 && (col("stddev_flag") === 1 || col("repetition_flag") === 1)))
+      (col("anomaly") === 1 && col("stddev_flag") === 0 &&
+        col("repetition_flag") === 0 && col("staleness_flag") === 0) ||
+      (col("anomaly") === 0 && (col("stddev_flag") === 1 ||
+        col("repetition_flag") === 1 || col("staleness_flag") === 1)))
       .count()
     assert(bad == 0)
+  }
+
+  test("st02 multi-batch (maxFilesPerTrigger=1) matches the single-batch output") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    // stage the µs events as four time-range slices with increasing
+    // mtimes, so the file source delivers them as four chronological
+    // micro-batches — the in-order contract st02 documents
+    val base = new java.io.File("/tmp/graft_stream_stage/st02_slices")
+    if (!new java.io.File(base, "_DONE").exists()) {
+      base.mkdirs()
+      val ev = Tables.events(spark, dir)
+      val edges = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+      val slices = Seq(
+        col("ts") < edges(0),
+        col("ts") >= edges(0) && col("ts") < edges(1),
+        col("ts") >= edges(1) && col("ts") < edges(2),
+        col("ts") >= edges(2))
+      slices.zipWithIndex.foreach { case (cond, i) =>
+        val tmp = new java.io.File(base, s"_tmp_$i")
+        ev.filter(cond).coalesce(1).write.mode("overwrite")
+          .parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(base, f"slice_$i%02d.parquet")
+        Files.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst.toPath,
+          FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      new java.io.File(base, "_DONE").createNewFile()
+    }
+    val stream = spark.readStream.schema(StreamingAnomaly.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base.getAbsolutePath)
+    val multi = StreamingAnomaly.st02FromStream(spark, stream)
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st02StatefulFlags(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.length == single.length,
+      s"multi-batch ${multi.length} rows vs single-batch ${single.length}")
+    assert(multi.sameElements(single))
   }
 
   test("st03 streaming dedup emits each (user, type, value) once") {
