@@ -34,6 +34,7 @@ object SparkEntry {
     "q15_fault_inject"   -> Decompose.q15FaultInject _,
     "q16_loess_decompose" -> Decompose.q16LoessDecompose _,
     "q17_twitter_decompose" -> Decompose.q17TwitterDecompose _,
+    "q18_robust_loess"   -> Decompose.q18RobustLoess _,
     "q20_agg_groupby"    -> Relational.aggGroupBy _,
     "q21_join_agg"       -> Relational.joinAgg _,
     "q22_broadcast_dim"  -> Relational.broadcastDim _,
@@ -116,6 +117,7 @@ object SparkEntry {
     "q15_fault_inject"   -> DecomposeOracle.q15,
     "q16_loess_decompose" -> DecomposeOracle.q16,
     "q17_twitter_decompose" -> DecomposeOracle.q17,
+    "q18_robust_loess"   -> DecomposeOracle.q18,
     "st07_stream_corpus" -> LlmOracle.st07,
     "q20_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
@@ -359,6 +361,7 @@ object SparkEntry {
     "t03_token_count"    -> LlmOracle.t03,
     "t04_fingerprint"    -> LlmOracle.t04,
     "p01_corpus_pipeline" -> LlmOracle.p01,
+    "m01_multimodal_meta" -> LlmOracle.m01,
     "q47_orc_roundtrip" ->
       """SELECT c_nationkey, count(*) AS n_negative,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS neg_balance

@@ -8,72 +8,121 @@ import org.apache.spark.sql.functions._
   *
   * Media assets are opaque `binary` payloads with a typed metadata
   * struct riding alongside — the layout a 100 TB image/audio corpus
-  * uses (payload bytes in parquet, metadata queryable without decoding).
-  * The Spark-side plumbing (schema, partitioning, per-partition batch
-  * decode shape) is real; the actual codec is STUBBED deterministically
-  * because no image/audio libraries exist in this environment — swap
-  * `decodeStub` for a real decoder binding and nothing else changes.
+  * uses (payload bytes in parquet, metadata queryable without
+  * decoding). Both codec hops are REAL: payloads are PNG bytes encoded
+  * with the JDK's `javax.imageio` (no external dependency), and the
+  * query decodes them back per partition — one codec pass per
+  * partition iterator, the batch-decode shape a cluster needs (swap
+  * ImageIO for a JPEG/audio/video binding and nothing else changes).
+  *
+  * The image CONTENT is synthesized deterministically from doc_id
+  * (dims 8..32, gray pixel = linear-congruential in (x, y)), which is
+  * what makes the decoded output oracle-checkable: PNG is lossless and
+  * TYPE_BYTE_GRAY roundtrips samples exactly, so the decoded
+  * width/height/pixel statistics equal closed-form integer arithmetic
+  * a DuckDB oracle reproduces with generate_series.
   */
 object Multimodal {
 
-  /** Synthesize a media table from documents: payload = UTF-8 bytes,
-    * metadata derived deterministically.
+  /** Deterministic image geometry/content (shared by encoder and
+    * oracle; doc_ids are non-negative so `%` is floorMod on both
+    * engines).
     */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(s, dir)
-      .select(
-        col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        struct(
-          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
-          (pmod(xxhash64(col("doc_id")), lit(1280)) + 640).cast("int").as("width"),
-          (pmod(xxhash64(col("doc_id"), lit(1)), lit(720)) + 360).cast("int").as("height"),
-          lit("fake/utf8").as("mime")
-        ).as("meta"))
+  private def widthOf(id: Long): Int = (8 + id % 25).toInt
+  private def heightOf(id: Long): Int = (8 + (id * 7) % 25).toInt
+  private def pixelOf(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
 
-  /** STUB decode: a real implementation opens the payload with an image
-    * codec inside `mapPartitions` (one codec instance per partition,
-    * batched). Here it emits deterministic pseudo-features with the
-    * same shape: fixed-length Array[Double] per asset.
+  /** Synthesize the media table from documents: payload = real PNG
+    * bytes (JDK ImageIO encoder, one instance per partition), metadata
+    * struct queryable without touching the payload.
     */
-  def decodeStub(media: DataFrame): DataFrame = {
-    import media.sparkSession.implicits._
-    val featDim = 4
-    media
-      .select(col("media_id"), col("payload"),
-        col("meta.n_bytes").as("n_bytes"),
-        col("meta.width").as("width"), col("meta.height").as("height"))
-      .as[(Long, Array[Byte], Int, Int, Int)]
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val encoded = Tables
+      .documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
       .mapPartitions { it =>
-        // per-partition "codec" initialization happens here in a real
-        // decoder; the iterator shape (batch-in, batch-out) is what the
-        // cluster plumbing cares about.
-        it.map { case (id, payload, nBytes, w, h) =>
-          val f0 = nBytes.toDouble
-          val f1 = if (payload.nonEmpty) payload(0).toDouble else 0.0
-          val f2 = if (payload.nonEmpty) payload(payload.length - 1).toDouble else 0.0
-          val f3 = w.toDouble / h.toDouble
-          (id, Array(f0, f1, f2, f3).take(featDim), w, h)
+        // per-partition codec scope: ImageIO plugin lookup + buffer
+        // reuse happen once per task, not once per row
+        val bos = new java.io.ByteArrayOutputStream(4096)
+        it.map { id =>
+          val w = widthOf(id)
+          val h = heightOf(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, pixelOf(id, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          bos.reset()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray, w, h)
         }
       }
-      .toDF("media_id", "features", "width", "height")
+    encoded
+      .toDF("media_id", "payload", "w", "h")
+      .select(col("media_id"), col("payload"),
+        struct(
+          octet_length(col("payload")).as("n_bytes"),
+          col("w").as("width"), col("h").as("height"),
+          lit("image/png").as("mime")).as("meta"))
   }
 
-  /** m01 query: decode-stub features + a resolution histogram —
-    * exercises payload bytes, metadata struct, and the partition-batch
-    * decode path end to end. Features are projected to scalar columns
-    * (the harness canonicalizes row-wise; array cells aren't sortable).
+  /** Decode the payload column with the JDK PNG codec, per partition,
+    * and emit per-asset features: decoded dimensions + grayscale
+    * statistics (sum as exact BIGINT — no float drift).
+    */
+  def decode(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, sum, mn, mx)
+        }
+      }
+      .toDF("media_id", "width", "height", "px_sum", "px_min", "px_max")
+  }
+
+  /** m01 query: encode → decode roundtrip + a resolution bucket —
+    * exercises payload bytes, the metadata struct, and the
+    * partition-batch codec path end to end, with every output column
+    * a deterministic integer the DuckDB oracle recomputes.
     */
   def q(s: SparkSession, dir: String): DataFrame =
-    decodeStub(mediaTable(s, dir))
+    decode(mediaTable(s, dir))
       .withColumn("aspect_bucket",
-        floor(col("width").cast("double") / col("height") * 10).cast("int"))
-      .select(col("media_id"),
-        element_at(col("features"), 1).as("f_bytes"),
-        element_at(col("features"), 2).as("f_first"),
-        element_at(col("features"), 3).as("f_last"),
-        element_at(col("features"), 4).as("f_aspect"),
-        col("width"), col("height"), col("aspect_bucket"))
+        floor(col("width") * lit(10.0) / col("height")).cast("int"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("px_sum"), col("px_min"), col("px_max"), col("aspect_bucket"))
       .orderBy(col("media_id"))
 }

@@ -153,6 +153,14 @@ object Decompose {
     * k = maxAnoms·n rounds. Per-key iterative → typed `mapGroups`
     * (bounded per-key state; keys process in parallel).
     *
+    * Parameter parity with the reference call
+    * (dev2.R:7: `AnomalyDetectionTs(..., max_anoms = 0.02,
+    * direction = 'both')`): `maxAnomFrac` defaults to 0.02 and
+    * `direction` selects which tail counts — "pos" tests only
+    * residuals above the round's median, "neg" only below, "both" the
+    * absolute deviation. The scale estimate (MAD, stddev fallback)
+    * stays two-sided in all modes, as in the reference.
+    *
     * ENGINE-EXACT arithmetic: everything up to the final z runs on
     * scaled LONGS (value·10⁴·8). The ×8 headroom keeps every one of
     * the three median levels integral — v8 is a multiple of 8, so
@@ -164,9 +172,18 @@ object Decompose {
     * from exact integer Σd and Σd².
     */
   def seasonalEsd(s: SparkSession, dir: String,
-      maxAnomFrac: Double = 0.1, lambda: Double = 3.0): DataFrame = {
+      maxAnomFrac: Double = 0.02, lambda: Double = 3.0,
+      direction: String = "both"): DataFrame =
+    seasonalEsdFrom(decompose(s, dir), maxAnomFrac, lambda, direction)
+
+  def seasonalEsdFrom(decomposed: DataFrame,
+      maxAnomFrac: Double = 0.02, lambda: Double = 3.0,
+      direction: String = "both"): DataFrame = {
+    val s = decomposed.sparkSession
     import s.implicits._
-    val base = decompose(s, dir)
+    require(Set("pos", "neg", "both")(direction),
+      s"direction must be pos|neg|both, got $direction")
+    val base = decomposed
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("seq"), col("phase"), (col("value_s") * 8).cast("long").as("v8"))
       .as[(Long, String, Long, Int, Int, Long)]
@@ -198,8 +215,15 @@ object Decompose {
         var continue = true
         while (round_ <= k && continue) {
           val med8 = medianL(rem.map(_._3))
-          val devs = rem.map(r => (r, math.abs(r._3 - med8)))
-          val mad8 = medianL(devs.map(_._2))
+          val absDevs = rem.map(r => (r, math.abs(r._3 - med8)))
+          val mad8 = medianL(absDevs.map(_._2))
+          // candidate ranking honours the direction; the scale estimate
+          // below stays two-sided (abs deviations) in every mode
+          val devs = direction match {
+            case "pos" => rem.map(r => (r, r._3 - med8))
+            case "neg" => rem.map(r => (r, med8 - r._3))
+            case _     => absDevs
+          }
           // MAD degenerates to 0 when >50% of residuals are identical
           // (e.g. perfectly seasonal series) — fall back to stddev,
           // computed from exact integer sums (order-independent).
@@ -232,28 +256,49 @@ object Decompose {
       .orderBy(col("user_id"), col("event_type"), col("esd_round"))
   }
 
-  /** q16: decomposition with AUTO frequency + loess-style trend — the
-    * reference's `frequency = "auto"` (archive/dev3.R:12) and loess
+  /** Max loess half-window: covers the largest auto period
+    * (⌈0.75·30⌉ = 23), so one collect_list frame serves every key and
+    * the per-row span is enforced by zero weights beyond `hw`.
+    */
+  val MaxHw = 23
+
+  /** q16 / q18: decomposition with AUTO frequency + loess-style trend —
+    * the reference's `frequency = "auto"` (archive/dev3.R:12) and loess
     * `decompose_stl` trend (dev3.R:46-78), which q11 approximates with
     * a fixed period and a centered rolling mean.
     *
     * Auto period: per key, the median inter-arrival gap maps one week
     * onto a row count (the reference's "weekly" template), clamped to
-    * [2, 30]. Trend: degree-1 LOCAL LINEAR regression with tricube
-    * weights over a ±3-row centered window — the loess kernel without
-    * the robustness reweighting passes. Seasonal: phase-median of the
-    * detrended series at the auto period.
+    * [2, 30]. Auto trend span (dev3.R:13 `trend = "auto"`): the loess
+    * half-window derives from the detected period, hw =
+    * clamp(⌈0.75·period⌉, 2, 23), instead of a fixed ±3. Trend:
+    * degree-1 LOCAL LINEAR regression with tricube weights over the
+    * ±hw centered window — points beyond hw get weight 0, h = the
+    * furthest included distance (so the boundary point gets tricube(1)
+    * = 0, as in R's loess). Seasonal: phase-median of the detrended
+    * series at the auto period.
+    *
+    * `robustIters = 1` (q18) adds the `stl(..., robust = TRUE)`
+    * reweighting pass (dev3.R:68): residuals from the first fit give
+    * per-point bisquare weights rw = (1 − u²)² for u = |r|/(6·med|r|),
+    * and the local regression re-runs with weight tricube·rw — gross
+    * outliers stop dragging the trend.
     *
     * Engine parity: x/y enter as exact integers (seq, 10⁴-scaled
     * value), every weighted sum is a left fold in frame order (Spark
-    * `aggregate` ≡ DuckDB `list_reduce`), the tricube is expanded as
-    * multiplications (no pow), and the final remainder is assembled
-    * from exact scaled integers — bit-identical to the SQL oracle.
+    * `aggregate` ≡ DuckDB `list_reduce`), the tricube/bisquare are
+    * expanded as multiplications (no pow), the first-pass fit is
+    * ROUNDED to an integer before residuals (so med|r| is exact
+    * integer arithmetic), and the final remainder is assembled from
+    * exact scaled integers — bit-identical to the SQL oracle.
     */
-  def q16LoessDecompose(s: SparkSession, dir: String): DataFrame = {
+  def loessDecompose(s: SparkSession, dir: String,
+      robustIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.Column
+    require(robustIters == 0 || robustIters == 1,
+      "robustIters must be 0 or 1 (the oracle unrolls one pass)")
     val events = Tables.events(s, dir)
-    val wTrend = wAsc.rowsBetween(-HalfWin, HalfWin)
+    val wTrend = wAsc.rowsBetween(-MaxHw, MaxHw)
 
     val base = events
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
@@ -267,6 +312,9 @@ object Decompose {
         when(col("med_gap").isNull || col("med_gap") <= 0, lit(7))
           .otherwise(greatest(lit(2), least(lit(30),
             floor(lit(604800e6) / col("med_gap") + lit(0.5)).cast("int")))))
+      .withColumn("hw",
+        greatest(lit(2), least(lit(MaxHw),
+          ceil(lit(0.75) * col("period")))).cast("int"))
       .withColumn("arr", collect_list(
         struct(col("seq").cast("double").as("x"),
           col("value_s").cast("double").as("y"))).over(wTrend))
@@ -274,38 +322,84 @@ object Decompose {
     val xi = col("seq").cast("double")
     def fx(e: Column): Column = e.getField("x")
     def fy(e: Column): Column = e.getField("y")
-    val h = array_max(transform(col("arr"), e => abs(fx(e) - xi)))
-    // tricube weight, expanded as multiplications; h = 0 (single-row
-    // window) degrades to uniform weights
+    def dist(e: Column): Column = abs(fx(e) - xi)
+    // h = furthest INCLUDED distance (≤ hw; smaller at series edges)
+    val h = array_max(transform(col("arr"),
+      e => when(dist(e) <= col("hw"), dist(e)).otherwise(lit(0.0))))
+    // tricube weight, expanded as multiplications; 0 beyond the span,
+    // h = 0 (single-row window) degrades to uniform weights
     def wt(e: Column): Column = {
-      val r = when(col("h") === 0, lit(0.0)).otherwise(abs(fx(e) - xi) / col("h"))
+      val r = when(col("h") === 0, lit(0.0)).otherwise(dist(e) / col("h"))
       val c = lit(1.0) - r * r * r
-      c * c * c
+      when(dist(e) > col("hw"), lit(0.0)).otherwise(c * c * c)
     }
-    def fold(term: Column => Column): Column =
-      aggregate(col("arr"), lit(0.0), (acc, e) => acc + term(e))
+    def foldOver(arrCol: Column)(term: Column => Column): Column =
+      aggregate(arrCol, lit(0.0), (acc, e) => acc + term(e))
 
-    val fitted = base
-      .withColumn("h", h)
-      .withColumn("sw", fold(e => wt(e)))
-      .withColumn("swx", fold(e => wt(e) * fx(e)))
-      .withColumn("swy", fold(e => wt(e) * fy(e)))
-      .withColumn("swxx", fold(e => wt(e) * fx(e) * fx(e)))
-      .withColumn("swxy", fold(e => wt(e) * fx(e) * fy(e)))
-      .withColumn("den", col("swxx") * col("sw") - col("swx") * col("swx"))
-      .withColumn("b1",
-        when(col("den") =!= 0,
-          (col("swxy") * col("sw") - col("swx") * col("swy")) / col("den"))
-          .otherwise(lit(0.0)))
-      .withColumn("b0", (col("swy") - col("b1") * col("swx")) / col("sw"))
-      .withColumn("trend_s",
-        floor(col("b0") + col("b1") * xi + lit(0.5)).cast("long"))
-      .withColumn("trend", col("trend_s") / lit(10000.0))
-      .withColumn("phase", col("seq") % col("period"))
+    // one local-linear fit: weight(e) · {1, x, y, x², xy} sums → b0, b1.
+    // sw = 0 (every window point robustness-weighted to zero) falls
+    // back to `fallback` — only reachable in the second, rw-weighted
+    // pass; the plain tricube always gives the own point weight 1.
+    def fit(df: DataFrame, arrCol: String, weight: Column => Column,
+        out: String, fallback: Option[Column] = None): DataFrame = {
+      def fold(term: Column => Column) = foldOver(col(arrCol))(term)
+      val fitted = df.withColumn("sw", fold(e => weight(e)))
+        .withColumn("swx", fold(e => weight(e) * fx(e)))
+        .withColumn("swy", fold(e => weight(e) * fy(e)))
+        .withColumn("swxx", fold(e => weight(e) * fx(e) * fx(e)))
+        .withColumn("swxy", fold(e => weight(e) * fx(e) * fy(e)))
+        .withColumn("den", col("swxx") * col("sw") - col("swx") * col("swx"))
+        .withColumn("b1",
+          when(col("den") =!= 0,
+            (col("swxy") * col("sw") - col("swx") * col("swy")) / col("den"))
+            .otherwise(lit(0.0)))
+        .withColumn("b0",
+          when(col("sw") =!= 0,
+            (col("swy") - col("b1") * col("swx")) / col("sw"))
+            .otherwise(lit(0.0)))
+      val trend = floor(col("b0") + col("b1") * xi + lit(0.5)).cast("long")
+      fitted
+        .withColumn(out, fallback match {
+          case Some(fb) => when(col("sw") === 0, fb).otherwise(trend)
+          case None     => trend
+        })
+        .drop("sw", "swx", "swy", "swxx", "swxy", "den", "b1", "b0")
+    }
+
+    val first = fit(base.withColumn("h", h), "arr", wt, "trend_s")
+
+    val fitted =
+      if (robustIters == 0) first
+      else {
+        // bisquare robustness weights from the ROUNDED first-pass fit:
+        // resid_s is an exact integer, m2 = median(2·|resid_s|) is an
+        // exact integer, u = |resid_s| / (3·m2) is one double division
+        val withRw = first
+          .withColumnRenamed("trend_s", "trend1_s")
+          .withColumn("resid_s", col("value_s") - col("trend1_s"))
+          .withColumn("m2",
+            percentile(abs(col("resid_s")) * 2, lit(0.5)).over(wKey))
+          .withColumn("rw", {
+            val u = abs(col("resid_s")).cast("double") / (lit(3.0) * col("m2"))
+            val c = lit(1.0) - u * u
+            when(col("m2") === 0,
+              when(col("resid_s") === 0, lit(1.0)).otherwise(lit(0.0)))
+              .otherwise(when(u < 1, c * c).otherwise(lit(0.0)))
+          })
+          .withColumn("arrb", collect_list(
+            struct(col("seq").cast("double").as("x"),
+              col("value_s").cast("double").as("y"),
+              col("rw").as("rw"))).over(wTrend))
+        fit(withRw, "arrb", e => wt(e) * e.getField("rw"), "trend_s",
+            fallback = Some(col("trend1_s")))
+          .drop("trend1_s", "resid_s", "m2", "rw", "arrb")
+      }
 
     val wPhase = Window.partitionBy(col("user_id"), col("event_type"),
       col("period"), col("phase"))
     fitted
+      .withColumn("trend", col("trend_s") / lit(10000.0))
+      .withColumn("phase", col("seq") % col("period"))
       // ×2 scaling keeps the phase median exact (see q14's argument)
       .withColumn("pm2",
         percentile((col("value_s") - col("trend_s")) * 2, lit(0.5)).over(wPhase))
@@ -318,6 +412,15 @@ object Decompose {
         col("remainder"))
       .orderBy(col("user_id"), col("event_type"), col("seq"))
   }
+
+  def q16LoessDecompose(s: SparkSession, dir: String): DataFrame =
+    loessDecompose(s, dir, robustIters = 0)
+
+  /** q18: q16 with one bisquare robustness reweighting pass
+    * (`stl(..., robust = TRUE)`, dev3.R:68).
+    */
+  def q18RobustLoess(s: SparkSession, dir: String): DataFrame =
+    loessDecompose(s, dir, robustIters = 1)
 
   /** q17: Twitter-style (S-H-ESD) decomposition — the reference's
     * `decompose_twitter` variant (archive/dev3.R:22-24): seasonal =

@@ -2,10 +2,10 @@ package graft.operators
 
 /** DuckDB oracles for the decomposition detectors (q11–q15).
   * q14 (seasonal ESD) is iterative; its oracle unrolls the ESD rounds
-  * as chained CTEs — sound because k = max(1, round(0.1·n)) and n is
-  * bounded by the rows-per-ticker ceiling (29 at sf0.1 → k ≤ 3 ≤ the
-  * 4 unrolled rounds; an assert in the Spark operator would trip first
-  * if data ever outgrew it).
+  * as chained CTEs — sound because k = max(1, round(0.02·n)) and n is
+  * bounded by the rows-per-ticker ceiling (29 at sf0.1 → k = 1 ≤ the
+  * 4 unrolled rounds; the data would need 175+ rows per ticker to
+  * outgrow the unroll).
   */
 object DecomposeOracle {
 
@@ -122,10 +122,12 @@ object DecomposeOracle {
        |FROM summ WHERE seq = max_seq
        |ORDER BY user_id, event_type""".stripMargin
 
-  /** q14: unrolled seasonal ESD. All medians land on exact integers by
-    * the ×8 scaling argument in Decompose.seasonalEsd, every aggregate
-    * is an exact BIGINT sum, and the double formulas (scale, z) use
-    * the identical op sequence as the Scala loop — bit-for-bit parity.
+  /** q14: unrolled seasonal ESD (direction = 'both', max_anoms = 0.02
+    * — the reference's dev2.R:7 defaults). All medians land on exact
+    * integers by the ×8 scaling argument in Decompose.seasonalEsd,
+    * every aggregate is an exact BIGINT sum, and the double formulas
+    * (scale, z) use the identical op sequence as the Scala loop —
+    * bit-for-bit parity.
     */
   val q14: String = {
     val rounds = 4
@@ -194,7 +196,7 @@ object DecomposeOracle {
        |), rem0 AS MATERIALIZED (
        |  SELECT b.user_id, b.event_type, b.event_id, b.seq,
        |    b.v8 - pm.phase_med8 - km.key_med8 AS resid8,
-       |    greatest(1, CAST(floor(0.1 * km.n0 + 0.5) AS INT)) AS k
+       |    greatest(1, CAST(floor(0.02 * km.n0 + 0.5) AS INT)) AS k
        |  FROM eb b
        |  JOIN km ON km.user_id = b.user_id AND km.event_type = b.event_type
        |  JOIN pm ON pm.user_id = b.user_id AND pm.event_type = b.event_type
@@ -205,18 +207,86 @@ object DecomposeOracle {
        |) ORDER BY user_id, event_type, esd_round""".stripMargin
   }
 
-  /** q16: auto-frequency + loess-trend decompose. Mirrors
-    * Decompose.q16LoessDecompose op for op: same left-fold weighted
-    * sums (list_reduce ≡ aggregate), tricube expanded as
-    * multiplications, exact scaled-integer assembly of the remainder.
+  /** q16 / q18: auto-frequency + auto-span loess-trend decompose.
+    * Mirrors Decompose.loessDecompose op for op: same left-fold
+    * weighted sums (list_reduce ≡ aggregate), tricube/bisquare expanded
+    * as multiplications, span enforced by zero weight beyond hw, exact
+    * scaled-integer assembly of the remainder. `robust = true` unrolls
+    * the single bisquare reweighting pass over the rounded first fit.
     */
-  val q16: String = {
-    def term(extra: String): String = {
-      val r = "(CASE WHEN h = 0 THEN 0.0 ELSE abs(e.x - xi) / h END)"
+  private def loessChain(robust: Boolean): String = {
+    def term(arr: String, extra: String): String = {
+      val d = "abs(e.x - xi)"
+      val r = s"(CASE WHEN h = 0 THEN 0.0 ELSE $d / h END)"
       val c = s"(1.0 - $r * $r * $r)"
-      s"list_reduce(list_prepend(0.0, list_transform(arr, " +
-        s"e -> $c * $c * $c$extra)), (a, b) -> a + b)"
+      val w = s"(CASE WHEN $d > hw THEN 0.0 ELSE $c * $c * $c END)"
+      s"list_reduce(list_prepend(0.0, list_transform($arr, " +
+        s"e -> $w$extra)), (a, b) -> a + b)"
     }
+    def fitSql(src: String, arr: String, rwFactor: String,
+        outPrefix: String, trendName: String,
+        fallback: Option[String] = None): String = {
+      val trendExpr = fallback match {
+        case Some(fb) =>
+          s"CASE WHEN sw = 0 THEN $fb ELSE CAST(floor(b0 + b1 * xi + 0.5) AS BIGINT) END"
+        case None => "CAST(floor(b0 + b1 * xi + 0.5) AS BIGINT)"
+      }
+      s"""${outPrefix}sums AS (
+         |  SELECT *,
+         |    ${term(arr, rwFactor)} AS sw,
+         |    ${term(arr, s"$rwFactor * e.x")} AS swx,
+         |    ${term(arr, s"$rwFactor * e.y")} AS swy,
+         |    ${term(arr, s"$rwFactor * e.x * e.x")} AS swxx,
+         |    ${term(arr, s"$rwFactor * e.x * e.y")} AS swxy
+         |  FROM $src
+         |), ${outPrefix}fit AS (
+         |  SELECT *, swxx * sw - swx * swx AS den FROM ${outPrefix}sums
+         |), ${outPrefix}fit2 AS (
+         |  SELECT *,
+         |    CASE WHEN den != 0 THEN (swxy * sw - swx * swy) / den
+         |         ELSE 0.0 END AS b1
+         |  FROM ${outPrefix}fit
+         |), ${outPrefix}fit3 AS (
+         |  SELECT *,
+         |    CASE WHEN sw != 0 THEN (swy - b1 * swx) / sw ELSE 0.0 END AS b0
+         |  FROM ${outPrefix}fit2
+         |), ${outPrefix}done AS (
+         |  SELECT * EXCLUDE (sw, swx, swy, swxx, swxy, den, b1, b0),
+         |    $trendExpr AS $trendName
+         |  FROM ${outPrefix}fit3
+         |)""".stripMargin
+    }
+    val firstTrend = if (robust) "trend1_s" else "trend_s"
+    val robustCtes = if (!robust) "" else
+      s""", rb AS (
+         |  SELECT *, value_s - trend1_s AS resid_s FROM fdone
+         |), rb2 AS (
+         |  SELECT *,
+         |    quantile_cont(abs(resid_s) * 2, 0.5)
+         |      OVER (PARTITION BY user_id, event_type) AS m2
+         |  FROM rb
+         |), rb3 AS (
+         |  SELECT *,
+         |    CASE WHEN m2 = 0
+         |      THEN (CASE WHEN resid_s = 0 THEN 1.0 ELSE 0.0 END)
+         |      ELSE (CASE WHEN CAST(abs(resid_s) AS DOUBLE) / (3.0 * m2) < 1
+         |        THEN (1.0 - (CAST(abs(resid_s) AS DOUBLE) / (3.0 * m2))
+         |                  * (CAST(abs(resid_s) AS DOUBLE) / (3.0 * m2)))
+         |           * (1.0 - (CAST(abs(resid_s) AS DOUBLE) / (3.0 * m2))
+         |                  * (CAST(abs(resid_s) AS DOUBLE) / (3.0 * m2)))
+         |        ELSE 0.0 END)
+         |    END AS rw
+         |  FROM rb2
+         |), rb4 AS (
+         |  SELECT *,
+         |    list(struct_pack(x := CAST(seq AS DOUBLE),
+         |        y := CAST(value_s AS DOUBLE), rw := rw))
+         |      OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+         |            ROWS BETWEEN 23 PRECEDING AND 23 FOLLOWING) AS arrb
+         |  FROM rb3
+         |), ${fitSql("rb4", "arrb", " * e.rw", "s", "trend_s",
+               fallback = Some("trend1_s"))}""".stripMargin
+    val lastDone = if (robust) "sdone" else "fdone"
     s"""WITH base AS (
        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS value_s
@@ -233,7 +303,7 @@ object DecomposeOracle {
        |      OVER (PARTITION BY user_id, event_type) AS med_gap,
        |    list(struct_pack(x := CAST(seq AS DOUBLE), y := CAST(value_s AS DOUBLE)))
        |      OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
-       |            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+       |            ROWS BETWEEN 23 PRECEDING AND 23 FOLLOWING) AS arr
        |  FROM seqd
        |), p2 AS (
        |  SELECT *,
@@ -241,32 +311,22 @@ object DecomposeOracle {
        |         ELSE greatest(2, least(30,
        |           CAST(floor(604800000000.0 / med_gap + 0.5) AS INT)))
        |    END AS INT) AS period,
-       |    CAST(seq AS DOUBLE) AS xi,
-       |    list_max(list_transform(arr,
-       |      e -> abs(e.x - CAST(seq AS DOUBLE)))) AS h
+       |    CAST(seq AS DOUBLE) AS xi
        |  FROM per
-       |), sums AS (
+       |), p3 AS (
        |  SELECT *,
-       |    ${term("")} AS sw,
-       |    ${term(" * e.x")} AS swx,
-       |    ${term(" * e.y")} AS swy,
-       |    ${term(" * e.x * e.x")} AS swxx,
-       |    ${term(" * e.x * e.y")} AS swxy
+       |    CAST(greatest(2, least(23, CAST(ceil(0.75 * period) AS BIGINT)))
+       |      AS INT) AS hw
        |  FROM p2
-       |), fit AS (
-       |  SELECT *, swxx * sw - swx * swx AS den FROM sums
-       |), fit2 AS (
+       |), p4 AS (
        |  SELECT *,
-       |    CASE WHEN den != 0 THEN (swxy * sw - swx * swy) / den
-       |         ELSE 0.0 END AS b1
-       |  FROM fit
-       |), fit3 AS (
-       |  SELECT *, (swy - b1 * swx) / sw AS b0 FROM fit2
-       |), fit4 AS (
-       |  SELECT *, CAST(floor(b0 + b1 * xi + 0.5) AS BIGINT) AS trend_s
-       |  FROM fit3
-       |), ph AS (
-       |  SELECT *, trend_s / 10000.0 AS trend, seq % period AS phase FROM fit4
+       |    list_max(list_transform(arr,
+       |      e -> CASE WHEN abs(e.x - xi) <= hw THEN abs(e.x - xi)
+       |           ELSE 0.0 END)) AS h
+       |  FROM p3
+       |), ${fitSql("p4", "arr", "", "f", firstTrend)}$robustCtes, ph AS (
+       |  SELECT *, trend_s / 10000.0 AS trend, seq % period AS phase
+       |  FROM $lastDone
        |), sea AS (
        |  SELECT *,
        |    quantile_cont((value_s - trend_s) * 2, 0.5)
@@ -280,6 +340,10 @@ object DecomposeOracle {
        |FROM sea
        |ORDER BY user_id, event_type, seq""".stripMargin
   }
+
+  val q16: String = loessChain(robust = false)
+
+  val q18: String = loessChain(robust = true)
 
   /** q17: Twitter/median decompose — two independent medians over the
     * scaled-integer values, exact in doubles on both engines.

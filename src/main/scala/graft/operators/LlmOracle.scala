@@ -211,6 +211,36 @@ object LlmOracle {
        |)
        |SELECT doc_id, fp_full, fp_min_block FROM f ORDER BY doc_id""".stripMargin
 
+  /** m01: the decoded-image features in closed form. The Spark side
+    * synthesizes a gray PNG per doc (dims 8..32, pixel = linear
+    * congruential in (x, y)) and decodes it with javax.imageio; PNG is
+    * lossless, so the decoded statistics equal this exact integer
+    * arithmetic over generate_series.
+    */
+  val m01: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(8 + doc_id % 25 AS INT) AS width,
+      |    CAST(8 + (doc_id * 7) % 25 AS INT) AS height
+      |  FROM documents
+      |), xs AS (
+      |  SELECT media_id, width, height, unnest(range(width)) AS x FROM d
+      |), xy AS (
+      |  SELECT media_id, width, height, x, unnest(range(height)) AS y FROM xs
+      |), px AS (
+      |  SELECT media_id, width, height,
+      |    SUM((media_id * 31 + x * 7 + y * 13) % 256) AS px_sum,
+      |    MIN((media_id * 31 + x * 7 + y * 13) % 256) AS px_min,
+      |    MAX((media_id * 31 + x * 7 + y * 13) % 256) AS px_max
+      |  FROM xy GROUP BY 1, 2, 3
+      |)
+      |SELECT media_id, width, height,
+      |  CAST(px_sum AS BIGINT) AS px_sum,
+      |  CAST(px_min AS INT) AS px_min,
+      |  CAST(px_max AS INT) AS px_max,
+      |  CAST(floor(width * 10.0 / height) AS INT) AS aspect_bucket
+      |FROM px ORDER BY media_id""".stripMargin
+
   /** st07: the streaming corpus-prep result set — every feature is a
     * function of the normalized text, so the watermarkless streaming
     * dedup's survivor set is exactly SELECT DISTINCT.

@@ -43,6 +43,34 @@ class DecomposeSpec extends AnyFunSuite {
     assert(found == 1, "ESD should flag the injected spike")
   }
 
+  test("seasonal ESD direction knob selects the tested tail") {
+    import spark.implicits._
+    // one ticker, flat-ish base, a gross positive spike and a gross
+    // negative spike — direction must pick only its own tail's outlier
+    val rows = (0 until 40).map { i =>
+      val v = i match {
+        case 25 => 500.0
+        case 30 => -480.0
+        case _  => 10.0 + (i % 7)
+      }
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i / 2 + 1}%02d 0${i % 2}:00:00"),
+        1L, "tick", v)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("esd_dir").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def ids(direction: String) =
+      Decompose.seasonalEsd(spark, tmp, maxAnomFrac = 0.05,
+          direction = direction)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    val pos = ids("pos")
+    val neg = ids("neg")
+    val both = ids("both")
+    assert(pos.contains(25L) && !pos.contains(30L), s"pos found $pos")
+    assert(neg.contains(30L) && !neg.contains(25L), s"neg found $neg")
+    assert(both.subsetOf(Set(25L, 30L)) && both.nonEmpty, s"both found $both")
+  }
+
   test("q16 loess decompose recomposes and picks a sane auto period") {
     val rows = Decompose.q16LoessDecompose(spark, dir)
       .withColumn("recomposed",
@@ -53,6 +81,32 @@ class DecomposeSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
         "value must equal trend + seasonal + remainder exactly")
     }
+  }
+
+  test("q18 robust loess: bisquare pass pulls the trend off an outlier") {
+    import spark.implicits._
+    // smooth ramp with one gross spike: the robust trend at the spike
+    // must sit closer to the local ramp than the non-robust trend
+    val rows = (0 until 60).map { i =>
+      val v = if (i == 30) 1000.0 else 10.0 + 0.5 * i
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i / 2 + 1}%02d 0${i % 2}:00:00"),
+        1L, "tick", v)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("loess").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def trendAt30(df: org.apache.spark.sql.DataFrame): Double =
+      df.filter(col("event_id") === 30L).select("trend").head().getDouble(0)
+    val plain = trendAt30(Decompose.q16LoessDecompose(spark, tmp))
+    val robust = trendAt30(Decompose.q18RobustLoess(spark, tmp))
+    val local = 10.0 + 0.5 * 30 // the uncontaminated ramp value
+    assert(math.abs(robust - local) < math.abs(plain - local),
+      s"robust $robust should beat plain $plain against local $local")
+    // recompose exactness holds for the robust variant too
+    val bad = Decompose.q18RobustLoess(spark, dir)
+      .withColumn("rec", col("trend") + col("seasonal") + col("remainder"))
+      .filter(abs(col("rec") - col("value")) > 1e-9).count()
+    assert(bad == 0)
   }
 
   test("q17 twitter decompose: median trend is constant per key, exact recompose") {

@@ -142,17 +142,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
-  test("m01 multimodal plumbing: schema, determinism, feature shape") {
+  test("m01 PNG encode/decode roundtrip recovers exact dims and pixel stats") {
     val df = Multimodal.q(spark, dir)
     val rows = df.collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      // f_bytes/f_first/f_last/f_aspect scalars + width/height
-      assert(r.getDouble(1) > 0) // n_bytes feature
-      assert(r.getDouble(4) > 0) // aspect feature
-      assert(r.getInt(5) >= 640 && r.getInt(6) >= 360)
+      val id = r.getLong(0)
+      val w = r.getInt(1)
+      val h = r.getInt(2)
+      // decoded dims must equal the synthesis formulas (PNG roundtrip)
+      assert(w == 8 + (id % 25).toInt && h == 8 + ((id * 7) % 25).toInt)
+      // exact grayscale sum recomputed in closed form
+      var expected = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        expected += (id * 31 + x * 7 + y * 13) % 256
+      assert(r.getLong(3) == expected, s"px_sum mismatch for media $id")
+      assert(r.getInt(4) >= 0 && r.getInt(5) <= 255 &&
+        r.getInt(4) <= r.getInt(5))
     }
-    assert(df.collect().sameElements(rows), "decode stub must be deterministic")
+    assert(df.collect().sameElements(rows), "decode must be deterministic")
+  }
+
+  test("m01 payloads are genuine PNG bytes with queryable metadata") {
+    val media = Multimodal.mediaTable(spark, dir).limit(20).collect()
+    media.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      // PNG magic: 89 50 4E 47
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G')
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      assert(meta.getAs[Int]("n_bytes") == bytes.length)
+      assert(meta.getAs[String]("mime") == "image/png")
+    }
   }
 
   test("p01 pipeline keeps only en docs above quality with unique content") {
