@@ -154,6 +154,20 @@ object Dedup {
     // (minutes of driver CPU by round 5) — checkpointing resets each
     // round's logical plan to a LogicalRDD leaf. Blocks are edge-list
     // sized and GC-reclaimed; no CacheManager entry to leak.
+    //
+    // Shuffle sizing: each composite round is ~6 shuffle stages over an
+    // edge list that is usually TINY relative to the corpus (near-dup
+    // pairs, not rows) — at the session's default partition count those
+    // stages are pure task-scheduling overhead. Size the loop's shuffle
+    // width from the measured edge count (the count also materializes
+    // the cached pair join exactly once) and restore the session value
+    // after; a billion-edge graph keeps the full width.
+    val nPairs = pairs.count()
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = s.conf.get(shuffleKey)
+    val loopParts = math.min(math.max(1L, nPairs / 50000L), 200L)
+    s.conf.set(shuffleKey, loopParts.toString)
+    try {
     var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .distinct().localCheckpoint()
 
@@ -202,6 +216,7 @@ object Dedup {
       .localCheckpoint()
     pairs.unpersist()
     result.orderBy(col("doc_id"))
+    } finally s.conf.set(shuffleKey, prevShuffle)
   }
 
   /** Sequential dot product via the native codegen'd expression —

@@ -44,8 +44,13 @@ object Multimodal {
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions { it =>
-        // per-partition codec scope: ImageIO plugin lookup + buffer
-        // reuse happen once per task, not once per row
+        // per-partition codec scope: plugin-registry lookup happens once
+        // per task (ImageIO.write would re-scan per image), and
+        // setUseCache(false) keeps the image streams in memory —
+        // the default spools a temp FILE per image
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
         val bos = new java.io.ByteArrayOutputStream(4096)
         it.map { id =>
           val w = widthOf(id)
@@ -63,7 +68,10 @@ object Multimodal {
             y += 1
           }
           bos.reset()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.close()
           (id, bos.toByteArray, w, h)
         }
       }
@@ -86,9 +94,14 @@ object Multimodal {
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
         it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(
+          val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val img = reader.read(0)
           val w = img.getWidth
           val h = img.getHeight
           val raster = img.getRaster
