@@ -15,6 +15,14 @@ import org.apache.spark.sql.types._
   * (`processAllAvailable`), so the driver can still collect a
   * DataFrame; on a cluster the same code points at a Kafka/file
   * source and a real sink.
+  *
+  * State sizing at 100 TB/day: st02/st06 state is bounded per key and
+  * evicted on watermark/timeout, but a feed with enough LIVE keys can
+  * still exceed executor heap — switch the store to RocksDB
+  * (`spark.sql.streaming.stateStore.providerClass` →
+  * `...state.RocksDBStateStoreProvider`, bundled with Spark) and size
+  * state-partition count via `withStatePartitions`; StreamingSpec
+  * proves output is byte-identical across providers.
   */
 object StreamingAnomaly {
 

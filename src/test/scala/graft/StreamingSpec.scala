@@ -129,4 +129,21 @@ class StreamingSpec extends AnyFunSuite {
     val b = StreamingAnomaly.st02StatefulFlags(spark, dir).collect()
     assert(a.sameElements(b))
   }
+
+  test("stateful queries run identically on the RocksDB state store") {
+    // the 100 TB state path: per-key state beyond executor heap lives
+    // in RocksDB (spark.sql.streaming.stateStore.providerClass);
+    // rocksdbjni ships with Spark, so this is a pure conf switch.
+    // Output must be byte-identical to the default HDFS-backed store.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val hdfs = StreamingAnomaly.st02StatefulFlags(spark, dir)
+      .collect().map(_.toString).sorted
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = StreamingAnomaly.st02StatefulFlags(spark, dir)
+        .collect().map(_.toString).sorted
+      assert(rocks.length == hdfs.length && rocks.sameElements(hdfs))
+    } finally spark.conf.unset(key)
+  }
 }
