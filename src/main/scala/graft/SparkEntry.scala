@@ -63,6 +63,8 @@ object SparkEntry {
     "q46_pivot"          -> Relational.pivotSegments _,
     "q50_monthly_revenue" -> Relational.monthlyRevenue _,
     "q51_upsert_merge"   -> Relational.upsertMerge _,
+    "q52_stratified_sample" -> Sampling.stratifiedSample _,
+    "d07_train_split"    -> Sampling.trainSplit _,
     "t05_entropy_score"  -> graft.text.TextFns.entropyScore _,
     "p01_corpus_pipeline" -> ((s, d) => CorpusPipeline.prepare(s, d)),
     "q39_json_roundtrip" -> graft.sources.Sources.jsonRoundtrip _,
@@ -350,6 +352,27 @@ object SparkEntry {
            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
            CAST(version AS INT) AS version
          FROM r WHERE rn = 1 ORDER BY o_orderkey""",
+    // d07/q52: content-addressed (md5 + salt) selection — both engines
+    // render md5 as lowercase hex, so the threshold compare is exact
+    "d07_train_split" ->
+      """SELECT doc_id,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR) || 'd07') < 'cccccccc'
+                THEN 'train'
+                WHEN md5(CAST(doc_id AS VARCHAR) || 'd07') < 'e6666666'
+                THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "q52_stratified_sample" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+           value
+         FROM events
+         WHERE md5(CAST(event_id AS VARCHAR) || 'q52') <
+           CASE event_type WHEN 'purchase' THEN 'g'
+             WHEN 'error' THEN '80000000'
+             WHEN 'click' THEN '33333333'
+             WHEN 'signup' THEN '19999999'
+             ELSE '0ccccccc' END
+         ORDER BY event_id""",
     "t05_entropy_score"  -> LlmOracle.t05,
     "d01_dedup_exact"    -> LlmOracle.d01,
     "d04_ngram_jaccard"  -> LlmOracle.d04,

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("d07 split partitions the corpus ~80/10/10 and is reproducible") {
+    val split = Sampling.trainSplit(spark, dir)
+    val total = Tables.documents(spark, dir).count()
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == total, "split must cover every doc once")
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // md5 is uniform: 80/10/10 ±10 points even on a 100-doc corpus
+    assert(math.abs(bySplit("train").toDouble / total - 0.8) < 0.1,
+      s"train share ${bySplit("train")}/$total")
+    val again = Sampling.trainSplit(spark, dir).collect()
+    assert(Sampling.trainSplit(spark, dir).collect().sameElements(again))
+  }
+
+  test("q52 stratified sample keeps all purchases and thins other strata") {
+    val ev = Tables.events(spark, dir)
+    val sampled = Sampling.stratifiedSample(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    assert(sampled.filter(col("event_type") === "purchase").count() ==
+      purchases, "purchase stratum must be kept whole")
+    Seq("click", "signup", "view").foreach { t =>
+      val full = ev.filter(col("event_type") === t).count()
+      val kept = sampled.filter(col("event_type") === t).count()
+      assert(kept < full, s"$t stratum must be downsampled ($kept/$full)")
+    }
+    // sampled rows are a subset of the source (same event ids)
+    val extra = sampled.select("event_id")
+      .join(ev.select("event_id"), Seq("event_id"), "left_anti").count()
+    assert(extra == 0)
+  }
+
+  test("sampling operators are shuffle-free row-local filters") {
+    val plan = Sampling.stratifiedSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation sort
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+}
