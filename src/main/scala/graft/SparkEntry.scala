@@ -35,6 +35,12 @@ object SparkEntry {
     "q16_loess_decompose" -> Decompose.q16LoessDecompose _,
     "q17_twitter_decompose" -> Decompose.q17TwitterDecompose _,
     "q18_robust_loess"   -> Decompose.q18RobustLoess _,
+    "q19_cusum_changepoint" -> SignalOps.q19Cusum _,
+    "q48_interval_join"  -> ScaleOps.intervalJoin _,
+    "q49_ewma_smooth"    -> SignalOps.q49Ewma _,
+    "t06_tfidf"          -> ((s, d) => graft.text.TextFns.tfidf(s, d)),
+    "t07_bm25_search"    -> ((s, d) => graft.text.TextFns.bm25Search(s, d)),
+    "s04_knn_classify"   -> ((s, d) => graft.similarity.Ann.knnClassify(s, d)),
     "q20_agg_groupby"    -> Relational.aggGroupBy _,
     "q21_join_agg"       -> Relational.joinAgg _,
     "q22_broadcast_dim"  -> Relational.broadcastDim _,
@@ -121,6 +127,29 @@ object SparkEntry {
     "q17_twitter_decompose" -> DecomposeOracle.q17,
     "q18_robust_loess"   -> DecomposeOracle.q18,
     "st07_stream_corpus" -> LlmOracle.st07,
+    "q19_cusum_changepoint" -> SignalOracle.q19,
+    "q49_ewma_smooth"    -> SignalOracle.q49,
+    "t06_tfidf"          -> LlmOracle.t06,
+    "t07_bm25_search"    -> LlmOracle.t07,
+    "s04_knn_classify"   -> LlmOracle.s04,
+    "q48_interval_join" ->
+      """WITH e AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             event_type
+           FROM events
+         ), c AS (
+           SELECT * FROM e WHERE event_type = 'click'
+         ), p AS (
+           SELECT * FROM e WHERE event_type = 'purchase'
+         )
+         SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(28,6))) AS DOUBLE) AS click_value,
+           MAX(c.ts) AS last_click_ts
+         FROM p JOIN c ON c.user_id = p.user_id
+           AND epoch_us(c.ts) >= epoch_us(p.ts) - 21600000000
+           AND epoch_us(c.ts) <= epoch_us(p.ts)
+         GROUP BY 1, 2, 3 ORDER BY purchase_id""",
     "q20_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,

@@ -241,6 +241,92 @@ object LlmOracle {
       |  CAST(floor(width * 10.0 / height) AS INT) AS aspect_bucket
       |FROM px ORDER BY media_id""".stripMargin
 
+  /** t06: TF-IDF top terms — integer tf/df, one ln() quantized at
+    * 1e-6 (t05 proved ln parity at 1e-9).
+    */
+  val t06: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all($Norm, '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), n AS (
+       |  SELECT count(*) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    floor(tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE) /
+       |      CAST(df.df + 1 AS DOUBLE)) + 1.0) * 1000000.0 + 0.5)
+       |      / 1000000.0 AS score6
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score6 DESC, term) AS rk
+       |  FROM scored
+       |)
+       |SELECT doc_id, rk, term, tf, df, score6 FROM ranked WHERE rk <= 5
+       |ORDER BY doc_id, rk""".stripMargin
+
+  /** t07: BM25 ranking for the fixed query — per-term contributions
+    * quantized to BIGINT before the per-doc sum (order-free), one
+    * ln() per (doc, term).
+    */
+  val t07: String = {
+    val terms = TextFns.Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all($Norm, '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), dl AS (
+       |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN ($terms) GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), contrib AS (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+       |      * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS c6
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats
+       |), scored AS (
+       |  SELECT doc_id, sum(c6) / 1000000.0 AS score6,
+       |    count(*) AS n_terms_hit
+       |  FROM contrib GROUP BY 1
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY score6 DESC, doc_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT rk, doc_id, score6, n_terms_hit FROM ranked WHERE rk <= 10
+       |ORDER BY rk""".stripMargin
+  }
+
+  /** s04: majority-vote kNN classification over the s01 top-k set —
+    * tie-break (votes desc, nearest-neighbour rank, label).
+    */
+  val s04: String =
+    s"""WITH nn AS ($s01),
+       |votes AS (
+       |  SELECT nn.query_id, e.label, count(*) AS votes,
+       |    min(nn.rk) AS best_rk
+       |  FROM nn JOIN embeddings e ON e.vec_id = nn.vec_id
+       |  GROUP BY 1, 2
+       |), pred AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY votes DESC, best_rk, label) AS rn
+       |  FROM votes
+       |)
+       |SELECT p.query_id, t.label AS true_label,
+       |  p.label AS predicted_label, p.votes
+       |FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+       |WHERE p.rn = 1 ORDER BY p.query_id""".stripMargin
+
   /** st07: the streaming corpus-prep result set — every feature is a
     * function of the normalized text, so the watermarkless streaming
     * dedup's survivor set is exactly SELECT DISTINCT.

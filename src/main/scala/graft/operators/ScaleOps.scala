@@ -152,6 +152,45 @@ object ScaleOps {
         col("col.sort_val").as("o_totalprice"))
       .orderBy(col("o_custkey"), col("rk"))
 
+  /** q48: time-interval join — click→purchase attribution, the batch
+    * twin of st04's stream-stream interval join: every purchase joined
+    * to the same user's clicks in the preceding 6 hours.
+    *
+    * A naive `BETWEEN` range join plans as a nested loop (O(n·m) at
+    * 100 TB). The scale shape is BIN BUCKETING: quantize time into
+    * interval-width bins, explode the purchase side into the exactly
+    * TWO bins its lookback window can cover, and equi-join on
+    * (user_id, bin) before applying the exact range predicate. Each
+    * matching pair lands in exactly one bin — the click's own — so no
+    * dedup pass is needed, and the range join becomes an ordinary
+    * hash-shuffle join whose probe fan-out is bounded by 2x.
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 6L * 3600 * 1000000L // 6-hour attribution window
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withColumn("bin", floor(unix_micros(col("click_ts")) / winUs))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withColumn("bin0", floor(unix_micros(col("purchase_ts")) / winUs))
+      .withColumn("bin", explode(array(col("bin0") - 1, col("bin0"))))
+    purchases
+      .join(clicks,
+        col("c_user") === col("user_id") &&
+          clicks("bin") === purchases("bin") &&
+          unix_micros(col("click_ts")) >=
+            unix_micros(col("purchase_ts")) - winUs &&
+          unix_micros(col("click_ts")) <= unix_micros(col("purchase_ts")))
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("click_value").cast(dec)).cast("double").as("click_value"),
+        max(col("click_ts")).as("last_click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** q35: bucketed co-located join — both sides written bucketed on
     * the join key, so the sort-merge join needs NO exchange (spec
     * asserts the plan). This is the pre-partitioning strategy for

@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential change detectors over the ticker series — the two
+  * classic control-chart companions to the reference's threshold
+  * z-score (anomaly_proj_query.sql:108-150): CUSUM for persistent
+  * mean shifts the per-point z-score misses, and an EWMA control band
+  * for drift. Both are pure window chains over the same
+  * (user_id, event_type) ticker key as TickerAnomaly, so Catalyst
+  * plans ONE hash exchange per query; no UDFs, no driver loops.
+  *
+  * Cross-engine determinism: the recursive CUSUM state is re-expressed
+  * as a closed form over running sums of FIXED-POINT longs (exact in
+  * any accumulation order), and the EWMA is a truncated finite kernel
+  * whose weights are embedded as identical double literals in both the
+  * Spark plan and the DuckDB oracle.
+  */
+object SignalOps {
+
+  private val keyCols = Seq(col("user_id"), col("event_type"))
+  private def wAsc =
+    Window.partitionBy(keyCols: _*).orderBy(col("ts"), col("event_id"))
+  private def wRun = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  private def wKey = Window.partitionBy(keyCols: _*)
+
+  /** q19: CUSUM change-point detection (Page 1954). The textbook
+    * recursion S+_t = max(0, S+_{t-1} + z_t - k) cannot be windowed
+    * directly, but has the closed form
+    * S+_t = R_t - min(0, min_{j<=t} R_j) with R_t = sum_{i<=t}(z_i - k)
+    * — two running windows over the SAME sort, no recursion. z is
+    * quantized to 1e-6 fixed-point longs first so both engines
+    * accumulate exactly (integer sums are order-independent; the
+    * reference-style rounded mean/stddev feed the z).
+    *
+    * Slack k = 0.5 sigma, decision threshold h = 5 sigma — the
+    * standard (k, h) for detecting ~1-sigma mean shifts.
+    */
+  def q19Cusum(s: SparkSession, dir: String): DataFrame = {
+    val k = 500000L // 0.5 sigma in 1e6 fixed point
+    val h = 5000000L // 5 sigma
+    // z from EXACT integer sums — double avg/stddev accumulate in
+    // engine-specific orders, so the standardization is done on 1e-4
+    // fixed-point longs: with a = n*v - S1 and c = n*S2 - S1^2 (both
+    // exact), z = a / sqrt(c * n / (n - 1)); the only doubles are the
+    // final correctly-rounded decimal->double conversions.
+    val df = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("s1", sum(col("v4l")).over(wKey))
+      .withColumn("s2",
+        sum((col("v4l").cast("decimal(19,0)") *
+          col("v4l").cast("decimal(19,0)")).cast("decimal(38,0)")).over(wKey))
+      .withColumn("a", col("n") * col("v4l") - col("s1"))
+      .withColumn("c",
+        (col("n").cast("decimal(38,0)") * col("s2") -
+          col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
+          .cast("decimal(38,0)"))
+      .withColumn("zf",
+        when(col("n") > 1 && col("c") > 0,
+          floor(col("a").cast("double") /
+            sqrt(col("c").cast("double") * col("n") / (col("n") - 1)) *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("value", col("v4l") / lit(10000.0))
+      .withColumn("r_pos", sum(col("zf") - lit(k)).over(wRun))
+      .withColumn("r_neg", sum(-col("zf") - lit(k)).over(wRun))
+      .withColumn("s_pos", col("r_pos") - least(lit(0L), min(col("r_pos")).over(wRun)))
+      .withColumn("s_neg", col("r_neg") - least(lit(0L), min(col("r_neg")).over(wRun)))
+    df.select(
+      col("user_id"), col("event_type"), col("event_id"),
+      col("ts").as("date_recorded"), col("value"),
+      (col("zf") / lit(1000000.0)).as("zscore6"),
+      (col("s_pos") / lit(1000000.0)).as("cusum_pos"),
+      (col("s_neg") / lit(1000000.0)).as("cusum_neg"),
+      when(col("s_pos") > h || col("s_neg") > h, 1).otherwise(0)
+        .as("changepoint_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  /** EWMA kernel truncated at `taps` lags; alpha's normalizer cancels,
+    * leaving weights (1-alpha)^j. Computed once here and embedded as
+    * the SAME double literals in the Spark plan and the oracle SQL
+    * (Double round-trips exactly through its shortest decimal form).
+    */
+  private[operators] val Alpha = 0.3
+  private[operators] val Taps = 10
+  private[operators] val Weights: Seq[Double] =
+    (0 until Taps).map(j => math.pow(1.0 - Alpha, j))
+
+  /** q49: EWMA control band (Roberts 1959, truncated kernel). The
+    * geometric recursion is unrolled to `Taps` explicit lag terms —
+    * at (1-a)^10 ≈ 0.028 the truncation error is < 3% of the oldest
+    * weight, and the finite kernel windows in one pass where the
+    * recursion would need an iterative job. Head-of-series rows
+    * renormalize over the lags that exist (null-aware weight sum).
+    * Flag when the residual exceeds 3x the per-ticker residual stddev.
+    */
+  def q49Ewma(s: SparkSession, dir: String): DataFrame = {
+    val v4 = round(col("value"), 4)
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), v4.as("value"))
+    // left-assoc chains of + keep double addition order identical to
+    // the oracle's (t0 + t1 + ...) parse
+    val lags = Weights.zipWithIndex.map { case (w, j) =>
+      (lag(col("value"), j).over(wAsc), lit(w))
+    }
+    val num = lags.map { case (lv, w) =>
+      when(lv.isNotNull, w * lv).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val den = lags.map { case (lv, w) =>
+      when(lv.isNotNull, w).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val df = base
+      .withColumn("ewma6",
+        floor(num / den * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .withColumn("resid6",
+        floor((col("value") - col("ewma6")) * lit(1000000.0) + lit(0.5)) /
+          lit(1000000.0))
+      .withColumn("resid_sd4", round(stddev_samp(col("resid6")).over(wKey), 4))
+    df.select(
+      col("user_id"), col("event_type"), col("event_id"),
+      col("ts").as("date_recorded"), col("value"),
+      col("ewma6"), col("resid6"), col("resid_sd4"),
+      when(col("resid_sd4") =!= 0 &&
+        abs(col("resid6")) > lit(3.0) * col("resid_sd4"), 1).otherwise(0)
+        .as("ewma_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+}
+
+/** DuckDB oracles for SignalOps — same fixed-point closed forms. */
+object SignalOracle {
+
+  val q19: String =
+    """WITH base AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), st AS (
+      |  SELECT *,
+      |    count(*) OVER wk AS n,
+      |    sum(v4l) OVER wk AS s1,
+      |    sum(CAST(v4l AS HUGEINT) * v4l) OVER wk AS s2
+      |  FROM base
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), z AS (
+      |  SELECT *, v4l / 10000.0 AS value,
+      |    CASE WHEN n > 1 AND (n * s2 - CAST(s1 AS HUGEINT) * s1) > 0
+      |      THEN CAST(floor(
+      |        CAST(n * v4l - s1 AS DOUBLE) /
+      |        sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) * n / (n - 1))
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |      ELSE 0 END AS zf
+      |  FROM st
+      |), r AS (
+      |  SELECT *,
+      |    sum(zf - 500000) OVER w AS r_pos,
+      |    sum(-zf - 500000) OVER w AS r_neg
+      |  FROM z
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), sfin AS (
+      |  SELECT *,
+      |    r_pos - least(0, min(r_pos) OVER w) AS s_pos,
+      |    r_neg - least(0, min(r_neg) OVER w) AS s_neg
+      |  FROM r
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded, value,
+      |  zf / 1000000.0 AS zscore6,
+      |  s_pos / 1000000.0 AS cusum_pos,
+      |  s_neg / 1000000.0 AS cusum_neg,
+      |  CASE WHEN s_pos > 5000000 OR s_neg > 5000000 THEN 1 ELSE 0 END
+      |    AS changepoint_flag
+      |FROM sfin
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  val q49: String = {
+    val terms = SignalOps.Weights.zipWithIndex.map { case (w, j) =>
+      (s"CASE WHEN lag(value, $j) OVER wa IS NOT NULL THEN $w * lag(value, $j) OVER wa ELSE 0.0 END",
+        s"CASE WHEN lag(value, $j) OVER wa IS NOT NULL THEN $w ELSE 0.0 END")
+    }
+    val num = terms.map(_._1).mkString("(", " + ", ")")
+    val den = terms.map(_._2).mkString("(", " + ", ")")
+    s"""WITH base AS (
+       |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    round(value, 4) AS value
+       |  FROM events
+       |), e AS (
+       |  SELECT *,
+       |    floor($num / $den * 1000000.0 + 0.5) / 1000000.0 AS ewma6
+       |  FROM base
+       |  WINDOW wa AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+       |), r AS (
+       |  SELECT *,
+       |    floor((value - ewma6) * 1000000.0 + 0.5) / 1000000.0 AS resid6
+       |  FROM e
+       |), sd AS (
+       |  SELECT *,
+       |    round(stddev_samp(resid6) OVER (PARTITION BY user_id, event_type), 4)
+       |      AS resid_sd4
+       |  FROM r
+       |)
+       |SELECT user_id, event_type, event_id, ts AS date_recorded, value,
+       |  ewma6, resid6, resid_sd4,
+       |  CASE WHEN resid_sd4 != 0 AND abs(resid6) > 3.0 * resid_sd4
+       |       THEN 1 ELSE 0 END AS ewma_flag
+       |FROM sd
+       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+  }
+}

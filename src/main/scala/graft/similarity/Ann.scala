@@ -44,6 +44,33 @@ object Ann {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** s04: kNN label classification — majority vote over the s01
+    * exact top-k neighbourhood (the standard label-propagation /
+    * weak-labelling primitive for training-data curation). Tie-break:
+    * most votes, then the label holding the nearest neighbour, then
+    * smaller label. Same scale posture as s01 (query set broadcast,
+    * corpus unshuffled); swap the neighbour source for s02/s03 when
+    * the query set grows.
+    */
+  def knnClassify(s: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val votes = bruteForceTopK(s, dir, nQueries, k)
+      .join(labels, "vec_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rk")).as("best_rk"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("best_rk"), col("label"))
+    val truth = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(truth), "query_id")
+      .select(col("query_id"), col("true_label"),
+        col("label").as("predicted_label"), col("votes"))
+      .orderBy(col("query_id"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (p, d) from a
     * splitmix-style integer mix — reproducible across runs/engines.
     */

@@ -3,6 +3,7 @@ package graft.text
 import graft.Tables
 import graft.dedup.Dedup.normText
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY.md §2C): language
@@ -165,6 +166,103 @@ object TextFns {
       transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, x) => (acc * 31 + x) % Mod)
+
+  /** t06: TF-IDF top terms per document — the inverted-index statistic
+    * behind corpus keyword extraction and quality triage.
+    *
+    * Scale shape: ONE groupBy(doc_id, term) for tf (map-side partial
+    * counts), ONE groupBy(term) for df, then a repartition join on
+    * term (the term dictionary is too big to broadcast at 100 TB but
+    * is Zipf-compact relative to the corpus), and a per-doc window for
+    * top-k. The corpus text itself is scanned once.
+    *
+    * Oracle parity: tf/df are integers; idf = ln((N+1)/(df+1)) + 1 is
+    * one libm call over an integer-derived double, quantized at 1e-6
+    * (same trick as t05's entropy at 1e-9).
+    */
+  def tfidf(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(regexp_extract_all(normText(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score6").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score6",
+        floor(col("tf") *
+          (log((col("n_docs") + 1).cast("double") /
+            (col("df") + 1).cast("double")) + lit(1.0)) *
+          lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score6"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** The t07 benchmark query — common corpus words so every document
+    * scores (the operator is the ranking machinery, not the query).
+    */
+  val Bm25Query: Seq[String] = Seq("spark", "join", "table")
+  private[text] val Bm25K1 = 1.2
+  private[text] val Bm25B = 0.75
+
+  /** t07: BM25 full-text ranking for a fixed term query — the
+    * retrieval scorer an LLM-data pipeline uses for corpus search and
+    * topic filtering.
+    *
+    * score(d) = Σ_t idf_t · tf/(tf + k1·(1 − b + b·dl/avgdl)),
+    * idf_t = ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Scale shape: tf for ONLY the query terms (filter before the
+    * groupBy, so the shuffle carries |query| terms per doc max),
+    * doc lengths from the same single scan, df/avgdl/N are a
+    * |query|-row + 1-row broadcast. Per-term contributions are
+    * quantized to 1e-6 fixed-point BIGINTs before the final per-doc
+    * sum, so accumulation order can't perturb the hash.
+    */
+  def bm25Search(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val qTerms = Bm25Query
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(regexp_extract_all(normText(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("term"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = tok.filter(col("term").isInCollection(qTerms))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("c6",
+        floor(col("idf") * col("tf") /
+          (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) +
+            lit(Bm25B) * col("dl") / col("avgdl"))) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+    // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, no global sort); the rank window then runs over k rows
+    contrib.groupBy(col("doc_id"))
+      .agg((sum(col("c6")) / lit(1000000.0)).as("score6"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score6").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("score6").desc, col("doc_id"))))
+      .select(col("rk"), col("doc_id"), col("score6"), col("n_terms_hit"))
+      .orderBy(col("rk"))
+  }
 
   /** t04: document fingerprints — whole-text rolling hash plus the min
     * over per-128-char block hashes (winnowing-style locality).

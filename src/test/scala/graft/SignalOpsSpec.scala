@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{ScaleOps, SignalOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SignalOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("q19 closed form equals the textbook CUSUM recursion") {
+    val out = SignalOps.q19Cusum(spark, dir)
+      .filter(col("user_id") === 1)
+      .orderBy(col("event_type"), col("date_recorded"), col("event_id"))
+      .select("event_type", "zscore6", "cusum_pos", "cusum_neg",
+        "changepoint_flag")
+      .collect()
+    assert(out.nonEmpty)
+    val k = 0.5
+    var key = ""
+    var sPos = 0.0
+    var sNeg = 0.0
+    out.foreach { r =>
+      if (r.getString(0) != key) { key = r.getString(0); sPos = 0; sNeg = 0 }
+      val z = r.getDouble(1)
+      sPos = math.max(0.0, sPos + z - k)
+      sNeg = math.max(0.0, sNeg - z - k)
+      assert(math.abs(r.getDouble(2) - sPos) < 1e-9,
+        s"cusum_pos mismatch at $r (want $sPos)")
+      assert(math.abs(r.getDouble(3) - sNeg) < 1e-9,
+        s"cusum_neg mismatch at $r (want $sNeg)")
+      val wantFlag = if (sPos > 5.0 + 1e-12 || sNeg > 5.0 + 1e-12) 1 else 0
+      assert(r.getInt(4) == wantFlag, s"flag mismatch at $r")
+    }
+  }
+
+  test("q19 flags a planted persistent mean shift the z-threshold misses") {
+    // series with a +1.5-sigma-ish sustained shift in the second half:
+    // each point is unremarkable, the accumulated drift is not
+    import spark.implicits._
+    val vals = (1 to 40).map(i => if (i <= 20) 10.0 + (i % 3) * 0.1
+      else 11.0 + (i % 3) * 0.1)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "shift", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q19spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q19Cusum(spark, tmp)
+    assert(out.filter(col("changepoint_flag") === 1).count() > 0,
+      "sustained shift must trip the CUSUM")
+    val maxZ = out.agg(max(abs(col("zscore6")))).head.getDouble(0)
+    assert(maxZ < 4.5, s"per-point z stays under the q09 threshold ($maxZ)")
+  }
+
+  test("q49 EWMA tracks a constant series exactly and flags a spike") {
+    import spark.implicits._
+    val vals = (1 to 30).map(i => if (i == 25) 100.0 else 5.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "spike", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q49spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q49Ewma(spark, tmp).collect()
+    // before the spike the weighted mean of a constant is the constant
+    out.take(24).foreach { r =>
+      assert(math.abs(r.getAs[Double]("ewma6") - 5.0) < 1e-6, r.toString)
+      assert(r.getAs[Int]("ewma_flag") == 0)
+    }
+    assert(out(24).getAs[Int]("ewma_flag") == 1, "spike must flag")
+  }
+
+  test("q19/q49 plan one exchange on the ticker key") {
+    Seq(SignalOps.q19Cusum(spark, dir), SignalOps.q49Ewma(spark, dir))
+      .foreach { q =>
+        val plan = q.queryExecution.executedPlan.toString
+        val exchanges = "hashpartitioning".r.findAllIn(plan).size
+        assert(exchanges <= 1, s"want <=1 hash exchange, got $exchanges")
+      }
+  }
+
+  test("q48 binned interval join equals the naive range join") {
+    val ev = Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("value").as("cv"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val naive = p.join(c, col("cu") === col("user_id") &&
+        col("cts") >= col("purchase_ts") - expr("INTERVAL 6 HOURS") &&
+        col("cts") <= col("purchase_ts"))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binned = ScaleOps.intervalJoin(spark, dir)
+      .collect().map(r => r.getAs[Long]("purchase_id") ->
+        r.getAs[Long]("n_clicks")).toMap
+    assert(binned == naive, s"binned=$binned naive=$naive")
+    // and the plan is an equi-join, not a nested loop
+    val plan = ScaleOps.intervalJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+}
