@@ -117,7 +117,8 @@ object Dedup {
     * assignment: a star from each component's min doc to every other
     * member.
     */
-  def dedupClusters(s: SparkSession, dir: String, maxIter: Int = 20): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String, maxIter: Int = 20,
+      localSolveMaxEdges: Long = 1000000L): DataFrame = {
     // cache the pair list: the edge seed and the node universe both
     // read it — uncached, the expensive similarity join would run twice
     val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
@@ -133,10 +134,12 @@ object Dedup {
       val mins = nbrs.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // dup edges tolerated downstream (smallStar's min-agg and final
+      // distinct absorb them) — skipping the dedup here saves one
+      // shuffle per round
       nbrs.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v")) // m <= u < v keeps canon u < v
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy(col("v")).agg(min(col("u")).as("m"))
@@ -163,6 +166,41 @@ object Dedup {
     // the cached pair join exactly once) and restore the session value
     // after; a billion-edge graph keeps the full width.
     val nPairs = pairs.count()
+
+    // Adaptive local solve — same decision shape as AQE's broadcast
+    // threshold: when the measured edge list fits comfortably on the
+    // driver (≤ 1M edges ≈ 16 MB of id pairs), the distributed loop is
+    // pure stage-scheduling overhead (~15 near-empty jobs), so run
+    // union-find locally and parallelize only the result. The star
+    // loop below remains the at-scale path: a 100 TB corpus's pair
+    // graph (billions of edges) takes the distributed branch.
+    if (nPairs <= localSolveMaxEdges) {
+      val edgeArr = pairs.select(col("doc_a"), col("doc_b")).collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      edgeArr.foreach { e =>
+        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = edgeArr
+        .flatMap(e => Seq(e.getLong(0), e.getLong(1))).distinct
+        .map(d => (d, find(d)))
+      pairs.unpersist()
+      import s.implicits._
+      return members.toSeq.toDF("doc_id", "component_id")
+        .withColumn("is_kept",
+          (col("doc_id") === col("component_id")).cast("int"))
+        .orderBy(col("doc_id"))
+    }
+
     val shuffleKey = "spark.sql.shuffle.partitions"
     val prevShuffle = s.conf.get(shuffleKey)
     val loopParts = math.min(math.max(1L, nPairs / 50000L), 200L)

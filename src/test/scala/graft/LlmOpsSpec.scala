@@ -73,6 +73,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!comps.contains(4L), "unrelated doc must not join a cluster")
   }
 
+  test("d06 distributed star loop equals the adaptive local union-find") {
+    val local = graft.dedup.Dedup.dedupClusters(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dist = graft.dedup.Dedup
+      .dedupClusters(spark, plantedDir, localSolveMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(dist == local, s"paths diverge: dist=$dist local=$local")
+  }
+
   test("d05 embedding dedup is thresholded, ordered, and non-empty") {
     val pairs = Dedup.embeddingDedup(spark, dir).collect()
     assert(pairs.nonEmpty)
