@@ -104,7 +104,9 @@ object SparkEntry {
     "st06_stream_session_window" ->
       graft.streaming.StreamingAnomaly.st06SessionWindow _,
     "st07_stream_corpus" ->
-      graft.streaming.StreamingCorpus.st07StreamCorpus _
+      graft.streaming.StreamingCorpus.st07StreamCorpus _,
+    "st08_stream_cusum" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st08StreamCusum(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -128,6 +130,7 @@ object SparkEntry {
     "q18_robust_loess"   -> DecomposeOracle.q18,
     "st07_stream_corpus" -> LlmOracle.st07,
     "q19_cusum_changepoint" -> SignalOracle.q19,
+    "st08_stream_cusum"  -> SignalOracle.st08,
     "q49_ewma_smooth"    -> SignalOracle.q49,
     "t06_tfidf"          -> LlmOracle.t06,
     "t07_bm25_search"    -> LlmOracle.t07,

@@ -185,6 +185,73 @@ object SignalOracle {
       |FROM sfin
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
+  /** st08: the streaming CUSUM recomputed as windowed SQL — per-ticker
+    * segments split on the 8-day staleness gap (mirroring the
+    * EventTimeTimeout baseline restart), prefix moments as exact
+    * integer running sums within each segment, and the clamped CUSUM
+    * recursion via the runningSum − min(0, runningMin) closed form
+    * (exact: all fixed-point longs).
+    */
+  val st08: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), st AS (
+      |  SELECT *,
+      |    count(*) OVER wk AS n,
+      |    sum(v4l) OVER wk AS s1,
+      |    sum(CAST(v4l AS HUGEINT) * v4l) OVER wk AS s2
+      |  FROM seg
+      |  WINDOW wk AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), z AS (
+      |  SELECT *, v4l / 10000.0 AS value,
+      |    CASE WHEN n > 1 AND (n * s2 - CAST(s1 AS HUGEINT) * s1) > 0
+      |      THEN CAST(floor(
+      |        CAST(n * v4l - s1 AS DOUBLE) /
+      |        sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) * n / (n - 1))
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |      ELSE 0 END AS zf
+      |  FROM st
+      |), r AS (
+      |  SELECT *,
+      |    sum(zf - 500000) OVER w AS r_pos,
+      |    sum(-zf - 500000) OVER w AS r_neg
+      |  FROM z
+      |  WINDOW w AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), sfin AS (
+      |  SELECT *,
+      |    r_pos - least(0, min(r_pos) OVER w) AS s_pos,
+      |    r_neg - least(0, min(r_neg) OVER w) AS s_neg
+      |  FROM r
+      |  WINDOW w AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded, value,
+      |  zf / 1000000.0 AS zscore6,
+      |  s_pos / 1000000.0 AS cusum_pos,
+      |  s_neg / 1000000.0 AS cusum_neg,
+      |  CASE WHEN s_pos > 5000000 OR s_neg > 5000000 THEN 1 ELSE 0 END
+      |    AS changepoint_flag
+      |FROM sfin
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
   val q49: String = {
     val terms = SignalOps.Weights.zipWithIndex.map { case (w, j) =>
       (s"CASE WHEN lag(value, $j) OVER wa IS NOT NULL THEN $w * lag(value, $j) OVER wa ELSE 0.0 END",

@@ -400,4 +400,114 @@ object StreamingAnomaly {
     s.table(name)
       .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
   }
+
+  /** Per-ticker streaming CUSUM state: O(1) per key — prefix moment
+    * sums (exact fixed-point), the two CUSUM accumulators, last event
+    * time for the eviction timeout. `s2` (sum of squared 1e-4-scaled
+    * values) is a BigDecimal so the moments stay EXACT integers
+    * (encoded as Decimal(38,18): integer headroom 1e20, i.e. millions
+    * of observations at value magnitude ~1e4 before the eviction
+    * horizon would have to trim the series anyway).
+    */
+  case class CusumState(lastUs: Long, n: Long, s1: Long, s2: BigDecimal,
+      sPos: Long, sNeg: Long)
+
+  case class CusumOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, zscore6: Double,
+      cusum_pos: Double, cusum_neg: Double, changepoint_flag: Int)
+
+  /** st08: q19's CUSUM change-point detector as continuously-updating
+    * state — the streaming twin, standardizing each point against the
+    * PREFIX (causal) mean/stddev instead of q19's full-series stats,
+    * which is the only information a stream has at arrival time.
+    *
+    * State is O(1) per key (three exact moment sums + two CUSUM
+    * accumulators) and BOUNDED IN KEY COUNT: quiet tickers evict via
+    * `EventTimeTimeout` after `staleDays`, and a resumed ticker
+    * restarts its baseline — on an unbounded feed neither key churn
+    * nor per-key history can grow the state store.
+    *
+    * Determinism contract (§8 fixed-point discipline): values quantize
+    * to 1e-4 longs; z comes from exact integer moments with ONE
+    * correctly-rounded decimal→double conversion; z quantizes to 1e-6
+    * longs; the CUSUM recursion then runs in pure integer arithmetic —
+    * so the DuckDB oracle (running-window prefix stats + the
+    * runningSum − min(runningSum) closed form) matches bit-for-bit.
+    * Same in-order contract as st02.
+    */
+  def st08StreamCusum(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st08FromStream(s, eventStream(s, dir), staleDays)
+
+  def st08FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    import s.implicits._
+    val name = s"st08_out_${counter.incrementAndGet()}"
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val slack = 500000L // k = 0.5 sigma in 1e6 fixed point
+    val thresh = 5000000L // h = 5 sigma
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[CusumState]): Iterator[CusumOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // quiet ticker: baseline gone, key evicted
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[CusumOut]
+        var st = state.getOption
+          .getOrElse(CusumState(0L, 0L, 0L, BigDecimal(0), 0L, 0L))
+        sorted.foreach { e =>
+          // in-data staleness gap: same baseline restart the timeout
+          // path would have caused had the key stayed quiet
+          if (st.n > 0 && usOf(e.ts) - st.lastUs > staleUs)
+            st = CusumState(0L, 0L, 0L, BigDecimal(0), 0L, 0L)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          val n = st.n + 1
+          val s1 = st.s1 + vl
+          val s2 = st.s2 + BigDecimal(vl) * BigDecimal(vl)
+          val c = BigDecimal(n) * s2 - BigDecimal(s1) * BigDecimal(s1)
+          val zf =
+            if (n > 1 && c > 0) {
+              val a = (n * vl - s1).toDouble
+              math.floor(a / math.sqrt(c.toDouble * n / (n - 1)) *
+                1000000.0 + 0.5).toLong
+            } else 0L
+          val sPos = math.max(0L, st.sPos + zf - slack)
+          val sNeg = math.max(0L, st.sNeg - zf - slack)
+          st = CusumState(usOf(e.ts), n, s1, s2, sPos, sNeg)
+          out += CusumOut(key._1, key._2, e.event_id, e.ts, vl / 10000.0,
+            zf / 1000000.0, sPos / 1000000.0, sNeg / 1000000.0,
+            if (sPos > thresh || sNeg > thresh) 1 else 0)
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    withStatePartitions(s, 8) {
+      val q = stream
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .withWatermark("ts", "1 hour")
+        .as[TickEvent]
+        .groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(update)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("zscore6"),
+        col("cusum_pos"), col("cusum_neg"), col("changepoint_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
 }

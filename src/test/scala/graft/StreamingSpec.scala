@@ -35,12 +35,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
-  test("st02 multi-batch (maxFilesPerTrigger=1) matches the single-batch output") {
+  /** Stage the µs events as four time-range slices with increasing
+    * mtimes, so the file source delivers them as four chronological
+    * micro-batches — the in-order contract st02/st08 document.
+    */
+  private def stageSlices(): java.io.File = {
     import java.nio.file.{Files, StandardCopyOption}
     import java.nio.file.attribute.FileTime
-    // stage the µs events as four time-range slices with increasing
-    // mtimes, so the file source delivers them as four chronological
-    // micro-batches — the in-order contract st02 documents
     val base = new java.io.File("/tmp/graft_stream_stage/st02_slices")
     if (!new java.io.File(base, "_DONE").exists()) {
       base.mkdirs()
@@ -63,9 +64,16 @@ class StreamingSpec extends AnyFunSuite {
       }
       new java.io.File(base, "_DONE").createNewFile()
     }
-    val stream = spark.readStream.schema(StreamingAnomaly.eventSchema)
+    base
+  }
+
+  private def slicedStream() =
+    spark.readStream.schema(StreamingAnomaly.eventSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(base.getAbsolutePath)
+      .parquet(stageSlices().getAbsolutePath)
+
+  test("st02 multi-batch (maxFilesPerTrigger=1) matches the single-batch output") {
+    val stream = slicedStream()
     val multi = StreamingAnomaly.st02FromStream(spark, stream)
       .collect().map(_.toString).sorted
     val single = StreamingAnomaly.st02StatefulFlags(spark, dir)
@@ -73,6 +81,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.length == single.length,
       s"multi-batch ${multi.length} rows vs single-batch ${single.length}")
     assert(multi.sameElements(single))
+  }
+
+  test("st08 streaming CUSUM obeys the clamped recursion and flags consistently") {
+    val rows = StreamingAnomaly.st08StreamCusum(spark, dir).collect()
+    assert(rows.length == Tables.events(spark, dir).count())
+    val staleUs = (8.0 * 86400e6).toLong
+    def us(t: java.sql.Timestamp) = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    var key = ("", "")
+    var lastUs = 0L
+    var sPos = 0L
+    var sNeg = 0L
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("user_id").toString, r.getAs[String]("event_type"))
+      val ts = us(r.getAs[java.sql.Timestamp]("date_recorded"))
+      if (k != key || ts - lastUs > staleUs) { key = k; sPos = 0; sNeg = 0 }
+      lastUs = ts
+      val zf = math.round(r.getAs[Double]("zscore6") * 1e6)
+      sPos = math.max(0L, sPos + zf - 500000L)
+      sNeg = math.max(0L, sNeg - zf - 500000L)
+      assert(math.round(r.getAs[Double]("cusum_pos") * 1e6) == sPos, r.toString)
+      assert(math.round(r.getAs[Double]("cusum_neg") * 1e6) == sNeg, r.toString)
+      val want = if (sPos > 5000000L || sNeg > 5000000L) 1 else 0
+      assert(r.getAs[Int]("changepoint_flag") == want, r.toString)
+    }
+  }
+
+  test("st08 multi-batch (maxFilesPerTrigger=1) matches the single-batch output") {
+    val multi = StreamingAnomaly.st08FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st08StreamCusum(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.length == single.length && multi.sameElements(single))
   }
 
   test("st03 streaming dedup emits each (user, type, value) once") {
