@@ -36,6 +36,9 @@ object SparkEntry {
     "q17_twitter_decompose" -> Decompose.q17TwitterDecompose _,
     "q18_robust_loess"   -> Decompose.q18RobustLoess _,
     "q19_cusum_changepoint" -> SignalOps.q19Cusum _,
+    "q53_hampel_filter"  -> ((s, d) => SignalOps.q53Hampel(s, d)),
+    "t08_bigram_perplexity" ->
+      ((s, d) => graft.text.TextFns.bigramPerplexity(s, d)),
     "q48_interval_join"  -> ScaleOps.intervalJoin _,
     "q49_ewma_smooth"    -> SignalOps.q49Ewma _,
     "t06_tfidf"          -> ((s, d) => graft.text.TextFns.tfidf(s, d)),
@@ -131,6 +134,8 @@ object SparkEntry {
     "st07_stream_corpus" -> LlmOracle.st07,
     "q19_cusum_changepoint" -> SignalOracle.q19,
     "st08_stream_cusum"  -> SignalOracle.st08,
+    "q53_hampel_filter"  -> SignalOracle.q53,
+    "t08_bigram_perplexity" -> LlmOracle.t08,
     "q49_ewma_smooth"    -> SignalOracle.q49,
     "t06_tfidf"          -> LlmOracle.t06,
     "t07_bm25_search"    -> LlmOracle.t07,

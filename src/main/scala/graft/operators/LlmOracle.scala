@@ -307,6 +307,38 @@ object LlmOracle {
        |ORDER BY rk""".stripMargin
   }
 
+  /** t08: bigram perplexity — integer counts, one ln() per bigram
+    * occurrence quantized at 1e-9, order-free per-doc BIGINT sums.
+    */
+  val t08: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all($Norm, '[a-z0-9]+') AS toks
+       |  FROM documents
+       |), bg AS (
+       |  SELECT doc_id, b[1] AS v, b[2] AS w FROM (
+       |    SELECT doc_id,
+       |      unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS b
+       |    FROM tk WHERE len(toks) >= 2
+       |  )
+       |), cvw AS (
+       |  SELECT v, w, count(*) AS cvw FROM bg GROUP BY 1, 2
+       |), cv AS (
+       |  SELECT v, sum(cvw) AS cv FROM cvw GROUP BY 1
+       |), vocab AS (
+       |  SELECT count(DISTINCT t) AS vsize FROM (
+       |    SELECT unnest(regexp_extract_all($Norm, '[a-z0-9]+')) AS t
+       |    FROM documents
+       |  )
+       |), scored AS (
+       |  SELECT bg.doc_id,
+       |    CAST(floor(ln(CAST(cv + vsize AS DOUBLE) / CAST(cvw + 1 AS DOUBLE))
+       |      * 1.0e9 + 0.5) AS BIGINT) AS nll9
+       |  FROM bg JOIN cvw USING (v, w) JOIN cv USING (v) CROSS JOIN vocab
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  (CAST(sum(nll9) AS DOUBLE) / 1.0e9) / count(*) AS avg_nll
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** s04: majority-vote kNN classification over the s01 top-k set —
     * tie-break (votes desc, nearest-neighbour rank, label).
     */

@@ -135,6 +135,51 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
         col("event_id"))
   }
+  /** q53: Hampel filter — rolling median ± k·MAD spike detection, the
+    * robust companion to q06's mean/stddev z-score (median and MAD
+    * don't move when the spike itself enters the window, so a gross
+    * outlier can't mask itself). Window ±3, k = 3, the 1.4826
+    * Gaussian-consistency constant.
+    *
+    * One collect_list window over the SAME ticker-key exchange as the
+    * rest of the family; medians are computed exactly on the sorted
+    * 1e-4-scaled integers (odd count → element, even → midpoint, both
+    * exact in doubles), so the only inexact step is the final k·1.4826
+    * ·MAD threshold product — one deterministic double expression on
+    * both engines.
+    */
+  def q53Hampel(s: SparkSession, dir: String, hw: Int = 3,
+      k: Double = 3.0): DataFrame = {
+    val wArr = wAsc.rowsBetween(-hw, hw)
+    def medOfSorted(sorted: Column): Column = {
+      val n = size(sorted) // Spark int division is double; truncate back
+      val lo = ((n + 1) / 2).cast("int")
+      val hi = (n / 2).cast("int") + 1
+      (element_at(sorted, lo) + element_at(sorted, hi)) / 2.0
+    }
+    val df = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("arr", collect_list(col("v4l")).over(wArr))
+      .withColumn("med", medOfSorted(array_sort(col("arr"))))
+      .withColumn("mad", medOfSorted(array_sort(
+        transform(col("arr"), x => abs(x.cast("double") - col("med"))))))
+      .withColumn("dev", abs(col("v4l").cast("double") - col("med")))
+      .withColumn("hampel_flag",
+        when(col("mad") === 0.0, (col("dev") > 0.0).cast("int"))
+          .otherwise((col("dev") > lit(k) * lit(1.4826) * col("mad"))
+            .cast("int")))
+    df.select(
+      col("user_id"), col("event_type"), col("event_id"),
+      col("ts").as("date_recorded"),
+      (col("v4l") / lit(10000.0)).as("value"),
+      (col("med") / lit(10000.0)).as("rolling_med"),
+      (col("mad") / lit(10000.0)).as("mad"),
+      col("hampel_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -250,6 +295,41 @@ object SignalOracle {
       |  CASE WHEN s_pos > 5000000 OR s_neg > 5000000 THEN 1 ELSE 0 END
       |    AS changepoint_flag
       |FROM sfin
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  val q53: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), a AS (
+      |  SELECT *, list(v4l) OVER
+      |    (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+      |  FROM b
+      |), m AS (
+      |  SELECT *, list_sort(arr) AS sa FROM a
+      |), m2 AS (
+      |  SELECT *,
+      |    (sa[(len(sa) + 1) // 2] + sa[len(sa) // 2 + 1]) / 2.0 AS med
+      |  FROM m
+      |), d AS (
+      |  SELECT *, list_sort(list_transform(arr,
+      |    x -> abs(CAST(x AS DOUBLE) - med))) AS sd
+      |  FROM m2
+      |), d2 AS (
+      |  SELECT *,
+      |    (sd[(len(sd) + 1) // 2] + sd[len(sd) // 2 + 1]) / 2.0 AS mad,
+      |    abs(CAST(v4l AS DOUBLE) - med) AS dev
+      |  FROM d
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value,
+      |  med / 10000.0 AS rolling_med,
+      |  mad / 10000.0 AS mad,
+      |  CASE WHEN mad = 0.0 THEN CAST(dev > 0.0 AS INT)
+      |       ELSE CAST(dev > 3.0 * 1.4826 * mad AS INT) END AS hampel_flag
+      |FROM d2
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
   val q49: String = {

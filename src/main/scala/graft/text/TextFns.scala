@@ -264,6 +264,48 @@ object TextFns {
       .orderBy(col("rk"))
   }
 
+  /** t08: bigram-LM perplexity scoring — train an add-1-smoothed
+    * bigram language model on the corpus itself and score every
+    * document's average negative log-likelihood (perplexity =
+    * exp(avg_nll)); the classic cheap "does this read like the rest of
+    * the corpus" filter for pretraining data.
+    *
+    * Scale shape: bigrams are ROW-LOCAL (slice+zip of the token array
+    * — no per-doc window shuffle); the model is two groupBys (bigram
+    * and context counts) + repartition joins back on the bigram key;
+    * the vocab size is a 1-row broadcast. Per-bigram nll is one ln()
+    * quantized to 1e-9 BIGINTs (t05 precedent), so the per-doc sum is
+    * order-free and the hash exact.
+    */
+  def bigramPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val arr = regexp_extract_all(normText(col("text")),
+      lit("[a-z0-9]+"), lit(0))
+    val big = docs
+      .select(col("doc_id"), arr.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("v"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w"))).as("b"))
+      .select(col("doc_id"), col("b.v").as("v"), col("b.w").as("w"))
+    val cvw = big.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+    val cv = cvw.groupBy(col("v")).agg(sum(col("cvw")).as("cv"))
+    val vocab = docs.select(explode(arr).as("t")).agg(
+      countDistinct(col("t")).as("vsize"))
+    big
+      .join(cvw, Seq("v", "w"))
+      .join(cv, Seq("v"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll9",
+        floor(log((col("cv") + col("vsize")).cast("double") /
+          (col("cvw") + 1).cast("double")) * lit(1.0e9) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((sum(col("nll9")) / lit(1.0e9)) / count(lit(1))).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t04: document fingerprints — whole-text rolling hash plus the min
     * over per-128-char block hashes (winnowing-style locality).
     */

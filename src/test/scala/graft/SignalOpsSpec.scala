@@ -80,6 +80,26 @@ class SignalOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("q53 hampel flags a spike the spike itself cannot mask") {
+    import spark.implicits._
+    val vals = (1 to 20).map(i => if (i == 10) 50.0 else 5.0 + (i % 2) * 0.2)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "spike", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q53spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.operators.SignalOps.q53Hampel(spark, tmp).collect()
+    val spike = out.find(_.getAs[Long]("event_id") == 9L).get
+    assert(spike.getAs[Int]("hampel_flag") == 1, spike.toString)
+    // the rolling median at the spike ignores the spike value itself
+    assert(math.abs(spike.getAs[Double]("rolling_med") - 5.1) < 0.2)
+    // neighbours of the spike stay unflagged (median robustness —
+    // a rolling MEAN filter would flag them too)
+    out.filter(r => Set(8L, 10L)(r.getAs[Long]("event_id")))
+      .foreach(r => assert(r.getAs[Int]("hampel_flag") == 0, r.toString))
+  }
+
   test("q48 binned interval join equals the naive range join") {
     val ev = Tables.events(spark, dir)
     val c = ev.filter(col("event_type") === "click")

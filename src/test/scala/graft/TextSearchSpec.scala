@@ -37,6 +37,31 @@ class TextSearchSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("n_terms_hit") <= 3))
   }
 
+  test("t08 perplexity: positive nll, corpus-typical text scores lower") {
+    val out = TextFns.bigramPerplexity(spark, dir).cache()
+    assert(out.filter(col("avg_nll") <= 0).count() == 0,
+      "smoothed bigram probabilities are < 1, so nll must be positive")
+    // docs made of frequent corpus bigrams read as less surprising
+    // than the corpus's most surprising doc by a wide margin
+    val stats = out.agg(min("avg_nll"), max("avg_nll")).head()
+    assert(stats.getDouble(0) < stats.getDouble(1),
+      "scores must discriminate")
+    // exact duplicate docs must score identically (pure function of
+    // text + corpus counts)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.dedup.Dedup.normText(col("text")).as("n"))
+    val dupPair = docs.as("a").join(docs.as("b"),
+        col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .head(1)
+    dupPair.foreach { p =>
+      val s = out.filter(col("doc_id").isin(p.getLong(0), p.getLong(1)))
+        .select("avg_nll").collect().map(_.getDouble(0))
+      assert(s.length == 2 && s(0) == s(1), s.mkString(","))
+    }
+    out.unpersist()
+  }
+
   test("s04 knn classify: majority label of the s01 neighbourhood") {
     val nn = Ann.bruteForceTopK(spark, dir)
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
