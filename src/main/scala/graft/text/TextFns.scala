@@ -185,8 +185,11 @@ object TextFns {
     val tok = docs.select(col("doc_id"),
       explode(regexp_extract_all(normText(col("text")),
         lit("[a-z0-9]+"), lit(0))).as("term"))
+    // materialize tf once: df and the scoring join both consume it, and
+    // without the checkpoint each branch re-scans (and re-explodes) the
+    // full corpus — 3 scans instead of 1 at 100 TB
     val tf = tok.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -228,34 +231,46 @@ object TextFns {
     */
   def bm25Search(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val qTerms = Bm25Query
-    val docs = Tables.documents(s, dir)
-    val tok = docs.select(col("doc_id"),
-      explode(regexp_extract_all(normText(col("text")),
-        lit("[a-z0-9]+"), lit(0))).as("term"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val tf = tok.filter(col("term").isInCollection(qTerms))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val contrib = tf
-      .join(broadcast(df), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))))
-      .withColumn("c6",
-        floor(col("idf") * col("tf") /
-          (col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) +
+    // the query term set is FIXED, so tf needs no inverted index at
+    // all: per-doc term frequencies are row-local array filters over
+    // the token array — ONE corpus scan total, one 1-row global agg
+    // broadcast back (N, avgdl, per-term dfs), zero explodes
+    val toks = regexp_extract_all(normText(col("text")),
+      lit("[a-z0-9]+"), lit(0))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(Seq(col("doc_id"),
+        size(col("toks")).cast("long").as("dl")) ++
+        qTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === lit(t))).cast("long")
+            .as(s"tf_$i")
+        }: _*)
+    val aggs = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      qTerms.indices.map(i =>
+        sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    // per-term fixed-point contributions (BIGINT, order-free), summed
+    // as an explicit left-assoc chain — identical to the oracle's
+    def c6(i: Int): Column = {
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5)))
+      when(col(s"tf_$i") > 0,
+        floor(idf * col(s"tf_$i") /
+          (col(s"tf_$i") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) +
             lit(Bm25B) * col("dl") / col("avgdl"))) *
           lit(1000000.0) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    val hit = qTerms.indices
+      .map(i => (col(s"tf_$i") > 0).cast("long")).reduceLeft(_ + _)
     // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
     // heaps, no global sort); the rank window then runs over k rows
-    contrib.groupBy(col("doc_id"))
-      .agg((sum(col("c6")) / lit(1000000.0)).as("score6"),
-        count(lit(1)).as("n_terms_hit"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("score6",
+        qTerms.indices.map(c6).reduceLeft(_ + _) / lit(1000000.0))
+      .withColumn("n_terms_hit", hit)
+      .filter(col("n_terms_hit") > 0)
       .orderBy(col("score6").desc, col("doc_id"))
       .limit(k)
       .withColumn("rk",
@@ -281,18 +296,25 @@ object TextFns {
     val docs = Tables.documents(s, dir)
     val arr = regexp_extract_all(normText(col("text")),
       lit("[a-z0-9]+"), lit(0))
-    val big = docs
+    // per-(doc, bigram) multiplicities FIRST, checkpointed: the model
+    // counts (cvw, cv) derive from this compact table instead of
+    // re-exploding the corpus, and the scoring join weights each
+    // distinct bigram by its multiplicity — one corpus scan for the
+    // counts plus one column-pruned scan for the vocab size
+    val dvw = docs
       .select(col("doc_id"), arr.as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(arrays_zip(
         slice(col("toks"), lit(1), size(col("toks")) - 1).as("v"),
         slice(col("toks"), lit(2), size(col("toks")) - 1).as("w"))).as("b"))
-      .select(col("doc_id"), col("b.v").as("v"), col("b.w").as("w"))
-    val cvw = big.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+      .groupBy(col("doc_id"), col("b.v").as("v"), col("b.w").as("w"))
+      .agg(count(lit(1)).as("mult"))
+      .localCheckpoint()
+    val cvw = dvw.groupBy(col("v"), col("w")).agg(sum(col("mult")).as("cvw"))
     val cv = cvw.groupBy(col("v")).agg(sum(col("cvw")).as("cv"))
     val vocab = docs.select(explode(arr).as("t")).agg(
       countDistinct(col("t")).as("vsize"))
-    big
+    dvw
       .join(cvw, Seq("v", "w"))
       .join(cv, Seq("v"))
       .crossJoin(broadcast(vocab))
@@ -301,8 +323,9 @@ object TextFns {
           (col("cvw") + 1).cast("double")) * lit(1.0e9) + lit(0.5))
           .cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        ((sum(col("nll9")) / lit(1.0e9)) / count(lit(1))).as("avg_nll"))
+      .agg(sum(col("mult")).as("n_bigrams"),
+        ((sum(col("mult") * col("nll9")) / lit(1.0e9)) /
+          sum(col("mult"))).as("avg_nll"))
       .orderBy(col("doc_id"))
   }
 

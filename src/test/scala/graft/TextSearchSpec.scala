@@ -62,6 +62,16 @@ class TextSearchSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("text scoring ops scan the corpus a bounded number of times") {
+    // a 100 TB corpus must not be re-read per model branch: tf / bigram
+    // tables are checkpointed, BM25's tf is row-local (no explode)
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(scans(TextFns.tfidf(spark, dir)) <= 1)
+    assert(scans(TextFns.bm25Search(spark, dir)) <= 2)
+    assert(scans(TextFns.bigramPerplexity(spark, dir)) <= 1)
+  }
+
   test("s04 knn classify: majority label of the s01 neighbourhood") {
     val nn = Ann.bruteForceTopK(spark, dir)
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
