@@ -91,6 +91,7 @@ object SparkEntry {
     "t03_token_count"    -> graft.text.TextFns.tokenCount _,
     "t04_fingerprint"    -> graft.text.TextFns.fingerprint _,
     "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
+    "m02_audio_features" -> ((s, d) => graft.multimodal.Audio.q(s, d)),
     "st01_stream_window_agg" -> graft.streaming.StreamingAnomaly.st01WindowAgg _,
     // dataPeriods = 28 matches the oracle's ROWS BETWEEN 27 PRECEDING
     // AND CURRENT ROW rolling frame (r2 hash-fail was this mismatch:
@@ -422,6 +423,7 @@ object SparkEntry {
     "t04_fingerprint"    -> LlmOracle.t04,
     "p01_corpus_pipeline" -> LlmOracle.p01,
     "m01_multimodal_meta" -> LlmOracle.m01,
+    "m02_audio_features" -> LlmOracle.m02,
     "q47_orc_roundtrip" ->
       """SELECT c_nationkey, count(*) AS n_negative,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS neg_balance

@@ -1,0 +1,136 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** m02: the audio leg of the multimodal family (SURVEY.md §2C) —
+  * same design as m01's image leg: payloads are REAL RIFF/WAV bytes
+  * (PCM 16-bit mono, built and parsed with plain `java.nio` — no
+  * dependency at all), decoded per partition, and the CONTENT is
+  * deterministic in doc_id so every decoded feature is closed-form
+  * integer arithmetic a DuckDB oracle reproduces. PCM is lossless, so
+  * the parsed samples equal the synthesis formula exactly.
+  *
+  * Features are the standard cheap audio triage set: sample rate,
+  * length, duration, peak amplitude, energy (exact integer sum of
+  * squares), zero-crossing count.
+  */
+object Audio {
+
+  private def rateOf(id: Long): Int = (8000 + (id % 3) * 4000).toInt
+  private def nSamplesOf(id: Long): Int = (200 + (id * 11) % 300).toInt
+  private def sampleOf(id: Long, i: Int): Int =
+    ((id * 31 + i.toLong * 17) % 65536 - 32768).toInt
+
+  /** Minimal canonical WAV writer: RIFF header + fmt + data chunks. */
+  def wavBytes(id: Long): Array[Byte] = {
+    val rate = rateOf(id)
+    val n = nSamplesOf(id)
+    val dataLen = n * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(1) // mono
+    buf.putInt(rate)
+    buf.putInt(rate * 2) // byte rate
+    buf.putShort(2) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { buf.putShort(sampleOf(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Real RIFF chunk walk: locate fmt + data, return
+    * (rate, bits, channels, samples).
+    */
+  def parseWav(
+      bytes: Array[Byte]): (Int, Int, Int, Array[Short]) = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = {
+      val a = new Array[Byte](n); buf.get(a); new String(a, "US-ASCII")
+    }
+    require(ascii(4) == "RIFF", "not a RIFF container")
+    buf.getInt() // riff size
+    require(ascii(4) == "WAVE", "not a WAVE stream")
+    var rate = 0; var bits = 0; var channels = 0
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8) {
+      val id = ascii(4)
+      val size = buf.getInt()
+      val next = buf.position() + size + (size & 1) // chunks are word-aligned
+      id match {
+        case "fmt " =>
+          require(buf.getShort() == 1, "only PCM supported")
+          channels = buf.getShort()
+          rate = buf.getInt()
+          buf.getInt(); buf.getShort()
+          bits = buf.getShort()
+        case "data" =>
+          require(bits == 16 && channels == 1, "expected 16-bit mono")
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = buf.getShort(); i += 1 }
+        case _ => // skip unknown chunks
+      }
+      buf.position(next)
+    }
+    require(samples != null, "no data chunk")
+    (rate, bits, channels, samples)
+  }
+
+  /** Synthesize the audio table: payload = real WAV bytes, metadata
+    * struct queryable without decoding.
+    */
+  def audioTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, wavBytes(id), rateOf(id))))
+      .toDF("media_id", "payload", "rate")
+      .select(col("media_id"), col("payload"),
+        struct(
+          octet_length(col("payload")).as("n_bytes"),
+          col("rate").as("sample_rate"),
+          lit("audio/wav").as("mime")).as("meta"))
+  }
+
+  /** Per-partition decode + feature extraction over the payload
+    * column: peak / energy / zero crossings from the parsed samples
+    * (exact integer arithmetic — no float drift).
+    */
+  def decode(audio: DataFrame): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (rate, _, _, smp) = parseWav(bytes)
+        var sq = 0L
+        var peak = 0
+        var zc = 0L
+        var i = 0
+        while (i < smp.length) {
+          val v = smp(i).toInt
+          sq += v.toLong * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          if (i > 0 && ((smp(i - 1) < 0) != (v < 0))) zc += 1
+          i += 1
+        }
+        (id, rate, smp.length.toLong,
+          smp.length.toLong * 1000 / rate, peak, sq, zc)
+      })
+      .toDF("media_id", "sample_rate", "n_samples", "duration_ms",
+        "peak", "sq_sum", "zero_crossings")
+  }
+
+  /** m02 query: encode → decode roundtrip over real WAV payloads. */
+  def q(s: SparkSession, dir: String): DataFrame =
+    decode(audioTable(s, dir)).orderBy(col("media_id"))
+}

@@ -359,6 +359,37 @@ object LlmOracle {
        |FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
        |WHERE p.rn = 1 ORDER BY p.query_id""".stripMargin
 
+  /** m02: the decoded-audio features in closed form — PCM roundtrips
+    * samples exactly, so the parsed WAV statistics equal this integer
+    * arithmetic over generate_series (same design as m01).
+    */
+  val m02: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+      |    CAST(200 + (doc_id * 11) % 300 AS BIGINT) AS n_samples
+      |  FROM documents
+      |), v AS (
+      |  SELECT media_id, sample_rate, n_samples, i,
+      |    (media_id * 31 + i * 17) % 65536 - 32768 AS smp
+      |  FROM (SELECT *, unnest(range(n_samples)) AS i FROM d)
+      |), agg AS (
+      |  SELECT media_id, sample_rate, n_samples,
+      |    SUM(CAST(smp AS HUGEINT) * smp) AS sq_sum,
+      |    MAX(abs(smp)) AS peak,
+      |    SUM(CASE WHEN i < n_samples - 1 AND
+      |      ((smp < 0) !=
+      |       (((media_id * 31 + (i + 1) * 17) % 65536 - 32768) < 0))
+      |      THEN 1 ELSE 0 END) AS zero_crossings
+      |  FROM v GROUP BY 1, 2, 3
+      |)
+      |SELECT media_id, sample_rate, n_samples,
+      |  n_samples * 1000 // sample_rate AS duration_ms,
+      |  CAST(peak AS INT) AS peak,
+      |  CAST(sq_sum AS BIGINT) AS sq_sum,
+      |  CAST(zero_crossings AS BIGINT) AS zero_crossings
+      |FROM agg ORDER BY media_id""".stripMargin
+
   /** st07: the streaming corpus-prep result set — every feature is a
     * function of the normalized text, so the watermarkless streaming
     * dedup's survivor set is exactly SELECT DISTINCT.

@@ -185,6 +185,52 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m02 WAV roundtrip recovers exact samples and audio features") {
+    import graft.multimodal.Audio
+    val rows = Audio.q(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val n = (200 + (id * 11) % 300).toInt
+      assert(r.getAs[Int]("sample_rate") == 8000 + (id % 3).toInt * 4000)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      // energy recomputed in closed form (PCM is lossless)
+      var sq = 0L
+      for (i <- 0 until n) {
+        val v = (id * 31 + i.toLong * 17) % 65536 - 32768
+        sq += v * v
+      }
+      assert(r.getAs[Long]("sq_sum") == sq, s"energy mismatch for $id")
+      assert(r.getAs[Int]("peak") <= 32768)
+    }
+  }
+
+  test("m02 payloads are genuine RIFF/WAVE bytes with queryable metadata") {
+    import graft.multimodal.Audio
+    val media = Audio.audioTable(spark, dir).limit(20).collect()
+    media.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      assert(meta.getAs[Int]("n_bytes") == bytes.length)
+      assert(meta.getAs[String]("mime") == "audio/wav")
+    }
+    // the parser is a real chunk walk, not an offset assumption: an
+    // extra chunk before fmt/data still decodes
+    val id = 7L
+    val canonical = Audio.wavBytes(id)
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4)
+    val padded = canonical.take(12) ++ junk ++ canonical.drop(12)
+    val fixed = java.nio.ByteBuffer.wrap(padded)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fixed.putInt(4, padded.length - 8) // fix riff size
+    val (rate, bits, ch, smp) = Audio.parseWav(fixed.array())
+    val (r0, b0, c0, s0) = Audio.parseWav(canonical)
+    assert(rate == r0 && bits == b0 && ch == c0 && smp.sameElements(s0))
+  }
+
   test("p01 pipeline keeps only en docs above quality with unique content") {
     import graft.operators.CorpusPipeline
     val kept = CorpusPipeline.prepare(spark, dir).collect()
