@@ -92,6 +92,7 @@ object SparkEntry {
     "t04_fingerprint"    -> graft.text.TextFns.fingerprint _,
     "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
     "m02_audio_features" -> ((s, d) => graft.multimodal.Audio.q(s, d)),
+    "m03_video_frames" -> ((s, d) => graft.multimodal.Video.q(s, d)),
     "st01_stream_window_agg" -> graft.streaming.StreamingAnomaly.st01WindowAgg _,
     // dataPeriods = 28 matches the oracle's ROWS BETWEEN 27 PRECEDING
     // AND CURRENT ROW rolling frame (r2 hash-fail was this mismatch:
@@ -424,6 +425,7 @@ object SparkEntry {
     "p01_corpus_pipeline" -> LlmOracle.p01,
     "m01_multimodal_meta" -> LlmOracle.m01,
     "m02_audio_features" -> LlmOracle.m02,
+    "m03_video_frames" -> LlmOracle.m03,
     "q47_orc_roundtrip" ->
       """SELECT c_nationkey, count(*) AS n_negative,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS neg_balance

@@ -1,0 +1,164 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.ByteBuffer
+
+/** m03: the video leg of the multimodal family (SURVEY.md §2C) —
+  * frame sampling, the canonical big-corpus video op: decode every
+  * Nth frame, never touch the rest.
+  *
+  * Real video codecs aren't in this container, so the CONTAINER is
+  * ours (a length-prefixed PNG frame sequence) but everything else is
+  * real: each frame is genuine PNG bytes (JDK `javax.imageio`
+  * encode), the sampler walks the container with a real
+  * length-prefix parser, and — the part that matters at 100 TB —
+  * frames that aren't sampled are SKIPPED with a pointer bump, never
+  * decoded. Swap the frame slicer for an MP4/MKV demuxer binding and
+  * the Spark-side shape (schema, per-partition codec scope, flatMap
+  * row explosion, stride semantics) is unchanged.
+  *
+  * Frame CONTENT is deterministic in (doc_id, frame_idx) — same
+  * linear-congruential grays as m01 — so PNG losslessness makes every
+  * decoded statistic closed-form integer arithmetic the DuckDB oracle
+  * reproduces with generate_series.
+  */
+object Video {
+
+  /** Sampling stride: decode frames 0, 3, 6, … */
+  val FrameStride = 3
+
+  private val Magic = 0x47564944 // "GVID"
+
+  private def nFramesOf(id: Long): Int = (4 + id % 9).toInt
+  private def widthOf(id: Long): Int = (8 + id % 17).toInt
+  private def heightOf(id: Long): Int = (8 + (id * 5) % 17).toInt
+  private def pixelOf(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+
+  /** Encode one video: GVID magic, frame count, then per frame a
+    * 4-byte length prefix + real PNG bytes.
+    */
+  def videoBytes(id: Long, writer: javax.imageio.ImageWriter,
+      bos: java.io.ByteArrayOutputStream): Array[Byte] = {
+    val n = nFramesOf(id)
+    val w = widthOf(id)
+    val h = heightOf(id)
+    val frames = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, pixelOf(id, f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      bos.reset()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.close()
+      bos.toByteArray
+    }
+    val buf = ByteBuffer.allocate(8 + frames.map(4 + _.length).sum)
+    buf.putInt(Magic).putInt(n)
+    frames.foreach { png => buf.putInt(png.length).put(png) }
+    buf.array()
+  }
+
+  /** Synthesize the video table: payload = framed PNG sequence,
+    * metadata struct queryable without decoding.
+    */
+  def videoTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val bos = new java.io.ByteArrayOutputStream(4096)
+        it.map { id =>
+          (id, videoBytes(id, writer, bos), nFramesOf(id),
+            widthOf(id), heightOf(id))
+        }
+      }
+      .toDF("media_id", "payload", "nf", "w", "h")
+      .select(col("media_id"), col("payload"),
+        struct(
+          octet_length(col("payload")).as("n_bytes"),
+          col("nf").as("n_frames"),
+          col("w").as("width"), col("h").as("height"),
+          lit("video/x-png-frames").as("mime")).as("meta"))
+  }
+
+  /** Walk the container and decode every `stride`-th frame; emit one
+    * row per SAMPLED frame. Unsampled frames are skipped by their
+    * length prefix — zero decode cost, which is why stride sampling
+    * is linear in sampled (not total) frames at corpus scale.
+    */
+  def sampleFrames(videos: DataFrame, stride: Int): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.flatMap { case (id, bytes) =>
+          val buf = ByteBuffer.wrap(bytes)
+          require(buf.getInt() == Magic, "not a GVID payload")
+          val n = buf.getInt()
+          (0 until n).iterator.flatMap { f =>
+            val len = buf.getInt()
+            if (f % stride != 0) {
+              buf.position(buf.position() + len) // skip: no decode
+              Iterator.empty
+            } else {
+              val png = new Array[Byte](len)
+              buf.get(png)
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(png))
+              reader.setInput(iis)
+              val img = reader.read(0)
+              val raster = img.getRaster
+              val w = img.getWidth
+              val h = img.getHeight
+              var sum = 0L
+              var mn = 255
+              var mx = 0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = raster.getSample(x, y, 0)
+                  sum += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  x += 1
+                }
+                y += 1
+              }
+              Iterator.single((id, f, n, w, h, sum, mn, mx))
+            }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "n_frames", "width", "height",
+        "px_sum", "px_min", "px_max")
+  }
+
+  /** m03 query: encode → stride-sample → decode over real framed PNG
+    * payloads; every column deterministic integer arithmetic.
+    */
+  def q(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(videoTable(s, dir), FrameStride)
+      .orderBy(col("media_id"), col("frame_idx"))
+}

@@ -390,6 +390,45 @@ object LlmOracle {
       |  CAST(zero_crossings AS BIGINT) AS zero_crossings
       |FROM agg ORDER BY media_id""".stripMargin
 
+  /** m03: the stride-sampled video frame features in closed form —
+    * frames are lossless PNG with content deterministic in
+    * (media_id, frame_idx), so the sampled-frame statistics equal
+    * this integer arithmetic over generate_series (same design as
+    * m01/m02; stride 3 mirrors `Video.FrameStride`).
+    */
+  val m03: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(4 + doc_id % 9 AS INT) AS n_frames,
+      |    CAST(8 + doc_id % 17 AS INT) AS width,
+      |    CAST(8 + (doc_id * 5) % 17 AS INT) AS height
+      |  FROM documents
+      |), fr AS (
+      |  SELECT media_id, n_frames, width, height, unnest(range(n_frames)) AS f
+      |  FROM d
+      |), sampled AS (
+      |  SELECT * FROM fr WHERE f % 3 = 0
+      |), xs AS (
+      |  SELECT media_id, n_frames, width, height, f,
+      |    unnest(range(width)) AS x
+      |  FROM sampled
+      |), xy AS (
+      |  SELECT media_id, n_frames, width, height, f, x,
+      |    unnest(range(height)) AS y
+      |  FROM xs
+      |), px AS (
+      |  SELECT media_id, f, n_frames, width, height,
+      |    SUM((media_id * 31 + f * 17 + x * 7 + y * 13) % 256) AS px_sum,
+      |    MIN((media_id * 31 + f * 17 + x * 7 + y * 13) % 256) AS px_min,
+      |    MAX((media_id * 31 + f * 17 + x * 7 + y * 13) % 256) AS px_max
+      |  FROM xy GROUP BY 1, 2, 3, 4, 5
+      |)
+      |SELECT media_id, CAST(f AS INT) AS frame_idx, n_frames, width, height,
+      |  CAST(px_sum AS BIGINT) AS px_sum,
+      |  CAST(px_min AS INT) AS px_min,
+      |  CAST(px_max AS INT) AS px_max
+      |FROM px ORDER BY media_id, frame_idx""".stripMargin
+
   /** st07: the streaming corpus-prep result set — every feature is a
     * function of the normalized text, so the watermarkless streaming
     * dedup's survivor set is exactly SELECT DISTINCT.

@@ -231,6 +231,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rate == r0 && bits == b0 && ch == c0 && smp.sameElements(s0))
   }
 
+  test("m03 frame sampling decodes only every stride-th frame, exactly") {
+    import graft.multimodal.Video
+    val rows = Video.q(spark, dir).collect()
+    // one row per SAMPLED frame: ceil(n_frames / stride) per video
+    val byVideo = rows.groupBy(_.getAs[Long]("media_id"))
+    assert(byVideo.size == 500)
+    byVideo.foreach { case (id, frames) =>
+      val n = (4 + id % 9).toInt
+      val expectedIdx = (0 until n).filter(_ % Video.FrameStride == 0)
+      assert(frames.map(_.getAs[Int]("frame_idx")).sorted
+        .sameElements(expectedIdx), s"wrong sampled frames for $id")
+      frames.foreach { r =>
+        val f = r.getAs[Int]("frame_idx")
+        val w = r.getAs[Int]("width")
+        val h = r.getAs[Int]("height")
+        assert(w == 8 + (id % 17).toInt && h == 8 + ((id * 5) % 17).toInt)
+        assert(r.getAs[Int]("n_frames") == n)
+        // decoded pixel sum equals the synthesis closed form (PNG lossless)
+        var expected = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          expected += (id * 31 + f * 17 + x * 7 + y * 13) % 256
+        assert(r.getAs[Long]("px_sum") == expected)
+      }
+    }
+  }
+
+  test("m03 container skips unsampled frames without decoding them") {
+    import graft.multimodal.Video
+    // corrupt every frame the stride does NOT sample: if the sampler
+    // decoded them it would throw; skipping by length prefix must not
+    javax.imageio.ImageIO.setUseCache(false)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("png").next()
+    val bos = new java.io.ByteArrayOutputStream(4096)
+    val id = 11L // 4 + 11 % 9 = 6 frames; samples 0 and 3
+    val bytes = Video.videoBytes(id, writer, bos)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    buf.getInt(); val n = buf.getInt()
+    for (f <- 0 until n) {
+      val len = buf.getInt()
+      if (f % Video.FrameStride != 0)
+        buf.put(buf.position(), Array[Byte](0, 0, 0, 0), 0, 4) // smash magic
+      buf.position(buf.position() + len)
+    }
+    import spark.implicits._
+    val corrupted = Seq((id, buf.array())).toDF("media_id", "payload")
+    val out = Video.sampleFrames(corrupted, Video.FrameStride).collect()
+    assert(out.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Seq(0, 3)))
+  }
+
   test("p01 pipeline keeps only en docs above quality with unique content") {
     import graft.operators.CorpusPipeline
     val kept = CorpusPipeline.prepare(spark, dir).collect()
