@@ -126,6 +126,63 @@ object Multimodal {
       .toDF("media_id", "width", "height", "px_sum", "px_min", "px_max")
   }
 
+  /** Thumbnail edge for m04 resize. */
+  val ThumbSize = 16
+
+  /** m04: decode + nearest-neighbour resample to ThumbSize² inside
+    * the same per-partition codec scope — the thumbnail/normalize
+    * step every vision-data pipeline runs before feature extraction.
+    * The kernel maps destination pixel (x, y) to source pixel
+    * (x·w/T, y·h/T) with integer arithmetic (the standard NN forward
+    * map), so resized statistics stay closed-form for the oracle.
+    */
+  def resize(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    val t = ThumbSize
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val img = reader.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          var sum = 0L
+          var mn = 255
+          var mx = 0
+          var y = 0
+          while (y < t) {
+            val sy = y * h / t
+            var x = 0
+            while (x < t) {
+              val v = raster.getSample(x * w / t, sy, 0)
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, t, t, sum, mn, mx)
+        }
+      }
+      .toDF("media_id", "src_width", "src_height", "width", "height",
+        "px_sum", "px_min", "px_max")
+  }
+
+  /** m04 query: encode → decode → NN thumbnail over real PNG
+    * payloads; every column deterministic integer arithmetic.
+    */
+  def qResize(s: SparkSession, dir: String): DataFrame =
+    resize(mediaTable(s, dir)).orderBy(col("media_id"))
+
   /** m01 query: encode → decode roundtrip + a resolution bucket —
     * exercises payload bytes, the metadata struct, and the
     * partition-batch codec path end to end, with every output column

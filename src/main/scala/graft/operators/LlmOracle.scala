@@ -390,6 +390,39 @@ object LlmOracle {
       |  CAST(zero_crossings AS BIGINT) AS zero_crossings
       |FROM agg ORDER BY media_id""".stripMargin
 
+  /** m04: the nearest-neighbour 16×16 thumbnail statistics in closed
+    * form — the NN forward map picks source pixel (x·w//16, y·h//16),
+    * so the resampled grays are the m01 synthesis formula at those
+    * coordinates.
+    */
+  val m04: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(8 + doc_id % 25 AS INT) AS src_width,
+      |    CAST(8 + (doc_id * 7) % 25 AS INT) AS src_height
+      |  FROM documents
+      |), xs AS (
+      |  SELECT media_id, src_width, src_height, unnest(range(16)) AS x FROM d
+      |), xy AS (
+      |  SELECT media_id, src_width, src_height, x, unnest(range(16)) AS y
+      |  FROM xs
+      |), px AS (
+      |  SELECT media_id, src_width, src_height,
+      |    SUM((media_id * 31 + (x * src_width // 16) * 7 +
+      |         (y * src_height // 16) * 13) % 256) AS px_sum,
+      |    MIN((media_id * 31 + (x * src_width // 16) * 7 +
+      |         (y * src_height // 16) * 13) % 256) AS px_min,
+      |    MAX((media_id * 31 + (x * src_width // 16) * 7 +
+      |         (y * src_height // 16) * 13) % 256) AS px_max
+      |  FROM xy GROUP BY 1, 2, 3
+      |)
+      |SELECT media_id, src_width, src_height,
+      |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+      |  CAST(px_sum AS BIGINT) AS px_sum,
+      |  CAST(px_min AS INT) AS px_min,
+      |  CAST(px_max AS INT) AS px_max
+      |FROM px ORDER BY media_id""".stripMargin
+
   /** m03: the stride-sampled video frame features in closed form —
     * frames are lossless PNG with content deterministic in
     * (media_id, frame_idx), so the sampled-frame statistics equal

@@ -231,6 +231,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rate == r0 && bits == b0 && ch == c0 && smp.sameElements(s0))
   }
 
+  test("m04 NN resize maps thumbnail pixels to exact source pixels") {
+    val t = Multimodal.ThumbSize
+    val rows = Multimodal.qResize(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val w = 8 + (id % 25).toInt
+      val h = 8 + ((id * 7) % 25).toInt
+      assert(r.getAs[Int]("src_width") == w &&
+        r.getAs[Int]("src_height") == h)
+      assert(r.getAs[Int]("width") == t && r.getAs[Int]("height") == t)
+      // recompute the thumbnail in closed form: NN forward map both
+      // up- (w < 16) and down-samples (w > 16) correctly
+      var sum = 0L
+      for (y <- 0 until t; x <- 0 until t)
+        sum += (id * 31 + (x * w / t) * 7 + (y * h / t) * 13) % 256
+      assert(r.getAs[Long]("px_sum") == sum, s"thumb mismatch for $id")
+    }
+  }
+
   test("m03 frame sampling decodes only every stride-th frame, exactly") {
     import graft.multimodal.Video
     val rows = Video.q(spark, dir).collect()
