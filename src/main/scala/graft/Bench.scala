@@ -64,13 +64,36 @@ object Bench {
     graft.streaming.StreamingCorpus.ensureStaged(spark, sfDir)
     graft.sources.Sources.ensureStaged(spark, sfDir)
     graft.operators.ScaleOps.ensureStaged(spark, sfDir)
+    graft.multimodal.Multimodal.ensureStaged(spark, sfDir)
+    graft.multimodal.Audio.ensureStaged(spark, sfDir)
+    graft.multimodal.Video.ensureStaged(spark, sfDir)
+    // Session hygiene between timings: localCheckpoint intermediates
+    // (t06 tf, t08 bigram table, d02/d03 signatures, d06 edge rounds)
+    // persist MEMORY_AND_DISK until the ContextCleaner notices the
+    // dropped reference — left alone they pile up across 85 queries and
+    // later window sorts absorb multi-second GC that belongs to nobody.
+    // Sweep every persisted RDD after each query (its result is already
+    // counted; nothing is reused across queries — all cross-query
+    // staging is parquet on disk), and give the JVM an explicit full GC
+    // at each query-family boundary so a family starts from a clean
+    // heap instead of inheriting the previous family's garbage.
+    def sweep(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+    def family(name: String): String = name.takeWhile(!_.isDigit)
     val only = args.toSet // optional subset for local iteration
+    var prevFamily = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+        if (family(name) != prevFamily) { System.gc(); prevFamily = family(name) }
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweep()
+        name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

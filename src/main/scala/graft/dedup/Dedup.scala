@@ -175,7 +175,14 @@ object Dedup {
     // loop below remains the at-scale path: a 100 TB corpus's pair
     // graph (billions of edges) takes the distributed branch.
     if (nPairs <= localSolveMaxEdges) {
-      val edgeArr = pairs.select(col("doc_a"), col("doc_b")).collect()
+      import s.implicits._
+      // collect as primitive tuples (not Rows: 1M boxed GenericRows is
+      // ~100-200 MB of driver heap vs ~16 MB of long pairs) and emit
+      // the result through createDataset so the components travel as a
+      // parallelized RDD instead of a LocalRelation re-serialized into
+      // every plan that references it
+      val edgeArr = pairs.select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -186,16 +193,17 @@ object Dedup {
         }
         r
       }
-      edgeArr.foreach { e =>
-        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+      edgeArr.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val members = edgeArr
-        .flatMap(e => Seq(e.getLong(0), e.getLong(1))).distinct
+        .flatMap { case (a, b) => Seq(a, b) }.distinct
         .map(d => (d, find(d)))
       pairs.unpersist()
-      import s.implicits._
-      return members.toSeq.toDF("doc_id", "component_id")
+      return s.createDataset(s.sparkContext.parallelize(
+          members.toIndexedSeq, math.max(1, members.length / 500000)))
+        .toDF("doc_id", "component_id")
         .withColumn("is_kept",
           (col("doc_id") === col("component_id")).cast("int"))
         .orderBy(col("doc_id"))

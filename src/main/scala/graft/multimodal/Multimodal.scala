@@ -177,19 +177,29 @@ object Multimodal {
         "px_sum", "px_min", "px_max")
   }
 
-  /** m04 query: encode → decode → NN thumbnail over real PNG
+  /** The media table staged to parquet once (MediaStage) — m01/m04
+    * time the decode path over stored payloads, the corpus shape.
+    */
+  def stagedMediaTable(s: SparkSession, dir: String): DataFrame =
+    MediaStage.staged(s, dir, "img")(mediaTable(s, dir))
+
+  /** Bench warm-up hook: materialize the staged payloads. */
+  def ensureStaged(s: SparkSession, dir: String): Unit =
+    stagedMediaTable(s, dir)
+
+  /** m04 query: decode → NN thumbnail over real stored PNG
     * payloads; every column deterministic integer arithmetic.
     */
   def qResize(s: SparkSession, dir: String): DataFrame =
-    resize(mediaTable(s, dir)).orderBy(col("media_id"))
+    resize(stagedMediaTable(s, dir)).orderBy(col("media_id"))
 
-  /** m01 query: encode → decode roundtrip + a resolution bucket —
-    * exercises payload bytes, the metadata struct, and the
-    * partition-batch codec path end to end, with every output column
-    * a deterministic integer the DuckDB oracle recomputes.
+  /** m01 query: decode roundtrip + a resolution bucket — exercises
+    * payload bytes, the metadata struct, and the partition-batch
+    * codec path end to end, with every output column a deterministic
+    * integer the DuckDB oracle recomputes.
     */
   def q(s: SparkSession, dir: String): DataFrame =
-    decode(mediaTable(s, dir))
+    decode(stagedMediaTable(s, dir))
       .withColumn("aspect_bucket",
         floor(col("width") * lit(10.0) / col("height")).cast("int"))
       .select(col("media_id"), col("width"), col("height"),

@@ -103,10 +103,16 @@ object SignalOps {
     * Flag when the residual exceeds 3x the per-ticker residual stddev.
     */
   def q49Ewma(s: SparkSession, dir: String): DataFrame = {
-    val v4 = round(col("value"), 4)
+    // §8 fixed-point discipline (q19/q53 pattern): quantize the input
+    // to 1e-4 longs — round(value, 4) has engine-specific semantics
+    // (Spark HALF_UP on the shortest decimal repr vs DuckDB's scaled
+    // double), while floor(x·1e4 + 0.5) is one deterministic double
+    // expression on both
     val base = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
-        col("ts"), v4.as("value"))
+        col("ts"),
+        (floor(col("value") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("value"))
     // left-assoc chains of + keep double addition order identical to
     // the oracle's (t0 + t1 + ...) parse
     val lags = Weights.zipWithIndex.map { case (w, j) =>
@@ -118,13 +124,36 @@ object SignalOps {
     val den = lags.map { case (lv, w) =>
       when(lv.isNotNull, w).otherwise(lit(0.0))
     }.reduceLeft(_ + _)
+    // residual stddev from EXACT integer moments of the 1e-6 resid
+    // longs (q19's standardization pattern) — stddev_samp over doubles
+    // accumulates in engine- and partition-order-dependent sequence
     val df = base
       .withColumn("ewma6",
         floor(num / den * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
-      .withColumn("resid6",
-        floor((col("value") - col("ewma6")) * lit(1000000.0) + lit(0.5)) /
-          lit(1000000.0))
-      .withColumn("resid_sd4", round(stddev_samp(col("resid6")).over(wKey), 4))
+      .withColumn("resid6l",
+        floor((col("value") - col("ewma6")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .withColumn("resid6", col("resid6l") / lit(1000000.0))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("rs1", sum(col("resid6l")).over(wKey))
+      .withColumn("rs2",
+        sum((col("resid6l").cast("decimal(19,0)") *
+          col("resid6l").cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .over(wKey))
+      .withColumn("rc",
+        (col("n").cast("decimal(38,0)") * col("rs2") -
+          col("rs1").cast("decimal(19,0)") * col("rs1").cast("decimal(19,0)"))
+          .cast("decimal(38,0)"))
+      .withColumn("resid_sd4",
+        when(col("n") > 1,
+          // sd in value units = sqrt(rc / (n(n-1))) · 1e-6; quantized
+          // to 4 dp that is floor(sqrt(·)/100 + 0.5)/1e4. rc ≥ 0 by
+          // Cauchy–Schwarz on exact integers; greatest() guards the
+          // all-equal case against any representational surprise.
+          floor(sqrt(greatest(col("rc"), lit(0)).cast("double") /
+            (col("n") * (col("n") - 1))) / lit(100.0) + lit(0.5)) /
+            lit(10000.0))
+          .otherwise(lit(null).cast("double")))
     df.select(
       col("user_id"), col("event_type"), col("event_id"),
       col("ts").as("date_recorded"), col("value"),
@@ -341,7 +370,7 @@ object SignalOracle {
     val den = terms.map(_._2).mkString("(", " + ", ")")
     s"""WITH base AS (
        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
-       |    round(value, 4) AS value
+       |    floor(value * 10000.0 + 0.5) / 10000.0 AS value
        |  FROM events
        |), e AS (
        |  SELECT *,
@@ -350,19 +379,29 @@ object SignalOracle {
        |  WINDOW wa AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
        |), r AS (
        |  SELECT *,
-       |    floor((value - ewma6) * 1000000.0 + 0.5) / 1000000.0 AS resid6
+       |    CAST(floor((value - ewma6) * 1000000.0 + 0.5) AS BIGINT) AS resid6l
        |  FROM e
        |), sd AS (
        |  SELECT *,
-       |    round(stddev_samp(resid6) OVER (PARTITION BY user_id, event_type), 4)
-       |      AS resid_sd4
+       |    resid6l / 1000000.0 AS resid6,
+       |    count(*) OVER wk AS n,
+       |    sum(resid6l) OVER wk AS rs1,
+       |    sum(CAST(resid6l AS HUGEINT) * resid6l) OVER wk AS rs2
        |  FROM r
+       |  WINDOW wk AS (PARTITION BY user_id, event_type)
+       |), sd2 AS (
+       |  SELECT *,
+       |    CASE WHEN n > 1 THEN
+       |      floor(sqrt(CAST(greatest(n * rs2 - CAST(rs1 AS HUGEINT) * rs1, 0)
+       |        AS DOUBLE) / (n * (n - 1))) / 100.0 + 0.5) / 10000.0
+       |    ELSE NULL END AS resid_sd4
+       |  FROM sd
        |)
        |SELECT user_id, event_type, event_id, ts AS date_recorded, value,
        |  ewma6, resid6, resid_sd4,
        |  CASE WHEN resid_sd4 != 0 AND abs(resid6) > 3.0 * resid_sd4
        |       THEN 1 ELSE 0 END AS ewma_flag
-       |FROM sd
+       |FROM sd2
        |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
   }
 }

@@ -404,13 +404,15 @@ object StreamingAnomaly {
   /** Per-ticker streaming CUSUM state: O(1) per key — prefix moment
     * sums (exact fixed-point), the two CUSUM accumulators, last event
     * time for the eviction timeout. `s2` (sum of squared 1e-4-scaled
-    * values) is a BigDecimal so the moments stay EXACT integers
-    * (encoded as Decimal(38,18): integer headroom 1e20, i.e. millions
-    * of observations at value magnitude ~1e4 before the eviction
-    * horizon would have to trim the series anyway).
+    * values) is held as two base-1e18 long limbs (s2Hi·1e18 + s2Lo) so
+    * the moment stays an EXACT integer with ~9e36 headroom — a
+    * BigDecimal field would encode as Decimal(38,18) whose ~1e20
+    * integer ceiling OVERFLOWS TO NULL on state.update (a crash on the
+    * key's next batch, not a graceful trim), and pure-long state is
+    * also what the RocksDB provider serializes cheapest.
     */
-  case class CusumState(lastUs: Long, n: Long, s1: Long, s2: BigDecimal,
-      sPos: Long, sNeg: Long)
+  case class CusumState(lastUs: Long, n: Long, s1: Long, s2Hi: Long,
+      s2Lo: Long, sPos: Long, sNeg: Long)
 
   case class CusumOut(user_id: Long, event_type: String, event_id: Long,
       ts: java.sql.Timestamp, value: Double, zscore6: Double,
@@ -448,6 +450,8 @@ object StreamingAnomaly {
     val slack = 500000L // k = 0.5 sigma in 1e6 fixed point
     val thresh = 5000000L // h = 5 sigma
 
+    val limb = BigInt(1000000000000000000L) // 1e18
+
     def update(key: (Long, String), events: Iterator[TickEvent],
         state: GroupState[CusumState]): Iterator[CusumOut] = {
       if (state.hasTimedOut) {
@@ -457,17 +461,19 @@ object StreamingAnomaly {
         val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
         val out = Vector.newBuilder[CusumOut]
         var st = state.getOption
-          .getOrElse(CusumState(0L, 0L, 0L, BigDecimal(0), 0L, 0L))
+          .getOrElse(CusumState(0L, 0L, 0L, 0L, 0L, 0L, 0L))
         sorted.foreach { e =>
           // in-data staleness gap: same baseline restart the timeout
           // path would have caused had the key stayed quiet
           if (st.n > 0 && usOf(e.ts) - st.lastUs > staleUs)
-            st = CusumState(0L, 0L, 0L, BigDecimal(0), 0L, 0L)
+            st = CusumState(0L, 0L, 0L, 0L, 0L, 0L, 0L)
           val vl = math.floor(e.value * 10000.0 + 0.5).toLong
           val n = st.n + 1
           val s1 = st.s1 + vl
-          val s2 = st.s2 + BigDecimal(vl) * BigDecimal(vl)
-          val c = BigDecimal(n) * s2 - BigDecimal(s1) * BigDecimal(s1)
+          // exact integer moments in BigInt; s2 round-trips through the
+          // two-limb state representation losslessly
+          val s2 = BigInt(st.s2Hi) * limb + st.s2Lo + BigInt(vl) * BigInt(vl)
+          val c = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
           val zf =
             if (n > 1 && c > 0) {
               val a = (n * vl - s1).toDouble
@@ -476,7 +482,8 @@ object StreamingAnomaly {
             } else 0L
           val sPos = math.max(0L, st.sPos + zf - slack)
           val sNeg = math.max(0L, st.sNeg - zf - slack)
-          st = CusumState(usOf(e.ts), n, s1, s2, sPos, sNeg)
+          st = CusumState(usOf(e.ts), n, s1, (s2 / limb).toLong,
+            (s2 % limb).toLong, sPos, sNeg)
           out += CusumOut(key._1, key._2, e.event_id, e.ts, vl / 10000.0,
             zf / 1000000.0, sPos / 1000000.0, sNeg / 1000000.0,
             if (sPos > thresh || sNeg > thresh) 1 else 0)
