@@ -278,11 +278,14 @@ object Decompose {
     * = 0, as in R's loess). Seasonal: phase-median of the detrended
     * series at the auto period.
     *
-    * `robustIters = 1` (q18) adds the `stl(..., robust = TRUE)`
-    * reweighting pass (dev3.R:68): residuals from the first fit give
+    * `robustIters ≥ 1` (q18 uses 2) adds the `stl(..., robust = TRUE)`
+    * outer loop (dev3.R:68): residuals from the LATEST fit give
     * per-point bisquare weights rw = (1 − u²)² for u = |r|/(6·med|r|),
     * and the local regression re-runs with weight tricube·rw — gross
-    * outliers stop dragging the trend.
+    * outliers stop dragging the trend. R iterates this outer loop to
+    * convergence (typically a few passes); each pass here is one more
+    * collect_list window + fold over the SAME ticker-key exchange, and
+    * the oracle unrolls the identical number of passes.
     *
     * Engine parity: x/y enter as exact integers (seq, 10⁴-scaled
     * value), every weighted sum is a left fold in frame order (Spark
@@ -295,8 +298,8 @@ object Decompose {
   def loessDecompose(s: SparkSession, dir: String,
       robustIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.Column
-    require(robustIters == 0 || robustIters == 1,
-      "robustIters must be 0 or 1 (the oracle unrolls one pass)")
+    require(robustIters >= 0 && robustIters <= 3,
+      "robustIters must be 0..3 (the oracle unrolls the same passes)")
     val events = Tables.events(s, dir)
     val wTrend = wAsc.rowsBetween(-MaxHw, MaxHw)
 
@@ -368,32 +371,31 @@ object Decompose {
 
     val first = fit(base.withColumn("h", h), "arr", wt, "trend_s")
 
-    val fitted =
-      if (robustIters == 0) first
-      else {
-        // bisquare robustness weights from the ROUNDED first-pass fit:
-        // resid_s is an exact integer, m2 = median(2·|resid_s|) is an
-        // exact integer, u = |resid_s| / (3·m2) is one double division
-        val withRw = first
-          .withColumnRenamed("trend_s", "trend1_s")
-          .withColumn("resid_s", col("value_s") - col("trend1_s"))
-          .withColumn("m2",
-            percentile(abs(col("resid_s")) * 2, lit(0.5)).over(wKey))
-          .withColumn("rw", {
-            val u = abs(col("resid_s")).cast("double") / (lit(3.0) * col("m2"))
-            val c = lit(1.0) - u * u
-            when(col("m2") === 0,
-              when(col("resid_s") === 0, lit(1.0)).otherwise(lit(0.0)))
-              .otherwise(when(u < 1, c * c).otherwise(lit(0.0)))
-          })
-          .withColumn("arrb", collect_list(
-            struct(col("seq").cast("double").as("x"),
-              col("value_s").cast("double").as("y"),
-              col("rw").as("rw"))).over(wTrend))
-        fit(withRw, "arrb", e => wt(e) * e.getField("rw"), "trend_s",
-            fallback = Some(col("trend1_s")))
-          .drop("trend1_s", "resid_s", "m2", "rw", "arrb")
-      }
+    // robust outer loop: each pass derives bisquare weights from the
+    // ROUNDED latest fit (resid_s is an exact integer, m2 =
+    // median(2·|resid_s|) is an exact integer, u = |resid_s|/(3·m2) is
+    // one double division) and refits with weight tricube·rw
+    val fitted = (1 to robustIters).foldLeft(first) { case (cur, _) =>
+      val withRw = cur
+        .withColumnRenamed("trend_s", "trend_prev_s")
+        .withColumn("resid_s", col("value_s") - col("trend_prev_s"))
+        .withColumn("m2",
+          percentile(abs(col("resid_s")) * 2, lit(0.5)).over(wKey))
+        .withColumn("rw", {
+          val u = abs(col("resid_s")).cast("double") / (lit(3.0) * col("m2"))
+          val c = lit(1.0) - u * u
+          when(col("m2") === 0,
+            when(col("resid_s") === 0, lit(1.0)).otherwise(lit(0.0)))
+            .otherwise(when(u < 1, c * c).otherwise(lit(0.0)))
+        })
+        .withColumn("arrb", collect_list(
+          struct(col("seq").cast("double").as("x"),
+            col("value_s").cast("double").as("y"),
+            col("rw").as("rw"))).over(wTrend))
+      fit(withRw, "arrb", e => wt(e) * e.getField("rw"), "trend_s",
+          fallback = Some(col("trend_prev_s")))
+        .drop("trend_prev_s", "resid_s", "m2", "rw", "arrb")
+    }
 
     val wPhase = Window.partitionBy(col("user_id"), col("event_type"),
       col("period"), col("phase"))
@@ -416,11 +418,14 @@ object Decompose {
   def q16LoessDecompose(s: SparkSession, dir: String): DataFrame =
     loessDecompose(s, dir, robustIters = 0)
 
-  /** q18: q16 with one bisquare robustness reweighting pass
-    * (`stl(..., robust = TRUE)`, dev3.R:68).
+  /** q18: q16 with the bisquare robustness outer loop iterated twice
+    * (`stl(..., robust = TRUE)`, dev3.R:68 — R runs the outer loop
+    * several passes; two passes capture the re-weighting of points the
+    * first pass only partially downweighted on heavily contaminated
+    * series).
     */
   def q18RobustLoess(s: SparkSession, dir: String): DataFrame =
-    loessDecompose(s, dir, robustIters = 1)
+    loessDecompose(s, dir, robustIters = 2)
 
   /** q17: Twitter-style (S-H-ESD) decomposition — the reference's
     * `decompose_twitter` variant (archive/dev3.R:22-24): seasonal =

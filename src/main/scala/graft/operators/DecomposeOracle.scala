@@ -211,10 +211,14 @@ object DecomposeOracle {
     * Mirrors Decompose.loessDecompose op for op: same left-fold
     * weighted sums (list_reduce ≡ aggregate), tricube/bisquare expanded
     * as multiplications, span enforced by zero weight beyond hw, exact
-    * scaled-integer assembly of the remainder. `robust = true` unrolls
-    * the single bisquare reweighting pass over the rounded first fit.
+    * scaled-integer assembly of the remainder. `robustIters` unrolls
+    * that many bisquare reweighting passes, each over the rounded
+    * previous fit (q14's ESD-unroll precedent). Per-pass CTEs are
+    * MATERIALIZED: DuckDB inlines CTEs by default and the rw/trend
+    * expressions are referenced 5-7× each downstream, so an inlined
+    * N-pass chain re-evaluates the fit ~35^N times.
     */
-  private def loessChain(robust: Boolean): String = {
+  private def loessChain(robustIters: Int): String = {
     def term(arr: String, extra: String): String = {
       val d = "abs(e.x - xi)"
       val r = s"(CASE WHEN h = 0 THEN 0.0 ELSE $d / h END)"
@@ -231,7 +235,7 @@ object DecomposeOracle {
           s"CASE WHEN sw = 0 THEN $fb ELSE CAST(floor(b0 + b1 * xi + 0.5) AS BIGINT) END"
         case None => "CAST(floor(b0 + b1 * xi + 0.5) AS BIGINT)"
       }
-      s"""${outPrefix}sums AS (
+      s"""${outPrefix}sums AS MATERIALIZED (
          |  SELECT *,
          |    ${term(arr, rwFactor)} AS sw,
          |    ${term(arr, s"$rwFactor * e.x")} AS swx,
@@ -250,43 +254,46 @@ object DecomposeOracle {
          |  SELECT *,
          |    CASE WHEN sw != 0 THEN (swy - b1 * swx) / sw ELSE 0.0 END AS b0
          |  FROM ${outPrefix}fit2
-         |), ${outPrefix}done AS (
+         |), ${outPrefix}done AS MATERIALIZED (
          |  SELECT * EXCLUDE (sw, swx, swy, swxx, swxy, den, b1, b0),
          |    $trendExpr AS $trendName
          |  FROM ${outPrefix}fit3
          |)""".stripMargin
     }
-    val firstTrend = if (robust) "trend1_s" else "trend_s"
-    val robustCtes = if (!robust) "" else
-      s""", rb AS (
-         |  SELECT *, value_s - trend1_s AS resid_s FROM fdone
-         |), rb2 AS (
+    val firstTrend = if (robustIters == 0) "trend_s" else "trend1_s"
+    val robustCtes = (1 to robustIters).map { i =>
+      val src = if (i == 1) "fdone" else s"s${i - 1}done"
+      val prevTrend = s"trend${i}_s"
+      val outTrend = if (i == robustIters) "trend_s" else s"trend${i + 1}_s"
+      s""", rb${i}a AS MATERIALIZED (
+         |  SELECT *, value_s - $prevTrend AS resid${i}_s FROM $src
+         |), rb${i}b AS MATERIALIZED (
          |  SELECT *,
-         |    quantile_cont(abs(resid_s) * 2, 0.5)
-         |      OVER (PARTITION BY user_id, event_type) AS m2
-         |  FROM rb
-         |), rb3 AS (
+         |    quantile_cont(abs(resid${i}_s) * 2, 0.5)
+         |      OVER (PARTITION BY user_id, event_type) AS m2_$i
+         |  FROM rb${i}a
+         |), rb${i}c AS MATERIALIZED (
          |  SELECT *,
-         |    CASE WHEN m2 = 0
-         |      THEN (CASE WHEN resid_s = 0 THEN 1.0 ELSE 0.0 END)
-         |      ELSE (CASE WHEN CAST(abs(resid_s) AS DOUBLE) / (3.0 * m2) < 1
-         |        THEN (1.0 - (CAST(abs(resid_s) AS DOUBLE) / (3.0 * m2))
-         |                  * (CAST(abs(resid_s) AS DOUBLE) / (3.0 * m2)))
-         |           * (1.0 - (CAST(abs(resid_s) AS DOUBLE) / (3.0 * m2))
-         |                  * (CAST(abs(resid_s) AS DOUBLE) / (3.0 * m2)))
+         |    CASE WHEN m2_$i = 0
+         |      THEN (CASE WHEN resid${i}_s = 0 THEN 1.0 ELSE 0.0 END)
+         |      ELSE (CASE WHEN CAST(abs(resid${i}_s) AS DOUBLE) / (3.0 * m2_$i) < 1
+         |        THEN (1.0 - (CAST(abs(resid${i}_s) AS DOUBLE) / (3.0 * m2_$i))
+         |                  * (CAST(abs(resid${i}_s) AS DOUBLE) / (3.0 * m2_$i)))
+         |           * (1.0 - (CAST(abs(resid${i}_s) AS DOUBLE) / (3.0 * m2_$i))
+         |                  * (CAST(abs(resid${i}_s) AS DOUBLE) / (3.0 * m2_$i)))
          |        ELSE 0.0 END)
-         |    END AS rw
-         |  FROM rb2
-         |), rb4 AS (
-         |  SELECT *,
-         |    list(struct_pack(x := CAST(seq AS DOUBLE),
-         |        y := CAST(value_s AS DOUBLE), rw := rw))
+         |    END AS rw_$i
+         |  FROM rb${i}b
+         |), rb${i}d AS MATERIALIZED (
+         |  SELECT *, list(struct_pack(x := CAST(seq AS DOUBLE),
+         |        y := CAST(value_s AS DOUBLE), rw := rw_$i))
          |      OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
-         |            ROWS BETWEEN 23 PRECEDING AND 23 FOLLOWING) AS arrb
-         |  FROM rb3
-         |), ${fitSql("rb4", "arrb", " * e.rw", "s", "trend_s",
-               fallback = Some("trend1_s"))}""".stripMargin
-    val lastDone = if (robust) "sdone" else "fdone"
+         |            ROWS BETWEEN 23 PRECEDING AND 23 FOLLOWING) AS arrb_$i
+         |  FROM rb${i}c
+         |), ${fitSql(s"rb${i}d", s"arrb_$i", " * e.rw", s"s$i", outTrend,
+               fallback = Some(prevTrend))}""".stripMargin
+    }.mkString
+    val lastDone = if (robustIters == 0) "fdone" else s"s${robustIters}done"
     s"""WITH base AS (
        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS value_s
@@ -341,9 +348,9 @@ object DecomposeOracle {
        |ORDER BY user_id, event_type, seq""".stripMargin
   }
 
-  val q16: String = loessChain(robust = false)
+  val q16: String = loessChain(robustIters = 0)
 
-  val q18: String = loessChain(robust = true)
+  val q18: String = loessChain(robustIters = 2)
 
   /** q17: Twitter/median decompose — two independent medians over the
     * scaled-integer values, exact in doubles on both engines.
