@@ -259,4 +259,10 @@ object VectorFunctions {
   /** Packed SimHash of an array<long> of token hashes. */
   def simhash_pack(hashes: Column, bits: Int): Column =
     ColumnBridge.column(SimHashPack(ColumnBridge.expression(hashes), bits))
+
+  /** Greedy longest-match subword count of an array<string> of words
+    * (see BpeCount).
+    */
+  def bpe_count(words: Column): Column =
+    ColumnBridge.column(BpeCount(ColumnBridge.expression(words)))
 }

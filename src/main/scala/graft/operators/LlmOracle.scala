@@ -158,12 +158,46 @@ object LlmOracle {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
-  val t03: String =
-    s"""SELECT doc_id,
+  /** t03 with the greedy BPE segmentation replayed as a recursive CTE:
+    * the per-word walk advances `pos` by the longest matching vocab
+    * entry (else 1) and counts a token per step — exactly
+    * BpeCount.compute — run once per DISTINCT word and joined back to
+    * the per-doc word multiset. The vocab VALUES list is generated
+    * from the same Scala Seq the Spark expression embeds.
+    */
+  val t03: String = {
+    val vocabValues = graft.functions.BpeCount.Vocab
+      .map(v => s"('$v')").mkString(", ")
+    s"""WITH RECURSIVE docw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_extract_all($Norm, '[a-z0-9]+')) AS w
+       |  FROM documents
+       |), words AS MATERIALIZED (
+       |  SELECT DISTINCT w FROM docw
+       |), vocab(t) AS (
+       |  SELECT * FROM (VALUES $vocabValues) v(t)
+       |), seg AS (
+       |  SELECT w, 1 AS pos, 0 AS n FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |    pos + coalesce((SELECT max(length(t)) FROM vocab
+       |                    WHERE substr(w, pos, length(t)) = t), 1),
+       |    n + 1
+       |  FROM seg WHERE pos <= length(w)
+       |), wcount AS MATERIALIZED (
+       |  SELECT w, max(n) AS n_sub FROM seg GROUP BY w
+       |), docn AS (
+       |  SELECT d.doc_id, sum(wc.n_sub) AS bpe
+       |  FROM docw d JOIN wcount wc ON d.w = wc.w
+       |  GROUP BY d.doc_id
+       |)
+       |SELECT doc_id,
        |  len(string_split($Norm, ' ')) AS ws_tokens,
        |  len(regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]')) AS re_tokens,
-       |  CAST(ceil(CAST(length(text) AS DOUBLE) / 3.6) AS BIGINT) AS subword_est
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |  CAST(ceil(CAST(length(text) AS DOUBLE) / 3.6) AS BIGINT) AS subword_est,
+       |  CAST(coalesce(docn.bpe, 0) AS BIGINT) AS bpe_tokens
+       |FROM documents LEFT JOIN docn USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private def entropySql(splitExpr: String): String =
     s"""SELECT doc_id, -CAST(sum(term_s) AS DOUBLE) / 1e9 AS h FROM (

@@ -116,10 +116,14 @@ object TextFns {
       .orderBy(col("doc_id"))
   }
 
-  /** t03: token counting — whitespace tokens, regex word/punct tokens
-    * (a BPE-ish segmentation proxy), and a subword estimate.
+  /** t03: token counting — whitespace tokens, regex word/punct tokens,
+    * a length-proxy subword estimate, and the REAL subword count: a
+    * greedy longest-match BPE-style segmentation over an embedded
+    * public vocab (native codegen'd expression, row-local — see
+    * functions.BpeCount).
     */
-  def tokenCount(s: SparkSession, dir: String): DataFrame =
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.bpe_count
     Tables
       .documents(s, dir)
       .withColumn("ws_tokens", size(split(normText(col("text")), " ")))
@@ -128,9 +132,13 @@ object TextFns {
           lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))))
       .withColumn("subword_est",
         ceil(length(col("text")).cast("double") / lit(3.6)).cast("long"))
+      .withColumn("bpe_tokens",
+        bpe_count(regexp_extract_all(normText(col("text")),
+          lit("[a-z0-9]+"), lit(0))))
       .select(col("doc_id"), col("ws_tokens"), col("re_tokens"),
-        col("subword_est"))
+        col("subword_est"), col("bpe_tokens"))
       .orderBy(col("doc_id"))
+  }
 
   /** t05: Shannon entropy of the character and word distributions —
     * the classic cheap proxies for degenerate/boilerplate text (low

@@ -323,4 +323,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(4L))
   }
+
+  test("t03 bpe tokens: greedy longest-match segmentation is exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq(
+      // "the"(vocab) = 1; "table" = t + able = 2            -> 3
+      (1L, "the table", "en", "s", 9L),
+      // "spark" = s + p + ar + k = 4; "2024" = 20 + 2 + 4 = 3 -> 7
+      (2L, "spark 2024", "en", "s", 10L),
+      (3L, "", "en", "s", 0L) // no words -> 0
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.text.TextFns.tokenCount(spark, tmp)
+      .select("doc_id", "bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 7L, 3L -> 0L))
+    // longest-match beats any shorter prefix: "ing" (3) not "in" (2)
+    val one = Seq((9L, "sing", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp2 = java.nio.file.Files.createTempDirectory("bpe2").toString
+    one.write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val sing = graft.text.TextFns.tokenCount(spark, tmp2)
+      .select("bpe_tokens").head().getLong(0)
+    assert(sing == 2L, s"sing = s + ing, got $sing") // not s+in+g = 3
+  }
 }
