@@ -24,9 +24,10 @@ object Tables {
     * casting TIMESTAMP_NS → TIMESTAMP, so oracles agree).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // GraftSession sets this at build time; sessions constructed
-    // elsewhere (Bench/Verify mains, foreign callers) get a one-time
-    // defensive set rather than a mutation on every call.
+    // Every repo entry point (GraftSession, and Bench/Verify through
+    // it) sets this at build time; the one-time defensive set below
+    // only exists for FOREIGN sessions — the driver's smoke check
+    // calls SparkEntry with a session we didn't construct.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!s.conf.getOption(key).contains("true")) s.conf.set(key, "true")
     val df = load(s, d, "events")

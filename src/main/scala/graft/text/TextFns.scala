@@ -42,6 +42,19 @@ object TextFns {
     }._1
   }
 
+  /** The t02 composite score from its four ingredient ratios — the ONE
+    * place the weights/thresholds live (qualityCol and qualityScore
+    * both assemble their ingredients and delegate here).
+    */
+  private def compositeQuality(nWords: Column, avgWordLen: Column,
+      stopRatio: Column, punctRatio: Column): Column =
+    floor((
+      when(nWords >= 20 && nWords <= 1000, lit(0.4)).otherwise(lit(0.0)) +
+      when(avgWordLen >= 3 && avgWordLen <= 10, lit(0.3)).otherwise(lit(0.0)) +
+      when(stopRatio >= 0.01, lit(0.2)).otherwise(lit(0.0)) +
+      when(punctRatio <= 0.2, lit(0.1)).otherwise(lit(0.0))
+    ) * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
   /** Composite quality score as a single expression (t02's formula). */
   def qualityCol(c: Column): Column = {
     val ws = words(c)
@@ -52,12 +65,7 @@ object TextFns {
     val punctRatio =
       (length(c) - length(regexp_replace(c, "[.!?,;:]", ""))).cast("double") /
         length(c)
-    floor((
-      when(nWords >= 20 && nWords <= 1000, lit(0.4)).otherwise(lit(0.0)) +
-      when(avgWordLen >= 3 && avgWordLen <= 10, lit(0.3)).otherwise(lit(0.0)) +
-      when(stopRatio >= 0.01, lit(0.2)).otherwise(lit(0.0)) +
-      when(punctRatio <= 0.2, lit(0.1)).otherwise(lit(0.0))
-    ) * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    compositeQuality(nWords, avgWordLen, stopRatio, punctRatio)
   }
 
   /** Regex token count as a single expression (t03's BPE-ish proxy). */
@@ -105,12 +113,8 @@ object TextFns {
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
       .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_char"))
       .withColumn("quality",
-        floor((
-          when(col("n_words") >= 20 && col("n_words") <= 1000, lit(0.4)).otherwise(lit(0.0)) +
-          when(col("avg_word_len") >= 3 && col("avg_word_len") <= 10, lit(0.3)).otherwise(lit(0.0)) +
-          when(col("stop_ratio") >= 0.01, lit(0.2)).otherwise(lit(0.0)) +
-          when(col("punct_ratio") <= 0.2, lit(0.1)).otherwise(lit(0.0))
-        ) * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        compositeQuality(col("n_words"), col("avg_word_len"),
+          col("stop_ratio"), col("punct_ratio")))
       .select(col("doc_id"), col("n_char"), col("n_words"), col("n_punct"),
         col("n_digit"), col("n_stop"), col("stop_ratio"), col("quality"))
       .orderBy(col("doc_id"))
