@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: validates the 100 TB story with a measured datapoint
+  * instead of plan-shape arguments alone — runs the headline query
+  * families at sf0.1 and at a synthesized 10× ("sf1") and reports the
+  * scaling ratio per query. A plan that holds should scale ≈ linearly
+  * (ratio ≲ 12× for 10× data once fixed costs amortize); a hidden
+  * all-pairs join or driver loop shows up as a super-linear blow-up.
+  *
+  * sf1 synthesis (10 key-shifted copies of sf0.1, staged once to
+  * /tmp/graft_sf1):
+  *  - events: user_id/event_id offset per copy → 10× tickers with the
+  *    same per-key series length — the scale-out shape of a ticker
+  *    feed (more keys, same history), which is exactly what the
+  *    window/stateful operators shard on.
+  *  - documents: doc_id offset per copy AND the text run through a
+  *    per-copy alphabet rotation (translate a→b→c…, digits too):
+  *    every copy keeps the ORIGINAL corpus's internal duplicate/
+  *    near-duplicate structure bit-for-bit, while sharing zero tokens
+  *    across copies — so dup pairs, LSH buckets and the term
+  *    dictionary all scale ~10× like a genuinely larger corpus, not
+  *    the ~100× pair blow-up naive replication would plant.
+  *  - customer: c_custkey offset per copy so q10's broadcast dim join
+  *    keeps its hit rate.
+  */
+object BenchScale {
+
+  val Copies = 10
+  private val UserOff = 1000000000L
+  private val DocOff = 1000000000L
+  private val EventOff = 1000000000000L
+
+  private val Az = "abcdefghijklmnopqrstuvwxyz"
+  private val Dg = "0123456789"
+  private def rotated(s: String, i: Int): String =
+    s.substring(i % s.length) + s.substring(0, i % s.length)
+  private def rotText(c: org.apache.spark.sql.Column, i: Int) =
+    translate(c,
+      Az + Az.toUpperCase + Dg,
+      rotated(Az, i) + rotated(Az, i).toUpperCase + rotated(Dg, i))
+
+  /** The headline families the round-6 verdict asked to probe. */
+  val ProbeQueries: Seq[String] = Seq(
+    "q06_zscore", "q10_anomaly_report", "d02_dedup_minhash_lsh",
+    "d06_dedup_clusters", "t06_tfidf", "st02_stream_anomaly")
+
+  def stageSf1(s: SparkSession, srcDir: String): String = {
+    val root = new java.io.File("/tmp/graft_sf1")
+    val done = new java.io.File(root, "_STAGED")
+    if (!done.exists()) {
+      val ev = Tables.events(s, srcDir)
+      (0 until Copies).map { i =>
+        ev.select(
+          (col("event_id") + lit(i * EventOff)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i * UserOff)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$root/events.parquet")
+
+      val docs = Tables.documents(s, srcDir)
+      (0 until Copies).map { i =>
+        docs.select(
+          (col("doc_id") + lit(i * DocOff)).as("doc_id"),
+          rotText(col("text"), i).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$root/documents.parquet")
+
+      val cust = Tables.customer(s, srcDir)
+      (0 until Copies).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i * UserOff))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$root/customer.parquet")
+
+      done.createNewFile()
+    }
+    root.getAbsolutePath
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf1Dir = stageSf1(spark, sfDir)
+    graft.streaming.StreamingAnomaly.ensureStaged(spark, sfDir)
+    graft.streaming.StreamingAnomaly.ensureStaged(spark, sf1Dir)
+
+    def sweep(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      sweep()
+      dt
+    }
+    val probes = if (args.nonEmpty) args.toSeq else ProbeQueries
+    // warm pass at sf0.1 (JIT), then the measured pair per query
+    probes.foreach(q => time(q, sfDir))
+    val rows = probes.map { q =>
+      System.gc()
+      val base = time(q, sfDir)
+      val scaled = time(q, sf1Dir)
+      (q, base, scaled, scaled / base)
+    }
+    val qs = rows.map { case (q, b, sc, r) =>
+      f"""\"$q\":{\"sf01_sec\":$b%.3f,\"sf1_sec\":$sc%.3f,\"ratio\":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    val worst = rows.map(_._4).max
+    val line = s"""{"metric":"sf1_scale_probe","copies":$Copies,""" +
+      s""""worst_ratio":${f"$worst%.2f"},"queries":$qs}"""
+    println(line)
+    val out = new java.io.PrintWriter("BENCH_sf1.json")
+    try out.println(line) finally out.close()
+    spark.stop()
+  }
+}

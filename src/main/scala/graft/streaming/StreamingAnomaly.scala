@@ -330,14 +330,15 @@ object StreamingAnomaly {
       staleDays: Double = 8.0): DataFrame =
     st02FromStream(s, eventStream(s, dir), cfg, staleDays)
 
-  /** Core of st02 over any streaming events frame (spec entry point for
-    * the multi-batch file source).
+  /** The st02 stateful transform as a streaming Dataset — shared by
+    * the memory-sink collector below and the fault-tolerant file-sink
+    * runner (the memory sink cannot recover from a checkpoint, so the
+    * kill-and-restart path needs a real sink).
     */
-  def st02FromStream(s: SparkSession, stream: DataFrame,
+  def st02Transform(s: SparkSession, stream: DataFrame,
       cfg: AnomalyConfig = AnomalyConfig(),
-      staleDays: Double = 8.0): DataFrame = {
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[Flagged] = {
     import s.implicits._
-    val name = s"st02_out_${counter.incrementAndGet()}"
     val staleUs = (staleDays * 86400e6).toLong
     val staleMs = (staleDays * 86400e3).toLong
 
@@ -407,15 +408,25 @@ object StreamingAnomaly {
       }
     }
 
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Core of st02 over any streaming events frame (spec entry point for
+    * the multi-batch file source): memory sink, driven to completion.
+    */
+  def st02FromStream(s: SparkSession, stream: DataFrame,
+      cfg: AnomalyConfig = AnomalyConfig(),
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st02_out_${counter.incrementAndGet()}"
     withStatePartitions(s, 8) {
-      val q = stream
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          col("value"))
-        .withWatermark("ts", "1 hour")
-        .as[TickEvent]
-        .groupByKey(e => (e.user_id, e.event_type))
-        .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.EventTimeTimeout)(update)
+      val q = st02Transform(s, stream, cfg, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
         .format("memory").queryName(name)
@@ -426,6 +437,28 @@ object StreamingAnomaly {
     s.table(name)
       .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
   }
+
+  /** st02 into a fault-tolerant parquet file sink with a durable
+    * checkpointLocation: a later call with the same (path, checkpoint)
+    * RESUMES — offsets skip committed source files, the state store
+    * restores every ticker's rolling window, and the sink's file log
+    * keeps output exactly-once. This is the production kill-and-restart
+    * path; StreamingSpec proves resumed output equals a single run.
+    */
+  def st02ToFileSink(s: SparkSession, stream: DataFrame, path: String,
+      checkpoint: String, cfg: AnomalyConfig = AnomalyConfig(),
+      staleDays: Double = 8.0): Unit =
+    withStatePartitions(s, 8) {
+      val q = st02Transform(s, stream, cfg, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
 
   /** Per-ticker streaming CUSUM state: O(1) per key — prefix moment
     * sums (exact fixed-point), the two CUSUM accumulators, last event
