@@ -90,6 +90,10 @@ object SparkEntry {
     "t02_quality_score"  -> graft.text.TextFns.qualityScore _,
     "t03_token_count"    -> graft.text.TextFns.tokenCount _,
     "t04_fingerprint"    -> graft.text.TextFns.fingerprint _,
+    "t09_pii_redact"     -> graft.text.TextFns.piiRedact _,
+    "t10_ngram_repetition" -> graft.text.TextFns.ngramRepetition _,
+    "d08_decontaminate"  -> ((s, d) =>
+      graft.dedup.Decontaminate.contaminated(s, d)),
     "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
     "m02_audio_features" -> ((s, d) => graft.multimodal.Audio.q(s, d)),
     "m03_video_frames" -> ((s, d) => graft.multimodal.Video.q(s, d)),
@@ -142,6 +146,9 @@ object SparkEntry {
     "q49_ewma_smooth"    -> SignalOracle.q49,
     "t06_tfidf"          -> LlmOracle.t06,
     "t07_bm25_search"    -> LlmOracle.t07,
+    "t09_pii_redact"     -> LlmOracle.t09,
+    "t10_ngram_repetition" -> LlmOracle.t10,
+    "d08_decontaminate"  -> LlmOracle.d08,
     "s04_knn_classify"   -> LlmOracle.s04,
     "q48_interval_join" ->
       """WITH e AS (

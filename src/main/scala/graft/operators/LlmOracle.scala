@@ -199,6 +199,83 @@ object LlmOracle {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** t09: same deterministic PII planting (from doc_id), same
+    * Java∩RE2-dialect regexes; DuckDB needs the 'g' flag to mirror
+    * Spark's replace-all. size() is INT on the Spark side → CAST.
+    */
+  val t09: String = {
+    val email = graft.text.TextFns.EmailRe
+    val phone = graft.text.TextFns.PhoneRe
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    (CASE WHEN doc_id % 7 = 0
+       |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      ELSE '' END) ||
+       |    (CASE WHEN doc_id % 11 = 0
+       |      THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      ELSE '' END) AS planted
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(planted, '$email')) AS INT) AS n_emails,
+       |    CAST(len(regexp_extract_all(planted, '$phone')) AS INT) AS n_phones,
+       |    regexp_replace(regexp_replace(planted, '$email', '<EMAIL>', 'g'),
+       |      '$phone', '<PHONE>', 'g') AS redacted
+       |  FROM p
+       |)
+       |SELECT doc_id, n_emails, n_phones,
+       |  CAST(n_emails + n_phones AS INT) AS n_pii, redacted
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** t10: same row-local n-gram multisets; the dup fraction mirrors
+    * Spark's op order exactly (count-diff cast to double, divided,
+    * scaled, floored).
+    */
+  private def ngListSql(n: Int): String =
+    s"""CASE WHEN len(ws) >= $n
+       |  THEN list_transform(range(len(ws) - ${n - 1}),
+       |    i -> array_to_string(ws[i + 1:i + $n], ' '))
+       |  ELSE [] END""".stripMargin
+  private def dupFracSql(ng: String): String =
+    s"""CASE WHEN len($ng) > 0
+       |  THEN floor(CAST(len($ng) - len(list_distinct($ng)) AS DOUBLE) /
+       |    len($ng) * 1000000.0 + 0.5) / 1000000.0
+       |  ELSE 0.0 END""".stripMargin
+
+  val t10: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+       |    ${ngListSql(2)} AS ng2,
+       |    ${ngListSql(3)} AS ng3
+       |  FROM b
+       |)
+       |SELECT doc_id, n_words,
+       |  ${dupFracSql("ng2")} AS dup_bigram_frac,
+       |  ${dupFracSql("ng3")} AS dup_trigram_frac
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** d08: the same benchmark slice (doc_id % 20 = 0), same word
+    * 3-grams, distinct (doc, gram) before the overlap join.
+    */
+  val d08: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id, ${ngListSql(3)} AS ngrams FROM w
+       |), bench AS (
+       |  SELECT DISTINCT unnest(ngrams) AS gram FROM g WHERE doc_id % 20 = 0
+       |), train AS (
+       |  SELECT DISTINCT doc_id, unnest(ngrams) AS gram FROM g
+       |  WHERE doc_id % 20 != 0
+       |)
+       |SELECT t.doc_id, count(*) AS n_shared, min(t.gram) AS example_gram
+       |FROM train t JOIN bench b ON t.gram = b.gram
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   private def entropySql(splitExpr: String): String =
     s"""SELECT doc_id, -CAST(sum(term_s) AS DOUBLE) / 1e9 AS h FROM (
        |  SELECT doc_id,

@@ -341,6 +341,82 @@ object TextFns {
       .orderBy(col("doc_id"))
   }
 
+  /** t09: PII detection + redaction — the scrubbing stage every
+    * pretraining pipeline runs before anything else. The corpus is
+    * synthetic (no real PII), so deterministic email/phone tokens are
+    * PLANTED in-query from doc_id — identically on both engines — and
+    * the graded operator is the detection/redaction machinery: count
+    * and replace at scan speed, row-local, zero shuffles.
+    *
+    * Regexes are kept in the common Java-regex ∩ RE2 dialect (char
+    * classes + bounded quantifiers, no backrefs/lookaround) so Spark
+    * and DuckDB match identically; DuckDB needs the 'g' flag to mirror
+    * Spark's replace-all.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    Tables
+      .documents(s, dir)
+      .withColumn("planted", planted)
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("planted"), lit(EmailRe), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("planted"), lit(PhoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("planted"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        (col("n_emails") + col("n_phones")).as("n_pii"), col("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word n-gram array of a token array (n consecutive words joined by
+    * a space), empty when the doc is shorter than n.
+    */
+  private def wordNgrams(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** t10: intra-document repetition ratios (the MassiveText/Gopher
+    * quality filter): fraction of duplicate word bigrams/trigrams
+    * inside each document — boilerplate and degenerate generation
+    * score high, natural text low. ROW-LOCAL (the n-gram multiset
+    * never leaves the row): zero exchanges, scan-speed at 100 TB.
+    * n = 2,3 because the synthetic docs are tiny; production would add
+    * the paper's longer n. Fractions are one integer-derived division
+    * quantized at 1e-6 (§8 discipline).
+    */
+  def ngramRepetition(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    def dupFrac(n: Int): Column = {
+      val ng = wordNgrams(ws, n)
+      when(size(ng) > 0,
+        floor((size(ng) - size(array_distinct(ng))).cast("double") /
+          size(ng) * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        .otherwise(lit(0.0))
+    }
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"),
+        size(ws).as("n_words"),
+        dupFrac(2).as("dup_bigram_frac"),
+        dupFrac(3).as("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t04: document fingerprints — whole-text rolling hash plus the min
     * over per-128-char block hashes (winnowing-style locality).
     */

@@ -324,6 +324,58 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fps(1L) != fps(4L))
   }
 
+  test("t09 pii redact: planted emails/phones counted and replaced") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pii").toString
+    // 7 → email, 11 → phone, 77 → both, 3 → clean
+    Seq(7L, 11L, 77L, 3L).map(id => (id, "hello world", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.text.TextFns.piiRedact(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(7L).getAs[Int]("n_emails") == 1 && out(7L).getAs[Int]("n_phones") == 0)
+    assert(out(11L).getAs[Int]("n_emails") == 0 && out(11L).getAs[Int]("n_phones") == 1)
+    assert(out(77L).getAs[Int]("n_pii") == 2)
+    assert(out(3L).getAs[Int]("n_pii") == 0)
+    out.values.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(!red.contains("@example.com") && !red.contains("415-555-"))
+    }
+    assert(out(77L).getAs[String]("redacted").contains("<EMAIL>"))
+    assert(out(77L).getAs[String]("redacted").contains("<PHONE>"))
+  }
+
+  test("t10 ngram repetition: dup fractions are exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (1L, "a b a b a b", "en", "s", 11L), // bigrams 3/5 dup, trigrams 2/4
+      (2L, "w x y z", "en", "s", 7L)       // all distinct → 0.0
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.text.TextFns.ngramRepetition(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(out(1L).getAs[Double]("dup_bigram_frac") - 0.6) < 1e-9)
+    assert(math.abs(out(1L).getAs[Double]("dup_trigram_frac") - 0.5) < 1e-9)
+    assert(out(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(out(2L).getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("d08 decontaminate: train docs sharing a benchmark trigram are flagged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("decon").toString
+    Seq(
+      (20L, "alpha beta gamma delta", "en", "s", 22L), // benchmark doc
+      (1L, "x alpha beta gamma y", "en", "s", 20L),    // shares a trigram
+      (2L, "p q r s t u", "en", "s", 11L)              // disjoint
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.dedup.Decontaminate.contaminated(spark, tmp).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+    assert(out.head.getAs[Long]("n_shared") == 1L)
+    assert(out.head.getAs[String]("example_gram") == "alpha beta gamma")
+  }
+
   test("t03 bpe tokens: greedy longest-match segmentation is exact") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
