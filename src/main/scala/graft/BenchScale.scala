@@ -42,10 +42,13 @@ object BenchScale {
       Az + Az.toUpperCase + Dg,
       rotated(Az, i) + rotated(Az, i).toUpperCase + rotated(Dg, i))
 
-  /** The headline families the round-6 verdict asked to probe. */
+  /** The headline families the round-6 verdict asked to probe, plus
+    * d08 (broadcast-decontamination: the zero-corpus-shuffle claim).
+    */
   val ProbeQueries: Seq[String] = Seq(
     "q06_zscore", "q10_anomaly_report", "d02_dedup_minhash_lsh",
-    "d06_dedup_clusters", "t06_tfidf", "st02_stream_anomaly")
+    "d06_dedup_clusters", "t06_tfidf", "st02_stream_anomaly",
+    "d08_decontaminate")
 
   def stageSf1(s: SparkSession, srcDir: String): String = {
     val root = new java.io.File("/tmp/graft_sf1")

@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, MinHashSignature}
+import graft.functions.{ArrayDotProduct, BpeCount, MinHashSignature,
+  SimHashPack, SymbolEntropy}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,5 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(children.head, graft.dedup.MinHashLSH.NumHashes,
           2147483647L, graft.dedup.MinHashLSH.coeffA,
           graft.dedup.MinHashLSH.coeffB)))
+    ext.injectFunction((
+      new FunctionIdentifier("symbol_entropy"),
+      new ExpressionInfo(classOf[SymbolEntropy].getName, "symbol_entropy"),
+      (children: Seq[Expression]) => SymbolEntropy(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_pack"),
+      new ExpressionInfo(classOf[SimHashPack].getName, "simhash_pack"),
+      (children: Seq[Expression]) =>
+        SimHashPack(children.head, graft.dedup.SimHash.Bits)))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
+      (children: Seq[Expression]) => BpeCount(children.head)))
   }
 }

@@ -24,11 +24,10 @@ object Decontaminate {
   val BenchMod = 20L
   val NgramN = 3
 
+  // the shared zip-shift n-gram construction (see TextFns.wordNgrams:
+  // O(len) per doc, not the O(len²) slice-per-index lambda)
   private def wordNgrams(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    graft.text.TextFns.wordNgrams(ws, n)
 
   /** Contaminated training docs: (doc_id, n_shared distinct n-grams,
     * lexicographically-first shared n-gram as the audit example).

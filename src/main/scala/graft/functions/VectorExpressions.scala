@@ -236,6 +236,53 @@ object SimHashPack {
   }
 }
 
+/** Row-local word n-gram array: n consecutive elements of an
+  * `array<string>` joined by single spaces. The declarative forms are
+  * interpreted higher-order functions — `transform(sequence, i ->
+  * slice(ws, i+1, n))` is O(len²) per doc and even the zip-shift
+  * rewrite stays out of whole-stage codegen; this expression is one
+  * tight loop with offset-based UTF8String concat (d08 measured
+  * 12.5 s → ~1 s at sf0.1).
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  private val Sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(ws: ArrayData, n: Int): ArrayData = {
+    val len = ws.numElements()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { parts(j) = ws.getUTF8String(i + j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(Sep, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
   /** Dot product of two array<double> columns via the native
     * expression above.
@@ -265,4 +312,8 @@ object VectorFunctions {
     */
   def bpe_count(words: Column): Column =
     ColumnBridge.column(BpeCount(ColumnBridge.expression(words)))
+
+  /** Word n-gram array of an array<string> (see WordNgrams). */
+  def word_ngrams(words: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(words), n))
 }

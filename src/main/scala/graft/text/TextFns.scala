@@ -382,13 +382,14 @@ object TextFns {
   }
 
   /** Word n-gram array of a token array (n consecutive words joined by
-    * a space), empty when the doc is shorter than n.
+    * a space), empty when the doc is shorter than n — the native
+    * codegen'd expression (functions.WordNgrams). The declarative HOF
+    * forms are interpreted: `transform(sequence(..), i -> slice(..))`
+    * is O(len²) per doc and cost d08 12.5 s at sf0.1; this is one
+    * tight loop inside whole-stage codegen.
     */
-  private def wordNgrams(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  private[graft] def wordNgrams(ws: Column, n: Int): Column =
+    graft.functions.VectorFunctions.word_ngrams(ws, n)
 
   /** t10: intra-document repetition ratios (the MassiveText/Gopher
     * quality filter): fraction of duplicate word bigrams/trigrams

@@ -20,6 +20,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sig.forall(v => v >= 0 && v < 2147483647L))
   }
 
+  test("symbol_entropy, simhash_pack, bpe_count are callable from SQL") {
+    // two equiprobable symbols → exactly 1 bit
+    val h = spark.sql("SELECT symbol_entropy(array('a','b')) AS h")
+      .head().getDouble(0)
+    assert(math.abs(h - 1.0) < 1e-9)
+    val sig = spark.sql("SELECT simhash_pack(array(42L)) AS s")
+      .head().getLong(0)
+    assert(sig == (42L & ((1L << 60) - 1)), "one hash votes its own bits")
+    // 'the'(vocab)=1, 'table'=t+able=2
+    val n = spark.sql("SELECT bpe_count(array('the','table')) AS n")
+      .head().getLong(0)
+    assert(n == 3L)
+  }
+
   test("sources round-trips preserve aggregates") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
