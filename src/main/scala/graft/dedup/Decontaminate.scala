@@ -11,12 +11,17 @@ import org.apache.spark.sql.functions._
   * pretraining (the papers use 13-grams; n = 3 here because the
   * synthetic docs are tens of words).
   *
-  * Scale shape: the benchmark side is a FIXED evaluation suite — MBs,
-  * not corpus-sized — so its distinct n-gram set BROADCASTS and the
-  * 100 TB training corpus is decontaminated in ONE scan-side hash
-  * semi-join: no shuffle of the corpus, no inverted index. The n-gram
-  * explode is row-local; only (doc, gram) hits survive to the per-doc
-  * count. The synthetic "benchmark" is the doc_id % 20 == 0 slice —
+  * Scale shape: a real benchmark side is a FIXED evaluation suite —
+  * MBs, not corpus-sized — so its distinct n-gram set broadcasts and
+  * the 100 TB training corpus is decontaminated in ONE scan-side hash
+  * semi-join: no shuffle of the corpus, no inverted index. The
+  * broadcast decision is left to AQE rather than a hard `broadcast()`
+  * hint (d06's adaptive posture): the runtime-measured gram-set size
+  * picks BHJ when the suite is genuinely small and falls back to a
+  * shuffle join when a caller feeds a corpus-sized "benchmark" — a
+  * hard hint would OOM the driver there. The n-gram explode is
+  * row-local; only (doc, gram) hits survive to the per-doc count. The
+  * synthetic "benchmark" is the doc_id % 20 == 0 slice —
   * deterministic, reproducible on the oracle side.
   */
 object Decontaminate {
@@ -44,7 +49,7 @@ object Decontaminate {
       // n-grams, and the pre-join distinct also shrinks the probe side
       .select(col("doc_id"), explode(col("ngrams")).as("gram")).distinct()
     train
-      .join(broadcast(bench), Seq("gram"))
+      .join(bench, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"), min(col("gram")).as("example_gram"))
       .orderBy(col("doc_id"))
