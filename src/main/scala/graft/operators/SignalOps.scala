@@ -164,6 +164,83 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
         col("event_id"))
   }
+  /** q54: Holt forecast anomaly — double exponential smoothing (Holt
+    * 1957, level + trend) with the one-step forecast error as the
+    * anomaly statistic: the forecast-based companion to the family
+    * (q19 catches persistent shifts, q49 drift, q53 spikes; q54
+    * catches points that break the EXTRAPOLATED local trend, which a
+    * trailing mean misses on sloping series).
+    *
+    *   forecast_t = l_{t−1} + b_{t−1}
+    *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * The recursion is NOT windowable (each state feeds the next), so
+    * it runs per key in one `flatMapGroups` pass — the q14 ESD shape:
+    * ONE groupByKey exchange, O(per-key history) in the handler, keys
+    * process independently at any corpus width.
+    *
+    * Cross-engine determinism: α = 1/2 and β = 1/4 are DYADIC, and
+    * every smoothing step floors back to a 1e-4 fixed-point long —
+    * l' = ⌊(y + l + b)/2⌋, b' = ⌊(l' − l + 3b)/4⌋ — so the state
+    * recursion is exact integer arithmetic a DuckDB recursive CTE
+    * replays bit-for-bit. Residuals are standardized with q19's
+    * whole-series exact-moment z (one double conversion at the end).
+    */
+  def q54Holt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .as[(Long, String, Long, java.sql.Timestamp, Long)]
+    rows
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, String),
+          it: Iterator[(Long, String, Long, java.sql.Timestamp, Long)]) =>
+        val evs = it.toVector.sortBy(r => (usOf(r._4), r._3))
+        // pass 1: the exact fixed-point recursion → per-row forecast
+        // error (None for the first row, which has no forecast)
+        var l = 0L
+        var b = 0L
+        val resid = evs.zipWithIndex.map { case (r, i) =>
+          if (i == 0) { l = r._5; b = 0L; None }
+          else {
+            val pred = l + b
+            val e = r._5 - pred
+            val l2 = math.floor((r._5 + l + b) / 2.0).toLong
+            b = math.floor((l2 - l + 3.0 * b) / 4.0).toLong
+            l = l2
+            Some((pred, e))
+          }
+        }
+        // pass 2: q19's whole-series exact moments over the errors
+        val es = resid.flatten.map(_._2)
+        val n = es.size.toLong
+        val s1 = es.sum
+        val s2 = es.foldLeft(BigInt(0))((acc, e) => acc + BigInt(e) * BigInt(e))
+        val c = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
+        evs.zip(resid).map { case (r, pr) =>
+          val (z6, flag) = pr match {
+            case Some((_, e)) if n > 1 && c > 0 =>
+              val a = (n * e - s1).toDouble
+              val z = math.floor(a / math.sqrt(c.toDouble * n / (n - 1)) *
+                1000000.0 + 0.5).toLong
+              (Some(z / 1000000.0), if (math.abs(z) >= 3000000L) 1 else 0)
+            case Some(_) => (Some(0.0), 0)
+            case None    => (None, 0)
+          }
+          (r._1, r._2, r._3, r._4, r._5 / 10000.0,
+            pr.map(_._1 / 10000.0), pr.map(_._2 / 10000.0), z6, flag)
+        }
+      }
+      .toDF("user_id", "event_type", "event_id", "date_recorded", "value",
+        "forecast", "resid", "holt_z6", "holt_flag")
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
   /** q53: Hampel filter — rolling median ± k·MAD spike detection, the
     * robust companion to q06's mean/stddev z-score (median and MAD
     * don't move when the spike itself enters the window, so a gross
@@ -324,6 +401,60 @@ object SignalOracle {
       |  CASE WHEN s_pos > 5000000 OR s_neg > 5000000 THEN 1 ELSE 0 END
       |    AS changepoint_flag
       |FROM sfin
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** q54: the same dyadic fixed-point Holt recursion replayed as a
+    * recursive CTE — each iteration advances every key's frontier one
+    * row (join on seq + 1), so the iteration count is the longest
+    * series, not the row count. Moments/z mirror q19's closed form.
+    */
+  val q54: String =
+    """WITH RECURSIVE base AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM events
+      |), rec AS (
+      |  SELECT user_id, event_type, event_id, ts, v4l, seq,
+      |    v4l AS l, CAST(0 AS BIGINT) AS b,
+      |    CAST(NULL AS BIGINT) AS pred, CAST(NULL AS BIGINT) AS e
+      |  FROM base WHERE seq = 1
+      |  UNION ALL
+      |  SELECT b2.user_id, b2.event_type, b2.event_id, b2.ts, b2.v4l, b2.seq,
+      |    CAST(floor((b2.v4l + r.l + r.b) / 2.0) AS BIGINT) AS l,
+      |    CAST(floor((CAST(floor((b2.v4l + r.l + r.b) / 2.0) AS BIGINT)
+      |      - r.l + 3.0 * r.b) / 4.0) AS BIGINT) AS b,
+      |    r.l + r.b AS pred,
+      |    b2.v4l - (r.l + r.b) AS e
+      |  FROM rec r JOIN base b2
+      |    ON b2.user_id = r.user_id AND b2.event_type = r.event_type
+      |   AND b2.seq = r.seq + 1
+      |), st AS (
+      |  SELECT *,
+      |    count(e) OVER wk AS n,
+      |    sum(e) OVER wk AS s1,
+      |    sum(CAST(e AS HUGEINT) * e) OVER wk AS s2
+      |  FROM rec
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), z AS (
+      |  SELECT *,
+      |    CASE WHEN e IS NULL THEN NULL
+      |         WHEN n > 1 AND (n * s2 - CAST(s1 AS HUGEINT) * s1) > 0
+      |         THEN CAST(floor(CAST(n * e - s1 AS DOUBLE) /
+      |           sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |             * n / (n - 1)) * 1000000.0 + 0.5) AS BIGINT)
+      |         ELSE 0 END AS z6l
+      |  FROM st
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value,
+      |  pred / 10000.0 AS forecast,
+      |  e / 10000.0 AS resid,
+      |  z6l / 1000000.0 AS holt_z6,
+      |  CASE WHEN z6l IS NOT NULL AND abs(z6l) >= 3000000 THEN 1 ELSE 0 END
+      |    AS holt_flag
+      |FROM z
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
   val q53: String =

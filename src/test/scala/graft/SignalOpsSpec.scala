@@ -100,6 +100,39 @@ class SignalOpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Int]("hampel_flag") == 0, r.toString))
   }
 
+  test("q54 holt: exact dyadic recursion and trend-break flagging") {
+    import spark.implicits._
+    def write(vals: Seq[Double], tag: String): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, tag, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q54spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // hand-traced recursion: y = 10, 12, 14 (1e-4 longs 1e5, 1.2e5, 1.4e5)
+    //  row2: pred = 100000,  l = 110000, b = 2500
+    //  row3: pred = 112500 → forecast 11.25
+    val t1 = write(Seq(10.0, 12.0, 14.0), "trace")
+    val f = graft.operators.SignalOps.q54Holt(spark, t1).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("forecast"))).toMap
+    assert(f(0L).isEmpty)
+    assert(f(1L).contains(10.0))
+    assert(f(2L).contains(11.25))
+    // a level ramp with one trend-breaking point: the Holt forecast
+    // extrapolates the slope, so only the break is flagged — a
+    // trailing-mean z would also flag the steep-but-consistent ramp
+    val ramp = (0 until 30).map(i => if (i == 20) 200.0 else 10.0 + 2.0 * i)
+    val t2 = write(ramp, "ramp")
+    val out = graft.operators.SignalOps.q54Holt(spark, t2).collect()
+    val flagged = out.filter(_.getAs[Int]("holt_flag") == 1)
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(flagged.contains(20L), s"trend break must flag, got $flagged")
+    assert(!flagged.exists(i => i < 18), s"ramp itself must not flag: $flagged")
+  }
+
   test("q48 binned interval join equals the naive range join") {
     val ev = Tables.events(spark, dir)
     val c = ev.filter(col("event_type") === "click")
