@@ -117,7 +117,9 @@ object SparkEntry {
     "st07_stream_corpus" ->
       graft.streaming.StreamingCorpus.st07StreamCorpus _,
     "st08_stream_cusum" ->
-      ((s, d) => graft.streaming.StreamingAnomaly.st08StreamCusum(s, d))
+      ((s, d) => graft.streaming.StreamingAnomaly.st08StreamCusum(s, d)),
+    "st09_stream_holt" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st09StreamHolt(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -142,6 +144,7 @@ object SparkEntry {
     "st07_stream_corpus" -> LlmOracle.st07,
     "q19_cusum_changepoint" -> SignalOracle.q19,
     "st08_stream_cusum"  -> SignalOracle.st08,
+    "st09_stream_holt"   -> SignalOracle.st09,
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "t08_bigram_perplexity" -> LlmOracle.t08,

@@ -457,6 +457,74 @@ object SignalOracle {
       |FROM z
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
+  /** st09: q54's recursion replayed per STALENESS SEGMENT (st08's
+    * 8-day gap rule splits segments; the stream restarts its baseline
+    * there) with PREFIX error moments carried through the recursion —
+    * z is then a plain post-select over the carried (n, s1, s2, e).
+    */
+  val st09: String =
+    """WITH RECURSIVE b AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), sq AS MATERIALIZED (
+      |  SELECT user_id, event_type, seg_id, event_id, ts, v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM seg
+      |), rec AS (
+      |  SELECT user_id, event_type, seg_id, seq, event_id, ts, v4l,
+      |    v4l AS l, CAST(0 AS BIGINT) AS tr,
+      |    CAST(NULL AS BIGINT) AS pred, CAST(NULL AS BIGINT) AS e,
+      |    CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s1,
+      |    CAST(0 AS HUGEINT) AS s2
+      |  FROM sq WHERE seq = 1
+      |  UNION ALL
+      |  SELECT n2.user_id, n2.event_type, n2.seg_id, n2.seq, n2.event_id,
+      |    n2.ts, n2.v4l,
+      |    CAST(floor((n2.v4l + r.l + r.tr) / 2.0) AS BIGINT),
+      |    CAST(floor((CAST(floor((n2.v4l + r.l + r.tr) / 2.0) AS BIGINT)
+      |      - r.l + 3.0 * r.tr) / 4.0) AS BIGINT),
+      |    r.l + r.tr,
+      |    n2.v4l - (r.l + r.tr),
+      |    r.n + 1,
+      |    r.s1 + (n2.v4l - (r.l + r.tr)),
+      |    r.s2 + CAST(n2.v4l - (r.l + r.tr) AS HUGEINT)
+      |      * (n2.v4l - (r.l + r.tr))
+      |  FROM rec r JOIN sq n2
+      |    ON n2.user_id = r.user_id AND n2.event_type = r.event_type
+      |   AND n2.seg_id = r.seg_id AND n2.seq = r.seq + 1
+      |), z AS (
+      |  SELECT *,
+      |    CASE WHEN e IS NULL THEN NULL
+      |         WHEN n > 1 AND (n * s2 - CAST(s1 AS HUGEINT) * s1) > 0
+      |         THEN CAST(floor(CAST(n * e - s1 AS DOUBLE) /
+      |           sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |             * n / (n - 1)) * 1000000.0 + 0.5) AS BIGINT)
+      |         ELSE 0 END AS z6l
+      |  FROM rec
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value,
+      |  pred / 10000.0 AS forecast,
+      |  e / 10000.0 AS resid,
+      |  z6l / 1000000.0 AS holt_z6,
+      |  CASE WHEN z6l IS NOT NULL AND abs(z6l) >= 3000000 THEN 1 ELSE 0 END
+      |    AS holt_flag
+      |FROM z
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
   val q53: String =
     """WITH b AS (
       |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -500,6 +500,114 @@ object StreamingAnomaly {
       staleDays: Double = 8.0): DataFrame =
     st08FromStream(s, eventStream(s, dir), staleDays)
 
+  /** st09 per-ticker streaming Holt state: O(1) per key — the dyadic
+    * level/trend pair, prefix moments of the forecast errors (s2 as
+    * two base-1e18 limbs, st08's exact representation), last event
+    * time for eviction.
+    */
+  case class HoltState(lastUs: Long, l: Long, b: Long, n: Long, s1: Long,
+      s2Hi: Long, s2Lo: Long)
+
+  case class HoltOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double,
+      forecast: Option[Double], resid: Option[Double],
+      holt_z6: Option[Double], holt_flag: Int)
+
+  /** st09: q54's Holt forecast-error detector as continuously-updating
+    * state — the streaming twin (as st08 is to q19), standardizing
+    * each forecast error against the PREFIX (causal) error moments.
+    * The dyadic ⌊·⌋ recursion is identical to q54's, so the state is
+    * exact integers; O(1) per key, EventTimeTimeout eviction and the
+    * in-data staleness gap restart the baseline exactly like st02/st08
+    * (segment semantics the oracle's recursive CTE replays per
+    * segment). Same in-order contract as st02.
+    */
+  def st09StreamHolt(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st09FromStream(s, eventStream(s, dir), staleDays)
+
+  def st09FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    import s.implicits._
+    val name = s"st09_out_${counter.incrementAndGet()}"
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val limb = BigInt(1000000000000000000L) // 1e18
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[HoltState]): Iterator[HoltOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // quiet ticker: baseline gone, key evicted
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[HoltOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          // in-data staleness gap: restart the segment baseline
+          stOpt = stOpt.filter(st => usOf(e.ts) - st.lastUs <= staleUs)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          stOpt match {
+            case None =>
+              stOpt = Some(HoltState(usOf(e.ts), vl, 0L, 0L, 0L, 0L, 0L))
+              out += HoltOut(key._1, key._2, e.event_id, e.ts, vl / 10000.0,
+                None, None, None, 0)
+            case Some(st) =>
+              val pred = st.l + st.b
+              val err = vl - pred
+              val n = st.n + 1
+              val s1 = st.s1 + err
+              val s2 = BigInt(st.s2Hi) * limb + st.s2Lo +
+                BigInt(err) * BigInt(err)
+              val c = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
+              val z6 =
+                if (n > 1 && c > 0) {
+                  val a = (n * err - s1).toDouble
+                  math.floor(a / math.sqrt(c.toDouble * n / (n - 1)) *
+                    1000000.0 + 0.5).toLong
+                } else 0L
+              // q54's dyadic fixed-point recursion, bit-for-bit
+              val l2 = math.floor((vl + st.l + st.b) / 2.0).toLong
+              val b2 = math.floor((l2 - st.l + 3.0 * st.b) / 4.0).toLong
+              stOpt = Some(HoltState(usOf(e.ts), l2, b2, n, s1,
+                (s2 / limb).toLong, (s2 % limb).toLong))
+              out += HoltOut(key._1, key._2, e.event_id, e.ts, vl / 10000.0,
+                Some(pred / 10000.0), Some(err / 10000.0),
+                Some(z6 / 1000000.0),
+                if (math.abs(z6) >= 3000000L) 1 else 0)
+          }
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    withStatePartitions(s, 8) {
+      val q = stream
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .withWatermark("ts", "1 hour")
+        .as[TickEvent]
+        .groupByKey(e => (e.user_id, e.event_type))
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(update)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("forecast"),
+        col("resid"), col("holt_z6"), col("holt_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
   def st08FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     import s.implicits._

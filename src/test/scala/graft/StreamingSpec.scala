@@ -155,6 +155,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.length == single.length && multi.sameElements(single))
   }
 
+  test("st09 multi-batch (maxFilesPerTrigger=1) matches the single-batch output") {
+    val multi = StreamingAnomaly.st09FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st09StreamHolt(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.length == single.length && multi.sameElements(single))
+    // one row per event; the dyadic recursion matches q54's within
+    // each staleness segment (z differs: causal prefix vs whole-series)
+    assert(single.length == Tables.events(spark, dir).count())
+  }
+
   test("st03 streaming dedup emits each (user, type, value) once") {
     val out = StreamingAnomaly.st03StreamDedup(spark, dir)
     val n = out.count()
