@@ -227,14 +227,17 @@ class StreamingSpec extends AnyFunSuite {
     // rocksdbjni ships with Spark, so this is a pure conf switch.
     // Output must be byte-identical to the default HDFS-backed store.
     val key = "spark.sql.streaming.stateStore.providerClass"
-    val hdfs = StreamingAnomaly.st02StatefulFlags(spark, dir)
-      .collect().map(_.toString).sorted
+    val queries = Seq[(String, () => Array[String])](
+      "st02" -> (() => StreamingAnomaly.st02StatefulFlags(spark, dir)
+        .collect().map(_.toString).sorted),
+      "st09" -> (() => StreamingAnomaly.st09StreamHolt(spark, dir)
+        .collect().map(_.toString).sorted))
+    val hdfs = queries.map { case (n, f) => n -> f() }.toMap
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val rocks = StreamingAnomaly.st02StatefulFlags(spark, dir)
-        .collect().map(_.toString).sorted
-      assert(rocks.length == hdfs.length && rocks.sameElements(hdfs))
+    try queries.foreach { case (n, f) =>
+      val rocks = f()
+      assert(rocks.length == hdfs(n).length && rocks.sameElements(hdfs(n)), n)
     } finally spark.conf.unset(key)
   }
 }
