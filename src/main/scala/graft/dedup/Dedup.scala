@@ -44,14 +44,12 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String, tau: Double = 0.8,
       maxDf: Int = 100): DataFrame = {
-    // zip_with over two slices, NOT element_at inside transform: HOF
-    // lambdas are interpreted, so element_at(split(..), i) would re-run
-    // the split regex per element — O(words²) per doc.
+    // native codegen'd word_ngrams — the zip_with-over-slices
+    // predecessor was an interpreted HOF pass per row; identical
+    // output strings, so the oracle is untouched
     val ws = split(normText(col("text")), " ")
     val bigrams = array_distinct(
-      when(size(ws) >= 2,
-        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-          (a, b) => concat(a, lit(" "), b)))
+      when(size(ws) >= 2, graft.functions.VectorFunctions.word_ngrams(ws, 2))
         .otherwise(array(concat_ws(" ", ws))))
     val allTok = Tables
       .documents(s, dir)

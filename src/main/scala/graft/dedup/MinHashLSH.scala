@@ -41,14 +41,11 @@ object MinHashLSH {
 
   def shingles(text: Column, n: Int = 3): Column = {
     val ws = split(Dedup.normText(text), " ")
-    // n-gram build via zip_with folds over shifted slices: split() is
-    // only ever a lambda ARGUMENT (evaluated once per row), never inside
-    // the lambda body — interpreted HOF lambdas would re-split per
-    // element, making shingling O(words²) per doc.
-    val m = size(ws) - (n - 1) // number of n-grams
-    val grams = (2 to n).foldLeft(slice(ws, lit(1), m)) { (acc, k) =>
-      zip_with(acc, slice(ws, lit(k), m), (a, b) => concat(a, lit(" "), b))
-    }
+    // n-gram build via the native codegen'd word_ngrams expression —
+    // the zip_with-fold predecessor was still an interpreted HOF
+    // ((n−1) lambda passes per row); same output strings, so the
+    // hash-seeded signatures are unchanged
+    val grams = graft.functions.VectorFunctions.word_ngrams(ws, n)
     array_distinct(
       when(size(ws) <= n, array(concat_ws(" ", ws))).otherwise(grams))
   }
