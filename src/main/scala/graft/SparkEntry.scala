@@ -95,6 +95,9 @@ object SparkEntry {
     "t10_ngram_repetition" -> graft.text.TextFns.ngramRepetition _,
     "d08_decontaminate"  -> ((s, d) =>
       graft.dedup.Decontaminate.contaminated(s, d)),
+    "d08_clean_corpus"   -> ((s, d) =>
+      graft.dedup.Decontaminate.clean(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
     "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
     "m02_audio_features" -> ((s, d) => graft.multimodal.Audio.q(s, d)),
     "m03_video_frames" -> ((s, d) => graft.multimodal.Video.q(s, d)),
@@ -154,6 +157,7 @@ object SparkEntry {
     "t09_pii_redact"     -> LlmOracle.t09,
     "t10_ngram_repetition" -> LlmOracle.t10,
     "d08_decontaminate"  -> LlmOracle.d08,
+    "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "s04_knn_classify"   -> LlmOracle.s04,
     "q48_interval_join" ->
       """WITH e AS (

@@ -259,7 +259,9 @@ object LlmOracle {
        |FROM g ORDER BY doc_id""".stripMargin
 
   /** d08: the same benchmark slice (doc_id % 20 = 0), same word
-    * 3-grams, distinct (doc, gram) before the overlap join.
+    * 3-grams. The oracle dedups (doc, gram) before the overlap join;
+    * the engine joins raw pairs and dedups the hits with
+    * count_distinct — identical n_shared either way.
     */
   val d08: String =
     s"""WITH w AS (
@@ -275,6 +277,28 @@ object LlmOracle {
        |SELECT t.doc_id, count(*) AS n_shared, min(t.gram) AS example_gram
        |FROM train t JOIN bench b ON t.gram = b.gram
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** d08 clean(): the composable artifact — the training corpus with
+    * contaminated doc_ids anti-joined away.
+    */
+  val d08Clean: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id, ${ngListSql(3)} AS ngrams FROM w
+       |), bench AS (
+       |  SELECT DISTINCT unnest(ngrams) AS gram FROM g WHERE doc_id % 20 = 0
+       |), train AS (
+       |  SELECT DISTINCT doc_id, unnest(ngrams) AS gram FROM g
+       |  WHERE doc_id % 20 != 0
+       |), bad AS (
+       |  SELECT DISTINCT t.doc_id FROM train t JOIN bench b ON t.gram = b.gram
+       |)
+       |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id % 20 != 0
+       |  AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   private def entropySql(splitExpr: String): String =
     s"""SELECT doc_id, -CAST(sum(term_s) AS DOUBLE) / 1e9 AS h FROM (

@@ -374,6 +374,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getLong(0) == 1L)
     assert(out.head.getAs[Long]("n_shared") == 1L)
     assert(out.head.getAs[String]("example_gram") == "alpha beta gamma")
+    // clean(): the contaminated doc and the bench slice are gone, the
+    // disjoint doc survives with its full row intact
+    val kept = graft.dedup.Decontaminate.clean(spark, tmp).collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(2L))
+    assert(kept.head.getAs[String]("text") == "p q r s t u")
+  }
+
+  test("d08 plan: train side streams into the join with no pre-join shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = graft.dedup.Decontaminate.contaminated(spark, dir)
+    val lp = df.queryExecution.optimizedPlan
+    val join = lp.collect { case j: Join => j }.head
+    // the train side is the one carrying doc_id; the bench side's
+    // distinct Aggregate is intended (it is the broadcast-sized suite)
+    val trainSide = Seq(join.left, join.right)
+      .find(_.output.exists(_.name == "doc_id")).get
+    assert(trainSide.collect { case a: Aggregate => a }.isEmpty,
+      s"train side aggregates (= shuffles) before the join:\n$lp")
+    // physical: AQE picks a broadcast join for the MB-sized gram set,
+    // so the exploded corpus streams scan→join with no exchange at all
+    df.collect()
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"gram-set join did not broadcast:\n$phys")
   }
 
   test("t03 bpe tokens: greedy longest-match segmentation is exact") {
