@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ArrayDotProduct, BpeCount, MinHashSignature,
-  SimHashPack, SymbolEntropy}
+  SimHashPack, SymbolEntropy, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -41,5 +41,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
       (children: Seq[Expression]) => BpeCount(children.head)))
+    // word_ngrams(words_array, n): n is a Scala construction parameter
+    // of the expression (the codegen'd loop bound), so the SQL form
+    // requires a foldable integer literal for the second argument.
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        val nExpr = children(1)
+        if (!nExpr.foldable)
+          throw new IllegalArgumentException(
+            "word_ngrams(arr, n): n must be a literal integer")
+        val n = nExpr.eval() match {
+          case i: Int   => i
+          case l: Long  => l.toInt
+          case s: Short => s.toInt
+          case b: Byte  => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams(arr, n): n must be an integer literal, got $other")
+        }
+        WordNgrams(children(0), n)
+      }))
   }
 }

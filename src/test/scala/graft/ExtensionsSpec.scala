@@ -34,6 +34,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(n == 3L)
   }
 
+  test("word_ngrams is callable from SQL with a literal n") {
+    val grams = spark
+      .sql("SELECT word_ngrams(split('a b c d', ' '), 2) AS g")
+      .head().getSeq[String](0)
+    assert(grams == Seq("a b", "b c", "c d"))
+    // shorter than n → empty, matching the DSL/oracle convention
+    val short = spark
+      .sql("SELECT word_ngrams(split('a', ' '), 3) AS g")
+      .head().getSeq[String](0)
+    assert(short.isEmpty)
+    // non-literal n is rejected, not silently mis-planned
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_ngrams(split('a b', ' '), id + 1) FROM range(1)")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("sources round-trips preserve aggregates") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
