@@ -15,10 +15,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object MediaStage {
 
+  /** Generator version, part of the staging path: bump whenever the
+    * synthesis code (mediaTable/audioTable/videoTable) or its
+    * parameters change, so a stale /tmp cache from an older build can
+    * never be read against oracles that recompute fresh — the old
+    * path simply stops matching and the payloads rebuild.
+    */
+  val GenVersion = 1
+
   def staged(s: SparkSession, dir: String, suffix: String)(
       build: => DataFrame): DataFrame = {
     val out = new java.io.File(
-      s"/tmp/graft_media_stage/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$suffix")
+      s"/tmp/graft_media_stage/v$GenVersion/" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$suffix")
     if (!new java.io.File(out, "_SUCCESS").exists())
       build.write.mode("overwrite").parquet(out.getAbsolutePath)
     s.read.parquet(out.getAbsolutePath)

@@ -224,7 +224,9 @@ object SignalOps {
         evs.zip(resid).map { case (r, pr) =>
           val (z6, flag) = pr match {
             case Some((_, e)) if n > 1 && c > 0 =>
-              val a = (n * e - s1).toDouble
+              // BigInt like c: plain Long wraps silently at extreme
+              // magnitudes where the BIGINT oracle raises instead
+              val a = (BigInt(n) * BigInt(e) - BigInt(s1)).toDouble
               val z = math.floor(a / math.sqrt(c.toDouble * n / (n - 1)) *
                 1000000.0 + 0.5).toLong
               (Some(z / 1000000.0), if (math.abs(z) >= 3000000L) 1 else 0)

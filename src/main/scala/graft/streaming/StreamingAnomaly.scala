@@ -438,6 +438,19 @@ object StreamingAnomaly {
       .orderBy(col("user_id"), col("event_type"), col("ts"), col("event_id"))
   }
 
+  /** State-encoding format version, namespacing every durable
+    * checkpoint location. The custom-state encodings are NOT
+    * checkpoint-compatible across format changes (v2: TickerState.diffs
+    * List→Array[Long]; CusumState/HoltState s2 BigDecimal→two long
+    * limbs) — a resume against an old-format checkpoint fails on state
+    * deserialization, not gracefully. Namespacing by version means an
+    * upgraded job starts a fresh checkpoint instead of crashing on
+    * restore; old-version directories are dead data to clean up.
+    */
+  val StateFormatVersion = 2
+  private def versionedCheckpoint(checkpoint: String): String =
+    s"$checkpoint/state-format-v$StateFormatVersion"
+
   /** st02 into a fault-tolerant parquet file sink with a durable
     * checkpointLocation: a later call with the same (path, checkpoint)
     * RESUMES — offsets skip committed source files, the state store
@@ -454,7 +467,7 @@ object StreamingAnomaly {
         .outputMode(OutputMode.Append)
         .format("parquet")
         .option("path", path)
-        .option("checkpointLocation", checkpoint)
+        .option("checkpointLocation", versionedCheckpoint(checkpoint))
         .start()
       q.processAllAvailable()
       q.stop()
@@ -526,10 +539,9 @@ object StreamingAnomaly {
       staleDays: Double = 8.0): DataFrame =
     st09FromStream(s, eventStream(s, dir), staleDays)
 
-  def st09FromStream(s: SparkSession, stream: DataFrame,
-      staleDays: Double = 8.0): DataFrame = {
+  def st09Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[HoltOut] = {
     import s.implicits._
-    val name = s"st09_out_${counter.incrementAndGet()}"
     val staleUs = (staleDays * 86400e6).toLong
     val staleMs = (staleDays * 86400e3).toLong
     val limb = BigInt(1000000000000000000L) // 1e18
@@ -562,7 +574,9 @@ object StreamingAnomaly {
               val c = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
               val z6 =
                 if (n > 1 && c > 0) {
-                  val a = (n * err - s1).toDouble
+                  // BigInt like c (q54's exact-moment discipline):
+                  // Long would wrap where the BIGINT oracle raises
+                  val a = (BigInt(n) * BigInt(err) - BigInt(s1)).toDouble
                   math.floor(a / math.sqrt(c.toDouble * n / (n - 1)) *
                     1000000.0 + 0.5).toLong
                 } else 0L
@@ -584,15 +598,21 @@ object StreamingAnomaly {
       }
     }
 
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st09FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st09_out_${counter.incrementAndGet()}"
     withStatePartitions(s, 8) {
-      val q = stream
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          col("value"))
-        .withWatermark("ts", "1 hour")
-        .as[TickEvent]
-        .groupByKey(e => (e.user_id, e.event_type))
-        .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.EventTimeTimeout)(update)
+      val q = st09Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
         .format("memory").queryName(name)
@@ -607,6 +627,26 @@ object StreamingAnomaly {
       .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
         col("event_id"))
   }
+
+  /** st09 into a fault-tolerant parquet sink with a durable
+    * checkpoint — st02ToFileSink's kill-and-restart contract for the
+    * CUSTOM two-limb Holt state: a resume must restore every key's
+    * exact integer moments bit-for-bit, which StreamingSpec asserts by
+    * comparing a killed-and-resumed run against a single run.
+    */
+  def st09ToFileSink(s: SparkSession, stream: DataFrame, path: String,
+      checkpoint: String, staleDays: Double = 8.0): Unit =
+    withStatePartitions(s, 8) {
+      val q = st09Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", versionedCheckpoint(checkpoint))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
 
   def st08FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {

@@ -123,6 +123,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(resumed.sameElements(single))
   }
 
+  test("st09 kill-and-restart restores the custom two-limb Holt state " +
+      "(HDFS and RocksDB providers)") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    // the single-run reference: every (prefix-moment) z depends on the
+    // key's ENTIRE history, so a resume that lost or mangled the
+    // custom HoltState encoding wrongs every row after the restart
+    val single = StreamingAnomaly.st09StreamHolt(spark, dir)
+      .collect().map(_.toString).sorted
+    val slices = stageSlices().listFiles()
+      .filter(_.getName.startsWith("slice_")).sortBy(_.getName)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    for (provider <- Seq(None, Some("org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider"))) {
+      provider.foreach(spark.conf.set(providerKey, _))
+      try {
+        val inDir = Files.createTempDirectory("st09_restart_in").toFile
+        val cp = Files.createTempDirectory("st09_restart_cp").toString
+        val outPath = Files.createTempDirectory("st09_restart_out").toString
+        def addSlice(i: Int): Unit = {
+          val dst = new java.io.File(inDir, slices(i).getName)
+          Files.copy(slices(i).toPath, dst.toPath,
+            StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst.toPath,
+            FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+        def stream() = spark.readStream.schema(StreamingAnomaly.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath)
+        addSlice(0); addSlice(1)
+        StreamingAnomaly.st09ToFileSink(spark, stream(), outPath, cp)
+        val out1 = spark.read.parquet(outPath).count()
+        assert(out1 > 0)
+        addSlice(2); addSlice(3)
+        StreamingAnomaly.st09ToFileSink(spark, stream(), outPath, cp)
+        val resumed = spark.read.parquet(outPath)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts").as("date_recorded"), col("value"), col("forecast"),
+            col("resid"), col("holt_z6"), col("holt_flag"))
+          .collect().map(_.toString).sorted
+        assert(resumed.length > out1, "restart must process new slices")
+        assert(resumed.length == single.length,
+          s"$provider: resumed ${resumed.length} vs single ${single.length}")
+        assert(resumed.sameElements(single), s"$provider: rows differ")
+      } finally provider.foreach(_ => spark.conf.unset(providerKey))
+    }
+  }
+
   test("st08 streaming CUSUM obeys the clamped recursion and flags consistently") {
     val rows = StreamingAnomaly.st08StreamCusum(spark, dir).collect()
     assert(rows.length == Tables.events(spark, dir).count())
@@ -213,6 +260,55 @@ class StreamingSpec extends AnyFunSuite {
     streamed.foreach { r =>
       assert(batch((r.getString(0), r.getString(1))) == r.getLong(2))
     }
+  }
+
+  test("st02 under a hot key (100x skew): correct, independent, bounded") {
+    // the §5 claim under test: state is sharded by key and keys
+    // process independently, so one pathological ticker can make its
+    // OWN partition long but cannot corrupt other keys' output
+    import spark.implicits._
+    import java.nio.file.Files
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def mkRows(keys: Seq[(Long, String, Int)]) = keys.flatMap {
+      case (uid, et, n) => (0 until n).map { i =>
+        (uid * 100000L + i, new java.sql.Timestamp(base + i * 3600000L),
+          uid, et, 100.0 + (i % 7) + (if (i % 97 == 0) 50.0 else 0.0), "")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // 28k rows both ways: skewed = 1 key with 100x the others' rows
+    val hot = (1L, "hot", 20000)
+    val cold = (2L to 41L).map(u => (u, "cold", 200))
+    val skewDir = Files.createTempDirectory("skew_in").toString
+    mkRows(hot +: cold).write.mode("overwrite").parquet(skewDir)
+    val uniDir = Files.createTempDirectory("uni_in").toString
+    mkRows((1L to 56L).map(u => (u, "uni", 500))).write
+      .mode("overwrite").parquet(uniDir)
+    def run(dir: String) = {
+      val t0 = System.nanoTime()
+      val rows = StreamingAnomaly.st02FromStream(spark,
+        spark.readStream.schema(StreamingAnomaly.eventSchema).parquet(dir))
+        .collect()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    val (skewRows, tSkew) = run(skewDir)
+    val (_, tUni) = run(uniDir)
+    // correctness: every event emitted once, plus exactly one designed
+    // eviction row (event_id = -1, stale flag) per cold key — the hot
+    // key's 833-day span drives the watermark past their 8-day timeout
+    assert(skewRows.count(_.getAs[Long]("event_id") != -1L) == 28000)
+    assert(skewRows.count(_.getAs[Long]("event_id") == -1L) == 40)
+    // ...and the hot key's rows are exactly what the same key produces
+    // running alone (key independence)
+    val hotMixed = skewRows.filter(_.getAs[Long]("user_id") == 1L)
+      .map(_.toString).sorted
+    val hotAloneDir = Files.createTempDirectory("hot_in").toString
+    mkRows(Seq(hot)).write.mode("overwrite").parquet(hotAloneDir)
+    val (hotAlone, _) = run(hotAloneDir)
+    assert(hotMixed.sameElements(hotAlone.map(_.toString).sorted))
+    // boundedness: the skewed run is the same work in one partition's
+    // tail — allow generous noise but fail on super-linear blowup
+    assert(tSkew < tUni * 4 + 5.0,
+      s"skewed run $tSkew s vs uniform $tUni s — hot key blows up the batch")
   }
 
   test("st02 is deterministic across runs") {
