@@ -42,16 +42,34 @@ object BenchScale {
       Az + Az.toUpperCase + Dg,
       rotated(Az, i) + rotated(Az, i).toUpperCase + rotated(Dg, i))
 
-  /** The headline families the round-6 verdict asked to probe, plus
-    * d08 (broadcast-decontamination: the zero-corpus-shuffle claim).
+  /** Every family with distinctive scale behavior: the windowed
+    * pipeline (q06/q10), banded LSH dedup (d02), connected components
+    * (d06), inverted-index scoring (t06), stateful streaming (st02),
+    * broadcast decontamination (d08), and — round 7 — the three
+    * families that had no measured datapoint: per-key flatMapGroups
+    * recursion (q54), the PPJoin prefix-filtered pair join (d04), and
+    * bucket-probed LSH ANN (s02).
+    *
+    * st02 runs FIRST: the sf1 run holds 10× ticker state on the heap,
+    * and a heap already dirtied by the batch probes adds multi-second
+    * GC to its batch that isolation never reproduces (in-suite 5.1×
+    * vs isolated 2.3× on identical code) — probing it on a clean heap
+    * measures the operator, not the suite's garbage.
     */
   val ProbeQueries: Seq[String] = Seq(
-    "q06_zscore", "q10_anomaly_report", "d02_dedup_minhash_lsh",
-    "d06_dedup_clusters", "t06_tfidf", "st02_stream_anomaly",
-    "d08_decontaminate")
+    "st02_stream_anomaly", "q06_zscore", "q10_anomaly_report",
+    "d02_dedup_minhash_lsh", "d06_dedup_clusters", "t06_tfidf",
+    "d08_decontaminate", "q54_holt_forecast", "d04_ngram_jaccard",
+    "s02_ann_lsh")
+
+  /** Staging-layout version (bump when a table or its synthesis
+    * changes, so a /tmp cache from an older round rebuilds): v2 adds
+    * embeddings (dimension-rotated per copy).
+    */
+  private val StageVersion = 2
 
   def stageSf1(s: SparkSession, srcDir: String): String = {
-    val root = new java.io.File("/tmp/graft_sf1")
+    val root = new java.io.File(s"/tmp/graft_sf1/v$StageVersion")
     val done = new java.io.File(root, "_STAGED")
     if (!done.exists()) {
       val ev = Tables.events(s, srcDir)
@@ -79,6 +97,22 @@ object BenchScale {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$root/customer.parquet")
 
+      // embeddings: vec_id offset per copy + a per-copy circular
+      // DIMENSION rotation — intra-copy geometry (norms, dot products,
+      // near-neighbor structure) is preserved exactly, while cross-copy
+      // vectors hash to unrelated LSH buckets, the same "10× corpus,
+      // no planted cross-copy collisions" story as the text rotation.
+      val emb = Tables.embeddings(s, srcDir)
+      (0 until Copies).map { i =>
+        val rot =
+          if (i == 0) col("embedding")
+          else concat(slice(col("embedding"), i + 1, 64 - i),
+            slice(col("embedding"), 1, i))
+        emb.select((col("vec_id") + lit(i * DocOff)).as("vec_id"),
+          rot.as("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+
       done.createNewFile()
     }
     root.getAbsolutePath
@@ -101,13 +135,21 @@ object BenchScale {
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
-    def time(name: String, dir: String): Double = {
+    def timeOnce(name: String, dir: String): Double = {
+      System.gc() // every sample starts from a clean heap
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       sweep()
       dt
     }
+    // best-of-2 for EVERY sample: the probe's quantity is a RATIO of
+    // two 1-8 s runs, and a single GC pause of the 10×-state suite
+    // heap triples whichever entry it lands on (observed: st02 7.3×,
+    // then d02 4.7× and d08 5.6× on identical code, each isolating
+    // back to ~2×). Additive noise → min is the honest estimator.
+    def time(name: String, dir: String): Double =
+      math.min(timeOnce(name, dir), timeOnce(name, dir))
     val probes = if (args.nonEmpty) args.toSeq else ProbeQueries
     // warm pass at sf0.1 (JIT), then the measured pair per query
     probes.foreach(q => time(q, sfDir))
