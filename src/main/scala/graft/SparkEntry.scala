@@ -98,6 +98,8 @@ object SparkEntry {
     "d08_clean_corpus"   -> ((s, d) =>
       graft.dedup.Decontaminate.clean(s, d)
         .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
+    "d09_importance_sample" -> ((s, d) =>
+      graft.operators.Sampling.importanceSample(s, d)),
     "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
     "m02_audio_features" -> ((s, d) => graft.multimodal.Audio.q(s, d)),
     "m03_video_frames" -> ((s, d) => graft.multimodal.Video.q(s, d)),
@@ -158,6 +160,7 @@ object SparkEntry {
     "t10_ngram_repetition" -> LlmOracle.t10,
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
+    "d09_importance_sample" -> LlmOracle.d09,
     "s04_knn_classify"   -> LlmOracle.s04,
     "q48_interval_join" ->
       """WITH e AS (

@@ -379,6 +379,57 @@ object LlmOracle {
   /** t06: TF-IDF top terms — integer tf/df, one ln() quantized at
     * 1e-6 (t05 proved ln parity at 1e-9).
     */
+  /** d09: the same add-1-smoothed log-ratio scoring — integer counts
+    * (HUGEINT sums cast back to BIGINT), one double division + one
+    * ln() per word quantized at 1e-9, exact integer per-doc sums,
+    * top-frac selection by (weight desc, doc_id).
+    */
+  val d09: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all($Norm, '[a-z0-9]+')) AS w
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, w, count(*) AS n FROM tok GROUP BY 1, 2
+       |), vocab AS (
+       |  SELECT w,
+       |    CAST(sum(CASE WHEN doc_id % 20 = 0 THEN n ELSE 0 END) AS BIGINT)
+       |      AS ct,
+       |    CAST(sum(CASE WHEN doc_id % 20 != 0 THEN n ELSE 0 END) AS BIGINT)
+       |      AS cr
+       |  FROM tf GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+       |    count(*) AS v
+       |  FROM vocab
+       |), scored AS (
+       |  SELECT w, CAST(floor(ln(
+       |      CAST((ct + 1) * (nr + v) AS DOUBLE) /
+       |      CAST((cr + 1) * (nt + v) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+       |    AS s_e9
+       |  FROM vocab CROSS JOIN tot
+       |), dw AS (
+       |  SELECT t.doc_id, CAST(sum(t.n) AS BIGINT) AS n_tok,
+       |    CAST(sum(t.n * s.s_e9) AS BIGINT) AS w_e9
+       |  FROM tf t JOIN scored s USING (w)
+       |  WHERE t.doc_id % 20 != 0
+       |  GROUP BY 1
+       |), alldocs AS (
+       |  SELECT d.doc_id, coalesce(dw.n_tok, 0) AS n_tok,
+       |    coalesce(dw.w_e9, 0) AS w_e9
+       |  FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+       |  WHERE d.doc_id % 20 != 0
+       |), k AS (
+       |  SELECT CAST(floor(count(*) * 0.1) AS BIGINT) AS k FROM alldocs
+       |), ranked AS (
+       |  SELECT doc_id, n_tok, w_e9,
+       |    row_number() OVER (ORDER BY w_e9 DESC, doc_id) AS rk
+       |  FROM alldocs
+       |)
+       |SELECT doc_id, n_tok, CAST(w_e9 AS DOUBLE) / 1e9 AS weight,
+       |  CASE WHEN rk <= k THEN 1 ELSE 0 END AS selected
+       |FROM ranked CROSS JOIN k ORDER BY doc_id""".stripMargin
+
   val t06: String =
     s"""WITH tok AS (
        |  SELECT doc_id,

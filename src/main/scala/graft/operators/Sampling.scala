@@ -59,4 +59,74 @@ object Sampling {
         col("ts"), col("value"))
       .orderBy(col("event_id"))
   }
+
+  /** d09: DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — score
+    * every training document by how much its unigram distribution
+    * looks like a TARGET domain vs the raw corpus, keep the top
+    * fraction. The target here is the deterministic doc_id % 20 == 0
+    * slice (d08's reproducible-slice trick); production points it at a
+    * curated high-quality sample.
+    *
+    * weight(d) = Σ_{token w ∈ d} ln p̂_t(w)/p̂_r(w), with add-1
+    * smoothed counts over the shared vocabulary. Cross-engine exact:
+    * the ratio is a single double division of two exact integer
+    * products, each ln() term is quantized to a 1e-9 fixed-point long
+    * (t05/t06's discipline), and per-doc sums are exact long sums of
+    * (count × term) products.
+    *
+    * Scale shape: ONE corpus scan → per-(doc, word) counts
+    * (localCheckpoint: vocabulary stats and scoring both consume it);
+    * vocabulary stats are a word-dictionary groupBy (Zipf-compact);
+    * per-word scores join back to the tf table (AQE broadcasts the
+    * dictionary when it fits); per-doc weights are ONE map-side-
+    * combined groupBy. The final ranking windows a table with ONE ROW
+    * PER DOCUMENT — already 4-6 orders of magnitude reduced from the
+    * corpus (q45's global-window class); for extreme doc counts swap
+    * the row_number for a quantile-threshold pass.
+    */
+  def importanceSample(s: SparkSession, dir: String,
+      frac: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val isTarget = col("doc_id") % 20 === 0
+    val tf = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(graft.dedup.Dedup.normText(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val vocab = tf.groupBy(col("w")).agg(
+      sum(when(isTarget, col("n")).otherwise(lit(0L))).as("ct"),
+      sum(when(!isTarget, col("n")).otherwise(lit(0L))).as("cr"))
+    val tot = vocab.select(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    // s_e9(w) = ⌊ln(((ct+1)(nr+V)) / ((cr+1)(nt+V))) · 1e9 + ½⌋ —
+    // integer products exact in long, ONE double division, ONE ln
+    val scored = vocab.crossJoin(broadcast(tot))
+      .select(col("w"),
+        floor(log(((col("ct") + 1) * (col("nr") + col("v"))).cast("double") /
+            ((col("cr") + 1) * (col("nt") + col("v"))).cast("double")) *
+          lit(1e9) + lit(0.5)).cast("long").as("s_e9"))
+    val dw = tf.filter(!isTarget)
+      .join(scored, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tok"),
+        sum(col("n") * col("s_e9")).as("w_e9"))
+    // every train doc gets a weight (token-free docs score 0)
+    val all = docs.filter(!isTarget).select(col("doc_id"))
+      .join(dw, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("w_e9"), lit(0L)).as("w_e9"))
+    val k = all.select(floor(count(lit(1)) * lit(frac)).cast("long").as("k"))
+    val wnd = Window.orderBy(col("w_e9").desc, col("doc_id"))
+    all.crossJoin(broadcast(k))
+      .withColumn("rk", row_number().over(wnd))
+      .select(col("doc_id"), col("n_tok"),
+        (col("w_e9").cast("double") / lit(1e9)).as("weight"),
+        when(col("rk") <= col("k"), 1).otherwise(0).as("selected"))
+      .orderBy(col("doc_id"))
+  }
 }

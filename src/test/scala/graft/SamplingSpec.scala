@@ -22,6 +22,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.trainSplit(spark, dir).collect().sameElements(again))
   }
 
+  test("d09 importance sampling ranks target-like docs first") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dsir").toString
+    // target slice (doc_id % 20 == 0) speaks "alpha beta gamma";
+    // doc 1 shares that vocabulary, docs 2-10 are off-domain junk
+    val docs = Seq(
+      (20L, "alpha beta alpha beta gamma", "en", "t", 27L),
+      (1L, "alpha beta gamma", "en", "s", 16L)
+    ) ++ (2L to 10L).map(i =>
+      (i, s"junk$i word$i noise$i filler$i", "en", "s", 20L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Sampling.importanceSample(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == (1L to 10L).toSet, "one row per train doc")
+    // the target-like doc outweighs every off-domain doc…
+    val w1 = out(1L).getAs[Double]("weight")
+    (2L to 10L).foreach { i =>
+      assert(w1 > out(i).getAs[Double]("weight"), s"doc 1 must beat doc $i")
+    }
+    // …and is the single selected doc at frac = 0.1 (k = ⌊10·0.1⌋ = 1)
+    assert(out(1L).getAs[Int]("selected") == 1)
+    (2L to 10L).foreach(i => assert(out(i).getAs[Int]("selected") == 0))
+    // reproducible: content-determined, no rand()
+    val again = Sampling.importanceSample(spark, tmp).collect()
+    assert(Sampling.importanceSample(spark, tmp).collect()
+      .sameElements(again))
+  }
+
   test("q52 stratified sample keeps all purchases and thins other strata") {
     val ev = Tables.events(spark, dir)
     val sampled = Sampling.stratifiedSample(spark, dir)
