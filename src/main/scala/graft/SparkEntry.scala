@@ -37,6 +37,7 @@ object SparkEntry {
     "q18_robust_loess"   -> Decompose.q18RobustLoess _,
     "q19_cusum_changepoint" -> SignalOps.q19Cusum _,
     "q53_hampel_filter"  -> ((s, d) => SignalOps.q53Hampel(s, d)),
+    "q55_cross_sectional" -> ((s, d) => SignalOps.q55CrossSectional(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "t08_bigram_perplexity" ->
       ((s, d) => graft.text.TextFns.bigramPerplexity(s, d)),
@@ -151,6 +152,7 @@ object SparkEntry {
     "st08_stream_cusum"  -> SignalOracle.st08,
     "st09_stream_holt"   -> SignalOracle.st09,
     "q53_hampel_filter"  -> SignalOracle.q53,
+    "q55_cross_sectional" -> SignalOracle.q55,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "t08_bigram_perplexity" -> LlmOracle.t08,
     "q49_ewma_smooth"    -> SignalOracle.q49,

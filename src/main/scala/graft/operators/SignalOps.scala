@@ -288,6 +288,75 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
         col("event_id"))
   }
+
+  /** q55: cross-sectional (peer-group) anomaly — a ticker is flagged
+    * when it diverges from its event_type PEER GROUP on the same day,
+    * the reference's core failure mode seen from the other axis: an
+    * ingestion error that wrongs ONE index while its granularity
+    * group moves together is invisible to per-ticker history (the
+    * series just "jumps") but lights up against the group's
+    * same-period cross-section. Robust center/spread: per-(type, day)
+    * exact selection medians (q42's rank-pick, so the median is an
+    * input value — bit-exact across engines) and MAD, z =
+    * dev / (1.4826·MAD), flagged at the reference's 4.5 threshold.
+    *
+    * Scale shape: ONE hash exchange on the (event_type, day) group
+    * key serves both rank windows and both groupBys; the median/MAD
+    * tables are group-level (types × days rows — broadcast class) and
+    * AQE joins them back. Groups process independently; a hot day
+    * splits under AQE skew handling like any wide group.
+    */
+  def q55CrossSectional(s: SparkSession, dir: String,
+      k: Double = 4.5): DataFrame = {
+    val grp = Seq(col("event_type"), col("day"))
+    def wg = Window.partitionBy(grp: _*)
+    // lower+upper selection median of an ordered column: pick ranks
+    // ⌊(n+1)/2⌋ and ⌊n/2⌋+1 (equal when n is odd), average the ≤2
+    // picked values — selection not interpolation, exact in doubles.
+    // Split rank/select so the RANKED (already partitioned) relation
+    // is what flows on: every downstream window/groupBy/join then
+    // reuses the single group-key exchange instead of re-scanning.
+    def ranked(df: DataFrame, ord: Column): DataFrame =
+      df.withColumn("rn", row_number().over(wg.orderBy(ord, col("event_id"))))
+        .withColumn("n", count(lit(1)).over(wg))
+    def medianOf(rankedDf: DataFrame, ord: Column, out: String): DataFrame =
+      rankedDf
+        .filter(col("rn") === floor((col("n") + 1) / 2) ||
+          col("rn") === floor(col("n") / 2) + 1)
+        .groupBy(grp: _*)
+        .agg((sum(ord).cast("double") / count(lit(1))).as(out))
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        date_trunc("DAY", col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+    val r1 = ranked(base, col("v4l"))
+    // localCheckpoint: the dev branch and the final projection both
+    // consume meds — without it each consumer replays the corpus
+    // window pass (3 corpus exchanges instead of 2). The table is
+    // group-level (types × days rows), so the checkpoint is tiny.
+    val meds = medianOf(r1, col("v4l"), "med").localCheckpoint()
+    val dev = r1.drop("rn", "n").join(meds, Seq("event_type", "day"))
+      .withColumn("dev", abs(col("v4l").cast("double") - col("med")))
+    val r2 = ranked(dev, col("dev"))
+    val mads = medianOf(r2, col("dev"), "mad")
+    r2.drop("rn", "n").join(mads, Seq("event_type", "day"))
+      .withColumn("xs_z6",
+        when(col("mad") > 0.0,
+          floor(col("dev") / (lit(1.4826) * col("mad")) *
+            lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .otherwise(lit(0.0)))
+      .withColumn("xs_flag",
+        when(col("mad") === 0.0, (col("dev") > 0.0).cast("int"))
+          .otherwise((col("xs_z6") >= lit(k)).cast("int")))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("day"),
+        (col("v4l") / lit(10000.0)).as("value"),
+        (col("med") / lit(10000.0)).as("xs_median"),
+        (col("mad") / lit(10000.0)).as("xs_mad"),
+        col("xs_z6"), col("xs_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -560,6 +629,57 @@ object SignalOracle {
       |  CASE WHEN mad = 0.0 THEN CAST(dev > 0.0 AS INT)
       |       ELSE CAST(dev > 3.0 * 1.4826 * mad AS INT) END AS hampel_flag
       |FROM d2
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** q55: the same rank-selection medians per (event_type, day) —
+    * ⌊(n+1)/2⌋ and ⌊n/2⌋+1 picks averaged — then MAD, robust z
+    * quantized at 1e-6, 4.5 threshold.
+    */
+  val q55: String =
+    """WITH base AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), r1 AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY v4l, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type, day) AS n
+      |  FROM base
+      |), meds AS (
+      |  SELECT event_type, day, CAST(sum(v4l) AS DOUBLE) / count(*) AS med
+      |  FROM r1
+      |  WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+      |     OR rn = CAST(floor(n / 2) AS BIGINT) + 1
+      |  GROUP BY 1, 2
+      |), d AS (
+      |  SELECT b.*, m.med, abs(CAST(b.v4l AS DOUBLE) - m.med) AS dev
+      |  FROM base b JOIN meds m USING (event_type, day)
+      |), r2 AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY dev, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type, day) AS n
+      |  FROM d
+      |), mads AS (
+      |  SELECT event_type, day, CAST(sum(dev) AS DOUBLE) / count(*) AS mad
+      |  FROM r2
+      |  WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+      |     OR rn = CAST(floor(n / 2) AS BIGINT) + 1
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d.user_id, d.event_type, d.event_id, d.ts AS date_recorded,
+      |  d.day, d.v4l / 10000.0 AS value, d.med / 10000.0 AS xs_median,
+      |  md.mad / 10000.0 AS xs_mad,
+      |  CASE WHEN md.mad > 0
+      |    THEN floor(d.dev / (1.4826 * md.mad) * 1000000.0 + 0.5) / 1000000.0
+      |    ELSE 0.0 END AS xs_z6,
+      |  CASE WHEN md.mad = 0 THEN CAST(d.dev > 0 AS INT)
+      |       WHEN floor(d.dev / (1.4826 * md.mad) * 1000000.0 + 0.5)
+      |         / 1000000.0 >= 4.5 THEN 1
+      |       ELSE 0 END AS xs_flag
+      |FROM d JOIN mads md USING (event_type, day)
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
   val q49: String = {

@@ -157,4 +157,42 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("q55 flags the one ticker that diverges from its peer group") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("xs").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d%d 12:00:00")
+    // day 1: nine peers cluster at 100±2, ticker 9 prints 500 — an
+    // ingestion error invisible to per-ticker history but 4.5+ robust
+    // z's from the same-day cross-section; day 2: everyone together
+    val rows =
+      (1L to 8L).map(u => (u * 10, ts(1), u, "idx", 98.0 + (u % 5), "")) ++
+        Seq((90L, ts(1), 9L, "idx", 500.0, "")) ++
+        (1L to 9L).map(u => (100 + u * 10, ts(2), u, "idx", 101.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q55CrossSectional(spark, tmp).collect()
+    assert(out.length == 18)
+    val flagged = out.filter(_.getAs[Int]("xs_flag") == 1)
+    assert(flagged.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[java.sql.Timestamp]("day").toString.take(10))).toSeq ==
+      Seq((9L, "2024-01-01")), "exactly the day-1 outlier flags")
+    // day-2 MAD is 0 (all equal) and nobody deviates → all clean
+    val day2 = out.filter(_.getAs[java.sql.Timestamp]("day")
+      .toString.startsWith("2024-01-02"))
+    assert(day2.forall(r => r.getAs[Int]("xs_flag") == 0 &&
+      r.getAs[Double]("xs_mad") == 0.0))
+    // the median is an input value (selection, not interpolation)
+    val day1med = out.find(_.getAs[java.sql.Timestamp]("day")
+      .toString.startsWith("2024-01-01")).get.getAs[Double]("xs_median")
+    assert(Set(98.0, 99.0, 100.0, 101.0, 102.0, 500.0)(day1med))
+    // two DISTINCT corpus exchanges — one per median pass (median of
+    // deviations needs the center first); reused exchanges render
+    // twice in the plan string, so count unique plan_ids
+    val plan = SignalOps.q55CrossSectional(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning.*plan_id=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(exchanges <= 2, s"want <=2 hash exchanges, got $exchanges:\n$plan")
+  }
 }
