@@ -60,7 +60,7 @@ object BenchScale {
     "st02_stream_anomaly", "q06_zscore", "q10_anomaly_report",
     "d02_dedup_minhash_lsh", "d06_dedup_clusters", "t06_tfidf",
     "d08_decontaminate", "q54_holt_forecast", "d04_ngram_jaccard",
-    "s02_ann_lsh")
+    "s02_ann_lsh", "d09_importance_sample", "q55_cross_sectional")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
