@@ -105,6 +105,7 @@ object SparkEntry {
     "m02_audio_features" -> ((s, d) => graft.multimodal.Audio.q(s, d)),
     "m03_video_frames" -> ((s, d) => graft.multimodal.Video.q(s, d)),
     "m04_image_resize" -> ((s, d) => graft.multimodal.Multimodal.qResize(s, d)),
+    "m05_scene_change" -> ((s, d) => graft.multimodal.Video.qScenes(s, d)),
     "st01_stream_window_agg" -> graft.streaming.StreamingAnomaly.st01WindowAgg _,
     // dataPeriods = 28 matches the oracle's ROWS BETWEEN 27 PRECEDING
     // AND CURRENT ROW rolling frame (r2 hash-fail was this mismatch:
@@ -448,6 +449,7 @@ object SparkEntry {
     "m01_multimodal_meta" -> LlmOracle.m01,
     "m02_audio_features" -> LlmOracle.m02,
     "m03_video_frames" -> LlmOracle.m03,
+    "m05_scene_change" -> LlmOracle.m05,
     "m04_image_resize" -> LlmOracle.m04,
     "q47_orc_roundtrip" ->
       """SELECT c_nationkey, count(*) AS n_negative,

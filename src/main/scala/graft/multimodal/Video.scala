@@ -172,4 +172,83 @@ object Video {
   def q(s: SparkSession, dir: String): DataFrame =
     sampleFrames(stagedVideoTable(s, dir), FrameStride)
       .orderBy(col("media_id"), col("frame_idx"))
+
+  /** Scene-change threshold on the mean absolute pixel delta between
+    * consecutive frames (0-255 gray scale).
+    */
+  val SceneThreshold = 30.0
+
+  /** m05: scene-change detection — decode CONSECUTIVE frames, score
+    * each adjacent pair by mean absolute pixel delta, flag pairs above
+    * [[SceneThreshold]]. The shape that matters at corpus scale: the
+    * whole comparison is ROW-LOCAL (one video = one payload row; the
+    * previous frame's gray buffer is carried in the walker, never
+    * shuffled), so scene segmentation of a 100 TB video corpus is a
+    * scan — same class as t01-t05. Emits one row per adjacent pair;
+    * mean delta is quantized at 1e-6 from exact integer pixel sums
+    * (§8 discipline) so the generate_series oracle reproduces it
+    * bit-for-bit.
+    */
+  def sceneChanges(videos: DataFrame): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.flatMap { case (id, bytes) =>
+          val buf = ByteBuffer.wrap(bytes)
+          require(buf.getInt() == Magic, "not a GVID payload")
+          val n = buf.getInt()
+          var prev: Array[Int] = null
+          (0 until n).iterator.flatMap { f =>
+            val len = buf.getInt()
+            val png = new Array[Byte](len)
+            buf.get(png)
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(png))
+            reader.setInput(iis)
+            val img = reader.read(0)
+            val raster = img.getRaster
+            val w = img.getWidth
+            val h = img.getHeight
+            val cur = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                cur(y * w + x) = raster.getSample(x, y, 0)
+                x += 1
+              }
+              y += 1
+            }
+            val out =
+              if (prev == null) Iterator.empty
+              else {
+                var sumAbs = 0L
+                var i = 0
+                while (i < cur.length) {
+                  sumAbs += math.abs(cur(i) - prev(i))
+                  i += 1
+                }
+                val mean6 = math.floor(
+                  sumAbs.toDouble / cur.length * 1e6 + 0.5) / 1e6
+                Iterator.single((id, f, w, h, sumAbs, mean6,
+                  if (mean6 > SceneThreshold) 1 else 0))
+              }
+            prev = cur
+            out
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "height", "abs_delta_sum",
+        "mean_delta6", "scene_change")
+  }
+
+  /** m05 query: consecutive-frame deltas over the stored payloads. */
+  def qScenes(s: SparkSession, dir: String): DataFrame =
+    sceneChanges(stagedVideoTable(s, dir))
+      .orderBy(col("media_id"), col("frame_idx"))
 }

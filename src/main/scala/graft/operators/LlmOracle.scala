@@ -615,6 +615,41 @@ object LlmOracle {
     * this integer arithmetic over generate_series (same design as
     * m01/m02; stride 3 mirrors `Video.FrameStride`).
     */
+  /** m05: consecutive-frame mean absolute delta from the same
+    * closed-form pixel function — pair f vs f-1, exact integer sums,
+    * 1e-6 quantized mean, 30.0 threshold.
+    */
+  val m05: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(4 + doc_id % 9 AS INT) AS n_frames,
+      |    CAST(8 + doc_id % 17 AS INT) AS width,
+      |    CAST(8 + (doc_id * 5) % 17 AS INT) AS height
+      |  FROM documents
+      |), fr AS (
+      |  SELECT media_id, width, height, unnest(range(1, n_frames)) AS f
+      |  FROM d
+      |), xs AS (
+      |  SELECT media_id, width, height, f, unnest(range(width)) AS x
+      |  FROM fr
+      |), xy AS (
+      |  SELECT media_id, width, height, f, x, unnest(range(height)) AS y
+      |  FROM xs
+      |), px AS (
+      |  SELECT media_id, f, width, height,
+      |    SUM(abs(((media_id * 31 + f * 17 + x * 7 + y * 13) % 256)
+      |          - ((media_id * 31 + (f - 1) * 17 + x * 7 + y * 13) % 256)))
+      |      AS sum_abs
+      |  FROM xy GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT media_id, CAST(f AS INT) AS frame_idx, width, height,
+      |  CAST(sum_abs AS BIGINT) AS abs_delta_sum,
+      |  floor(CAST(sum_abs AS DOUBLE) / (width * height) * 1e6 + 0.5) / 1e6
+      |    AS mean_delta6,
+      |  CASE WHEN floor(CAST(sum_abs AS DOUBLE) / (width * height) * 1e6
+      |      + 0.5) / 1e6 > 30.0 THEN 1 ELSE 0 END AS scene_change
+      |FROM px ORDER BY media_id, frame_idx""".stripMargin
+
   val m03: String =
     """WITH d AS (
       |  SELECT doc_id AS media_id,

@@ -277,6 +277,36 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m05 scene deltas equal the closed-form pixel differences") {
+    import graft.multimodal.Video
+    val rows = Video.qScenes(spark, dir).collect()
+    val byVideo = rows.groupBy(_.getAs[Long]("media_id"))
+    assert(byVideo.size == 500)
+    // exact on a sample of videos: every adjacent pair emitted once,
+    // delta = Σ|p(f) − p(f−1)| over the synthesis closed form
+    Seq(1L, 7L, 42L).foreach { id =>
+      val frames = byVideo(id).sortBy(_.getAs[Int]("frame_idx"))
+      val n = (4 + id % 9).toInt
+      assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == (1 until n))
+      val w = 8 + (id % 17).toInt
+      val h = 8 + ((id * 5) % 17).toInt
+      frames.foreach { r =>
+        val f = r.getAs[Int]("frame_idx")
+        var expected = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          expected += math.abs((id * 31 + f * 17 + x * 7 + y * 13) % 256 -
+            (id * 31 + (f - 1) * 17 + x * 7 + y * 13) % 256)
+        assert(r.getAs[Long]("abs_delta_sum") == expected, s"video $id pair $f")
+        val mean6 = math.floor(expected.toDouble / (w * h) * 1e6 + 0.5) / 1e6
+        assert(r.getAs[Double]("mean_delta6") == mean6)
+        assert(r.getAs[Int]("scene_change") == (if (mean6 > 30.0) 1 else 0))
+      }
+    }
+    // the threshold is live on this corpus: both outcomes occur
+    assert(rows.exists(_.getAs[Int]("scene_change") == 1))
+    assert(rows.exists(_.getAs[Int]("scene_change") == 0))
+  }
+
   test("m03 container skips unsampled frames without decoding them") {
     import graft.multimodal.Video
     // corrupt every frame the stride does NOT sample: if the sampler
