@@ -101,6 +101,8 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
     "d09_importance_sample" -> ((s, d) =>
       graft.operators.Sampling.importanceSample(s, d)),
+    "d10_ngram_containment" -> ((s, d) =>
+      graft.dedup.Dedup.ngramContainment(s, d)),
     "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
     "m02_audio_features" -> ((s, d) => graft.multimodal.Audio.q(s, d)),
     "m03_video_frames" -> ((s, d) => graft.multimodal.Video.q(s, d)),
@@ -164,6 +166,7 @@ object SparkEntry {
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,
+    "d10_ngram_containment" -> LlmOracle.d10,
     "s04_knn_classify"   -> LlmOracle.s04,
     "q48_interval_join" ->
       """WITH e AS (

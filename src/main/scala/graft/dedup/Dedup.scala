@@ -100,6 +100,72 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d10: n-gram CONTAINMENT pairs — detects a document EMBEDDED in a
+    * larger one (quotes, boilerplate wrapping, benchmark text pasted
+    * into a bigger page), which symmetric Jaccard (d04) structurally
+    * misses: a 10-word doc inside a 500-word doc has Jaccard ≈ 0.02
+    * but containment 1.0. cont(A→B) = |A∩B| / |A| over the same
+    * df-capped word-bigram sets as d04; emits DIRECTIONAL pairs with
+    * cont ≥ τ.
+    *
+    * Scale shape: the asymmetric prefix rule — if cont(A→B) ≥ τ then
+    * A shares one of its (n_A − ⌈τ·n_A⌉ + 1) globally-RAREST tokens
+    * with B's full set — joins only the contained-side prefix against
+    * the df-capped token table (exact, no false negatives), so the
+    * candidate join is bounded by prefix × df like d04, not all-pairs.
+    * Verification recomputes the true intersection; containment is an
+    * exact integer ratio.
+    */
+  def ngramContainment(s: SparkSession, dir: String, tau: Double = 0.9,
+      maxDf: Int = 100): DataFrame = {
+    val ws = split(normText(col("text")), " ")
+    val bigrams = array_distinct(
+      when(size(ws) >= 2, graft.functions.VectorFunctions.word_ngrams(ws, 2))
+        .otherwise(array(concat_ws(" ", ws))))
+    val allTok = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(bigrams).as("tok"))
+    val dfTab = allTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val hot = dfTab.filter(col("df") > maxDf).select(col("tok"))
+    val tok = allTok.join(broadcast(hot), Seq("tok"), "left_anti")
+    val docs = tok
+      .join(dfTab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), t => t("tok")).as("tokset"),
+        size(col("st")).as("n_tok"))
+      .withColumn("prefix",
+        slice(col("tokset"), lit(1),
+          greatest(lit(1),
+            col("n_tok") - ceil(lit(tau) * col("n_tok")).cast("int") + 1)))
+    val prefA = docs.select(col("doc_id").as("doc_contained"),
+      explode(col("prefix")).as("tok"))
+    val cand = prefA
+      .join(tok.select(col("doc_id").as("doc_container"), col("tok")),
+        Seq("tok"))
+      .filter(col("doc_contained") =!= col("doc_container"))
+      .select(col("doc_contained"), col("doc_container"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_contained"),
+        col("tokset").as("ta"), col("n_tok").as("n_contained")),
+        Seq("doc_contained"))
+      .join(docs.select(col("doc_id").as("doc_container"),
+        col("tokset").as("tb"), col("n_tok").as("n_container")),
+        Seq("doc_container"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_contained"))
+      .filter(col("containment") >= tau)
+      .select(col("doc_contained"), col("doc_container"), col("inter"),
+        col("n_contained").cast("long").as("n_contained"),
+        col("n_container").cast("long").as("n_container"),
+        col("containment"))
+      .orderBy(col("doc_contained"), col("doc_container"))
+  }
+
   /** d06: near-duplicate CLUSTERS — connected components over the d04
     * similarity graph via alternating LARGE-STAR / SMALL-STAR rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"),

@@ -50,6 +50,49 @@ object LlmOracle {
        |WHERE CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d10: directional containment over the same df-capped bigram
+    * sets — both directions of each unordered intersection, kept when
+    * |A∩B| / |A| ≥ 0.9.
+    */
+  val d10: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+       |), alltok AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(ws) >= 2
+       |      THEN list_transform(range(len(ws) - 1),
+       |        i -> ws[i + 1] || ' ' || ws[i + 2])
+       |      ELSE [array_to_string(ws, ' ')] END) AS tok
+       |  FROM w
+       |), hot AS (
+       |  SELECT tok FROM alltok GROUP BY tok HAVING count(*) > 100
+       |), tok AS (
+       |  SELECT a.doc_id, a.tok FROM alltok a
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.tok = a.tok)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT i.doc_a AS doc_contained, i.doc_b AS doc_container,
+       |    i.inter, sa.n_tok AS n_contained, sb.n_tok AS n_container
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  UNION ALL
+       |  SELECT i.doc_b, i.doc_a, i.inter, sb.n_tok, sa.n_tok
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |)
+       |SELECT doc_contained, doc_container, inter, n_contained, n_container,
+       |  CAST(inter AS DOUBLE) / n_contained AS containment
+       |FROM pairs
+       |WHERE CAST(inter AS DOUBLE) / n_contained >= 0.9
+       |ORDER BY doc_contained, doc_container""".stripMargin
+
   /** d06: connected components of the d04 pair graph by transitive
     * closure (recursive CTE) — component id = min reachable doc.
     */

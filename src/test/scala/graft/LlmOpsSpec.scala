@@ -411,6 +411,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept.head.getAs[String]("text") == "p q r s t u")
   }
 
+  test("d10 containment finds a doc embedded in a larger one that " +
+      "Jaccard misses") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("contain").toString
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (11 to 60).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, small, "en", "s", small.length.toLong),
+      (2L, big, "en", "s", big.length.toLong),
+      (3L, "completely unrelated text here", "en", "s", 30L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.ngramContainment(spark, tmp).collect()
+    // doc 1's 9 bigrams all occur in doc 2 → containment 1.0, one
+    // DIRECTIONAL row; doc 2 is not contained in doc 1
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_contained") == 1L &&
+      p.getAs[Long]("doc_container") == 2L)
+    assert(p.getAs[Double]("containment") == 1.0)
+    assert(p.getAs[Long]("n_contained") == 9L)
+    // symmetric Jaccard (9 / 59) structurally misses the same pair
+    assert(Dedup.ngramJaccard(spark, tmp).collect().isEmpty)
+  }
+
   test("d08 plan: train side streams into the join with no pre-join shuffle") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val df = graft.dedup.Decontaminate.contaminated(spark, dir)
