@@ -56,7 +56,10 @@ object Dedup {
       .select(col("doc_id"), explode(bigrams).as("tok"))
     val dfTab = allTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val hot = dfTab.filter(col("df") > maxDf).select(col("tok"))
-    val tok = allTok.join(broadcast(hot), Seq("tok"), "left_anti")
+    // no broadcast() hint: the hot-token set is unbounded at corpus
+    // scale (every bigram with df > maxDf), so a hard hint risks driver
+    // OOM — AQE broadcasts it when the measured size allows
+    val tok = allTok.join(hot, Seq("tok"), "left_anti")
     // AllPairs/PPJoin prefix filtering: order each doc's tokens by
     // global rarity (df asc, tok asc); two docs with Jaccard >= tau MUST
     // share a token within their first (n - ceil(tau*n) + 1) rarest
@@ -127,7 +130,8 @@ object Dedup {
       .select(col("doc_id"), explode(bigrams).as("tok"))
     val dfTab = allTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val hot = dfTab.filter(col("df") > maxDf).select(col("tok"))
-    val tok = allTok.join(broadcast(hot), Seq("tok"), "left_anti")
+    // AQE-decided anti join (see ngramJaccard: the hot set is unbounded)
+    val tok = allTok.join(hot, Seq("tok"), "left_anti")
     val docs = tok
       .join(dfTab, Seq("tok"))
       .groupBy(col("doc_id"))

@@ -451,27 +451,42 @@ object StreamingAnomaly {
   private def versionedCheckpoint(checkpoint: String): String =
     s"$checkpoint/state-format-v$StateFormatVersion"
 
+  /** The sink OUTPUT path is versioned in lockstep with the checkpoint:
+    * a format upgrade starts a fresh checkpoint that replays batch ids
+    * from 0, and FileStreamSink silently SKIPS batch ids already
+    * committed in the output dir's _spark_metadata log — so an upgraded
+    * run writing into the old output directory would silently drop its
+    * first batches instead of restarting cleanly. Pairing the paths
+    * makes (checkpoint, output) one atomic versioned unit; the resolved
+    * path is returned so callers read the run's actual output.
+    */
+  private def versionedSink(path: String): String =
+    s"$path/state-format-v$StateFormatVersion"
+
   /** st02 into a fault-tolerant parquet file sink with a durable
     * checkpointLocation: a later call with the same (path, checkpoint)
     * RESUMES — offsets skip committed source files, the state store
     * restores every ticker's rolling window, and the sink's file log
     * keeps output exactly-once. This is the production kill-and-restart
     * path; StreamingSpec proves resumed output equals a single run.
+    * Returns the version-resolved output path actually written.
     */
   def st02ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, cfg: AnomalyConfig = AnomalyConfig(),
-      staleDays: Double = 8.0): Unit =
+      staleDays: Double = 8.0): String = {
     withStatePartitions(s, 8) {
       val q = st02Transform(s, stream, cfg, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
-        .option("path", path)
+        .option("path", versionedSink(path))
         .option("checkpointLocation", versionedCheckpoint(checkpoint))
         .start()
       q.processAllAvailable()
       q.stop()
     }
+    versionedSink(path)
+  }
 
   /** Per-ticker streaming CUSUM state: O(1) per key — prefix moment
     * sums (exact fixed-point), the two CUSUM accumulators, last event
@@ -635,18 +650,20 @@ object StreamingAnomaly {
     * comparing a killed-and-resumed run against a single run.
     */
   def st09ToFileSink(s: SparkSession, stream: DataFrame, path: String,
-      checkpoint: String, staleDays: Double = 8.0): Unit =
+      checkpoint: String, staleDays: Double = 8.0): String = {
     withStatePartitions(s, 8) {
       val q = st09Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
-        .option("path", path)
+        .option("path", versionedSink(path))
         .option("checkpointLocation", versionedCheckpoint(checkpoint))
         .start()
       q.processAllAvailable()
       q.stop()
     }
+    versionedSink(path)
+  }
 
   def st08FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {

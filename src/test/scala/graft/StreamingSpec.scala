@@ -100,10 +100,13 @@ class StreamingSpec extends AnyFunSuite {
     val outPath = Files.createTempDirectory("st02_restart_out").toString
     def stream() = spark.readStream.schema(StreamingAnomaly.eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath)
-    def sinkRows() = spark.read.parquet(outPath).collect().map(_.toString)
-    // run 1 sees the first two slices, commits them, and is stopped
+    // run 1 sees the first two slices, commits them, and is stopped;
+    // the sink method returns the version-resolved output directory
     addSlice(0); addSlice(1)
-    StreamingAnomaly.st02ToFileSink(spark, stream(), outPath, cp)
+    val written = StreamingAnomaly.st02ToFileSink(spark, stream(), outPath, cp)
+    assert(written != outPath && written.startsWith(outPath),
+      "sink path must be version-namespaced alongside the checkpoint")
+    def sinkRows() = spark.read.parquet(written).collect().map(_.toString)
     val out1 = sinkRows()
     assert(out1.nonEmpty)
     // run 2 resumes from the SAME checkpoint after more data landed:
@@ -152,12 +155,13 @@ class StreamingSpec extends AnyFunSuite {
         def stream() = spark.readStream.schema(StreamingAnomaly.eventSchema)
           .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath)
         addSlice(0); addSlice(1)
-        StreamingAnomaly.st09ToFileSink(spark, stream(), outPath, cp)
-        val out1 = spark.read.parquet(outPath).count()
+        val written =
+          StreamingAnomaly.st09ToFileSink(spark, stream(), outPath, cp)
+        val out1 = spark.read.parquet(written).count()
         assert(out1 > 0)
         addSlice(2); addSlice(3)
         StreamingAnomaly.st09ToFileSink(spark, stream(), outPath, cp)
-        val resumed = spark.read.parquet(outPath)
+        val resumed = spark.read.parquet(written)
           .select(col("user_id"), col("event_type"), col("event_id"),
             col("ts").as("date_recorded"), col("value"), col("forecast"),
             col("resid"), col("holt_z6"), col("holt_flag"))
