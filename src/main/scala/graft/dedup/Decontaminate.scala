@@ -47,25 +47,35 @@ object Decontaminate {
   private def wordNgrams(ws: Column, n: Int): Column =
     graft.text.TextFns.wordNgrams(ws, n)
 
-  private def grams(s: SparkSession, dir: String, n: Int): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        wordNgrams(split(normText(col("text")), " "), n).as("ngrams"))
+  private def grams(d: DataFrame, n: Int): DataFrame =
+    d.select(col("doc_id"),
+      wordNgrams(split(normText(col("text")), " "), n).as("ngrams"))
 
   /** Contaminated training docs: (doc_id, n_shared distinct n-grams,
-    * lexicographically-first shared n-gram as the audit example).
+    * lexicographically-first shared n-gram as the audit example). The
+    * graded synthetic entry — benchmark = the doc_id % 20 == 0 slice.
     */
   def contaminated(s: SparkSession, dir: String,
       n: Int = NgramN): DataFrame = {
-    val docs = grams(s, dir, n)
-    val bench = docs.filter(col("doc_id") % BenchMod === 0)
+    val docs = Tables.documents(s, dir)
+    contaminated(docs.filter(col("doc_id") % BenchMod =!= 0),
+      docs.filter(col("doc_id") % BenchMod === 0), n)
+  }
+
+  /** d08 core, parameterized over a SEPARATE evaluation suite — the
+    * real API shape: `train` is the corpus to scrub, `bench` the
+    * held-out benchmark table (both need `doc_id`, `text`; overlap in
+    * doc_ids is irrelevant, only the bench side's n-gram SET is used).
+    */
+  def contaminated(train: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    val benchGrams = grams(bench, n)
       .select(explode(col("ngrams")).as("gram")).distinct()
     // raw exploded pairs — the join filters them to hits before any
     // shuffle; count_distinct dedups the hits inside the aggregate
-    val train = docs.filter(col("doc_id") % BenchMod =!= 0)
+    val trainGrams = grams(train, n)
       .select(col("doc_id"), explode(col("ngrams")).as("gram"))
-    train
-      .join(bench, Seq("gram"))
+    trainGrams
+      .join(benchGrams, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_shared"),
         min(col("gram")).as("example_gram"))
@@ -83,5 +93,13 @@ object Decontaminate {
     Tables.documents(s, dir)
       .filter(col("doc_id") % BenchMod =!= 0)
       .join(bad, Seq("doc_id"), "left_anti")
+  }
+
+  /** clean() over an external benchmark table (see the two-DataFrame
+    * `contaminated`): returns `train` minus every contaminated doc.
+    */
+  def clean(train: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    val bad = contaminated(train, bench, n).select(col("doc_id"))
+    train.join(bad, Seq("doc_id"), "left_anti")
   }
 }

@@ -411,6 +411,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept.head.getAs[String]("text") == "p q r s t u")
   }
 
+  test("d08 external-benchmark overload scrubs against a disjoint " +
+      "eval table") {
+    import spark.implicits._
+    // the benchmark is a genuinely SEPARATE table — ids overlap the
+    // train side (1L) to prove only the bench n-gram SET matters
+    val train = Seq(
+      (1L, "x alpha beta gamma y"),
+      (2L, "p q r s t u"),
+      (3L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta epsilon zeta theta")).toDF("doc_id", "text")
+    val out = graft.dedup.Decontaminate.contaminated(train, bench, 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_shared")).toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L), out.toString)
+    val kept = graft.dedup.Decontaminate.clean(train, bench, 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("d10 containment finds a doc embedded in a larger one that " +
       "Jaccard misses") {
     import spark.implicits._
