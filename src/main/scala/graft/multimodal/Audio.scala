@@ -108,7 +108,10 @@ object Audio {
 
   /** Per-partition decode + feature extraction over the payload
     * column: peak / energy / zero crossings from the parsed samples
-    * (exact integer arithmetic — no float drift).
+    * (exact integer arithmetic — no float drift). Corrupt-payload
+    * policy (see Multimodal.decode): a payload the parser rejects
+    * yields `_corrupt` = 1 with null features instead of failing the
+    * stage.
     */
   def decode(audio: DataFrame): DataFrame = {
     import audio.sparkSession.implicits._
@@ -116,24 +119,31 @@ object Audio {
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val (rate, _, _, smp) = parseWav(bytes)
-        var sq = 0L
-        var peak = 0
-        var zc = 0L
-        var i = 0
-        while (i < smp.length) {
-          val v = smp(i).toInt
-          sq += v.toLong * v
-          val a = math.abs(v)
-          if (a > peak) peak = a
-          if (i > 0 && ((smp(i - 1) < 0) != (v < 0))) zc += 1
-          i += 1
+        try {
+          val (rate, _, _, smp) = parseWav(bytes)
+          var sq = 0L
+          var peak = 0
+          var zc = 0L
+          var i = 0
+          while (i < smp.length) {
+            val v = smp(i).toInt
+            sq += v.toLong * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            if (i > 0 && ((smp(i - 1) < 0) != (v < 0))) zc += 1
+            i += 1
+          }
+          (id, Some(rate), Some(smp.length.toLong),
+            Some(smp.length.toLong * 1000 / rate), Some(peak), Some(sq),
+            Some(zc), 0)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (id, Option.empty[Int], Option.empty[Long], Option.empty[Long],
+              Option.empty[Int], Option.empty[Long], Option.empty[Long], 1)
         }
-        (id, rate, smp.length.toLong,
-          smp.length.toLong * 1000 / rate, peak, sq, zc)
       })
       .toDF("media_id", "sample_rate", "n_samples", "duration_ms",
-        "peak", "sq_sum", "zero_crossings")
+        "peak", "sq_sum", "zero_crossings", "_corrupt")
   }
 
   /** The audio table staged to parquet once (MediaStage) — m02 times
@@ -148,5 +158,10 @@ object Audio {
 
   /** m02 query: decode roundtrip over real stored WAV payloads. */
   def q(s: SparkSession, dir: String): DataFrame =
-    decode(stagedAudioTable(s, dir)).orderBy(col("media_id"))
+    decode(stagedAudioTable(s, dir))
+      .filter(col("_corrupt") === 0)
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("peak"), col("sq_sum"),
+        col("zero_crossings"))
+      .orderBy(col("media_id"))
 }

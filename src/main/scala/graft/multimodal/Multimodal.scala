@@ -87,6 +87,12 @@ object Multimodal {
   /** Decode the payload column with the JDK PNG codec, per partition,
     * and emit per-asset features: decoded dimensions + grayscale
     * statistics (sum as exact BIGINT — no float drift).
+    *
+    * Corrupt-payload POLICY (whole media family): a payload the codec
+    * rejects yields one row with `_corrupt` = 1 and null features
+    * instead of an exception — a single bad blob in a 100 TB corpus
+    * must cost one flagged row, not a 4-retry stage failure. Callers
+    * audit with `_corrupt` = 1 and filter it for clean consumption.
     */
   def decode(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
@@ -98,32 +104,39 @@ object Multimodal {
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("png").next()
         it.map { case (id, bytes) =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          reader.setInput(iis)
-          val img = reader.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          val raster = img.getRaster
-          var sum = 0L
-          var mn = 255
-          var mx = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val v = raster.getSample(x, y, 0)
-              sum += v
-              if (v < mn) mn = v
-              if (v > mx) mx = v
-              x += 1
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            reader.setInput(iis)
+            val img = reader.read(0)
+            val w = img.getWidth
+            val h = img.getHeight
+            val raster = img.getRaster
+            var sum = 0L
+            var mn = 255
+            var mx = 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = raster.getSample(x, y, 0)
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            (id, Some(w), Some(h), Some(sum), Some(mn), Some(mx), 0)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, Option.empty[Int], Option.empty[Int],
+                Option.empty[Long], Option.empty[Int], Option.empty[Int], 1)
           }
-          (id, w, h, sum, mn, mx)
         }
       }
-      .toDF("media_id", "width", "height", "px_sum", "px_min", "px_max")
+      .toDF("media_id", "width", "height", "px_sum", "px_min", "px_max",
+        "_corrupt")
   }
 
   /** Thumbnail edge for m04 resize. */
@@ -147,34 +160,40 @@ object Multimodal {
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("png").next()
         it.map { case (id, bytes) =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          reader.setInput(iis)
-          val img = reader.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          val raster = img.getRaster
-          var sum = 0L
-          var mn = 255
-          var mx = 0
-          var y = 0
-          while (y < t) {
-            val sy = y * h / t
-            var x = 0
-            while (x < t) {
-              val v = raster.getSample(x * w / t, sy, 0)
-              sum += v
-              if (v < mn) mn = v
-              if (v > mx) mx = v
-              x += 1
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            reader.setInput(iis)
+            val img = reader.read(0)
+            val w = img.getWidth
+            val h = img.getHeight
+            val raster = img.getRaster
+            var sum = 0L
+            var mn = 255
+            var mx = 0
+            var y = 0
+            while (y < t) {
+              val sy = y * h / t
+              var x = 0
+              while (x < t) {
+                val v = raster.getSample(x * w / t, sy, 0)
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            (id, Some(w), Some(h), t, t, Some(sum), Some(mn), Some(mx), 0)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, Option.empty[Int], Option.empty[Int], t, t,
+                Option.empty[Long], Option.empty[Int], Option.empty[Int], 1)
           }
-          (id, w, h, t, t, sum, mn, mx)
         }
       }
       .toDF("media_id", "src_width", "src_height", "width", "height",
-        "px_sum", "px_min", "px_max")
+        "px_sum", "px_min", "px_max", "_corrupt")
   }
 
   /** The media table staged to parquet once (MediaStage) — m01/m04
@@ -191,7 +210,12 @@ object Multimodal {
     * payloads; every column deterministic integer arithmetic.
     */
   def qResize(s: SparkSession, dir: String): DataFrame =
-    resize(stagedMediaTable(s, dir)).orderBy(col("media_id"))
+    resize(stagedMediaTable(s, dir))
+      .filter(col("_corrupt") === 0)
+      .select(col("media_id"), col("src_width"), col("src_height"),
+        col("width"), col("height"), col("px_sum"), col("px_min"),
+        col("px_max"))
+      .orderBy(col("media_id"))
 
   /** m01 query: decode roundtrip + a resolution bucket — exercises
     * payload bytes, the metadata struct, and the partition-batch
@@ -200,6 +224,7 @@ object Multimodal {
     */
   def q(s: SparkSession, dir: String): DataFrame =
     decode(stagedMediaTable(s, dir))
+      .filter(col("_corrupt") === 0)
       .withColumn("aspect_bucket",
         floor(col("width") * lit(10.0) / col("height")).cast("int"))
       .select(col("media_id"), col("width"), col("height"),

@@ -113,46 +113,67 @@ object Video {
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("png").next()
         it.flatMap { case (id, bytes) =>
-          val buf = ByteBuffer.wrap(bytes)
-          require(buf.getInt() == Magic, "not a GVID payload")
-          val n = buf.getInt()
-          (0 until n).iterator.flatMap { f =>
-            val len = buf.getInt()
-            if (f % stride != 0) {
-              buf.position(buf.position() + len) // skip: no decode
-              Iterator.empty
-            } else {
-              val png = new Array[Byte](len)
-              buf.get(png)
-              val iis = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(png))
-              reader.setInput(iis)
-              val img = reader.read(0)
-              val raster = img.getRaster
-              val w = img.getWidth
-              val h = img.getHeight
-              var sum = 0L
-              var mn = 255
-              var mx = 0
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val v = raster.getSample(x, y, 0)
-                  sum += v
-                  if (v < mn) mn = v
-                  if (v > mx) mx = v
-                  x += 1
+          // per-VIDEO corrupt policy (see Multimodal.decode): a
+          // malformed container yields one `_corrupt` row, never a
+          // stage failure. Sampled-frame STAT tuples are buffered so
+          // the walk completes inside the try (frames themselves still
+          // decode streaming, one at a time).
+          try {
+            val buf = ByteBuffer.wrap(bytes)
+            require(buf.getInt() == Magic, "not a GVID payload")
+            val n = buf.getInt()
+            val out = Vector.newBuilder[(Long, Option[Int], Option[Int],
+              Option[Int], Option[Int], Option[Long], Option[Int],
+              Option[Int], Int)]
+            var f = 0
+            while (f < n) {
+              require(buf.remaining() >= 4, "truncated frame header")
+              val len = buf.getInt()
+              require(len >= 0 && len <= buf.remaining(),
+                "frame length out of bounds")
+              if (f % stride != 0) {
+                buf.position(buf.position() + len) // skip: no decode
+              } else {
+                val png = new Array[Byte](len)
+                buf.get(png)
+                val iis = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(png))
+                reader.setInput(iis)
+                val img = reader.read(0)
+                val raster = img.getRaster
+                val w = img.getWidth
+                val h = img.getHeight
+                var sum = 0L
+                var mn = 255
+                var mx = 0
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val v = raster.getSample(x, y, 0)
+                    sum += v
+                    if (v < mn) mn = v
+                    if (v > mx) mx = v
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
+                out += ((id, Some(f), Some(n), Some(w), Some(h), Some(sum),
+                  Some(mn), Some(mx), 0))
               }
-              Iterator.single((id, f, n, w, h, sum, mn, mx))
+              f += 1
             }
+            out.result().iterator
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Iterator.single((id, Option.empty[Int], Option.empty[Int],
+                Option.empty[Int], Option.empty[Int], Option.empty[Long],
+                Option.empty[Int], Option.empty[Int], 1))
           }
         }
       }
       .toDF("media_id", "frame_idx", "n_frames", "width", "height",
-        "px_sum", "px_min", "px_max")
+        "px_sum", "px_min", "px_max", "_corrupt")
   }
 
   /** The video table staged to parquet once (MediaStage) — m03 times
@@ -171,6 +192,10 @@ object Video {
     */
   def q(s: SparkSession, dir: String): DataFrame =
     sampleFrames(stagedVideoTable(s, dir), FrameStride)
+      .filter(col("_corrupt") === 0)
+      .select(col("media_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"), col("px_sum"), col("px_min"),
+        col("px_max"))
       .orderBy(col("media_id"), col("frame_idx"))
 
   /** Scene-change threshold on the mean absolute pixel delta between
@@ -199,34 +224,40 @@ object Video {
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("png").next()
         it.flatMap { case (id, bytes) =>
-          val buf = ByteBuffer.wrap(bytes)
-          require(buf.getInt() == Magic, "not a GVID payload")
-          val n = buf.getInt()
-          var prev: Array[Int] = null
-          (0 until n).iterator.flatMap { f =>
-            val len = buf.getInt()
-            val png = new Array[Byte](len)
-            buf.get(png)
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(png))
-            reader.setInput(iis)
-            val img = reader.read(0)
-            val raster = img.getRaster
-            val w = img.getWidth
-            val h = img.getHeight
-            val cur = new Array[Int](w * h)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                cur(y * w + x) = raster.getSample(x, y, 0)
-                x += 1
+          // per-VIDEO corrupt policy — see sampleFrames
+          try {
+            val buf = ByteBuffer.wrap(bytes)
+            require(buf.getInt() == Magic, "not a GVID payload")
+            val n = buf.getInt()
+            var prev: Array[Int] = null
+            val out = Vector.newBuilder[(Long, Option[Int], Option[Int],
+              Option[Int], Option[Long], Option[Double], Option[Int], Int)]
+            var f = 0
+            while (f < n) {
+              require(buf.remaining() >= 4, "truncated frame header")
+              val len = buf.getInt()
+              require(len >= 0 && len <= buf.remaining(),
+                "frame length out of bounds")
+              val png = new Array[Byte](len)
+              buf.get(png)
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(png))
+              reader.setInput(iis)
+              val img = reader.read(0)
+              val raster = img.getRaster
+              val w = img.getWidth
+              val h = img.getHeight
+              val cur = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  cur(y * w + x) = raster.getSample(x, y, 0)
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            val out =
-              if (prev == null) Iterator.empty
-              else {
+              if (prev != null) {
                 var sumAbs = 0L
                 var i = 0
                 while (i < cur.length) {
@@ -235,20 +266,32 @@ object Video {
                 }
                 val mean6 = math.floor(
                   sumAbs.toDouble / cur.length * 1e6 + 0.5) / 1e6
-                Iterator.single((id, f, w, h, sumAbs, mean6,
-                  if (mean6 > SceneThreshold) 1 else 0))
+                out += ((id, Some(f), Some(w), Some(h), Some(sumAbs),
+                  Some(mean6), Some(if (mean6 > SceneThreshold) 1 else 0),
+                  0))
               }
-            prev = cur
-            out
+              prev = cur
+              f += 1
+            }
+            out.result().iterator
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Iterator.single((id, Option.empty[Int], Option.empty[Int],
+                Option.empty[Int], Option.empty[Long], Option.empty[Double],
+                Option.empty[Int], 1))
           }
         }
       }
       .toDF("media_id", "frame_idx", "width", "height", "abs_delta_sum",
-        "mean_delta6", "scene_change")
+        "mean_delta6", "scene_change", "_corrupt")
   }
 
   /** m05 query: consecutive-frame deltas over the stored payloads. */
   def qScenes(s: SparkSession, dir: String): DataFrame =
     sceneChanges(stagedVideoTable(s, dir))
+      .filter(col("_corrupt") === 0)
+      .select(col("media_id"), col("frame_idx"), col("width"),
+        col("height"), col("abs_delta_sum"), col("mean_delta6"),
+        col("scene_change"))
       .orderBy(col("media_id"), col("frame_idx"))
 }

@@ -331,6 +331,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Seq(0, 3)))
   }
 
+  test("media decoders flag corrupt payloads instead of failing the job") {
+    import graft.multimodal.{Audio, Multimodal, Video}
+    import spark.implicits._
+    val garbage = lit("definitely not a media payload".getBytes("US-ASCII"))
+    // tamper ONE row per table: replace its payload with garbage (and,
+    // for the second victim, a TRUNCATED but well-prefixed payload)
+    def tamper(df: org.apache.spark.sql.DataFrame, garbageId: Long,
+        truncId: Long) =
+      df.withColumn("payload",
+        when(col("media_id") === garbageId, garbage)
+          .when(col("media_id") === truncId,
+            expr("substring(payload, 1, 12)"))
+          .otherwise(col("payload")))
+
+    val media = Multimodal.mediaTable(spark, dir)
+    val total = media.count()
+    val m01 = Multimodal.decode(tamper(media, 1L, 2L))
+    assert(m01.count() == total, "one row per asset, corrupt included")
+    assert(m01.filter(col("_corrupt") === 1)
+      .select("media_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(m01.filter(col("_corrupt") === 1 && col("px_sum").isNotNull)
+      .count() == 0)
+    val m04 = Multimodal.resize(tamper(media, 1L, 2L))
+    assert(m04.filter(col("_corrupt") === 1).count() == 2)
+
+    val audio = Audio.audioTable(spark, dir)
+    val m02 = Audio.decode(tamper(audio, 1L, 2L))
+    assert(m02.count() == total)
+    assert(m02.filter(col("_corrupt") === 1)
+      .select("media_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    val videos = Video.videoTable(spark, dir)
+    val m03 = Video.sampleFrames(tamper(videos, 1L, 2L), Video.FrameStride)
+    assert(m03.filter(col("_corrupt") === 1)
+      .select("media_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val m05 = Video.sceneChanges(tamper(videos, 1L, 2L))
+    assert(m05.filter(col("_corrupt") === 1)
+      .select("media_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // untampered assets decode exactly as before — same sampled frames
+    val clean = Video.sampleFrames(videos, Video.FrameStride)
+      .filter(col("media_id") > 2L).count()
+    assert(m03.filter(col("_corrupt") === 0 && col("media_id") > 2L)
+      .count() == clean)
+  }
+
   test("p01 pipeline keeps only en docs above quality with unique content") {
     import graft.operators.CorpusPipeline
     val kept = CorpusPipeline.prepare(spark, dir).collect()
