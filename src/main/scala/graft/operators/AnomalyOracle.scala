@@ -153,7 +153,11 @@ object AnomalyOracle {
        |  data_repetitions, date_recorded, run_date,
        |  c_name AS ticker, event_type AS granularity,
        |  c_mktsegment AS ticker_segment, avg_days_bw_data,
-       |  days_since_last_update, user_id, event_type
+       |  days_since_last_update,
+       |  CAST(c_custkey % 3 + 1 AS INT) AS alleged_frequency_days,
+       |  CASE WHEN days_since_last_update > 1.0 * (c_custkey % 3 + 1)
+       |       THEN 1 ELSE 0 END AS alleged_staleness_flag,
+       |  user_id, event_type
        |FROM flags2
        |JOIN customer ON user_id = c_custkey
        |WHERE date_recorded = most_recent_date

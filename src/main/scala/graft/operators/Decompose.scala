@@ -116,7 +116,13 @@ object Decompose {
 
   /** q13: per-ticker last-row verdict (func.R:112-121): value, mean of
     * the last 8 observations, score, repetitions of the current value
-    * among the prior 8, last inter-arrival gap in days.
+    * among the prior 8, last inter-arrival gap in days — PLUS the
+    * dim-declared cadence beside the measured one, mirroring
+    * master_anomaly_detector's left-join of the index-definition dim
+    * and its `frequency` / `alleged_freq` pair (func.R:158-166; the
+    * declared value is the same deterministic c_custkey % 3 + 1 the
+    * q10 report uses, since TPC-H customer carries no frequency
+    * attribute).
     */
   def summary(s: SparkSession, dir: String): DataFrame = {
     val w8 = wAsc.rowsBetween(-7, 0)
@@ -128,12 +134,16 @@ object Decompose {
       .reduce(_ + _)
     val freqDays = r6(
       (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wAsc))) / lit(86400e6))
+    val alleged = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        (col("c_custkey") % 3 + 1).cast("int").as("alleged_frequency_days"))
     anomalize(s, dir)
       .withColumn("seven_day_avg", eightAvg)
       .withColumn("repetitions", reps)
       .withColumn("frequency_days", freqDays)
       .withColumn("max_seq", max(col("seq")).over(wKey))
       .filter(col("seq") === col("max_seq"))
+      .join(broadcast(alleged), col("user_id") === col("c_custkey"), "left")
       .select(
         concat(col("user_id"), lit("_"), col("event_type")).as("ticker_index"),
         col("ts").as("date"),
@@ -143,6 +153,7 @@ object Decompose {
         col("is_anomaly"),
         col("repetitions"),
         col("frequency_days"),
+        col("alleged_frequency_days"),
         col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
   }

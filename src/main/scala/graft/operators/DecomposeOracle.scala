@@ -118,8 +118,11 @@ object DecomposeOracle {
        |)
        |SELECT user_id || '_' || event_type AS ticker_index,
        |  ts AS date, value, seven_day_avg, score, is_anomaly, repetitions,
-       |  frequency_days, user_id, event_type
-       |FROM summ WHERE seq = max_seq
+       |  frequency_days,
+       |  CAST(c_custkey % 3 + 1 AS INT) AS alleged_frequency_days,
+       |  user_id, event_type
+       |FROM summ LEFT JOIN customer ON user_id = c_custkey
+       |WHERE seq = max_seq
        |ORDER BY user_id, event_type""".stripMargin
 
   /** q14: unrolled seasonal ESD (direction = 'both', max_anoms = 0.02

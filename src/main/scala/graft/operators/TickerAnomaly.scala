@@ -184,9 +184,21 @@ object TickerAnomaly {
   /** Final report (sql:152-230): latest observation per ticker, signed
     * z-score, broadcast dim join (customer ≈ indx_index_definition),
     * ordered by severity.
+    *
+    * Measured vs DECLARED frequency (reference sql:183-184 carries the
+    * dim's `frequency AS data_pull_frequency` beside the measured
+    * inter-arrival gap; func.R:158-166 renames the joined pair to
+    * `frequency` / `alleged_freq`): the report puts the dim-declared
+    * cadence beside the measured `avg_days_bw_data` and re-issues the
+    * staleness verdict against the DECLARED value. TPC-H's customer
+    * dim has no frequency attribute, so the declared cadence is derived
+    * deterministically from the dim key (c_custkey % 3 + 1 days) on
+    * both engines — the report SHAPE is the reference's, the synthetic
+    * attribute is oracle-reproducible.
     */
   def report(s: SparkSession, dir: String, cfg: AnomalyConfig = AnomalyConfig()): DataFrame = {
     val cust = Tables.customer(s, dir)
+    val allegedFreq = (col("c_custkey") % 3 + 1).cast("int")
     flags(s, dir, cfg)
       .filter(col("date_recorded") === col("most_recent_date"))
       .join(broadcast(cust), col("user_id") === col("c_custkey"))
@@ -214,6 +226,10 @@ object TickerAnomaly {
         col("c_mktsegment").as("ticker_segment"),
         col("avg_days_bw_data"),
         col("days_since_last_update"),
+        allegedFreq.as("alleged_frequency_days"),
+        when(col("days_since_last_update") >
+          lit(cfg.updateLim) * allegedFreq, 1).otherwise(0)
+          .as("alleged_staleness_flag"),
         col("user_id"),
         col("event_type")
       )
