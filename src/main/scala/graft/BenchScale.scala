@@ -61,7 +61,7 @@ object BenchScale {
     "d02_dedup_minhash_lsh", "d06_dedup_clusters", "t06_tfidf",
     "d08_decontaminate", "q54_holt_forecast", "d04_ngram_jaccard",
     "s02_ann_lsh", "d09_importance_sample", "q55_cross_sectional",
-    "d10_ngram_containment")
+    "d10_ngram_containment", "d11_substring_dedup")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

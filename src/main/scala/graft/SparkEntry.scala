@@ -103,6 +103,8 @@ object SparkEntry {
       graft.operators.Sampling.importanceSample(s, d)),
     "d10_ngram_containment" -> ((s, d) =>
       graft.dedup.Dedup.ngramContainment(s, d)),
+    "d11_substring_dedup" -> ((s, d) =>
+      graft.dedup.Dedup.substringDedup(s, d)),
     "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
     "m02_audio_features" -> ((s, d) => graft.multimodal.Audio.q(s, d)),
     "m03_video_frames" -> ((s, d) => graft.multimodal.Video.q(s, d)),
@@ -166,6 +168,7 @@ object SparkEntry {
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,
+    "d11_substring_dedup" -> LlmOracle.d11,
     "d10_ngram_containment" -> LlmOracle.d10,
     "s04_knn_classify"   -> LlmOracle.s04,
     "q48_interval_join" ->

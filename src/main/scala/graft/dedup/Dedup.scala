@@ -170,6 +170,79 @@ object Dedup {
       .orderBy(col("doc_contained"), col("doc_container"))
   }
 
+  /** The production window for d11 (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", §3: substrings of 50
+    * tokens repeated across the corpus are removed). The graded entry
+    * uses k = 5 because the synthetic docs are tens of words long.
+    */
+  val ProductionSubstringK = 50
+
+  /** d11: SUBSTRING-level dedup — find, per document, the maximal
+    * spans of ≥ k consecutive tokens that also occur in ANOTHER
+    * document (Lee et al. 2021's cross-document repeated substrings).
+    * Document-granularity d01–d10 cannot catch a 200-token boilerplate
+    * block shared by millions of otherwise-distinct pages; this
+    * operator is the standard answer, re-expressed for Spark: a span
+    * of ≥ k tokens repeats across documents iff every one of its
+    * k-grams repeats across documents, so mining REPEATED k-GRAM
+    * POSITIONS and merging overlapping hits reconstructs exactly the
+    * maximal repeated spans — no suffix array, no global sort, just
+    * groupBy/join/window over one corpus scan.
+    *
+    * Emits per affected document: repeated-position count, merged
+    * span count, tokens covered by repeated spans, and the covered
+    * fraction (1e-6-quantized from exact integer counts, §8). A
+    * cleaning pass drops/rewrites flagged spans; the report is the
+    * graded, oracle-checkable artifact.
+    *
+    * Scale shape: one corpus scan → (pos, k-gram) pairs (k× token
+    * inflation, linear); a k-gram dictionary groupBy for the
+    * cross-doc df (count_distinct = two-phase partial agg,
+    * Zipf-compact keys); positions re-join the repeated-gram set on
+    * the gram key (AQE-sized equi-join, output ≤ positions — a
+    * semi-join shape, NO pair explosion: unlike d04 the join fans out
+    * per position, not per doc-pair); then one (doc_id) window +
+    * map-side-combined groupBy merges spans. Every stage is linear in
+    * corpus tokens.
+    */
+  def substringDedup(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(normText(col("text")), " ")
+    val grams = when(size(ws) >= k,
+      graft.functions.VectorFunctions.word_ngrams(ws, k))
+      .otherwise(array().cast("array<string>"))
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), size(ws).as("n_tokens"),
+        posexplode(grams))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "gram")
+    val rep = pos.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gram"))
+    val hits = pos.join(rep, Seq("gram"))
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    // adjacent repeated positions p_prev, p cover one merged span when
+    // p - p_prev <= k (their k-token intervals overlap or touch);
+    // tokens newly covered by p = min(p - p_prev, k)
+    hits
+      .withColumn("pp", lag(col("p"), 1).over(wnd))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_rep_pos"),
+        sum(when(col("pp").isNull || col("p") - col("pp") > k, 1L)
+          .otherwise(0L)).as("n_spans"),
+        sum(when(col("pp").isNull, k.toLong)
+          .otherwise(least(col("p") - col("pp"), lit(k)).cast("long")))
+          .as("covered_tokens"))
+      .withColumn("dup_frac6",
+        floor(col("covered_tokens").cast("double") / col("n_tokens") *
+          lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .select(col("doc_id"), col("n_tokens"), col("n_rep_pos"),
+        col("n_spans"), col("covered_tokens"), col("dup_frac6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d06: near-duplicate CLUSTERS — connected components over the d04
     * similarity graph via alternating LARGE-STAR / SMALL-STAR rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"),

@@ -93,6 +93,45 @@ object LlmOracle {
        |WHERE CAST(inter AS DOUBLE) / n_contained >= 0.9
        |ORDER BY doc_contained, doc_container""".stripMargin
 
+  /** d11: cross-document repeated-substring spans — the same
+    * repeated-k-gram-position construction as the Spark side (k = 5):
+    * positions whose k-gram occurs in ≥ 2 distinct docs, merged into
+    * maximal spans by the lag-gap rule, exact integer coverage sums.
+    */
+  val d11: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id, ws, len(ws) AS n_tokens,
+       |    unnest(range(len(ws) - 4)) AS p
+       |  FROM w WHERE len(ws) >= 5
+       |), grams AS (
+       |  SELECT doc_id, n_tokens, p,
+       |    array_to_string(ws[p + 1 : p + 5], ' ') AS gram
+       |  FROM g
+       |), rep AS (
+       |  SELECT gram FROM grams GROUP BY gram
+       |  HAVING count(DISTINCT doc_id) >= 2
+       |), hits AS (
+       |  SELECT doc_id, n_tokens, p FROM grams JOIN rep USING (gram)
+       |), lagged AS (
+       |  SELECT doc_id, n_tokens, p,
+       |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+       |  FROM hits
+       |), agg AS (
+       |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       |    count(*) AS n_rep_pos,
+       |    CAST(sum(CASE WHEN pp IS NULL OR p - pp > 5 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_spans,
+       |    CAST(sum(CASE WHEN pp IS NULL THEN 5 ELSE least(p - pp, 5) END)
+       |      AS BIGINT) AS covered_tokens
+       |  FROM lagged GROUP BY doc_id, n_tokens
+       |)
+       |SELECT doc_id, n_tokens, n_rep_pos, n_spans, covered_tokens,
+       |  floor(CAST(covered_tokens AS DOUBLE) / n_tokens * 1000000.0 + 0.5)
+       |    / 1000000.0 AS dup_frac6
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** d06: connected components of the d04 pair graph by transitive
     * closure (recursive CTE) — component id = min reachable doc.
     */

@@ -331,6 +331,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Seq(0, 3)))
   }
 
+  test("d11 substring dedup finds a shared passage with exact span " +
+      "coverage") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("subdup").toString
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    Seq(
+      // 10-token boilerplate block embedded in two distinct docs
+      (1L, s"u1 u2 u3 $boiler u4 u5", "en", "s", 1L),   // 15 tokens
+      (2L, s"v1 $boiler v2 v3 v4 v5 v6", "en", "s", 1L), // 16 tokens
+      (3L, "completely unrelated text with many words here indeed",
+        "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.substringDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // only the two docs sharing the passage are reported
+    assert(out.keySet == Set(1L, 2L), out.toString)
+    // the 6 five-grams fully inside the block repeat; they merge into
+    // ONE maximal span covering exactly the 10 boilerplate tokens
+    for ((id, n) <- Seq((1L, 15), (2L, 16))) {
+      val r = out(id)
+      assert(r.getAs[Int]("n_tokens") == n)
+      assert(r.getAs[Long]("n_rep_pos") == 6L, s"doc $id: $r")
+      assert(r.getAs[Long]("n_spans") == 1L, s"doc $id: $r")
+      assert(r.getAs[Long]("covered_tokens") == 10L, s"doc $id: $r")
+      val frac = math.floor(10.0 / n * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("dup_frac6") == frac, s"doc $id: $r")
+    }
+    // two DISJOINT shared blocks in one doc stay two spans
+    val block2 = (1 to 6).map(i => s"c$i").mkString(" ")
+    Seq(
+      (1L, s"$boiler x1 x2 x3 $block2", "en", "s", 1L),
+      (2L, s"y1 $boiler y2", "en", "s", 1L),
+      (3L, s"z1 z2 $block2 z3", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val two = Dedup.substringDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(two(1L).getAs[Long]("n_spans") == 2L, two.toString)
+    assert(two(1L).getAs[Long]("covered_tokens") == 16L, two.toString)
+  }
+
   test("media decoders flag corrupt payloads instead of failing the job") {
     import graft.multimodal.{Audio, Multimodal, Video}
     import spark.implicits._
