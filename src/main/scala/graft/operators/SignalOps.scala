@@ -334,12 +334,18 @@ object SignalOps {
     // consume meds — without it each consumer replays the corpus
     // window pass (3 corpus exchanges instead of 2). The table is
     // group-level (types × days rows), so the checkpoint is tiny.
+    // BROADCAST both group-stat joins (safe at any corpus scale: one
+    // row per (event_type, day)): the broadcast join preserves the
+    // streamed side's (event_type, day) partitioning, so the second
+    // ranked() window and the mad groupBy REUSE the first corpus
+    // exchange — the whole chain plans ONE distinct hash exchange
+    // (spec-asserted) instead of re-shuffling per median pass.
     val meds = medianOf(r1, col("v4l"), "med").localCheckpoint()
-    val dev = r1.drop("rn", "n").join(meds, Seq("event_type", "day"))
+    val dev = r1.drop("rn", "n").join(broadcast(meds), Seq("event_type", "day"))
       .withColumn("dev", abs(col("v4l").cast("double") - col("med")))
     val r2 = ranked(dev, col("dev"))
     val mads = medianOf(r2, col("dev"), "mad")
-    r2.drop("rn", "n").join(mads, Seq("event_type", "day"))
+    r2.drop("rn", "n").join(broadcast(mads), Seq("event_type", "day"))
       .withColumn("xs_z6",
         when(col("mad") > 0.0,
           floor(col("dev") / (lit(1.4826) * col("mad")) *

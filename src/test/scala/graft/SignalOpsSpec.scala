@@ -186,13 +186,15 @@ class SignalOpsSpec extends AnyFunSuite {
     val day1med = out.find(_.getAs[java.sql.Timestamp]("day")
       .toString.startsWith("2024-01-01")).get.getAs[Double]("xs_median")
     assert(Set(98.0, 99.0, 100.0, 101.0, 102.0, 500.0)(day1med))
-    // two DISTINCT corpus exchanges — one per median pass (median of
-    // deviations needs the center first); reused exchanges render
-    // twice in the plan string, so count unique plan_ids
+    // ONE distinct corpus exchange serves both median passes: the
+    // group-stat joins broadcast, so the second ranked() window and
+    // the mad groupBy reuse the first (event_type, day) partitioning;
+    // reused exchanges render once per consumer with the same plan_id,
+    // so count unique plan_ids
     val plan = SignalOps.q55CrossSectional(spark, dir)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning.*plan_id=(\\d+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSet.size
-    assert(exchanges <= 2, s"want <=2 hash exchanges, got $exchanges:\n$plan")
+    assert(exchanges <= 1, s"want <=1 hash exchange, got $exchanges:\n$plan")
   }
 }
