@@ -307,7 +307,13 @@ object SignalOps {
     * splits under AQE skew handling like any wide group.
     */
   def q55CrossSectional(s: SparkSession, dir: String,
-      k: Double = 4.5): DataFrame = {
+      k: Double = 4.5): DataFrame =
+    q55FromEvents(Tables.events(s, dir), k)
+
+  /** q55 core over any events frame (spec entry point for skew/planted
+    * layouts).
+    */
+  def q55FromEvents(events: DataFrame, k: Double = 4.5): DataFrame = {
     val grp = Seq(col("event_type"), col("day"))
     def wg = Window.partitionBy(grp: _*)
     // lower+upper selection median of an ordered column: pick ranks
@@ -325,7 +331,7 @@ object SignalOps {
           col("rn") === floor(col("n") / 2) + 1)
         .groupBy(grp: _*)
         .agg((sum(ord).cast("double") / count(lit(1))).as(out))
-    val base = Tables.events(s, dir)
+    val base = events
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
         date_trunc("DAY", col("ts")).as("day"),
         floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
