@@ -75,6 +75,7 @@ object SparkEntry {
     "q50_monthly_revenue" -> Relational.monthlyRevenue _,
     "q51_upsert_merge"   -> Relational.upsertMerge _,
     "q52_stratified_sample" -> Sampling.stratifiedSample _,
+    "q56_group_quantiles" -> ScaleOps.groupQuantiles _,
     "d07_train_split"    -> Sampling.trainSplit _,
     "t05_entropy_score"  -> graft.text.TextFns.entropyScore _,
     "p01_corpus_pipeline" -> ((s, d) => CorpusPipeline.prepare(s, d)),
@@ -364,6 +365,26 @@ object SparkEntry {
            FROM events)
          SELECT event_type, value AS median_value, n AS n_rows
          FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type""",
+    // q56: selection quantiles — rank ceil(p·n) in integer arithmetic
+    // ((num·n+den−1) // den); both engines pick identical input values
+    "q56_group_quantiles" ->
+      """WITH base AS (
+           SELECT event_type, event_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+           FROM events
+         ), r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY v4l, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM base)
+         SELECT event_type, max(n) AS n_rows,
+           max(CASE WHEN rn = 1 THEN v4l END) / 10000.0 AS min_v,
+           max(CASE WHEN rn = (n + 1) // 2 THEN v4l END) / 10000.0 AS p50,
+           max(CASE WHEN rn = (9 * n + 9) // 10 THEN v4l END) / 10000.0 AS p90,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN v4l END) / 10000.0 AS p99,
+           max(CASE WHEN rn = n THEN v4l END) / 10000.0 AS max_v
+         FROM r GROUP BY event_type ORDER BY event_type""",
     "q43_string_agg" ->
       """SELECT n_regionkey,
            string_agg(n_name, ',' ORDER BY n_name) AS nations,

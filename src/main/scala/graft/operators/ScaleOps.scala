@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -206,5 +206,48 @@ object ScaleOps {
       .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment"))
+  }
+
+  /** q56: exact per-group quantile summary — min / p50 / p90 / p99 /
+    * max of `value` per event_type, tail quantiles being what q42's
+    * median alone can't answer (the p99 latency / quality-threshold
+    * question every 100 TB pipeline asks). Rank SELECTION, not
+    * interpolation (q42/q55's discipline): each reported quantile is
+    * an input value, bit-exact across engines. The rank of the p-th
+    * quantile is ceil(p·n), computed in INTEGER arithmetic —
+    * `(num·n + den−1) div den` — because `ceil(0.99·n)` in doubles
+    * rounds differently from exact rationals when 0.99·n is a whole
+    * number (0.99·100 = 99.0000…14 in IEEE, ceil → 100, wrong).
+    *
+    * Scale shape: ONE hash exchange on event_type serves the single
+    * rank window; the filter keeps ≤5 rows per group before the final
+    * (trivial) groupBy, so nothing group-sized flows past the window.
+    * Groups sort independently; for one monster group the
+    * radix-select path (Sampling.kthSmallestLong, d09) is the
+    * per-group fallback — selection quantiles need the k-th element,
+    * never a full materialized sort order.
+    */
+  def groupQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    // ceil(num·n/den) = (num·n + den−1) div den, exact in longs
+    def rk(num: Int, den: Int): Column =
+      expr(s"($num * n + ${den - 1}) div $den")
+    def pick(at: Column, out: String): Column =
+      (max(when(col("rn") === at, col("v4l"))) / lit(10000.0)).as(out)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("rn",
+        row_number().over(byType.orderBy(col("v4l"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === 1 || col("rn") === col("n") ||
+        col("rn") === rk(1, 2) || col("rn") === rk(9, 10) ||
+        col("rn") === rk(99, 100))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_rows"),
+        pick(lit(1), "min_v"), pick(rk(1, 2), "p50"),
+        pick(rk(9, 10), "p90"), pick(rk(99, 100), "p99"),
+        pick(col("n"), "max_v"))
+      .orderBy(col("event_type"))
   }
 }

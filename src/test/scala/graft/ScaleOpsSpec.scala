@@ -70,4 +70,39 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
   }
+
+  test("q56 selection quantiles are input values at the ceil(p·n) ranks") {
+    val rows = ScaleOps.groupQuantiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val n = r.getLong(1)
+      val sorted = Tables.events(spark, dir)
+        .filter(col("event_type") === et)
+        .select(floor(col("value") * lit(10000.0) + lit(0.5)).cast("long"))
+        .collect().map(_.getLong(0)).sorted
+      assert(n == sorted.length)
+      def at(rank: Long): Double = sorted(rank.toInt - 1) / 10000.0
+      def ceilRank(num: Long, den: Long): Long = (num * n + den - 1) / den
+      assert(r.getDouble(2) == at(1), s"$et min")
+      assert(r.getDouble(3) == at(ceilRank(1, 2)), s"$et p50")
+      assert(r.getDouble(4) == at(ceilRank(9, 10)), s"$et p90")
+      assert(r.getDouble(5) == at(ceilRank(99, 100)), s"$et p99")
+      assert(r.getDouble(6) == at(n), s"$et max")
+      // tail order sanity: min ≤ p50 ≤ p90 ≤ p99 ≤ max
+      assert(r.getDouble(2) <= r.getDouble(3) &&
+        r.getDouble(3) <= r.getDouble(4) &&
+        r.getDouble(4) <= r.getDouble(5) &&
+        r.getDouble(5) <= r.getDouble(6))
+    }
+  }
+
+  test("q56 plans exactly one corpus exchange (window + agg share it)") {
+    val plan = ScaleOps.groupQuantiles(spark, dir)
+      .queryExecution.executedPlan.toString
+    val corpusExchanges = plan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("event_type"))
+    assert(corpusExchanges <= 1, s"expected one event_type exchange:\n$plan")
+  }
 }
