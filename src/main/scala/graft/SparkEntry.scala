@@ -76,6 +76,7 @@ object SparkEntry {
     "q51_upsert_merge"   -> Relational.upsertMerge _,
     "q52_stratified_sample" -> Sampling.stratifiedSample _,
     "q56_group_quantiles" -> ScaleOps.groupQuantiles _,
+    "d12_domain_cap"     -> ((s, d) => Sampling.domainCap(s, d)),
     "d07_train_split"    -> Sampling.trainSplit _,
     "t05_entropy_score"  -> graft.text.TextFns.entropyScore _,
     "p01_corpus_pipeline" -> ((s, d) => CorpusPipeline.prepare(s, d)),
@@ -462,6 +463,16 @@ object SparkEntry {
              WHEN 'signup' THEN '19999999'
              ELSE '0ccccccc' END
          ORDER BY event_id""",
+    // d12: per-domain cap — salted-hash priority rank within source
+    "d12_domain_cap" ->
+      """WITH r AS (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'd12'), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM documents)
+         SELECT source, doc_id, CAST(rn AS INT) AS rk, n AS n_source
+         FROM r WHERE rn <= 10 ORDER BY source, rk""",
     "t05_entropy_score"  -> LlmOracle.t05,
     "d01_dedup_exact"    -> LlmOracle.d01,
     "d04_ngram_jaccard"  -> LlmOracle.d04,

@@ -117,4 +117,36 @@ class SamplingSpec extends AnyFunSuite {
     // the only exchange allowed is the final presentation sort
     assert(!plan.contains("hashpartitioning"), plan)
   }
+
+  test("d12 domain cap keeps at most N docs per source, reproducibly") {
+    val cap = 10
+    val kept = Sampling.domainCap(spark, dir, cap)
+    val bySrc = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("k"), max(col("rk")).as("maxrk"),
+        max(col("n_source")).as("n")).collect()
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { r =>
+      assert(r.getLong(1) <= cap, s"${r.getString(0)} kept ${r.getLong(1)}")
+      assert(r.getInt(2) <= cap)
+      // a domain larger than the cap is trimmed to exactly cap
+      if (r.getLong(3) > cap) assert(r.getLong(1) == cap)
+    }
+    // deterministic: a second run selects the identical doc set
+    val again = Sampling.domainCap(spark, dir, cap)
+    assert(kept.select("doc_id").except(again.select("doc_id")).count() == 0)
+    // kept docs are a subset of the corpus
+    val extra = kept.select("doc_id").join(
+      Tables.documents(spark, dir).select("doc_id"),
+      Seq("doc_id"), "left_anti").count()
+    assert(extra == 0)
+  }
+
+  test("d12 plans one source exchange shared by rank and count") {
+    val plan = Sampling.domainCap(spark, dir)
+      .queryExecution.executedPlan.toString
+    val srcExchanges = plan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("source"))
+    assert(srcExchanges <= 1, s"expected one source exchange:\n$plan")
+  }
 }
