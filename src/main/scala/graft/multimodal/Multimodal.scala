@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** m01: multimodal-column plumbing (SURVEY.md §2C).
@@ -230,4 +230,110 @@ object Multimodal {
       .select(col("media_id"), col("width"), col("height"),
         col("px_sum"), col("px_min"), col("px_max"), col("aspect_bucket"))
       .orderBy(col("media_id"))
+
+  /** m06: average-hash (aHash) of each image — the classic perceptual
+    * fingerprint: NN-resample to 8×8, threshold each sample against
+    * the 64-sample sum (p·64 > Σp, division-free), pack the bitmap
+    * row-major. Emitted as two 32-bit halves (`h_lo` bits 0–31,
+    * `h_hi` bits 32–63) so neither engine ever shifts into a BIGINT
+    * sign bit. Real PNG decode per partition, same corrupt policy as
+    * the rest of the family.
+    */
+  def phashTable(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.map { case (id, bytes) =>
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            reader.setInput(iis)
+            val img = reader.read(0)
+            val w = img.getWidth
+            val h = img.getHeight
+            val raster = img.getRaster
+            val p = new Array[Int](64)
+            var sum = 0L
+            var y = 0
+            while (y < 8) {
+              val sy = y * h / 8
+              var x = 0
+              while (x < 8) {
+                val v = raster.getSample(x * w / 8, sy, 0)
+                p(y * 8 + x) = v
+                sum += v
+                x += 1
+              }
+              y += 1
+            }
+            var lo = 0L
+            var hi = 0L
+            var i = 0
+            while (i < 64) {
+              if (p(i) * 64L > sum) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            (id, Some(lo), Some(hi), 0)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, Option.empty[Long], Option.empty[Long], 1)
+          }
+        }
+      }
+      .toDF("media_id", "h_lo", "h_hi", "_corrupt")
+  }
+
+  /** m06 query: perceptual near-dup image pairs at hamming radius
+    * `r` — the image-corpus twin of d03's SimHash text dedup. The
+    * pigeonhole band join is the scale path: 64 bits split into FOUR
+    * 16-bit bands, and two hashes within hamming ≤ 3 must agree on
+    * at least one whole band (4 bands, ≤3 flipped bits), so
+    * candidates come from an equi-join on (band_idx, band_value) —
+    * never an all-pairs compare. Exact `bit_count(xor)` verifies
+    * each candidate; `distinct` collapses pairs that collide in
+    * several bands.
+    *
+    * Scale shape: one exchange of the hash table on the band key
+    * (4 rows per image, 8 bytes of hash each — corpus-scale cheap);
+    * bucket width 2¹⁶ keeps any one band-value group small. The
+    * whole chain is oracle-checkable because the image content is
+    * closed-form: DuckDB recomputes every aHash from the pixel
+    * formula and brute-forces the ≤r pairs.
+    */
+  def phashDedup(s: SparkSession, dir: String, r: Int = 3): DataFrame = {
+    val hs = phashTable(stagedMediaTable(s, dir))
+      .filter(col("_corrupt") === 0)
+      .select(col("media_id"), col("h_lo"), col("h_hi"))
+    def band(i: Int, c: Column): Column =
+      struct(lit(i).as("bi"),
+        shiftrightunsigned(c, 16 * (i % 2)).bitwiseAND(lit(65535L)).as("bv"))
+    val bands = hs.select(col("media_id"), col("h_lo"), col("h_hi"),
+      explode(array(
+        band(0, col("h_lo")), band(1, col("h_lo")),
+        band(2, col("h_hi")), band(3, col("h_hi")))).as("b"))
+      .select(col("media_id"), col("h_lo"), col("h_hi"),
+        col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = bands.select(col("media_id").as("id_a"), col("h_lo").as("lo_a"),
+      col("h_hi").as("hi_a"), col("bi"), col("bv"))
+    val b = bands.select(col("media_id").as("id_b"), col("h_lo").as("lo_b"),
+      col("h_hi").as("hi_b"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"),
+        col("lo_b"), col("hi_b"))
+      .distinct()
+      .withColumn("dist",
+        (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)"))
+          .cast("int"))
+      .filter(col("dist") <= r)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

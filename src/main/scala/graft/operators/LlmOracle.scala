@@ -732,6 +732,46 @@ object LlmOracle {
       |      + 0.5) / 1e6 > 30.0 THEN 1 ELSE 0 END AS scene_change
       |FROM px ORDER BY media_id, frame_idx""".stripMargin
 
+  /** m06: the aHash fingerprints in closed form — 8×8 NN samples of
+    * the deterministic pixel function, division-free threshold
+    * (p·64 > Σp), bitmap packed into two 32-bit BIGINT halves, then a
+    * brute-force hamming join at radius 3 (the oracle can afford
+    * all-pairs at sf; the engine's band join must emit the identical
+    * pair set).
+    */
+  val m06: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(8 + doc_id % 25 AS INT) AS w,
+      |    CAST(8 + (doc_id * 7) % 25 AS INT) AS h
+      |  FROM documents
+      |), xs AS (
+      |  SELECT media_id, w, h, unnest(range(8)) AS x FROM d
+      |), xy AS (
+      |  SELECT media_id, w, h, x, unnest(range(8)) AS y FROM xs
+      |), sam AS (
+      |  SELECT media_id, x, y,
+      |    (media_id * 31 + (x * w // 8) * 7 + (y * h // 8) * 13) % 256 AS p
+      |  FROM xy
+      |), st AS (
+      |  SELECT media_id, SUM(p) AS s FROM sam GROUP BY 1
+      |), bits AS (
+      |  SELECT sam.media_id,
+      |    CAST(SUM(CASE WHEN p * 64 > s AND y * 8 + x < 32
+      |      THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS h_lo,
+      |    CAST(SUM(CASE WHEN p * 64 > s AND y * 8 + x >= 32
+      |      THEN (1::BIGINT << (y * 8 + x - 32)) ELSE 0 END) AS BIGINT) AS h_hi
+      |  FROM sam JOIN st ON sam.media_id = st.media_id
+      |  GROUP BY 1
+      |)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  CAST(bit_count(xor(a.h_lo, b.h_lo))
+      |     + bit_count(xor(a.h_hi, b.h_hi)) AS INT) AS dist
+      |FROM bits a JOIN bits b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.h_lo, b.h_lo))
+      |    + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val m03: String =
     """WITH d AS (
       |  SELECT doc_id AS media_id,

@@ -418,6 +418,38 @@ class LlmOpsSpec extends AnyFunSuite {
       .count() == clean)
   }
 
+  test("m06 band join finds exactly the brute-force hamming pairs") {
+    val r = 3
+    val hs = Multimodal.phashTable(Multimodal.mediaTable(spark, dir))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(hs.length > 10)
+    val expect = (for {
+      (a, alo, ahi) <- hs
+      (b, blo, bhi) <- hs
+      if a < b
+      d = java.lang.Long.bitCount(alo ^ blo) +
+        java.lang.Long.bitCount(ahi ^ bhi)
+      if d <= r
+    } yield (a, b, d)).toSet
+    assert(expect.nonEmpty, "test corpus must contain near-dup images")
+    val got = Multimodal.phashDedup(spark, dir, r).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
+  test("m06 hashes flag corrupt payloads and dedup excludes them") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val garbage = lit("not a png".getBytes("US-ASCII"))
+    val tampered = media.withColumn("payload",
+      when(col("media_id") === 1L, garbage).otherwise(col("payload")))
+    val hs = Multimodal.phashTable(tampered)
+    assert(hs.count() == media.count())
+    val bad = hs.filter(col("_corrupt") === 1).collect()
+    assert(bad.map(_.getLong(0)).toSet == Set(1L))
+    assert(bad.forall(_.isNullAt(1)))
+  }
+
   test("p01 pipeline keeps only en docs above quality with unique content") {
     import graft.operators.CorpusPipeline
     val kept = CorpusPipeline.prepare(spark, dir).collect()
