@@ -90,6 +90,7 @@ object SparkEntry {
     "s01_ann_bruteforce" -> ((s, d) => graft.similarity.Ann.bruteForceTopK(s, d)),
     "s02_ann_lsh"        -> ((s, d) => graft.similarity.Ann.lshTopK(s, d)),
     "s03_ann_ivf"        -> ((s, d) => graft.similarity.Ann.ivfTopK(s, d)),
+    "s05_ann_pq"         -> ((s, d) => graft.similarity.Ann.pqTopK(s, d)),
     "t01_langid"         -> graft.text.TextFns.langId _,
     "t02_quality_score"  -> graft.text.TextFns.qualityScore _,
     "t03_token_count"    -> graft.text.TextFns.tokenCount _,

@@ -228,4 +228,156 @@ object Ann {
       .select(col("query_id"), col("rk"), col("vec_id"), col("cos6"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** s05: product quantization (PQ) ANN — the memory-compression
+    * scale path (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"). The 64-dim vector is split into
+    * `m` = 8 subvectors; each subspace learns `codes` = 16 codewords
+    * (deterministic seeds + Lloyd rounds, all EIGHT subspaces trained
+    * in ONE DataFrame pass keyed by `m_idx`), and the corpus is
+    * stored as m 4-bit codes — 8 bytes per vector instead of 512, the
+    * difference between an in-memory index and a disk scan at 10⁹
+    * vectors. Queries score by ADC (asymmetric distance): per query,
+    * a [m][codes] table of exact subspace distances is broadcast, and
+    * each corpus vector's approximate L2² is the sum of m table
+    * lookups — built here from m STATIC element_at expressions (no
+    * interpreted lambda on the corpus scan path).
+    *
+    * Scale shape: Lloyd assignment is broadcast-codebook map-side
+    * work; the (m_idx, code, pos) recompute shuffles codebook-sized
+    * partials; the query scan is one pass over the codes table with
+    * broadcast distance tables — no corpus shuffle anywhere.
+    * Rows-only (recall is spec-tested against the exact L2 top-k).
+    */
+  def pqTopK(s: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, m: Int = 8, codes: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val dims = 64
+    val sub = dims / m
+    val v = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // (vec_id, m_idx, sv): the corpus in subvector form — built from m
+    // literal slices (each O(sub)), then exploded
+    val svs = v.select(col("vec_id"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("v"), i * sub + 1, sub)): _*)))
+      .withColumnRenamed("pos", "m_idx")
+      .withColumnRenamed("col", "sv")
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+      .cache()
+
+    def codebookDf(cb: Array[(Int, Int, Array[Double])]) = {
+      import s.implicits._
+      cb.toSeq.toDF("m_idx", "code", "c")
+        .withColumn("cn2", dot(col("c"), col("c")))
+    }
+    // nearest codeword per (vec_id, m_idx); (dist, code) struct-min
+    // keeps ties deterministic
+    def assign(cb: Array[(Int, Int, Array[Double])]): DataFrame =
+      svs.join(broadcast(codebookDf(cb)), Seq("m_idx"))
+        .withColumn("dist",
+          col("sn2") - lit(2.0) * dot(col("sv"), col("c")) + col("cn2"))
+        .groupBy(col("vec_id"), col("m_idx"))
+        .agg(min(struct(col("dist"), col("code"))).as("mm"))
+        .select(col("vec_id"), col("m_idx"), col("mm.code").as("code"))
+
+    // seeds: per subspace, the `codes` subvectors with smallest salted
+    // hash — one window over the (small) hash ranking per m_idx
+    var cb: Array[(Int, Int, Array[Double])] = svs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("m_idx")).orderBy(
+          pmod(xxhash64(col("vec_id") * lit(131) + col("m_idx")),
+            lit(1000003L)), col("vec_id"))))
+      .filter(col("rn") <= codes)
+      .select(col("m_idx"), (col("rn") - 1).as("code"), col("sv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+
+    for (_ <- 1 to iters) {
+      val recomputed = svs
+        .join(assign(cb), Seq("vec_id", "m_idx"))
+        .select(col("m_idx"), col("code"), posexplode(col("sv")))
+        .groupBy(col("m_idx"), col("code"), col("pos"))
+        .agg((sum(col("col").cast("decimal(38,12)")) / count(lit(1)))
+          .cast("double").as("mu"))
+        .groupBy(col("m_idx"), col("code"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mu")))).as("sm"))
+        .select(col("m_idx"), col("code"),
+          transform(col("sm"), x => x("mu")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val byKey = recomputed.map(t => (t._1, t._2) -> t._3).toMap
+      cb = cb.map { case (mi, ci, c) => (mi, ci, byKey.getOrElse((mi, ci), c)) }
+    }
+
+    // encoded corpus: one row per vector, codes packed as an array
+    val encoded = assign(cb)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m_idx"), col("code"))))
+        .as("sc"))
+      .select(col("vec_id"), transform(col("sc"), x => x("code")).as("cv"))
+    svs.unpersist()
+
+    // per-query ADC tables: dt[m][code] = exact L2² between the query
+    // subvector and the codeword, as a nested array literal column
+    val cbB = cb.map { case (mi, ci, c) => (mi, ci) -> c }.toMap
+    val qs = v.filter(col("vec_id") < nQueries)
+      .collect()
+      .map { r =>
+        val qv = r.getSeq[Double](1).toArray
+        val dt = Array.tabulate(m, codes) { (mi, ci) =>
+          val c = cbB((mi, ci))
+          var d = 0.0
+          var j = 0
+          while (j < sub) {
+            val diff = qv(mi * sub + j) - c(j)
+            d += diff * diff
+            j += 1
+          }
+          d
+        }
+        (r.getLong(0), dt)
+      }
+    import s.implicits._
+    val qdt = qs.toSeq.map { case (qid, dt) => (qid, dt.map(_.toSeq).toSeq) }
+      .toDF("query_id", "dt")
+    // adist = m static table lookups — codegen'd element_at chains
+    val adist = (0 until m).map(i =>
+      element_at(element_at(col("dt"), i + 1),
+        (element_at(col("cv"), i + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    // ADC is a SHORTLIST builder, not the final ranking: 8-byte codes
+    // can't separate the 5th from the 50th neighbour of a 64-dim
+    // vector (distance concentration ≫ quantization error), so the
+    // production shape is ADC top-`shortlist` from the compressed
+    // scan, then EXACT distances on just those rows — the only full
+    // vectors ever read per query are `shortlist` of them.
+    val shortlist = 10 * k
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist6"), col("vec_id"))
+    val short = encoded.crossJoin(broadcast(qdt))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist6",
+        floor(adist * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val qx = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .withColumn("qn", dot(col("qv"), col("qv")))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2_6"), col("vec_id"))
+    short
+      .join(v.withColumn("n2", dot(col("v"), col("v"))), Seq("vec_id"))
+      .join(broadcast(qx), Seq("query_id"))
+      .withColumn("d2_6",
+        floor((col("qn") - lit(2.0) * dot(col("qv"), col("v")) + col("n2")) *
+          lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("d2_6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 }

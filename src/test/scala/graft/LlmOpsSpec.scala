@@ -151,6 +151,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("s05 PQ ADC achieves recall against the exact L2 top-k") {
+    import graft.dedup.Dedup.dot
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("vec_id"))
+    val exact = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2",
+        col("qn") - lit(2.0) * dot(col("qv"), col("v")) + col("n2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.pqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // m=8 subspaces x 16 codewords: ADC ranks from 8-byte codes; a
+    // random top-5 of ~500 vectors would land recall ~0.01
+    assert(recall >= 0.4, s"PQ recall too low: $recall")
+    // schema sanity: 5 ranked rows per query, distances ascending
+    val rows = Ann.pqTopK(spark, dir).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      val ds = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("m01 PNG encode/decode roundtrip recovers exact dims and pixel stats") {
     val df = Multimodal.q(spark, dir)
     val rows = df.collect()
