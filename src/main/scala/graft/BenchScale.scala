@@ -61,13 +61,19 @@ object BenchScale {
     "d02_dedup_minhash_lsh", "d06_dedup_clusters", "t06_tfidf",
     "d08_decontaminate", "q54_holt_forecast", "d04_ngram_jaccard",
     "s02_ann_lsh", "d09_importance_sample", "q55_cross_sectional",
-    "d10_ngram_containment", "d11_substring_dedup")
+    "d10_ngram_containment", "d11_substring_dedup",
+    // round 8: group-rank selection, domain-cap window, banded image
+    // dedup over 10× media, PQ codebook train + ADC scan
+    "q56_group_quantiles", "d12_domain_cap", "m06_phash_dedup",
+    "s05_ann_pq")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
-    * embeddings (dimension-rotated per copy).
+    * embeddings (dimension-rotated per copy); v3 de-aliases the
+    * per-copy doc_id offset (DocOff ≡ 0 mod 25·256 made the derived
+    * media content identical across copies).
     */
-  private val StageVersion = 2
+  private val StageVersion = 3
 
   def stageSf1(s: SparkSession, srcDir: String): String = {
     val root = new java.io.File(s"/tmp/graft_sf1/v$StageVersion")
@@ -83,10 +89,17 @@ object BenchScale {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$root/events.parquet")
 
+      // doc offset carries an extra i·7919 (prime, not ≡0 mod 25 or
+      // 256): DocOff alone is divisible by both, so the id-derived
+      // media content (dims mod 25, pixels mod 256) would be
+      // BIT-IDENTICAL across copies — planting 10-way exact-dup image
+      // clusters and a ~100× pair blow-up no real 10× corpus has. The
+      // shifted offset rotates image geometry/content per copy, the
+      // same "no cross-copy collisions" rule as the text rotation.
       val docs = Tables.documents(s, srcDir)
       (0 until Copies).map { i =>
         docs.select(
-          (col("doc_id") + lit(i * DocOff)).as("doc_id"),
+          (col("doc_id") + lit(i * DocOff + i * 7919L)).as("doc_id"),
           rotText(col("text"), i).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _)
@@ -130,6 +143,11 @@ object BenchScale {
     val sf1Dir = stageSf1(spark, sfDir)
     graft.streaming.StreamingAnomaly.ensureStaged(spark, sfDir)
     graft.streaming.StreamingAnomaly.ensureStaged(spark, sf1Dir)
+    // m06 decodes STORED payloads: stage both media tables up front so
+    // its first sf1 sample times the decode path, not a one-time 10×
+    // PNG-encode write
+    graft.multimodal.Multimodal.ensureStaged(spark, sfDir)
+    graft.multimodal.Multimodal.ensureStaged(spark, sf1Dir)
 
     def sweep(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
@@ -143,22 +161,28 @@ object BenchScale {
     def settle(): Unit = {
       System.gc(); Thread.sleep(100L); System.gc()
     }
-    def timeOnce(name: String, dir: String): Double = {
+    def timeOnce(name: String, dir: String): (Double, Long) = {
       settle() // every sample starts from a clean, settled heap
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      val n = SparkEntry.queries(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       sweep()
-      dt
+      (dt, n)
     }
     // best-of-2 for EVERY sample: the probe's quantity is a RATIO of
     // two 1-8 s runs, and a single GC pause of the 10×-state suite
     // heap triples whichever entry it lands on (observed: st02 7.3×,
     // then d02 4.7× and d08 5.6× on identical code, each isolating
     // back to ~2×). Additive noise → min is the honest estimator.
-    def time(name: String, dir: String): Double =
-      math.min(timeOnce(name, dir), timeOnce(name, dir))
-    def probePair(q: String): (Double, Double) = {
+    // Row counts ride along: output growth is the denominator a time
+    // ratio must be read against (m06's pair set grows ~100× on the
+    // low-diversity synthetic images — its 5× time is SUB-linear in
+    // output), so the artifact carries rows_ratio per entry.
+    def time(name: String, dir: String): (Double, Long) = {
+      val (a, b) = (timeOnce(name, dir), timeOnce(name, dir))
+      if (a._1 <= b._1) a else b
+    }
+    def probePair(q: String): ((Double, Long), (Double, Long)) = {
       settle()
       (time(q, sfDir), time(q, sf1Dir))
     }
@@ -171,18 +195,22 @@ object BenchScale {
     // publish BOTH numbers — "ratio" (and worst_ratio) carry the min,
     // the defensible estimate; "alt_pass_ratio" documents the other
     // pass so the artifact and the survey narrative can't diverge
-    val rows = firstPass.map { case (q, (b1, s1)) =>
+    val rows = firstPass.map { case (q, ((b1, nb), (s1, ns))) =>
       val r1 = s1 / b1
-      if (r1 <= 2.0) (q, b1, s1, r1, None)
+      if (r1 <= 2.0) (q, b1, s1, r1, None, nb, ns)
       else {
-        val (b2, s2) = probePair(q)
+        val ((b2, _), (s2, _)) = probePair(q)
         val r2 = s2 / b2
-        if (r2 < r1) (q, b2, s2, r2, Some(r1)) else (q, b1, s1, r1, Some(r2))
+        if (r2 < r1) (q, b2, s2, r2, Some(r1), nb, ns)
+        else (q, b1, s1, r1, Some(r2), nb, ns)
       }
     }
-    val qs = rows.map { case (q, b, sc, r, alt) =>
+    val qs = rows.map { case (q, b, sc, r, alt, nb, ns) =>
       val extra = alt.map(v => f""","alt_pass_ratio":$v%.2f""").getOrElse("")
-      f"""\"$q\":{\"sf01_sec\":$b%.3f,\"sf1_sec\":$sc%.3f,\"ratio\":$r%.2f$extra}"""
+      val rowsRatio =
+        if (nb > 0) f""","rows_ratio":${ns.toDouble / nb}%.2f""" else ""
+      f"""\"$q\":{\"sf01_sec\":$b%.3f,\"sf1_sec\":$sc%.3f,\"ratio\":$r%.2f""" +
+        f"""$extra,\"sf01_rows\":$nb,\"sf1_rows\":$ns$rowsRatio}"""
     }.mkString("{", ",", "}")
     val worst = rows.map(_._4).max
     val line = s"""{"metric":"sf1_scale_probe","copies":$Copies,""" +
