@@ -132,6 +132,30 @@ object LlmOracle {
        |    / 1000000.0 AS dup_frac6
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** d13: the same concat-and-chunk packing — t03's regex tokens,
+    * shard = doc_id % 8, per-shard running sum (cast from DuckDB's
+    * HUGEINT to BIGINT for schema parity), chunk = floor-div by the
+    * 512-token sequence length.
+    */
+  val d13: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |    CAST(len(regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]'))
+       |      AS INT) AS n_tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM tok
+       |)
+       |SELECT doc_id, shard, n_tok, cum - n_tok AS start_off,
+       |  (cum - n_tok) // 512 AS first_seq,
+       |  greatest(cum - 1, cum - n_tok) // 512 AS last_seq,
+       |  greatest(cum - 1, cum - n_tok) // 512
+       |    - (cum - n_tok) // 512 + 1 AS n_seqs
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** d06: connected components of the d04 pair graph by transitive
     * closure (recursive CTE) — component id = min reachable doc.
     */
@@ -339,6 +363,58 @@ object LlmOracle {
        |  ${dupFracSql("ng2")} AS dup_bigram_frac,
        |  ${dupFracSql("ng3")} AS dup_trigram_frac
        |FROM g ORDER BY doc_id""".stripMargin
+
+  /** t11: the Gopher rules replayed — every ingredient is a
+    * length-delta replace count or an RE2 regexp_extract_all (both
+    * leftmost non-overlapping, matching Java regex), ratios rounded
+    * at 1e-6 BEFORE the threshold CASEs so engine and oracle compare
+    * the same quantized values.
+    */
+  val t11: String = {
+    val stops = TextFns.RequiredStops
+      .map(w => s"CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val bulletRe = "(?m)^[ \\t]*[-*\u2022]"
+    val ellLineRe = "(?m)\\.\\.\\.[ \\t]*$"
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    string_split($Norm, ' ') AS ws,
+       |    length($Norm) AS n_char_norm,
+       |    length(text) - length(replace(text, '#', '')) AS n_hash,
+       |    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis,
+       |    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+       |    len(regexp_extract_all(text, '$bulletRe')) AS n_bullet,
+       |    len(regexp_extract_all(text, '$ellLineRe')) AS n_ell_lines,
+       |    len(regexp_extract_all($Norm, '[^ ]*[a-z][^ ]*')) AS n_alpha
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS INT) AS n_words,
+       |    floor(CAST(n_char_norm - (len(ws) - 1) AS DOUBLE) / len(ws)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+       |    floor(CAST(n_hash + n_ellipsis AS DOUBLE) / len(ws)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS symbol_word_ratio,
+       |    floor(CAST(n_bullet AS DOUBLE) / n_lines
+       |      * 1000000.0 + 0.5) / 1000000.0 AS bullet_line_frac,
+       |    floor(CAST(n_ell_lines AS DOUBLE) / n_lines
+       |      * 1000000.0 + 0.5) / 1000000.0 AS ellipsis_line_frac,
+       |    floor(CAST(n_alpha AS DOUBLE) / len(ws)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS alpha_word_frac,
+       |    $stops AS n_req_stops
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       |  n_req_stops,
+       |  CASE WHEN n_words BETWEEN 50 AND 100000
+       |    AND mean_word_len BETWEEN 3 AND 10
+       |    AND symbol_word_ratio < 0.1
+       |    AND bullet_line_frac < 0.9
+       |    AND ellipsis_line_frac < 0.3
+       |    AND alpha_word_frac > 0.8
+       |    AND n_req_stops >= 2 THEN 1 ELSE 0 END AS gopher_pass
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   /** d08: the same benchmark slice (doc_id % 20 = 0), same word
     * 3-grams. The oracle dedups (doc, gram) before the overlap join;

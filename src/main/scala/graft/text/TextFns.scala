@@ -418,6 +418,79 @@ object TextFns {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher's required-stopword list (Rae et al. 2021, Table A1): a
+    * document must contain at least two of these to pass.
+    */
+  val RequiredStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** t11: the Gopher document-quality rules (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", Table A1) — the classic
+    * pretraining corpus filter: word-count bounds, mean word length,
+    * symbol-to-word ratio ('#' and '...'), bullet-/ellipsis-line
+    * fractions, fraction of words containing an alphabetic character,
+    * and a required-stopword count; `gopher_pass` is the conjunction.
+    *
+    * ROW-LOCAL, like t02/t05/t10: every ingredient is a
+    * regexp/replace count or a native `array_contains` on the row —
+    * deliberately NO higher-order-function lambdas (interpreted,
+    * O(len²) — the d08 lesson) — so the filter runs at scan speed
+    * over a 100 TB corpus with zero exchanges. Ratios are integer
+    * counts divided once and quantized at 1e-6 (§8 discipline).
+    */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val t = col("text")
+    val norm = normText(t)
+    val ws = words(t)
+    val nWords = size(ws)
+    // occurrence counts via length deltas — '...' consumes greedily
+    // left-to-right (5 dots = one match) identically in Java regex
+    // and DuckDB's RE2
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis =
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3))
+        .cast("long")
+    val nLines = length(t) - length(regexp_replace(t, "\n", "")) + 1
+    val nBulletLines =
+      size(regexp_extract_all(t, lit("(?m)^[ \\t]*[-*\u2022]"), lit(0)))
+    val nEllipsisLines =
+      size(regexp_extract_all(t, lit("(?m)\\.\\.\\.[ \\t]*$"), lit(0)))
+    // a "word with an alphabetic char": each maximal non-space run of
+    // the normalized text containing >=1 letter matches exactly once
+    val nAlphaWords =
+      size(regexp_extract_all(norm, lit("[^ ]*[a-z][^ ]*"), lit(0)))
+    val nReqStops = RequiredStops
+      .map(w => when(array_contains(ws, w), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val meanWordLen =
+      (length(norm) - (nWords - 1)).cast("double") / nWords
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nWords
+    val bulletFrac = nBulletLines.cast("double") / nLines
+    val ellipsisFrac = nEllipsisLines.cast("double") / nLines
+    val alphaFrac = nAlphaWords.cast("double") / nWords
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"),
+        nWords.as("n_words"),
+        r6(meanWordLen).as("mean_word_len"),
+        r6(symbolRatio).as("symbol_word_ratio"),
+        r6(bulletFrac).as("bullet_line_frac"),
+        r6(ellipsisFrac).as("ellipsis_line_frac"),
+        r6(alphaFrac).as("alpha_word_frac"),
+        nReqStops.as("n_req_stops"))
+      .withColumn("gopher_pass",
+        when(col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("symbol_word_ratio") < 0.1 &&
+          col("bullet_line_frac") < 0.9 &&
+          col("ellipsis_line_frac") < 0.3 &&
+          col("alpha_word_frac") > 0.8 &&
+          col("n_req_stops") >= 2, lit(1)).otherwise(lit(0)))
+      .orderBy(col("doc_id"))
+  }
+
   /** t04: document fingerprints — whole-text rolling hash plus the min
     * over per-128-char block hashes (winnowing-style locality).
     */

@@ -545,6 +545,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(2L).getAs[Double]("dup_trigram_frac") == 0.0)
   }
 
+  test("t11 gopher rules: planted bullets/ellipses/symbols measured exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    Seq(
+      // 60 words of the/data/and: in every bound, 2 required stops → pass
+      (1L, Seq.fill(20)("the data and").mkString(" "), "en", "s", 0L),
+      // 4 lines, 3 bullets
+      (2L, "- one\n- two\n- three\nplain", "en", "s", 0L),
+      // both lines end in '...'; 3 ellipses over 4 words
+      (3L, "wait... what...\nno more... ", "en", "s", 0L),
+      // no alphabetic words, one '#'
+      (4L, "# 123 456 789 000", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.text.TextFns.gopherQuality(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_words") == 60)
+    assert(out(1L).getAs[Int]("n_req_stops") == 2)
+    assert(out(1L).getAs[Int]("gopher_pass") == 1)
+    assert(out(2L).getAs[Double]("bullet_line_frac") == 0.75)
+    assert(out(2L).getAs[Int]("gopher_pass") == 0) // too short
+    assert(out(3L).getAs[Double]("ellipsis_line_frac") == 1.0)
+    assert(out(3L).getAs[Double]("symbol_word_ratio") == 0.75)
+    assert(out(4L).getAs[Double]("alpha_word_frac") == 0.0)
+    assert(out(4L).getAs[Double]("symbol_word_ratio") == 0.2)
+    assert(out(4L).getAs[Int]("gopher_pass") == 0)
+  }
+
   test("d08 decontaminate: train docs sharing a benchmark trigram are flagged") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("decon").toString
