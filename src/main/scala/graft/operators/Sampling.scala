@@ -240,4 +240,41 @@ object Sampling {
         when(selCond, 1).otherwise(0).as("selected"))
       .orderBy(col("doc_id"))
   }
+
+  /** d13: sequence packing — assign every document its place in the
+    * fixed-length training sequences a dataloader would cut from the
+    * shard-concatenated token stream (the standard GPT-style
+    * concat-and-chunk: docs are laid end-to-end per shard in doc_id
+    * order, the stream is sliced into `seqLen`-token sequences, and a
+    * document may span several).
+    *
+    * Scale shape: ONE hash exchange on the shard key, then a
+    * per-shard sorted window computes the running token offset —
+    * packing is embarrassingly parallel ACROSS shards, which is how
+    * real pipelines bound the sort: at 100 TB you run ~1e5 shards so
+    * each shard's cumulative sum is one executor-sized task (the
+    * default 8 here just matches the test corpus). Token counts are
+    * t03's regex tokens (codegen'd, row-local); shard assignment is
+    * `doc_id % nShards` so the oracle replays it exactly.
+    */
+  def sequencePack(s: SparkSession, dir: String,
+      nShards: Int = 8, seqLen: Int = 512): DataFrame = {
+    val tok = Tables.documents(s, dir).select(col("doc_id"),
+      pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+      graft.text.TextFns.reTokensCol(col("text")).as("n_tok"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val start = col("cum") - col("n_tok")
+    // empty doc (n_tok = 0): occupies no tokens — both seq bounds
+    // collapse to the start offset's chunk via the greatest() guard
+    val lastTok = greatest(col("cum") - 1, start)
+    def chunk(c: Column): Column = floor(c / lit(seqLen))
+    tok.withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        start.as("start_off"),
+        chunk(start).as("first_seq"),
+        chunk(lastTok).as("last_seq"),
+        (chunk(lastTok) - chunk(start) + 1).as("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
 }

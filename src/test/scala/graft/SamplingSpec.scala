@@ -94,6 +94,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(byId(1L)._3 == 1 && byId(2L)._3 == 0 && byId(3L)._3 == 0)
   }
 
+  test("d13 sequence packing: contiguous per-shard offsets, spanning docs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pack").toString
+    def text(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, text(4)),  // shard 0: tokens 0..3
+      (2L, text(8)),  // shard 0: tokens 4..11 — spans seqs 0 and 1
+      (4L, text(25)), // shard 0: tokens 12..36 — spans seqs 1..3
+      (1L, text(3)),  // shard 1: tokens 0..2
+      (3L, "")        // shard 1: empty doc occupies no tokens
+    ).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Sampling.sequencePack(spark, tmp, nShards = 2, seqLen = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = {
+      val r = out(id)
+      (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    }
+    assert(row(0L) == (0L, 4, 0L, 0L, 0L, 1L))
+    assert(row(2L) == (0L, 8, 4L, 0L, 1L, 2L))
+    assert(row(4L) == (0L, 25, 12L, 1L, 3L, 3L))
+    assert(row(1L) == (1L, 3, 0L, 0L, 0L, 1L))
+    // empty doc: zero tokens, both seq bounds collapse to its offset
+    assert(row(3L) == (1L, 0, 3L, 0L, 0L, 1L))
+  }
+
   test("q52 stratified sample keeps all purchases and thins other strata") {
     val ev = Tables.events(spark, dir)
     val sampled = Sampling.stratifiedSample(spark, dir)
