@@ -369,6 +369,44 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
         col("event_id"))
   }
+
+  /** q57: gap-fill / resample — regularize each ticker's series onto a
+    * dense daily calendar (the precondition the decomposition stages
+    * q11–q18 and the R reference's `time_decompose` assume): last
+    * observation per ticker-day, a calendar exploded between each
+    * ticker's first and last day, then forward fill with a gap flag.
+    *
+    * Scale shape: the day-collapse window, the span agg, and the
+    * forward-fill window all partition on the ticker key; the
+    * calendar explode is row-local (one array per ticker, bounded by
+    * its date span); the grid-to-observation join keys on
+    * (ticker, day). Every exchange hashes the ticker family — no
+    * broadcast of the corpus, no global ordering anywhere.
+    */
+  def q57GapFill(s: SparkSession, dir: String): DataFrame = {
+    val key = Seq(col("user_id"), col("event_type"))
+    val wDay = Window.partitionBy(key :+ col("day"): _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("value").as("day_value"))
+    val grid = daily.groupBy("user_id", "event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), col("event_type"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+    val wFf = Window.partitionBy(key: _*).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "event_type", "day"), "left")
+      .select(col("user_id"), col("event_type"), col("day"),
+        last(col("day_value"), ignoreNulls = true).over(wFf)
+          .as("value_ff"),
+        when(col("day_value").isNull, 1).otherwise(0).as("gap_filled"))
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -737,4 +775,37 @@ object SignalOracle {
        |FROM sd2
        |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
   }
+
+  /** q57: the same regularization — last row per ticker-day, a
+    * generate_series calendar per ticker span, IGNORE NULLS forward
+    * fill. No arithmetic beyond the row pick, so parity is exact.
+    */
+  val q57: String =
+    """WITH daily AS (
+      |  SELECT user_id, event_type, CAST(ts AS DATE) AS day, value,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, event_type, CAST(ts AS DATE)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |), d1 AS (
+      |  SELECT user_id, event_type, day, value AS day_value
+      |  FROM daily WHERE rn = 1
+      |), span AS (
+      |  SELECT user_id, event_type, min(day) AS d0, max(day) AS d1
+      |  FROM d1 GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT user_id, event_type,
+      |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span
+      |)
+      |SELECT g.user_id, g.event_type, g.day,
+      |  last_value(d.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id, g.event_type ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+      |  CASE WHEN d.day_value IS NULL THEN 1 ELSE 0 END AS gap_filled
+      |FROM grid g LEFT JOIN d1 d
+      |  ON g.user_id = d.user_id AND g.event_type = d.event_type
+      |  AND g.day = d.day
+      |ORDER BY g.user_id, g.event_type, g.day""".stripMargin
 }

@@ -158,6 +158,30 @@ class SignalOpsSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("q57 gap fill: dense calendar, last-of-day pick, forward fill") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gap").toString
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$d%d $h%02d:00:00")
+    // ticker (1,idx): days 1,2,4 observed (3 missing); day 2 has two
+    // events — the later one must win the day
+    Seq(
+      (1L, ts(1, 9), 1L, "idx", 10.0, ""),
+      (2L, ts(2, 9), 1L, "idx", 99.0, ""),
+      (3L, ts(2, 15), 1L, "idx", 20.0, ""),
+      (4L, ts(4, 9), 1L, "idx", 30.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q57GapFill(spark, tmp).collect()
+      .map(r => r.getDate(2).toString -> r).toMap
+    assert(out.size == 4, "calendar covers days 1-4")
+    assert(out("2024-01-02").getDouble(3) == 20.0, "last event of day wins")
+    assert(out("2024-01-03").getDouble(3) == 20.0, "gap forward-filled")
+    assert(out("2024-01-03").getInt(4) == 1, "gap flagged")
+    assert(out("2024-01-04").getInt(4) == 0)
+    assert(out("2024-01-01").getDouble(3) == 10.0)
+  }
+
   test("q55 flags the one ticker that diverges from its peer group") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("xs").toString
