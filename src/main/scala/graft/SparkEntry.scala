@@ -38,6 +38,7 @@ object SparkEntry {
     "q19_cusum_changepoint" -> SignalOps.q19Cusum _,
     "q53_hampel_filter"  -> ((s, d) => SignalOps.q53Hampel(s, d)),
     "q55_cross_sectional" -> ((s, d) => SignalOps.q55CrossSectional(s, d)),
+    "q57_gap_fill"       -> ((s, d) => SignalOps.q57GapFill(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "t08_bigram_perplexity" ->
       ((s, d) => graft.text.TextFns.bigramPerplexity(s, d)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "t04_fingerprint"    -> graft.text.TextFns.fingerprint _,
     "t09_pii_redact"     -> graft.text.TextFns.piiRedact _,
     "t10_ngram_repetition" -> graft.text.TextFns.ngramRepetition _,
+    "t11_gopher_quality" -> graft.text.TextFns.gopherQuality _,
     "d08_decontaminate"  -> ((s, d) =>
       graft.dedup.Decontaminate.contaminated(s, d)),
     "d08_clean_corpus"   -> ((s, d) =>
@@ -108,6 +110,8 @@ object SparkEntry {
       graft.dedup.Dedup.ngramContainment(s, d)),
     "d11_substring_dedup" -> ((s, d) =>
       graft.dedup.Dedup.substringDedup(s, d)),
+    "d13_sequence_pack"  -> ((s, d) =>
+      graft.operators.Sampling.sequencePack(s, d)),
     "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
     "m02_audio_features" -> ((s, d) => graft.multimodal.Audio.q(s, d)),
     "m03_video_frames" -> ((s, d) => graft.multimodal.Video.q(s, d)),
@@ -162,6 +166,7 @@ object SparkEntry {
     "st09_stream_holt"   -> SignalOracle.st09,
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q55_cross_sectional" -> SignalOracle.q55,
+    "q57_gap_fill"       -> SignalOracle.q57,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "t08_bigram_perplexity" -> LlmOracle.t08,
     "q49_ewma_smooth"    -> SignalOracle.q49,
@@ -169,10 +174,12 @@ object SparkEntry {
     "t07_bm25_search"    -> LlmOracle.t07,
     "t09_pii_redact"     -> LlmOracle.t09,
     "t10_ngram_repetition" -> LlmOracle.t10,
+    "t11_gopher_quality" -> LlmOracle.t11,
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,
     "d11_substring_dedup" -> LlmOracle.d11,
+    "d13_sequence_pack"  -> LlmOracle.d13,
     "d10_ngram_containment" -> LlmOracle.d10,
     "s04_knn_classify"   -> LlmOracle.s04,
     "q48_interval_join" ->
