@@ -77,6 +77,7 @@ object SparkEntry {
     "q51_upsert_merge"   -> Relational.upsertMerge _,
     "q52_stratified_sample" -> Sampling.stratifiedSample _,
     "q56_group_quantiles" -> ScaleOps.groupQuantiles _,
+    "q58_winsorize"      -> ScaleOps.winsorize _,
     "d12_domain_cap"     -> ((s, d) => Sampling.domainCap(s, d)),
     "d07_train_split"    -> Sampling.trainSplit _,
     "t05_entropy_score"  -> graft.text.TextFns.entropyScore _,
@@ -395,6 +396,30 @@ object SparkEntry {
            max(CASE WHEN rn = (99 * n + 99) // 100 THEN v4l END) / 10000.0 AS p99,
            max(CASE WHEN rn = n THEN v4l END) / 10000.0 AS max_v
          FROM r GROUP BY event_type ORDER BY event_type""",
+    "q58_winsorize" ->
+      """WITH base AS (
+           SELECT event_type, event_id, user_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+           FROM events
+         ), r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY v4l, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM base
+         ), b AS (
+           SELECT event_type,
+             max(CASE WHEN rn = (1 * n + 19) // 20 THEN v4l END) AS lo4,
+             max(CASE WHEN rn = (19 * n + 19) // 20 THEN v4l END) AS hi4
+           FROM r GROUP BY event_type)
+         SELECT r.event_id, r.user_id, r.event_type,
+           r.v4l / 10000.0 AS value,
+           b.lo4 / 10000.0 AS lo, b.hi4 / 10000.0 AS hi,
+           least(greatest(r.v4l, b.lo4), b.hi4) / 10000.0 AS value_w,
+           CASE WHEN r.v4l < b.lo4 THEN 1 ELSE 0 END AS clip_lo,
+           CASE WHEN r.v4l > b.hi4 THEN 1 ELSE 0 END AS clip_hi
+         FROM r JOIN b USING (event_type)
+         ORDER BY event_id""",
     "q43_string_agg" ->
       """SELECT n_regionkey,
            string_agg(n_name, ',' ORDER BY n_name) AS nations,

@@ -250,4 +250,49 @@ object ScaleOps {
         pick(col("n"), "max_v"))
       .orderBy(col("event_type"))
   }
+
+  /** q58: per-group winsorization — clip every value into its
+    * group's exact [p05, p95] band (the standard outlier-taming
+    * transform before any mean/σ statistic a pipeline computes
+    * downstream; q53's Hampel is the per-point DETECTOR, this is the
+    * per-distribution REPAIR). Thresholds are q56's integer-rank
+    * selection — ceil(p·n) as `(num·n + den−1) div den`, the chosen
+    * bound an actual input value — so both engines clip against
+    * bit-identical bands.
+    *
+    * Scale shape: ONE event_type exchange serves the rank window;
+    * the 2-rows-per-group bounds table is checkpointed (breaks the
+    * window-chain replay for its second consumer) and BROADCAST back
+    * onto the ranked rows, so the clip pass reuses the same
+    * partitions — no second corpus exchange, no group-sized data
+    * past the window.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    def rk(num: Int, den: Int): Column =
+      expr(s"($num * n + ${den - 1}) div $den")
+    val ranked = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("rn",
+        row_number().over(byType.orderBy(col("v4l"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    val bounds = ranked
+      .filter(col("rn") === rk(1, 20) || col("rn") === rk(19, 20))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === rk(1, 20), col("v4l"))).as("lo4"),
+        max(when(col("rn") === rk(19, 20), col("v4l"))).as("hi4"))
+      .localCheckpoint()
+    ranked.drop("rn", "n")
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("v4l") / lit(10000.0)).as("value"),
+        (col("lo4") / lit(10000.0)).as("lo"),
+        (col("hi4") / lit(10000.0)).as("hi"),
+        (least(greatest(col("v4l"), col("lo4")), col("hi4")) /
+          lit(10000.0)).as("value_w"),
+        (col("v4l") < col("lo4")).cast("int").as("clip_lo"),
+        (col("v4l") > col("hi4")).cast("int").as("clip_hi"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -105,4 +105,39 @@ class ScaleOpsSpec extends AnyFunSuite {
         l.contains("event_type"))
     assert(corpusExchanges <= 1, s"expected one event_type exchange:\n$plan")
   }
+
+  test("q58 winsorize clips into the exact [p05, p95] band") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("wins").toString
+    // one group of 40 values 1..40: lo = ceil(40/20) = rank 2 → 2,
+    // hi = ceil(19·40/20) = rank 38 → 38
+    (1 to 40).map(i => (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
+        1L, "m", i.toDouble, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = ScaleOps.winsorize(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 40)
+    assert(out(1L).getAs[Double]("value_w") == 2.0 &&
+      out(1L).getAs[Int]("clip_lo") == 1)
+    assert(out(39L).getAs[Double]("value_w") == 38.0 &&
+      out(39L).getAs[Int]("clip_hi") == 1)
+    assert(out(40L).getAs[Double]("value_w") == 38.0)
+    assert(out(2L).getAs[Double]("value_w") == 2.0 &&
+      out(2L).getAs[Int]("clip_lo") == 0)
+    assert(out(20L).getAs[Double]("value_w") == 20.0 &&
+      out(20L).getAs[Int]("clip_lo") + out(20L).getAs[Int]("clip_hi") == 0)
+  }
+
+  test("q58 plans one corpus exchange; bounds join back by broadcast") {
+    val df = ScaleOps.winsorize(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val corpusExchanges = plan.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("event_type"))
+    assert(corpusExchanges <= 1, s"expected one event_type exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"bounds must broadcast:\n$plan")
+  }
 }
