@@ -138,6 +138,8 @@ object SparkEntry {
       graft.streaming.StreamingCorpus.st07StreamCorpus _,
     "st08_stream_cusum" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st08StreamCusum(s, d)),
+    "st10_stream_heavy_hitters" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st10HeavyHitters(s, d)),
     "st09_stream_holt" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st09StreamHolt(s, d))
   )

@@ -741,4 +741,119 @@ object StreamingAnomaly {
       .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
         col("event_id"))
   }
+
+  /** st10 SpaceSaving counter bank for one tumbling window: parallel
+    * arrays (primitive encoders, TickerState's lesson), capacity-k
+    * regardless of stream cardinality.
+    */
+  case class SSState(keys: Array[Long], counts: Array[Long],
+      errs: Array[Long], total: Long)
+
+  case class HeavyHit(win_start: java.sql.Timestamp, rank: Int,
+      user_id: Long, est_count: Long, max_err: Long, n_events: Long)
+
+  /** st10: streaming heavy hitters — the SpaceSaving sketch (Metwally
+    * et al. 2005) over each 6 h tumbling window: which users dominate
+    * the feed, answered with k counters per window NO MATTER how many
+    * distinct users flow through (the unbounded-cardinality question
+    * a windowed groupBy count cannot answer without O(users) state).
+    * Invariants carried per counter: est_count ≥ true count and
+    * est_count − max_err ≤ true count; a true heavy hitter with
+    * count > min-counter is GUARANTEED present (spec-proven).
+    *
+    * Emission is timeout-FINALIZED (Append discipline): when the
+    * watermark passes the window end the top `topN` counters emit
+    * once — ranked (count desc, user asc) — and the window's state
+    * is evicted; an in-flight final window emits when later data
+    * advances the watermark past it. Same in-order contract as st02
+    * (events sorted in-batch; SpaceSaving is order-sensitive, so
+    * determinism holds under the staged time-sliced source).
+    *
+    * State: k longs ×3 + 1 per LIVE window — bounded in windows by
+    * eviction and in width by k; no key-cardinality term anywhere.
+    */
+  def st10Transform(s: SparkSession, stream: DataFrame, k: Int = 16,
+      topN: Int = 5): org.apache.spark.sql.Dataset[HeavyHit] = {
+    import s.implicits._
+    val winUs = 6L * 3600 * 1000000L
+
+    def update(winStartUs: Long, events: Iterator[TickEvent],
+        state: GroupState[SSState]): Iterator[HeavyHit] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        val ts = new java.sql.Timestamp(winStartUs / 1000L)
+        st.keys.indices
+          .sortBy(i => (-st.counts(i), st.keys(i)))
+          .take(topN).iterator.zipWithIndex
+          .map { case (i, r) =>
+            HeavyHit(ts, r + 1, st.keys(i), st.counts(i), st.errs(i),
+              st.total)
+          }
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val st = state.getOption
+          .getOrElse(SSState(Array.empty, Array.empty, Array.empty, 0L))
+        val keys = scala.collection.mutable.ArrayBuffer(st.keys: _*)
+        val counts = scala.collection.mutable.ArrayBuffer(st.counts: _*)
+        val errs = scala.collection.mutable.ArrayBuffer(st.errs: _*)
+        var total = st.total
+        sorted.foreach { e =>
+          total += 1
+          val idx = keys.indexOf(e.user_id)
+          if (idx >= 0) counts(idx) += 1
+          else if (keys.length < k) {
+            keys += e.user_id; counts += 1L; errs += 0L
+          } else {
+            // evict the min counter (ties: smallest key) — the new
+            // item inherits its count as the overestimate bound
+            var mi = 0
+            var i = 1
+            while (i < counts.length) {
+              if (counts(i) < counts(mi) ||
+                (counts(i) == counts(mi) && keys(i) < keys(mi))) mi = i
+              i += 1
+            }
+            val m = counts(mi)
+            keys(mi) = e.user_id; errs(mi) = m; counts(mi) = m + 1
+          }
+        }
+        state.update(SSState(keys.toArray, counts.toArray, errs.toArray,
+          total))
+        // fire when the watermark passes the window END; any event
+        // that reached us has ts ≥ watermark, so end > watermark and
+        // the registration is always legal
+        state.setTimeoutTimestamp((winStartUs + winUs) / 1000L)
+        Iterator.empty
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (usOf(e.ts) / winUs) * winUs)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st10FromStream(s: SparkSession, stream: DataFrame, k: Int = 16,
+      topN: Int = 5): DataFrame = {
+    val name = s"st10_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st10Transform(s, stream, k, topN)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .orderBy(col("win_start"), col("rank"))
+  }
+
+  def st10HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    st10FromStream(s, eventStream(s, dir))
 }

@@ -225,6 +225,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinct, s"stream dedup $n vs batch distinct $distinct")
   }
 
+  test("st10 heavy hitters: planted dominator is rank 1 with exact count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hh1").toString
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // window [00:00, 06:00): user 7 dominates with 50 events, users
+    // 1-5 have 3 each; a next-day event advances the watermark past
+    // the window end so the timeout finalizes it
+    val rows =
+      (1 to 50).map(i => (1000L + i, ts(1, i % 60), 7L, "view", 1.0, "")) ++
+        (1 to 5).flatMap(u => (1 to 3).map(j =>
+          (2000L + u * 10 + j, ts(2, (u * 7 + j) % 60), u.toLong,
+            "view", 1.0, ""))) ++
+        Seq((9999L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+          1L, "view", 1.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(StreamingAnomaly.eventSchema).parquet(tmp)
+    val out = StreamingAnomaly.st10FromStream(spark, stream).collect()
+    val w0Start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val w0 = out.filter(_.getTimestamp(0) == w0Start)
+    assert(w0.length == 5, s"topN of the closed window: ${out.toSeq}")
+    val r1 = w0.find(_.getInt(1) == 1).get
+    assert(r1.getLong(2) == 7L && r1.getLong(3) == 50L &&
+      r1.getLong(4) == 0L, "dominator exact under capacity")
+    assert(w0.forall(_.getLong(5) == 65L), "window total rides along")
+    // the still-open final window must NOT have emitted
+    assert(out.forall(_.getTimestamp(0) == w0Start))
+  }
+
+  test("st10 SpaceSaving invariants hold past counter capacity") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hh2").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 01:$m%02d:00")
+    // 10 distinct users through k=4 counters: user 1 has 10 events,
+    // users 2-10 one each — the guaranteed heavy hitter must survive
+    // eviction and the counter bank must conserve the window total
+    val rows =
+      (1 to 10).map(i => (100L + i, ts(i), 1L, "view", 1.0, "")) ++
+        (2 to 10).map(u => (200L + u, ts(10 + u), u.toLong,
+          "view", 1.0, "")) ++
+        Seq((999L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+          1L, "view", 1.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream
+      .schema(StreamingAnomaly.eventSchema).parquet(tmp)
+    val out = StreamingAnomaly
+      .st10FromStream(spark, stream, k = 4, topN = 4).collect()
+    val w0 = out.filter(_.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(w0.length == 4, s"all k counters emitted: ${out.toSeq}")
+    assert(w0.map(_.getLong(3)).sum == 19L,
+      "SpaceSaving conserves the item total across counters")
+    val hh = w0.find(_.getLong(2) == 1L)
+    assert(hh.isDefined, "count-10 hitter cannot be evicted at k=4, n=19")
+    assert(hh.get.getLong(3) >= 10L &&
+      hh.get.getLong(3) - hh.get.getLong(4) <= 10L,
+      "est >= true >= est - max_err")
+    assert(w0.forall(_.getLong(5) == 19L))
+  }
+
   test("st07 streaming corpus prep matches the batch distinct feature set") {
     val out = graft.streaming.StreamingCorpus.st07StreamCorpus(spark, dir)
     val n = out.count()
