@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.dedup.Dedup.normText
 import graft.text.TextFns
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** p01: the end-to-end training-corpus preparation pipeline — the
@@ -43,6 +43,62 @@ object CorpusPipeline {
       .filter(col("doc_id") === col("min_doc"))
       .select(col("doc_id"), col("predicted_lang"), col("quality"),
         col("re_tokens"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** p02: the CURATION pipeline the round-8 operators compose — what a
+    * crawl-to-training-shards run actually chains, as ONE query:
+    *
+    *   documents → repetition filter (t10) + Gopher-ingredient filter
+    *   (t11) → exact dedup (d01) → per-domain cap (d12) → sequence
+    *   packing (d13)
+    *
+    * Shape at 100 TB: the filter features are row-local expressions in
+    * the one corpus scan (never separate passes); the three shuffles
+    * that remain — content-digest dedup, per-source cap rank, shard
+    * packing — each run over the strictly SHRINKING survivor set, in
+    * that order, so the big exchanges happen after the cheap scans
+    * have discarded most of the corpus. Output is the packed-shard
+    * manifest a tokenizer/dataloader consumes.
+    */
+  def curate(s: SparkSession, dir: String, cap: Int = 50,
+      nShards: Int = 8, seqLen: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("text")
+    val filtered = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(normText(t), " ")).as("n_words"),
+        TextFns.reTokensCol(t).as("n_tok"),
+        TextFns.alphaWordFracCol(t).as("alpha_frac"),
+        TextFns.symbolWordRatioCol(t).as("symbol_ratio"),
+        TextFns.dupNgramFracCol(t, 2).as("dup2"),
+        md5(normText(t)).as("norm_hash"))
+      .filter(col("n_words") >= 20 && col("alpha_frac") > 0.8 &&
+        col("symbol_ratio") < 0.1 && col("dup2") < 0.2)
+    val wHash = Window.partitionBy(col("norm_hash"))
+    val deduped = filtered
+      .withColumn("min_doc", min(col("doc_id")).over(wHash))
+      .filter(col("doc_id") === col("min_doc"))
+    // d12's reproducible salted-hash priority within each source
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit("p02"))),
+        col("doc_id"))
+    val capped = deduped
+      .withColumn("rk", row_number().over(wSrc))
+      .filter(col("rk") <= cap)
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+    // d13's concat-and-chunk packing over the survivors
+    val wShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = capped.withColumn("cum", sum(col("n_tok")).over(wShard))
+    val start = col("cum") - col("n_tok")
+    val lastTok = greatest(col("cum") - 1, start)
+    def chunk(c: Column): Column = floor(c / lit(seqLen))
+    packed
+      .select(col("doc_id"), col("source"), col("n_tok"), col("shard"),
+        start.as("start_off"),
+        chunk(start).as("first_seq"),
+        chunk(lastTok).as("last_seq"))
       .orderBy(col("doc_id"))
   }
 }

@@ -132,6 +132,56 @@ object LlmOracle {
        |    / 1000000.0 AS dup_frac6
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** p02: the curation pipeline replayed stage by stage — the same
+    * filter ingredients (t10/t11 formulas), min-per-digest dedup,
+    * d12's salted-hash cap rank, d13's shard cumsum packing.
+    */
+  val p02: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, text, string_split($Norm, ' ') AS ws
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id, source,
+       |    len(ws) AS n_words,
+       |    CAST(len(regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]'))
+       |      AS INT) AS n_tok,
+       |    floor(CAST(len(regexp_extract_all($Norm, '[^ ]*[a-z][^ ]*'))
+       |      AS DOUBLE) / len(ws) * 1000000.0 + 0.5) / 1000000.0
+       |      AS alpha_frac,
+       |    floor(CAST((length(text) - length(replace(text, '#', '')))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3
+       |      AS DOUBLE) / len(ws) * 1000000.0 + 0.5) / 1000000.0
+       |      AS symbol_ratio,
+       |    ${dupFracSql(ngListSql(2))} AS dup2,
+       |    md5($Norm) AS norm_hash
+       |  FROM w
+       |), flt AS (
+       |  SELECT * FROM f
+       |  WHERE n_words >= 20 AND alpha_frac > 0.8
+       |    AND symbol_ratio < 0.1 AND dup2 < 0.2
+       |), ddp AS (
+       |  SELECT * FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY norm_hash) AS mn
+       |    FROM flt)
+       |  WHERE doc_id = mn
+       |), cap AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'p02'), doc_id) AS rk
+       |    FROM ddp)
+       |  WHERE rk <= 50
+       |), pk AS (
+       |  SELECT doc_id, source, n_tok, doc_id % 8 AS shard,
+       |    CAST(sum(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM cap
+       |)
+       |SELECT doc_id, source, n_tok, shard,
+       |  cum - n_tok AS start_off,
+       |  (cum - n_tok) // 512 AS first_seq,
+       |  greatest(cum - 1, cum - n_tok) // 512 AS last_seq
+       |FROM pk ORDER BY doc_id""".stripMargin
+
   /** d13: the same concat-and-chunk packing — t03's regex tokens,
     * shard = doc_id % 8, per-shard running sum (cast from DuckDB's
     * HUGEINT to BIGINT for schema parity), chunk = floor-div by the

@@ -400,29 +400,56 @@ object TextFns {
     * the paper's longer n. Fractions are one integer-derived division
     * quantized at 1e-6 (§8 discipline).
     */
-  def ngramRepetition(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
-    def dupFrac(n: Int): Column = {
-      val ng = wordNgrams(ws, n)
-      when(size(ng) > 0,
-        floor((size(ng) - size(array_distinct(ng))).cast("double") /
-          size(ng) * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
-        .otherwise(lit(0.0))
-    }
+  def ngramRepetition(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
       .select(col("doc_id"),
-        size(ws).as("n_words"),
-        dupFrac(2).as("dup_bigram_frac"),
-        dupFrac(3).as("dup_trigram_frac"))
+        size(words(col("text"))).as("n_words"),
+        dupNgramFracCol(col("text"), 2).as("dup_bigram_frac"),
+        dupNgramFracCol(col("text"), 3).as("dup_trigram_frac"))
       .orderBy(col("doc_id"))
-  }
 
   /** Gopher's required-stopword list (Rae et al. 2021, Table A1): a
     * document must contain at least two of these to pass.
     */
   val RequiredStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def q6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** Fraction of words containing an alphabetic character (Gopher
+    * ingredient; shared by t11 and the p02 pipeline). Each maximal
+    * non-space run of the normalized text with ≥1 letter matches the
+    * pattern exactly once.
+    */
+  def alphaWordFracCol(c: Column): Column = {
+    val norm = normText(c)
+    q6(size(regexp_extract_all(norm, lit("[^ ]*[a-z][^ ]*"), lit(0)))
+      .cast("double") / size(split(norm, " ")))
+  }
+
+  /** '#'-and-'...' symbol count per word (Gopher ingredient; shared by
+    * t11 and p02) — length-delta replace counts, '...' consumed
+    * greedily left-to-right identically in Java regex and RE2.
+    */
+  def symbolWordRatioCol(c: Column): Column = {
+    val nHash = length(c) - length(regexp_replace(c, "#", ""))
+    val nEllipsis =
+      ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / lit(3))
+        .cast("long")
+    q6((nHash + nEllipsis).cast("double") / size(words(c)))
+  }
+
+  /** Duplicate word-n-gram fraction (t10's measure as a single
+    * expression; shared by the p02 pipeline).
+    */
+  def dupNgramFracCol(c: Column, n: Int): Column = {
+    val ng = wordNgrams(words(c), n)
+    when(size(ng) > 0,
+      q6((size(ng) - size(array_distinct(ng))).cast("double") / size(ng)))
+      .otherwise(lit(0.0))
+  }
 
   /** t11: the Gopher document-quality rules (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", Table A1) — the classic
@@ -445,40 +472,27 @@ object TextFns {
     val norm = normText(t)
     val ws = words(t)
     val nWords = size(ws)
-    // occurrence counts via length deltas — '...' consumes greedily
-    // left-to-right (5 dots = one match) identically in Java regex
-    // and DuckDB's RE2
-    val nHash = length(t) - length(regexp_replace(t, "#", ""))
-    val nEllipsis =
-      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3))
-        .cast("long")
     val nLines = length(t) - length(regexp_replace(t, "\n", "")) + 1
     val nBulletLines =
       size(regexp_extract_all(t, lit("(?m)^[ \\t]*[-*\u2022]"), lit(0)))
     val nEllipsisLines =
       size(regexp_extract_all(t, lit("(?m)\\.\\.\\.[ \\t]*$"), lit(0)))
-    // a "word with an alphabetic char": each maximal non-space run of
-    // the normalized text containing >=1 letter matches exactly once
-    val nAlphaWords =
-      size(regexp_extract_all(norm, lit("[^ ]*[a-z][^ ]*"), lit(0)))
     val nReqStops = RequiredStops
       .map(w => when(array_contains(ws, w), lit(1)).otherwise(lit(0)))
       .reduce(_ + _)
     val meanWordLen =
       (length(norm) - (nWords - 1)).cast("double") / nWords
-    val symbolRatio = (nHash + nEllipsis).cast("double") / nWords
     val bulletFrac = nBulletLines.cast("double") / nLines
     val ellipsisFrac = nEllipsisLines.cast("double") / nLines
-    val alphaFrac = nAlphaWords.cast("double") / nWords
     Tables
       .documents(s, dir)
       .select(col("doc_id"),
         nWords.as("n_words"),
         r6(meanWordLen).as("mean_word_len"),
-        r6(symbolRatio).as("symbol_word_ratio"),
+        symbolWordRatioCol(t).as("symbol_word_ratio"),
         r6(bulletFrac).as("bullet_line_frac"),
         r6(ellipsisFrac).as("ellipsis_line_frac"),
-        r6(alphaFrac).as("alpha_word_frac"),
+        alphaWordFracCol(t).as("alpha_word_frac"),
         nReqStops.as("n_req_stops"))
       .withColumn("gopher_pass",
         when(col("n_words") >= 50 && col("n_words") <= 100000 &&

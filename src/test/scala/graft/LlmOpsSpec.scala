@@ -485,6 +485,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bad.forall(_.isNullAt(1)))
   }
 
+  test("p02 curation: every stage filters; survivors pack contiguously") {
+    import graft.operators.CorpusPipeline
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("p02").toString
+    def uniq(n: Int, off: Int) =
+      (1 to n).map(i => s"tok${off + i}").mkString(" ")
+    Seq(
+      (1L, uniq(24, 0), "en", "a", 0L),          // passes
+      (2L, uniq(24, 100), "en", "a", 0L),        // passes
+      (3L, uniq(24, 200), "en", "a", 0L),        // passes; cap=2 drops one
+      (4L, uniq(24, 0), "en", "a", 0L),          // dup of 1 → dedup drops
+      (5L, Seq.fill(24)("dup").mkString(" "), "en", "b", 0L), // dup2 ≈ 1
+      (6L, uniq(20, 300) + " # # # #", "en", "b", 0L), // symbols 4/24
+      (7L, "short doc", "en", "b", 0L)           // n_words < 20
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusPipeline
+      .curate(spark, tmp, cap = 2, nShards = 2, seqLen = 10).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids.subsetOf(Set(1L, 2L, 3L)), s"survivors $ids")
+    assert(out.length == 2, "per-source cap must bite")
+    assert(!ids.contains(4L))
+    out.foreach(r => assert(r.getInt(2) == 24, "n_tok of a 24-token doc"))
+    // packing: per shard, offsets are the contiguous cumsum in id order
+    out.groupBy(_.getLong(3)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(0))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(4) == 24L * i, s"start_off ${r.toSeq}")
+        assert(r.getLong(5) == 24L * i / 10)       // first_seq
+        assert(r.getLong(6) == (24L * (i + 1) - 1) / 10) // last_seq
+      }
+    }
+  }
+
   test("p01 pipeline keeps only en docs above quality with unique content") {
     import graft.operators.CorpusPipeline
     val kept = CorpusPipeline.prepare(spark, dir).collect()
