@@ -65,7 +65,11 @@ object BenchScale {
     // round 8: group-rank selection, domain-cap window, banded image
     // dedup over 10× media, PQ codebook train + ADC scan
     "q56_group_quantiles", "d12_domain_cap", "m06_phash_dedup",
-    "s05_ann_pq")
+    "s05_ann_pq",
+    // round 8b: calendar-grid join, clip-band window, composed
+    // curation chain, windowed SpaceSaving state
+    "q57_gap_fill", "q58_winsorize", "p02_curation_pipeline",
+    "st10_stream_heavy_hitters")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

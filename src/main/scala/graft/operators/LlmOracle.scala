@@ -784,6 +784,38 @@ object LlmOracle {
       |  CAST(zero_crossings AS BIGINT) AS zero_crossings
       |FROM agg ORDER BY media_id""".stripMargin
 
+  /** m07: silence/clipping triage in closed form — per-frame max |s|
+    * over 25-sample frames of the m02 synthesis formula (tail partial
+    * frame dropped, matching the engine's integer frame count), then
+    * counts and the leading/trailing silent runs.
+    */
+  val m07: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(200 + (doc_id * 11) % 300 AS BIGINT) AS n_samples
+      |  FROM documents
+      |), v AS (
+      |  SELECT media_id, i // 25 AS f,
+      |    abs((media_id * 31 + i * 17) % 65536 - 32768) AS a
+      |  FROM (SELECT *, unnest(range(n_samples)) AS i FROM d)
+      |  WHERE i < (n_samples // 25) * 25
+      |), fr AS (
+      |  SELECT media_id, f, max(a) AS maxabs FROM v GROUP BY 1, 2
+      |)
+      |SELECT media_id,
+      |  CAST(count(*) AS INT) AS n_frames,
+      |  CAST(sum(CASE WHEN maxabs < 8192 THEN 1 ELSE 0 END) AS INT)
+      |    AS n_silent,
+      |  CAST(sum(CASE WHEN maxabs >= 32700 THEN 1 ELSE 0 END) AS INT)
+      |    AS n_clipped,
+      |  CAST(coalesce(min(CASE WHEN maxabs >= 8192 THEN f END), count(*))
+      |    AS INT) AS lead_silent,
+      |  CAST(CASE WHEN max(CASE WHEN maxabs >= 8192 THEN f END) IS NULL
+      |    THEN count(*)
+      |    ELSE count(*) - 1 - max(CASE WHEN maxabs >= 8192 THEN f END)
+      |    END AS INT) AS tail_silent
+      |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin
+
   /** m04: the nearest-neighbour 16×16 thumbnail statistics in closed
     * form — the NN forward map picks source pixel (x·w//16, y·h//16),
     * so the resampled grays are the m01 synthesis formula at those

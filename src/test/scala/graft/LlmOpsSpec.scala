@@ -240,6 +240,41 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m07 audio segmentation: planted silence, clipping, trim runs") {
+    import spark.implicits._
+    import graft.multimodal.Audio
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      buf.putShort(1).putShort(1).putInt(8000).putInt(16000)
+      buf.putShort(2).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(v => buf.putShort(v.toShort))
+      buf.array()
+    }
+    // frame 0 silent, frame 1 clipped (and loud), frame 2 silent;
+    // 5-sample tail is a partial frame and must be dropped
+    val planted = Seq.fill(25)(0) ++ Seq.fill(25)(32760) ++
+      Seq.fill(25)(100) ++ Seq.fill(5)(32760)
+    val df = Seq(
+      (1L, wav(planted)),
+      (2L, "not a riff".getBytes("US-ASCII"))
+    ).toDF("media_id", "payload")
+    val out = Audio.segment(df).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_frames") == 3)
+    assert(r1.getAs[Int]("n_silent") == 2)
+    assert(r1.getAs[Int]("n_clipped") == 1)
+    assert(r1.getAs[Int]("lead_silent") == 1)
+    assert(r1.getAs[Int]("tail_silent") == 1)
+    assert(r1.getAs[Int]("_corrupt") == 0)
+    assert(out(2L).getAs[Int]("_corrupt") == 1, "garbage flags, not throws")
+  }
+
   test("m02 payloads are genuine RIFF/WAVE bytes with queryable metadata") {
     import graft.multimodal.Audio
     val media = Audio.audioTable(spark, dir).limit(20).collect()
