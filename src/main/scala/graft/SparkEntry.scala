@@ -94,6 +94,7 @@ object SparkEntry {
     "s02_ann_lsh"        -> ((s, d) => graft.similarity.Ann.lshTopK(s, d)),
     "s03_ann_ivf"        -> ((s, d) => graft.similarity.Ann.ivfTopK(s, d)),
     "s05_ann_pq"         -> ((s, d) => graft.similarity.Ann.pqTopK(s, d)),
+    "d14_semdedup"       -> ((s, d) => graft.similarity.Ann.semDedup(s, d)),
     "t01_langid"         -> graft.text.TextFns.langId _,
     "t02_quality_score"  -> graft.text.TextFns.qualityScore _,
     "t03_token_count"    -> graft.text.TextFns.tokenCount _,

@@ -147,41 +147,43 @@ object Ann {
     * corpus is written clustered by centroid id, so a probe reads
     * only its lists' files. Rows-only (recall spec-tested vs s01).
     */
-  def ivfTopK(s: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16,
-      nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val v = Tables
-      .embeddings(s, dir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("norm2", dot(col("v"), col("v")))
-      .cache()
+  /** Centroid table with cached |c|² (shared by IVF and SemDeDup). */
+  private def centroidDf(s: SparkSession,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    import s.implicits._
+    cents.toSeq.toDF("cid", "c")
+      .withColumn("cn2", dot(col("c"), col("c")))
+  }
 
-    def centroidDf(cents: Array[(Int, Array[Double])]) = {
-      import s.implicits._
-      cents.toSeq.toDF("cid", "c")
-        .withColumn("cn2", dot(col("c"), col("c")))
-    }
+  /** Nearest-centroid assignment: squared L2 = |v|² − 2 v·c + |c|²;
+    * min over a (dist, cid) struct keeps ties deterministic. Broadcast
+    * cross join (nCentroids rows) + min-by — map-side only, no corpus
+    * shuffle.
+    */
+  private def assignTo(s: SparkSession, v: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame =
+    v.crossJoin(broadcast(centroidDf(s, cents)))
+      .withColumn("dist",
+        col("norm2") - lit(2.0) * dot(col("v"), col("c")) + col("cn2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
 
-    // squared L2 = |v|^2 - 2 v.c + |c|^2; min over (dist, cid) struct
-    // keeps ties deterministic
-    def assign(cents: Array[(Int, Array[Double])]): DataFrame =
-      v.crossJoin(broadcast(centroidDf(cents)))
-        .withColumn("dist",
-          col("norm2") - lit(2.0) * dot(col("v"), col("c")) + col("cn2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"))
-
+  /** Deterministic seeds + `iters` Lloyd rounds over
+    * v(vec_id, v, norm2); every collect is centroid-sized, partial
+    * sums in DECIMAL so centroids are bit-stable across partition
+    * orders. Shared by s03 (IVF lists) and d14 (SemDeDup clusters).
+    */
+  private def trainCentroids(s: SparkSession, v: DataFrame,
+      nCentroids: Int, iters: Int): Array[(Int, Array[Double])] = {
     var cents: Array[(Int, Array[Double])] = v
       .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
       .limit(nCentroids)
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-
     for (_ <- 1 to iters) {
-      val assigned = assign(cents)
+      val assigned = assignTo(s, v, cents)
       val recomputed = v.join(assigned, Seq("vec_id"))
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
@@ -196,6 +198,24 @@ object Ann {
       val byId = recomputed.toMap
       cents = cents.map { case (i, c) => (i, byId.getOrElse(i, c)) }
     }
+    cents
+  }
+
+  def ivfTopK(s: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16,
+      nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val v = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm2", dot(col("v"), col("v")))
+      .cache()
+
+    def centroidDfL(cents: Array[(Int, Array[Double])]) = centroidDf(s, cents)
+    def assign(cents: Array[(Int, Array[Double])]): DataFrame =
+      assignTo(s, v, cents)
+
+    val cents = trainCentroids(s, v, nCentroids, iters)
 
     // The cache existed for the Lloyd rounds (each materialized it via
     // collect); the final query below re-derives v from the parquet
@@ -206,7 +226,7 @@ object Ann {
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm2").as("qn"))
-    val probes = q.crossJoin(broadcast(centroidDf(cents)))
+    val probes = q.crossJoin(broadcast(centroidDfL(cents)))
       .withColumn("dist",
         col("qn") - lit(2.0) * dot(col("qv"), col("c")) + col("cn2"))
       .withColumn("prk", row_number().over(
@@ -379,5 +399,58 @@ object Ann {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"), col("d2_6"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** d14: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication") — the
+    * embedding-space dedup that catches SEMANTIC duplicates (same
+    * content, different words) d01–d11's lexical granularities can't:
+    * k-means the corpus into clusters, then compare cosines only
+    * WITHIN a cluster and drop every vector with a ≥ τ neighbour of
+    * smaller id (greedy keep-first, the paper's keep-one-per-group
+    * rule made deterministic).
+    *
+    * Scale shape: s03's Lloyd trainer (centroid-sized collects,
+    * broadcast assignment — no corpus shuffle); the pair compare is
+    * ONE equi-join on cluster id, so scored pairs ≈ N²/K instead of
+    * N² — K is the knob that keeps each cluster's block
+    * executor-sized at 100 TB (the paper runs K ~ 10⁴ for 10⁸ docs;
+    * 16 here just matches the test corpus). Output: one row per
+    * vector with its cluster, dup flag, and the kept representative.
+    * Rows-only (k-means seeds are engine-specific; spec-verified with
+    * planted semantic duplicates). τ defaults to d05's 0.4 on the
+    * synthetic corpus (whose random-ish embeddings never reach the
+    * paper's 0.95 — production embeddings of true semantic dups do;
+    * run with tau = 0.95 there).
+    */
+  def semDedup(s: SparkSession, dir: String, nCentroids: Int = 16,
+      iters: Int = 2, tau: Double = 0.4): DataFrame = {
+    val v = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm2", dot(col("v"), col("v")))
+      .cache()
+    val cents = trainCentroids(s, v, nCentroids, iters)
+    val assigned = v.join(assignTo(s, v, cents), Seq("vec_id"))
+    v.unpersist()
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm2").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm2").as("nb"))
+    val dups = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos6",
+        floor(cosine(col("va"), col("vb"), col("na"), col("nb")) *
+          lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .filter(col("cos6") >= tau)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"), max(col("cos6")).as("max_cos6"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("dup_of").isNotNull, 1).otherwise(0).as("is_dup"),
+        col("dup_of"), col("max_cos6"))
+      .orderBy(col("vec_id"))
   }
 }

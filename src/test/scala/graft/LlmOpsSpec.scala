@@ -151,6 +151,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("d14 SemDeDup flags planted semantic duplicates, keeps min id") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("semd").toString
+    // 8-dim embeddings: 10 exact, 11 near (cos > 0.99), 12 a second
+    // copy; 20/21 an unrelated orthogonal pair; rest near-orthogonal
+    def e(i: Int, v: Array[Float]) = (i.toLong, v, s"l$i")
+    val base = Array(1f, 2f, 3f, 4f, 0f, 0f, 0f, 0f)
+    val near = Array(1.01f, 2f, 3f, 4f, 0.05f, 0f, 0f, 0f)
+    def axis(d: Int) =
+      Array.tabulate(8)(j => if (j == d) 1f else 0f)
+    val rows = Seq(
+      e(10, base), e(11, near), e(12, base),
+      e(20, axis(5)), e(21, axis(6)),
+      e(30, axis(7)), e(31, Array.tabulate(8)(j => (j + 1).toFloat))
+    )
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Ann.semDedup(spark, tmp, nCentroids = 3, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 7, "one row per vector")
+    assert(out(10L).getInt(2) == 0, "group representative kept")
+    assert(out(11L).getInt(2) == 1 && out(11L).getLong(3) == 10L)
+    assert(out(12L).getInt(2) == 1 && out(12L).getLong(3) == 10L)
+    assert(out(20L).getInt(2) == 0 && out(21L).getInt(2) == 0,
+      "orthogonal pair is not a semantic dup")
+    // deterministic across runs (seeds are content-addressed)
+    val again = Ann.semDedup(spark, tmp, nCentroids = 3, tau = 0.95)
+      .collect().map(_.toString)
+    assert(Ann.semDedup(spark, tmp, nCentroids = 3, tau = 0.95)
+      .collect().map(_.toString).sameElements(again))
+  }
+
   test("s05 PQ ADC achieves recall against the exact L2 top-k") {
     import graft.dedup.Dedup.dot
     import org.apache.spark.sql.expressions.Window
