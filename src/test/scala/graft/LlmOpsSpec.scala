@@ -646,6 +646,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(2L).getAs[Double]("dup_trigram_frac") == 0.0)
   }
 
+  test("t11/m07 are shuffle-free row-local scans") {
+    val t11 = graft.text.TextFns.gopherQuality(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!t11.contains("hashpartitioning"), t11)
+    val m07 = graft.multimodal.Audio.qSegment(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!m07.contains("hashpartitioning"), m07)
+  }
+
   test("t11 gopher rules: planted bullets/ellipses/symbols measured exactly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("gopher").toString

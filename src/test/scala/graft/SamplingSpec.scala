@@ -177,4 +177,24 @@ class SamplingSpec extends AnyFunSuite {
         l.contains("source"))
     assert(srcExchanges <= 1, s"expected one source exchange:\n$plan")
   }
+
+  test("d13 plans exactly one hash exchange (the shard window)") {
+    val plan = Sampling.sequencePack(spark, dir)
+      .queryExecution.executedPlan.toString
+    val distinctHash =
+      "Exchange hashpartitioning.*?plan_id=(\\d+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(distinctHash <= 1, s"expected one shard exchange:\n$plan")
+  }
+
+  test("p02 plans three survivor-set hash exchanges, no cartesian") {
+    val plan = graft.operators.CorpusPipeline.curate(spark, dir)
+      .queryExecution.executedPlan.toString
+    val distinctHash =
+      "Exchange hashpartitioning.*?plan_id=(\\d+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(distinctHash <= 3, s"expected <=3 hash exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

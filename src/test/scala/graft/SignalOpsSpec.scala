@@ -182,6 +182,18 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(out("2024-01-01").getDouble(3) == 10.0)
   }
 
+  test("q57 plan: every hash exchange is on the ticker family") {
+    val plan = SignalOps.q57GapFill(spark, dir)
+      .queryExecution.executedPlan.toString
+    val hashLines = plan.split("\n")
+      .filter(_.contains("Exchange hashpartitioning"))
+    assert(hashLines.nonEmpty)
+    hashLines.foreach(l =>
+      assert(l.contains("user_id"), s"non-ticker exchange: $l"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q55 flags the one ticker that diverges from its peer group") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("xs").toString
