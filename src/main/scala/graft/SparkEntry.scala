@@ -39,6 +39,7 @@ object SparkEntry {
     "q53_hampel_filter"  -> ((s, d) => SignalOps.q53Hampel(s, d)),
     "q55_cross_sectional" -> ((s, d) => SignalOps.q55CrossSectional(s, d)),
     "q57_gap_fill"       -> ((s, d) => SignalOps.q57GapFill(s, d)),
+    "q59_peer_correlation" -> ((s, d) => SignalOps.q59PeerCorrelation(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "t08_bigram_perplexity" ->
       ((s, d) => graft.text.TextFns.bigramPerplexity(s, d)),
@@ -173,6 +174,7 @@ object SparkEntry {
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q55_cross_sectional" -> SignalOracle.q55,
     "q57_gap_fill"       -> SignalOracle.q57,
+    "q59_peer_correlation" -> SignalOracle.q59,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "t08_bigram_perplexity" -> LlmOracle.t08,
     "q49_ewma_smooth"    -> SignalOracle.q49,

@@ -407,6 +407,73 @@ object SignalOps {
         when(col("day_value").isNull, 1).otherwise(0).as("gap_filled"))
       .orderBy(col("user_id"), col("event_type"), col("day"))
   }
+
+  /** q59: peer-correlation anomaly — rolling Pearson correlation of
+    * each ticker's daily series against its LEAVE-ONE-OUT peer mean
+    * (same event_type, self excluded). q55 catches the single day a
+    * ticker leaves its group; this catches the ticker that
+    * DECORRELATES over a window while every individual day still
+    * looks plausible — the slow-drift ingestion failure.
+    *
+    * Exactness (§8): daily values quantize to 1e-4 longs; the peer
+    * mean is one integer floor-division; all five window moments are
+    * exact long sums (bounded: |v4l| ≤ 5.6e6 on this data, n ≤ 7, so
+    * n·Σxy and ΣxΣy stay ≤ ~1.5e15 < 2⁵³ — every long→double
+    * conversion below is exact); ONE double division + sqrt, then
+    * 1e-6 quantization. corr is NULL until 3 points or when either
+    * variance is 0.
+    *
+    * Scale shape: per-(event_type, day) group stats are a groupBy on
+    * the DAILY table (one row per ticker-day), localCheckpointed and
+    * BROADCAST back (group-level, types × days rows — q55's posture),
+    * so the corpus hashes only on the ticker family: the day-collapse
+    * window and the rolling-moment window share that partitioning.
+    */
+  def q59PeerCorrelation(s: SparkSession, dir: String,
+      win: Int = 7): DataFrame = {
+    val key = Seq(col("user_id"), col("event_type"))
+    val wDay = Window.partitionBy(key :+ col("day"): _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long")
+          .as("x4l"))
+    val grp = daily.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("x4l")).as("gs"), count(lit(1)).as("gc"))
+      .localCheckpoint()
+    val base = daily.join(broadcast(grp), Seq("event_type", "day"))
+      .filter(col("gc") > 1)
+      .withColumn("y4l", expr("(gs - x4l) div (gc - 1)"))
+    val w = Window.partitionBy(key: _*).orderBy(col("day"))
+      .rowsBetween(-(win - 1), 0)
+    val sums = base
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x4l")).over(w))
+      .withColumn("sy", sum(col("y4l")).over(w))
+      .withColumn("sxx", sum(col("x4l") * col("x4l")).over(w))
+      .withColumn("syy", sum(col("y4l") * col("y4l")).over(w))
+      .withColumn("sxy", sum(col("x4l") * col("y4l")).over(w))
+    val d1 = col("n") * col("sxx") - col("sx") * col("sx")
+    val d2 = col("n") * col("syy") - col("sy") * col("sy")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    sums
+      .withColumn("corr6",
+        when(col("n") >= 3 && d1 > 0 && d2 > 0,
+          floor(num.cast("double") /
+            sqrt(d1.cast("double") * d2.cast("double")) *
+            lit(1000000.0) + lit(0.5)) / lit(1000000.0)))
+      .withColumn("decorrelated",
+        (col("corr6").isNotNull && col("corr6") < 0).cast("int"))
+      .select(col("user_id"), col("event_type"), col("day"),
+        (col("x4l") / lit(10000.0)).as("value"),
+        (col("y4l") / lit(10000.0)).as("peer_mean"),
+        col("n").cast("int").as("n_win"), col("corr6"),
+        col("decorrelated"))
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -808,4 +875,56 @@ object SignalOracle {
       |  ON g.user_id = d.user_id AND g.event_type = d.event_type
       |  AND g.day = d.day
       |ORDER BY g.user_id, g.event_type, g.day""".stripMargin
+
+  /** q59: the same exact-moment rolling correlation — integer window
+    * sums (cast from DuckDB's HUGEINT), one double division, 1e-6
+    * quantization.
+    */
+  val q59: String =
+    """WITH daily AS (
+      |  SELECT user_id, event_type, CAST(ts AS DATE) AS day, value,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, event_type, CAST(ts AS DATE)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |), d1 AS (
+      |  SELECT user_id, event_type, day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS x4l
+      |  FROM daily WHERE rn = 1
+      |), g AS (
+      |  SELECT event_type, day, CAST(sum(x4l) AS BIGINT) AS gs,
+      |    count(*) AS gc
+      |  FROM d1 GROUP BY 1, 2
+      |), b AS (
+      |  SELECT d.user_id, d.event_type, d.day, d.x4l,
+      |    (g.gs - d.x4l) // (g.gc - 1) AS y4l
+      |  FROM d1 d JOIN g USING (event_type, day) WHERE g.gc > 1
+      |), wnd AS (
+      |  SELECT *,
+      |    CAST(count(*) OVER w AS BIGINT) AS n,
+      |    CAST(sum(x4l) OVER w AS BIGINT) AS sx,
+      |    CAST(sum(y4l) OVER w AS BIGINT) AS sy,
+      |    CAST(sum(x4l * x4l) OVER w AS BIGINT) AS sxx,
+      |    CAST(sum(y4l * y4l) OVER w AS BIGINT) AS syy,
+      |    CAST(sum(x4l * y4l) OVER w AS BIGINT) AS sxy
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |), c AS (
+      |  SELECT user_id, event_type, day, x4l, y4l, n,
+      |    CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+      |      AND n * syy - sy * sy > 0
+      |      THEN floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |             CAST(n * syy - sy * sy AS DOUBLE))
+      |        * 1000000.0 + 0.5) / 1000000.0
+      |    END AS corr6
+      |  FROM wnd
+      |)
+      |SELECT user_id, event_type, day,
+      |  x4l / 10000.0 AS value, y4l / 10000.0 AS peer_mean,
+      |  CAST(n AS INT) AS n_win, corr6,
+      |  CASE WHEN corr6 IS NOT NULL AND corr6 < 0 THEN 1 ELSE 0 END
+      |    AS decorrelated
+      |FROM c ORDER BY user_id, event_type, day""".stripMargin
 }

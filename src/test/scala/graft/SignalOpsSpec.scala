@@ -182,6 +182,34 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(out("2024-01-01").getDouble(3) == 10.0)
   }
 
+  test("q59 peer correlation: anti-correlated ticker flags, peers don't") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pcorr").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d%d 12:00:00")
+    // users 1-3 rise 10,20,…,70 together; user 4 falls 70,60,…,10 —
+    // each of user 4's days is in range, only the co-movement is wrong
+    val rows = (1 to 7).flatMap { d =>
+      (1L to 3L).map(u =>
+        (d * 10 + u, ts(d), u, "idx", d * 10.0, "")) :+
+        (d * 10 + 4L, ts(d), 4L, "idx", 80.0 - d * 10.0, "")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q59PeerCorrelation(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getDate(2).toString) -> r).toMap
+    // day 7, user 4: 7-day corr vs a rising peer mean is exactly -1
+    val u4 = out((4L, "2024-01-07"))
+    assert(u4.getDouble(6) == -1.0, s"anti-correlated: $u4")
+    assert(u4.getInt(7) == 1)
+    // a rising peer stays positively correlated, never flagged
+    val u1 = out((1L, "2024-01-07"))
+    assert(u1.getDouble(6) > 0.9, s"co-moving: $u1")
+    assert(u1.getInt(7) == 0)
+    // warm-up rows (n < 3) carry null corr and no flag
+    val w = out((4L, "2024-01-02"))
+    assert(w.isNullAt(6) && w.getInt(7) == 0)
+  }
+
   test("q57 plan: every hash exchange is on the ticker family") {
     val plan = SignalOps.q57GapFill(spark, dir)
       .queryExecution.executedPlan.toString
