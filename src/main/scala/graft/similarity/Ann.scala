@@ -432,7 +432,12 @@ object Ann {
       .withColumn("norm2", dot(col("v"), col("v")))
       .cache()
     val cents = trainCentroids(s, v, nCentroids, iters)
+    // three consumers (both pair sides + the final select) — checkpoint
+    // the assignment once or each replays the broadcast-assign subtree
+    // over a re-read corpus (the §8 shared-table discipline; at 100 TB
+    // this is persist(DISK) of (vec_id, v, cid))
     val assigned = v.join(assignTo(s, v, cents), Seq("vec_id"))
+      .localCheckpoint()
     v.unpersist()
     val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm2").as("na"))
