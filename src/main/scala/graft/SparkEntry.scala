@@ -144,6 +144,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st08StreamCusum(s, d)),
     "st10_stream_heavy_hitters" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st10HeavyHitters(s, d)),
+    "st11_stream_quantiles" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st11StreamQuantiles(s, d)),
     "st09_stream_holt" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st09StreamHolt(s, d))
   )

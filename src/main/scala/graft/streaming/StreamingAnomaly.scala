@@ -838,6 +838,109 @@ object StreamingAnomaly {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** st11 histogram state: 64 fixed long counters + total/min/max —
+    * O(1) regardless of how many events or distinct values flow
+    * through the window.
+    */
+  case class HistState(counts: Array[Long], total: Long,
+      minV4: Long, maxV4: Long)
+
+  case class QuantOut(win_start: java.sql.Timestamp, event_type: String,
+      n_events: Long, min_v: Double, max_v: Double,
+      p50_est: Double, p99_est: Double, err_bound: Double)
+
+  /** st11: streaming percentile monitor — q56's tail-quantile question
+    * answered LIVE with bounded state: per (6 h window, event_type) a
+    * fixed 64-bucket histogram over the value domain accumulates
+    * counts; when the watermark closes the window, the p50/p99
+    * selection ranks (q56's exact ceil(p·n) integer rule) are located
+    * in bucket space and emitted with the histogram's error bound
+    * (one bucket width). Exact min/max ride along. The batch q56 is
+    * the exact companion; this is what a 100 TB/day feed can afford
+    * per-window — state is 64 longs however many events arrive.
+    * Same timeout-finalized Append discipline and eviction as st10.
+    */
+  def st11Transform(s: SparkSession, stream: DataFrame,
+      buckets: Int = 64, domainMax: Double = 1000.0)
+      : org.apache.spark.sql.Dataset[QuantOut] = {
+    import s.implicits._
+    val winUs = 6L * 3600 * 1000000L
+    val dom4 = math.floor(domainMax * 10000.0 + 0.5).toLong
+    val width = math.max(1L, dom4 / buckets)
+
+    def update(key: (String, Long), events: Iterator[TickEvent],
+        state: GroupState[HistState]): Iterator[QuantOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        val ts = new java.sql.Timestamp(key._2 / 1000L)
+        // q56's integer ceil(p·n) rank, located in bucket space: the
+        // estimate is the bucket's UPPER edge — a one-sided bound with
+        // error ≤ one bucket width
+        def est(num: Long, den: Long): Double = {
+          val rank = (num * st.total + den - 1) / den
+          var cum = 0L
+          var b = 0
+          while (b < st.counts.length && cum + st.counts(b) < rank) {
+            cum += st.counts(b); b += 1
+          }
+          ((b + 1).toLong * width).toDouble / 10000.0
+        }
+        Iterator.single(QuantOut(ts, key._1, st.total,
+          st.minV4 / 10000.0, st.maxV4 / 10000.0,
+          est(1, 2), est(99, 100), width.toDouble / 10000.0))
+      } else {
+        val evs = events.toSeq
+        val st = state.getOption.getOrElse(
+          HistState(new Array[Long](buckets), 0L, Long.MaxValue,
+            Long.MinValue))
+        val counts = st.counts.clone()
+        var total = st.total
+        var mn = st.minV4
+        var mx = st.maxV4
+        evs.foreach { e =>
+          val v4 = math.floor(e.value * 10000.0 + 0.5).toLong
+          val b = math.min(buckets - 1L, math.max(0L, v4 / width)).toInt
+          counts(b) += 1
+          total += 1
+          if (v4 < mn) mn = v4
+          if (v4 > mx) mx = v4
+        }
+        state.update(HistState(counts, total, mn, mx))
+        state.setTimeoutTimestamp((key._2 + winUs) / 1000L)
+        Iterator.empty
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.event_type, (usOf(e.ts) / winUs) * winUs))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st11FromStream(s: SparkSession, stream: DataFrame,
+      buckets: Int = 64, domainMax: Double = 1000.0): DataFrame = {
+    val name = s"st11_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st11Transform(s, stream, buckets, domainMax)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  def st11StreamQuantiles(s: SparkSession, dir: String): DataFrame =
+    st11FromStream(s, eventStream(s, dir))
+
   def st10FromStream(s: SparkSession, stream: DataFrame, k: Int = 16,
       topN: Int = 5): DataFrame = {
     val name = s"st10_out_${counter.incrementAndGet()}"

@@ -288,6 +288,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(w0.forall(_.getLong(5) == 19L))
   }
 
+  test("st11 streaming quantiles: bucket estimates bound the exact ranks") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sq").toString
+    // values 1..640 in one window; buckets=64 over domain 640 → bucket
+    // width 10.0. Exact p50 rank = 320, p99 rank = 634; the histogram
+    // reports each bucket's upper edge: 330.0 and 640.0
+    val rows = (1 to 640).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 6}%02d:${i % 60}%02d:${i % 50 + 10}%02d"),
+        1L, "m", i.toDouble, "")) :+
+      (9999L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        1L, "m", 1.0, "")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val stream = spark.readStream
+      .schema(StreamingAnomaly.eventSchema).parquet(s"$tmp/events.parquet")
+    val all = StreamingAnomaly
+      .st11FromStream(spark, stream, buckets = 64, domainMax = 640.0)
+      .collect()
+    val out = all.filter(_.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(out.length == 1, s"one closed window: ${all.toSeq}")
+    val r = out.head
+    assert(r.getLong(2) == 640L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 640.0)
+    assert(r.getDouble(7) == 10.0, "error bound is one bucket width")
+    assert(r.getDouble(5) == 330.0, s"p50 upper edge: ${r.getDouble(5)}")
+    assert(r.getDouble(6) == 640.0, s"p99 upper edge: ${r.getDouble(6)}")
+    // the histogram invariant: est >= true > est - width
+    assert(r.getDouble(5) >= 320.0 && r.getDouble(5) - 10.0 <= 320.0)
+    assert(r.getDouble(6) >= 634.0 && r.getDouble(6) - 10.0 <= 634.0)
+  }
+
   test("st07 streaming corpus prep matches the batch distinct feature set") {
     val out = graft.streaming.StreamingCorpus.st07StreamCorpus(spark, dir)
     val n = out.count()
