@@ -69,7 +69,9 @@ object BenchScale {
     // round 8b: calendar-grid join, clip-band window, composed
     // curation chain, windowed SpaceSaving state
     "q57_gap_fill", "q58_winsorize", "p02_curation_pipeline",
-    "st10_stream_heavy_hitters")
+    "st10_stream_heavy_hitters",
+    // round 8c: rolling-correlation windows, fixed-histogram state
+    "q59_peer_correlation", "st11_stream_quantiles")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
