@@ -308,6 +308,11 @@ object Multimodal {
     * formula and brute-forces the ≤r pairs.
     */
   def phashDedup(s: SparkSession, dir: String, r: Int = 3): DataFrame = {
+    // the FOUR-band pigeonhole is complete only while r < 4 flipped
+    // bits cannot straddle every band — a larger radius needs more
+    // bands, so reject it rather than silently under-report pairs
+    require(r >= 0 && r <= 3,
+      s"4-band pigeonhole join is exact only for hamming radius <= 3, got $r")
     val hs = phashTable(stagedMediaTable(s, dir))
       .filter(col("_corrupt") === 0)
       .select(col("media_id"), col("h_lo"), col("h_hi"))

@@ -79,26 +79,18 @@ object CorpusPipeline {
     val deduped = filtered
       .withColumn("min_doc", min(col("doc_id")).over(wHash))
       .filter(col("doc_id") === col("min_doc"))
-    // d12's reproducible salted-hash priority within each source
+    // d12's reproducible salted-hash priority within each source —
+    // Sampling.saltedHash, the ONE copy of the priority rule
     val wSrc = Window.partitionBy(col("source"))
-      .orderBy(md5(concat(col("doc_id").cast("string"), lit("p02"))),
-        col("doc_id"))
+      .orderBy(Sampling.saltedHash(col("doc_id"), "p02"), col("doc_id"))
     val capped = deduped
       .withColumn("rk", row_number().over(wSrc))
       .filter(col("rk") <= cap)
-      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
-    // d13's concat-and-chunk packing over the survivors
-    val wShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = capped.withColumn("cum", sum(col("n_tok")).over(wShard))
-    val start = col("cum") - col("n_tok")
-    val lastTok = greatest(col("cum") - 1, start)
-    def chunk(c: Column): Column = floor(c / lit(seqLen))
-    packed
+    // d13's concat-and-chunk packing over the survivors —
+    // Sampling.packOffsets, the ONE copy of the packing rule
+    Sampling.packOffsets(capped, nShards, seqLen)
       .select(col("doc_id"), col("source"), col("n_tok"), col("shard"),
-        start.as("start_off"),
-        chunk(start).as("first_seq"),
-        chunk(lastTok).as("last_seq"))
+        col("start_off"), col("first_seq"), col("last_seq"))
       .orderBy(col("doc_id"))
   }
 }

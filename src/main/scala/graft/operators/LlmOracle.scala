@@ -426,17 +426,21 @@ object LlmOracle {
       .mkString("(", " + ", ")")
     val bulletRe = "(?m)^[ \\t]*[-*\u2022]"
     val ellLineRe = "(?m)\\.\\.\\.[ \\t]*$"
-    s"""WITH m AS (
+    s"""WITH c AS (
+       |  SELECT doc_id, text,
+       |    replace(text, chr(13), '') AS tl
+       |  FROM documents
+       |), m AS (
        |  SELECT doc_id,
        |    string_split($Norm, ' ') AS ws,
        |    length($Norm) AS n_char_norm,
        |    length(text) - length(replace(text, '#', '')) AS n_hash,
        |    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis,
-       |    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
-       |    len(regexp_extract_all(text, '$bulletRe')) AS n_bullet,
-       |    len(regexp_extract_all(text, '$ellLineRe')) AS n_ell_lines,
+       |    length(tl) - length(replace(tl, chr(10), '')) + 1 AS n_lines,
+       |    len(regexp_extract_all(tl, '$bulletRe')) AS n_bullet,
+       |    len(regexp_extract_all(tl, '$ellLineRe')) AS n_ell_lines,
        |    len(regexp_extract_all($Norm, '[^ ]*[a-z][^ ]*')) AS n_alpha
-       |  FROM documents
+       |  FROM c
        |), r AS (
        |  SELECT doc_id,
        |    CAST(len(ws) AS INT) AS n_words,

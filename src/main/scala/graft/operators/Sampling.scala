@@ -25,7 +25,7 @@ object Sampling {
     * f·16⁸ — comparing the full digest against that prefix selects a
     * deterministic ≈f share (exact to 16⁻⁸).
     */
-  private def saltedHash(key: Column, salt: String): Column =
+  private[graft] def saltedHash(key: Column, salt: String): Column =
     md5(concat(key.cast("string"), lit(salt)))
 
   /** d07: reproducible 80/10/10 train/val/test split of the documents
@@ -93,12 +93,12 @@ object Sampling {
   }
 
   /** Exact k-th smallest (1-indexed) value of a LONG column, computed
-    * DISTRIBUTED: 8 radix passes over the sign-flipped bit pattern
+    * DISTRIBUTED: 4 radix passes over the sign-flipped bit pattern
     * (x ⊕ Long.MinValue maps signed order onto unsigned bit order),
-    * each pass a 256-bucket count histogram — a map-side-combined
-    * groupBy whose collect is ≤ 256 rows — narrowing one byte of the
+    * each pass a 2¹⁶-bucket count histogram — a map-side-combined
+    * groupBy whose collect is ≤ 65536 rows — narrowing 16 bits of the
     * answer per pass. No global sort, no single-partition exchange,
-    * driver traffic is O(256·8) longs regardless of row count: the
+    * driver traffic is O(65536·4) longs regardless of row count: the
     * scale-safe order statistic for selecting top-k thresholds.
     */
   private def kthSmallestLong(df: DataFrame, c: String, k: Long): Long = {
@@ -171,7 +171,7 @@ object Sampling {
     * combined groupBy. Top-frac selection needs only the k-th largest
     * weight THRESHOLD, not a rank per row: `kthSmallestLong` radix
     * passes find the weight cut (and, among weight ties, the doc_id
-    * cut) with 256-row histogram collects, then selection is a
+    * cut) with ≤65536-row histogram collects, then selection is a
     * scan-speed filter — no global window, no single-task sort,
     * identical output to the rank rule (w_e9 desc, doc_id asc)
     * including tie-breaks.
@@ -258,10 +258,24 @@ object Sampling {
     * `doc_id % nShards` so the oracle replays it exactly.
     */
   def sequencePack(s: SparkSession, dir: String,
-      nShards: Int = 8, seqLen: Int = 512): DataFrame = {
-    val tok = Tables.documents(s, dir).select(col("doc_id"),
-      pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
-      graft.text.TextFns.reTokensCol(col("text")).as("n_tok"))
+      nShards: Int = 8, seqLen: Int = 512): DataFrame =
+    packOffsets(
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.text.TextFns.reTokensCol(col("text")).as("n_tok")),
+      nShards, seqLen)
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        col("start_off"), col("first_seq"), col("last_seq"),
+        (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
+      .orderBy(col("doc_id"))
+
+  /** The concat-and-chunk offset machinery over ANY
+    * (doc_id, n_tok, …) frame — the ONE copy of the packing rule,
+    * shared by d13 and the p02 pipeline: shard = doc_id % nShards,
+    * per-shard running token offset, floor-div chunk bounds. Keeps
+    * every input column; adds shard/cum/start_off/first_seq/last_seq.
+    */
+  private[graft] def packOffsets(docs: DataFrame, nShards: Int,
+      seqLen: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = col("cum") - col("n_tok")
@@ -269,12 +283,11 @@ object Sampling {
     // collapse to the start offset's chunk via the greatest() guard
     val lastTok = greatest(col("cum") - 1, start)
     def chunk(c: Column): Column = floor(c / lit(seqLen))
-    tok.withColumn("cum", sum(col("n_tok")).over(w))
-      .select(col("doc_id"), col("shard"), col("n_tok"),
-        start.as("start_off"),
-        chunk(start).as("first_seq"),
-        chunk(lastTok).as("last_seq"),
-        (chunk(lastTok) - chunk(start) + 1).as("n_seqs"))
-      .orderBy(col("doc_id"))
+    docs
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("start_off", start)
+      .withColumn("first_seq", chunk(start))
+      .withColumn("last_seq", chunk(lastTok))
   }
 }

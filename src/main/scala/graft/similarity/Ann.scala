@@ -408,7 +408,11 @@ object Ann {
     * k-means the corpus into clusters, then compare cosines only
     * WITHIN a cluster and drop every vector with a ≥ τ neighbour of
     * smaller id (greedy keep-first, the paper's keep-one-per-group
-    * rule made deterministic).
+    * rule made deterministic). `dup_of` is that smallest ≥ τ
+    * NEIGHBOUR — in a similarity chain (a~b, b~c, a≁c) it may itself
+    * be flagged, so consumers wanting a kept representative per
+    * connected group should feed the (vec_id, dup_of) edges to d06's
+    * component machinery; the is_dup flag alone decides keep/drop.
     *
     * Scale shape: s03's Lloyd trainer (centroid-sized collects,
     * broadcast assignment — no corpus shuffle); the pair compare is

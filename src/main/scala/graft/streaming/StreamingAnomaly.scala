@@ -843,11 +843,12 @@ object StreamingAnomaly {
     * through the window.
     */
   case class HistState(counts: Array[Long], total: Long,
-      minV4: Long, maxV4: Long)
+      minV4: Long, maxV4: Long, nOut: Long)
 
   case class QuantOut(win_start: java.sql.Timestamp, event_type: String,
       n_events: Long, min_v: Double, max_v: Double,
-      p50_est: Double, p99_est: Double, err_bound: Double)
+      p50_est: Double, p99_est: Double, err_bound: Double,
+      n_clamped: Long)
 
   /** st11: streaming percentile monitor — q56's tail-quantile question
     * answered LIVE with bounded state: per (6 h window, event_type) a
@@ -888,25 +889,34 @@ object StreamingAnomaly {
         }
         Iterator.single(QuantOut(ts, key._1, st.total,
           st.minV4 / 10000.0, st.maxV4 / 10000.0,
-          est(1, 2), est(99, 100), width.toDouble / 10000.0))
+          est(1, 2), est(99, 100), width.toDouble / 10000.0,
+          st.nOut))
       } else {
         val evs = events.toSeq
         val st = state.getOption.getOrElse(
           HistState(new Array[Long](buckets), 0L, Long.MaxValue,
-            Long.MinValue))
+            Long.MinValue, 0L))
         val counts = st.counts.clone()
         var total = st.total
         var mn = st.minV4
         var mx = st.maxV4
+        var nOut = st.nOut
         evs.foreach { e =>
           val v4 = math.floor(e.value * 10000.0 + 0.5).toLong
+          // out-of-domain values ([0, domainMax] is CLOSED — the
+          // endpoint belongs to the top bucket) clamp into the edge
+          // buckets — count them so the one-bucket-width error bound
+          // stays HONEST: a nonzero n_clamped says the edge-bucket
+          // estimates are one-sided bounds only (exact min_v/max_v
+          // show how far)
+          if (v4 < 0L || v4 > dom4) nOut += 1
           val b = math.min(buckets - 1L, math.max(0L, v4 / width)).toInt
           counts(b) += 1
           total += 1
           if (v4 < mn) mn = v4
           if (v4 > mx) mx = v4
         }
-        state.update(HistState(counts, total, mn, mx))
+        state.update(HistState(counts, total, mn, mx, nOut))
         state.setTimeoutTimestamp((key._2 + winUs) / 1000L)
         Iterator.empty
       }

@@ -472,11 +472,16 @@ object TextFns {
     val norm = normText(t)
     val ws = words(t)
     val nWords = size(ws)
-    val nLines = length(t) - length(regexp_replace(t, "\n", "")) + 1
+    // line counts run on a \r-stripped copy: Java's (?m)$ matches
+    // before \r\n (and lone \r) while DuckDB's RE2 only matches
+    // before \n — normalizing the terminator keeps engine and oracle
+    // identical on CRLF documents
+    val tl = regexp_replace(t, "\r", "")
+    val nLines = length(tl) - length(regexp_replace(tl, "\n", "")) + 1
     val nBulletLines =
-      size(regexp_extract_all(t, lit("(?m)^[ \\t]*[-*\u2022]"), lit(0)))
+      size(regexp_extract_all(tl, lit("(?m)^[ \\t]*[-*\u2022]"), lit(0)))
     val nEllipsisLines =
-      size(regexp_extract_all(t, lit("(?m)\\.\\.\\.[ \\t]*$"), lit(0)))
+      size(regexp_extract_all(tl, lit("(?m)\\.\\.\\.[ \\t]*$"), lit(0)))
     val nReqStops = RequiredStops
       .map(w => when(array_contains(ws, w), lit(1)).otherwise(lit(0)))
       .reduce(_ + _)

@@ -666,7 +666,9 @@ class LlmOpsSpec extends AnyFunSuite {
       // both lines end in '...'; 3 ellipses over 4 words
       (3L, "wait... what...\nno more... ", "en", "s", 0L),
       // no alphabetic words, one '#'
-      (4L, "# 123 456 789 000", "en", "s", 0L)
+      (4L, "# 123 456 789 000", "en", "s", 0L),
+      // CRLF terminators: line counts must match the \n-only doc 2
+      (5L, "- one\r\n- two\r\n- three\r\nplain", "en", "s", 0L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = graft.text.TextFns.gopherQuality(spark, tmp).collect()
@@ -681,6 +683,8 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(4L).getAs[Double]("alpha_word_frac") == 0.0)
     assert(out(4L).getAs[Double]("symbol_word_ratio") == 0.2)
     assert(out(4L).getAs[Int]("gopher_pass") == 0)
+    assert(out(5L).getAs[Double]("bullet_line_frac") == 0.75,
+      "CRLF doc counts lines like its LF twin")
   }
 
   test("d08 decontaminate: train docs sharing a benchmark trigram are flagged") {

@@ -296,9 +296,13 @@ class StreamingSpec extends AnyFunSuite {
     // reports each bucket's upper edge: 330.0 and 640.0
     val rows = (1 to 640).map(i => (i.toLong,
         java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 6}%02d:${i % 60}%02d:${i % 50 + 10}%02d"),
-        1L, "m", i.toDouble, "")) :+
+        1L, "m", i.toDouble, "")) ++ Seq(
+      // a second type with one OUT-OF-DOMAIN value: clamps into the
+      // top bucket and must be reported via n_clamped
+      (8888L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"),
+        1L, "z", 5000.0, ""),
       (9999L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
-        1L, "m", 1.0, "")
+        1L, "m", 1.0, ""))
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     val stream = spark.readStream
@@ -306,9 +310,15 @@ class StreamingSpec extends AnyFunSuite {
     val all = StreamingAnomaly
       .st11FromStream(spark, stream, buckets = 64, domainMax = 640.0)
       .collect()
-    val out = all.filter(_.getTimestamp(0) ==
+    val w0 = all.filter(_.getTimestamp(0) ==
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val out = w0.filter(_.getString(1) == "m")
     assert(out.length == 1, s"one closed window: ${all.toSeq}")
+    assert(out.head.getLong(8) == 0L, "in-domain window: nothing clamped")
+    val z = w0.filter(_.getString(1) == "z")
+    assert(z.length == 1 && z.head.getLong(8) == 1L,
+      s"out-of-domain value must be counted as clamped: ${z.toSeq}")
+    assert(z.head.getDouble(4) == 5000.0, "exact max rides along")
     val r = out.head
     assert(r.getLong(2) == 640L)
     assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 640.0)
