@@ -71,7 +71,9 @@ object BenchScale {
     "q57_gap_fill", "q58_winsorize", "p02_curation_pipeline",
     "st10_stream_heavy_hitters",
     // round 8c: rolling-correlation windows, fixed-histogram state
-    "q59_peer_correlation", "st11_stream_quantiles")
+    "q59_peer_correlation", "st11_stream_quantiles",
+    // round 8d: batch-vs-index admission (prefix-filter candidate join)
+    "d15_incremental_dedup")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -116,6 +116,8 @@ object SparkEntry {
       graft.dedup.Dedup.substringDedup(s, d)),
     "d13_sequence_pack"  -> ((s, d) =>
       graft.operators.Sampling.sequencePack(s, d)),
+    "d15_incremental_dedup" -> ((s, d) =>
+      graft.dedup.Incremental.incrementalDedup(s, d)),
     "m01_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.q(s, d)),
     "m02_audio_features" -> ((s, d) => graft.multimodal.Audio.q(s, d)),
     "m03_video_frames" -> ((s, d) => graft.multimodal.Video.q(s, d)),
@@ -190,6 +192,7 @@ object SparkEntry {
     "d09_importance_sample" -> LlmOracle.d09,
     "d11_substring_dedup" -> LlmOracle.d11,
     "d13_sequence_pack"  -> LlmOracle.d13,
+    "d15_incremental_dedup" -> LlmOracle.d15,
     "d10_ngram_containment" -> LlmOracle.d10,
     "s04_knn_classify"   -> LlmOracle.s04,
     "q48_interval_join" ->

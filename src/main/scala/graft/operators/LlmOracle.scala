@@ -132,6 +132,83 @@ object LlmOracle {
        |    / 1000000.0 AS dup_frac6
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** d15: incremental dedup of the doc_id % 10 == 7 "arrivals" slice
+    * against the rest of the corpus — exact digest tier (index
+    * membership + within-batch first-id-wins) then, for survivors,
+    * the same df-capped bigram Jaccard as d04 with df/stoplist
+    * measured on the INDEX side; all-pairs here where the Spark side
+    * prefix-filters (exactness of the filter is what's under test).
+    */
+  val d15: String =
+    s"""WITH batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+       |), idx AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+       |), bdig AS (
+       |  SELECT doc_id, md5($Norm) AS dig FROM batch
+       |), idig AS (
+       |  SELECT DISTINCT md5($Norm) AS dig FROM idx
+       |), exact AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN i.dig IS NOT NULL THEN 1 ELSE 0 END AS exact_index,
+       |    CASE WHEN b.doc_id > min(b.doc_id) OVER (PARTITION BY b.dig)
+       |      THEN 1 ELSE 0 END AS exact_batch
+       |  FROM bdig b LEFT JOIN idig i ON b.dig = i.dig
+       |), surv AS (
+       |  SELECT doc_id FROM exact WHERE exact_index = 0 AND exact_batch = 0
+       |), iw AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM idx
+       |), ialltok AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(ws) >= 2
+       |      THEN list_transform(range(len(ws) - 1),
+       |        i -> ws[i + 1] || ' ' || ws[i + 2])
+       |      ELSE [array_to_string(ws, ' ')] END) AS tok
+       |  FROM iw
+       |), hot AS (
+       |  SELECT tok FROM ialltok GROUP BY tok HAVING count(*) > 100
+       |), itok AS (
+       |  SELECT a.doc_id, a.tok FROM ialltok a
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.tok = a.tok)
+       |), isize AS (
+       |  SELECT doc_id, count(*) AS n_tok FROM itok GROUP BY doc_id
+       |), bw AS (
+       |  SELECT b.doc_id, string_split($Norm, ' ') AS ws
+       |  FROM batch b JOIN surv s ON s.doc_id = b.doc_id
+       |), balltok AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(ws) >= 2
+       |      THEN list_transform(range(len(ws) - 1),
+       |        i -> ws[i + 1] || ' ' || ws[i + 2])
+       |      ELSE [array_to_string(ws, ' ')] END) AS tok
+       |  FROM bw
+       |), btok AS (
+       |  SELECT a.doc_id, a.tok FROM balltok a
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.tok = a.tok)
+       |), bsize AS (
+       |  SELECT doc_id, count(*) AS n_tok FROM btok GROUP BY doc_id
+       |), inter AS (
+       |  SELECT b.doc_id AS bid, i.doc_id AS iid, count(*) AS inter
+       |  FROM btok b JOIN itok i ON b.tok = i.tok GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT bid,
+       |    CAST(inter AS DOUBLE) / (bs.n_tok + isz.n_tok - inter) AS j
+       |  FROM inter
+       |  JOIN bsize bs ON bs.doc_id = bid
+       |  JOIN isize isz ON isz.doc_id = iid
+       |  WHERE CAST(inter AS DOUBLE) / (bs.n_tok + isz.n_tok - inter) >= 0.8
+       |), near AS (
+       |  SELECT bid, count(*) AS n_near, max(j) AS max_jaccard
+       |  FROM pairs GROUP BY 1
+       |)
+       |SELECT e.doc_id, e.exact_index, e.exact_batch,
+       |  CASE WHEN n.bid IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+       |  coalesce(n.n_near, 0) AS n_near, n.max_jaccard,
+       |  CASE WHEN e.exact_index = 0 AND e.exact_batch = 0 AND n.bid IS NULL
+       |    THEN 1 ELSE 0 END AS kept
+       |FROM exact e LEFT JOIN near n ON n.bid = e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   /** p02: the curation pipeline replayed stage by stage — the same
     * filter ingredients (t10/t11 formulas), min-per-digest dedup,
     * d12's salted-hash cap rank, d13's shard cumsum packing.

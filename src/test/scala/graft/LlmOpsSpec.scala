@@ -752,6 +752,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccard(spark, tmp).collect().isEmpty)
   }
 
+  test("d15 incremental dedup admits only novel arrivals") {
+    import spark.implicits._
+    val base = (0 until 12).map(i => s"tok$i").mkString(" ")
+    // last-word edit: 11-bigram sets share 10 → J = 10/12 ≈ 0.833 ≥ 0.8
+    val near = base.replace("tok11", "altered")
+    val index = Seq(
+      (1L, base),
+      (2L, "completely different material about engines and pipelines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, base.toUpperCase),                                 // exact vs index (normalized)
+      (103L, near),                                             // near-dup of index doc 1
+      (105L, "the quick brown fox jumps over a lazy dog today"), // novel
+      (107L, "the quick brown fox jumps over a lazy dog today")  // exact dup of 105 within batch
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Incremental.incrementalDedup(index, batch, 0.8, 100)
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(101L, 103L, 105L, 107L))
+    assert(rows(101L).getAs[Int]("exact_index") == 1 &&
+      rows(101L).getAs[Int]("kept") == 0)
+    // exact dups never reach the near tier — flags stay 0/null
+    assert(rows(101L).getAs[Int]("near_dup") == 0 &&
+      rows(101L).isNullAt(rows(101L).fieldIndex("max_jaccard")))
+    assert(rows(103L).getAs[Int]("near_dup") == 1 &&
+      rows(103L).getAs[Long]("n_near") == 1L &&
+      math.abs(rows(103L).getAs[Double]("max_jaccard") - 10.0 / 12) < 1e-12 &&
+      rows(103L).getAs[Int]("kept") == 0)
+    assert(rows(105L).getAs[Int]("kept") == 1)
+    assert(rows(107L).getAs[Int]("exact_batch") == 1 &&
+      rows(107L).getAs[Int]("kept") == 0)
+    // no all-pairs anywhere: equi-keyed candidate join only
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // the composable artifact admits exactly the novel doc
+    val admitted = graft.dedup.Incremental.admit(index, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(105L))
+  }
+
   test("d08 plan: train side streams into the join with no pre-join shuffle") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val df = graft.dedup.Decontaminate.contaminated(spark, dir)
