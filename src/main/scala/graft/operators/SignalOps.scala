@@ -474,6 +474,82 @@ object SignalOps {
         col("decorrelated"))
       .orderBy(col("user_id"), col("event_type"), col("day"))
   }
+
+  /** q60: dominant-period detection — MEASURE each ticker's seasonal
+    * period from the data instead of trusting a declared frequency.
+    * The reference hard-codes `frequency = 7` into `ts()` before
+    * `stl()` (func.R:92-126) and carries the dim table's DECLARED
+    * frequency beside the measured gap (sql:183-184, the q10/q13
+    * measured-vs-declared axis); this closes the loop: the lag-k
+    * autocorrelation of the daily series over calendar lags
+    * k = 2..`maxLag`, dominant period = the k with the highest
+    * correlation (ties → smallest k, so a pure period-3 signal
+    * reports 3, not its harmonic 6 or 9).
+    *
+    * Exactness (§8): daily values quantize to 1e-4 longs (q59's
+    * fixed point); per-lag moments are exact long sums (pair products
+    * ≤ 3.2e13, full-series sums < 2⁶³); the n·Σ − Σ·Σ combinations
+    * run in decimal(38,0) ↔ HUGEINT — NOT long, where n·Σxy can pass
+    * 2⁶³ on long series (the d09 overflow class) — and each side
+    * casts the same exact integer to double before the one
+    * division + sqrt, 1e-6 quantized. Lags with n < `minPairs` or a
+    * zero variance are excluded; a ticker with no valid lag (e.g.
+    * constant series) is absent.
+    *
+    * Scale shape: calendar-lag pairs come from a self-join of the
+    * DAY-COLLAPSED table (one row per ticker-day — the corpus only
+    * pays its q59-shared day-collapse window) against its ×(maxLag−1)
+    * lag-shifted explode, hashed on (ticker, day); per-(ticker, lag)
+    * moments are one map-side-combined groupBy; the argmax is a
+    * ticker-partitioned window — nothing global, nothing all-pairs.
+    */
+  def q60DominantPeriod(s: SparkSession, dir: String, maxLag: Int = 10,
+      minPairs: Int = 5): DataFrame = {
+    val key = Seq(col("user_id"), col("event_type"))
+    val wDay = Window.partitionBy(key :+ col("day"): _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long")
+          .as("x4l"))
+    val lagged = daily
+      .withColumn("k", explode(sequence(lit(2), lit(maxLag))))
+      .withColumn("day", date_add(col("day"), col("k")))
+      .select(col("user_id"), col("event_type"), col("day"), col("k"),
+        col("x4l").as("a4l"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val mom = lagged
+      .join(daily, Seq("user_id", "event_type", "day"))
+      .groupBy(key :+ col("k"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("a4l")).as("sx"), sum(col("x4l")).as("sy"),
+        sum(col("a4l") * col("a4l")).as("sxx"),
+        sum(col("x4l") * col("x4l")).as("syy"),
+        sum(col("a4l") * col("x4l")).as("sxy"))
+      .withColumn("num", dec(col("n")) * dec(col("sxy")) -
+        dec(col("sx")) * dec(col("sy")))
+      .withColumn("den1", dec(col("n")) * dec(col("sxx")) -
+        dec(col("sx")) * dec(col("sx")))
+      .withColumn("den2", dec(col("n")) * dec(col("syy")) -
+        dec(col("sy")) * dec(col("sy")))
+      .filter(col("n") >= minPairs && col("den1") > 0 && col("den2") > 0)
+      .withColumn("r6",
+        floor(col("num").cast("double") /
+          sqrt(col("den1").cast("double") * col("den2").cast("double")) *
+          lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+    val wBest = Window.partitionBy(key: _*)
+      .orderBy(col("r6").desc, col("k").asc)
+    mom
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("k").cast("int").as("dominant_period"),
+        col("r6").as("autocorr6"), col("n").as("n_pairs"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -927,4 +1003,52 @@ object SignalOracle {
       |  CASE WHEN corr6 IS NOT NULL AND corr6 < 0 THEN 1 ELSE 0 END
       |    AS decorrelated
       |FROM c ORDER BY user_id, event_type, day""".stripMargin
+
+  /** q60: same fixed-point lag-autocorrelation; moment combinations in
+    * HUGEINT (↔ Spark decimal(38,0)) before the one double division.
+    */
+  val q60: String =
+    """WITH daily AS (
+      |  SELECT user_id, event_type, CAST(ts AS DATE) AS day, value,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, event_type, CAST(ts AS DATE)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |), d1 AS (
+      |  SELECT user_id, event_type, day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS x4l
+      |  FROM daily WHERE rn = 1
+      |), pairs AS (
+      |  SELECT a.user_id, a.event_type, l.k,
+      |    a.x4l AS a4l, b.x4l AS x4l
+      |  FROM d1 a
+      |  CROSS JOIN (SELECT CAST(unnest(range(2, 11)) AS INT) AS k) l
+      |  JOIN d1 b ON b.user_id = a.user_id
+      |    AND b.event_type = a.event_type
+      |    AND b.day = a.day + l.k
+      |), mom AS (
+      |  SELECT user_id, event_type, k,
+      |    CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(a4l) AS HUGEINT) AS sx,
+      |    CAST(sum(x4l) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(a4l AS HUGEINT) * a4l) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(x4l AS HUGEINT) * x4l) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(a4l AS HUGEINT) * x4l) AS HUGEINT) AS sxy
+      |  FROM pairs GROUP BY 1, 2, 3
+      |), r AS (
+      |  SELECT user_id, event_type, k, n,
+      |    floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |           CAST(n * syy - sy * sy AS DOUBLE))
+      |      * 1000000.0 + 0.5) / 1000000.0 AS r6
+      |  FROM mom
+      |  WHERE n >= 5 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |), best AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id, event_type ORDER BY r6 DESC, k ASC) AS rk
+      |  FROM r
+      |)
+      |SELECT user_id, event_type, k AS dominant_period, r6 AS autocorr6,
+      |  CAST(n AS BIGINT) AS n_pairs
+      |FROM best WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
 }

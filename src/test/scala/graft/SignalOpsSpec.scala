@@ -210,6 +210,29 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(w.isNullAt(6) && w.getInt(7) == 0)
   }
 
+  test("q60 dominant period: a period-3 signal reports 3, not its " +
+      "harmonics; constant series absent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("period").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // user 1: exact period-3 sawtooth over 30 days — lag 3, 6 and 9 all
+    // correlate at exactly 1.0; the smallest-k tie rule must pick 3.
+    // user 2: constant — zero variance at every lag, no output row.
+    val rows = (1 to 30).flatMap { d =>
+      Seq((d * 10 + 1L, ts(d), 1L, "idx", Seq(10.0, 20.0, 30.0)((d - 1) % 3), ""),
+        (d * 10 + 2L, ts(d), 2L, "idx", 42.0, ""))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q60DominantPeriod(spark, tmp).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getLong(0) == 1L)
+    assert(r.getInt(2) == 3, s"dominant_period: $r")
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getLong(4) == 27L) // 30 days - lag 3
+  }
+
   test("q57 plan: every hash exchange is on the ticker family") {
     val plan = SignalOps.q57GapFill(spark, dir)
       .queryExecution.executedPlan.toString
