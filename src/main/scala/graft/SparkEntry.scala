@@ -81,6 +81,7 @@ object SparkEntry {
     "q56_group_quantiles" -> ScaleOps.groupQuantiles _,
     "q58_winsorize"      -> ScaleOps.winsorize _,
     "d12_domain_cap"     -> ((s, d) => Sampling.domainCap(s, d)),
+    "d16_mixture_sample" -> ((s, d) => Sampling.mixtureSample(s, d)),
     "d07_train_split"    -> Sampling.trainSplit _,
     "t05_entropy_score"  -> graft.text.TextFns.entropyScore _,
     "p01_corpus_pipeline" -> ((s, d) => CorpusPipeline.prepare(s, d)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "d11_substring_dedup" -> LlmOracle.d11,
     "d13_sequence_pack"  -> LlmOracle.d13,
     "d15_incremental_dedup" -> LlmOracle.d15,
+    "d16_mixture_sample" -> LlmOracle.d16,
     "d10_ngram_containment" -> LlmOracle.d10,
     "s04_knn_classify"   -> LlmOracle.s04,
     "q48_interval_join" ->

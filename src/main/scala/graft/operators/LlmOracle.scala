@@ -209,6 +209,41 @@ object LlmOracle {
        |FROM exact e LEFT JOIN near n ON n.bid = e.doc_id
        |ORDER BY e.doc_id""".stripMargin
 
+  /** d16: temperature-rebalanced mixture — integer sqrt weights
+    * (float floor ±1-corrected, bit-identical to the Spark side),
+    * rational 2/5 target, floor-div quotas capped at n_s, d12's
+    * salted-hash priority within source.
+    */
+  val d16: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n FROM documents GROUP BY 1
+       |), w AS (
+       |  SELECT source, n,
+       |    CASE WHEN s0 * s0 > n THEN s0 - 1
+       |         WHEN (s0 + 1) * (s0 + 1) <= n THEN s0 + 1
+       |         ELSE s0 END AS w
+       |  FROM (SELECT source, n,
+       |    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0 FROM c)
+       |), tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS total,
+       |    CAST(sum(w) AS BIGINT) AS sw
+       |  FROM w
+       |), q AS (
+       |  SELECT w.source, w.n,
+       |    least(w.n, (((tot.total * 2) // 5) * w.w) // tot.sw) AS quota
+       |  FROM w, tot
+       |), r AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'd16'), doc_id) AS rn
+       |  FROM documents
+       |)
+       |SELECT r.source, r.doc_id, CAST(r.rn AS INT) AS rk,
+       |  q.n AS n_source, q.quota
+       |FROM r JOIN q ON q.source = r.source
+       |WHERE r.rn <= q.quota
+       |ORDER BY r.source, rk""".stripMargin
+
   /** p02: the curation pipeline replayed stage by stage — the same
     * filter ingredients (t10/t11 formulas), min-per-digest dedup,
     * d12's salted-hash cap rank, d13's shard cumsum packing.

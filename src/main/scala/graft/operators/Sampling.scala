@@ -92,6 +92,62 @@ object Sampling {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** d16: temperature-rebalanced MIXTURE sampling — the data-mixing
+    * sibling of d07 (split) / d09 (reweight) / d12 (cap) / d13 (pack):
+    * draw a corpus of ~`num/den` of the total where each source's
+    * share is ∝ n_s^(1/2) — the exponentiated-smoothing rule
+    * (p_s^(1/T), T = 2) multilingual pretraining uses so a dominant
+    * source stops drowning the tail (XLM, Conneau & Lample 2019; the
+    * same α-smoothing as mBERT's sampler). A 4:1 source-size ratio
+    * becomes a 2:1 sample ratio.
+    *
+    * Exactness: EVERY step is integer arithmetic — the target size is
+    * the rational (total·num) div den (no float fraction), weights are
+    * exact integer sqrt (double `sqrt` floor, then ±1 correction —
+    * bit-identical across engines), per-source quotas are floor
+    * divisions capped at n_s, and within-source selection is the d12
+    * salted-hash priority (reproducible, crawl-order-independent).
+    * Σ quota ≤ target by ≤ #sources (standard floor allocation;
+    * largest-remainder seat-filling deliberately omitted — stability
+    * of membership under re-runs matters more than hitting the target
+    * exactly).
+    *
+    * Scale shape: ONE source exchange for the priority-rank window
+    * (shared with the per-source count — d12's plan); the per-source
+    * stat/quota table is sources-sized and broadcast back; the 1-row
+    * total rides the same broadcast. Nothing global, nothing driver-
+    * side.
+    */
+  def mixtureSample(s: SparkSession, dir: String, num: Long = 2,
+      den: Long = 5): DataFrame = {
+    require(num >= 0 && den > 0, s"bad fraction $num/$den")
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // exact integer sqrt: float floor, then correct the ±1 ulp cases
+    val s0 = floor(sqrt(col("n").cast("double"))).cast("long")
+    val w = when(s0 * s0 > col("n"), s0 - 1)
+      .when((s0 + 1) * (s0 + 1) <= col("n"), s0 + 1)
+      .otherwise(s0)
+    val weighted = counts.withColumn("w", w)
+    val tot = weighted.agg(sum(col("n")).as("total"), sum(col("w")).as("sw"))
+    val quotas = weighted.crossJoin(broadcast(tot))
+      .withColumn("target", expr(s"(total * $num) div $den"))
+      .withColumn("quota",
+        least(col("n"), expr("(target * w) div sw")))
+      .select(col("source"), col("n").as("n_source"), col("quota"))
+    val bySrc = Window.partitionBy(col("source"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        saltedHash(col("doc_id"), "d16").as("pri"))
+      .withColumn("rk",
+        row_number().over(bySrc.orderBy(col("pri"), col("doc_id"))))
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk").cast("int").as("rk"),
+        col("n_source"), col("quota"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Exact k-th smallest (1-indexed) value of a LONG column, computed
     * DISTRIBUTED: 4 radix passes over the sign-flipped bit pattern
     * (x ⊕ Long.MinValue maps signed order onto unsigned bit order),

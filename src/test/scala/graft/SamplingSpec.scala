@@ -169,6 +169,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(extra == 0)
   }
 
+  test("d16 mixture sampling: sqrt-temperature quotas, exact floor seats") {
+    import spark.implicits._
+    // sizes 100/25/4/1 → isqrt weights 10/5/2/1 (W = 18), total 130,
+    // target (130·2) div 5 = 52 → quotas 28/14/least(4,5)=4/least(1,2)=1:
+    // the 4:1 size ratio of A:B lands as the 2:1 SAMPLE ratio (T = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("mix").toString
+    val sizes = Seq("a" -> 100, "b" -> 25, "c" -> 4, "d" -> 1)
+    sizes.flatMap { case (src, n) =>
+      (1 to n).map(i => (src.hashCode * 1000L + i, s"doc $src $i", "en",
+        src, 10L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Sampling.mixtureSample(spark, tmp)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 28L, "b" -> 14L, "c" -> 4L, "d" -> 1L),
+      bySrc.toString)
+    // quota column agrees with the kept count per source
+    val q = out.select("source", "quota").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q == bySrc)
+    // deterministic membership across runs
+    val again = Sampling.mixtureSample(spark, tmp)
+    assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
+  }
+
   test("d12 plans one source exchange shared by rank and count") {
     val plan = Sampling.domainCap(spark, dir)
       .queryExecution.executedPlan.toString
