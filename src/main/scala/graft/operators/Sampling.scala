@@ -128,7 +128,9 @@ object Sampling {
     val w = when(s0 * s0 > col("n"), s0 - 1)
       .when((s0 + 1) * (s0 + 1) <= col("n"), s0 + 1)
       .otherwise(s0)
-    val weighted = counts.withColumn("w", w)
+    // sources-sized; checkpointed so its two consumers (tot, quotas)
+    // don't each replay the count groupBy (the q55-meds recompute)
+    val weighted = counts.withColumn("w", w).localCheckpoint()
     val tot = weighted.agg(sum(col("n")).as("total"), sum(col("w")).as("sw"))
     val quotas = weighted.crossJoin(broadcast(tot))
       .withColumn("target", expr(s"(total * $num) div $den"))

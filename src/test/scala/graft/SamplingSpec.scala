@@ -195,6 +195,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("d16 plans source-keyed exchanges only, quota side broadcast") {
+    val plan = Sampling.mixtureSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    // two source-keyed exchanges (count groupBy + rank window) at most,
+    // counted by distinct plan_id (reuse renders per consumer)
+    val distinctHash =
+      "Exchange hashpartitioning.*?plan_id=(\\d+)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(distinctHash <= 2, s"expected <=2 hash exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the quota table joins back as a broadcast hash join, never a
+    // shuffle join (the 1-row total rides a broadcast nested loop)
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("d12 plans one source exchange shared by rank and count") {
     val plan = Sampling.domainCap(spark, dir)
       .queryExecution.executedPlan.toString
