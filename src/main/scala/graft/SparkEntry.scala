@@ -144,6 +144,8 @@ object SparkEntry {
       graft.streaming.StreamingAnomaly.st06SessionWindow _,
     "st07_stream_corpus" ->
       graft.streaming.StreamingCorpus.st07StreamCorpus _,
+    "st12_stream_admission" ->
+      graft.streaming.StreamingCorpus.st12StreamAdmission _,
     "st08_stream_cusum" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st08StreamCusum(s, d)),
     "st10_stream_heavy_hitters" ->
@@ -174,6 +176,7 @@ object SparkEntry {
     "q17_twitter_decompose" -> DecomposeOracle.q17,
     "q18_robust_loess"   -> DecomposeOracle.q18,
     "st07_stream_corpus" -> LlmOracle.st07,
+    "st12_stream_admission" -> LlmOracle.st12,
     "q19_cusum_changepoint" -> SignalOracle.q19,
     "st08_stream_cusum"  -> SignalOracle.st08,
     "st09_stream_holt"   -> SignalOracle.st09,

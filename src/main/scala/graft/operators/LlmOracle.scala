@@ -1101,6 +1101,23 @@ object LlmOracle {
        |FROM scored ORDER BY norm_hash""".stripMargin
   }
 
+  /** st12: the admitted SET is digest-functional, so plain SQL — batch
+    * slice digests minus the index's, one row per distinct digest.
+    */
+  val st12: String =
+    s"""WITH b AS (
+       |  SELECT md5($Norm) AS norm_hash,
+       |    CAST(len(regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]')) AS INT)
+       |      AS re_tokens
+       |  FROM documents WHERE doc_id % 10 = 7
+       |), i AS (
+       |  SELECT DISTINCT md5($Norm) AS norm_hash
+       |  FROM documents WHERE doc_id % 10 <> 7
+       |)
+       |SELECT DISTINCT norm_hash, re_tokens FROM b
+       |WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.norm_hash = b.norm_hash)
+       |ORDER BY norm_hash""".stripMargin
+
   /** p01: the corpus-prep composition — language ID + quality +
     * token count as one scan, dedup among the survivors.
     */

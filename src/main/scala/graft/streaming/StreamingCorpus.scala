@@ -71,4 +71,56 @@ object StreamingCorpus {
     } finally s.conf.set(key, prev)
     s.table(name).orderBy(col("norm_hash"))
   }
+
+  /** st12: streaming ADMISSION — d15's exact tier as the stream it is
+    * in production: arrivals flow continuously and each doc is admitted
+    * only if its normalized digest is in neither the EXISTING corpus
+    * index (stream-static LEFT ANTI join against the maintained digest
+    * table) nor the stream's own history (digest `dropDuplicates`
+    * state). The graded entry streams the doc_id % 10 == 7 slice
+    * (d15's synthetic arrivals) against the rest as the index.
+    *
+    * Determinism (st07's posture): which physical row survives depends
+    * on arrival order, so the projection keeps only digest-functional
+    * columns — the admitted SET is deterministic with a plain SQL
+    * oracle.
+    *
+    * Scale shape: the feature pass is row-local; the anti join's
+    * static side re-executes per micro-batch (Spark's stream-static
+    * contract), so at corpus scale the index digest table must be the
+    * PERSISTED artifact d15's two-DataFrame API maintains — bucketed
+    * parquet read once into cache, or compacted to an approximate
+    * pre-filter (Bloom) with the exact anti join behind it. The
+    * in-stream dedup state is one digest per ADMITTED doc (hits never
+    * enter state), watermark-evictable on an unbounded feed (st03).
+    */
+  def st12StreamAdmission(s: SparkSession, dir: String): DataFrame = {
+    val name = s"st12_out_${counter.incrementAndGet()}"
+    val schema = Tables.documents(s, dir).schema
+    val staged = stageDocs(s, dir)
+    val norm = Dedup.normText(col("text"))
+    val index = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 =!= 7)
+      .select(md5(norm).as("norm_hash")).distinct()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try {
+      val q = s.readStream
+        .schema(schema)
+        .parquet(staged.getAbsolutePath)
+        .filter(col("doc_id") % 10 === 7)
+        .select(md5(norm).as("norm_hash"),
+          TextFns.reTokensCol(col("text")).as("re_tokens"))
+        .join(index, Seq("norm_hash"), "left_anti")
+        .dropDuplicates("norm_hash")
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set(key, prev)
+    s.table(name).orderBy(col("norm_hash"))
+  }
 }

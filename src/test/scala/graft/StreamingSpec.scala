@@ -340,6 +340,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinct, s"stream corpus $n vs batch distinct $distinct")
   }
 
+  test("st12 streaming admission drops index dups and in-stream dups, " +
+      "admits novel docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("adm").toString
+    // index = doc_id % 10 != 7; batch stream = doc_id % 10 == 7.
+    // 17 copies index doc 1 (case-folded: dropped), 27 and 37 are
+    // identical novel docs (ONE admitted), 47 is unique (admitted).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en", "s1", 22L),
+      (2L, "some other corpus text here", "en", "s1", 27L),
+      (17L, "ALPHA  beta GAMMA delta", "en", "s2", 23L),
+      (27L, "fresh arrival body", "en", "s2", 18L),
+      (37L, "fresh arrival body", "en", "s3", 18L),
+      (47L, "another novel document", "en", "s3", 22L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.streaming.StreamingCorpus
+      .st12StreamAdmission(spark, tmp).collect()
+    assert(out.length == 2, out.mkString(";"))
+    val expect = docs.filter(col("doc_id").isin(27L, 47L))
+      .select(md5(graft.dedup.Dedup.normText(col("text"))))
+      .collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(0)).toSet == expect)
+  }
+
   test("st04 stream-stream interval join matches the batch formulation") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingAnomaly.st04StreamStreamJoin(spark, dir).count()
