@@ -41,6 +41,7 @@ object SparkEntry {
     "q57_gap_fill"       -> ((s, d) => SignalOps.q57GapFill(s, d)),
     "q59_peer_correlation" -> ((s, d) => SignalOps.q59PeerCorrelation(s, d)),
     "q60_dominant_period" -> ((s, d) => SignalOps.q60DominantPeriod(s, d)),
+    "q61_drift_psi"      -> ((s, d) => SignalOps.q61DriftPsi(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "t08_bigram_perplexity" ->
       ((s, d) => graft.text.TextFns.bigramPerplexity(s, d)),
@@ -185,6 +186,7 @@ object SparkEntry {
     "q57_gap_fill"       -> SignalOracle.q57,
     "q59_peer_correlation" -> SignalOracle.q59,
     "q60_dominant_period" -> SignalOracle.q60,
+    "q61_drift_psi"      -> SignalOracle.q61,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "t08_bigram_perplexity" -> LlmOracle.t08,
     "q49_ewma_smooth"    -> SignalOracle.q49,

@@ -550,6 +550,93 @@ object SignalOps {
         col("r6").as("autocorr6"), col("n").as("n_pairs"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q61: distribution-drift detection via the Population Stability
+    * Index — the monitoring question none of q01–q60 answers: has this
+    * feed's VALUE DISTRIBUTION changed between two eras, even when no
+    * single point is anomalous? Classic credit-scoring / feature-drift
+    * metric: decile the reference era, compare occupancy against the
+    * current era, PSI = Σ (p_i − q_i)·ln(p_i/q_i); > 0.2 is the
+    * conventional act threshold.
+    *
+    * Semantics, all deterministic: eras split at the midpoint day of
+    * the global span (integer floor); bucket edges are the REFERENCE
+    * era's exact integer-rank deciles (q56's ceil(j·n/10) =
+    * (j·n+9) div 10 arithmetic on 1e-4-quantized values — the value
+    * at a rank is well-defined under ties in either engine); counts
+    * are add-one smoothed so empty buckets stay finite; each bucket's
+    * PSI term is 1e-9 fixed-point-quantized to a LONG before the
+    * per-type sum (d09's posture — long sums are order-free, so
+    * partial-aggregation order can't move the result), and the output
+    * carries the exact `psi9` long. Types with a thin reference era
+    * (< 10 rows) or an empty current era are excluded.
+    *
+    * Scale shape: ONE event_type exchange serves the rank window and
+    * the count aggregates; the 9-edge-per-type pivot and the 1-row
+    * span are broadcast back; bucket assignment is 9 codegen'd
+    * comparisons per row (no interpreted HOF on the scan path). A hot
+    * type is one group: its rank window is the q56/q58 per-group sort.
+    */
+  def q61DriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("pivot",
+        expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .select(col("pivot"))
+    val tagged = ev.crossJoin(broadcast(span))
+      .withColumn("cur", (col("day") > col("pivot")).cast("int"))
+      .select(col("event_type"), col("cur"), col("v4l"))
+      .localCheckpoint() // feeds edges, counts and era sizes once
+    val ref = tagged.filter(col("cur") === 0)
+    val wType = Window.partitionBy(col("event_type")).orderBy(col("v4l"))
+    val ranked = ref
+      .withColumn("rn", row_number().over(wType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    // 9 decile ranks per type (distinct for n >= 10), value-at-rank
+    val edges = ranked
+      .withColumn("j", explode(sequence(lit(1), lit(9))))
+      .filter(col("rn") === expr("(j * n + 9) div 10"))
+      .groupBy(col("event_type"))
+      .agg(transform(sort_array(collect_list(struct(col("j"), col("v4l")))),
+        t => t("v4l")).as("e"), max(col("n")).as("n_ref"))
+      .filter(col("n_ref") >= 10 && size(col("e")) === 9)
+      .localCheckpoint() // types-sized; shared by bucket join + output
+    // bucket = 1 + #(edges strictly below v): nine codegen'd whens
+    val bucket = (1 to 9).map(j =>
+      (col("v4l") > element_at(col("e"), j)).cast("int"))
+      .foldLeft(lit(1))(_ + _)
+    val counts = tagged.join(broadcast(edges), Seq("event_type"))
+      .withColumn("b", bucket)
+      .groupBy(col("event_type"), col("cur"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    // dense 10-bucket grid per surviving type so empty buckets count 0
+    val grid = edges.select(col("event_type"))
+      .withColumn("b", explode(sequence(lit(1), lit(10))))
+    val occ = grid
+      .join(counts.filter(col("cur") === 0)
+        .select(col("event_type"), col("b"), col("c").as("cr")),
+        Seq("event_type", "b"), "left")
+      .join(counts.filter(col("cur") === 1)
+        .select(col("event_type"), col("b"), col("c").as("cc")),
+        Seq("event_type", "b"), "left")
+      .na.fill(0L, Seq("cr", "cc"))
+      .localCheckpoint() // 10 rows/type; feeds sizes and the PSI sum
+    val sizes = occ.groupBy(col("event_type"))
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
+      .filter(col("n_cur") >= 1)
+    val p = (col("cr") + 1).cast("double") / (col("n_ref") + 10).cast("double")
+    val q = (col("cc") + 1).cast("double") / (col("n_cur") + 10).cast("double")
+    occ.join(broadcast(sizes), Seq("event_type"))
+      .withColumn("term9",
+        floor((p - q) * log(p / q) * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("term9")).as("psi9"))
+      .withColumn("drift", (col("psi9") > 200000000L).cast("int"))
+      .orderBy(col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -1051,4 +1138,76 @@ object SignalOracle {
       |SELECT user_id, event_type, k AS dominant_period, r6 AS autocorr6,
       |  CAST(n AS BIGINT) AS n_pairs
       |FROM best WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** q61: same era split, integer-rank decile edges, add-one-smoothed
+    * occupancy, 1e-9 fixed-point PSI terms summed as BIGINT.
+    */
+  val q61: String = {
+    val e = (1 to 9).map(j =>
+      s"max(CASE WHEN j = $j THEN v4l END) AS e$j").mkString(", ")
+    val b = (1 to 9).map(j =>
+      s"CASE WHEN t.v4l > p.e$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), span AS (
+      |  SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS pivot
+      |  FROM ev
+      |), tagged AS (
+      |  SELECT e.event_type,
+      |    CASE WHEN e.day > s.pivot THEN 1 ELSE 0 END AS cur, e.v4l
+      |  FROM ev e, span s
+      |), ranked AS (
+      |  SELECT event_type, v4l,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v4l) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM tagged WHERE cur = 0
+      |), edges AS (
+      |  SELECT r.event_type, j.j, r.v4l
+      |  FROM ranked r
+      |  JOIN (SELECT unnest(range(1, 10)) AS j) j
+      |    ON r.rn = (j.j * r.n + 9) // 10
+      |  WHERE r.n >= 10
+      |), epiv AS (
+      |  SELECT event_type, $e
+      |  FROM edges GROUP BY 1 HAVING count(*) = 9
+      |), bucketed AS (
+      |  SELECT t.event_type, t.cur, 1 + $b AS b
+      |  FROM tagged t JOIN epiv p USING (event_type)
+      |), cnt AS (
+      |  SELECT event_type, cur, b, count(*) AS c
+      |  FROM bucketed GROUP BY 1, 2, 3
+      |), grid AS (
+      |  SELECT p.event_type, gb.b
+      |  FROM epiv p CROSS JOIN
+      |    (SELECT CAST(unnest(range(1, 11)) AS INT) AS b) gb
+      |), occ AS (
+      |  SELECT g.event_type, g.b,
+      |    coalesce(cr.c, 0) AS cr, coalesce(cc.c, 0) AS cc
+      |  FROM grid g
+      |  LEFT JOIN cnt cr ON cr.event_type = g.event_type
+      |    AND cr.b = g.b AND cr.cur = 0
+      |  LEFT JOIN cnt cc ON cc.event_type = g.event_type
+      |    AND cc.b = g.b AND cc.cur = 1
+      |), sizes AS (
+      |  SELECT event_type, CAST(sum(cr) AS BIGINT) AS n_ref,
+      |    CAST(sum(cc) AS BIGINT) AS n_cur
+      |  FROM occ GROUP BY 1 HAVING sum(cc) >= 1
+      |), terms AS (
+      |  SELECT o.event_type, s.n_ref, s.n_cur,
+      |    CAST(floor(
+      |      (CAST(o.cr + 1 AS DOUBLE) / (s.n_ref + 10) -
+      |       CAST(o.cc + 1 AS DOUBLE) / (s.n_cur + 10)) *
+      |      ln((CAST(o.cr + 1 AS DOUBLE) / (s.n_ref + 10)) /
+      |         (CAST(o.cc + 1 AS DOUBLE) / (s.n_cur + 10))) *
+      |      1000000000.0 + 0.5) AS BIGINT) AS term9
+      |  FROM occ o JOIN sizes s USING (event_type)
+      |)
+      |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+      |  CAST(sum(term9) AS BIGINT) AS psi9,
+      |  CASE WHEN CAST(sum(term9) AS BIGINT) > 200000000 THEN 1 ELSE 0 END
+      |    AS drift
+      |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
 }

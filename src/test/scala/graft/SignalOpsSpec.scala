@@ -233,6 +233,35 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(r.getLong(4) == 27L) // 30 days - lag 3
   }
 
+  test("q61 PSI drift: identical eras score zero, a level shift flags") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("psi").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // span 1..20 Jan → pivot Jan 10; ref = days 1-10, cur = days 11-20.
+    // "stable": each era holds the identical multiset {1..10}×2 → every
+    // bucket's p = q, every term exactly 0. "shift": ref 1..10, cur
+    // 1011..1020 — all current mass lands in the top decile.
+    val rows = (1 to 20).flatMap { d =>
+      val dd = ((d - 1) % 10) + 1
+      Seq(
+        (d * 100 + 1L, ts(d), 1L, "stable", dd.toDouble, ""),
+        (d * 100 + 2L, ts(d), 2L, "stable", dd.toDouble, ""),
+        (d * 100 + 3L, ts(d), 3L, "shift",
+          if (d <= 10) d.toDouble else 1000.0 + d, ""))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q61DriftPsi(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("stable", "shift"))
+    assert(out("stable").getAs[Long]("psi9") == 0L &&
+      out("stable").getAs[Int]("drift") == 0, out("stable").toString)
+    assert(out("shift").getAs[Int]("drift") == 1 &&
+      out("shift").getAs[Long]("psi9") > 1000000000L, out("shift").toString)
+    assert(out("shift").getAs[Long]("n_ref") == 10L &&
+      out("shift").getAs[Long]("n_cur") == 10L)
+  }
+
   test("q57 plan: every hash exchange is on the ticker family") {
     val plan = SignalOps.q57GapFill(spark, dir)
       .queryExecution.executedPlan.toString
