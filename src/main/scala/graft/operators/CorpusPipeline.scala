@@ -93,4 +93,47 @@ object CorpusPipeline {
         col("start_off"), col("first_seq"), col("last_seq"))
       .orderBy(col("doc_id"))
   }
+
+  /** p03: the INCREMENTAL ingest pipeline — what a continuously-fed
+    * corpus runs on every arrival batch, as ONE query:
+    *
+    *   arrivals → row-local quality gate → admission against the
+    *   EXISTING corpus index (d15's exact tier: digest in neither the
+    *   index nor an earlier arrival) → d13 packing of the admitted
+    *   docs
+    *
+    * p01/p02 curate a corpus from scratch; p03 is the steady state —
+    * the 100 TB index is NOT rescanned beyond its maintained digest
+    * table (one distinct — the persisted artifact of d15's two-
+    * DataFrame API), the quality gate shrinks the batch before any
+    * shuffle, and the three remaining exchanges (admission digest
+    * window, shard packing) run over the admitted batch only. The
+    * near-dup tier runs separately as d15's report; packing starts at
+    * offset 0 per shard — a production append continues from the
+    * shard manifest's high-water mark.
+    */
+  def ingest(s: SparkSession, dir: String, nShards: Int = 8,
+      seqLen: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val t = col("text")
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("source"),
+        size(split(normText(t), " ")).as("n_words"),
+        TextFns.reTokensCol(t).as("n_tok"),
+        TextFns.alphaWordFracCol(t).as("alpha_frac"),
+        md5(normText(t)).as("norm_hash"))
+      .filter(col("n_words") >= 20 && col("alpha_frac") > 0.8)
+    val index = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(md5(normText(t)).as("norm_hash")).distinct()
+    val wHash = Window.partitionBy(col("norm_hash"))
+    val admitted = batch
+      .join(index, Seq("norm_hash"), "left_anti")
+      .withColumn("mn", min(col("doc_id")).over(wHash))
+      .filter(col("doc_id") === col("mn"))
+    Sampling.packOffsets(admitted, nShards, seqLen)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("shard"),
+        col("start_off"), col("first_seq"), col("last_seq"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -294,6 +294,48 @@ object LlmOracle {
        |  greatest(cum - 1, cum - n_tok) // 512 AS last_seq
        |FROM pk ORDER BY doc_id""".stripMargin
 
+  /** p03: the incremental-ingest chain replayed — batch-slice quality
+    * gate, digest admission (anti join + first-id window over the
+    * survivors), then the one packing rule's cumsum/chunk arithmetic.
+    */
+  val p03: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source, text, string_split($Norm, ' ') AS ws
+       |  FROM documents WHERE doc_id % 10 = 7
+       |), f AS (
+       |  SELECT doc_id, source,
+       |    len(ws) AS n_words,
+       |    CAST(len(regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]'))
+       |      AS INT) AS n_tok,
+       |    floor(CAST(len(regexp_extract_all($Norm, '[^ ]*[a-z][^ ]*'))
+       |      AS DOUBLE) / len(ws) * 1000000.0 + 0.5) / 1000000.0
+       |      AS alpha_frac,
+       |    md5($Norm) AS norm_hash
+       |  FROM w
+       |), flt AS (
+       |  SELECT * FROM f WHERE n_words >= 20 AND alpha_frac > 0.8
+       |), i AS (
+       |  SELECT DISTINCT md5($Norm) AS norm_hash
+       |  FROM documents WHERE doc_id % 10 <> 7
+       |), adm AS (
+       |  SELECT * FROM (
+       |    SELECT ff.*, min(ff.doc_id) OVER (PARTITION BY ff.norm_hash)
+       |      AS mn
+       |    FROM flt ff
+       |    WHERE NOT EXISTS (SELECT 1 FROM i WHERE i.norm_hash = ff.norm_hash))
+       |  WHERE doc_id = mn
+       |), pk AS (
+       |  SELECT doc_id, source, n_tok, doc_id % 8 AS shard,
+       |    CAST(sum(n_tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM adm
+       |)
+       |SELECT doc_id, source, n_tok, shard,
+       |  cum - n_tok AS start_off,
+       |  (cum - n_tok) // 512 AS first_seq,
+       |  greatest(cum - 1, cum - n_tok) // 512 AS last_seq
+       |FROM pk ORDER BY doc_id""".stripMargin
+
   /** d13: the same concat-and-chunk packing — t03's regex tokens,
     * shard = doc_id % 8, per-shard running sum (cast from DuckDB's
     * HUGEINT to BIGINT for schema parity), chunk = floor-div by the

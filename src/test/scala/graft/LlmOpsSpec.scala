@@ -586,6 +586,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p03 ingest: quality gate, index + in-batch admission, packing") {
+    import graft.operators.CorpusPipeline
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("p03").toString
+    def uniq(n: Int, off: Int) =
+      (1 to n).map(i => s"tok${off + i}").mkString(" ")
+    // index = doc_id % 10 != 7; arrivals = % 10 == 7
+    Seq(
+      (1L, uniq(24, 0), "en", "a", 0L),            // existing corpus
+      (2L, uniq(24, 100), "en", "a", 0L),          // existing corpus
+      (7L, uniq(24, 0).toUpperCase, "en", "b", 0L), // index dup (folded)
+      (17L, uniq(24, 200), "en", "b", 0L),         // admitted
+      (27L, "short doc", "en", "b", 0L),           // quality gate drops
+      (37L, uniq(24, 200), "en", "c", 0L),         // in-batch dup of 17
+      (47L, uniq(24, 300), "en", "c", 0L)          // admitted
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusPipeline.ingest(spark, tmp).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(17L, 47L), out.mkString(";"))
+    // 17 and 47 land in different shards (id mod 8) → both start at 0
+    out.foreach { r =>
+      assert(r.getInt(2) == 24)
+      assert(r.getLong(4) == 0L && r.getLong(5) == 0L && r.getLong(6) == 0L)
+    }
+  }
+
   test("p01 pipeline keeps only en docs above quality with unique content") {
     import graft.operators.CorpusPipeline
     val kept = CorpusPipeline.prepare(spark, dir).collect()
