@@ -72,8 +72,10 @@ object BenchScale {
     "st10_stream_heavy_hitters",
     // round 8c: rolling-correlation windows, fixed-histogram state
     "q59_peer_correlation", "st11_stream_quantiles",
-    // round 8d: batch-vs-index admission (prefix-filter candidate join)
-    "d15_incremental_dedup")
+    // round 8d: batch-vs-index admission (prefix-filter candidate join),
+    // lag-autocorrelation periods, PSI drift deciles, mixture quotas
+    "d15_incremental_dedup", "q60_dominant_period", "q61_drift_psi",
+    "d16_mixture_sample")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
