@@ -120,17 +120,31 @@ object Sampling {
     */
   def mixtureSample(s: SparkSession, dir: String, num: Long = 2,
       den: Long = 5): DataFrame = {
-    require(num >= 0 && den > 0, s"bad fraction $num/$den")
-    val counts = Tables.documents(s, dir)
-      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
     // exact integer sqrt: float floor, then correct the ±1 ulp cases
     val s0 = floor(sqrt(col("n").cast("double"))).cast("long")
     val w = when(s0 * s0 > col("n"), s0 - 1)
       .when((s0 + 1) * (s0 + 1) <= col("n"), s0 + 1)
       .otherwise(s0)
+    mixtureSample(docs, counts.select(col("source"), w.as("w")), num, den)
+  }
+
+  /** d16 core, parameterized over an EXTERNAL weights table — the real
+    * API shape (d08/d09/d15's two-DataFrame posture): a production mix
+    * is rarely a fixed formula; DoReMi-style optimized weights or a
+    * hand-tuned recipe arrive as their own (source, w) table. Sources
+    * missing from `weights` draw nothing; integer weights keep every
+    * quota exact. The default entry derives w = isqrt(n_s) and
+    * delegates here.
+    */
+  def mixtureSample(docs: DataFrame, weights: DataFrame, num: Long,
+      den: Long): DataFrame = {
+    require(num >= 0 && den > 0, s"bad fraction $num/$den")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
     // sources-sized; checkpointed so its two consumers (tot, quotas)
     // don't each replay the count groupBy (the q55-meds recompute)
-    val weighted = counts.withColumn("w", w).localCheckpoint()
+    val weighted = counts.join(weights, Seq("source")).localCheckpoint()
     val tot = weighted.agg(sum(col("n")).as("total"), sum(col("w")).as("sw"))
     val quotas = weighted.crossJoin(broadcast(tot))
       .withColumn("target", expr(s"(total * $num) div $den"))
@@ -138,7 +152,7 @@ object Sampling {
         least(col("n"), expr("(target * w) div sw")))
       .select(col("source"), col("n").as("n_source"), col("quota"))
     val bySrc = Window.partitionBy(col("source"))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("source"),
         saltedHash(col("doc_id"), "d16").as("pri"))
       .withColumn("rk",

@@ -195,6 +195,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
   }
 
+  test("d16 external weights table drives the mix directly") {
+    import spark.implicits._
+    // equal-size sources, explicit 3:1 weights → 24/8 of the 32-target
+    val docs = (1 to 40).map(i => (i.toLong, "a")) ++
+      (41 to 80).map(i => (i.toLong, "b"))
+    val docsDf = docs.toDF("doc_id", "source")
+    val weights = Seq(("a", 3L), ("b", 1L)).toDF("source", "w")
+    val out = Sampling.mixtureSample(docsDf, weights, 2, 5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 24L, "b" -> 8L), out.toString)
+    // a source absent from the weights table draws nothing
+    val partial = Sampling.mixtureSample(docsDf,
+      Seq(("a", 1L)).toDF("source", "w"), 2, 5)
+    assert(partial.select("source").distinct().collect()
+      .map(_.getString(0)).toSet == Set("a"))
+  }
+
   test("d16 plans source-keyed exchanges only, quota side broadcast") {
     val plan = Sampling.mixtureSample(spark, dir)
       .queryExecution.executedPlan.toString
