@@ -129,6 +129,8 @@ object SparkEntry {
     "m05_scene_change" -> ((s, d) => graft.multimodal.Video.qScenes(s, d)),
     "m06_phash_dedup"  -> ((s, d) => graft.multimodal.Multimodal.phashDedup(s, d)),
     "m07_audio_segment" -> ((s, d) => graft.multimodal.Audio.qSegment(s, d)),
+    "m08_video_near_dup" -> ((s, d) =>
+      graft.multimodal.Video.videoNearDup(s, d)),
     "st01_stream_window_agg" -> graft.streaming.StreamingAnomaly.st01WindowAgg _,
     // dataPeriods = 28 matches the oracle's ROWS BETWEEN 27 PRECEDING
     // AND CURRENT ROW rolling frame (r2 hash-fail was this mismatch:
@@ -547,6 +549,7 @@ object SparkEntry {
     "m03_video_frames" -> LlmOracle.m03,
     "m05_scene_change" -> LlmOracle.m05,
     "m06_phash_dedup"  -> LlmOracle.m06,
+    "m08_video_near_dup" -> LlmOracle.m08,
     "m07_audio_segment" -> LlmOracle.m07,
     "m04_image_resize" -> LlmOracle.m04,
     "q47_orc_roundtrip" ->

@@ -294,4 +294,132 @@ object Video {
         col("height"), col("abs_delta_sum"), col("mean_delta6"),
         col("scene_change"))
       .orderBy(col("media_id"), col("frame_idx"))
+
+  /** Per-SAMPLED-frame aHash over the container walk — m03's stride
+    * skip (unsampled frames cost a pointer bump, never a decode) with
+    * m06's 8×8 NN-resample fingerprint per decoded frame; one row per
+    * sampled frame, per-video corrupt policy.
+    */
+  def frameHashes(videos: DataFrame, stride: Int): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.flatMap { case (id, bytes) =>
+          try {
+            val buf = ByteBuffer.wrap(bytes)
+            require(buf.getInt() == Magic, "not a GVID payload")
+            val n = buf.getInt()
+            val out = Vector.newBuilder[(Long, Option[Int], Option[Long],
+              Option[Long], Int)]
+            var f = 0
+            while (f < n) {
+              require(buf.remaining() >= 4, "truncated frame header")
+              val len = buf.getInt()
+              require(len >= 0 && len <= buf.remaining(),
+                "frame length out of bounds")
+              if (f % stride != 0) {
+                buf.position(buf.position() + len) // skip: no decode
+              } else {
+                val png = new Array[Byte](len)
+                buf.get(png)
+                val iis = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(png))
+                reader.setInput(iis)
+                val img = reader.read(0)
+                val raster = img.getRaster
+                val w = img.getWidth
+                val h = img.getHeight
+                val p = new Array[Int](64)
+                var sum = 0L
+                var y = 0
+                while (y < 8) {
+                  val sy = y * h / 8
+                  var x = 0
+                  while (x < 8) {
+                    val v = raster.getSample(x * w / 8, sy, 0)
+                    p(y * 8 + x) = v
+                    sum += v
+                    x += 1
+                  }
+                  y += 1
+                }
+                var lo = 0L
+                var hi = 0L
+                var i = 0
+                while (i < 64) {
+                  if (p(i) * 64L > sum) {
+                    if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                  }
+                  i += 1
+                }
+                out += ((id, Some(f), Some(lo), Some(hi), 0))
+              }
+              f += 1
+            }
+            out.result().iterator
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Iterator.single((id, Option.empty[Int], Option.empty[Long],
+                Option.empty[Long], 1))
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "h_lo", "h_hi", "_corrupt")
+  }
+
+  /** m08: VIDEO near-dup via frame-fingerprint overlap — the video
+    * twin of m06's image dedup: a re-encoded / re-uploaded copy of a
+    * video shares its frames' perceptual hashes even though the
+    * container bytes differ entirely. Overlap(A,B) =
+    * |hashset(A) ∩ hashset(B)| / min(|A|, |B|) over the SAMPLED
+    * frames' distinct aHashes — the min-denominator makes a clipped
+    * or trimmed copy (a strict subset of frames) still score 1.0.
+    * Exact integer ratio; pairs at overlap ≥ τ.
+    *
+    * Scale shape: candidates come from an equi-join on the 64-bit
+    * frame hash — never all-pairs over videos — with d04's stoplist
+    * guard: a hash shared by more than `maxDf` videos (title cards,
+    * black frames — the video world's stop-shingles) is dropped
+    * before the join, bounding any hash's fan-out. Decode is m03's
+    * stride walk: unsampled frames are skipped by length prefix.
+    */
+  def videoNearDup(s: SparkSession, dir: String, tau: Double = 0.5,
+      maxDf: Int = 100): DataFrame =
+    videoNearDup(stagedVideoTable(s, dir), tau, maxDf)
+
+  /** m08 core over any (media_id, payload) video table. */
+  def videoNearDup(videos: DataFrame, tau: Double,
+      maxDf: Int): DataFrame = {
+    val fh = frameHashes(videos, FrameStride)
+      .filter(col("_corrupt") === 0)
+      .select(col("media_id"), col("h_lo"), col("h_hi")).distinct()
+    val hot = fh.groupBy(col("h_lo"), col("h_hi"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("h_lo"), col("h_hi"))
+    val cold = fh.join(hot, Seq("h_lo", "h_hi"), "left_anti")
+    val sizes = cold.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val a = cold.join(sizes, Seq("media_id"))
+      .select(col("media_id").as("id_a"), col("n").as("n_a"),
+        col("h_lo"), col("h_hi"))
+    val b = cold.join(sizes, Seq("media_id"))
+      .select(col("media_id").as("id_b"), col("n").as("n_b"),
+        col("h_lo"), col("h_hi"))
+    a.join(b, Seq("h_lo", "h_hi"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .withColumn("overlap",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("overlap") >= tau)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("overlap"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

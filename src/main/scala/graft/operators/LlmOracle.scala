@@ -1088,6 +1088,65 @@ object LlmOracle {
       |    + bit_count(xor(a.h_hi, b.h_hi)) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** m08: per-sampled-frame aHash in closed form (m03's frame grid ×
+    * m06's bit packing, video pixel formula), distinct hash sets per
+    * video, >100-video hashes dropped, all-pairs overlap verify.
+    */
+  val m08: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(4 + doc_id % 9 AS INT) AS n_frames,
+      |    CAST(8 + doc_id % 17 AS INT) AS w,
+      |    CAST(8 + (doc_id * 5) % 17 AS INT) AS h
+      |  FROM documents
+      |), fr AS (
+      |  SELECT media_id, w, h, unnest(range(n_frames)) AS f FROM d
+      |), sampled AS (
+      |  SELECT * FROM fr WHERE f % 3 = 0
+      |), xs AS (
+      |  SELECT media_id, w, h, f, unnest(range(8)) AS x FROM sampled
+      |), xy AS (
+      |  SELECT media_id, w, h, f, x, unnest(range(8)) AS y FROM xs
+      |), sam AS (
+      |  SELECT media_id, f, x, y,
+      |    (media_id * 31 + f * 17 + (x * w // 8) * 7 + (y * h // 8) * 13)
+      |      % 256 AS p
+      |  FROM xy
+      |), st AS (
+      |  SELECT media_id, f, SUM(p) AS s FROM sam GROUP BY 1, 2
+      |), bits AS (
+      |  SELECT sam.media_id, sam.f,
+      |    CAST(SUM(CASE WHEN p * 64 > s AND y * 8 + x < 32
+      |      THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS h_lo,
+      |    CAST(SUM(CASE WHEN p * 64 > s AND y * 8 + x >= 32
+      |      THEN (1::BIGINT << (y * 8 + x - 32)) ELSE 0 END) AS BIGINT)
+      |      AS h_hi
+      |  FROM sam JOIN st ON sam.media_id = st.media_id AND sam.f = st.f
+      |  GROUP BY 1, 2
+      |), hs AS (
+      |  SELECT DISTINCT media_id, h_lo, h_hi FROM bits
+      |), hot AS (
+      |  SELECT h_lo, h_hi FROM hs GROUP BY 1, 2 HAVING count(*) > 100
+      |), cold AS (
+      |  SELECT * FROM hs
+      |  WHERE NOT EXISTS (SELECT 1 FROM hot
+      |    WHERE hot.h_lo = hs.h_lo AND hot.h_hi = hs.h_hi)
+      |), sz AS (
+      |  SELECT media_id, count(*) AS n FROM cold GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS n_shared
+      |  FROM cold a JOIN cold b ON a.h_lo = b.h_lo AND a.h_hi = b.h_hi
+      |    AND a.media_id < b.media_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.id_a, p.id_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(p.n_shared AS DOUBLE) / least(sa.n, sb.n) AS overlap
+      |FROM pairs p
+      |JOIN sz sa ON sa.media_id = p.id_a
+      |JOIN sz sb ON sb.media_id = p.id_b
+      |WHERE CAST(p.n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val m03: String =
     """WITH d AS (
       |  SELECT doc_id AS media_id,

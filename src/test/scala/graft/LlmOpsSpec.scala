@@ -520,6 +520,44 @@ class LlmOpsSpec extends AnyFunSuite {
       .count() == clean)
   }
 
+  test("m08 video near-dup: a re-labeled copy overlaps 1.0; clipped " +
+      "copy still 1.0 via the min denominator") {
+    import graft.multimodal.Video
+    import spark.implicits._
+    javax.imageio.ImageIO.setUseCache(false)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("png").next()
+    val bos = new java.io.ByteArrayOutputStream(4096)
+    val p5 = Video.videoBytes(5L, writer, bos)  // 4+5%9 = 9 frames
+    val p8 = Video.videoBytes(8L, writer, bos)
+    // a "clipped" copy of video 5: drop the trailing frames past the
+    // second sampled one — its hash set is a strict subset of 5's
+    val buf = java.nio.ByteBuffer.wrap(p5)
+    buf.getInt(); buf.getInt()
+    var keepEnd = 8
+    for (f <- 0 until 4) { // frames 0..3 (samples 0 and 3)
+      val len = buf.getInt()
+      buf.position(buf.position() + len)
+      keepEnd = buf.position()
+    }
+    val clipped = java.nio.ByteBuffer.allocate(keepEnd)
+    clipped.putInt(0x47564944).putInt(4)
+      .put(java.util.Arrays.copyOfRange(p5, 8, keepEnd))
+    val vids = Seq(
+      (1L, p5), (2L, p5),                 // exact re-label
+      (3L, clipped.array()),              // trimmed copy of 5
+      (9L, p8)                            // unrelated
+    ).toDF("media_id", "payload")
+    val out = Video.videoNearDup(vids, 0.5, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.contains((1L, 2L)) &&
+      out((1L, 2L)).getAs[Double]("overlap") == 1.0)
+    assert(out.contains((1L, 3L)) &&
+      out((1L, 3L)).getAs[Double]("overlap") == 1.0,
+      s"clipped copy must hit via min(|A|,|B|): ${out.keySet}")
+    assert(!out.keys.exists { case (a, b) => a == 9L || b == 9L })
+  }
+
   test("m06 band join finds exactly the brute-force hamming pairs") {
     val r = 3
     val hs = Multimodal.phashTable(Multimodal.mediaTable(spark, dir))
