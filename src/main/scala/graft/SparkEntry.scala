@@ -118,6 +118,8 @@ object SparkEntry {
       graft.dedup.Dedup.ngramContainment(s, d)),
     "d11_substring_dedup" -> ((s, d) =>
       graft.dedup.Dedup.substringDedup(s, d)),
+    "d11_clean_corpus" -> ((s, d) =>
+      graft.dedup.Dedup.substringClean(s, d)),
     "d13_sequence_pack"  -> ((s, d) =>
       graft.operators.Sampling.sequencePack(s, d)),
     "d15_incremental_dedup" -> ((s, d) =>
@@ -202,6 +204,7 @@ object SparkEntry {
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,
     "d11_substring_dedup" -> LlmOracle.d11,
+    "d11_clean_corpus" -> LlmOracle.d11Clean,
     "d13_sequence_pack"  -> LlmOracle.d13,
     "d15_incremental_dedup" -> LlmOracle.d15,
     "d16_mixture_sample" -> LlmOracle.d16,

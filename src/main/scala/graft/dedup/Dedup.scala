@@ -243,6 +243,59 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d11's composable artifact — the corpus with the repeated spans
+    * EXCISED, which is what Lee et al. 2021 actually feed to training:
+    * every token covered by a cross-document repeated k-gram (the d11
+    * span set) is removed; survivors re-join in order. Emits one row
+    * per document — `cleaned_text` is in NORMALIZED token space (the
+    * dedup decision space), with `n_removed` the excised token count;
+    * a fully-boilerplate doc comes back empty rather than vanishing,
+    * so the manifest stays corpus-complete.
+    *
+    * Scale shape: d11's mining (positions → gram dictionary groupBy →
+    * semi-join, no pair explosion) plus one row-local cover explode
+    * (×k), an anti-join on (doc, position), and one per-doc groupBy to
+    * reassemble — every exchange keyed on the doc or the gram, nothing
+    * global.
+    */
+  def substringClean(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val ws = split(normText(col("text")), " ")
+    val grams = when(size(ws) >= k,
+      graft.functions.VectorFunctions.word_ngrams(ws, k))
+      .otherwise(array().cast("array<string>"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), ws.as("toks"), grams.as("g"),
+        size(ws).as("n_tokens"))
+    val pos = base.select(col("doc_id"), posexplode(col("g")))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "gram")
+    val rep = pos.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gram"))
+    val covered = pos.join(rep, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(k - 1))).as("t"))
+      .distinct()
+    val toks = base.select(col("doc_id"), posexplode(col("toks")))
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "tok")
+    val cleaned = toks
+      .join(covered, Seq("doc_id", "t"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("t"), col("tok")))),
+            x => x("tok"))).as("cleaned_text"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d06: near-duplicate CLUSTERS — connected components over the d04
     * similarity graph via alternating LARGE-STAR / SMALL-STAR rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"),

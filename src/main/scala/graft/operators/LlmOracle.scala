@@ -132,6 +132,46 @@ object LlmOracle {
        |    / 1000000.0 AS dup_frac6
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** d11 clean(): the repeated-span positions replayed, k-token cover
+    * exploded, surviving tokens re-joined in order (NORMALIZED space).
+    */
+  val d11Clean: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS p
+       |  FROM w WHERE len(ws) >= 5
+       |), grams AS (
+       |  SELECT doc_id, p, array_to_string(ws[p + 1 : p + 5], ' ') AS gram
+       |  FROM g
+       |), rep AS (
+       |  SELECT gram FROM grams GROUP BY gram
+       |  HAVING count(DISTINCT doc_id) >= 2
+       |), hits AS (
+       |  SELECT doc_id, p FROM grams JOIN rep USING (gram)
+       |), cov AS (
+       |  SELECT DISTINCT doc_id, p + uu.u AS t
+       |  FROM hits CROSS JOIN (SELECT unnest(range(5)) AS u) uu
+       |), posi AS (
+       |  SELECT doc_id, ws, unnest(range(len(ws))) AS t FROM w
+       |), kept AS (
+       |  SELECT p.doc_id, p.t, p.ws[p.t + 1] AS tok
+       |  FROM posi p
+       |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+       |    WHERE c.doc_id = p.doc_id AND c.t = p.t)
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY t) AS cleaned_text
+       |  FROM kept GROUP BY 1
+       |), base AS (
+       |  SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens FROM w
+       |)
+       |SELECT b.doc_id, b.n_tokens,
+       |  CAST(b.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(a.cleaned_text, '') AS cleaned_text
+       |FROM base b LEFT JOIN agg a USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   /** d15: incremental dedup of the doc_id % 10 == 7 "arrivals" slice
     * against the rest of the corpus — exact digest tier (index
     * membership + within-batch first-id-wins) then, for survivors,

@@ -433,6 +433,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Int]("frame_idx")).sorted.sameElements(Seq(0, 3)))
   }
 
+  test("d11 clean excises the shared passage, keeps unique text intact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("subclean").toString
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    Seq(
+      (1L, s"u1 u2 u3 $boiler u4 u5", "en", "s", 1L),
+      (2L, s"v1 $boiler v2 v3 v4 v5 v6", "en", "s", 1L),
+      (3L, "completely unrelated text with many words here indeed",
+        "en", "s", 1L),
+      (4L, boiler, "en", "s", 1L) // pure boilerplate → empty after clean
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.substringClean(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "manifest stays complete")
+    assert(out(1L).getAs[String]("cleaned_text") == "u1 u2 u3 u4 u5")
+    assert(out(1L).getAs[Long]("n_removed") == 10L)
+    assert(out(2L).getAs[String]("cleaned_text") == "v1 v2 v3 v4 v5 v6")
+    // untouched doc: zero removed, normalized text preserved in order
+    assert(out(3L).getAs[Long]("n_removed") == 0L &&
+      out(3L).getAs[String]("cleaned_text") ==
+        "completely unrelated text with many words here indeed")
+    assert(out(4L).getAs[String]("cleaned_text") == "" &&
+      out(4L).getAs[Long]("n_removed") == 10L)
+  }
+
   test("d11 substring dedup finds a shared passage with exact span " +
       "coverage") {
     import spark.implicits._
