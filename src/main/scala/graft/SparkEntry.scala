@@ -152,6 +152,8 @@ object SparkEntry {
       graft.streaming.StreamingCorpus.st07StreamCorpus _,
     "st12_stream_admission" ->
       graft.streaming.StreamingCorpus.st12StreamAdmission _,
+    "st13_stream_drift" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st13StreamDrift(s, d)),
     "st08_stream_cusum" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st08StreamCusum(s, d)),
     "st10_stream_heavy_hitters" ->
@@ -186,6 +188,7 @@ object SparkEntry {
     "q19_cusum_changepoint" -> SignalOracle.q19,
     "st08_stream_cusum"  -> SignalOracle.st08,
     "st09_stream_holt"   -> SignalOracle.st09,
+    "st13_stream_drift"  -> SignalOracle.st13,
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q55_cross_sectional" -> SignalOracle.q55,
     "q57_gap_fill"       -> SignalOracle.q57,

@@ -1210,4 +1210,68 @@ object SignalOracle {
       |    AS drift
       |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin
   }
+
+  /** st13: the streaming drift monitor replayed — first-era reference
+    * occupancy, 6 h tumbling window bucket counts, the watermark
+    * timeout-eligibility rule (a window emits iff its end precedes
+    * the final watermark = max event time − 1 h), add-one-smoothed
+    * PSI terms as 1e-9 longs.
+    */
+  val st13: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS tsu,
+      |    CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), mx AS (
+      |  SELECT (epoch_us(max(tsu)) // 1000 - 3600000) AS wm_ms FROM ev
+      |), span AS (
+      |  SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS piv
+      |  FROM ev
+      |), bk AS (
+      |  SELECT event_type, tsu, day,
+      |    least(9, greatest(0, v4l // 1000000)) AS b
+      |  FROM ev
+      |), ref AS (
+      |  SELECT event_type, b, count(*) AS c
+      |  FROM bk, span WHERE day <= span.piv GROUP BY 1, 2
+      |), rtot AS (
+      |  SELECT event_type, CAST(sum(c) AS BIGINT) AS t FROM ref GROUP BY 1
+      |), wnd AS (
+      |  SELECT event_type,
+      |    (epoch_us(tsu) // 21600000000) * 21600000000 AS wus, b
+      |  FROM bk
+      |), cnt AS (
+      |  SELECT event_type, wus, b, count(*) AS c FROM wnd GROUP BY 1, 2, 3
+      |), tot AS (
+      |  SELECT event_type, wus, CAST(sum(c) AS BIGINT) AS n
+      |  FROM cnt GROUP BY 1, 2
+      |), fired AS (
+      |  SELECT t.event_type, t.wus, t.n FROM tot t, mx
+      |  WHERE (t.wus + 21600000000) // 1000 < mx.wm_ms
+      |), grid AS (
+      |  SELECT f.event_type, f.wus, f.n, gb.b
+      |  FROM fired f CROSS JOIN (SELECT unnest(range(10)) AS b) gb
+      |), prob AS (
+      |  SELECT g.event_type, g.wus, g.n, g.b,
+      |    CAST(coalesce(r.c, 0) + 1 AS DOUBLE) / (coalesce(rt.t, 0) + 10)
+      |      AS p,
+      |    CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (g.n + 10) AS q
+      |  FROM grid g
+      |  LEFT JOIN ref r ON r.event_type = g.event_type AND r.b = g.b
+      |  LEFT JOIN rtot rt ON rt.event_type = g.event_type
+      |  LEFT JOIN cnt c ON c.event_type = g.event_type AND c.wus = g.wus
+      |    AND c.b = g.b
+      |), terms AS (
+      |  SELECT event_type, wus, n,
+      |    CAST(floor((p - q) * ln(p / q) * 1000000000.0 + 0.5) AS BIGINT)
+      |      AS term9
+      |  FROM prob
+      |)
+      |SELECT make_timestamp(wus) AS win_start, event_type, n AS n_events,
+      |  CAST(sum(term9) AS BIGINT) AS psi9,
+      |  CASE WHEN CAST(sum(term9) AS BIGINT) > 200000000 THEN 1 ELSE 0 END
+      |    AS drift
+      |FROM terms GROUP BY wus, event_type, n
+      |ORDER BY win_start, event_type""".stripMargin
 }

@@ -969,4 +969,124 @@ object StreamingAnomaly {
 
   def st10HeavyHitters(s: SparkSession, dir: String): DataFrame =
     st10FromStream(s, eventStream(s, dir))
+
+  case class DriftOut(win_start: java.sql.Timestamp, event_type: String,
+      n_events: Long, psi9: Long, drift: Int)
+
+  /** st13 maintained reference: per event_type, the fixed-bucket
+    * occupancy of the FIRST ERA (q61's midpoint split) — the artifact
+    * a deployment refreshes offline and ships to the monitor. The
+    * collect is types × buckets rows (the s03-centroid class of
+    * driver traffic, not data-sized).
+    */
+  def st13Reference(s: SparkSession, dir: String, buckets: Int = 10,
+      domainMax: Double = 1000.0): Map[String, Array[Long]] = {
+    val dom4 = math.floor(domainMax * 10000.0 + 0.5).toLong
+    val width = math.max(1L, dom4 / buckets)
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+    val piv = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("pivot",
+        expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .select(col("pivot")).collect()(0).getDate(0)
+    val rows = ev.filter(col("day") <= lit(piv))
+      .withColumn("b",
+        least(lit(buckets - 1L), greatest(lit(0L), expr(s"v4l div $width"))))
+      .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+      .collect()
+    rows.groupBy(_.getString(0)).map { case (t, rs) =>
+      val arr = new Array[Long](buckets)
+      rs.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+      t -> arr
+    }
+  }
+
+  /** st13: streaming DRIFT monitor — q61's PSI question answered LIVE:
+    * per (6 h window, event_type) the same fixed-bucket histogram
+    * state as st11 (`buckets` longs however many events arrive), and
+    * on watermark-close the window's occupancy is scored against the
+    * maintained reference occupancy with add-one-smoothed PSI. Terms
+    * are 1e-9 fixed-point longs summed in fixed bucket order inside
+    * the state function (one task — deterministic), so the emitted
+    * `psi9` is exact and the whole entry is DuckDB-oracle-backed
+    * (the oracle replays window assignment, bucket counts, the
+    * timeout-eligibility rule and the PSI closed form). A type absent
+    * from the reference scores against the flat smoothed prior —
+    * loudly, which is the point.
+    */
+  def st13Transform(s: SparkSession, stream: DataFrame,
+      ref: Map[String, Array[Long]], buckets: Int = 10,
+      domainMax: Double = 1000.0)
+      : org.apache.spark.sql.Dataset[DriftOut] = {
+    import s.implicits._
+    val winUs = 6L * 3600 * 1000000L
+    val dom4 = math.floor(domainMax * 10000.0 + 0.5).toLong
+    val width = math.max(1L, dom4 / buckets)
+
+    def update(key: (String, Long), events: Iterator[TickEvent],
+        state: GroupState[HistState]): Iterator[DriftOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        val ts = new java.sql.Timestamp(key._2 / 1000L)
+        val rc = ref.getOrElse(key._1, new Array[Long](buckets))
+        val rTot = rc.sum
+        var psi9 = 0L
+        var b = 0
+        while (b < buckets) {
+          val p = (rc(b) + 1).toDouble / (rTot + buckets)
+          val q = (st.counts(b) + 1).toDouble / (st.total + buckets)
+          psi9 += math.floor((p - q) * math.log(p / q) * 1e9 + 0.5).toLong
+          b += 1
+        }
+        Iterator.single(DriftOut(ts, key._1, st.total, psi9,
+          if (psi9 > 200000000L) 1 else 0))
+      } else {
+        val evs = events.toSeq
+        val st = state.getOption.getOrElse(
+          HistState(new Array[Long](buckets), 0L, Long.MaxValue,
+            Long.MinValue, 0L))
+        val counts = st.counts.clone()
+        var total = st.total
+        evs.foreach { e =>
+          val v4 = math.floor(e.value * 10000.0 + 0.5).toLong
+          val b = math.min(buckets - 1L, math.max(0L, v4 / width)).toInt
+          counts(b) += 1
+          total += 1
+        }
+        state.update(HistState(counts, total, st.minV4, st.maxV4, st.nOut))
+        state.setTimeoutTimestamp((key._2 + winUs) / 1000L)
+        Iterator.empty
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.event_type, (usOf(e.ts) / winUs) * winUs))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st13FromStream(s: SparkSession, stream: DataFrame,
+      ref: Map[String, Array[Long]]): DataFrame = {
+    val name = s"st13_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st13Transform(s, stream, ref)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  def st13StreamDrift(s: SparkSession, dir: String): DataFrame =
+    st13FromStream(s, eventStream(s, dir), st13Reference(s, dir))
 }

@@ -366,6 +366,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSet == expect)
   }
 
+  test("st13 streaming drift: stable windows score exactly zero, a " +
+      "level shift flags after the pivot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    def ts(d: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:$sec%02d")
+    // bucket width = 100 value units; 10 events/day, one per bucket →
+    // every stable window's occupancy EQUALS the reference occupancy
+    // (p = q per bucket, PSI exactly 0). "shift" piles all 10 on the
+    // top bucket after the era pivot (Jan 10).
+    val rows = (1 to 20).flatMap { d =>
+      (0 until 10).flatMap { b =>
+        val stableV = b * 100.0 + 50.0
+        val shiftV = if (d <= 10) stableV else 950.0
+        Seq((d * 100 + b + 1L, ts(d, b), 1L, "stable", stableV, ""),
+          (d * 1000 + b + 1L, ts(d, b), 2L, "shift", shiftV, ""))
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st13StreamDrift(spark, tmp).collect()
+    // day 20's window ends after the final watermark → 19 days emit
+    val stable = out.filter(_.getString(1) == "stable")
+    val shift = out.filter(_.getString(1) == "shift")
+    assert(stable.length == 19 && shift.length == 19, s"${out.length}")
+    assert(stable.forall(r => r.getLong(3) == 0L && r.getInt(4) == 0),
+      "identical occupancy must score PSI exactly 0")
+    val (pre, post) = shift.partition(
+      _.getTimestamp(0).before(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")))
+    assert(pre.forall(_.getInt(4) == 0))
+    assert(post.length == 9 &&
+      post.forall(r => r.getInt(4) == 1 && r.getLong(3) > 1000000000L),
+      post.map(_.toString).mkString(";"))
+  }
+
   test("st04 stream-stream interval join matches the batch formulation") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingAnomaly.st04StreamStreamJoin(spark, dir).count()
