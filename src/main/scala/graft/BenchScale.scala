@@ -75,7 +75,10 @@ object BenchScale {
     // round 8d: batch-vs-index admission (prefix-filter candidate join),
     // lag-autocorrelation periods, PSI drift deciles, mixture quotas
     "d15_incremental_dedup", "q60_dominant_period", "q61_drift_psi",
-    "d16_mixture_sample")
+    "d16_mixture_sample",
+    // round 8e: frame-hash video dedup (output-driven, read with
+    // rows_ratio like m06), ingest chain, streaming drift state
+    "m08_video_near_dup", "p03_ingest_pipeline", "st13_stream_drift")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
