@@ -8,8 +8,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * at a partitioned table root; nothing below depends on data volume.
   */
 object Tables {
+  /** Parquet timestamps written without `isAdjustedToUTC` read as
+    * TIMESTAMP_NTZ under Spark 4's NTZ inference; every repo operator
+    * (and the DuckDB oracles, which treat the same bytes as naive
+    * TIMESTAMP) computes in session-UTC TimestampType, so normalize
+    * NTZ columns to TimestampType at the loader — a wall-clock
+    * identity under the UTC session the entry points pin.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(df) { (d, f) =>
+        d.withColumn(f.name, d.col(f.name).cast(TimestampType))
+      }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String)    = load(s, d, "region")
   def nation(s: SparkSession, d: String)    = load(s, d, "nation")
