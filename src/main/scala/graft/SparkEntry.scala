@@ -42,6 +42,7 @@ object SparkEntry {
     "q59_peer_correlation" -> ((s, d) => SignalOps.q59PeerCorrelation(s, d)),
     "q60_dominant_period" -> ((s, d) => SignalOps.q60DominantPeriod(s, d)),
     "q61_drift_psi"      -> ((s, d) => SignalOps.q61DriftPsi(s, d)),
+    "q62_kalman_level"   -> ((s, d) => SignalOps.q62Kalman(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "t08_bigram_perplexity" ->
       ((s, d) => graft.text.TextFns.bigramPerplexity(s, d)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "q59_peer_correlation" -> SignalOracle.q59,
     "q60_dominant_period" -> SignalOracle.q60,
     "q61_drift_psi"      -> SignalOracle.q61,
+    "q62_kalman_level"   -> SignalOracle.q62,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "t08_bigram_perplexity" -> LlmOracle.t08,
     "q49_ewma_smooth"    -> SignalOracle.q49,

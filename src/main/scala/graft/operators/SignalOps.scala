@@ -637,6 +637,78 @@ object SignalOps {
       .withColumn("drift", (col("psi9") > 200000000L).cast("int"))
       .orderBy(col("event_type"))
   }
+
+  /** q62: local-level Kalman filter anomaly (Harvey 1989; Durbin &
+    * Koopman 2012 ch. 2) — the adaptive-gain companion to q54: Holt
+    * extrapolates a trend with FIXED dyadic gains, while the Kalman
+    * filter carries the level's posterior variance P and re-derives
+    * its gain every step (large right after the diffuse prior, then
+    * decaying to the steady state), so series starts are absorbed
+    * fast and the anomaly statistic is the textbook NORMALIZED
+    * INNOVATION e_t/√S_t — scaled by the PREDICTIVE variance
+    * S_t = P⁻ + R rather than a whole-series moment.
+    *
+    *   predict:  l⁻ = l,  P⁻ = P + Q
+    *   gain:     K  = P⁻ / (P⁻ + R)
+    *   update:   l += K·(y − l⁻),  P = (1 − K)·P⁻
+    *
+    * Cross-engine determinism: values are 1e-4 fixed-point longs; P
+    * lives in value⁴e-8 (v4l²) longs with Q = 1e7, R = 1e8 = P0
+    * (process std ≈ 0.32, measurement std 1.0 value units); the gain
+    * quantizes to 1e-6 (k6 = ⌊P⁻·1e6/(P⁻+R)⌋) and both update
+    * products floor back to longs. P ≤ P0 + Q ≈ 1.1e8 (the update
+    * shrinks P below R), so every floor() argument is an exact-in-
+    * double integer ratio whose fractional part, when nonzero, is
+    * ≥ 1e-6 (numerator/1e6 forms) or ≥ 1/(P⁻+R) ≈ 5e-9 (the gain) —
+    * both ≫ one ulp — so the recursion replays bit-for-bit in a
+    * DuckDB recursive CTE. |z| ≥ 3 flags.
+    *
+    * Scale shape: the recursion is not windowable — q14/q54's ONE
+    * groupByKey exchange, O(per-key history) in the handler, keys
+    * process independently at any corpus width.
+    */
+  def q62Kalman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val Qc = 10000000L
+    val Rc = 100000000L
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .as[(Long, String, Long, java.sql.Timestamp, Long)]
+    rows
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (Long, String),
+          it: Iterator[(Long, String, Long, java.sql.Timestamp, Long)]) =>
+        val evs = it.toVector.sortBy(r => (usOf(r._4), r._3))
+        var l = 0L
+        var p = 0L
+        evs.zipWithIndex.map { case (r, i) =>
+          if (i == 0) {
+            l = r._5; p = Rc
+            (r._1, r._2, r._3, r._4, r._5 / 10000.0, l / 10000.0,
+              Option.empty[Double], Option.empty[Double],
+              Option.empty[Double], 0)
+          } else {
+            val pp = p + Qc
+            val e = r._5 - l
+            val k6 = math.floor(pp * 1000000.0 / (pp + Rc)).toLong
+            l += math.floor(k6 * e / 1000000.0).toLong
+            p = math.floor((1000000L - k6) * pp / 1000000.0).toLong
+            val z6 = math.floor(e / math.sqrt((pp + Rc).toDouble) *
+              1000000.0 + 0.5).toLong
+            (r._1, r._2, r._3, r._4, r._5 / 10000.0, l / 10000.0,
+              Some(k6 / 1000000.0), Some(e / 10000.0),
+              Some(z6 / 1000000.0), if (math.abs(z6) >= 3000000L) 1 else 0)
+          }
+        }
+      }
+      .toDF("user_id", "event_type", "event_id", "date_recorded", "value",
+        "level", "kgain6", "innovation", "kalman_z6", "kalman_flag")
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -805,6 +877,59 @@ object SignalOracle {
       |  z6l / 1000000.0 AS holt_z6,
       |  CASE WHEN z6l IS NOT NULL AND abs(z6l) >= 3000000 THEN 1 ELSE 0 END
       |    AS holt_flag
+      |FROM z
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** q62: the integer-gain Kalman recursion replayed as a recursive
+    * CTE (q54's frontier shape — each iteration advances every key
+    * one row). The gain subexpression repeats because SQL can't
+    * alias within the recursive arm; all three forms are the same
+    * exact-in-double integer ratios the Scala handler floors.
+    */
+  val q62: String =
+    """WITH RECURSIVE base AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM events
+      |), rec AS (
+      |  SELECT user_id, event_type, event_id, ts, v4l, seq,
+      |    v4l AS l, CAST(100000000 AS BIGINT) AS p,
+      |    CAST(NULL AS BIGINT) AS k6, CAST(NULL AS BIGINT) AS e,
+      |    CAST(NULL AS BIGINT) AS pp
+      |  FROM base WHERE seq = 1
+      |  UNION ALL
+      |  SELECT b2.user_id, b2.event_type, b2.event_id, b2.ts, b2.v4l, b2.seq,
+      |    r.l + CAST(floor(
+      |        CAST(floor((r.p + 10000000) * 1000000.0
+      |          / (r.p + 10000000 + 100000000)) AS BIGINT)
+      |        * (b2.v4l - r.l) / 1000000.0) AS BIGINT) AS l,
+      |    CAST(floor((1000000 - CAST(floor((r.p + 10000000) * 1000000.0
+      |          / (r.p + 10000000 + 100000000)) AS BIGINT))
+      |        * (r.p + 10000000) / 1000000.0) AS BIGINT) AS p,
+      |    CAST(floor((r.p + 10000000) * 1000000.0
+      |      / (r.p + 10000000 + 100000000)) AS BIGINT) AS k6,
+      |    b2.v4l - r.l AS e,
+      |    r.p + 10000000 AS pp
+      |  FROM rec r JOIN base b2
+      |    ON b2.user_id = r.user_id AND b2.event_type = r.event_type
+      |   AND b2.seq = r.seq + 1
+      |), z AS (
+      |  SELECT *,
+      |    CASE WHEN e IS NULL THEN NULL ELSE
+      |      CAST(floor(e / sqrt(CAST(pp + 100000000 AS DOUBLE))
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS z6l
+      |  FROM rec
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value,
+      |  l / 10000.0 AS level,
+      |  k6 / 1000000.0 AS kgain6,
+      |  e / 10000.0 AS innovation,
+      |  z6l / 1000000.0 AS kalman_z6,
+      |  CASE WHEN z6l IS NOT NULL AND abs(z6l) >= 3000000
+      |    THEN 1 ELSE 0 END AS kalman_flag
       |FROM z
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 

@@ -133,6 +133,52 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(!flagged.exists(i => i < 18), s"ramp itself must not flag: $flagged")
   }
 
+  test("q62 kalman: exact integer-gain recursion, gain decay, spike flag") {
+    import spark.implicits._
+    def write(vals: Seq[Double], tag: String): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, tag, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q62spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // hand-traced: y = 10, 12 (v4l 1e5, 1.2e5), P0 = 1e8, Q = 1e7,
+    // R = 1e8. Row 2: P⁻ = 1.1e8, k6 = ⌊1.1e14/2.1e8⌋ = 523809,
+    // e = 20000, l = 1e5 + ⌊523809·20000/1e6⌋ = 110476 → 11.0476
+    val t1 = write(Seq(10.0, 12.0), "trace")
+    val tr = graft.operators.SignalOps.q62Kalman(spark, t1).collect()
+      .map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(tr(0L).getAs[java.lang.Double]("kgain6") == null)
+    assert(tr(0L).getAs[Double]("level") == 10.0)
+    assert(tr(1L).getAs[Double]("kgain6") == 0.523809)
+    assert(tr(1L).getAs[Double]("level") == 11.0476)
+    // the gain is ADAPTIVE: it decays monotonically from the diffuse
+    // prior toward the steady state (the property Holt's fixed dyadic
+    // gains don't have)
+    val flat = write(Seq.fill(20)(10.0), "flat")
+    val gains = graft.operators.SignalOps.q62Kalman(spark, flat).collect()
+      .sortBy(_.getAs[Long]("event_id")).drop(1)
+      .map(_.getAs[Double]("kgain6"))
+    assert(gains.sliding(2).forall(p => p(1) <= p(0)),
+      s"gain must decay: ${gains.mkString(",")}")
+    assert(gains.head > 0.5 && gains.last < 0.3,
+      s"diffuse start, steady-state finish: ${gains.mkString(",")}")
+    // a spike against a settled level flags; the settled level does not
+    val spiky = (0 until 30).map(i => if (i == 25) 18.0 else 10.0)
+    val out = graft.operators.SignalOps.q62Kalman(spark, write(spiky, "spike"))
+      .collect()
+    val flagged = out.filter(_.getAs[Int]("kalman_flag") == 1)
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(flagged == Set(25L), s"only the spike flags, got $flagged")
+    // scale posture: ONE exchange (the groupByKey), no window over an
+    // unpartitioned frame
+    val plan = graft.operators.SignalOps.q62Kalman(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("q48 binned interval join equals the naive range join") {
     val ev = Tables.events(spark, dir)
     val c = ev.filter(col("event_type") === "click")
