@@ -458,6 +458,71 @@ object LlmOracle {
        |SELECT query_id, rk, vec_id, cos6 FROM ranked WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
+  /** s06: reciprocal-rank fusion of the s01 cosine ranking (at pool
+    * depth 50) with a distinct-token Jaccard ranking; contributions
+    * are exact ⌊1e9/(60+rk)⌋ BIGINTs so the fused sum is order-free.
+    */
+  val s06: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM v
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    floor(${dotSql("q.v", "c.v")} / sqrt(q.norm2 * c.norm2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cos6
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10
+       |), dranked AS (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos6 DESC, doc_id) AS INT)
+       |    AS cos_rk
+       |  FROM scored
+       |), dns AS (
+       |  SELECT * FROM dranked WHERE cos_rk <= 50
+       |), tok AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(regexp_extract_all($Norm, '[a-z0-9]+')) AS term
+       |  FROM documents
+       |), sz AS (
+       |  SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+       |), ip AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id, count(*) AS i
+       |  FROM tok q JOIN tok c
+       |    ON q.term = c.term AND c.doc_id != q.doc_id
+       |  WHERE q.doc_id < 10
+       |  GROUP BY 1, 2
+       |), jac AS (
+       |  SELECT query_id, ip.doc_id,
+       |    floor(i * 1000000.0 / (sq.n + sc.n - i) + 0.5) / 1000000.0
+       |      AS jac6
+       |  FROM ip JOIN sz sq ON sq.doc_id = ip.query_id
+       |          JOIN sz sc ON sc.doc_id = ip.doc_id
+       |), sranked AS (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY jac6 DESC, doc_id) AS INT)
+       |    AS jac_rk
+       |  FROM jac
+       |), spr AS (
+       |  SELECT * FROM sranked WHERE jac_rk <= 50
+       |), fused AS (
+       |  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+       |    coalesce(d.doc_id, s.doc_id) AS doc_id,
+       |    coalesce(CAST(floor(1000000000.0 / (60 + d.cos_rk)) AS BIGINT), 0)
+       |      + coalesce(CAST(floor(1000000000.0 / (60 + s.jac_rk)) AS BIGINT),
+       |        0) AS rrf9,
+       |    d.cos_rk, s.jac_rk
+       |  FROM dns d FULL JOIN spr s
+       |    ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf9 DESC, doc_id) AS INT) AS rk
+       |  FROM fused
+       |)
+       |SELECT query_id, rk, doc_id, rrf9, cos_rk, jac_rk
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+
   private def profileSql(l: String, stops: Seq[String]): String = {
     val set = stops.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split($Norm, ' '), w -> w IN ($set))) AS score_$l"

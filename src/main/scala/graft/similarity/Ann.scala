@@ -462,4 +462,65 @@ object Ann {
         col("dup_of"), col("max_cos6"))
       .orderBy(col("vec_id"))
   }
+
+  /** s06: hybrid "more like this" retrieval via reciprocal-rank fusion
+    * (Cormack, Clarke & Büttcher, SIGIR 2009) — for each seed
+    * document, fuse a DENSE ranking (s01's exact cosine over the
+    * embedding) with a SPARSE ranking (distinct-token Jaccard against
+    * the seed's text) by rrf(d) = Σ_m ⌊1e9/(60 + rank_m(d))⌋ over the
+    * per-modality top-`kPool` lists; a document absent from one list
+    * contributes 0 for that modality. RRF needs only RANKS, so the
+    * incomparable score scales (cosine vs Jaccard) never meet — the
+    * standard first-stage retriever for curation-time corpus search.
+    *
+    * Sparse candidates are documents sharing ≥ 1 token with the seed
+    * (retrieval semantics, and it keeps the zero-overlap tail out of
+    * both engines' rank domain). Fixed-point: jac6/cos6 quantize at
+    * 1e-6 before ranking; each RRF contribution is an exact-in-double
+    * ⌊1e9/(60+rk)⌋ long, so the fused sum is order-free.
+    *
+    * Scale shape: both modality scans BROADCAST the |Q| seeds (vectors
+    * on one side, token sets on the other) against an unshuffled
+    * corpus — s01's posture; the fusion join touches only 2·|Q|·kPool
+    * rank rows, so nothing corpus-sized flows past the per-query
+    * top-kPool rank windows.
+    */
+  def hybridRrf(s: SparkSession, dir: String, nQueries: Int = 10,
+      kPool: Int = 50, kRrf: Int = 60, topN: Int = 10): DataFrame = {
+    val toks = array_distinct(regexp_extract_all(
+      graft.dedup.Dedup.normText(col("text")), lit("[a-z0-9]+"), lit(0)))
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") > 0)
+    val seeds = d.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("toks").as("qtoks"),
+        col("n_tok").as("qn"))
+    val wJ = Window.partitionBy(col("query_id"))
+      .orderBy(col("jac6").desc, col("doc_id"))
+    val sparse = d.join(broadcast(seeds), col("doc_id") =!= col("query_id"))
+      .withColumn("inter", size(array_intersect(col("toks"), col("qtoks"))))
+      .filter(col("inter") > 0)
+      .withColumn("jac6",
+        floor(col("inter").cast("double") * lit(1000000.0) /
+          (col("n_tok") + col("qn") - col("inter")) + lit(0.5)) /
+          lit(1000000.0))
+      .withColumn("jac_rk", row_number().over(wJ))
+      .filter(col("jac_rk") <= kPool)
+      .select(col("query_id"), col("doc_id"), col("jac_rk"))
+    val dense = bruteForceTopK(s, dir, nQueries, kPool)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rk").as("cos_rk"))
+    def contrib(c: Column): Column =
+      coalesce(floor(lit(1.0e9) / (lit(kRrf) + c)).cast("long"), lit(0L))
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf9").desc, col("doc_id"))
+    dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf9", contrib(col("cos_rk")) + contrib(col("jac_rk")))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= topN)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf9"),
+        col("cos_rk"), col("jac_rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
 }

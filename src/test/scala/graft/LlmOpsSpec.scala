@@ -218,6 +218,54 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s06 RRF output: exact reciprocal-rank sums, ranked per query") {
+    val out = Ann.hybridRrf(spark, dir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to 10))
+      g.foreach { r =>
+        def c(i: Int): Long =
+          if (r.isNullAt(i)) 0L
+          else math.floor(1.0e9 / (60 + r.getInt(i))).toLong
+        assert(r.getLong(3) == c(4) + c(5), r.toString)
+        // every fused hit came from at least one modality pool
+        assert(!r.isNullAt(4) || !r.isNullAt(5), r.toString)
+      }
+      val sc = g.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("s06 planted: agreement in both modalities wins the fused ranking") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("s06spec").toString
+    Seq(
+      (0L, "alpha beta gamma delta", "en", "w", 22L),
+      (1L, "alpha beta gamma delta epsilon", "en", "w", 28L),
+      (2L, "alpha zeta eta theta iota", "en", "w", 25L),
+      (3L, "omega psi chi", "en", "w", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.1f, 0.9f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Ann.hybridRrf(spark, tmp, nQueries = 1, kPool = 3, topN = 4)
+      .collect()
+    // doc1 is rank-1 in BOTH modalities → fused rank 1; doc2 is
+    // mid-pack in both and still outranks doc3's single dense rank-2
+    // (RRF's agreement property); doc3 shares no token with the seed,
+    // so it is dense-only
+    val rk = out.map(r => r.getLong(2) -> r.getInt(1)).toMap
+    assert(rk == Map(1L -> 1, 2L -> 2, 3L -> 3), out.mkString("; "))
+    val d3 = out.find(_.getLong(2) == 3L).get
+    assert(d3.isNullAt(5) && !d3.isNullAt(4), d3.toString)
+  }
+
   test("m01 PNG encode/decode roundtrip recovers exact dims and pixel stats") {
     val df = Multimodal.q(spark, dir)
     val rows = df.collect()
