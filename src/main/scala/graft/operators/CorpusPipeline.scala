@@ -136,4 +136,74 @@ object CorpusPipeline {
         col("start_off"), col("first_seq"), col("last_seq"))
       .orderBy(col("doc_id"))
   }
+
+  /** p04: the corpus DATA CARD — the per-source statistics sheet a
+    * curated release ships ("Datasheets for Datasets", Gebru et al.
+    * 2021): volume, token-length distribution, language mix, and
+    * exact-duplicate rate, one row per source.
+    *
+    * Everything is exact: token counts on the shared
+    * normText/[a-z0-9]+ tokenizer, length deciles by q56's
+    * integer-rank selection (value at rank ⌈j·n/10⌉ under
+    * (n_tok, doc_id) order — no explode: the three rank predicates
+    * are row-local), the top language by (count desc, lang), ratios
+    * rounded at 1e-4 on both engines.
+    *
+    * Scale shape: ONE corpus scan computes the per-doc features into
+    * a narrow checkpointed table feeding all four aggregates; the
+    * source exchange serves the rank window and the volume
+    * aggregates; the duplicate count is a map-side-combinable
+    * (source, digest) groupBy — never a count_distinct expand; the
+    * per-source single-row tables then join AQE-broadcast.
+    */
+  def p04DataCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = col("text")
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(regexp_extract_all(normText(t), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_tok"),
+        length(t).cast("long").as("n_char"),
+        md5(normText(t)).as("digest"))
+      .localCheckpoint()
+    val vol = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(col("n_char")).as("n_chars"))
+    val wS = Window.partitionBy(col("source"))
+      .orderBy(col("n_tok"), col("doc_id"))
+    def atRank(j: Int) = col("rn") === expr(s"($j * n + 9) div 10")
+    val deciles = base
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(atRank(1) || atRank(5) || atRank(9))
+      .groupBy(col("source")).agg(
+        max(when(atRank(1), col("n_tok"))).as("p10_tok"),
+        max(when(atRank(5), col("n_tok"))).as("p50_tok"),
+        max(when(atRank(9), col("n_tok"))).as("p90_tok"))
+    val wL = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("lang"))
+    val topLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(wL))
+      .filter(col("r") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("c").as("top_c"))
+    val distinctDocs = base.groupBy(col("source"), col("digest"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+    vol.join(deciles, Seq("source")).join(topLang, Seq("source"))
+      .join(distinctDocs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_tokens4"),
+        col("p10_tok"), col("p50_tok"), col("p90_tok"),
+        col("top_lang"),
+        round(col("top_c").cast("double") / col("n_docs"), 4)
+          .as("top_lang_share4"),
+        round((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs"), 4).as("dup_frac4"))
+      .orderBy(col("source"))
+  }
 }

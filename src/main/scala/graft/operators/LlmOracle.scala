@@ -376,6 +376,59 @@ object LlmOracle {
        |  greatest(cum - 1, cum - n_tok) // 512 AS last_seq
        |FROM pk ORDER BY doc_id""".stripMargin
 
+  /** p04: the per-source data card — exact integer-rank deciles
+    * ((j·n+9)//10), top language by (count desc, lang), duplicate
+    * rate from the (source, digest) distinct count, 1e-4 rounding.
+    */
+  val p04: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(len(regexp_extract_all($Norm, '[a-z0-9]+')) AS BIGINT)
+       |      AS n_tok,
+       |    CAST(length(text) AS BIGINT) AS n_char,
+       |    md5($Norm) AS digest
+       |  FROM documents
+       |), vol AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_char) AS BIGINT) AS n_chars
+       |  FROM base GROUP BY 1
+       |), ranked AS (
+       |  SELECT source, n_tok,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_tok, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM base
+       |), deciles AS (
+       |  SELECT source,
+       |    max(CASE WHEN rn = (1 * n + 9) // 10 THEN n_tok END) AS p10_tok,
+       |    max(CASE WHEN rn = (5 * n + 9) // 10 THEN n_tok END) AS p50_tok,
+       |    max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tok END) AS p90_tok
+       |  FROM ranked
+       |  WHERE rn = (1 * n + 9) // 10 OR rn = (5 * n + 9) // 10
+       |     OR rn = (9 * n + 9) // 10
+       |  GROUP BY 1
+       |), lc AS (
+       |  SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2
+       |), toplang AS (
+       |  SELECT source, lang AS top_lang, c AS top_c FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY c DESC, lang) AS r FROM lc) WHERE r = 1
+       |), dd AS (
+       |  SELECT source, count(*) AS n_distinct FROM (
+       |    SELECT source, digest FROM base GROUP BY 1, 2) GROUP BY 1
+       |)
+       |SELECT v.source, v.n_docs, v.n_tokens, v.n_chars,
+       |  round(CAST(v.n_tokens AS DOUBLE) / v.n_docs, 4) AS avg_tokens4,
+       |  d.p10_tok, d.p50_tok, d.p90_tok,
+       |  t.top_lang,
+       |  round(CAST(t.top_c AS DOUBLE) / v.n_docs, 4) AS top_lang_share4,
+       |  round(CAST(v.n_docs - dd.n_distinct AS DOUBLE) / v.n_docs, 4)
+       |    AS dup_frac4
+       |FROM vol v JOIN deciles d USING (source) JOIN toplang t USING (source)
+       |  JOIN dd USING (source)
+       |ORDER BY source""".stripMargin
+
   /** d13: the same concat-and-chunk packing — t03's regex tokens,
     * shard = doc_id % 8, per-shard running sum (cast from DuckDB's
     * HUGEINT to BIGINT for schema parity), chunk = floor-div by the

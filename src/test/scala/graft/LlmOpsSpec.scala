@@ -724,6 +724,33 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p04 data card: exact planted statistics per source") {
+    import graft.operators.CorpusPipeline
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("p04spec").toString
+    def txt(k: Int) = Seq.fill(k)("x").mkString(" ")
+    // docs 0..8 have 1..9 tokens; doc 9 duplicates doc 8's text; langs
+    // 6 en / 4 de → top_lang en @ 0.6, dup_frac 0.1, deciles 1/5/9
+    val rows = (0 until 9).map(k => (k.toLong, txt(k + 1),
+        if (k < 6) "en" else "de", "sA", 0L)) :+
+      (9L, txt(9), "de", "sA", 0L)
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusPipeline.p04DataCard(spark, tmp).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("source") == "sA")
+    assert(r.getAs[Long]("n_docs") == 10L)
+    assert(r.getAs[Long]("n_tokens") == 54L)
+    assert(r.getAs[Double]("avg_tokens4") == 5.4)
+    assert(r.getAs[Long]("p10_tok") == 1L)
+    assert(r.getAs[Long]("p50_tok") == 5L)
+    assert(r.getAs[Long]("p90_tok") == 9L)
+    assert(r.getAs[String]("top_lang") == "en")
+    assert(r.getAs[Double]("top_lang_share4") == 0.6)
+    assert(r.getAs[Double]("dup_frac4") == 0.1)
+  }
+
   test("p01 pipeline keeps only en docs above quality with unique content") {
     import graft.operators.CorpusPipeline
     val kept = CorpusPipeline.prepare(spark, dir).collect()
