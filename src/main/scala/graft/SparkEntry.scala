@@ -164,7 +164,9 @@ object SparkEntry {
     "st11_stream_quantiles" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st11StreamQuantiles(s, d)),
     "st09_stream_holt" ->
-      ((s, d) => graft.streaming.StreamingAnomaly.st09StreamHolt(s, d))
+      ((s, d) => graft.streaming.StreamingAnomaly.st09StreamHolt(s, d)),
+    "st14_stream_kalman" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st14StreamKalman(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -191,6 +193,7 @@ object SparkEntry {
     "q19_cusum_changepoint" -> SignalOracle.q19,
     "st08_stream_cusum"  -> SignalOracle.st08,
     "st09_stream_holt"   -> SignalOracle.st09,
+    "st14_stream_kalman" -> SignalOracle.st14,
     "st13_stream_drift"  -> SignalOracle.st13,
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q55_cross_sectional" -> SignalOracle.q55,

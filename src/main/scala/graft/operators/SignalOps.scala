@@ -1001,6 +1001,73 @@ object SignalOracle {
       |FROM z
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
+  /** st14: q62's integer-gain Kalman recursion replayed per STALENESS
+    * SEGMENT (st09's 8-day gap scaffolding) — each segment restarts
+    * the diffuse prior P0 = R, exactly as the stream's state does
+    * after an in-data gap or a timeout eviction.
+    */
+  val st14: String =
+    """WITH RECURSIVE b AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), sq AS MATERIALIZED (
+      |  SELECT user_id, event_type, seg_id, event_id, ts, v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM seg
+      |), rec AS (
+      |  SELECT user_id, event_type, seg_id, seq, event_id, ts, v4l,
+      |    v4l AS l, CAST(100000000 AS BIGINT) AS p,
+      |    CAST(NULL AS BIGINT) AS k6, CAST(NULL AS BIGINT) AS e,
+      |    CAST(NULL AS BIGINT) AS pp
+      |  FROM sq WHERE seq = 1
+      |  UNION ALL
+      |  SELECT n2.user_id, n2.event_type, n2.seg_id, n2.seq, n2.event_id,
+      |    n2.ts, n2.v4l,
+      |    r.l + CAST(floor(
+      |        CAST(floor((r.p + 10000000) * 1000000.0
+      |          / (r.p + 10000000 + 100000000)) AS BIGINT)
+      |        * (n2.v4l - r.l) / 1000000.0) AS BIGINT) AS l,
+      |    CAST(floor((1000000 - CAST(floor((r.p + 10000000) * 1000000.0
+      |          / (r.p + 10000000 + 100000000)) AS BIGINT))
+      |        * (r.p + 10000000) / 1000000.0) AS BIGINT) AS p,
+      |    CAST(floor((r.p + 10000000) * 1000000.0
+      |      / (r.p + 10000000 + 100000000)) AS BIGINT) AS k6,
+      |    n2.v4l - r.l AS e,
+      |    r.p + 10000000 AS pp
+      |  FROM rec r JOIN sq n2
+      |    ON n2.user_id = r.user_id AND n2.event_type = r.event_type
+      |   AND n2.seg_id = r.seg_id AND n2.seq = r.seq + 1
+      |), z AS (
+      |  SELECT *,
+      |    CASE WHEN e IS NULL THEN NULL ELSE
+      |      CAST(floor(e / sqrt(CAST(pp + 100000000 AS DOUBLE))
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS z6l
+      |  FROM rec
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value,
+      |  l / 10000.0 AS level,
+      |  k6 / 1000000.0 AS kgain6,
+      |  e / 10000.0 AS innovation,
+      |  z6l / 1000000.0 AS kalman_z6,
+      |  CASE WHEN z6l IS NOT NULL AND abs(z6l) >= 3000000
+      |    THEN 1 ELSE 0 END AS kalman_flag
+      |FROM z
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
   val q53: String =
     """WITH b AS (
       |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -665,6 +665,113 @@ object StreamingAnomaly {
     versionedSink(path)
   }
 
+  /** st14 per-ticker streaming Kalman state: O(1) per key and the
+    * SMALLEST in the stateful family — just the level and its
+    * posterior variance (both exact longs from q62's integer-gain
+    * recursion) plus last event time for eviction. No prefix moments:
+    * the normalized innovation standardizes against the PREDICTIVE
+    * variance the state already carries, so z needs nothing beyond
+    * (l, p).
+    */
+  case class KalmanState(lastUs: Long, l: Long, p: Long)
+
+  case class KalmanOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, level: Double,
+      kgain6: Option[Double], innovation: Option[Double],
+      kalman_z6: Option[Double], kalman_flag: Int)
+
+  /** st14: q62's local-level Kalman filter as continuously-updating
+    * state — the streaming twin (as st09 is to q54). The integer-gain
+    * recursion is identical to q62's, so state is exact; a staleness
+    * gap (or EventTimeTimeout eviction) restarts the diffuse prior
+    * P0 = R exactly like st02/st08/st09 restart their baselines —
+    * segment semantics the oracle's recursive CTE replays per segment.
+    * Same in-order contract as st02.
+    */
+  def st14StreamKalman(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st14FromStream(s, eventStream(s, dir), staleDays)
+
+  def st14Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[KalmanOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val Qc = 10000000L
+    val Rc = 100000000L
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[KalmanState]): Iterator[KalmanOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // quiet ticker: prior gone, key evicted
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[KalmanOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          // in-data staleness gap: restart the diffuse prior
+          stOpt = stOpt.filter(st => usOf(e.ts) - st.lastUs <= staleUs)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          stOpt match {
+            case None =>
+              stOpt = Some(KalmanState(usOf(e.ts), vl, Rc))
+              out += KalmanOut(key._1, key._2, e.event_id, e.ts,
+                vl / 10000.0, vl / 10000.0, None, None, None, 0)
+            case Some(st) =>
+              // q62's integer-gain recursion, bit-for-bit
+              val pp = st.p + Qc
+              val err = vl - st.l
+              val k6 = math.floor(pp * 1000000.0 / (pp + Rc)).toLong
+              val l2 = st.l + math.floor(k6 * err / 1000000.0).toLong
+              val p2 = math.floor((1000000L - k6) * pp / 1000000.0).toLong
+              val z6 = math.floor(err / math.sqrt((pp + Rc).toDouble) *
+                1000000.0 + 0.5).toLong
+              stOpt = Some(KalmanState(usOf(e.ts), l2, p2))
+              out += KalmanOut(key._1, key._2, e.event_id, e.ts,
+                vl / 10000.0, l2 / 10000.0, Some(k6 / 1000000.0),
+                Some(err / 10000.0), Some(z6 / 1000000.0),
+                if (math.abs(z6) >= 3000000L) 1 else 0)
+          }
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st14FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st14_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st14Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("level"),
+        col("kgain6"), col("innovation"), col("kalman_z6"),
+        col("kalman_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
   def st08FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     import s.implicits._

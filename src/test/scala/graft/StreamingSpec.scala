@@ -217,6 +217,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(single.length == Tables.events(spark, dir).count())
   }
 
+  test("st14 streaming Kalman: exact segment recursion; multi-batch matches") {
+    val rows = StreamingAnomaly.st14StreamKalman(spark, dir).collect()
+    assert(rows.length == Tables.events(spark, dir).count())
+    // replay q62's integer-gain recursion with the 8-day segment
+    // restart; every emitted gain/level/z must match bit-for-bit
+    val staleUs = (8.0 * 86400e6).toLong
+    def us(t: java.sql.Timestamp) =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val Qc = 10000000L
+    val Rc = 100000000L
+    var key = ("", "")
+    var lastUs = 0L
+    var have = false
+    var l = 0L
+    var p = 0L
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("user_id").toString,
+        r.getAs[String]("event_type"))
+      val ts = us(r.getAs[java.sql.Timestamp]("date_recorded"))
+      if (k != key || ts - lastUs > staleUs) { key = k; have = false }
+      lastUs = ts
+      val vl = math.floor(r.getAs[Double]("value") * 10000.0 + 0.5).toLong
+      if (!have) {
+        l = vl; p = Rc; have = true
+        assert(r.isNullAt(r.fieldIndex("kgain6")), r.toString)
+        assert(math.round(r.getAs[Double]("level") * 1e4) == vl, r.toString)
+      } else {
+        val pp = p + Qc
+        val err = vl - l
+        val k6 = math.floor(pp * 1000000.0 / (pp + Rc)).toLong
+        l += math.floor(k6 * err / 1000000.0).toLong
+        p = math.floor((1000000L - k6) * pp / 1000000.0).toLong
+        val z6 = math.floor(err / math.sqrt((pp + Rc).toDouble) *
+          1000000.0 + 0.5).toLong
+        assert(math.round(r.getAs[Double]("kgain6") * 1e6) == k6, r.toString)
+        assert(math.round(r.getAs[Double]("level") * 1e4) == l, r.toString)
+        assert(math.round(r.getAs[Double]("kalman_z6") * 1e6) == z6,
+          r.toString)
+        assert(r.getAs[Int]("kalman_flag") ==
+          (if (math.abs(z6) >= 3000000L) 1 else 0), r.toString)
+      }
+    }
+    // batch boundaries don't perturb the state recursion
+    val multi = StreamingAnomaly.st14FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    assert(multi.length == rows.length &&
+      multi.sameElements(rows.map(_.toString).sorted))
+  }
+
   test("st03 streaming dedup emits each (user, type, value) once") {
     val out = StreamingAnomaly.st03StreamDedup(spark, dir)
     val n = out.count()
