@@ -78,7 +78,11 @@ object BenchScale {
     "d16_mixture_sample",
     // round 8e: frame-hash video dedup (output-driven, read with
     // rows_ratio like m06), ingest chain, streaming drift state
-    "m08_video_near_dup", "p03_ingest_pipeline", "st13_stream_drift")
+    "m08_video_near_dup", "p03_ingest_pipeline", "st13_stream_drift",
+    // round 9: per-key Kalman recursion (batch + stateful stream),
+    // dual-modality broadcast retrieval, per-source stat card windows
+    "q62_kalman_level", "st14_stream_kalman", "s06_hybrid_rrf",
+    "p04_data_card")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
