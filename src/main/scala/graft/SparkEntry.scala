@@ -110,6 +110,7 @@ object SparkEntry {
     "t09_pii_redact"     -> graft.text.TextFns.piiRedact _,
     "t10_ngram_repetition" -> graft.text.TextFns.ngramRepetition _,
     "t11_gopher_quality" -> graft.text.TextFns.gopherQuality _,
+    "t12_source_kl"      -> ((s, d) => graft.text.TextFns.sourceKl(s, d)),
     "d08_decontaminate"  -> ((s, d) =>
       graft.dedup.Decontaminate.contaminated(s, d)),
     "d08_clean_corpus"   -> ((s, d) =>
@@ -210,6 +211,7 @@ object SparkEntry {
     "t09_pii_redact"     -> LlmOracle.t09,
     "t10_ngram_repetition" -> LlmOracle.t10,
     "t11_gopher_quality" -> LlmOracle.t11,
+    "t12_source_kl"      -> LlmOracle.t12,
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,

@@ -782,6 +782,42 @@ object LlmOracle {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** t12: per-source observed-vocabulary KL with add-one smoothing —
+    * integer counts, each p_s·ln(p_s/p) term floored to a 1e-9 BIGINT
+    * before the order-free per-source sum (t08/q61's posture).
+    */
+  val t12: String =
+    s"""WITH st AS (
+       |  SELECT source, unnest(regexp_extract_all($Norm, '[a-z0-9]+'))
+       |    AS term
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, term, count(*) AS c FROM st GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY 1
+       |), src AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+       |    count(*) AS n_terms
+       |  FROM c GROUP BY 1
+       |), gl AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS n_all, count(*) AS v FROM tot
+       |), pr AS (
+       |  SELECT c.source,
+       |    (c.c + 1) / CAST(src.ns + gl.v AS DOUBLE) AS ps,
+       |    (tot.ct + 1) / CAST(gl.n_all + gl.v AS DOUBLE) AS p
+       |  FROM c JOIN tot USING (term) JOIN src USING (source)
+       |  CROSS JOIN gl
+       |), t9 AS (
+       |  SELECT source,
+       |    CAST(floor(ps * ln(ps / p) * 1.0e9 + 0.5) AS BIGINT) AS t9
+       |  FROM pr
+       |)
+       |SELECT s.source, s.ns AS n_tokens, s.n_terms,
+       |  CAST(sum(t.t9) AS BIGINT) AS kl9
+       |FROM t9 t JOIN src s USING (source)
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1""".stripMargin
+
   /** d08: the same benchmark slice (doc_id % 20 = 0), same word
     * 3-grams. The oracle dedups (doc, gram) before the overlap join;
     * the engine joins raw pairs and dedups the hits with

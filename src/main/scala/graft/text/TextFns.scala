@@ -534,4 +534,54 @@ object TextFns {
       .select(col("doc_id"), col("fp_full"), col("fp_min_block"))
       .orderBy(col("doc_id"))
   }
+
+  /** t12: per-source unigram KL divergence from the blended corpus —
+    * the domain-mix diagnostic beside p04's volume card and q61's
+    * value drift: which source READS different from the corpus (a
+    * crawl gone off-distribution, a boilerplate-dominated domain),
+    * measured as KL(p_source ‖ p_corpus) over the source's observed
+    * vocabulary with add-one smoothing. A source whose token mix
+    * equals the corpus's scores exactly 0 (spec-proven on a
+    * single-source corpus: p_s ≡ p term-for-term, so every 1e-9 term
+    * floors to 0).
+    *
+    * Exactness: counts are integers; each term's contribution
+    * p_s·ln(p_s/p) is two integer-ratio doubles and one libm log,
+    * quantized to a 1e-9 long BEFORE the per-source sum (t08/q61's
+    * posture — long sums are order-free, so partial-aggregation order
+    * can't move the hash). `kl9` is published as the exact long.
+    *
+    * Scale shape: ONE corpus scan → (source, term) counts (map-side
+    * combined, checkpointed — term totals, source totals and scoring
+    * all consume it); per-term corpus totals via a term groupBy over
+    * that Zipf-compact table joined back on term (repartition join —
+    * the dictionary outgrows broadcast at 100 TB); source totals and
+    * the 1-row (N, V) stats ride broadcasts.
+    */
+  def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(regexp_extract_all(normText(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = st.groupBy(col("term")).agg(sum(col("c")).as("ct"))
+    val src = st.groupBy(col("source")).agg(
+      sum(col("c")).as("ns"), count(lit(1)).as("n_terms"))
+    val glob = tot.agg(sum(col("ct")).as("n_all"), count(lit(1)).as("v"))
+    val ps = (col("c") + 1).cast("double") /
+      (col("ns") + col("v")).cast("double")
+    val p = (col("ct") + 1).cast("double") /
+      (col("n_all") + col("v")).cast("double")
+    st.join(tot, "term")
+      .join(broadcast(src), "source")
+      .crossJoin(broadcast(glob))
+      .withColumn("t9",
+        floor(ps * log(ps / p) * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"), max(col("n_terms")).as("n_terms"),
+        sum(col("t9")).as("kl9"))
+      .orderBy(col("source"))
+  }
 }

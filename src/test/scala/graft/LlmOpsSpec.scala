@@ -820,6 +820,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!m07.contains("hashpartitioning"), m07)
   }
 
+  test("t12 source KL: identical mix scores exactly 0; off-mix source dominates") {
+    import graft.text.TextFns
+    import spark.implicits._
+    // single-source corpus: p_s == p term-for-term, so every 1e-9
+    // term floors to exactly 0
+    val tmp1 = java.nio.file.Files.createTempDirectory("t12a").toString
+    Seq((0L, "aa bb aa cc", "en", "sA", 0L), (1L, "aa bb dd", "en", "sA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp1/documents.parquet")
+    val one = TextFns.sourceKl(spark, tmp1).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("kl9") == 0L,
+      one.mkString("; "))
+    // majority source ≈ corpus mix (small |KL|); tiny disjoint-vocab
+    // source diverges hard
+    val tmp2 = java.nio.file.Files.createTempDirectory("t12b").toString
+    val major = (0 until 9).map(i =>
+      (i.toLong, "aa bb aa cc dd aa bb", "en", "big", 0L))
+    val odd = Seq((9L, "zz yy zz xx zz", "en", "odd", 0L))
+    (major ++ odd).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val kl = TextFns.sourceKl(spark, tmp2).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("kl9")).toMap
+    assert(kl("odd") > 10 * math.abs(kl("big")), kl.toString)
+    assert(kl("odd") > 0L, kl.toString)
+  }
+
   test("t11 gopher rules: planted bullets/ellipses/symbols measured exactly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
