@@ -709,6 +709,77 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
         col("event_id"))
   }
+
+  /** q63: time-series DISCORD discovery via the (Euclidean) matrix
+    * profile (Keogh et al. 2005 "HOT SAX"; Yeh et al. 2016) — the
+    * shape-based question none of the point detectors ask: which
+    * length-m SUBSEQUENCE of each ticker is farthest from its nearest
+    * non-overlapping neighbor? A spike repeated weekly is NORMAL to
+    * the matrix profile (its copies are mutual neighbors) while a
+    * one-off pattern break is the top discord — exactly the
+    * complement of q06/q53's pointwise outliers.
+    *
+    * Per ticker: subsequences s_i = v[i..i+m−1] over the 1e-4
+    * fixed-point longs; D²(i,j) = Σ(v_{i+k} − v_{j+k})² is an EXACT
+    * integer, so nearest-neighbor distances, the discord argmax and
+    * both tie-breaks (min d² over j; max nn-d² over i, smallest i)
+    * involve no floating point at all — bit-for-bit reproducible on
+    * any engine. Subsequences with no admissible neighbor (possible
+    * near n = 2m) are excluded on both engines; keys need n ≥ 2m.
+    *
+    * Scale shape: q14/q54's ONE groupByKey exchange; the O(n²·m)
+    * pairwise scan is the matrix profile's inherent cost, paid
+    * PER KEY in one task with zero shuffle amplification — tickers
+    * process independently, and per-key history is bounded (the
+    * windowed-feed shape st02 shards on). For one monster series,
+    * the STOMP O(n²) recurrence is the documented in-task upgrade.
+    */
+  def q63Discord(s: SparkSession, dir: String, m: Int = 4): DataFrame = {
+    import s.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .as[(Long, String, Long, java.sql.Timestamp, Long)]
+    rows
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, String),
+          it: Iterator[(Long, String, Long, java.sql.Timestamp, Long)]) =>
+        val evs = it.toVector.sortBy(r => (usOf(r._4), r._3))
+        val n = evs.size
+        if (n < 2 * m) Iterator.empty
+        else {
+          val v = evs.map(_._5).toArray
+          val ns = n - m + 1
+          var bestI = -1
+          var bestD = -1L
+          var i = 0
+          while (i < ns) {
+            var nn = Long.MaxValue
+            var j = 0
+            while (j < ns) {
+              if (math.abs(i - j) >= m) {
+                var d = 0L
+                var k = 0
+                while (k < m) {
+                  val t = v(i + k) - v(j + k); d += t * t; k += 1
+                }
+                if (d < nn) nn = d
+              }
+              j += 1
+            }
+            if (nn != Long.MaxValue && nn > bestD) { bestD = nn; bestI = i }
+            i += 1
+          }
+          Iterator.single((key._1, key._2, ns, bestI + 1,
+            evs(bestI)._3, bestD))
+        }
+      }
+      .toDF("user_id", "event_type", "n_subseq", "discord_seq",
+        "discord_event_id", "discord_d2")
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -1000,6 +1071,53 @@ object SignalOracle {
       |    AS holt_flag
       |FROM z
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** q63: the same exact-integer discord search as plain SQL — the
+    * pairwise D² via a (i, j) position self-join expanded ×m on the
+    * aligned elements, integer min/argmax with the same tie-breaks.
+    */
+  val q63: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS seq,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+      |  FROM events
+      |), el AS (
+      |  SELECT * FROM b WHERE n >= 8
+      |), pr AS (
+      |  SELECT i.user_id, i.event_type, i.seq AS i, j.seq AS j
+      |  FROM el i JOIN el j
+      |    ON j.user_id = i.user_id AND j.event_type = i.event_type
+      |  WHERE abs(i.seq - j.seq) >= 4
+      |    AND i.seq <= i.n - 3 AND j.seq <= j.n - 3
+      |), d AS (
+      |  SELECT p.user_id, p.event_type, p.i, p.j,
+      |    CAST(sum((a.v4l - c.v4l) * (a.v4l - c.v4l)) AS BIGINT) AS d2
+      |  FROM pr p
+      |  JOIN el a ON a.user_id = p.user_id AND a.event_type = p.event_type
+      |    AND a.seq BETWEEN p.i AND p.i + 3
+      |  JOIN el c ON c.user_id = p.user_id AND c.event_type = p.event_type
+      |    AND c.seq = p.j + (a.seq - p.i)
+      |  GROUP BY 1, 2, 3, 4
+      |), nn AS (
+      |  SELECT user_id, event_type, i, min(d2) AS nnd2
+      |  FROM d GROUP BY 1, 2, 3
+      |), disc AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY nnd2 DESC, i) AS r
+      |  FROM nn
+      |)
+      |SELECT dd.user_id, dd.event_type,
+      |  CAST(b2.n - 3 AS INT) AS n_subseq,
+      |  CAST(dd.i AS INT) AS discord_seq,
+      |  b2.event_id AS discord_event_id,
+      |  dd.nnd2 AS discord_d2
+      |FROM disc dd JOIN el b2 ON b2.user_id = dd.user_id
+      |  AND b2.event_type = dd.event_type AND b2.seq = dd.i
+      |WHERE dd.r = 1
+      |ORDER BY dd.user_id, dd.event_type""".stripMargin
 
   /** st14: q62's integer-gain Kalman recursion replayed per STALENESS
     * SEGMENT (st09's 8-day gap scaffolding) — each segment restarts

@@ -179,6 +179,43 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("q63 discord: one-off break flags, repeated motif does not") {
+    import spark.implicits._
+    def write(vals: Seq[Double], tag: String): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, tag, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q63spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // ONE spike in a flat series: every subsequence covering it is
+    // 1.6e11 from all flat ones; covering starts (1-based 18..21)
+    // can't neighbor each other (|i-j| < m) — four-way tie, smallest
+    // start wins
+    val spike = (0 until 30).map(i => if (i == 20) 50.0 else 10.0)
+    val one = graft.operators.SignalOps.q63Discord(spark, write(spike, "x"))
+      .collect()
+    assert(one.length == 1)
+    assert(one.head.getAs[Int]("discord_seq") == 18, one.head.toString)
+    assert(one.head.getAs[Long]("discord_d2") == 160000000000L,
+      one.head.toString)
+    // the SAME spike repeated: its two copies are mutual nearest
+    // neighbors at distance 0, so no subsequence is a discord — the
+    // repeated-pattern-is-normal property that separates the matrix
+    // profile from every pointwise detector in the family
+    val motif = (0 until 30).map(i =>
+      if (i == 10 || i == 20) 50.0 else 10.0)
+    val two = graft.operators.SignalOps.q63Discord(spark, write(motif, "x"))
+      .collect()
+    assert(two.head.getAs[Long]("discord_d2") == 0L, two.head.toString)
+    // keys shorter than 2m emit nothing
+    val short = graft.operators.SignalOps
+      .q63Discord(spark, write(Seq.fill(7)(10.0), "x")).collect()
+    assert(short.isEmpty)
+  }
+
   test("q48 binned interval join equals the naive range join") {
     val ev = Tables.events(spark, dir)
     val c = ev.filter(col("event_type") === "click")
