@@ -82,7 +82,8 @@ object BenchScale {
     // round 9: per-key Kalman recursion (batch + stateful stream),
     // dual-modality broadcast retrieval, per-source stat card windows
     "q62_kalman_level", "st14_stream_kalman", "s06_hybrid_rrf",
-    "p04_data_card", "t12_source_kl", "q63_matrix_discord")
+    "p04_data_card", "t12_source_kl", "q63_matrix_discord",
+    "q64_trend_mk")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

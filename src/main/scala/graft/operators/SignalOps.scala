@@ -780,6 +780,73 @@ object SignalOps {
         "discord_event_id", "discord_d2")
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q64: non-parametric trend detection — Mann–Kendall S/τ with the
+    * Theil–Sen slope (Mann 1945; Kendall 1975; Sen 1968), the robust
+    * complement to q54/q62's parametric smoothers: does the series
+    * trend AT ALL, judged only by pairwise orderings (immune to
+    * outliers and any monotone transform), and at what median rate?
+    *
+    *   S  = Σ_{i<j} sign(v_j − v_i)   (time-ordered pairs — exact int)
+    *   τ6 = round(S·1e6 / n_pairs)    (fixed point, half-up)
+    *   sen = median over pairs with Δt ≠ 0 of (Δv4l / Δt_µs)
+    *
+    * Determinism: S and n_pairs are integers; each pairwise slope is
+    * ONE long/long IEEE division — identical on both engines — and
+    * the median picks the value at exact integer rank ⌈N/2⌉ of the
+    * sorted slope multiset (lower median for even N, documented), so
+    * no arithmetic ever combines two doubles. The per-day rescale is
+    * one shared constant multiply at the end.
+    *
+    * Scale shape: q14/q54's ONE groupByKey exchange; the O(n²)
+    * pairwise pass is in-task per ticker (q63's posture — bounded
+    * per-key history, tickers independent).
+    */
+  def q64TrendMk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .as[(Long, String, Long, java.sql.Timestamp, Long)]
+    rows
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, String),
+          it: Iterator[(Long, String, Long, java.sql.Timestamp, Long)]) =>
+        val evs = it.toVector.sortBy(r => (usOf(r._4), r._3))
+        val n = evs.size
+        if (n < 2) Iterator.empty
+        else {
+          var sStat = 0L
+          val slopes = Vector.newBuilder[Double]
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              val dv = evs(j)._5 - evs(i)._5
+              sStat += java.lang.Long.signum(dv)
+              val dt = usOf(evs(j)._4) - usOf(evs(i)._4)
+              if (dt != 0L) slopes += dv.toDouble / dt.toDouble
+              j += 1
+            }
+            i += 1
+          }
+          val np = n.toLong * (n - 1) / 2
+          val tau6 = math.floor(sStat * 1000000.0 / np + 0.5).toLong
+          val sl = slopes.result().sorted
+          // v4l/µs → value-units/day: ÷1e4 for the fixed point,
+          // ×8.64e10 µs/day — one shared constant multiply
+          val sen = if (sl.isEmpty) None
+            else Some(sl((sl.size + 1) / 2 - 1) * 8.64e6)
+          Iterator.single((key._1, key._2, n, np, sStat,
+            tau6 / 1000000.0, sen))
+        }
+      }
+      .toDF("user_id", "event_type", "n", "n_pairs", "mk_s", "mk_tau6",
+        "sen_slope_day")
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -1118,6 +1185,49 @@ object SignalOracle {
       |  AND b2.event_type = dd.event_type AND b2.seq = dd.i
       |WHERE dd.r = 1
       |ORDER BY dd.user_id, dd.event_type""".stripMargin
+
+  /** q64: the same pairwise pass in SQL — integer S over time-ordered
+    * pairs, the slope multiset's exact-rank lower median (each slope
+    * ONE long/long division, never combined), same half-up τ6.
+    */
+  val q64: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS seq,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+      |  FROM events
+      |), pr AS (
+      |  SELECT i.user_id, i.event_type, i.n,
+      |    j.v4l - i.v4l AS dv, j.tus - i.tus AS dt
+      |  FROM b i JOIN b j
+      |    ON j.user_id = i.user_id AND j.event_type = i.event_type
+      |   AND j.seq > i.seq
+      |), s AS (
+      |  SELECT user_id, event_type, max(n) AS n, count(*) AS n_pairs,
+      |    CAST(sum(CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END)
+      |      AS BIGINT) AS mk_s
+      |  FROM pr GROUP BY 1, 2
+      |), sl AS (
+      |  SELECT user_id, event_type, dv / CAST(dt AS DOUBLE) AS sl,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY dv / CAST(dt AS DOUBLE)) AS r,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS m
+      |  FROM pr WHERE dt != 0
+      |), med AS (
+      |  SELECT user_id, event_type, sl * 8640000.0 AS sen_slope_day
+      |  FROM sl WHERE r = (m + 1) // 2
+      |)
+      |SELECT s.user_id, s.event_type, CAST(s.n AS INT) AS n, s.n_pairs,
+      |  s.mk_s,
+      |  CAST(floor(s.mk_s * 1000000.0 / s.n_pairs + 0.5) AS BIGINT)
+      |    / 1000000.0 AS mk_tau6,
+      |  med.sen_slope_day
+      |FROM s LEFT JOIN med USING (user_id, event_type)
+      |WHERE s.n >= 2
+      |ORDER BY s.user_id, s.event_type""".stripMargin
 
   /** st14: q62's integer-gain Kalman recursion replayed per STALENESS
     * SEGMENT (st09's 8-day gap scaffolding) — each segment restarts

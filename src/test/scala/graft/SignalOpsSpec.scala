@@ -216,6 +216,42 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("q64 trend: perfect ramp, sign symmetry, outlier-robust slope") {
+    import spark.implicits._
+    def write(vals: Seq[Double], tag: String): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, tag, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q64spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // ramp 1..10 one minute apart: all 45 pairs concordant → S = 45,
+    // τ = 1; every pairwise slope is 1 value/min → Sen = 1440/day
+    val up = graft.operators.SignalOps
+      .q64TrendMk(spark, write((0 until 10).map(1.0 + _), "up"))
+      .collect().head
+    assert(up.getAs[Long]("mk_s") == 45L, up.toString)
+    assert(up.getAs[Double]("mk_tau6") == 1.0, up.toString)
+    assert(math.abs(up.getAs[Double]("sen_slope_day") - 1440.0) < 1e-6,
+      up.toString)
+    // descending mirror → τ = −1
+    val dn = graft.operators.SignalOps
+      .q64TrendMk(spark, write((0 until 10).map(10.0 - _), "dn"))
+      .collect().head
+    assert(dn.getAs[Double]("mk_tau6") == -1.0, dn.toString)
+    // one gross outlier in the ramp: the pairwise-median slope barely
+    // moves (OLS would be dragged by orders of magnitude) and the
+    // trend verdict stays strongly positive
+    val noisy = (0 until 10).map(i => if (i == 5) 1000.0 else 1.0 + i)
+    val ro = graft.operators.SignalOps
+      .q64TrendMk(spark, write(noisy, "ro")).collect().head
+    assert(math.abs(ro.getAs[Double]("sen_slope_day") - 1440.0) < 300.0,
+      ro.toString)
+    assert(ro.getAs[Double]("mk_tau6") > 0.6, ro.toString)
+  }
+
   test("q48 binned interval join equals the naive range join") {
     val ev = Tables.events(spark, dir)
     val c = ev.filter(col("event_type") === "click")
