@@ -751,6 +751,28 @@ object StreamingAnomaly {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** st14 into a fault-tolerant parquet sink with a durable
+    * checkpoint — st09ToFileSink's kill-and-restart contract for the
+    * KalmanState encoding: a resume must restore every key's exact
+    * (level, variance) pair bit-for-bit, which StreamingSpec asserts
+    * by comparing a killed-and-resumed run against a single run.
+    */
+  def st14ToFileSink(s: SparkSession, stream: DataFrame, path: String,
+      checkpoint: String, staleDays: Double = 8.0): String = {
+    withStatePartitions(s, 8) {
+      val q = st14Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", versionedSink(path))
+        .option("checkpointLocation", versionedCheckpoint(checkpoint))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    versionedSink(path)
+  }
+
   def st14FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st14_out_${counter.incrementAndGet()}"
