@@ -169,7 +169,9 @@ object SparkEntry {
     "st09_stream_holt" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st09StreamHolt(s, d)),
     "st14_stream_kalman" ->
-      ((s, d) => graft.streaming.StreamingAnomaly.st14StreamKalman(s, d))
+      ((s, d) => graft.streaming.StreamingAnomaly.st14StreamKalman(s, d)),
+    "st15_stream_trend" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st15StreamTrend(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -197,6 +199,7 @@ object SparkEntry {
     "st08_stream_cusum"  -> SignalOracle.st08,
     "st09_stream_holt"   -> SignalOracle.st09,
     "st14_stream_kalman" -> SignalOracle.st14,
+    "st15_stream_trend"  -> SignalOracle.st15,
     "st13_stream_drift"  -> SignalOracle.st13,
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q55_cross_sectional" -> SignalOracle.q55,

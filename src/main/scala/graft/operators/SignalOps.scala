@@ -1229,6 +1229,74 @@ object SignalOracle {
       |WHERE s.n >= 2
       |ORDER BY s.user_id, s.event_type""".stripMargin
 
+  /** st15: q64's pairwise statistics replayed over each row's
+    * per-segment sliding window (last 16 rows) — st09/st14's segment
+    * scaffolding, the window pairs via a bounded BETWEEN self-join.
+    */
+  val st15: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, tus - lag(tus) OVER w AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), sq AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type,
+      |    seg_id ORDER BY ts, event_id) AS sseq
+      |  FROM seg
+      |), pairs AS (
+      |  SELECT r.user_id, r.event_type, r.seg_id, r.sseq,
+      |    i.v4l AS vi, j.v4l AS vj, i.tus AS ti, j.tus AS tj
+      |  FROM sq r
+      |  JOIN sq i ON i.user_id = r.user_id AND i.event_type = r.event_type
+      |    AND i.seg_id = r.seg_id AND i.sseq BETWEEN r.sseq - 15 AND r.sseq
+      |  JOIN sq j ON j.user_id = r.user_id AND j.event_type = r.event_type
+      |    AND j.seg_id = r.seg_id AND j.sseq BETWEEN r.sseq - 15 AND r.sseq
+      |    AND j.sseq > i.sseq
+      |), s AS (
+      |  SELECT user_id, event_type, seg_id, sseq, count(*) AS np,
+      |    CAST(sum(CASE WHEN vj > vi THEN 1 WHEN vj < vi THEN -1 ELSE 0 END)
+      |      AS BIGINT) AS mk_s
+      |  FROM pairs GROUP BY 1, 2, 3, 4
+      |), sl AS (
+      |  SELECT user_id, event_type, seg_id, sseq,
+      |    (vj - vi) / CAST(tj - ti AS DOUBLE) AS sl,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id, sseq
+      |      ORDER BY (vj - vi) / CAST(tj - ti AS DOUBLE)) AS r,
+      |    count(*) OVER (PARTITION BY user_id, event_type, seg_id, sseq)
+      |      AS m
+      |  FROM pairs WHERE tj != ti
+      |), med AS (
+      |  SELECT user_id, event_type, seg_id, sseq,
+      |    sl * 8640000.0 AS sen_slope_day
+      |  FROM sl WHERE r = (m + 1) // 2
+      |)
+      |SELECT q.user_id, q.event_type, q.event_id, q.ts AS date_recorded,
+      |  q.v4l / 10000.0 AS value,
+      |  CAST(least(q.sseq, 16) AS INT) AS n_window,
+      |  s.mk_s,
+      |  CASE WHEN s.mk_s IS NULL THEN NULL ELSE
+      |    CAST(floor(s.mk_s * 1000000.0 / s.np + 0.5) AS BIGINT)
+      |      / 1000000.0 END AS mk_tau6,
+      |  med.sen_slope_day
+      |FROM sq q
+      |LEFT JOIN s ON s.user_id = q.user_id AND s.event_type = q.event_type
+      |  AND s.seg_id = q.seg_id AND s.sseq = q.sseq
+      |LEFT JOIN med ON med.user_id = q.user_id
+      |  AND med.event_type = q.event_type AND med.seg_id = q.seg_id
+      |  AND med.sseq = q.sseq
+      |ORDER BY q.user_id, q.event_type, q.ts, q.event_id""".stripMargin
+
   /** st14: q62's integer-gain Kalman recursion replayed per STALENESS
     * SEGMENT (st09's 8-day gap scaffolding) — each segment restarts
     * the diffuse prior P0 = R, exactly as the stream's state does

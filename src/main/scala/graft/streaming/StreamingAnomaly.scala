@@ -773,6 +773,126 @@ object StreamingAnomaly {
     versionedSink(path)
   }
 
+  /** st15 per-ticker streaming trend state: the last `window`
+    * (event-time µs, 1e-4 long) observations as primitive-array ring
+    * contents plus last event time — bounded O(window) per key however
+    * long the stream runs.
+    */
+  case class TrendState(lastUs: Long, tus: Array[Long], v4l: Array[Long])
+
+  case class TrendOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, n_window: Int,
+      mk_s: Option[Long], mk_tau6: Option[Double],
+      sen_slope_day: Option[Double])
+
+  /** st15: q64's Mann–Kendall/Theil–Sen trend verdict answered LIVE
+    * over a sliding window of the last `window` observations — the
+    * streaming twin (as st14 is to q62): is this ticker trending RIGHT
+    * NOW, and at what robust median rate? Each arrival recomputes the
+    * exact pairwise statistics over the bounded buffer (O(window²)
+    * integer/one-division work in-task), so every emitted row carries
+    * q64's determinism: integer S, half-up τ6, the exact-rank lower
+    * median of per-pair IEEE slope divisions, one shared per-day
+    * constant multiply. Staleness gaps and EventTimeTimeout eviction
+    * clear the buffer (the family's segment-restart rule); rows with
+    * fewer than 2 in-window points emit NULL statistics. Same
+    * in-order contract as st02; fully oracle-backed (the CTE replays
+    * the per-segment sliding window).
+    */
+  def st15StreamTrend(s: SparkSession, dir: String,
+      staleDays: Double = 8.0, window: Int = 16): DataFrame =
+    st15FromStream(s, eventStream(s, dir), staleDays, window)
+
+  def st15Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0,
+      window: Int = 16): org.apache.spark.sql.Dataset[TrendOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[TrendState]): Iterator[TrendOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // quiet ticker: window gone, key evicted
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[TrendOut]
+        var st = state.getOption.getOrElse(
+          TrendState(0L, Array.empty[Long], Array.empty[Long]))
+        sorted.foreach { e =>
+          // in-data staleness gap: the window restarts empty
+          if (st.tus.nonEmpty && usOf(e.ts) - st.lastUs > staleUs)
+            st = TrendState(0L, Array.empty[Long], Array.empty[Long])
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          val ts2 = (st.tus :+ usOf(e.ts)).takeRight(window)
+          val vs2 = (st.v4l :+ vl).takeRight(window)
+          st = TrendState(usOf(e.ts), ts2, vs2)
+          val m = ts2.length
+          if (m < 2) {
+            out += TrendOut(key._1, key._2, e.event_id, e.ts,
+              vl / 10000.0, m, None, None, None)
+          } else {
+            // q64's exact pairwise pass over the bounded window
+            var sStat = 0L
+            val slopes = Vector.newBuilder[Double]
+            var i = 0
+            while (i < m) {
+              var j = i + 1
+              while (j < m) {
+                val dv = vs2(j) - vs2(i)
+                sStat += java.lang.Long.signum(dv)
+                val dt = ts2(j) - ts2(i)
+                if (dt != 0L) slopes += dv.toDouble / dt.toDouble
+                j += 1
+              }
+              i += 1
+            }
+            val np = m.toLong * (m - 1) / 2
+            val tau6 = math.floor(sStat * 1000000.0 / np + 0.5).toLong
+            val sl = slopes.result().sorted
+            val sen = if (sl.isEmpty) None
+              else Some(sl((sl.size + 1) / 2 - 1) * 8.64e6)
+            out += TrendOut(key._1, key._2, e.event_id, e.ts,
+              vl / 10000.0, m, Some(sStat), Some(tau6 / 1000000.0), sen)
+          }
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st15FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0, window: Int = 16): DataFrame = {
+    val name = s"st15_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st15Transform(s, stream, staleDays, window)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("n_window"),
+        col("mk_s"), col("mk_tau6"), col("sen_slope_day"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
   def st14FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st14_out_${counter.incrementAndGet()}"

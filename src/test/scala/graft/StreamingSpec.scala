@@ -315,6 +315,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st15 streaming trend: live tau tracks a reversal; multi-batch matches") {
+    import spark.implicits._
+    def write(vals: Seq[Double]): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, "t", i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("st15spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // ramp up 20 then down 20: the windowed tau starts at +1, crosses
+    // to -1 once the 16-window fills with the falling leg — a verdict
+    // q64's whole-series tau (~0) structurally can't give
+    val vals = (0 until 20).map(10.0 + _) ++ (0 until 20).map(29.0 - _)
+    val out = StreamingAnomaly.st15StreamTrend(spark, write(vals))
+      .collect().sortBy(_.getAs[Long]("event_id"))
+    assert(out.length == 40)
+    assert(out.head.isNullAt(out.head.fieldIndex("mk_tau6")))
+    assert(out(19).getAs[Double]("mk_tau6") == 1.0, out(19).toString)
+    assert(out(39).getAs[Double]("mk_tau6") == -1.0, out(39).toString)
+    assert(math.abs(out(19).getAs[Double]("sen_slope_day") - 1440.0) < 1e-6,
+      out(19).toString)
+    out.foreach(r => assert(r.getAs[Int]("n_window") <= 16, r.toString))
+    // batch boundaries don't perturb the window state
+    val multi = StreamingAnomaly.st15FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st15StreamTrend(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
+
   test("st03 streaming dedup emits each (user, type, value) once") {
     val out = StreamingAnomaly.st03StreamDedup(spark, dir)
     val n = out.count()
