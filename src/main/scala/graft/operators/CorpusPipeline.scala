@@ -182,8 +182,11 @@ object CorpusPipeline {
         max(when(atRank(1), col("n_tok"))).as("p10_tok"),
         max(when(atRank(5), col("n_tok"))).as("p50_tok"),
         max(when(atRank(9), col("n_tok"))).as("p90_tok"))
+    // asc_nulls_last: DuckDB's ASC default is NULLS LAST while
+    // Spark's is NULLS FIRST — a NULL lang tying the top count would
+    // otherwise win the tie on one engine and lose it on the other
     val wL = Window.partitionBy(col("source"))
-      .orderBy(col("c").desc, col("lang"))
+      .orderBy(col("c").desc, col("lang").asc_nulls_last)
     val topLang = base.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("c"))
       .withColumn("r", row_number().over(wL))
@@ -193,17 +196,23 @@ object CorpusPipeline {
     val distinctDocs = base.groupBy(col("source"), col("digest"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+    // floor(x·1e4 + 0.5)/1e4, not round(_, 4): Spark's round HALF_UPs
+    // the shortest decimal repr while DuckDB rounds the scaled double,
+    // so they can disagree on values like 0.30004999…; the explicit
+    // floor form is the repo's deterministic fixed-point discipline
+    def r4(c: Column): Column =
+      floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
     vol.join(deciles, Seq("source")).join(topLang, Seq("source"))
       .join(distinctDocs, Seq("source"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
-        round(col("n_tokens").cast("double") / col("n_docs"), 4)
+        r4(col("n_tokens").cast("double") / col("n_docs"))
           .as("avg_tokens4"),
         col("p10_tok"), col("p50_tok"), col("p90_tok"),
         col("top_lang"),
-        round(col("top_c").cast("double") / col("n_docs"), 4)
+        r4(col("top_c").cast("double") / col("n_docs"))
           .as("top_lang_share4"),
-        round((col("n_docs") - col("n_distinct")).cast("double") /
-          col("n_docs"), 4).as("dup_frac4"))
+        r4((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs")).as("dup_frac4"))
       .orderBy(col("source"))
   }
 }

@@ -419,12 +419,14 @@ object LlmOracle {
        |    SELECT source, digest FROM base GROUP BY 1, 2) GROUP BY 1
        |)
        |SELECT v.source, v.n_docs, v.n_tokens, v.n_chars,
-       |  round(CAST(v.n_tokens AS DOUBLE) / v.n_docs, 4) AS avg_tokens4,
+       |  floor(CAST(v.n_tokens AS DOUBLE) / v.n_docs * 10000.0 + 0.5)
+       |    / 10000.0 AS avg_tokens4,
        |  d.p10_tok, d.p50_tok, d.p90_tok,
        |  t.top_lang,
-       |  round(CAST(t.top_c AS DOUBLE) / v.n_docs, 4) AS top_lang_share4,
-       |  round(CAST(v.n_docs - dd.n_distinct AS DOUBLE) / v.n_docs, 4)
-       |    AS dup_frac4
+       |  floor(CAST(t.top_c AS DOUBLE) / v.n_docs * 10000.0 + 0.5)
+       |    / 10000.0 AS top_lang_share4,
+       |  floor(CAST(v.n_docs - dd.n_distinct AS DOUBLE) / v.n_docs
+       |    * 10000.0 + 0.5) / 10000.0 AS dup_frac4
        |FROM vol v JOIN deciles d USING (source) JOIN toplang t USING (source)
        |  JOIN dd USING (source)
        |ORDER BY source""".stripMargin

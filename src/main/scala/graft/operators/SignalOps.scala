@@ -27,6 +27,13 @@ object SignalOps {
   private def wRun = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
   private def wKey = Window.partitionBy(keyCols: _*)
 
+  /** Event-time in µs (ms-floor + ns remainder) — the load-bearing
+    * sort key the per-key recursions (q14/q54/q62/q63/q64) and the
+    * oracles' (ts, event_id) ORDER BY share; keep the ONE definition.
+    */
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
   /** q19: CUSUM change-point detection (Page 1954). The textbook
     * recursion S+_t = max(0, S+_{t-1} + z_t - k) cannot be windowed
     * directly, but has the closed form
@@ -189,8 +196,6 @@ object SignalOps {
     */
   def q54Holt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def usOf(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000
     val rows = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
         floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
@@ -669,8 +674,6 @@ object SignalOps {
     */
   def q62Kalman(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def usOf(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000
     val Qc = 10000000L
     val Rc = 100000000L
     val rows = Tables.events(s, dir)
@@ -736,8 +739,6 @@ object SignalOps {
     */
   def q63Discord(s: SparkSession, dir: String, m: Int = 4): DataFrame = {
     import s.implicits._
-    def usOf(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000
     val rows = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
         floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
@@ -804,8 +805,6 @@ object SignalOps {
     */
   def q64TrendMk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def usOf(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000
     val rows = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
         floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))

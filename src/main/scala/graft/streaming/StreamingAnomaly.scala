@@ -52,13 +52,22 @@ object StreamingAnomaly {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Staging-layout version for the /tmp stream-stage caches: bump
+    * whenever the staged BYTES for the same source dir can change
+    * (v2 = the Tables.load TIMESTAMP_NTZ normalization — a pre-fix
+    * stage written from NTZ frames must not be reused against the
+    * TimestampType eventSchema). Without the version in the path, the
+    * _SUCCESS gate would pin the stale copy forever.
+    */
+  val StageRoot = "/tmp/graft_stream_stage/v2"
+
   /** One-time staging of the µs-timestamp events copy the streaming
     * readers consume. Gated on _SUCCESS: a bare directory check would
     * reuse a partial write left by a killed JVM forever.
     */
   private def stageEvents(s: SparkSession, dir: String): java.io.File = {
     val staged = new java.io.File(
-      s"/tmp/graft_stream_stage/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"$StageRoot/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     if (!new java.io.File(staged, "_SUCCESS").exists()) {
       graft.Tables.events(s, dir).write.mode("overwrite")
         .parquet(staged.getAbsolutePath)
@@ -71,7 +80,7 @@ object StreamingAnomaly {
     */
   private def stageFlush(s: SparkSession, dir: String): java.io.File = {
     val staged = new java.io.File(
-      s"/tmp/graft_stream_stage/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_flush")
+      s"$StageRoot/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_flush")
     if (!new java.io.File(staged, "_SUCCESS").exists()) {
       val ev = graft.Tables.events(s, dir)
       val sentinel = ev.sparkSession.range(1)

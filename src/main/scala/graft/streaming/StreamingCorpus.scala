@@ -31,7 +31,8 @@ object StreamingCorpus {
     */
   private def stageDocs(s: SparkSession, dir: String): java.io.File = {
     val staged = new java.io.File(
-      s"/tmp/graft_stream_stage/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_docs")
+      s"${StreamingAnomaly.StageRoot}/" +
+        s"${dir.replaceAll("[^a-zA-Z0-9]", "_")}_docs")
     if (!new java.io.File(staged, "_SUCCESS").exists()) {
       Tables.documents(s, dir).write.mode("overwrite")
         .parquet(staged.getAbsolutePath)

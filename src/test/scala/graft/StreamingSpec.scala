@@ -42,7 +42,8 @@ class StreamingSpec extends AnyFunSuite {
   private def stageSlices(): java.io.File = {
     import java.nio.file.{Files, StandardCopyOption}
     import java.nio.file.attribute.FileTime
-    val base = new java.io.File("/tmp/graft_stream_stage/st02_slices")
+    val base = new java.io.File(
+      s"${StreamingAnomaly.StageRoot}/st02_slices")
     if (!new java.io.File(base, "_DONE").exists()) {
       base.mkdirs()
       val ev = Tables.events(spark, dir)
