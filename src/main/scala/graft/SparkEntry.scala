@@ -137,6 +137,8 @@ object SparkEntry {
     "m05_scene_change" -> ((s, d) => graft.multimodal.Video.qScenes(s, d)),
     "m06_phash_dedup"  -> ((s, d) => graft.multimodal.Multimodal.phashDedup(s, d)),
     "m07_audio_segment" -> ((s, d) => graft.multimodal.Audio.qSegment(s, d)),
+    "m09_audio_near_dup" -> ((s, d) =>
+      graft.multimodal.Audio.audioNearDup(s, d)),
     "m08_video_near_dup" -> ((s, d) =>
       graft.multimodal.Video.videoNearDup(s, d)),
     "st01_stream_window_agg" -> graft.streaming.StreamingAnomaly.st01WindowAgg _,
@@ -575,6 +577,7 @@ object SparkEntry {
     "m06_phash_dedup"  -> LlmOracle.m06,
     "m08_video_near_dup" -> LlmOracle.m08,
     "m07_audio_segment" -> LlmOracle.m07,
+    "m09_audio_near_dup" -> LlmOracle.m09,
     "m04_image_resize" -> LlmOracle.m04,
     "q47_orc_roundtrip" ->
       """SELECT c_nationkey, count(*) AS n_negative,

@@ -25,10 +25,12 @@ object Audio {
     ((id * 31 + i.toLong * 17) % 65536 - 32768).toInt
 
   /** Minimal canonical WAV writer: RIFF header + fmt + data chunks. */
-  def wavBytes(id: Long): Array[Byte] = {
-    val rate = rateOf(id)
-    val n = nSamplesOf(id)
-    val dataLen = n * 2
+  /** WAV writer over explicit (rate, samples) — wavBytes(id) is the
+    * canonical clip; m09's near-dup table also writes RE-ENCODED
+    * copies (different declared rate, trimmed tail) of the same PCM.
+    */
+  def wavBytesRaw(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
     val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
     buf.put("WAVE".getBytes("US-ASCII"))
@@ -40,10 +42,13 @@ object Audio {
     buf.putShort(2) // block align
     buf.putShort(16) // bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    var i = 0
-    while (i < n) { buf.putShort(sampleOf(id, i).toShort); i += 1 }
+    samples.foreach(buf.putShort)
     buf.array()
   }
+
+  def wavBytes(id: Long): Array[Byte] =
+    wavBytesRaw(rateOf(id),
+      Array.tabulate(nSamplesOf(id))(i => sampleOf(id, i).toShort))
 
   /** Real RIFF chunk walk: locate fmt + data, return
     * (rate, bits, channels, samples).
@@ -153,8 +158,10 @@ object Audio {
     MediaStage.staged(s, dir, "wav")(audioTable(s, dir))
 
   /** Bench warm-up hook: materialize the staged payloads. */
-  def ensureStaged(s: SparkSession, dir: String): Unit =
+  def ensureStaged(s: SparkSession, dir: String): Unit = {
     stagedAudioTable(s, dir)
+    stagedNearDupTable(s, dir)
+  }
 
   /** m02 query: decode roundtrip over real stored WAV payloads. */
   def q(s: SparkSession, dir: String): DataFrame =
@@ -226,4 +233,114 @@ object Audio {
       .select(col("media_id"), col("n_frames"), col("n_silent"),
         col("n_clipped"), col("lead_silent"), col("tail_silent"))
       .orderBy(col("media_id"))
+
+  /** m09 fingerprint frame length (m07's 25-sample frame) and the
+    * rolling-hash modulus (t04's cross-engine polynomial fold).
+    */
+  val FpFrame = 25
+  private val FpMod = 1000000007L
+
+  /** m09 near-dup audio table: the m02 clips plus, for every 10th
+    * clip, a RE-UPLOADED copy (media_id + 10000) — the SAME PCM
+    * written into a different container: doubled declared sample rate
+    * and the tail trimmed to 3/5 of the samples. Payload bytes differ
+    * throughout; only the lossless sample content links the pair.
+    */
+  def nearDupAudioTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val base = (id, wavBytes(id))
+        if (id % 10 == 0) {
+          val keep = nSamplesOf(id) * 3 / 5
+          val smp = Array.tabulate(keep)(i => sampleOf(id, i).toShort)
+          Seq(base, (id + 10000L, wavBytesRaw(rateOf(id) * 2, smp)))
+        } else Seq(base)
+      })
+      .toDF("media_id", "payload")
+  }
+
+  def stagedNearDupTable(s: SparkSession, dir: String): DataFrame =
+    MediaStage.staged(s, dir, "wavnd")(nearDupAudioTable(s, dir))
+
+  /** Per-clip frame fingerprints from the REAL parsed PCM: each
+    * non-overlapping 25-sample frame folds to a (acc·31 + s+32768)
+    * mod 1e9+7 polynomial hash (t04's fold, so the oracle replays it
+    * with list_reduce over the closed-form sample generator); the
+    * trailing partial frame is dropped. Corrupt payloads follow the
+    * family policy: one `_corrupt` row, never a failed stage.
+    */
+  def frameFingerprints(audio: DataFrame): DataFrame = {
+    import audio.sparkSession.implicits._
+    audio
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        try {
+          val (_, _, _, smp) = parseWav(bytes)
+          val nf = smp.length / FpFrame
+          (0 until nf).map { f =>
+            var h = 0L
+            var k = 0
+            while (k < FpFrame) {
+              h = (h * 31 + (smp(f * FpFrame + k) + 32768)) % FpMod
+              k += 1
+            }
+            (id, Some(h), 0)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq((id, Option.empty[Long], 1))
+        }
+      })
+      .toDF("media_id", "h", "_corrupt")
+  }
+
+  /** m09: AUDIO near-dup via lossless-PCM frame-fingerprint overlap —
+    * completes the near-dup modality matrix (text d02–d04, image m06,
+    * video m08): a re-uploaded clip shares its frames' content hashes
+    * even though the container bytes (rate header, trimmed tail)
+    * differ. Overlap(A,B) = |hashset∩| / min(|A|,|B|) over distinct
+    * frame fingerprints — m08's min-denominator rule, so a trimmed
+    * copy (a strict prefix of frames) still scores 1.0. Pairs at
+    * overlap ≥ τ.
+    *
+    * Scale shape: m08's exactly — candidates from an equi-join on the
+    * fingerprint (never all-pairs over clips) with d04's stoplist
+    * guard (a hash shared by > maxDf clips — ringtones, silence — is
+    * dropped before the join); decode is one per-partition PCM parse.
+    */
+  def audioNearDup(s: SparkSession, dir: String, tau: Double = 0.5,
+      maxDf: Int = 100): DataFrame =
+    audioNearDup(stagedNearDupTable(s, dir), tau, maxDf)
+
+  /** m09 core over any (media_id, payload) audio table. */
+  def audioNearDup(audio: DataFrame, tau: Double, maxDf: Int): DataFrame = {
+    val fh = frameFingerprints(audio)
+      .filter(col("_corrupt") === 0)
+      .select(col("media_id"), col("h")).distinct()
+    val hot = fh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("h"))
+    val cold = fh.join(hot, Seq("h"), "left_anti")
+    val sizes = cold.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val a = cold.join(sizes, Seq("media_id"))
+      .select(col("media_id").as("id_a"), col("n").as("n_a"), col("h"))
+    val b = cold.join(sizes, Seq("media_id"))
+      .select(col("media_id").as("id_b"), col("n").as("n_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .withColumn("overlap",
+        col("n_shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("overlap") >= tau)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("overlap"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

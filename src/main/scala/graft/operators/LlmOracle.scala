@@ -1288,6 +1288,53 @@ object LlmOracle {
     * m06's bit packing, video pixel formula), distinct hash sets per
     * video, >100-video hashes dropped, all-pairs overlap verify.
     */
+  /** m09: the near-dup audio table in closed form — clips are the
+    * m02 synthetics plus re-uploaded copies (media_id + 10000, 3/5
+    * trim) for every 10th clip; frame fingerprints replay the
+    * (acc·31 + s) mod 1e9+7 fold over the sample generator
+    * (s + 32768 cancels the generator's −32768 centering), then
+    * m08's stoplist/equi-join/min-denominator overlap.
+    */
+  val m09: String =
+    """WITH ids AS (
+      |  SELECT doc_id FROM documents
+      |), clips AS (
+      |  SELECT doc_id AS media_id, doc_id AS src,
+      |    CAST(200 + (doc_id * 11) % 300 AS BIGINT) AS n
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT doc_id + 10000, doc_id,
+      |    CAST(((200 + (doc_id * 11) % 300) * 3) // 5 AS BIGINT)
+      |  FROM ids WHERE doc_id % 10 = 0
+      |), fr AS (
+      |  SELECT media_id, src, unnest(range(n // 25)) AS f FROM clips
+      |), fh AS (
+      |  SELECT DISTINCT media_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(0, 24),
+      |        k -> (src * 31 + (f * 25 + k) * 17) % 65536)),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM fr
+      |), hot AS (
+      |  SELECT h FROM fh GROUP BY h HAVING count(*) > 100
+      |), cold AS (
+      |  SELECT fh.media_id, fh.h FROM fh
+      |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.h = fh.h)
+      |), sz AS (
+      |  SELECT media_id, count(*) AS n FROM cold GROUP BY 1
+      |), p AS (
+      |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |    count(*) AS n_shared
+      |  FROM cold a JOIN cold b ON b.h = a.h AND a.media_id < b.media_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.id_a, p.id_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(p.n_shared AS DOUBLE) / least(sa.n, sb.n) AS overlap
+      |FROM p JOIN sz sa ON sa.media_id = p.id_a
+      |       JOIN sz sb ON sb.media_id = p.id_b
+      |WHERE CAST(p.n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+      |ORDER BY p.id_a, p.id_b""".stripMargin
+
   val m08: String =
     """WITH d AS (
       |  SELECT doc_id AS media_id,

@@ -820,6 +820,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!m07.contains("hashpartitioning"), m07)
   }
 
+  test("m09 audio near-dup: planted re-uploads at overlap 1.0; corrupt tolerated") {
+    import graft.multimodal.Audio
+    val out = Audio.audioNearDup(spark, dir).collect()
+    // exactly the planted (id, id+10000) re-encodings — a doubled
+    // rate header and a 3/5 trim change every payload byte, yet the
+    // min-denominator overlap over lossless frame fingerprints is 1.0
+    val expected = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(out.length == expected, s"${out.length} vs $expected")
+    out.foreach { r =>
+      val a = r.getAs[Long]("id_a")
+      assert(r.getAs[Long]("id_b") == a + 10000L && a % 10 == 0, r.toString)
+      assert(r.getAs[Double]("overlap") == 1.0, r.toString)
+      assert(r.getAs[Long]("n_b") < r.getAs[Long]("n_a"), r.toString)
+    }
+    // corrupt-payload policy: a garbage payload is skipped, the true
+    // pair in the same table is still found
+    import spark.implicits._
+    val tbl = Seq((1L, Audio.wavBytes(1L)),
+      (2L, Array[Byte](1, 2, 3)),
+      (10001L, Audio.wavBytes(1L)))
+      .toDF("media_id", "payload")
+    val dup = Audio.audioNearDup(tbl, 0.5, 100).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("id_a") == 1L &&
+      dup.head.getAs[Long]("id_b") == 10001L, dup.mkString("; "))
+  }
+
   test("t12 source KL: identical mix scores exactly 0; off-mix source dominates") {
     import graft.text.TextFns
     import spark.implicits._
