@@ -83,7 +83,8 @@ object BenchScale {
     // dual-modality broadcast retrieval, per-source stat card windows
     "q62_kalman_level", "st14_stream_kalman", "s06_hybrid_rrf",
     "p04_data_card", "t12_source_kl", "q63_matrix_discord",
-    "q64_trend_mk", "st15_stream_trend", "m09_audio_near_dup")
+    "q64_trend_mk", "st15_stream_trend", "m09_audio_near_dup",
+    "p05_monitor_report")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

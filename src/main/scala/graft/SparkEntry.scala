@@ -92,6 +92,7 @@ object SparkEntry {
     "p02_curation_pipeline" -> ((s, d) => CorpusPipeline.curate(s, d)),
     "p03_ingest_pipeline" -> ((s, d) => CorpusPipeline.ingest(s, d)),
     "p04_data_card"      -> ((s, d) => CorpusPipeline.p04DataCard(s, d)),
+    "p05_monitor_report" -> ((s, d) => SignalOps.p05MonitorReport(s, d)),
     "q39_json_roundtrip" -> graft.sources.Sources.jsonRoundtrip _,
     "d01_dedup_exact"    -> graft.dedup.Dedup.exactDedup _,
     "d02_dedup_minhash_lsh" -> ((s, d) => graft.dedup.MinHashLSH.q(s, d)),
@@ -570,6 +571,7 @@ object SparkEntry {
     "p02_curation_pipeline" -> LlmOracle.p02,
     "p03_ingest_pipeline" -> LlmOracle.p03,
     "p04_data_card"      -> LlmOracle.p04,
+    "p05_monitor_report" -> SignalOracle.p05,
     "m01_multimodal_meta" -> LlmOracle.m01,
     "m02_audio_features" -> LlmOracle.m02,
     "m03_video_frames" -> LlmOracle.m03,

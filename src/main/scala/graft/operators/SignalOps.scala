@@ -846,6 +846,60 @@ object SignalOps {
         "sen_slope_day")
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** p05: the MONITORING REPORT — the anomaly-side composition p02/p03
+    * are to the corpus side: one row per ticker joining every verdict
+    * a morning review needs, the reference's master_anomaly_detector
+    * output (func.R:158-166) extended with the engine's detectors:
+    * q13's last-observation summary (value, 7-day avg, score, flag,
+    * repetitions, measured-vs-declared frequency), q60's MEASURED
+    * dominant period, q64's trend verdict (τ + Sen slope), q63's
+    * top discord, and the ticker's event-type-level q61 drift PSI.
+    *
+    * Semantics: each component keeps its own published exactness
+    * contract; the report is pure LEFT joins on the ticker key (q60/
+    * q63/q64 exclude thin tickers → NULLs; q61 keys on event_type),
+    * so p05 ≡ its standalone components row-for-row by construction
+    * and the oracle composes the component oracles verbatim as
+    * subqueries.
+    *
+    * Scale shape: every component already reduced the corpus to one
+    * row per ticker (or per type); the report joins those TICKER-
+    * CARDINALITY tables on their shared key — co-keyed hash joins
+    * over the small side of each operator, nothing corpus-sized moves
+    * again.
+    */
+  def p05MonitorReport(s: SparkSession, dir: String): DataFrame = {
+    val sum = Decompose.q13AnomalySummary(s, dir)
+      .select(col("user_id"), col("event_type"), col("date"), col("value"),
+        col("seven_day_avg"), col("score"), col("is_anomaly"),
+        col("repetitions"), col("frequency_days"),
+        col("alleged_frequency_days"))
+    val per = q60DominantPeriod(s, dir)
+      .select(col("user_id"), col("event_type"), col("dominant_period"),
+        col("autocorr6"))
+    val tr = q64TrendMk(s, dir)
+      .select(col("user_id"), col("event_type"), col("mk_tau6"),
+        col("sen_slope_day"))
+    val di = q63Discord(s, dir)
+      .select(col("user_id"), col("event_type"), col("discord_event_id"),
+        col("discord_d2"))
+    val dr = q61DriftPsi(s, dir)
+      .select(col("event_type"), col("psi9"), col("drift"))
+    sum
+      .join(per, Seq("user_id", "event_type"), "left")
+      .join(tr, Seq("user_id", "event_type"), "left")
+      .join(di, Seq("user_id", "event_type"), "left")
+      .join(dr, Seq("event_type"), "left")
+      .select(col("user_id"), col("event_type"), col("date"), col("value"),
+        col("seven_day_avg"), col("score"), col("is_anomaly"),
+        col("repetitions"), col("frequency_days"),
+        col("alleged_frequency_days"), col("dominant_period"),
+        col("autocorr6"), col("mk_tau6"), col("sen_slope_day"),
+        col("discord_event_id"), col("discord_d2"), col("psi9"),
+        col("drift"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -1137,6 +1191,30 @@ object SignalOracle {
       |    AS holt_flag
       |FROM z
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** p05: the component oracles composed VERBATIM as subqueries and
+    * left-joined on the ticker key — the oracle-level mirror of the
+    * report's by-construction equivalence to its standalone parts.
+    */
+  def p05: String =
+    s"""WITH s13 AS (SELECT * FROM (${DecomposeOracle.q13})),
+       |per AS (SELECT * FROM ($q60)),
+       |tr AS (SELECT * FROM ($q64)),
+       |di AS (SELECT * FROM ($q63)),
+       |dr AS (SELECT * FROM ($q61))
+       |SELECT s13.user_id, s13.event_type, s13.date, s13.value,
+       |  s13.seven_day_avg, s13.score, s13.is_anomaly, s13.repetitions,
+       |  s13.frequency_days, s13.alleged_frequency_days,
+       |  per.dominant_period, per.autocorr6,
+       |  tr.mk_tau6, tr.sen_slope_day,
+       |  di.discord_event_id, di.discord_d2,
+       |  dr.psi9, dr.drift
+       |FROM s13
+       |LEFT JOIN per USING (user_id, event_type)
+       |LEFT JOIN tr USING (user_id, event_type)
+       |LEFT JOIN di USING (user_id, event_type)
+       |LEFT JOIN dr USING (event_type)
+       |ORDER BY s13.user_id, s13.event_type""".stripMargin
 
   /** q63: the same exact-integer discord search as plain SQL — the
     * pairwise D² via a (i, j) position self-join expanded ×m on the

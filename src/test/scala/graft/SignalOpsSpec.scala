@@ -252,6 +252,36 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(ro.getAs[Double]("mk_tau6") > 0.6, ro.toString)
   }
 
+  test("p05 report: component columns equal the standalone operators") {
+    val rep = SignalOps.p05MonitorReport(spark, dir).collect()
+    val q13n = graft.operators.Decompose.q13AnomalySummary(spark, dir).count()
+    assert(rep.length == q13n && rep.nonEmpty)
+    val tr = SignalOps.q64TrendMk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        r.getAs[Double]("mk_tau6")).toMap
+    val di = SignalOps.q63Discord(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("discord_d2")).toMap
+    val dr = SignalOps.q61DriftPsi(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("psi9")).toMap
+    rep.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
+      tr.get(k) match {
+        case Some(t) => assert(r.getAs[Double]("mk_tau6") == t, r.toString)
+        case None => assert(r.isNullAt(r.fieldIndex("mk_tau6")), r.toString)
+      }
+      di.get(k) match {
+        case Some(d) => assert(r.getAs[Long]("discord_d2") == d, r.toString)
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("discord_d2")), r.toString)
+      }
+      dr.get(k._2) match {
+        case Some(p) => assert(r.getAs[Long]("psi9") == p, r.toString)
+        case None => assert(r.isNullAt(r.fieldIndex("psi9")), r.toString)
+      }
+    }
+  }
+
   test("q48 binned interval join equals the naive range join") {
     val ev = Tables.events(spark, dir)
     val c = ev.filter(col("event_type") === "click")
