@@ -847,6 +847,77 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q65: Pettitt's non-parametric CHANGEPOINT test (Pettitt 1979) —
+    * the rank-based answer to "did this feed's level shift, and when":
+    * q19's CUSUM accumulates standardized residuals (so one gross
+    * outlier inflates the sums it standardizes against), while Pettitt
+    * judges only pairwise ORDERINGS — a Mann-Whitney statistic swept
+    * over every split point:
+    *
+    *   U_t = Σ_{i≤t} Σ_{j>t} sign(v_i − v_j)   (exact integer)
+    *   K   = max_t |U_t|, changepoint at the smallest argmax t
+    *   significant at α=0.05 iff 2·exp(−6K²/(n³+n²)) < 0.05
+    *
+    * The significance rule is evaluated in INVERTED form,
+    * 6K² > −ln(0.025)·(n³+n²), so both engines compute one shared
+    * compile-time constant times an exact integer — no libm call at
+    * query time, and the verdict is bit-identical by construction.
+    * The signed U at the changepoint is published too (positive ⇒ the
+    * early era ranks higher ⇒ a DOWNWARD shift).
+    *
+    * Determinism: U_t is rebuilt by the exact recursion
+    * U_t = U_{t−1} + Σ_j sign(v_t − v_j) over 1e-4 fixed-point longs —
+    * every quantity an integer until the single constant multiply.
+    *
+    * Scale shape: q14/q54's ONE groupByKey exchange; the O(n²)
+    * pairwise pass is in-task per ticker (q63/q64's posture — bounded
+    * per-key history, tickers independent; a monster series upgrades
+    * to the O(n log n) rank formulation in-task, never a shuffle).
+    */
+  def q65Pettitt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .as[(Long, String, Long, java.sql.Timestamp, Long)]
+    rows
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, String),
+          it: Iterator[(Long, String, Long, java.sql.Timestamp, Long)]) =>
+        val evs = it.toVector.sortBy(r => (usOf(r._4), r._3))
+        val n = evs.size
+        if (n < 2) Iterator.empty
+        else {
+          val v = evs.map(_._5).toArray
+          var u = 0L
+          var bestK = -1L
+          var bestU = 0L
+          var bestT = -1
+          var t = 0
+          while (t < n - 1) {
+            var row = 0L
+            var j = 0
+            while (j < n) {
+              row += java.lang.Long.signum(v(t) - v(j)); j += 1
+            }
+            u += row
+            val a = math.abs(u)
+            if (a > bestK) { bestK = a; bestU = u; bestT = t }
+            t += 1
+          }
+          val nL = n.toLong
+          val sig =
+            if (6.0 * bestK * bestK >
+              3.6888794541139363 * (nL * nL * nL + nL * nL)) 1 else 0
+          Iterator.single((key._1, key._2, n, bestT + 1, evs(bestT)._3,
+            bestK, bestU, sig))
+        }
+      }
+      .toDF("user_id", "event_type", "n", "cp_seq", "cp_event_id",
+        "k_stat", "cp_u", "sig_flag")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** p05: the MONITORING REPORT — the anomaly-side composition p02/p03
     * are to the corpus side: one row per ticker joining every verdict
     * a morning review needs, the reference's master_anomaly_detector
@@ -1305,6 +1376,50 @@ object SignalOracle {
       |FROM s LEFT JOIN med USING (user_id, event_type)
       |WHERE s.n >= 2
       |ORDER BY s.user_id, s.event_type""".stripMargin
+
+  /** q65: Pettitt replayed as plain SQL — the per-row sign sum
+    * V_t = Σ_j sign(v_t − v_j) from one self-join, U_t its running
+    * sum, integer argmax with the smallest-t tie-break, and the same
+    * inverted constant-multiply significance rule (no exp at query
+    * time on either engine).
+    */
+  val q65: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS seq,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+      |  FROM events
+      |), el AS (
+      |  SELECT * FROM b WHERE n >= 2
+      |), vt AS (
+      |  SELECT i.user_id, i.event_type, i.seq, max(i.n) AS n,
+      |    max(i.event_id) AS event_id,
+      |    CAST(sum(CASE WHEN i.v4l > j.v4l THEN 1
+      |                  WHEN i.v4l < j.v4l THEN -1 ELSE 0 END)
+      |      AS BIGINT) AS v
+      |  FROM el i JOIN el j
+      |    ON j.user_id = i.user_id AND j.event_type = i.event_type
+      |  GROUP BY 1, 2, 3
+      |), u AS (
+      |  SELECT user_id, event_type, seq, n, event_id,
+      |    sum(v) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY seq) AS ut
+      |  FROM vt
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY abs(ut) DESC, seq) AS rk
+      |  FROM u WHERE seq < n
+      |)
+      |SELECT user_id, event_type, CAST(n AS INT) AS n,
+      |  CAST(seq AS INT) AS cp_seq, event_id AS cp_event_id,
+      |  CAST(abs(ut) AS BIGINT) AS k_stat, CAST(ut AS BIGINT) AS cp_u,
+      |  CAST(CASE WHEN 6.0 * abs(ut) * abs(ut) >
+      |    3.6888794541139363 * (n * n * n + n * n)
+      |    THEN 1 ELSE 0 END AS INT) AS sig_flag
+      |FROM r WHERE rk = 1
+      |ORDER BY user_id, event_type""".stripMargin
 
   /** st15: q64's pairwise statistics replayed over each row's
     * per-segment sliding window (last 16 rows) — st09/st14's segment

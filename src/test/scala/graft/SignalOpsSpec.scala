@@ -252,6 +252,40 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(ro.getAs[Double]("mk_tau6") > 0.6, ro.toString)
   }
 
+  test("q65 Pettitt: level shift flags at the split, outlier does not") {
+    import spark.implicits._
+    def write(vals: Seq[Double], tag: String): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, tag, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q65spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // sustained +2.0 level shift at t=15 of 30: U_15 = 15·15·sign(10−12)
+    // = −225, the unique |U| max; 6·225² = 303750 > 3.6889·(27000+900)
+    val shift = (0 until 30).map(i => if (i < 15) 10.0 else 12.0)
+    val a = SignalOps.q65Pettitt(spark, write(shift, "x")).collect().head
+    assert(a.getAs[Int]("cp_seq") == 15, a.toString)
+    assert(a.getAs[Long]("k_stat") == 225L, a.toString)
+    assert(a.getAs[Long]("cp_u") == -225L, a.toString)
+    assert(a.getAs[Int]("sig_flag") == 1, a.toString)
+    // ONE gross outlier in a flat series: max |U| is only
+    // max(pos−1, n−pos) = 15 — nowhere near significance; the
+    // pairwise-rank statistic can't be dragged by a single point
+    // the way q19's standardized sums can
+    val spike = (0 until 30).map(i => if (i == 15) 500.0 else 10.0)
+    val b = SignalOps.q65Pettitt(spark, write(spike, "x")).collect().head
+    assert(b.getAs[Long]("k_stat") == 15L, b.toString)
+    assert(b.getAs[Int]("sig_flag") == 0, b.toString)
+    // all-equal series: every U_t = 0, no significance, cp at t=1
+    val flat = SignalOps.q65Pettitt(spark, write(Seq.fill(10)(7.0), "x"))
+      .collect().head
+    assert(flat.getAs[Long]("k_stat") == 0L && flat.getAs[Int]("sig_flag") == 0,
+      flat.toString)
+  }
+
   test("p05 report: component columns equal the standalone operators") {
     val rep = SignalOps.p05MonitorReport(spark, dir).collect()
     val q13n = graft.operators.Decompose.q13AnomalySummary(spark, dir).count()
