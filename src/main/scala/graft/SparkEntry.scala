@@ -46,6 +46,7 @@ object SparkEntry {
     "q63_matrix_discord" -> ((s, d) => SignalOps.q63Discord(s, d)),
     "q64_trend_mk"       -> ((s, d) => SignalOps.q64TrendMk(s, d)),
     "q65_pettitt_cp"     -> ((s, d) => SignalOps.q65Pettitt(s, d)),
+    "q66_benford"        -> ((s, d) => SignalOps.q66Benford(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "t08_bigram_perplexity" ->
       ((s, d) => graft.text.TextFns.bigramPerplexity(s, d)),
@@ -215,6 +216,7 @@ object SparkEntry {
     "q63_matrix_discord" -> SignalOracle.q63,
     "q64_trend_mk"       -> SignalOracle.q64,
     "q65_pettitt_cp"     -> SignalOracle.q65,
+    "q66_benford"        -> SignalOracle.q66,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "t08_bigram_perplexity" -> LlmOracle.t08,
     "q49_ewma_smooth"    -> SignalOracle.q49,

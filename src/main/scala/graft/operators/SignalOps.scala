@@ -918,6 +918,72 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q66: BENFORD first-significant-digit conformance per event_type
+    * (Newcomb 1881; Benford 1938; Nigrini's forensic-accounting use) —
+    * the data-provenance screen none of the per-point detectors run:
+    * naturally-occurring multi-scale quantities follow
+    * P(d) = log10(1 + 1/d), while fabricated, clipped, defaulted or
+    * unit-mangled feeds do not. The operator reports each type's
+    * first-digit chi-square against the Benford expectation, a flag at
+    * the χ²(8 df, α=0.01) = 20.09 critical value, and the worst digit.
+    *
+    * Determinism: digit counts and totals are exact integers; the nine
+    * expectations are shared shortest-repr DOUBLE LITERALS embedded in
+    * both engines (no libm log at query time — q65's posture); each
+    * chi-square term ((obs − n·p)²/(n·p)) is one identical IEEE chain
+    * floored to a 1e-9 long BEFORE the order-free integer sum (d09/
+    * t12's posture), so `chi9` is exact. Worst digit = max |obs − n·p|
+    * (1e-9-floored), smallest digit on ties.
+    *
+    * Scale shape: first digit is a row-local string head over the scan
+    * (digits of v4l = digits of value for positives); ONE corpus
+    * exchange — the (event_type, digit) groupBy with map-side combine;
+    * totals re-aggregate the ≤ 9-rows-per-type count table, which is
+    * localCheckpointed for its two consumers; the expectation table is
+    * a 9-row broadcast and the rank window sees types×9 rows.
+    */
+  def q66Benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probs = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514).toDF("digit", "p")
+    val pos = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .filter(col("v4l") > 0)
+      .withColumn("digit",
+        substring(col("v4l").cast("string"), 1, 1).cast("int"))
+    val cnt = pos.groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint() // ≤ 9 rows/type; feeds totals and the grid
+    val tot = cnt.groupBy(col("event_type")).agg(sum(col("obs")).as("n"))
+    val grid = tot.crossJoin(broadcast(probs))
+      .join(cnt, Seq("event_type", "digit"), "left")
+      .na.fill(0L, Seq("obs"))
+      .withColumn("np", col("n") * col("p"))
+    val term = grid
+      .withColumn("term9",
+        floor((col("obs") - col("np")) * (col("obs") - col("np")) /
+          col("np") * lit(1e9) + lit(0.5)))
+      .withColumn("dev9",
+        abs(floor((col("obs") - col("np")) * lit(1e9) + lit(0.5))))
+    val ranked = term.withColumn("rk", row_number().over(
+      Window.partitionBy(col("event_type"))
+        .orderBy(col("dev9").desc, col("digit"))))
+    ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), sum(col("term9")).as("chi9"),
+        max(when(col("rk") === 1, col("digit"))).as("worst_digit"),
+        max(when(col("rk") === 1, col("dev9"))).as("worst_dev9"))
+      .select(col("event_type"), col("n"), col("chi9"),
+        when(col("chi9") > lit(20090000000L), lit(1)).otherwise(lit(0))
+          .as("benford_flag"),
+        col("worst_digit"), col("worst_dev9"))
+      .orderBy(col("event_type"))
+  }
+
   /** p05: the MONITORING REPORT — the anomaly-side composition p02/p03
     * are to the corpus side: one row per ticker joining every verdict
     * a morning review needs, the reference's master_anomaly_detector
@@ -1420,6 +1486,55 @@ object SignalOracle {
       |    THEN 1 ELSE 0 END AS INT) AS sig_flag
       |FROM r WHERE rk = 1
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** q66: the same grid in SQL — digit counts joined to the shared
+    * nine expectation literals, identical IEEE term chain floored to
+    * 1e-9 longs before the integer sum, same rank tie-break.
+    */
+  val q66: String =
+    """WITH pos AS (
+      |  SELECT event_type,
+      |    CAST(substr(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM events
+      |  WHERE CAST(floor(value * 10000.0 + 0.5) AS BIGINT) > 0
+      |), cnt AS (
+      |  SELECT event_type, digit, count(*) AS obs FROM pos GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT event_type, CAST(sum(obs) AS BIGINT) AS n
+      |  FROM cnt GROUP BY 1
+      |), dig(digit, p) AS (
+      |  VALUES (1, 0.3010299956639812), (2, 0.17609125905568124),
+      |    (3, 0.12493873660829992), (4, 0.09691001300805642),
+      |    (5, 0.07918124604762482), (6, 0.06694678963061322),
+      |    (7, 0.05799194697768673), (8, 0.05115252244738129),
+      |    (9, 0.04575749056067514)
+      |), grid AS (
+      |  SELECT t.event_type, t.n, g.digit, g.p,
+      |    COALESCE(c.obs, 0) AS obs, t.n * g.p AS np
+      |  FROM tot t CROSS JOIN dig g
+      |  LEFT JOIN cnt c
+      |    ON c.event_type = t.event_type AND c.digit = g.digit
+      |), term AS (
+      |  SELECT *,
+      |    CAST(floor((obs - np) * (obs - np) / np * 1000000000.0 + 0.5)
+      |      AS BIGINT) AS term9,
+      |    CAST(abs(floor((obs - np) * 1000000000.0 + 0.5))
+      |      AS BIGINT) AS dev9
+      |  FROM grid
+      |), rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY dev9 DESC, digit) AS r
+      |  FROM term
+      |)
+      |SELECT event_type, max(n) AS n,
+      |  CAST(sum(term9) AS BIGINT) AS chi9,
+      |  CAST(CASE WHEN CAST(sum(term9) AS BIGINT) > 20090000000
+      |    THEN 1 ELSE 0 END AS INT) AS benford_flag,
+      |  max(CASE WHEN r = 1 THEN digit END) AS worst_digit,
+      |  max(CASE WHEN r = 1 THEN dev9 END) AS worst_dev9
+      |FROM rk GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   /** st15: q64's pairwise statistics replayed over each row's
     * per-segment sliding window (last 16 rows) — st09/st14's segment

@@ -286,6 +286,37 @@ class SignalOpsSpec extends AnyFunSuite {
       flat.toString)
   }
 
+  test("q66 Benford: conforming sample passes, single-digit feed flags") {
+    import spark.implicits._
+    def write(rows: Seq[(String, Double)]): String = {
+      val df = rows.zipWithIndex.map { case ((t, v), i) =>
+        (1L, t, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q66spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // a feed whose digit counts are the rounded Benford expectations
+    // for n = 1000 (301, 176, 125, 97, 79, 67, 58, 51, 46): chi2 is
+    // the tiny rounding residue, far under the 20.09 critical value
+    val benfordCounts = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val good = benfordCounts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(("ok", (d + 1) * 1.0)) }
+    // a defaulted/fabricated feed: every value starts with digit 5
+    val bad = Seq.fill(200)(("bad", 5.5))
+    val out = SignalOps.q66Benford(spark, write(good ++ bad))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val ok = out("ok")
+    assert(ok.getAs[Long]("n") == 1000L, ok.toString)
+    assert(ok.getAs[Int]("benford_flag") == 0, ok.toString)
+    assert(ok.getAs[Long]("chi9") < 1000000000L, ok.toString) // chi2 < 1
+    val flagged = out("bad")
+    assert(flagged.getAs[Int]("benford_flag") == 1, flagged.toString)
+    // the 200 observed-vs-15.8-expected digit-5 excess dominates
+    assert(flagged.getAs[Int]("worst_digit") == 5, flagged.toString)
+  }
+
   test("p05 report: component columns equal the standalone operators") {
     val rep = SignalOps.p05MonitorReport(spark, dir).collect()
     val q13n = graft.operators.Decompose.q13AnomalySummary(spark, dir).count()
