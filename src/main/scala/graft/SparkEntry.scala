@@ -107,6 +107,7 @@ object SparkEntry {
     "s03_ann_ivf"        -> ((s, d) => graft.similarity.Ann.ivfTopK(s, d)),
     "s05_ann_pq"         -> ((s, d) => graft.similarity.Ann.pqTopK(s, d)),
     "s06_hybrid_rrf"     -> ((s, d) => graft.similarity.Ann.hybridRrf(s, d)),
+    "s07_mmr_diverse"    -> ((s, d) => graft.similarity.Ann.mmrDiverse(s, d)),
     "d14_semdedup"       -> ((s, d) => graft.similarity.Ann.semDedup(s, d)),
     "t01_langid"         -> graft.text.TextFns.langId _,
     "t02_quality_score"  -> graft.text.TextFns.qualityScore _,
@@ -567,6 +568,7 @@ object SparkEntry {
     "d06_dedup_clusters" -> LlmOracle.d06,
     "s01_ann_bruteforce" -> LlmOracle.s01,
     "s06_hybrid_rrf"     -> LlmOracle.s06,
+    "s07_mmr_diverse"    -> LlmOracle.s07,
     "t01_langid"         -> LlmOracle.t01,
     "t02_quality_score"  -> LlmOracle.t02,
     "t03_token_count"    -> LlmOracle.t03,

@@ -578,6 +578,68 @@ object LlmOracle {
        |FROM ranked WHERE rk <= 10
        |ORDER BY query_id, rk""".stripMargin
 
+  /** s07: the λ=½ MMR greedy unrolled as five MATERIALIZED selection
+    * rounds — pool and pairwise sims pre-quantized to 1e-6 BIGINTs
+    * (the same cosine chain as s01), each round an integer argmax with
+    * the smaller-vec_id tie-break, so the SQL replays the Spark loop
+    * pick-for-pick.
+    */
+  val s07: String = {
+    def round(r: Int): String = {
+      val prev = if (r == 2) "cum1" else s"cum${r - 1}"
+      s"""c$r AS MATERIALIZED (
+         |  SELECT p.query_id, p.vec_id,
+         |    max(p.rel6) - max(s.sim6) AS score6
+         |  FROM pool p
+         |  JOIN pr s ON s.query_id = p.query_id AND s.a = p.vec_id
+         |  JOIN $prev t ON t.query_id = s.query_id AND t.vec_id = s.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |    WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+         |  GROUP BY 1, 2
+         |), s$r AS MATERIALIZED (
+         |  SELECT query_id, vec_id, score6 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score6 DESC, vec_id) AS r FROM c$r) WHERE r = 1
+         |), cum$r AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL SELECT query_id, vec_id FROM s$r
+         |)""".stripMargin
+    }
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM v
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id, c.v, c.norm2,
+       |    CAST(floor(${dotSql("q.v", "c.v")} / sqrt(q.norm2 * c.norm2)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS rel6
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10
+       |), pool AS MATERIALIZED (
+       |  SELECT query_id, vec_id, v, norm2, rel6 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel6 DESC, vec_id) AS rk FROM scored) WHERE rk <= 20
+       |), pr AS MATERIALIZED (
+       |  SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+       |    CAST(floor(${dotSql("a.v", "b.v")} / sqrt(a.norm2 * b.norm2)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS sim6
+       |  FROM pool a JOIN pool b
+       |    ON b.query_id = a.query_id AND b.vec_id != a.vec_id
+       |), s1 AS MATERIALIZED (
+       |  SELECT query_id, vec_id, rel6 AS score6 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel6 DESC, vec_id) AS r FROM pool) WHERE r = 1
+       |), cum1 AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM s1
+       |), ${round(2)}, ${round(3)}, ${round(4)}, ${round(5)}
+       |SELECT query_id, CAST(1 AS INT) AS sel_rank, vec_id, score6 FROM s1
+       |UNION ALL SELECT query_id, CAST(2 AS INT), vec_id, score6 FROM s2
+       |UNION ALL SELECT query_id, CAST(3 AS INT), vec_id, score6 FROM s3
+       |UNION ALL SELECT query_id, CAST(4 AS INT), vec_id, score6 FROM s4
+       |UNION ALL SELECT query_id, CAST(5 AS INT), vec_id, score6 FROM s5
+       |ORDER BY query_id, sel_rank""".stripMargin
+  }
+
   private def profileSql(l: String, stops: Seq[String]): String = {
     val set = stops.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split($Norm, ' '), w -> w IN ($set))) AS score_$l"

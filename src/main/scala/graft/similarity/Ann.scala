@@ -523,4 +523,102 @@ object Ann {
         col("cos_rk"), col("jac_rk"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** s07: DIVERSE retrieval via Maximal Marginal Relevance (Carbonell
+    * & Goldstein, SIGIR 1998) — the result-set shaping step after
+    * s01/s06's pure-relevance ranking: a near-dup-heavy corpus answers
+    * every "more like this" query with five copies of the same page,
+    * so each pick is charged for its similarity to what is already
+    * selected. With λ = ½ the greedy argmax of λ·rel − (1−λ)·maxSim
+    * is the argmax of the published `score6` = rel6 − max_{s∈S} sim6
+    * (the doubled MMR objective; the first pick's penalty is 0).
+    *
+    * Determinism: rel6/sim6 are the s01 cosine chain floored to 1e-6
+    * LONGS before the greedy loop, so selection compares only
+    * integers (ties → smaller vec_id) — the iteration replays exactly
+    * as unrolled SQL rounds in the oracle.
+    *
+    * Scale shape: the pool stage IS s01 (queries broadcast, corpus
+    * unshuffled, per-query top-`poolK` rank window); the pairwise
+    * stage self-joins the |Q|·poolK checkpointed pool — poolK² scored
+    * pairs per query, never corpus-sized; the greedy runs in-task per
+    * query (one groupByKey over |Q|·poolK·(poolK−1) integer rows).
+    */
+  def mmrDiverse(s: SparkSession, dir: String, nQueries: Int = 10,
+      poolK: Int = 20, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm2", dot(col("v"), col("v")))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn"))
+    val wP = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel6").desc, col("vec_id"))
+    val pool = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("rel6",
+        floor(cosine(col("qv"), col("v"), col("qn"), col("norm2")) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("rk", row_number().over(wP))
+      .filter(col("rk") <= poolK)
+      .select(col("query_id"), col("vec_id"), col("rel6"), col("v"),
+        col("norm2"))
+      .localCheckpoint() // |Q|·poolK rows; feeds both pair-join sides
+    val left = pool.select(col("query_id"), col("vec_id").as("a"),
+      col("rel6").as("rel6a"), col("v").as("va"), col("norm2").as("na"))
+    val right = pool.select(col("query_id"), col("vec_id").as("b"),
+      col("v").as("vb"), col("norm2").as("nb"))
+    val pairs = left.join(right, Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim6",
+        floor(cosine(col("va"), col("vb"), col("na"), col("nb")) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("query_id"), col("a"), col("b"), col("rel6a"),
+        col("sim6"))
+      .as[(Long, Long, Long, Long, Long)]
+    pairs
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
+        val rel = collection.mutable.LongMap.empty[Long]
+        val sim = collection.mutable.HashMap.empty[(Long, Long), Long]
+        it.foreach { r => rel(r._2) = r._4; sim((r._2, r._3)) = r._5 }
+        val cands = rel.keys.toArray.sorted
+        val selected = collection.mutable.ArrayBuffer.empty[Long]
+        val out = Vector.newBuilder[(Long, Int, Long, Long)]
+        var rank = 1
+        while (rank <= k && selected.size < cands.length) {
+          var bestC = Long.MinValue
+          var bestScore = Long.MinValue
+          var i = 0
+          while (i < cands.length) {
+            val c = cands(i)
+            if (!selected.contains(c)) {
+              val sc =
+                if (selected.isEmpty) rel(c)
+                else {
+                  var pen = Long.MinValue
+                  var j = 0
+                  while (j < selected.size) {
+                    val sv = sim((c, selected(j)))
+                    if (sv > pen) pen = sv
+                    j += 1
+                  }
+                  rel(c) - pen
+                }
+              // ascending candidate order + strict > keeps the
+              // smallest vec_id on score ties
+              if (sc > bestScore) { bestScore = sc; bestC = c }
+            }
+            i += 1
+          }
+          out += ((qid, rank, bestC, bestScore))
+          selected += bestC
+          rank += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "sel_rank", "vec_id", "score6")
+      .orderBy(col("query_id"), col("sel_rank"))
+  }
 }

@@ -266,6 +266,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(d3.isNullAt(5) && !d3.isNullAt(4), d3.toString)
   }
 
+  test("s07 MMR: diverse pick outranks the redundant higher-relevance one") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("s07spec").toString
+    // query 0 = x-axis; 1 and 2 are near-dups straddling the top
+    // relevance spot, 3 mirrors 1 across the axis (same relevance,
+    // far from 1), 4 is orthogonal (zero relevance, zero sims)
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.2f, 0.0f), 0),
+      (2L, Array(0.9f, 0.21f, 0.0f), 0),
+      (3L, Array(0.9f, -0.2f, 0.0f), 0),
+      (4L, Array(0.0f, 0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Ann.mmrDiverse(spark, tmp, nQueries = 1, poolK = 4, k = 4)
+      .collect()
+    val order = out.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    // pure relevance would rank 2 second (cos ≈ .974 vs 3's penalty-
+    // free mirror); MMR charges 2 its ≈1.0 similarity to the first
+    // pick, so the mirror 3 and even the orthogonal 4 come first
+    assert(order == Seq(1L, 3L, 4L, 2L), out.mkString("; "))
+    // first pick's score is its pure (positive) relevance; the
+    // redundant doc's final score is negative — penalty > relevance
+    assert(out.find(_.getInt(1) == 1).get.getLong(3) > 900000L,
+      out.mkString("; "))
+    assert(out.find(_.getLong(2) == 2L).get.getLong(3) < 0L,
+      out.mkString("; "))
+  }
+
   test("m01 PNG encode/decode roundtrip recovers exact dims and pixel stats") {
     val df = Multimodal.q(spark, dir)
     val rows = df.collect()
