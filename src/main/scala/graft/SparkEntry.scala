@@ -117,6 +117,7 @@ object SparkEntry {
     "t10_ngram_repetition" -> graft.text.TextFns.ngramRepetition _,
     "t11_gopher_quality" -> graft.text.TextFns.gopherQuality _,
     "t12_source_kl"      -> ((s, d) => graft.text.TextFns.sourceKl(s, d)),
+    "t13_readability"    -> ((s, d) => graft.text.TextFns.readability(s, d)),
     "d08_decontaminate"  -> ((s, d) =>
       graft.dedup.Decontaminate.contaminated(s, d)),
     "d08_clean_corpus"   -> ((s, d) =>
@@ -227,6 +228,7 @@ object SparkEntry {
     "t10_ngram_repetition" -> LlmOracle.t10,
     "t11_gopher_quality" -> LlmOracle.t11,
     "t12_source_kl"      -> LlmOracle.t12,
+    "t13_readability"    -> LlmOracle.t13,
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,

@@ -850,6 +850,28 @@ object LlmOracle {
     * integer counts, each p_s·ln(p_s/p) term floored to a 1e-9 BIGINT
     * before the order-free per-source sum (t08/q61's posture).
     */
+  /** t13: the same three regexp counts, one IEEE division per ratio,
+    * identical constant chain, floored to 1e-6 BIGINTs.
+    */
+  val t13: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all($Norm, '[a-z]+')) AS w,
+       |    len(regexp_extract_all($Norm, '[aeiouy]+')) AS sy,
+       |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS se
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(w AS INT) AS n_words,
+       |  CAST(se AS INT) AS n_sentences, CAST(sy AS INT) AS n_syllables,
+       |  CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / se)
+       |    - 84.6 * (CAST(sy AS DOUBLE) / w)) * 1000000.0 + 0.5)
+       |    AS BIGINT) AS fre6,
+       |  CAST(floor((0.39 * (CAST(w AS DOUBLE) / se)
+       |    + 11.8 * (CAST(sy AS DOUBLE) / w) - 15.59) * 1000000.0 + 0.5)
+       |    AS BIGINT) AS fkgl6
+       |FROM f WHERE w > 0
+       |ORDER BY doc_id""".stripMargin
+
   val t12: String =
     s"""WITH st AS (
        |  SELECT source, unnest(regexp_extract_all($Norm, '[a-z0-9]+'))

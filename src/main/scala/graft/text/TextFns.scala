@@ -510,6 +510,49 @@ object TextFns {
       .orderBy(col("doc_id"))
   }
 
+  /** t13: READABILITY scoring — Flesch reading ease (Flesch 1948) and
+    * the Flesch–Kincaid grade level (Kincaid et al. 1975), the classic
+    * audience-targeting lens beside t02/t11's junk filters: a corpus
+    * can be high-quality AND uniformly graduate-level prose, and a
+    * curated mix should know its grade distribution.
+    *
+    *   FRE  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+    *   FKGL = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+    *
+    * Syllables use the standard deterministic proxy: maximal vowel
+    * groups ([aeiouy]+) over the normalized text — "beautiful" (eau,
+    * i, u) counts 3. Sentences are [.!?]+ runs floored at 1 (the
+    * synthetic corpus is unpunctuated — every doc is one sentence).
+    * Each ratio is ONE integer-fed IEEE division, the constant chain
+    * is written identically on both engines, and the scores are
+    * floored to 1e-6 longs — bit-identical by construction.
+    *
+    * Scale shape: t02/t11's posture — three regexp counts on the row,
+    * zero exchanges, scan speed at 100 TB.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val norm = normText(t)
+    val nWords = size(regexp_extract_all(norm, lit("[a-z]+"), lit(0)))
+    val nSyll = size(regexp_extract_all(norm, lit("[aeiouy]+"), lit(0)))
+    val nSent = greatest(lit(1),
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))))
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("wps", col("n_words").cast("double") / col("n_sentences"))
+      .withColumn("spw", col("n_syllables").cast("double") / col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        floor((lit(206.835) - lit(1.015) * col("wps") -
+          lit(84.6) * col("spw")) * lit(1000000.0) + lit(0.5)).as("fre6"),
+        floor((lit(0.39) * col("wps") + lit(11.8) * col("spw") -
+          lit(15.59)) * lit(1000000.0) + lit(0.5)).as("fkgl6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t04: document fingerprints — whole-text rolling hash plus the min
     * over per-128-char block hashes (winnowing-style locality).
     */

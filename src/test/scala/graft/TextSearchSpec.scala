@@ -9,6 +9,32 @@ class TextSearchSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("t13 readability: exact counts and scores on planted prose") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t13spec").toString
+    Seq(
+      (0L, "The cat sat. A dog ran!", "en", "w", 23L),
+      (1L, "Beautiful aeiou xyz.", "en", "w", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextFns.readability(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = out(0L)
+    // 6 one-syllable words over 2 sentences
+    assert(a.getAs[Int]("n_words") == 6 && a.getAs[Int]("n_sentences") == 2 &&
+      a.getAs[Int]("n_syllables") == 6, a.toString)
+    val fre = math.floor(
+      (206.835 - 1.015 * (6.0 / 2) - 84.6 * (6.0 / 6)) * 1e6 + 0.5).toLong
+    val fkgl = math.floor(
+      (0.39 * (6.0 / 2) + 11.8 * (6.0 / 6) - 15.59) * 1e6 + 0.5).toLong
+    assert(a.getAs[Long]("fre6") == fre && a.getAs[Long]("fkgl6") == fkgl,
+      a.toString)
+    // vowel-group syllables: beau-ti-ful = 3, aeiou = 1, xyz = 1 (y)
+    val b = out(1L)
+    assert(b.getAs[Int]("n_syllables") == 5 && b.getAs[Int]("n_words") == 3 &&
+      b.getAs[Int]("n_sentences") == 1, b.toString)
+  }
+
   test("t06 tf-idf: top-k per doc, scores ranked, terms from the doc") {
     val out = TextFns.tfidf(spark, dir).cache()
     val perDoc = out.groupBy("doc_id").count()
