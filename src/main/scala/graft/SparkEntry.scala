@@ -167,6 +167,8 @@ object SparkEntry {
       graft.streaming.StreamingCorpus.st12StreamAdmission _,
     "st13_stream_drift" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st13StreamDrift(s, d)),
+    "st16_stream_benford" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st16StreamBenford(s, d)),
     "st08_stream_cusum" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st08StreamCusum(s, d)),
     "st10_stream_heavy_hitters" ->
@@ -208,6 +210,7 @@ object SparkEntry {
     "st14_stream_kalman" -> SignalOracle.st14,
     "st15_stream_trend"  -> SignalOracle.st15,
     "st13_stream_drift"  -> SignalOracle.st13,
+    "st16_stream_benford" -> SignalOracle.st16,
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q55_cross_sectional" -> SignalOracle.q55,
     "q57_gap_fill"       -> SignalOracle.q57,

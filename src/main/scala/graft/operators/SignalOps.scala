@@ -2069,4 +2069,74 @@ object SignalOracle {
       |    AS drift
       |FROM terms GROUP BY wus, event_type, n
       |ORDER BY win_start, event_type""".stripMargin
+
+  /** st16: the streaming Benford monitor replayed — 6 h window
+    * assignment, st13's timeout-eligibility rule, first-digit counts
+    * over positives only, q66's literal expectation table and exact
+    * term chain.
+    */
+  val st16: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS tsu,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), wnd AS (
+      |  SELECT event_type,
+      |    (epoch_us(tsu) // 21600000000) * 21600000000 AS wus, v4l
+      |  FROM ev
+      |), fireable AS (
+      |  SELECT * FROM wnd
+      |  WHERE (wus + 21600000000) // 1000 <
+      |    (SELECT epoch_us(max(tsu)) // 1000 - 3600000 FROM ev)
+      |), pos AS (
+      |  SELECT event_type, wus,
+      |    CAST(substr(CAST(v4l AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM fireable WHERE v4l > 0
+      |), skp AS (
+      |  SELECT event_type, wus, count(*) AS ns
+      |  FROM fireable WHERE v4l <= 0 GROUP BY 1, 2
+      |), cnt AS (
+      |  SELECT event_type, wus, digit, count(*) AS obs
+      |  FROM pos GROUP BY 1, 2, 3
+      |), tot AS (
+      |  SELECT event_type, wus, CAST(sum(obs) AS BIGINT) AS n
+      |  FROM cnt GROUP BY 1, 2
+      |), dig(digit, p) AS (
+      |  VALUES (1, 0.3010299956639812), (2, 0.17609125905568124),
+      |    (3, 0.12493873660829992), (4, 0.09691001300805642),
+      |    (5, 0.07918124604762482), (6, 0.06694678963061322),
+      |    (7, 0.05799194697768673), (8, 0.05115252244738129),
+      |    (9, 0.04575749056067514)
+      |), grid AS (
+      |  SELECT t.event_type, t.wus, t.n, g.digit, g.p,
+      |    COALESCE(c.obs, 0) AS obs, t.n * g.p AS np
+      |  FROM tot t CROSS JOIN dig g
+      |  LEFT JOIN cnt c ON c.event_type = t.event_type
+      |    AND c.wus = t.wus AND c.digit = g.digit
+      |), term AS (
+      |  SELECT *,
+      |    CAST(floor((obs - np) * (obs - np) / np * 1000000000.0 + 0.5)
+      |      AS BIGINT) AS term9,
+      |    CAST(abs(floor((obs - np) * 1000000000.0 + 0.5))
+      |      AS BIGINT) AS dev9
+      |  FROM grid
+      |), rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type, wus
+      |    ORDER BY dev9 DESC, digit) AS r
+      |  FROM term
+      |), agg AS (
+      |  SELECT event_type, wus, max(n) AS n,
+      |    CAST(sum(term9) AS BIGINT) AS chi9,
+      |    max(CASE WHEN r = 1 THEN digit END) AS worst_digit,
+      |    max(CASE WHEN r = 1 THEN dev9 END) AS worst_dev9
+      |  FROM rk GROUP BY 1, 2
+      |)
+      |SELECT make_timestamp(a.wus) AS win_start, a.event_type,
+      |  a.n AS n_events, COALESCE(s.ns, 0) AS n_skipped, a.chi9,
+      |  CAST(CASE WHEN a.chi9 > 20090000000 THEN 1 ELSE 0 END AS INT)
+      |    AS benford_flag,
+      |  a.worst_digit, a.worst_dev9
+      |FROM agg a LEFT JOIN skp s
+      |  ON s.event_type = a.event_type AND s.wus = a.wus
+      |ORDER BY win_start, a.event_type""".stripMargin
 }

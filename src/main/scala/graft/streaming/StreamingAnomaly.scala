@@ -1347,4 +1347,113 @@ object StreamingAnomaly {
 
   def st13StreamDrift(s: SparkSession, dir: String): DataFrame =
     st13FromStream(s, eventStream(s, dir), st13Reference(s, dir))
+
+  case class BenfordOut(win_start: java.sql.Timestamp, event_type: String,
+      n_events: Long, n_skipped: Long, chi9: Long, benford_flag: Int,
+      worst_digit: Int, worst_dev9: Long)
+
+  /** st16: q66's BENFORD screen answered LIVE — per (6 h window,
+    * event_type) the first-digit occupancy as st11/st13's fixed
+    * histogram state (9 longs + 2 counters however many events
+    * arrive), scored on watermark-close with q66's exact chain: each
+    * chi-square term one identical IEEE expression over (obs, n·p)
+    * floored to a 1e-9 long, summed in fixed digit order inside the
+    * one state task — `chi9`, the 20.09 flag, and the worst digit
+    * replay bit-for-bit in the DuckDB oracle (window assignment,
+    * the timeout-eligibility rule, digit counts, the literal table).
+    * Non-positive values can't have a first significant digit: they
+    * are counted in `n_skipped`, never in the statistic; a window
+    * with ONLY skipped values emits nothing on either engine.
+    *
+    * Scale shape: st11/st13's posture — state bounded at 11 longs per
+    * LIVE (window, type) group regardless of event volume; value skew
+    * lands in digit counters, never in state size; timeout eviction.
+    */
+  def st16Transform(s: SparkSession, stream: DataFrame)
+      : org.apache.spark.sql.Dataset[BenfordOut] = {
+    import s.implicits._
+    val winUs = 6L * 3600 * 1000000L
+    // q66's nine first-digit expectations — the same shortest-repr
+    // double literals embedded in the oracle (no libm at query time);
+    // METHOD-LOCAL so the state closure serializes without capturing
+    // the enclosing object
+    val benfordP: Array[Double] = Array(
+      0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+    def update(key: (String, Long), events: Iterator[TickEvent],
+        state: GroupState[HistState]): Iterator[BenfordOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        if (st.total == 0L) Iterator.empty
+        else {
+          val ts = new java.sql.Timestamp(key._2 / 1000L)
+          var chi9 = 0L
+          var worstD = 0
+          var worstDev = -1L
+          var d = 0
+          while (d < 9) {
+            val np = st.total * benfordP(d)
+            val obs = st.counts(d)
+            chi9 += math.floor(
+              (obs - np) * (obs - np) / np * 1e9 + 0.5).toLong
+            val dev = math.abs(math.floor((obs - np) * 1e9 + 0.5).toLong)
+            if (dev > worstDev) { worstDev = dev; worstD = d + 1 }
+            d += 1
+          }
+          Iterator.single(BenfordOut(ts, key._1, st.total, st.nOut, chi9,
+            if (chi9 > 20090000000L) 1 else 0, worstD, worstDev))
+        }
+      } else {
+        val evs = events.toSeq
+        val st = state.getOption.getOrElse(
+          HistState(new Array[Long](9), 0L, Long.MaxValue,
+            Long.MinValue, 0L))
+        val counts = st.counts.clone()
+        var total = st.total
+        var nSkip = st.nOut
+        evs.foreach { e =>
+          val v4 = math.floor(e.value * 10000.0 + 0.5).toLong
+          if (v4 <= 0L) nSkip += 1
+          else {
+            var x = v4
+            while (x >= 10L) x /= 10L
+            counts(x.toInt - 1) += 1; total += 1
+          }
+        }
+        state.update(HistState(counts, total, st.minV4, st.maxV4, nSkip))
+        state.setTimeoutTimestamp((key._2 + winUs) / 1000L)
+        Iterator.empty
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.event_type, (usOf(e.ts) / winUs) * winUs))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st16FromStream(s: SparkSession, stream: DataFrame): DataFrame = {
+    val name = s"st16_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st16Transform(s, stream)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  def st16StreamBenford(s: SparkSession, dir: String): DataFrame =
+    st16FromStream(s, eventStream(s, dir))
 }

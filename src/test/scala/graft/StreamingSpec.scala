@@ -533,6 +533,37 @@ class StreamingSpec extends AnyFunSuite {
       post.map(_.toString).mkString(";"))
   }
 
+  test("st16 streaming Benford: conforming window passes, fabricated " +
+      "feed flags with the right worst digit") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("benford16").toString
+    def ts(d: Int, i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$d%02d 12:${i / 60}%02d:${i % 60}%02d")
+    // "nat": first-digit counts ≈ rounded Benford for n = 100 → tiny
+    // chi2; "fab": 50 defaulted 555.0 values (all digit 5) + one
+    // non-positive value that must be SKIPPED, not scored
+    val natCounts = Seq(30, 18, 12, 10, 8, 7, 6, 5, 4)
+    val nat = natCounts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)((d + 1) * 100.0 + 1.0) }
+    val rows =
+      nat.zipWithIndex.map { case (v, i) =>
+        (1000L + i, ts(1, i), 1L, "nat", v, "") } ++
+      (0 until 50).map(i => (2000L + i, ts(1, i), 2L, "fab", 555.0, "")) ++
+      Seq((2100L, ts(1, 55), 2L, "fab", 0.0, "")) ++
+      Seq((3000L, ts(2, 0), 3L, "tick", 1.0, "")) // advances watermark
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st16StreamBenford(spark, tmp).collect()
+    val byType = out.map(r => r.getString(1) -> r).toMap
+    val natR = byType("nat")
+    assert(natR.getLong(2) == 100L && natR.getInt(5) == 0, natR.toString)
+    assert(natR.getLong(4) < 1000000000L, s"conforming chi2 >= 1: $natR")
+    val fab = byType("fab")
+    assert(fab.getLong(2) == 50L && fab.getLong(3) == 1L, fab.toString)
+    assert(fab.getInt(5) == 1 && fab.getInt(6) == 5, fab.toString)
+    assert(!byType.contains("tick"), "unfired window must not emit")
+  }
+
   test("st04 stream-stream interval join matches the batch formulation") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingAnomaly.st04StreamStreamJoin(spark, dir).count()
