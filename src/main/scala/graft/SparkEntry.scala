@@ -48,6 +48,7 @@ object SparkEntry {
     "q65_pettitt_cp"     -> ((s, d) => SignalOps.q65Pettitt(s, d)),
     "q66_benford"        -> ((s, d) => SignalOps.q66Benford(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
+    "q67_holt_winters"   -> ((s, d) => SignalOps.q67HoltWinters(s, d)),
     "t08_bigram_perplexity" ->
       ((s, d) => graft.text.TextFns.bigramPerplexity(s, d)),
     "q48_interval_join"  -> ScaleOps.intervalJoin _,
@@ -223,6 +224,7 @@ object SparkEntry {
     "q65_pettitt_cp"     -> SignalOracle.q65,
     "q66_benford"        -> SignalOracle.q66,
     "q54_holt_forecast"  -> SignalOracle.q54,
+    "q67_holt_winters"   -> SignalOracle.q67,
     "t08_bigram_perplexity" -> LlmOracle.t08,
     "q49_ewma_smooth"    -> SignalOracle.q49,
     "t06_tfidf"          -> LlmOracle.t06,

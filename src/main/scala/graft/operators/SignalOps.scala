@@ -248,6 +248,93 @@ object SignalOps {
         col("event_id"))
   }
 
+  /** q67: HOLT-WINTERS triple exponential smoothing (Winters 1960) —
+    * the SEASONAL member of the forecast family: q54's Holt tracks
+    * level + trend, so a weekly-periodic feed leaves a periodic
+    * residual that inflates the error variance and hides true
+    * anomalies; Holt-Winters carries an additive per-phase seasonal
+    * component (period 7, Decompose's `seq % 7` phase convention)
+    * and forecasts ŷ = l + b + s_phase.
+    *
+    * DYADIC gains keep the recursion exact in fixed point (q54's
+    * discipline): α = ½, β = ¼, γ = ¼ —
+    *   l' = ⌊(y − s + l + b)/2⌋,  b' = ⌊(l' − l + 3b)/4⌋,
+    *   s' = ⌊(y − l' + 3s)/4⌋
+    * Warm-up: the first occurrence of each phase has no seasonal yet —
+    * the level updates by q54's non-seasonal form, the phase is seeded
+    * s = y − l', and NO forecast is emitted (pred needs s_{t−m}).
+    * Errors are standardized with q54's whole-series exact-moment z.
+    *
+    * Scale shape: q14/q54's ONE groupByKey exchange; O(1) recursion
+    * state (two longs + a 7-long ring) per key, replayed bit-for-bit
+    * by a recursive CTE carrying the seasonal ring as a LIST column.
+    */
+  def q67HoltWinters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .as[(Long, String, Long, java.sql.Timestamp, Long)]
+    rows
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, String),
+          it: Iterator[(Long, String, Long, java.sql.Timestamp, Long)]) =>
+        val evs = it.toVector.sortBy(r => (usOf(r._4), r._3))
+        var l = 0L
+        var b = 0L
+        val season = new Array[Long](7)
+        val seen = new Array[Boolean](7)
+        // pass 1: (pred, e, seasonal-used) per row; None while warming
+        val resid = evs.zipWithIndex.map { case (r, i) =>
+          val ph = i % 7
+          if (i == 0) {
+            l = r._5; b = 0L
+            season(ph) = 0L; seen(ph) = true // s = y − l' = 0
+            None
+          } else if (!seen(ph)) {
+            val l2 = math.floor((r._5 + l + b) / 2.0).toLong
+            b = math.floor((l2 - l + 3.0 * b) / 4.0).toLong
+            season(ph) = r._5 - l2; seen(ph) = true
+            l = l2
+            None
+          } else {
+            val sp = season(ph)
+            val pred = l + b + sp
+            val e = r._5 - pred
+            val l2 = math.floor((r._5 - sp + l + b) / 2.0).toLong
+            b = math.floor((l2 - l + 3.0 * b) / 4.0).toLong
+            season(ph) = math.floor((r._5 - l2 + 3.0 * sp) / 4.0).toLong
+            l = l2
+            Some((pred, e, sp))
+          }
+        }
+        // pass 2: q54's whole-series exact moments over the errors
+        val es = resid.flatten.map(_._2)
+        val n = es.size.toLong
+        val s1 = es.sum
+        val s2 = es.foldLeft(BigInt(0))((acc, e) => acc + BigInt(e) * BigInt(e))
+        val c = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
+        evs.zip(resid).map { case (r, pr) =>
+          val (z6, flag) = pr match {
+            case Some((_, e, _)) if n > 1 && c > 0 =>
+              val a = (BigInt(n) * BigInt(e) - BigInt(s1)).toDouble
+              val z = math.floor(a / math.sqrt(c.toDouble * n / (n - 1)) *
+                1000000.0 + 0.5).toLong
+              (Some(z / 1000000.0), if (math.abs(z) >= 3000000L) 1 else 0)
+            case Some(_) => (Some(0.0), 0)
+            case None    => (None, 0)
+          }
+          (r._1, r._2, r._3, r._4, r._5 / 10000.0,
+            pr.map(_._1 / 10000.0), pr.map(_._2 / 10000.0),
+            pr.map(_._3 / 10000.0), z6, flag)
+        }
+      }
+      .toDF("user_id", "event_type", "event_id", "date_recorded", "value",
+        "forecast", "resid", "season", "hw_z6", "hw_flag")
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
   /** q53: Hampel filter — rolling median ± k·MAD spike detection, the
     * robust companion to q06's mean/stddev z-score (median and MAD
     * don't move when the spike itself enters the window, so a gross
@@ -1207,6 +1294,90 @@ object SignalOracle {
       |    AS holt_flag
       |FROM z
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** q67: the Holt-Winters recursion replayed — q54's frontier shape
+    * with the 7-slot seasonal ring carried as a BIGINT LIST column
+    * (NULL = phase not yet seen). Nested subqueries in the recursive
+    * arm alias the shared lN/sN subexpressions so each floor chain is
+    * written once, exactly as the Scala handler computes it.
+    */
+  val q67: String = {
+    val ring = (1 to 7).map(i =>
+      s"CASE WHEN ((v.seq - 1) % 7) + 1 = $i THEN v.sN ELSE v.sPrev[$i] END")
+      .mkString(",\n      |      ")
+    s"""WITH RECURSIVE base AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM events
+      |), rec AS (
+      |  SELECT user_id, event_type, event_id, ts, v4l, seq,
+      |    v4l AS l, CAST(0 AS BIGINT) AS b,
+      |    [CAST(0 AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL] AS s,
+      |    CAST(NULL AS BIGINT) AS pred, CAST(NULL AS BIGINT) AS e,
+      |    CAST(NULL AS BIGINT) AS sp_used
+      |  FROM base WHERE seq = 1
+      |  UNION ALL
+      |  SELECT v.user_id, v.event_type, v.event_id, v.ts, v.v4l, v.seq,
+      |    v.lN AS l,
+      |    CAST(floor((v.lN - v.lPrev + 3.0 * v.bPrev) / 4.0) AS BIGINT)
+      |      AS b,
+      |    [$ring] AS s,
+      |    CASE WHEN v.sp IS NULL THEN NULL
+      |         ELSE v.lPrev + v.bPrev + v.sp END AS pred,
+      |    CASE WHEN v.sp IS NULL THEN NULL
+      |         ELSE v.v4l - (v.lPrev + v.bPrev + v.sp) END AS e,
+      |    v.sp AS sp_used
+      |  FROM (
+      |    SELECT u.*,
+      |      CAST(CASE WHEN u.sp IS NULL THEN u.v4l - u.lN
+      |           ELSE CAST(floor((u.v4l - u.lN + 3.0 * u.sp) / 4.0)
+      |             AS BIGINT) END AS BIGINT) AS sN
+      |    FROM (
+      |      SELECT t.*,
+      |        CAST(CASE WHEN t.sp IS NULL
+      |             THEN floor((t.v4l + t.lPrev + t.bPrev) / 2.0)
+      |             ELSE floor((t.v4l - t.sp + t.lPrev + t.bPrev) / 2.0)
+      |             END AS BIGINT) AS lN
+      |      FROM (
+      |        SELECT b2.user_id, b2.event_type, b2.event_id, b2.ts,
+      |          b2.v4l, b2.seq, r.l AS lPrev, r.b AS bPrev, r.s AS sPrev,
+      |          r.s[((b2.seq - 1) % 7) + 1] AS sp
+      |        FROM rec r JOIN base b2
+      |          ON b2.user_id = r.user_id AND b2.event_type = r.event_type
+      |         AND b2.seq = r.seq + 1
+      |      ) t
+      |    ) u
+      |  ) v
+      |), st AS (
+      |  SELECT *,
+      |    count(e) OVER wk AS n,
+      |    sum(e) OVER wk AS s1,
+      |    sum(CAST(e AS HUGEINT) * e) OVER wk AS s2
+      |  FROM rec
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), z AS (
+      |  SELECT *,
+      |    CASE WHEN e IS NULL THEN NULL
+      |         WHEN n > 1 AND (n * s2 - CAST(s1 AS HUGEINT) * s1) > 0
+      |         THEN CAST(floor(CAST(n * e - s1 AS DOUBLE) /
+      |           sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |             * n / (n - 1)) * 1000000.0 + 0.5) AS BIGINT)
+      |         ELSE 0 END AS z6l
+      |  FROM st
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value,
+      |  pred / 10000.0 AS forecast,
+      |  e / 10000.0 AS resid,
+      |  sp_used / 10000.0 AS season,
+      |  z6l / 1000000.0 AS hw_z6,
+      |  CASE WHEN z6l IS NOT NULL AND abs(z6l) >= 3000000 THEN 1 ELSE 0 END
+      |    AS hw_flag
+      |FROM z
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+  }
 
   /** q62: the integer-gain Kalman recursion replayed as a recursive
     * CTE (q54's frontier shape — each iteration advances every key

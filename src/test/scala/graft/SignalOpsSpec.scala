@@ -286,6 +286,42 @@ class SignalOpsSpec extends AnyFunSuite {
       flat.toString)
   }
 
+  test("q67 Holt-Winters: seasonal forecasts beat Holt on periodic data") {
+    import spark.implicits._
+    def write(vals: Seq[Double], tag: String): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, tag, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q67spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // strong period-7 signal, no trend: after the one-cycle warm-up
+    // the seasonal ring captures the pattern
+    val cycle = Seq(10.0, 40.0, 80.0, 120.0, 80.0, 40.0, 20.0)
+    val vals = Seq.fill(5)(cycle).flatten
+    val dirP = write(vals, "p")
+    val hw = SignalOps.q67HoltWinters(spark, dirP).collect()
+    assert(hw.length == 35)
+    val (warm, live) = hw.sortBy(_.getLong(2)).splitAt(7)
+    assert(warm.forall(_.isNullAt(5)), "first cycle must have no forecast")
+    assert(live.forall(r => !r.isNullAt(5) && !r.isNullAt(7)),
+      "every post-warm-up row forecasts with a seasonal component")
+    // the seasonal model's absolute error is far below Holt's on the
+    // same series — the whole point of carrying the ring
+    val hwErr = live.map(r => math.abs(r.getDouble(6))).sum
+    val holtErr = SignalOps.q54Holt(spark, dirP).collect()
+      .filter(r => !r.isNullAt(6) && r.getLong(2) >= 7)
+      .map(r => math.abs(r.getDouble(6))).sum
+    // observed ≈ 0.66× with α = ½ (the aggressive level still chases
+    // part of the swing); the seasonal ring is what closes the rest
+    assert(hwErr < holtErr * 0.75, s"hw $hwErr vs holt $holtErr")
+    // deterministic replay
+    assert(SignalOps.q67HoltWinters(spark, dirP).collect()
+      .map(_.toString).sameElements(hw.map(_.toString)))
+  }
+
   test("q66 Benford: conforming sample passes, single-digit feed flags") {
     import spark.implicits._
     def write(rows: Seq[(String, Double)]): String = {
