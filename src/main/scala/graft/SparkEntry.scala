@@ -47,6 +47,7 @@ object SparkEntry {
     "q64_trend_mk"       -> ((s, d) => SignalOps.q64TrendMk(s, d)),
     "q65_pettitt_cp"     -> ((s, d) => SignalOps.q65Pettitt(s, d)),
     "q66_benford"        -> ((s, d) => SignalOps.q66Benford(s, d)),
+    "q68_seasonal_mk"    -> ((s, d) => SignalOps.q68SeasonalMk(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "q67_holt_winters"   -> ((s, d) => SignalOps.q67HoltWinters(s, d)),
     "t08_bigram_perplexity" ->
@@ -223,6 +224,7 @@ object SparkEntry {
     "q64_trend_mk"       -> SignalOracle.q64,
     "q65_pettitt_cp"     -> SignalOracle.q65,
     "q66_benford"        -> SignalOracle.q66,
+    "q68_seasonal_mk"    -> SignalOracle.q68,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "q67_holt_winters"   -> SignalOracle.q67,
     "t08_bigram_perplexity" -> LlmOracle.t08,

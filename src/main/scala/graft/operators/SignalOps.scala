@@ -934,6 +934,70 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q68: SEASONAL Mann–Kendall trend with the seasonal Sen slope
+    * (Hirsch & Slack 1984) — q64's pairwise trend test restricted to
+    * WITHIN-PHASE pairs (Decompose/q67's `seq % 7` phase strata):
+    * on a feed with a strong weekly pattern, cross-phase pairs carry
+    * the seasonal swing's sign, diluting (or inverting) q64's τ; the
+    * seasonal statistic S = Σ_g S_g compares Mondays only with
+    * Mondays, so the pattern cancels exactly and the underlying drift
+    * shows at full strength. (The Hirsch–Slack serial-covariance
+    * correction to Var(S) is documented, not computed — the engine's
+    * verdict is the exact τ itself, q64's posture.)
+    *
+    * Same exactness contract as q64: integer S over time-ordered
+    * within-stratum pairs, half-up τ6, the slope multiset's exact-rank
+    * lower median of single long/long divisions, one shared per-day
+    * constant multiply. Keys whose strata are all singletons (n ≤ 7)
+    * have no pairs and emit nothing on either engine.
+    *
+    * Scale shape: q14/q54's ONE groupByKey exchange; the pairwise
+    * pass is in-task per ticker and 7× CHEAPER than q64's (only
+    * ⌊n/7⌋-sized strata pair up).
+    */
+  def q68SeasonalMk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .as[(Long, String, Long, java.sql.Timestamp, Long)]
+    rows
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, String),
+          it: Iterator[(Long, String, Long, java.sql.Timestamp, Long)]) =>
+        val evs = it.toVector.sortBy(r => (usOf(r._4), r._3))
+        val n = evs.size
+        var sStat = 0L
+        var np = 0L
+        val slopes = Vector.newBuilder[Double]
+        var i = 0
+        while (i < n) {
+          var j = i + 7
+          while (j < n) {
+            val dv = evs(j)._5 - evs(i)._5
+            sStat += java.lang.Long.signum(dv)
+            np += 1
+            val dt = usOf(evs(j)._4) - usOf(evs(i)._4)
+            if (dt != 0L) slopes += dv.toDouble / dt.toDouble
+            j += 7
+          }
+          i += 1
+        }
+        if (np == 0L) Iterator.empty
+        else {
+          val tau6 = math.floor(sStat * 1000000.0 / np + 0.5).toLong
+          val sl = slopes.result().sorted
+          val sen = if (sl.isEmpty) None
+            else Some(sl((sl.size + 1) / 2 - 1) * 8.64e6)
+          Iterator.single((key._1, key._2, n, np, sStat,
+            tau6 / 1000000.0, sen))
+        }
+      }
+      .toDF("user_id", "event_type", "n", "n_pairs", "smk_s", "smk_tau6",
+        "sen_slope_day")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** q65: Pettitt's non-parametric CHANGEPOINT test (Pettitt 1979) —
     * the rank-based answer to "did this feed's level shift, and when":
     * q19's CUSUM accumulates standardized residuals (so one gross
@@ -1612,6 +1676,48 @@ object SignalOracle {
       |  med.sen_slope_day
       |FROM s LEFT JOIN med USING (user_id, event_type)
       |WHERE s.n >= 2
+      |ORDER BY s.user_id, s.event_type""".stripMargin
+
+  /** q68: q64's pairwise SQL restricted to within-stratum pairs
+    * ((j.seq − i.seq) % 7 = 0) — same integer S, half-up τ6 and
+    * exact-rank lower-median slope.
+    */
+  val q68: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS seq,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+      |  FROM events
+      |), pr AS (
+      |  SELECT i.user_id, i.event_type, i.n,
+      |    j.v4l - i.v4l AS dv, j.tus - i.tus AS dt
+      |  FROM b i JOIN b j
+      |    ON j.user_id = i.user_id AND j.event_type = i.event_type
+      |   AND j.seq > i.seq AND (j.seq - i.seq) % 7 = 0
+      |), s AS (
+      |  SELECT user_id, event_type, max(n) AS n, count(*) AS n_pairs,
+      |    CAST(sum(CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END)
+      |      AS BIGINT) AS smk_s
+      |  FROM pr GROUP BY 1, 2
+      |), sl AS (
+      |  SELECT user_id, event_type, dv / CAST(dt AS DOUBLE) AS sl,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY dv / CAST(dt AS DOUBLE)) AS r,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS m
+      |  FROM pr WHERE dt != 0
+      |), med AS (
+      |  SELECT user_id, event_type, sl * 8640000.0 AS sen_slope_day
+      |  FROM sl WHERE r = (m + 1) // 2
+      |)
+      |SELECT s.user_id, s.event_type, CAST(s.n AS INT) AS n, s.n_pairs,
+      |  s.smk_s,
+      |  CAST(floor(s.smk_s * 1000000.0 / s.n_pairs + 0.5) AS BIGINT)
+      |    / 1000000.0 AS smk_tau6,
+      |  med.sen_slope_day
+      |FROM s LEFT JOIN med USING (user_id, event_type)
       |ORDER BY s.user_id, s.event_type""".stripMargin
 
   /** q65: Pettitt replayed as plain SQL — the per-row sign sum

@@ -322,6 +322,35 @@ class SignalOpsSpec extends AnyFunSuite {
       .map(_.toString).sameElements(hw.map(_.toString)))
   }
 
+  test("q68 seasonal MK: weekly pattern cancels, drift shows at full tau") {
+    import spark.implicits._
+    def write(vals: Seq[Double], tag: String): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, tag, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q68spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // slow +1/step drift under a ±300 weekly swing: cross-phase pairs
+    // carry the swing's sign, within-phase pairs only the drift
+    val cycle = Seq(0.0, 300.0, 600.0, 900.0, 600.0, 300.0, 100.0)
+    val vals = (0 until 35).map(i => i * 1.0 + cycle(i % 7))
+    val d = write(vals, "x")
+    val smk = SignalOps.q68SeasonalMk(spark, d).collect().head
+    assert(smk.getAs[Double]("smk_tau6") == 1.0, smk.toString)
+    // within a stratum the cycle term is constant, so every pairwise
+    // slope is exactly the drift: 1 per minute = 1440/day
+    assert(math.abs(smk.getAs[Double]("sen_slope_day") - 1440.0) < 1e-6,
+      smk.toString)
+    val mk = SignalOps.q64TrendMk(spark, d).collect().head
+    assert(mk.getAs[Double]("mk_tau6") < 0.7, s"plain MK diluted: $mk")
+    // all-singleton strata (n <= 7) emit nothing
+    assert(SignalOps.q68SeasonalMk(spark,
+      write((0 until 7).map(_.toDouble), "x")).collect().isEmpty)
+  }
+
   test("q66 Benford: conforming sample passes, single-digit feed flags") {
     import spark.implicits._
     def write(rows: Seq[(String, Double)]): String = {
