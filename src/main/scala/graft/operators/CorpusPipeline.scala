@@ -215,4 +215,87 @@ object CorpusPipeline {
           col("n_docs")).as("dup_frac4"))
       .orderBy(col("source"))
   }
+
+  /** p06: the corpus SNAPSHOT DIFF card — what changed between two
+    * releases, per source: the review sheet a curation team reads
+    * before shipping snapshot B to training, beside p04's absolute
+    * card. Volume and duplicate deltas say how much arrived and how
+    * redundant it is; the KL(p_B ‖ p_A) unigram shift (t12's exact
+    * 1e-9-quantized machinery, per source ACROSS eras) says whether
+    * the source still READS like itself — a crawl gone off-feed flags
+    * here before any volume metric moves.
+    *
+    * Semantics: KL is over B's observed per-source vocabulary with
+    * add-one smoothing on the union-era vocab v; a source whose B
+    * content is IDENTICAL to A scores exactly 0 (every term ratio is
+    * ln(1), floored at +0.5 → 0 — spec-proven), and a source absent
+    * from A is flagged `new_source` and scored against the flat
+    * smoothed prior — loudly, which is the point.
+    *
+    * Scale shape: each era pays ONE scan → narrow checkpointed
+    * feature/term-count tables (p04/t12's posture); the diff joins
+    * source-cardinality aggregates and the union term table — the
+    * only corpus-sized exchanges are the two (source, term) groupBys
+    * with map-side combine.
+    */
+  def corpusDiff(s: SparkSession, dfA: DataFrame, dfB: DataFrame)
+      : DataFrame = {
+    def feat(df: DataFrame) = df.select(col("source"),
+      size(regexp_extract_all(normText(col("text")), lit("[a-z0-9]+"),
+        lit(0))).cast("long").as("n_tok"),
+      md5(normText(col("text"))).as("digest"))
+    def vol(df: DataFrame, sfx: String) = {
+      val f = feat(df).localCheckpoint()
+      val dg = f.groupBy(col("source"), col("digest"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg((sum(col("c")) - count(lit(1))).as(s"dups_$sfx"))
+      f.groupBy(col("source"))
+        .agg(count(lit(1)).as(s"docs_$sfx"),
+          sum(col("n_tok")).as(s"tokens_$sfx"))
+        .join(dg, Seq("source"))
+    }
+    def terms(df: DataFrame) = df.select(col("source"),
+        explode(regexp_extract_all(normText(col("text")), lit("[a-z0-9]+"),
+          lit(0))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val un = terms(dfB).withColumnRenamed("c", "cb")
+      .join(terms(dfA).withColumnRenamed("c", "ca"),
+        Seq("source", "term"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+      .localCheckpoint() // union vocab; feeds totals and the KL sum
+    val sv = un.groupBy(col("source")).agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    val pb = (col("cb") + lit(1)).cast("double") /
+      (col("nb") + col("v")).cast("double")
+    val pa = (col("ca") + lit(1)).cast("double") /
+      (col("na") + col("v")).cast("double")
+    val kl = un.filter(col("cb") > 0)
+      .join(broadcast(sv), Seq("source"))
+      .withColumn("t9",
+        floor(pb * log(pb / pa) * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy(col("source")).agg(sum(col("t9")).as("kl9_shift"))
+    vol(dfB, "b")
+      .join(vol(dfA, "a"), Seq("source"), "full_outer")
+      .join(kl, Seq("source"), "left")
+      .na.fill(0L, Seq("docs_a", "tokens_a", "dups_a",
+        "docs_b", "tokens_b", "dups_b"))
+      .select(col("source"), col("docs_a"), col("docs_b"),
+        (col("docs_b") - col("docs_a")).as("new_docs"),
+        col("tokens_a"), col("tokens_b"), col("dups_a"), col("dups_b"),
+        col("kl9_shift"),
+        when(col("docs_a") === 0, lit(1)).otherwise(lit(0))
+          .as("new_source"))
+      .orderBy(col("source"))
+  }
+
+  /** Graded entry: snapshot A = the corpus before the `doc_id % 10 = 0`
+    * batch arrived (d08/d15's synthetic-slice convention), B = the
+    * full corpus after ingesting it.
+    */
+  def p06CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    corpusDiff(s, docs.filter(col("doc_id") % 10 =!= 0), docs)
+  }
 }

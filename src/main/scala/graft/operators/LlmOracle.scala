@@ -850,6 +850,75 @@ object LlmOracle {
     * integer counts, each p_s·ln(p_s/p) term floored to a 1e-9 BIGINT
     * before the order-free per-source sum (t08/q61's posture).
     */
+  /** p06: the snapshot diff replayed — era A = doc_id % 10 != 0, B =
+    * the full corpus; per-source volume/dup deltas and the cross-era
+    * KL with t12's exact term chain over the union vocabulary.
+    */
+  val p06: String =
+    s"""WITH a AS (
+       |  SELECT * FROM documents WHERE doc_id % 10 != 0
+       |), fa AS (
+       |  SELECT source, md5($Norm) AS digest,
+       |    len(regexp_extract_all($Norm, '[a-z0-9]+')) AS n_tok
+       |  FROM a
+       |), fb AS (
+       |  SELECT source, md5($Norm) AS digest,
+       |    len(regexp_extract_all($Norm, '[a-z0-9]+')) AS n_tok
+       |  FROM documents
+       |), va AS (
+       |  SELECT source, count(*) AS docs_a,
+       |    CAST(sum(n_tok) AS BIGINT) AS tokens_a,
+       |    CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS dups_a
+       |  FROM fa GROUP BY 1
+       |), vb AS (
+       |  SELECT source, count(*) AS docs_b,
+       |    CAST(sum(n_tok) AS BIGINT) AS tokens_b,
+       |    CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS dups_b
+       |  FROM fb GROUP BY 1
+       |), ta AS (
+       |  SELECT source, unnest(regexp_extract_all($Norm, '[a-z0-9]+'))
+       |    AS term FROM a
+       |), tb AS (
+       |  SELECT source, unnest(regexp_extract_all($Norm, '[a-z0-9]+'))
+       |    AS term FROM documents
+       |), cca AS (
+       |  SELECT source, term, count(*) AS ca FROM ta GROUP BY 1, 2
+       |), ccb AS (
+       |  SELECT source, term, count(*) AS cb FROM tb GROUP BY 1, 2
+       |), un AS (
+       |  SELECT coalesce(ccb.source, cca.source) AS source,
+       |    coalesce(ccb.term, cca.term) AS term,
+       |    coalesce(cca.ca, 0) AS ca, coalesce(ccb.cb, 0) AS cb
+       |  FROM ccb FULL JOIN cca
+       |    ON cca.source = ccb.source AND cca.term = ccb.term
+       |), sv AS (
+       |  SELECT source, CAST(sum(ca) AS BIGINT) AS na,
+       |    CAST(sum(cb) AS BIGINT) AS nb, count(*) AS v
+       |  FROM un GROUP BY 1
+       |), kl AS (
+       |  SELECT u.source,
+       |    CAST(sum(CAST(floor(
+       |      ((u.cb + 1) / CAST(s.nb + s.v AS DOUBLE)) *
+       |      ln(((u.cb + 1) / CAST(s.nb + s.v AS DOUBLE)) /
+       |         ((u.ca + 1) / CAST(s.na + s.v AS DOUBLE))) * 1.0e9 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS kl9_shift
+       |  FROM un u JOIN sv s USING (source)
+       |  WHERE u.cb > 0 GROUP BY 1
+       |)
+       |SELECT source,
+       |  coalesce(va.docs_a, 0) AS docs_a,
+       |  coalesce(vb.docs_b, 0) AS docs_b,
+       |  coalesce(vb.docs_b, 0) - coalesce(va.docs_a, 0) AS new_docs,
+       |  coalesce(va.tokens_a, 0) AS tokens_a,
+       |  coalesce(vb.tokens_b, 0) AS tokens_b,
+       |  coalesce(va.dups_a, 0) AS dups_a,
+       |  coalesce(vb.dups_b, 0) AS dups_b,
+       |  kl.kl9_shift,
+       |  CAST(CASE WHEN coalesce(va.docs_a, 0) = 0 THEN 1 ELSE 0 END
+       |    AS INT) AS new_source
+       |FROM vb FULL JOIN va USING (source) LEFT JOIN kl USING (source)
+       |ORDER BY source""".stripMargin
+
   /** t13: the same three regexp counts, one IEEE division per ratio,
     * identical constant chain, floored to 1e-6 BIGINTs.
     */

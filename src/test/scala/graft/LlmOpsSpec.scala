@@ -295,6 +295,40 @@ class LlmOpsSpec extends AnyFunSuite {
       out.mkString("; "))
   }
 
+  test("p06 diff card: identical source scores 0, shifted/new flag") {
+    import spark.implicits._
+    def docs(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, src, t) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = docs(Seq(
+      (1L, "same", "alpha beta gamma"),
+      (2L, "same", "beta gamma delta"),
+      (10L, "grown", "alpha beta alpha beta")))
+    val b = docs(Seq(
+      (1L, "same", "alpha beta gamma"),
+      (2L, "same", "beta gamma delta"),
+      (10L, "grown", "alpha beta alpha beta"),
+      (11L, "grown", "omega psi chi omega psi"),
+      (12L, "grown", "omega psi chi omega psi"), // exact dup of 11
+      (20L, "fresh", "zeta eta theta")))
+    val out = graft.operators.CorpusPipeline.corpusDiff(spark, a, b)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val same = out("same")
+    assert(same.getAs[Long]("kl9_shift") == 0L,
+      s"identical snapshot content must score exactly 0: $same")
+    assert(same.getAs[Long]("new_docs") == 0L && same.getAs[Int]("new_source") == 0)
+    val grown = out("grown")
+    assert(grown.getAs[Long]("new_docs") == 2L &&
+      grown.getAs[Long]("dups_b") == 1L && grown.getAs[Long]("dups_a") == 0L,
+      grown.toString)
+    assert(grown.getAs[Long]("kl9_shift") > 100000000L,
+      s"off-vocabulary arrivals must shift the distribution: $grown")
+    val fresh = out("fresh")
+    assert(fresh.getAs[Int]("new_source") == 1 &&
+      fresh.getAs[Long]("docs_a") == 0L && fresh.getAs[Long]("docs_b") == 1L,
+      fresh.toString)
+  }
+
   test("m01 PNG encode/decode roundtrip recovers exact dims and pixel stats") {
     val df = Multimodal.q(spark, dir)
     val rows = df.collect()
