@@ -172,6 +172,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st13StreamDrift(s, d)),
     "st16_stream_benford" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st16StreamBenford(s, d)),
+    "st17_stream_holt_winters" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st17StreamHoltWinters(s, d)),
     "st08_stream_cusum" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st08StreamCusum(s, d)),
     "st10_stream_heavy_hitters" ->
@@ -214,6 +216,7 @@ object SparkEntry {
     "st15_stream_trend"  -> SignalOracle.st15,
     "st13_stream_drift"  -> SignalOracle.st13,
     "st16_stream_benford" -> SignalOracle.st16,
+    "st17_stream_holt_winters" -> SignalOracle.st17,
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q55_cross_sectional" -> SignalOracle.q55,
     "q57_gap_fill"       -> SignalOracle.q57,

@@ -1564,6 +1564,108 @@ object SignalOracle {
       |FROM z
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
+  /** st17: q67's Holt-Winters recursion replayed per STALENESS
+    * SEGMENT (st09's 8-day gap rule) with PREFIX error moments
+    * carried through the recursion — the ring travels as a BIGINT
+    * LIST keyed by the segment-local phase, warm-up rows advance no
+    * moments, and z is a plain post-select over the carried
+    * (n, s1, s2, e).
+    */
+  val st17: String = {
+    val ring = (1 to 7).map(i =>
+      s"CASE WHEN ((v.seq - 1) % 7) + 1 = $i THEN v.sN ELSE v.sPrev[$i] END")
+      .mkString(",\n      |      ")
+    s"""WITH RECURSIVE b AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), sq AS MATERIALIZED (
+      |  SELECT user_id, event_type, seg_id, event_id, ts, v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM seg
+      |), rec AS (
+      |  SELECT user_id, event_type, seg_id, seq, event_id, ts, v4l,
+      |    v4l AS l, CAST(0 AS BIGINT) AS tr,
+      |    [CAST(0 AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL] AS s,
+      |    CAST(NULL AS BIGINT) AS pred, CAST(NULL AS BIGINT) AS e,
+      |    CAST(NULL AS BIGINT) AS sp_used,
+      |    CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s1,
+      |    CAST(0 AS HUGEINT) AS s2
+      |  FROM sq WHERE seq = 1
+      |  UNION ALL
+      |  SELECT v.user_id, v.event_type, v.seg_id, v.seq, v.event_id,
+      |    v.ts, v.v4l,
+      |    v.lN AS l,
+      |    CAST(floor((v.lN - v.lPrev + 3.0 * v.bPrev) / 4.0) AS BIGINT)
+      |      AS tr,
+      |    [$ring] AS s,
+      |    CASE WHEN v.sp IS NULL THEN NULL
+      |         ELSE v.lPrev + v.bPrev + v.sp END AS pred,
+      |    CASE WHEN v.sp IS NULL THEN NULL
+      |         ELSE v.v4l - (v.lPrev + v.bPrev + v.sp) END AS e,
+      |    v.sp AS sp_used,
+      |    v.nPrev + CASE WHEN v.sp IS NULL THEN 0 ELSE 1 END AS n,
+      |    v.s1Prev + CASE WHEN v.sp IS NULL THEN 0
+      |         ELSE v.v4l - (v.lPrev + v.bPrev + v.sp) END AS s1,
+      |    v.s2Prev + CASE WHEN v.sp IS NULL THEN CAST(0 AS HUGEINT)
+      |         ELSE CAST(v.v4l - (v.lPrev + v.bPrev + v.sp) AS HUGEINT)
+      |           * (v.v4l - (v.lPrev + v.bPrev + v.sp)) END AS s2
+      |  FROM (
+      |    SELECT u.*,
+      |      CAST(CASE WHEN u.sp IS NULL THEN u.v4l - u.lN
+      |           ELSE CAST(floor((u.v4l - u.lN + 3.0 * u.sp) / 4.0)
+      |             AS BIGINT) END AS BIGINT) AS sN
+      |    FROM (
+      |      SELECT t.*,
+      |        CAST(CASE WHEN t.sp IS NULL
+      |             THEN floor((t.v4l + t.lPrev + t.bPrev) / 2.0)
+      |             ELSE floor((t.v4l - t.sp + t.lPrev + t.bPrev) / 2.0)
+      |             END AS BIGINT) AS lN
+      |      FROM (
+      |        SELECT n2.user_id, n2.event_type, n2.seg_id, n2.event_id,
+      |          n2.ts, n2.v4l, n2.seq, r.l AS lPrev, r.tr AS bPrev,
+      |          r.s AS sPrev, r.s[((n2.seq - 1) % 7) + 1] AS sp,
+      |          r.n AS nPrev, r.s1 AS s1Prev, r.s2 AS s2Prev
+      |        FROM rec r JOIN sq n2
+      |          ON n2.user_id = r.user_id AND n2.event_type = r.event_type
+      |         AND n2.seg_id = r.seg_id AND n2.seq = r.seq + 1
+      |      ) t
+      |    ) u
+      |  ) v
+      |), z AS (
+      |  SELECT *,
+      |    CASE WHEN e IS NULL THEN NULL
+      |         WHEN n > 1 AND (n * s2 - CAST(s1 AS HUGEINT) * s1) > 0
+      |         THEN CAST(floor(CAST(n * e - s1 AS DOUBLE) /
+      |           sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |             * n / (n - 1)) * 1000000.0 + 0.5) AS BIGINT)
+      |         ELSE 0 END AS z6l
+      |  FROM rec
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value,
+      |  pred / 10000.0 AS forecast,
+      |  e / 10000.0 AS resid,
+      |  sp_used / 10000.0 AS season,
+      |  CASE WHEN e IS NULL THEN NULL ELSE z6l / 1000000.0 END AS hw_z6,
+      |  CASE WHEN z6l IS NOT NULL AND abs(z6l) >= 3000000 THEN 1 ELSE 0 END
+      |    AS hw_flag
+      |FROM z
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+  }
+
   /** p05: the component oracles composed VERBATIM as subqueries and
     * left-joined on the ticker key — the oracle-level mirror of the
     * report's by-construction equivalence to its standalone parts.

@@ -1456,4 +1456,135 @@ object StreamingAnomaly {
 
   def st16StreamBenford(s: SparkSession, dir: String): DataFrame =
     st16FromStream(s, eventStream(s, dir))
+
+  /** st17 per-ticker streaming Holt-Winters state: the dyadic
+    * level/trend pair, the 7-slot seasonal ring (Long.MinValue =
+    * phase not yet seen this segment), the segment-local row index
+    * that drives the phase, st09's prefix error moments (two-limb
+    * s2), and the last event time for eviction.
+    */
+  case class HwState(lastUs: Long, l: Long, b: Long, idx: Long,
+      season: Array[Long], n: Long, s1: Long, s2Hi: Long, s2Lo: Long)
+
+  case class HwOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double,
+      forecast: Option[Double], resid: Option[Double],
+      season: Option[Double], hw_z6: Option[Double], hw_flag: Int)
+
+  /** st17: q67's Holt-Winters forecaster as continuously-updating
+    * state — the streaming twin (as st09 is to q54) for SEASONAL
+    * feeds: the state carries q67's exact dyadic level/trend/ring
+    * recursion plus st09's prefix (causal) error moments, so each
+    * forecast error is standardized against everything seen so far in
+    * the segment. Staleness gaps and EventTimeTimeout eviction restart
+    * the segment — the ring re-warms phase by phase, exactly as the
+    * oracle's per-segment recursive CTE replays. Same in-order
+    * contract as st02/st09.
+    */
+  def st17Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[HwOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val limb = BigInt(1000000000000000000L) // 1e18
+    val Unseen = Long.MinValue
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[HwState]): Iterator[HwOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[HwOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          stOpt = stOpt.filter(st => usOf(e.ts) - st.lastUs <= staleUs)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          stOpt match {
+            case None =>
+              val ring = Array.fill(7)(Unseen)
+              ring(0) = 0L // s = v − l' = 0 at the segment seed
+              stOpt = Some(HwState(usOf(e.ts), vl, 0L, 1L, ring,
+                0L, 0L, 0L, 0L))
+              out += HwOut(key._1, key._2, e.event_id, e.ts, vl / 10000.0,
+                None, None, None, None, 0)
+            case Some(st) =>
+              val ph = (st.idx % 7).toInt
+              val sp = st.season(ph)
+              val ring = st.season.clone()
+              if (sp == Unseen) {
+                // q67's warm-up: non-seasonal level step, seed phase
+                val l2 = math.floor((vl + st.l + st.b) / 2.0).toLong
+                val b2 = math.floor((l2 - st.l + 3.0 * st.b) / 4.0).toLong
+                ring(ph) = vl - l2
+                stOpt = Some(HwState(usOf(e.ts), l2, b2, st.idx + 1, ring,
+                  st.n, st.s1, st.s2Hi, st.s2Lo))
+                out += HwOut(key._1, key._2, e.event_id, e.ts,
+                  vl / 10000.0, None, None, None, None, 0)
+              } else {
+                val pred = st.l + st.b + sp
+                val err = vl - pred
+                val n = st.n + 1
+                val s1 = st.s1 + err
+                val s2 = BigInt(st.s2Hi) * limb + st.s2Lo +
+                  BigInt(err) * BigInt(err)
+                val c = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
+                val z6 =
+                  if (n > 1 && c > 0) {
+                    val a = (BigInt(n) * BigInt(err) - BigInt(s1)).toDouble
+                    math.floor(a / math.sqrt(c.toDouble * n / (n - 1)) *
+                      1000000.0 + 0.5).toLong
+                  } else 0L
+                val l2 = math.floor((vl - sp + st.l + st.b) / 2.0).toLong
+                val b2 = math.floor((l2 - st.l + 3.0 * st.b) / 4.0).toLong
+                ring(ph) = math.floor((vl - l2 + 3.0 * sp) / 4.0).toLong
+                stOpt = Some(HwState(usOf(e.ts), l2, b2, st.idx + 1, ring,
+                  n, s1, (s2 / limb).toLong, (s2 % limb).toLong))
+                out += HwOut(key._1, key._2, e.event_id, e.ts,
+                  vl / 10000.0, Some(pred / 10000.0), Some(err / 10000.0),
+                  Some(sp / 10000.0), Some(z6 / 1000000.0),
+                  if (math.abs(z6) >= 3000000L) 1 else 0)
+              }
+          }
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st17FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st17_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st17Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("forecast"),
+        col("resid"), col("season"), col("hw_z6"), col("hw_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st17StreamHoltWinters(s: SparkSession, dir: String): DataFrame =
+    st17FromStream(s, eventStream(s, dir))
 }

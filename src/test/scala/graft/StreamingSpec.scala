@@ -564,6 +564,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(!byType.contains("tick"), "unfired window must not emit")
   }
 
+  test("st17 streaming Holt-Winters: recursion equals q67 on a gapless " +
+      "series; a staleness gap restarts the ring") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("hw17").toString
+    // 21 daily points of a period-7 pattern, then a 9-day gap, then 3
+    // more — the gap must restart the segment (no forecast after it)
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 12, 0).plusDays(d))
+    val cycle = Seq(10.0, 40.0, 80.0, 120.0, 80.0, 40.0, 20.0)
+    val rows = (0 until 21).map(i =>
+      (i.toLong, ts(i), 1L, "p", cycle(i % 7), "")) ++
+      (0 until 3).map(i => (100L + i, ts(30 + i), 1L, "p",
+        cycle(i % 7), "")) // day 20 → 30: a 10-day gap
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val st = StreamingAnomaly.st17StreamHoltWinters(spark, tmp).collect()
+    assert(st.length == 24)
+    // the post-gap segment re-warms: its 3 rows all lack forecasts
+    val postGap = st.filter(_.getLong(2) >= 100L)
+    assert(postGap.length == 3 && postGap.forall(_.isNullAt(5)),
+      postGap.mkString(";"))
+    // on the gapless prefix the level/trend/ring recursion is q67's —
+    // forecast, resid and season agree column-for-column (z differs:
+    // prefix vs whole-series moments, by design)
+    val q67 = graft.operators.SignalOps.q67HoltWinters(spark, tmp)
+      .filter(col("event_id") < 21).collect()
+      .map(r => r.getLong(2) -> r).toMap
+    st.filter(_.getLong(2) < 21L).foreach { r =>
+      val b = q67(r.getLong(2))
+      assert(r.isNullAt(5) == b.isNullAt(5), s"$r vs $b")
+      if (!r.isNullAt(5)) {
+        assert(r.getDouble(5) == b.getDouble(5) &&
+          r.getDouble(6) == b.getDouble(6) &&
+          r.getDouble(7) == b.getDouble(7), s"$r vs $b")
+      }
+    }
+  }
+
   test("st04 stream-stream interval join matches the batch formulation") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingAnomaly.st04StreamStreamJoin(spark, dir).count()
