@@ -1587,4 +1587,28 @@ object StreamingAnomaly {
 
   def st17StreamHoltWinters(s: SparkSession, dir: String): DataFrame =
     st17FromStream(s, eventStream(s, dir))
+
+  /** st17 into a fault-tolerant parquet sink with a durable
+    * checkpoint — the st02/st09/st14 kill-and-restart contract for
+    * the RING state class: a resume must restore every key's
+    * level/trend, all seven seasonal slots (including which phases
+    * are still unseen), the segment-local phase index and the prefix
+    * moments bit-for-bit — a mangled ring wrongs every forecast after
+    * the restart.
+    */
+  def st17ToFileSink(s: SparkSession, stream: DataFrame, path: String,
+      checkpoint: String, staleDays: Double = 8.0): String = {
+    withStatePartitions(s, 8) {
+      val q = st17Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", versionedSink(path))
+        .option("checkpointLocation", versionedCheckpoint(checkpoint))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    versionedSink(path)
+  }
 }

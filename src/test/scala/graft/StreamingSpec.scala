@@ -175,6 +175,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st17 kill-and-restart restores the seasonal ring state " +
+      "(HDFS and RocksDB providers)") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    // the single-run reference: each forecast depends on the key's
+    // ring (which phases are seeded, with what values) AND the prefix
+    // moments — a resume that mangled either wrongs every later row
+    val single = StreamingAnomaly.st17StreamHoltWinters(spark, dir)
+      .collect().map(_.toString).sorted
+    val slices = stageSlices().listFiles()
+      .filter(_.getName.startsWith("slice_")).sortBy(_.getName)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    for (provider <- Seq(None, Some("org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider"))) {
+      provider.foreach(spark.conf.set(providerKey, _))
+      try {
+        val inDir = Files.createTempDirectory("st17_restart_in").toFile
+        val cp = Files.createTempDirectory("st17_restart_cp").toString
+        val outPath = Files.createTempDirectory("st17_restart_out").toString
+        def addSlice(i: Int): Unit = {
+          val dst = new java.io.File(inDir, slices(i).getName)
+          Files.copy(slices(i).toPath, dst.toPath,
+            StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst.toPath,
+            FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+        def stream() = spark.readStream.schema(StreamingAnomaly.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath)
+        addSlice(0); addSlice(1)
+        val written =
+          StreamingAnomaly.st17ToFileSink(spark, stream(), outPath, cp)
+        val out1 = spark.read.parquet(written).count()
+        assert(out1 > 0)
+        addSlice(2); addSlice(3)
+        StreamingAnomaly.st17ToFileSink(spark, stream(), outPath, cp)
+        val resumed = spark.read.parquet(written)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts").as("date_recorded"), col("value"), col("forecast"),
+            col("resid"), col("season"), col("hw_z6"), col("hw_flag"))
+          .collect().map(_.toString).sorted
+        assert(resumed.length > out1, "restart must process new slices")
+        assert(resumed.length == single.length,
+          s"$provider: resumed ${resumed.length} vs single ${single.length}")
+        assert(resumed.sameElements(single), s"$provider: rows differ")
+      } finally provider.foreach(_ => spark.conf.unset(providerKey))
+    }
+  }
+
   test("st08 streaming CUSUM obeys the clamped recursion and flags consistently") {
     val rows = StreamingAnomaly.st08StreamCusum(spark, dir).collect()
     assert(rows.length == Tables.events(spark, dir).count())
