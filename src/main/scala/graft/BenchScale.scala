@@ -84,7 +84,15 @@ object BenchScale {
     "q62_kalman_level", "st14_stream_kalman", "s06_hybrid_rrf",
     "p04_data_card", "t12_source_kl", "q63_matrix_discord",
     "q64_trend_mk", "st15_stream_trend", "m09_audio_near_dup",
-    "p05_monitor_report")
+    "p05_monitor_report",
+    // round 9b: rank-statistic changepoints (O(n²) in-task), digit
+    // grids, seasonal-ring recursions (batch + stateful stream + the
+    // windowed digit state), MMR pool self-join, row-local
+    // readability, cross-era diff (two scans + union-vocab KL)
+    "q65_pettitt_cp", "q66_benford", "q67_holt_winters",
+    "q68_seasonal_mk", "s07_mmr_diverse", "t13_readability",
+    "st16_stream_benford", "st17_stream_holt_winters",
+    "p06_corpus_diff")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
