@@ -121,6 +121,7 @@ object SparkEntry {
     "t11_gopher_quality" -> graft.text.TextFns.gopherQuality _,
     "t12_source_kl"      -> ((s, d) => graft.text.TextFns.sourceKl(s, d)),
     "t13_readability"    -> ((s, d) => graft.text.TextFns.readability(s, d)),
+    "t14_zipf_fit"       -> ((s, d) => graft.text.TextFns.zipfFit(s, d)),
     "d08_decontaminate"  -> ((s, d) =>
       graft.dedup.Decontaminate.contaminated(s, d)),
     "d08_clean_corpus"   -> ((s, d) =>
@@ -240,6 +241,7 @@ object SparkEntry {
     "t11_gopher_quality" -> LlmOracle.t11,
     "t12_source_kl"      -> LlmOracle.t12,
     "t13_readability"    -> LlmOracle.t13,
+    "t14_zipf_fit"       -> LlmOracle.t14,
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,

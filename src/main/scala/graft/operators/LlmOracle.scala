@@ -919,6 +919,39 @@ object LlmOracle {
        |FROM vb FULL JOIN va USING (source) LEFT JOIN kl USING (source)
        |ORDER BY source""".stripMargin
 
+  /** t14: the same top-k rank table, pairwise ln-chain slopes and
+    * q64's exact-rank lower median, floored to 1e-6.
+    */
+  val t14: String =
+    s"""WITH stt AS (
+       |  SELECT source, unnest(regexp_extract_all($Norm, '[a-z0-9]+'))
+       |    AS term FROM documents
+       |), c AS (
+       |  SELECT source, term, count(*) AS c FROM stt GROUP BY 1, 2
+       |), top AS (
+       |  SELECT * FROM (
+       |    SELECT source, c, row_number() OVER (PARTITION BY source
+       |      ORDER BY c DESC, term) AS r
+       |    FROM c) WHERE r <= 50
+       |), n AS (
+       |  SELECT source, CAST(count(*) AS INT) AS n_terms
+       |  FROM top GROUP BY 1
+       |), pr AS (
+       |  SELECT a.source,
+       |    (ln(b.c) - ln(a.c)) / (ln(b.r) - ln(a.r)) AS sl
+       |  FROM top a JOIN top b
+       |    ON b.source = a.source AND b.r > a.r
+       |), m AS (
+       |  SELECT source, sl,
+       |    row_number() OVER (PARTITION BY source ORDER BY sl) AS rr,
+       |    count(*) OVER (PARTITION BY source) AS mm
+       |  FROM pr
+       |)
+       |SELECT n.source, n.n_terms,
+       |  floor(m.sl * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope6
+       |FROM n JOIN m ON m.source = n.source AND m.rr = (m.mm + 1) // 2
+       |ORDER BY n.source""".stripMargin
+
   /** t13: the same three regexp counts, one IEEE division per ratio,
     * identical constant chain, floored to 1e-6 BIGINTs.
     */

@@ -553,6 +553,71 @@ object TextFns {
       .orderBy(col("doc_id"))
   }
 
+  /** t14: ZIPF-law fit diagnostic per source — natural text follows
+    * freq ∝ rank^(−s) with s ≈ 1 (Zipf 1949); a source whose top-rank
+    * curve fits a very different exponent is template spam, keyword
+    * stuffing, or machine-generated boilerplate — a corpus-forensics
+    * lens none of the row-local filters (t02/t11) can see because it
+    * is a property of the AGGREGATE term distribution. The exponent
+    * is estimated robustly: the THEIL-SEN slope (q64's estimator) of
+    * the (ln rank, ln count) points over each source's top-`k` terms —
+    * immune to the head outliers ("the") and tail truncation that
+    * wreck an OLS fit on log-log data.
+    *
+    * Determinism: ranks are exact integers ((count desc, term) order);
+    * each pairwise slope is the identical ln/subtract/divide chain on
+    * both engines (t12's libm-parity posture) and the median picks
+    * the value at exact integer rank ⌈m/2⌉ (q64's lower-median rule);
+    * the published slope is floored to 1e-6. Sources with a single
+    * term have no pairs and emit nothing on either engine.
+    *
+    * Scale shape: ONE corpus scan → (source, term) counts (map-side
+    * combined; t12's exchange); the rank window sees the Zipf-compact
+    * count table and only k rows per source survive into the
+    * in-task O(k²) pairwise pass (one groupByKey over |sources|·k
+    * integer rows).
+    */
+  def zipfFit(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import s.implicits._
+    val st = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(regexp_extract_all(normText(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val wS = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("term"))
+    st.withColumn("r", row_number().over(wS))
+      .filter(col("r") <= k)
+      .select(col("source"), col("r"), col("c"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (src: String, it: Iterator[(String, Int, Long)]) =>
+        val pts = it.toVector.sortBy(_._2)
+          .map(t => (math.log(t._2.toDouble), math.log(t._3.toDouble)))
+        val n = pts.size
+        if (n < 2) Iterator.empty
+        else {
+          val slopes = Vector.newBuilder[Double]
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              slopes += (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)
+              j += 1
+            }
+            i += 1
+          }
+          val sl = slopes.result().sorted
+          val med = sl((sl.size + 1) / 2 - 1)
+          Iterator.single((src, n,
+            math.floor(med * 1000000.0 + 0.5) / 1000000.0))
+        }
+      }
+      .toDF("source", "n_terms", "zipf_slope6")
+      .orderBy(col("source"))
+  }
+
   /** t04: document fingerprints — whole-text rolling hash plus the min
     * over per-128-char block hashes (winnowing-style locality).
     */

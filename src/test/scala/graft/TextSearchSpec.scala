@@ -35,6 +35,27 @@ class TextSearchSpec extends AnyFunSuite {
       b.getAs[Int]("n_sentences") == 1, b.toString)
   }
 
+  test("t14 Zipf fit: natural curve near -1, flat template exactly 0") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t14spec").toString
+    // "nat": term i appears ⌊1000/i⌋ times — an exact Zipf s=1 curve;
+    // "tmpl": every term equally often — the template-spam signature
+    val nat = (1 to 10).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
+      .mkString(" ")
+    val tmpl = (1 to 10).flatMap(i => Seq.fill(40)(s"v$i")).mkString(" ")
+    Seq((0L, nat, "en", "nat", nat.length.toLong),
+      (1L, tmpl, "en", "tmpl", tmpl.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextFns.zipfFit(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sl = out("nat").getAs[Double]("zipf_slope6")
+    assert(sl > -1.1 && sl < -0.9, s"Zipf corpus slope: $sl")
+    assert(out("nat").getAs[Int]("n_terms") == 10)
+    assert(out("tmpl").getAs[Double]("zipf_slope6") == 0.0,
+      out("tmpl").toString)
+  }
+
   test("t06 tf-idf: top-k per doc, scores ranked, terms from the doc") {
     val out = TextFns.tfidf(spark, dir).cache()
     val perDoc = out.groupBy("doc_id").count()
