@@ -47,6 +47,7 @@ object SparkEntry {
     "q64_trend_mk"       -> ((s, d) => SignalOps.q64TrendMk(s, d)),
     "q65_pettitt_cp"     -> ((s, d) => SignalOps.q65Pettitt(s, d)),
     "q66_benford"        -> ((s, d) => SignalOps.q66Benford(s, d)),
+    "q69_ks_drift"       -> ((s, d) => SignalOps.q69KsDrift(s, d)),
     "q68_seasonal_mk"    -> ((s, d) => SignalOps.q68SeasonalMk(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "q67_holt_winters"   -> ((s, d) => SignalOps.q67HoltWinters(s, d)),
@@ -122,6 +123,8 @@ object SparkEntry {
     "t12_source_kl"      -> ((s, d) => graft.text.TextFns.sourceKl(s, d)),
     "t13_readability"    -> ((s, d) => graft.text.TextFns.readability(s, d)),
     "t14_zipf_fit"       -> ((s, d) => graft.text.TextFns.zipfFit(s, d)),
+    "t15_lexical_diversity" -> ((s, d) =>
+      graft.text.TextFns.lexicalDiversity(s, d)),
     "d08_decontaminate"  -> ((s, d) =>
       graft.dedup.Decontaminate.contaminated(s, d)),
     "d08_clean_corpus"   -> ((s, d) =>
@@ -229,6 +232,7 @@ object SparkEntry {
     "q64_trend_mk"       -> SignalOracle.q64,
     "q65_pettitt_cp"     -> SignalOracle.q65,
     "q66_benford"        -> SignalOracle.q66,
+    "q69_ks_drift"       -> SignalOracle.q69,
     "q68_seasonal_mk"    -> SignalOracle.q68,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "q67_holt_winters"   -> SignalOracle.q67,
@@ -242,6 +246,7 @@ object SparkEntry {
     "t12_source_kl"      -> LlmOracle.t12,
     "t13_readability"    -> LlmOracle.t13,
     "t14_zipf_fit"       -> LlmOracle.t14,
+    "t15_lexical_diversity" -> LlmOracle.t15,
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,

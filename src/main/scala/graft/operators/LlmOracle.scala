@@ -952,6 +952,32 @@ object LlmOracle {
        |FROM n JOIN m ON m.source = n.source AND m.rr = (m.mm + 1) // 2
        |ORDER BY n.source""".stripMargin
 
+  /** t15: per-(doc, term) counts, then exact integer type/token/hapax
+    * counts and three 1e-6-floored ratio chains (TTR, hapax,
+    * Guiraud R = types/sqrt(tokens)).
+    */
+  val t15: String =
+    s"""WITH stt AS (
+       |  SELECT doc_id, unnest(regexp_extract_all($Norm, '[a-z0-9]+'))
+       |    AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS c FROM stt GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hapax
+       |  FROM tf GROUP BY 1
+       |)
+       |SELECT doc_id, n_tokens, n_types, n_hapax,
+       |  floor(CAST(n_types AS DOUBLE) / n_tokens * 1000000.0 + 0.5)
+       |    / 1000000.0 AS ttr6,
+       |  floor(CAST(n_hapax AS DOUBLE) / n_tokens * 1000000.0 + 0.5)
+       |    / 1000000.0 AS hapax6,
+       |  floor(n_types / sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0
+       |    + 0.5) / 1000000.0 AS guiraud6
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** t13: the same three regexp counts, one IEEE division per ratio,
     * identical constant chain, floored to 1e-6 BIGINTs.
     */

@@ -1135,6 +1135,76 @@ object SignalOps {
       .orderBy(col("event_type"))
   }
 
+  /** q69: two-sample KOLMOGOROV–SMIRNOV drift test per event_type —
+    * the nonparametric companion to q61's binned PSI: PSI sees only
+    * ten decile buckets (a shift INSIDE a bucket is invisible and the
+    * bins need a ≥10-point reference), while KS compares the two
+    * full empirical CDFs at every observed value, so it catches any
+    * distributional change with a distribution-free significance
+    * rule. Eras are q61's convention exactly: days ≤ the span
+    * midpoint are the reference sample, later days the current one.
+    *
+    * Statistic, integer-exact: quantize values to 4-decimal longs
+    * (the engine-wide grid), count per distinct value and era, then
+    * D = max_v |F_ref(v) − F_cur(v)| over observed values. With
+    * cum1/cum2 the running counts and n1/n2 the era sizes, the max
+    * of |cum1·n2 − cum2·n1| is an exact BIGINT numerator (D = that
+    * over n1·n2); `ks6` is its single 1e-6 IEEE division. The flag
+    * is the classical large-sample rejection at α = 0.05 — D >
+    * c(α)·√((n1+n2)/(n1·n2)), c² = −ln(0.025)/2 — compared in the
+    * squared integer domain (d_num² > c²·(n1+n2)·n1·n2, one
+    * identical double chain both engines, no sqrt). Counts beyond
+    * ~3·10⁶ per era would overflow the squared compare's 53-bit
+    * mantissa before they overflow the BIGINT: at that scale the
+    * critical D is tiny and the verdict saturates long before the
+    * precision loss can flip it.
+    *
+    * Scale shape: ONE corpus-sized exchange — the (event_type, v4l)
+    * count groupBy with map-side combine. The cumulative window runs
+    * over the DISTINCT-VALUE table (bounded by the 4-decimal value
+    * domain per type, not by corpus rows — a 100 TB feed with
+    * values in [0, 10⁴) has ≤ 10⁸ grid points per type and typically
+    * far fewer), and the final per-type max re-uses the same
+    * event_type partitioning Catalyst already has.
+    */
+  def q69KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("pivot",
+        expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .select(col("pivot"))
+    val dist = ev.crossJoin(broadcast(span))
+      .withColumn("cur", (col("day") > col("pivot")).cast("int"))
+      .groupBy(col("event_type"), col("v4l"))
+      .agg(sum(when(col("cur") === 0, lit(1L)).otherwise(lit(0L))).as("c1"),
+        sum(when(col("cur") === 1, lit(1L)).otherwise(lit(0L))).as("c2"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("v4l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = dist
+      .withColumn("cum1", sum(col("c1")).over(wOrd))
+      .withColumn("cum2", sum(col("c2")).over(wOrd))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+    cum.filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("dnum",
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n_ref"), max(col("n2")).as("n_cur"),
+        max(col("dnum")).as("d_num"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("d_num"),
+        floor(col("d_num").cast("double") * lit(1000000.0) /
+          (col("n_ref") * col("n_cur")).cast("double") + lit(0.5))
+          .cast("long").as("ks6"),
+        when(col("d_num").cast("double") * col("d_num") >
+          lit(1.8444397270569681) * (col("n_ref") + col("n_cur")) *
+            col("n_ref") * col("n_cur"), lit(1)).otherwise(lit(0))
+          .as("drift_flag"))
+      .orderBy(col("event_type"))
+  }
+
   /** p05: the MONITORING REPORT — the anomaly-side composition p02/p03
     * are to the corpus side: one row per ticker joining every verdict
     * a morning review needs, the reference's master_anomaly_detector
@@ -1914,6 +1984,44 @@ object SignalOracle {
       |  max(CASE WHEN r = 1 THEN dev9 END) AS worst_dev9
       |FROM rk GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** q69: the same per-(type, value, era) count table, cumulative
+    * window sums, exact |cum1·n2 − cum2·n1| numerator and the
+    * squared-domain α = 0.05 compare.
+    */
+  val q69: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), span AS (
+      |  SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS pivot
+      |  FROM ev
+      |), dist AS (
+      |  SELECT e.event_type, e.v4l,
+      |    SUM(CASE WHEN e.day > s.pivot THEN 0 ELSE 1 END) AS c1,
+      |    SUM(CASE WHEN e.day > s.pivot THEN 1 ELSE 0 END) AS c2
+      |  FROM ev e, span s GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, v4l,
+      |    SUM(c1) OVER (PARTITION BY event_type ORDER BY v4l) AS cum1,
+      |    SUM(c2) OVER (PARTITION BY event_type ORDER BY v4l) AS cum2,
+      |    SUM(c1) OVER (PARTITION BY event_type) AS n1,
+      |    SUM(c2) OVER (PARTITION BY event_type) AS n2
+      |  FROM dist
+      |), agg AS (
+      |  SELECT event_type, CAST(max(n1) AS BIGINT) AS n_ref,
+      |    CAST(max(n2) AS BIGINT) AS n_cur,
+      |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+      |  FROM cum WHERE n1 > 0 AND n2 > 0 GROUP BY 1
+      |)
+      |SELECT event_type, n_ref, n_cur, d_num,
+      |  CAST(floor(CAST(d_num AS DOUBLE) * 1000000.0
+      |    / CAST(n_ref * n_cur AS DOUBLE) + 0.5) AS BIGINT) AS ks6,
+      |  CAST(CASE WHEN CAST(d_num AS DOUBLE) * d_num >
+      |    1.8444397270569681 * (n_ref + n_cur) * n_ref * n_cur
+      |    THEN 1 ELSE 0 END AS INT) AS drift_flag
+      |FROM agg ORDER BY event_type""".stripMargin
 
   /** st15: q64's pairwise statistics replayed over each row's
     * per-segment sliding window (last 16 rows) — st09/st14's segment

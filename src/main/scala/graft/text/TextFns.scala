@@ -692,4 +692,49 @@ object TextFns {
         sum(col("t9")).as("kl9"))
       .orderBy(col("source"))
   }
+
+  /** t15: per-document LEXICAL DIVERSITY — the vocabulary-richness
+    * counterpart to t10's repetition and t02's surface quality: a
+    * boilerplate page or keyword-stuffed spam doc reuses a tiny
+    * vocabulary (low type-token ratio, few hapax legomena) while
+    * organic prose keeps minting new words. Reports per doc: token
+    * count, type count, hapax count (frequency-1 types), the
+    * type-token ratio, the hapax ratio, and Guiraud's R =
+    * types/√tokens (the length-corrected variant — raw TTR decays
+    * with length, so R is the comparable score across short and long
+    * docs).
+    *
+    * Exactness: the three counts are exact integers; the ratios are
+    * single integer-ratio IEEE divisions (one libm sqrt for R)
+    * quantized to 6 decimals, identical chains on both engines. Docs
+    * whose normalized text has no [a-z0-9]+ token produce no row on
+    * either engine (unnest of an empty list).
+    *
+    * Scale shape: explode to (doc_id, term) pairs, count with
+    * map-side combine (the one corpus-sized exchange), then the
+    * per-doc roll-up over the (doc, term) table — all three metrics
+    * are plain sums, so partial aggregation halves the second
+    * shuffle too. No joins, no windows: a 100 TB corpus passes
+    * through two combiner-backed aggregations and nothing else.
+    */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(normText(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        r6(col("n_types").cast("double") / col("n_tokens")).as("ttr6"),
+        r6(col("n_hapax").cast("double") / col("n_tokens")).as("hapax6"),
+        r6(col("n_types") / sqrt(col("n_tokens").cast("double")))
+          .as("guiraud6"))
+      .orderBy(col("doc_id"))
+  }
 }

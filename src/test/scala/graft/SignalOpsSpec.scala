@@ -351,6 +351,35 @@ class SignalOpsSpec extends AnyFunSuite {
       write((0 until 7).map(_.toDouble), "x")).collect().isEmpty)
   }
 
+  test("q69 KS drift: planted era shift flags, stable stream does not") {
+    import spark.implicits._
+    // 20 days; the span midpoint puts days 1-10 in the reference era
+    // and 11-20 in the current one. "shift" moves +100 in the current
+    // era (disjoint supports -> D = 1); "same" repeats the identical
+    // ten values in both eras (D = 0).
+    val rows = (0 until 20).flatMap { d =>
+      val ts = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+      val base = (d % 10) * 1.0
+      Seq(
+        (1L, "shift", d.toLong * 2, ts, if (d >= 10) base + 100.0 else base),
+        (1L, "same", d.toLong * 2 + 1, ts, base))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("q69spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q69KsDrift(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val sh = out("shift")
+    assert(sh.getAs[Long]("n_ref") == 10 && sh.getAs[Long]("n_cur") == 10,
+      sh.toString)
+    assert(sh.getAs[Long]("d_num") == 100 && sh.getAs[Long]("ks6") == 1000000,
+      sh.toString)
+    assert(sh.getAs[Int]("drift_flag") == 1, sh.toString)
+    val sm = out("same")
+    assert(sm.getAs[Long]("d_num") == 0 && sm.getAs[Long]("ks6") == 0 &&
+      sm.getAs[Int]("drift_flag") == 0, sm.toString)
+  }
+
   test("q66 Benford: conforming sample passes, single-digit feed flags") {
     import spark.implicits._
     def write(rows: Seq[(String, Double)]): String = {

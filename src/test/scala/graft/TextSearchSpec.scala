@@ -56,6 +56,37 @@ class TextSearchSpec extends AnyFunSuite {
       out("tmpl").toString)
   }
 
+  test("t15 lexical diversity: exact counts on planted rich vs template") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t15spec").toString
+    // rich: 8 distinct words, all hapax; tmpl: one word repeated 8x;
+    // mixed: "a a a b b c" → 6 tokens, 3 types, 1 hapax
+    Seq((0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "w", 1L),
+      (1L, Seq.fill(8)("spam").mkString(" "), "en", "w", 1L),
+      (2L, "a a a b b c", "en", "w", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextFns.lexicalDiversity(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rich = out(0L)
+    assert(rich.getAs[Long]("n_tokens") == 8 &&
+      rich.getAs[Long]("n_types") == 8 &&
+      rich.getAs[Long]("n_hapax") == 8 &&
+      rich.getAs[Double]("ttr6") == 1.0 &&
+      rich.getAs[Double]("hapax6") == 1.0, rich.toString)
+    val tmplR = out(1L)
+    assert(tmplR.getAs[Long]("n_types") == 1 &&
+      tmplR.getAs[Long]("n_hapax") == 0 &&
+      tmplR.getAs[Double]("ttr6") == 0.125 &&
+      tmplR.getAs[Double]("hapax6") == 0.0, tmplR.toString)
+    val mixed = out(2L)
+    assert(mixed.getAs[Long]("n_tokens") == 6 &&
+      mixed.getAs[Long]("n_types") == 3 &&
+      mixed.getAs[Long]("n_hapax") == 1, mixed.toString)
+    val g = math.floor(3.0 / math.sqrt(6.0) * 1e6 + 0.5) / 1e6
+    assert(mixed.getAs[Double]("guiraud6") == g, mixed.toString)
+  }
+
   test("t06 tf-idf: top-k per doc, scores ranked, terms from the doc") {
     val out = TextFns.tfidf(spark, dir).cache()
     val perDoc = out.groupBy("doc_id").count()
