@@ -178,6 +178,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st16StreamBenford(s, d)),
     "st17_stream_holt_winters" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st17StreamHoltWinters(s, d)),
+    "st18_stream_gap" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st18StreamGap(s, d)),
     "st08_stream_cusum" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st08StreamCusum(s, d)),
     "st10_stream_heavy_hitters" ->
@@ -221,6 +223,7 @@ object SparkEntry {
     "st13_stream_drift"  -> SignalOracle.st13,
     "st16_stream_benford" -> SignalOracle.st16,
     "st17_stream_holt_winters" -> SignalOracle.st17,
+    "st18_stream_gap"    -> SignalOracle.st18,
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q55_cross_sectional" -> SignalOracle.q55,
     "q57_gap_fill"       -> SignalOracle.q57,

@@ -2626,4 +2626,27 @@ object SignalOracle {
       |FROM agg a LEFT JOIN skp s
       |  ON s.event_type = a.event_type AND s.wus = a.wus
       |ORDER BY win_start, a.event_type""".stripMargin
+
+  /** st18: the batch lag() replay — no segmentation CTE because the
+    * heartbeat state never resets; every row's gap is the exact µs
+    * difference to its (ts, event_id)-ordered predecessor.
+    */
+  val st18: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    value
+      |  FROM events
+      |), g AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded, value,
+      |  gap_us,
+      |  floor(gap_us / 86400000000.0 * 1000000.0 + 0.5) / 1000000.0
+      |    AS gap_days6,
+      |  CAST(CASE WHEN gap_us > 691200000000 THEN 1 ELSE 0 END AS INT)
+      |    AS stale_flag
+      |FROM g
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 }

@@ -1611,4 +1611,119 @@ object StreamingAnomaly {
     }
     versionedSink(path)
   }
+
+  /** st18 per-ticker heartbeat state: ONLY the last event-time µs —
+    * 8 bytes per live ticker, the smallest state in the family (st14
+    * keeps two longs). Deliberately NO timeout eviction: the gap
+    * monitor's whole job is the long-silence case, and evicting a
+    * quiet key would turn its eventual resumption gap into an
+    * indistinguishable first-arrival NULL. Key-cardinality × 8 bytes
+    * is the bound (10⁸ tickers ≈ 1.6 GB across a cluster's state
+    * stores with key overhead) — bounded by the FLEET, not the feed.
+    */
+  case class GapState(lastUs: Long)
+
+  case class GapOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, gap_us: Option[Long],
+      gap_days6: Option[Double], stale_flag: Int)
+
+  /** st18: the LIVE staleness/heartbeat monitor — q08's
+    * `days_since_last_update` verdict answered at arrival time
+    * instead of at report time (reference anomaly_proj_query.sql's
+    * measured inter-arrival gap, func.R's staleness flag): every
+    * event carries the exact µs gap to its predecessor on the same
+    * ticker, the 1e-6-floored gap in days, and a stale flag when the
+    * gap exceeds `staleDays`. First arrival on a ticker emits NULL
+    * gap, flag 0.
+    *
+    * Determinism: the gap is an exact long difference of event-time
+    * µs; `gap_days6` is one shared IEEE divide-and-floor chain; the
+    * flag is an integer compare — so the emitted rows are
+    * bit-identical to the batch lag() over (ts, event_id) order and
+    * the oracle replays exactly that (no segmentation CTE: state
+    * never resets). Same in-order contract as st02.
+    */
+  def st18Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[GapOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[GapState]): Iterator[GapOut] = {
+      val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+      val out = Vector.newBuilder[GapOut]
+      var last = state.getOption.map(_.lastUs)
+      sorted.foreach { e =>
+        val us = usOf(e.ts)
+        last match {
+          case None =>
+            out += GapOut(key._1, key._2, e.event_id, e.ts, e.value,
+              None, None, 0)
+          case Some(p) =>
+            val g = us - p
+            val gd6 = math.floor(
+              g / 86400000000.0 * 1000000.0 + 0.5) / 1000000.0
+            out += GapOut(key._1, key._2, e.event_id, e.ts, e.value,
+              Some(g), Some(gd6), if (g > staleUs) 1 else 0)
+        }
+        last = Some(us)
+      }
+      state.update(GapState(last.get))
+      out.result().iterator
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  def st18FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st18_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st18Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("gap_us"),
+        col("gap_days6"), col("stale_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st18StreamGap(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st18FromStream(s, eventStream(s, dir), staleDays)
+
+  /** st18 into a fault-tolerant parquet sink with a durable
+    * checkpoint — the family's kill-and-restart contract for the
+    * single-long heartbeat state: a resume must restore every key's
+    * exact last-seen µs, or the first post-restart gap is wrong.
+    */
+  def st18ToFileSink(s: SparkSession, stream: DataFrame, path: String,
+      checkpoint: String, staleDays: Double = 8.0): String = {
+    withStatePartitions(s, 8) {
+      val q = st18Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", versionedSink(path))
+        .option("checkpointLocation", versionedCheckpoint(checkpoint))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    versionedSink(path)
+  }
 }

@@ -581,6 +581,38 @@ class StreamingSpec extends AnyFunSuite {
       post.map(_.toString).mkString(";"))
   }
 
+  test("st18 streaming gap monitor: exact gaps, stale flag, multi-batch") {
+    import spark.implicits._
+    // daily ticks, then a 10-day silence, then daily again: the
+    // resumption row carries the exact 10-day gap and the stale flag
+    val days = (1 to 5) ++ (15 to 18)
+    val df = days.zipWithIndex.map { case (d, i) =>
+      (1L, "t", i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 06:00:00"), 1.0 * i)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("st18spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st18StreamGap(spark, tmp)
+      .collect().sortBy(_.getAs[Long]("event_id"))
+    assert(out.length == 9)
+    assert(out.head.isNullAt(out.head.fieldIndex("gap_us")) &&
+      out.head.getAs[Int]("stale_flag") == 0, out.head.toString)
+    assert(out(1).getAs[Long]("gap_us") == 86400000000L &&
+      out(1).getAs[Double]("gap_days6") == 1.0 &&
+      out(1).getAs[Int]("stale_flag") == 0, out(1).toString)
+    val resume = out(5) // jan 5 -> jan 15
+    assert(resume.getAs[Long]("gap_us") == 10L * 86400000000L &&
+      resume.getAs[Double]("gap_days6") == 10.0 &&
+      resume.getAs[Int]("stale_flag") == 1, resume.toString)
+    assert(out.count(_.getAs[Int]("stale_flag") == 1) == 1)
+    // batch boundaries don't perturb the heartbeat state
+    val multi = StreamingAnomaly.st18FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st18StreamGap(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
+
   test("st16 streaming Benford: conforming window passes, fabricated " +
       "feed flags with the right worst digit") {
     import spark.implicits._
