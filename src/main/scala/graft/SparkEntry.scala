@@ -91,6 +91,8 @@ object SparkEntry {
     "q58_winsorize"      -> ScaleOps.winsorize _,
     "d12_domain_cap"     -> ((s, d) => Sampling.domainCap(s, d)),
     "d16_mixture_sample" -> ((s, d) => Sampling.mixtureSample(s, d)),
+    "d17_edit_distance_dedup" -> ((s, d) =>
+      graft.dedup.Dedup.editDistanceDedup(s, d)),
     "d07_train_split"    -> Sampling.trainSplit _,
     "t05_entropy_score"  -> graft.text.TextFns.entropyScore _,
     "p01_corpus_pipeline" -> ((s, d) => CorpusPipeline.prepare(s, d)),
@@ -258,6 +260,7 @@ object SparkEntry {
     "d13_sequence_pack"  -> LlmOracle.d13,
     "d15_incremental_dedup" -> LlmOracle.d15,
     "d16_mixture_sample" -> LlmOracle.d16,
+    "d17_edit_distance_dedup" -> LlmOracle.d17,
     "d10_ngram_containment" -> LlmOracle.d10,
     "s04_knn_classify"   -> LlmOracle.s04,
     "q48_interval_join" ->

@@ -170,6 +170,81 @@ object Dedup {
       .orderBy(col("doc_contained"), col("doc_container"))
   }
 
+  /** d17: EDIT-DISTANCE near-dup pairs — the character-level
+    * companion to d04's token-set Jaccard: token measures score a
+    * doc-wide typo sweep, an OCR pass or a template with one field
+    * changed as "similar", but only the edit distance says HOW MANY
+    * keystrokes apart two texts are (the dedup rule crawl pipelines
+    * use for mirror pages and versioned boilerplate). Emits pairs of
+    * docs whose normalized texts are within `maxDist` Levenshtein
+    * edits, with the exact distance and a length-relative similarity.
+    *
+    * Exactness: the distance is Spark's banded `levenshtein(a, b,
+    * threshold)` — an exact value for every emitted pair (−1
+    * short-circuits pairs over the threshold, O(k·min(m,n)) instead
+    * of O(m·n)); `sim6` = 1 − dist/max(len) is one 1e-6-floored IEEE
+    * chain over exact integers.
+    *
+    * Scale shape: candidates come from the d04 inverted index — docs
+    * sharing a non-hot word bigram — narrowed two ways, both exact:
+    * (1) length band |len_a − len_b| ≤ k (an edit changes length by
+    * ≤ 1); (2) a PPJoin prefix on the (4k+1) globally-RAREST tokens
+    * per doc: one char edit touches at most 4 distinct word bigrams
+    * per side (worst case: a space edit merges/splits words mid-
+    * sentence), so lev ≤ k forces shared-token overlap ≥ n − 4k and
+    * the standard prefix argument applies. For short docs the prefix
+    * is the whole set (no loss); for book-length docs it caps join
+    * fan-out at (4k+1)·df instead of n_tok·df. The only approximation
+    * is d04's documented df cap: a pair sharing ONLY hot bigrams is
+    * not considered (it is a template family, not an edit pair).
+    */
+  def editDistanceDedup(s: SparkSession, dir: String, maxDist: Int = 64,
+      maxDf: Int = 100): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("nt"))
+      .withColumn("len", length(col("nt")))
+      .filter(col("len") > 0)
+    val ws = split(col("nt"), " ")
+    val bigrams = array_distinct(
+      when(size(ws) >= 2, graft.functions.VectorFunctions.word_ngrams(ws, 2))
+        .otherwise(array(concat_ws(" ", ws))))
+    val allTok = base.select(col("doc_id"), col("len"),
+      explode(bigrams).as("tok"))
+    val dfTab = allTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val hot = dfTab.filter(col("df") > maxDf).select(col("tok"))
+    // AQE-decided anti join (see ngramJaccard: the hot set is unbounded)
+    val tok = allTok.join(hot, Seq("tok"), "left_anti")
+    val pfx = tok
+      .join(dfTab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("len")).as("len"),
+        sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("doc_id"), col("len"),
+        slice(transform(col("st"), t => t("tok")), lit(1),
+          lit(4 * maxDist + 1)).as("prefix"))
+    val pref = pfx.select(col("doc_id"), col("len"),
+      explode(col("prefix")).as("tok"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("nt").as("ta"),
+        col("len").as("len_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("nt").as("tb"),
+        col("len").as("len_b")), Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("len_a"),
+        col("len_b"),
+        (floor((lit(1.0) - col("dist").cast("double") /
+          greatest(col("len_a"), col("len_b"))) * lit(1000000.0) +
+          lit(0.5)) / lit(1000000.0)).as("sim6"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The production window for d11 (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", §3: substrings of 50
     * tokens repeated across the corpus are removed). The graded entry

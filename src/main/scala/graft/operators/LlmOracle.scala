@@ -93,6 +93,47 @@ object LlmOracle {
        |WHERE CAST(inter AS DOUBLE) / n_contained >= 0.9
        |ORDER BY doc_contained, doc_container""".stripMargin
 
+  /** d17: the same df-capped shared-bigram candidate rule (prefix
+    * filtering is exact, so the oracle skips it), length band ≤ 64,
+    * then DuckDB's exact levenshtein over the normalized texts.
+    */
+  val d17: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, $Norm AS nt, string_split($Norm, ' ') AS ws
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, nt, CAST(length(nt) AS INT) AS len
+       |  FROM w WHERE length(nt) > 0
+       |), alltok AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(ws) >= 2
+       |      THEN list_transform(range(len(ws) - 1),
+       |        i -> ws[i + 1] || ' ' || ws[i + 2])
+       |      ELSE [array_to_string(ws, ' ')] END) AS tok
+       |  FROM w WHERE length(nt) > 0
+       |), hot AS (
+       |  SELECT tok FROM alltok GROUP BY tok HAVING count(*) > 100
+       |), tok AS (
+       |  SELECT a.doc_id, a.tok FROM alltok a
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.tok = a.tok)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |), scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(levenshtein(x.nt, y.nt) AS INT) AS dist,
+       |    x.len AS len_a, y.len AS len_b
+       |  FROM cand c
+       |  JOIN base x ON x.doc_id = c.doc_a
+       |  JOIN base y ON y.doc_id = c.doc_b
+       |  WHERE abs(x.len - y.len) <= 64
+       |)
+       |SELECT doc_a, doc_b, dist, len_a, len_b,
+       |  floor((1.0 - CAST(dist AS DOUBLE) / greatest(len_a, len_b))
+       |    * 1000000.0 + 0.5) / 1000000.0 AS sim6
+       |FROM scored WHERE dist <= 64
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** d11: cross-document repeated-substring spans — the same
     * repeated-k-gram-position construction as the Spark side (k = 5):
     * positions whose k-gram occurs in ≥ 2 distinct docs, merged into

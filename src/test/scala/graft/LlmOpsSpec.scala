@@ -1033,6 +1033,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccard(spark, tmp).collect().isEmpty)
   }
 
+  test("d17 edit-distance dedup: exact distance on a planted edit pair") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("editdup").toString
+    val a = "the quick brown fox jumps over the lazy dog near the river"
+    // two substitutions: fox -> fax, dog -> dig
+    val b = "the quick brown fax jumps over the lazy dig near the river"
+    val other = "completely unrelated content with disjoint vocabulary only"
+    Seq(
+      (1L, a, "en", "s", a.length.toLong),
+      (2L, b, "en", "s", b.length.toLong),
+      (3L, other, "en", "s", other.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.editDistanceDedup(spark, tmp).collect()
+    assert(pairs.length == 1, pairs.mkString(";"))
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_a") == 1L && p.getAs[Long]("doc_b") == 2L)
+    assert(p.getAs[Int]("dist") == 2, p.toString)
+    assert(p.getAs[Int]("len_a") == a.length && p.getAs[Int]("len_b") == b.length)
+    val sim = math.floor((1.0 - 2.0 / a.length) * 1e6 + 0.5) / 1e6
+    assert(p.getAs[Double]("sim6") == sim, p.toString)
+  }
+
   test("d15 incremental dedup admits only novel arrivals") {
     import spark.implicits._
     val base = (0 until 12).map(i => s"tok$i").mkString(" ")
