@@ -48,6 +48,7 @@ object SparkEntry {
     "q65_pettitt_cp"     -> ((s, d) => SignalOps.q65Pettitt(s, d)),
     "q66_benford"        -> ((s, d) => SignalOps.q66Benford(s, d)),
     "q69_ks_drift"       -> ((s, d) => SignalOps.q69KsDrift(s, d)),
+    "q70_page_hinkley"   -> ((s, d) => SignalOps.q70PageHinkley(s, d)),
     "q68_seasonal_mk"    -> ((s, d) => SignalOps.q68SeasonalMk(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "q67_holt_winters"   -> ((s, d) => SignalOps.q67HoltWinters(s, d)),
@@ -238,6 +239,7 @@ object SparkEntry {
     "q65_pettitt_cp"     -> SignalOracle.q65,
     "q66_benford"        -> SignalOracle.q66,
     "q69_ks_drift"       -> SignalOracle.q69,
+    "q70_page_hinkley"   -> SignalOracle.q70,
     "q68_seasonal_mk"    -> SignalOracle.q68,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "q67_holt_winters"   -> SignalOracle.q67,

@@ -1205,6 +1205,50 @@ object SignalOps {
       .orderBy(col("event_type"))
   }
 
+  /** q70: PAGE–HINKLEY mean-shift monitor per ticker (Page 1954;
+    * Hinkley 1971 — the sequential drift test the streaming-ML
+    * literature, e.g. MOA/Gama's drift-detection survey, standardized
+    * on): m_T = Σ(x_i − x̄_i − δ) with x̄_i the running mean, and
+    * PH_T = m_T − min_{t≤T} m_t alarms when > λ. Where q19's CUSUM
+    * standardizes against the ticker's WHOLE-series σ (a batch-only
+    * luxury), PH self-references the running mean — the drift verdict
+    * an online system can actually compute, so q70 is the batch
+    * ground truth for its streaming twin st19.
+    *
+    * Exactness: the running sum S_i is an exact long over 1e-4
+    * values; each term (v4l − S_i/i − δ4) is one shared IEEE chain
+    * quantized to a 1e-9 long BEFORE the cumulative sums (order-free
+    * integer windows — q19's posture), so `ph9`, the running min and
+    * the flag are all exact. CUSUM's closed form applies: PH_T needs
+    * no recursion, just R_t minus its running min over the same sort.
+    *
+    * Scale shape: identical to q19 — one hash exchange on the ticker
+    * key, one in-partition sort feeding row_number, two cumulative
+    * sums and a running min over the same window frame. Nothing
+    * corpus-sized moves twice.
+    */
+  def q70PageHinkley(s: SparkSession, dir: String,
+      delta: Double = 0.05, lambda: Double = 5.0): DataFrame = {
+    val d4 = math.floor(delta * 10000.0 + 0.5)   // slack in 1e-4 units
+    val l9 = math.floor(lambda * 1e9 + 0.5).toLong // threshold, 1e-9 units
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("i", row_number().over(wAsc))
+      .withColumn("s1", sum(col("v4l")).over(wRun))
+      .withColumn("c9",
+        floor((col("v4l") - col("s1").cast("double") / col("i") - lit(d4)) *
+          lit(100000.0) + lit(0.5)).cast("long"))
+      .withColumn("m", sum(col("c9")).over(wRun))
+      .withColumn("ph9", col("m") - min(col("m")).over(wRun))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), (col("v4l") / lit(10000.0)).as("value"),
+        col("ph9"),
+        when(col("ph9") > l9, lit(1)).otherwise(lit(0)).as("ph_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
   /** p05: the MONITORING REPORT — the anomaly-side composition p02/p03
     * are to the corpus side: one row per ticker joining every verdict
     * a morning review needs, the reference's master_anomaly_detector
@@ -2022,6 +2066,44 @@ object SignalOracle {
       |    1.8444397270569681 * (n_ref + n_cur) * n_ref * n_cur
       |    THEN 1 ELSE 0 END AS INT) AS drift_flag
       |FROM agg ORDER BY event_type""".stripMargin
+
+  /** q70: the same prefix sums, one shared 1e-9-quantized term chain,
+    * cumulative m and running min over the (ts, event_id) sort.
+    */
+  val q70: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), r AS (
+      |  SELECT *, row_number() OVER w AS i, SUM(v4l) OVER w AS s1
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), c AS (
+      |  SELECT *, CAST(floor((v4l - CAST(s1 AS DOUBLE) / i - 500.0)
+      |    * 100000.0 + 0.5) AS BIGINT) AS c9
+      |  FROM r
+      |), mm AS (
+      |  SELECT *, SUM(c9) OVER w2 AS m
+      |  FROM c
+      |  WINDOW w2 AS (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), ph AS (
+      |  SELECT *, m - MIN(m) OVER w3 AS ph9
+      |  FROM mm
+      |  WINDOW w3 AS (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value, ph9,
+      |  CAST(CASE WHEN ph9 > 5000000000 THEN 1 ELSE 0 END AS INT)
+      |    AS ph_flag
+      |FROM ph
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
   /** st15: q64's pairwise statistics replayed over each row's
     * per-segment sliding window (last 16 rows) — st09/st14's segment

@@ -380,6 +380,42 @@ class SignalOpsSpec extends AnyFunSuite {
       sm.getAs[Int]("drift_flag") == 0, sm.toString)
   }
 
+  test("q70 Page-Hinkley: alarms after a planted mean shift, not before") {
+    import spark.implicits._
+    // 30 flat points at 10.0, then 20 at 15.0: PH accumulates
+    // (x - running mean - delta) only after the shift
+    val vals = Seq.fill(30)(10.0) ++ Seq.fill(20)(15.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "x", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q70spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q70PageHinkley(spark, tmp).collect()
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(out.length == 50)
+    // exact replay of the published chain
+    var s1 = 0L; var m = 0L; var minm = Long.MaxValue
+    val expected = vals.zipWithIndex.map { case (v, i) =>
+      val v4l = math.floor(v * 10000.0 + 0.5).toLong
+      s1 += v4l
+      val c9 = math.floor(
+        (v4l - s1.toDouble / (i + 1) - 500.0) * 100000.0 + 0.5).toLong
+      m += c9
+      minm = math.min(minm, m)
+      m - minm
+    }
+    out.zip(expected).foreach { case (r, e) =>
+      assert(r.getAs[Long]("ph9") == e, s"${r.toString} expected $e")
+    }
+    val flags = out.map(_.getAs[Int]("ph_flag"))
+    assert(flags.take(30).forall(_ == 0), "no alarm before the shift")
+    assert(flags.drop(30).contains(1), "alarm after the shift")
+    // once over lambda, the flat-at-15 tail keeps the alarm latched
+    val first = flags.indexOf(1)
+    assert(flags.drop(first).forall(_ == 1), flags.mkString(","))
+  }
+
   test("q66 Benford: conforming sample passes, single-digit feed flags") {
     import spark.implicits._
     def write(rows: Seq[(String, Double)]): String = {
