@@ -183,6 +183,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st17StreamHoltWinters(s, d)),
     "st18_stream_gap" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st18StreamGap(s, d)),
+    "st19_stream_page_hinkley" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st19StreamPageHinkley(s, d)),
     "st08_stream_cusum" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st08StreamCusum(s, d)),
     "st10_stream_heavy_hitters" ->
@@ -227,6 +229,7 @@ object SparkEntry {
     "st16_stream_benford" -> SignalOracle.st16,
     "st17_stream_holt_winters" -> SignalOracle.st17,
     "st18_stream_gap"    -> SignalOracle.st18,
+    "st19_stream_page_hinkley" -> SignalOracle.st19,
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q55_cross_sectional" -> SignalOracle.q55,
     "q57_gap_fill"       -> SignalOracle.q57,

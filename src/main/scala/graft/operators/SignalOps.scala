@@ -2731,4 +2731,54 @@ object SignalOracle {
       |    AS stale_flag
       |FROM g
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** st19: q70's chain replayed per 8-day-gap SEGMENT (the family's
+    * restart rule) — prefix sums, the shared 1e-9 term quantization,
+    * cumulative m and running min, all windowed within the segment.
+    */
+  val st19: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), r AS (
+      |  SELECT *, row_number() OVER ws AS i, SUM(v4l) OVER ws AS s1
+      |  FROM seg
+      |  WINDOW ws AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), c AS (
+      |  SELECT *, CAST(floor((v4l - CAST(s1 AS DOUBLE) / i - 500.0)
+      |    * 100000.0 + 0.5) AS BIGINT) AS c9
+      |  FROM r
+      |), mm AS (
+      |  SELECT *, SUM(c9) OVER ws2 AS m
+      |  FROM c
+      |  WINDOW ws2 AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), ph AS (
+      |  SELECT *, m - MIN(m) OVER ws3 AS ph9
+      |  FROM mm
+      |  WINDOW ws3 AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value, ph9,
+      |  CAST(CASE WHEN ph9 > 5000000000 THEN 1 ELSE 0 END AS INT)
+      |    AS ph_flag
+      |FROM ph
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 }

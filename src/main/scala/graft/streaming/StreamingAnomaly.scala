@@ -1706,6 +1706,104 @@ object StreamingAnomaly {
       staleDays: Double = 8.0): DataFrame =
     st18FromStream(s, eventStream(s, dir), staleDays)
 
+  /** st19 per-ticker Page–Hinkley state: (last event µs, count,
+    * value sum, cumulative m, running min of m) — five longs, O(1)
+    * per key forever. The running mean lives IN the state as (s1, n),
+    * so the online recursion is exactly q70's windowed closed form.
+    */
+  case class PhState(lastUs: Long, n: Long, s1: Long, m: Long, minm: Long)
+
+  case class PhOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, ph9: Long, ph_flag: Int)
+
+  /** st19: q70's Page–Hinkley drift monitor answered LIVE — the
+    * mean-shift alarm an online feed wants the moment it trips, not
+    * at the nightly batch. Each arrival updates the exact long state
+    * (n, Σv4l), computes the one shared 1e-9-quantized term chain
+    * (v4l − S/n − δ4)·1e5, accumulates m and its running min, and
+    * emits ph9 = m − min with the λ flag. Staleness gaps (> 8 days)
+    * and EventTimeTimeout eviction restart the statistics — the
+    * family's segment rule — so a resumed ticker re-learns its mean
+    * instead of alarming on the calendar. Fully oracle-backed: the
+    * batch CTE replays the identical chain per segment (no recursion
+    * needed — q70's closed form windows within each segment).
+    */
+  def st19Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0, delta: Double = 0.05,
+      lambda: Double = 5.0): org.apache.spark.sql.Dataset[PhOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val d4 = math.floor(delta * 10000.0 + 0.5)
+    val l9 = math.floor(lambda * 1e9 + 0.5).toLong
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[PhState]): Iterator[PhOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // quiet ticker: statistics gone, key evicted
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[PhOut]
+        var st = state.getOption.getOrElse(
+          PhState(Long.MinValue, 0L, 0L, 0L, Long.MaxValue))
+        sorted.foreach { e =>
+          // in-data staleness gap: same restart the timeout path
+          // would have caused had the key stayed quiet
+          if (st.n > 0 && usOf(e.ts) - st.lastUs > staleUs)
+            st = PhState(Long.MinValue, 0L, 0L, 0L, Long.MaxValue)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          val n = st.n + 1
+          val s1 = st.s1 + vl
+          val c9 = math.floor(
+            (vl - s1.toDouble / n - d4) * 100000.0 + 0.5).toLong
+          val m = st.m + c9
+          val minm = math.min(st.minm, m)
+          val ph9 = m - minm
+          st = PhState(usOf(e.ts), n, s1, m, minm)
+          out += PhOut(key._1, key._2, e.event_id, e.ts, vl / 10000.0,
+            ph9, if (ph9 > l9) 1 else 0)
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st19FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st19_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st19Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("ph9"),
+        col("ph_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st19StreamPageHinkley(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st19FromStream(s, eventStream(s, dir), staleDays)
+
   /** st18 into a fault-tolerant parquet sink with a durable
     * checkpoint — the family's kill-and-restart contract for the
     * single-long heartbeat state: a resume must restore every key's

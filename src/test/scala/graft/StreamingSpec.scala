@@ -613,6 +613,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.length == single.length && multi.sameElements(single))
   }
 
+  test("st19 streaming Page-Hinkley: equals q70 on a gapless stream; " +
+      "multi-batch matches") {
+    import spark.implicits._
+    // gapless minute cadence: no segment restarts, so the streaming
+    // recursion must equal q70's batch windows row for row
+    val vals = Seq.fill(30)(10.0) ++ Seq.fill(20)(15.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "x", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("st19spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val live = StreamingAnomaly.st19StreamPageHinkley(spark, tmp)
+      .select("user_id", "event_type", "event_id", "value", "ph9", "ph_flag")
+      .collect().map(_.toString).sorted
+    val batch = graft.operators.SignalOps.q70PageHinkley(spark, tmp)
+      .select("user_id", "event_type", "event_id", "value", "ph9", "ph_flag")
+      .collect().map(_.toString).sorted
+    assert(live.length == batch.length && live.sameElements(batch))
+    // batch boundaries don't perturb the five-long state
+    val multi = StreamingAnomaly.st19FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st19StreamPageHinkley(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
+
   test("st16 streaming Benford: conforming window passes, fabricated " +
       "feed flags with the right worst digit") {
     import spark.implicits._
