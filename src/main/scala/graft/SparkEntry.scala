@@ -102,6 +102,8 @@ object SparkEntry {
     "p04_data_card"      -> ((s, d) => CorpusPipeline.p04DataCard(s, d)),
     "p05_monitor_report" -> ((s, d) => SignalOps.p05MonitorReport(s, d)),
     "p06_corpus_diff"    -> ((s, d) => CorpusPipeline.p06CorpusDiff(s, d)),
+    "p07_release_manifest" -> ((s, d) =>
+      CorpusPipeline.p07ReleaseManifest(s, d)),
     "q39_json_roundtrip" -> graft.sources.Sources.jsonRoundtrip _,
     "d01_dedup_exact"    -> graft.dedup.Dedup.exactDedup _,
     "d02_dedup_minhash_lsh" -> ((s, d) => graft.dedup.MinHashLSH.q(s, d)),
@@ -610,6 +612,7 @@ object SparkEntry {
     "p04_data_card"      -> LlmOracle.p04,
     "p05_monitor_report" -> SignalOracle.p05,
     "p06_corpus_diff"    -> LlmOracle.p06,
+    "p07_release_manifest" -> LlmOracle.p07,
     "m01_multimodal_meta" -> LlmOracle.m01,
     "m02_audio_features" -> LlmOracle.m02,
     "m03_video_frames" -> LlmOracle.m03,

@@ -298,4 +298,47 @@ object CorpusPipeline {
     val docs = Tables.documents(s, dir)
     corpusDiff(s, docs.filter(col("doc_id") % 10 =!= 0), docs)
   }
+
+  /** p07: the RELEASE MANIFEST — one row per packed shard, the
+    * artifact a training job reads before consuming a published
+    * dataset and the receipt a data release ships beside the shards:
+    * doc count, doc-id range, exact token count, how many `seqLen`
+    * sequences d13's concat-and-chunk yields (⌈tokens/seqLen⌉ — equal
+    * to the packing's max(last_seq)+1 by construction, spec-proven),
+    * the padding wasted in the shard's tail chunk, and a content
+    * checksum (the sum of t04's Rabin–Karp document fingerprints —
+    * order-free, so any reshuffle of the same docs verifies, any
+    * changed byte does not).
+    *
+    * Exactness: every column is an integer aggregate of row-local
+    * integer features; the checksum is a long sum of sub-1e9+7
+    * fingerprints (53 bits of headroom per 10⁹ docs — a 128-bit
+    * accumulate is the upgrade past 10¹⁰-doc shards).
+    *
+    * Scale shape: ONE corpus scan computing row-local features, one
+    * nShards-row groupBy with map-side combine. No windows, no joins
+    * — the manifest of a 100 TB release costs exactly one pass.
+    */
+  def p07ReleaseManifest(s: SparkSession, dir: String, nShards: Int = 8,
+      seqLen: Int = 512): DataFrame = {
+    val norm = normText(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        TextFns.reTokensCol(col("text")).cast("long").as("n_tok"),
+        when(length(norm) === 0, lit(null))
+          .otherwise(TextFns.rollingHash(norm)).as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("fp")).as("checksum"))
+      .withColumn("n_seqs",
+        expr(s"(n_tokens + ${seqLen - 1}) div $seqLen"))
+      .withColumn("pad_tokens", col("n_seqs") * seqLen - col("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("min_doc"), col("max_doc"),
+        col("n_tokens"), col("n_seqs"), col("pad_tokens"), col("checksum"))
+      .orderBy(col("shard"))
+  }
 }

@@ -1142,6 +1142,34 @@ object LlmOracle {
   private val RollFold =
     "(acc, x) -> (acc * 31 + x) % 1000000007"
 
+  /** p07: one scan of row-local integer features (d13's token count,
+    * t04's fingerprint fold), one shard groupBy, ⌈tokens/512⌉ chunks.
+    */
+  val p07: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, doc_id % 8 AS shard,
+       |    CAST(len(regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]'))
+       |      AS BIGINT) AS n_tok,
+       |    CASE WHEN length($Norm) = 0 THEN NULL ELSE
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split($Norm, ''),
+       |          c -> CAST(unicode(c) AS BIGINT))), $RollFold) END AS fp
+       |  FROM documents
+       |), agg AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(min(doc_id) AS BIGINT) AS min_doc,
+       |    CAST(max(doc_id) AS BIGINT) AS max_doc,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(fp) AS BIGINT) AS checksum
+       |  FROM tok GROUP BY shard
+       |)
+       |SELECT shard, n_docs, min_doc, max_doc, n_tokens,
+       |  CAST((n_tokens + 511) // 512 AS BIGINT) AS n_seqs,
+       |  CAST(((n_tokens + 511) // 512) * 512 - n_tokens AS BIGINT)
+       |    AS pad_tokens,
+       |  checksum
+       |FROM agg ORDER BY shard""".stripMargin
+
   val t04: String =
     s"""WITH n AS (
        |  SELECT doc_id, $Norm AS norm FROM documents

@@ -787,6 +787,36 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p07 release manifest composes d13 packing and t04 checksums") {
+    import graft.operators.{CorpusPipeline, Sampling}
+    val man = CorpusPipeline.p07ReleaseManifest(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard") -> r).toMap
+    val pack = graft.operators.Sampling.sequencePack(spark, dir).collect()
+    val byShard = pack.groupBy(_.getAs[Long]("shard"))
+    assert(man.keySet == byShard.keySet)
+    byShard.foreach { case (sh, rows) =>
+      val m = man(sh)
+      assert(m.getAs[Long]("n_docs") == rows.length, m.toString)
+      val tokens = rows.map(_.getAs[Int]("n_tok").toLong).sum
+      assert(m.getAs[Long]("n_tokens") == tokens, m.toString)
+      // ceil(total/512) = the packing's last chunk index + 1
+      assert(m.getAs[Long]("n_seqs") ==
+        rows.map(_.getAs[Long]("last_seq")).max + 1, m.toString)
+      assert(m.getAs[Long]("pad_tokens") ==
+        m.getAs[Long]("n_seqs") * 512 - tokens, m.toString)
+    }
+    // checksum = order-free sum of t04's full-text fingerprints
+    val ck = graft.text.TextFns.fingerprint(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id") % 8)
+      .view.mapValues(_.collect {
+        case r if !r.isNullAt(r.fieldIndex("fp_full")) =>
+          r.getAs[Long]("fp_full")
+      }.sum).toMap
+    man.foreach { case (sh, m) =>
+      assert(m.getAs[Long]("checksum") == ck(sh), m.toString)
+    }
+  }
+
   test("p04 data card: exact planted statistics per source") {
     import graft.operators.CorpusPipeline
     import spark.implicits._
