@@ -92,7 +92,14 @@ object BenchScale {
     "q65_pettitt_cp", "q66_benford", "q67_holt_winters",
     "q68_seasonal_mk", "s07_mmr_diverse", "t13_readability",
     "st16_stream_benford", "st17_stream_holt_winters",
-    "p06_corpus_diff")
+    "p06_corpus_diff",
+    // round 9c: distinct-value CDF windows (KS), running-mean drift
+    // windows (batch + five-long stream state), single-long heartbeat
+    // state, banded-Levenshtein pair join, two combiner aggregations
+    // (t15), one-scan shard manifest
+    "q69_ks_drift", "q70_page_hinkley", "st18_stream_gap",
+    "st19_stream_page_hinkley", "d17_edit_distance_dedup",
+    "t15_lexical_diversity", "p07_release_manifest")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
