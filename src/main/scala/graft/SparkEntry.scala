@@ -87,6 +87,9 @@ object SparkEntry {
     "q46_pivot"          -> Relational.pivotSegments _,
     "q50_monthly_revenue" -> Relational.monthlyRevenue _,
     "q51_upsert_merge"   -> Relational.upsertMerge _,
+    "q71_grouping_sets"  -> Relational.groupingSetsAgg _,
+    "q72_range_window"   -> Relational.rangeWindow _,
+    "q73_funnel"         -> Relational.funnel _,
     "q52_stratified_sample" -> Sampling.stratifiedSample _,
     "q56_group_quantiles" -> ScaleOps.groupQuantiles _,
     "q58_winsorize"      -> ScaleOps.winsorize _,
@@ -563,6 +566,64 @@ object SparkEntry {
            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
            CAST(version AS INT) AS version
          FROM r WHERE rn = 1 ORDER BY o_orderkey""",
+    "q71_grouping_sets" ->
+      """SELECT CAST(GROUPING(r_name, n_name, c_mktsegment) AS INT) AS gid,
+           r_name, n_name, c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name, n_name),
+           (r_name, c_mktsegment), (c_mktsegment))
+         ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST,
+           c_mktsegment ASC NULLS FIRST""",
+    "q72_range_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             AS win7_revenue,
+           COUNT(*) OVER w AS win7_orders
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY (CAST(o_orderdate AS DATE) - DATE '1992-01-01')
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "q73_funnel" ->
+      """WITH det AS (
+           SELECT DISTINCT event_type FROM events
+         ), stg AS (
+           SELECT event_type, row_number() OVER (ORDER BY event_type) AS rk
+           FROM det
+         ), t1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = (SELECT event_type FROM stg WHERE rk = 1)
+           GROUP BY user_id
+         ), t2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN t1 ON t1.user_id = e.user_id
+           WHERE e.event_type = (SELECT event_type FROM stg WHERE rk = 2)
+             AND e.ts > t1.t1
+           GROUP BY e.user_id
+         ), t3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN t2 ON t2.user_id = e.user_id
+           WHERE e.event_type = (SELECT event_type FROM stg WHERE rk = 3)
+             AND e.ts > t2.t2
+           GROUP BY e.user_id
+         ), u AS (
+           SELECT DISTINCT user_id FROM events
+         )
+         SELECT u.user_id, t1.t1 AS stage1_ts, t2.t2 AS stage2_ts,
+           t3.t3 AS stage3_ts,
+           CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                WHEN t2.t2 IS NOT NULL THEN 2
+                WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS reached
+         FROM u
+         LEFT JOIN t1 ON t1.user_id = u.user_id
+         LEFT JOIN t2 ON t2.user_id = u.user_id
+         LEFT JOIN t3 ON t3.user_id = u.user_id
+         ORDER BY u.user_id""",
     // d07/q52: content-addressed (md5 + salt) selection — both engines
     // render md5 as lowercase hex, so the threshold compare is exact
     "d07_train_split" ->

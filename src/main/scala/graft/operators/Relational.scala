@@ -363,4 +363,112 @@ object Relational {
         col("version"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** q71: arbitrary GROUPING SETS — the general form q29's ROLLUP and
+    * q41's CUBE are special cases of: one pass produces the
+    * (region, nation) hierarchy slice, the (region, segment)
+    * cross-dimension slice and the segment margin, disambiguated by
+    * the standard grouping_id bitmask (MSB = first grouping column,
+    * 1 = aggregated-away — both engines follow the SQL standard, so
+    * the three sets land on gid 1, 2 and 6).
+    *
+    * Scale shape: Spark expands grouping sets into one Expand node
+    * feeding a single hash aggregate — 3× the row stream, ONE
+    * shuffle, not three queries; the dims ride in as broadcasts.
+    */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")),
+          Seq(col("r_name"), col("c_mktsegment")),
+          Seq(col("c_mktsegment"))),
+        col("r_name"), col("n_name"), col("c_mktsegment"))
+      .agg(grouping_id().cast("int").as("gid"),
+        dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(col("gid"), col("r_name"), col("n_name"), col("c_mktsegment"),
+        col("revenue"), col("n_orders"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first,
+        col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+
+  /** q72: RANGE-interval window — the 7-DAY rolling revenue per
+    * customer, a frame defined by VALUE distance instead of q31's row
+    * count: a customer with three orders on one day and none for a
+    * month gets the calendar answer, not the last-3-rows answer.
+    * RANGE frames include all peers of the current day, so the result
+    * is deterministic with no within-day tie-break, and the window
+    * sum runs over DECIMAL(28,6) (the §8 float-parity posture) before
+    * the final double cast.
+    *
+    * Scale shape: one hash exchange on o_custkey, one in-partition
+    * sort on the integer day — identical cost to q31; the RANGE frame
+    * is a two-pointer walk, not a per-row rescan.
+    */
+  def rangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-6, 0)
+    Tables.orders(s, dir)
+      .withColumn("d",
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01"))))
+      .withColumn("win7_revenue",
+        sum(col("o_totalprice").cast(dec)).over(w).cast("double"))
+      .withColumn("win7_orders", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("win7_revenue"), col("win7_orders"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** q73: three-stage FUNNEL over the event stream — the ordered
+    * question sessionization (q32) can't answer: of the users who did
+    * stage 1, how many went on to stage 2 STRICTLY LATER, and then
+    * stage 3 after that? Stages are the three lexicographically
+    * smallest event types (deterministic on any corpus); per user the
+    * verdict is the classic chained conditional minimum — t1 = first
+    * s1, t2 = first s2 after t1, t3 = first s3 after t2 — with
+    * strict event-time ordering between stages.
+    *
+    * Scale shape: ONE hash exchange (groupByKey on user_id) and an
+    * in-task two-scan walk over each user's events; the stage list is
+    * a driver-side collect of the DISTINCT EVENT TYPES (a handful of
+    * rows — the same types-cardinality pattern as s03's centroids).
+    * The SQL equivalent needs three self-joins; the grouped walk
+    * reads the corpus once.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val stages = ev.select(col("event_type")).distinct()
+      .orderBy(col("event_type")).limit(3).as[String].collect()
+    require(stages.length == 3, s"funnel needs 3 event types, got ${stages.length}")
+    val (s1, s2, s3) = (stages(0), stages(1), stages(2))
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    ev.select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val v = it.toVector
+        def firstAfter(stage: String, after: Option[Long])
+            : Option[java.sql.Timestamp] = {
+          val hits = v.iterator.filter(e =>
+            e._2 == stage && after.forall(a => usOf(e._3) > a)).toSeq
+          if (hits.isEmpty) None else Some(hits.minBy(e => usOf(e._3))._3)
+        }
+        val t1 = firstAfter(s1, None)
+        val t2 = t1.flatMap(a => firstAfter(s2, Some(usOf(a))))
+        val t3 = t2.flatMap(a => firstAfter(s3, Some(usOf(a))))
+        val reached =
+          if (t3.isDefined) 3 else if (t2.isDefined) 2
+          else if (t1.isDefined) 1 else 0
+        (uid, t1, t2, t3, reached)
+      }
+      .toDF("user_id", "stage1_ts", "stage2_ts", "stage3_ts", "reached")
+      .orderBy(col("user_id"))
+  }
 }

@@ -95,6 +95,79 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.length == byKey.size, "exactly one surviving row per key")
   }
 
+  test("q71 grouping sets: exactly the three declared slices, one Expand") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Relational.groupingSetsAgg(spark, dir)
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Int]("gid")).toSet == Set(1, 2, 6))
+    // the segment margin (gid 6) must equal a direct segment groupBy
+    val margin = rows.filter(_.getAs[Int]("gid") == 6)
+      .map(r => r.getAs[String]("c_mktsegment") -> r.getAs[Long]("n_orders"))
+      .toMap
+    val direct = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(margin == direct)
+    // gid 1 and 2 slices partition the same orders
+    val tot = direct.values.sum
+    assert(rows.filter(_.getAs[Int]("gid") == 1)
+      .map(_.getAs[Long]("n_orders")).sum == tot)
+    assert(rows.filter(_.getAs[Int]("gid") == 2)
+      .map(_.getAs[Long]("n_orders")).sum == tot)
+    // one Expand + one shuffle, not three queries
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size >= 1)
+  }
+
+  test("q72 range window equals a per-customer 7-day brute recount") {
+    val out = operators.Relational.rangeWindow(spark, dir).collect()
+    def d6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    out.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rows) =>
+      val byDay = rows.map(r =>
+        (r.getAs[java.sql.Timestamp]("o_orderdate")
+          .toLocalDateTime.toLocalDate,
+          r.getAs[Double]("o_totalprice")))
+      rows.foreach { r =>
+        val d0 = r.getAs[java.sql.Timestamp]("o_orderdate")
+          .toLocalDateTime.toLocalDate
+        val in = byDay.filter { case (d, _) =>
+          val dd = java.time.temporal.ChronoUnit.DAYS.between(d, d0)
+          dd >= 0 && dd <= 6
+        }
+        assert(r.getAs[Long]("win7_orders") == in.length, r.toString)
+        val exp = in.map(p => d6(p._2)).sum.toDouble
+        assert(r.getAs[Double]("win7_revenue") == exp, r.toString)
+      }
+    }
+  }
+
+  test("q73 funnel: strict stage ordering on a planted journey set") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${m}%02d:00")
+    // stages sort to (a, b, c); user 1 completes in order, user 2 does
+    // b before a (only stage 1 counts), user 3 stops at b, user 4
+    // never does a
+    val rows = Seq(
+      (1L, "a", 0L, ts(1), 1.0), (1L, "b", 1L, ts(2), 1.0),
+      (1L, "c", 2L, ts(3), 1.0),
+      (2L, "b", 3L, ts(1), 1.0), (2L, "a", 4L, ts(2), 1.0),
+      (3L, "a", 5L, ts(1), 1.0), (3L, "b", 6L, ts(2), 1.0),
+      (4L, "c", 7L, ts(1), 1.0))
+    val tmp = java.nio.file.Files.createTempDirectory("q73spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.Relational.funnel(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Int]("reached") == 3)
+    assert(out(1L).getAs[java.sql.Timestamp]("stage3_ts") == ts(3))
+    assert(out(2L).getAs[Int]("reached") == 1, out(2L).toString)
+    assert(out(3L).getAs[Int]("reached") == 2)
+    assert(out(4L).getAs[Int]("reached") == 0)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("stage1_ts")))
+  }
+
   test("q20 scan reads only the 5 referenced lineitem columns") {
     val plan = operators.Relational
       .aggGroupBy(spark, dir).queryExecution.executedPlan.toString
