@@ -133,6 +133,8 @@ object SparkEntry {
     "t14_zipf_fit"       -> ((s, d) => graft.text.TextFns.zipfFit(s, d)),
     "t15_lexical_diversity" -> ((s, d) =>
       graft.text.TextFns.lexicalDiversity(s, d)),
+    "t16_markup_density" -> ((s, d) =>
+      graft.text.TextFns.markupDensity(s, d)),
     "d08_decontaminate"  -> ((s, d) =>
       graft.dedup.Decontaminate.contaminated(s, d)),
     "d08_clean_corpus"   -> ((s, d) =>
@@ -262,6 +264,7 @@ object SparkEntry {
     "t13_readability"    -> LlmOracle.t13,
     "t14_zipf_fit"       -> LlmOracle.t14,
     "t15_lexical_diversity" -> LlmOracle.t15,
+    "t16_markup_density" -> LlmOracle.t16,
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,

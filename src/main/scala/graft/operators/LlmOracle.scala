@@ -1019,6 +1019,28 @@ object LlmOracle {
        |    + 0.5) / 1000000.0 AS guiraud6
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** t16: the same conservative character-class regex counts and one
+    * 1e-6-floored density chain, row-local.
+    */
+  val t16: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, $Norm AS nt FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(nt, 'https?://[^ ]+')) AS INT)
+       |      AS n_urls,
+       |    CAST(len(regexp_extract_all(nt,
+       |      '[a-z0-9.+_-]+@[a-z0-9-]+\\.[a-z0-9.]+')) AS INT) AS n_emails,
+       |    CAST(len(regexp_extract_all(nt, '</?[a-z][^>]*>')) AS INT)
+       |      AS n_tags,
+       |    CAST(len(string_split(nt, ' ')) AS INT) AS n_ws_tokens
+       |  FROM n
+       |)
+       |SELECT doc_id, n_urls, n_emails, n_tags, n_ws_tokens,
+       |  floor(CAST(n_urls + n_emails + n_tags AS DOUBLE) / n_ws_tokens
+       |    * 1000000.0 + 0.5) / 1000000.0 AS markup_density6
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** t13: the same three regexp counts, one IEEE division per ratio,
     * identical constant chain, floored to 1e-6 BIGINTs.
     */

@@ -737,4 +737,39 @@ object TextFns {
           .as("guiraud6"))
       .orderBy(col("doc_id"))
   }
+
+  /** t16: MARKUP/BOILERPLATE density — the C4-style web-cleaning
+    * signals (Raffel et al. 2020 §2.2 drop pages with code/markup
+    * residue; Gopher's symbol rules are t11): per document, counts of
+    * URLs, email addresses and HTML-ish tags left in the text, plus
+    * their density against the whitespace token count. A crawl doc
+    * whose extractor failed (nav bars, raw HTML, link farms) scores
+    * high and gets triaged before tokenization wastes budget on it.
+    *
+    * Exactness: all counts are integer regexp_extract_all lengths
+    * over the normalized text with conservative explicit character
+    * classes (identical semantics under Java regex and RE2); the
+    * density is one 1e-6-floored integer-ratio chain. Row-local scan
+    * op — zero shuffles, the t01-t05 posture: a 100 TB corpus is
+    * triaged at scan speed.
+    */
+  def markupDensity(s: SparkSession, dir: String): DataFrame = {
+    def r6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val norm = normText(col("text"))
+    val nUrls = size(regexp_extract_all(norm,
+      lit("https?://[^ ]+"), lit(0)))
+    val nEmails = size(regexp_extract_all(norm,
+      lit("[a-z0-9.+_-]+@[a-z0-9-]+\\.[a-z0-9.]+"), lit(0)))
+    val nTags = size(regexp_extract_all(norm,
+      lit("</?[a-z][^>]*>"), lit(0)))
+    val nTok = size(split(norm, " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        nUrls.as("n_urls"), nEmails.as("n_emails"), nTags.as("n_tags"),
+        nTok.as("n_ws_tokens"),
+        r6((nUrls + nEmails + nTags).cast("double") / nTok)
+          .as("markup_density6"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -87,6 +87,27 @@ class TextSearchSpec extends AnyFunSuite {
     assert(mixed.getAs[Double]("guiraud6") == g, mixed.toString)
   }
 
+  test("t16 markup density: exact counts on a planted dirty-crawl doc") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t16spec").toString
+    val dirty = "visit https://example.com/page now <div class=x> " +
+      "mail me at user.name+tag@host-a.example.org </div> thanks"
+    val clean = "plain prose with no residue at all"
+    Seq((0L, dirty, "en", "w", dirty.length.toLong),
+      (1L, clean, "en", "w", clean.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextFns.markupDensity(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d = out(0L)
+    assert(d.getAs[Int]("n_urls") == 1 && d.getAs[Int]("n_emails") == 1 &&
+      d.getAs[Int]("n_tags") == 2, d.toString)
+    val c = out(1L)
+    assert(c.getAs[Int]("n_urls") == 0 && c.getAs[Int]("n_emails") == 0 &&
+      c.getAs[Int]("n_tags") == 0 &&
+      c.getAs[Double]("markup_density6") == 0.0, c.toString)
+  }
+
   test("t06 tf-idf: top-k per doc, scores ranked, terms from the doc") {
     val out = TextFns.tfidf(spark, dir).cache()
     val perDoc = out.groupBy("doc_id").count()
