@@ -2781,4 +2781,36 @@ object SignalOracle {
       |    AS ph_flag
       |FROM ph
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** st20: q73's chained conditional minimums, unpivoted to one row
+    * per reached stage — exactly the rows the stream emits at each
+    * stage advance.
+    */
+  val st20: String =
+    """WITH det AS (
+      |  SELECT DISTINCT event_type FROM events
+      |), stg AS (
+      |  SELECT event_type, row_number() OVER (ORDER BY event_type) AS rk
+      |  FROM det
+      |), t1 AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = (SELECT event_type FROM stg WHERE rk = 1)
+      |  GROUP BY user_id
+      |), t2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN t1 ON t1.user_id = e.user_id
+      |  WHERE e.event_type = (SELECT event_type FROM stg WHERE rk = 2)
+      |    AND e.ts > t1.t
+      |  GROUP BY e.user_id
+      |), t3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN t2 ON t2.user_id = e.user_id
+      |  WHERE e.event_type = (SELECT event_type FROM stg WHERE rk = 3)
+      |    AND e.ts > t2.t
+      |  GROUP BY e.user_id
+      |)
+      |SELECT user_id, CAST(1 AS INT) AS stage, t AS ts FROM t1
+      |UNION ALL SELECT user_id, CAST(2 AS INT), t FROM t2
+      |UNION ALL SELECT user_id, CAST(3 AS INT), t FROM t3
+      |ORDER BY user_id, stage""".stripMargin
 }

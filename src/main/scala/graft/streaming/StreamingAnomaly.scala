@@ -1804,6 +1804,95 @@ object StreamingAnomaly {
       staleDays: Double = 8.0): DataFrame =
     st19FromStream(s, eventStream(s, dir), staleDays)
 
+  /** st20 per-user funnel state: the three stage timestamps (µs,
+    * None = not reached). Deliberately no timeout and no staleness
+    * reset — a conversion funnel is a lifetime property of the user,
+    * not a windowed statistic; state is key-cardinality × three
+    * optional longs, the st18 bound.
+    */
+  case class FunnelState(t1: Option[Long], t2: Option[Long],
+      t3: Option[Long])
+
+  case class FunnelOut(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
+  /** st20: q73's three-stage funnel answered LIVE — a row is emitted
+    * the MOMENT a user advances a stage (first s1; first s2 strictly
+    * after t1; first s3 strictly after t2), which is what an
+    * activation dashboard actually wants: the conversion event, not
+    * tomorrow's recount. Stage list = the three lexicographically
+    * smallest event types (q73's deterministic rule), resolved from
+    * the static table once at submit. Same in-order contract as st02;
+    * the emitted (user, stage, ts) rows equal q73's non-null stage
+    * timestamps unpivoted — fully oracle-backed.
+    */
+  def st20Transform(s: SparkSession, stream: DataFrame,
+      stages: (String, String, String))
+      : org.apache.spark.sql.Dataset[FunnelOut] = {
+    import s.implicits._
+    val (s1, s2, s3) = stages
+
+    def update(key: Long, events: Iterator[TickEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+      val out = Vector.newBuilder[FunnelOut]
+      var st = state.getOption.getOrElse(FunnelState(None, None, None))
+      sorted.foreach { e =>
+        val us = usOf(e.ts)
+        if (st.t1.isEmpty && e.event_type == s1) {
+          st = st.copy(t1 = Some(us))
+          out += FunnelOut(key, 1, e.ts)
+        } else if (st.t1.isDefined && st.t2.isEmpty &&
+            e.event_type == s2 && us > st.t1.get) {
+          st = st.copy(t2 = Some(us))
+          out += FunnelOut(key, 2, e.ts)
+        } else if (st.t2.isDefined && st.t3.isEmpty &&
+            e.event_type == s3 && us > st.t2.get) {
+          st = st.copy(t3 = Some(us))
+          out += FunnelOut(key, 3, e.ts)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  def st20FromStream(s: SparkSession, stream: DataFrame,
+      stages: (String, String, String)): DataFrame = {
+    val name = s"st20_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st20Transform(s, stream, stages)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("stage"), col("ts"))
+      .orderBy(col("user_id"), col("stage"))
+  }
+
+  def st20StreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stages = graft.Tables.events(s, dir)
+      .select(col("event_type")).distinct()
+      .orderBy(col("event_type")).limit(3).as[String].collect()
+    require(stages.length == 3,
+      s"funnel needs 3 event types, got ${stages.length}")
+    st20FromStream(s, eventStream(s, dir),
+      (stages(0), stages(1), stages(2)))
+  }
+
   /** st18 into a fault-tolerant parquet sink with a durable
     * checkpoint — the family's kill-and-restart contract for the
     * single-long heartbeat state: a resume must restore every key's

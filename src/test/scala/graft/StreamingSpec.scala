@@ -640,6 +640,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.length == single.length && multi.sameElements(single))
   }
 
+  test("st20 streaming funnel: emits on each stage advance; multi-batch") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${m}%02d:00")
+    // same planted journeys as the q73 spec: user 1 converts fully,
+    // user 2 does b-before-a, user 3 stops at b, user 4 never starts
+    val rows = Seq(
+      (1L, "a", 0L, ts(1), 1.0), (1L, "b", 1L, ts(2), 1.0),
+      (1L, "c", 2L, ts(3), 1.0),
+      (2L, "b", 3L, ts(1), 1.0), (2L, "a", 4L, ts(2), 1.0),
+      (3L, "a", 5L, ts(1), 1.0), (3L, "b", 6L, ts(2), 1.0),
+      (4L, "c", 7L, ts(1), 1.0))
+    val tmp = java.nio.file.Files.createTempDirectory("st20spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st20StreamFunnel(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage")) -> r)
+      .toMap
+    assert(out.keySet == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1),
+      (3L, 2)), out.keySet.toString)
+    assert(out((1L, 3)).getAs[java.sql.Timestamp]("ts") == ts(3))
+    assert(out((2L, 1)).getAs[java.sql.Timestamp]("ts") == ts(2))
+    // batch boundaries don't perturb the funnel state
+    val resolved = graft.Tables.events(spark, dir)
+      .select(col("event_type")).distinct()
+      .orderBy(col("event_type")).limit(3).as[String].collect()
+    val multi = StreamingAnomaly.st20FromStream(spark, slicedStream(),
+      (resolved(0), resolved(1), resolved(2)))
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st20StreamFunnel(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
+
   test("st16 streaming Benford: conforming window passes, fabricated " +
       "feed flags with the right worst digit") {
     import spark.implicits._
