@@ -558,6 +558,30 @@ object LlmOracle {
     * depth 50) with a distinct-token Jaccard ranking; contributions
     * are exact ⌊1e9/(60+rk)⌋ BIGINTs so the fused sum is order-free.
     */
+  /** s08: the full exact self-join (each unordered pair scored once,
+    * both directions unpivoted), s01's (cos6 DESC, id) rank, top k.
+    */
+  val s08: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM v
+       |), p AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    floor(${dotSql("a.v", "b.v")} / sqrt(a.norm2 * b.norm2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cos6
+       |  FROM n a JOIN n b ON b.vec_id > a.vec_id
+       |), d AS (
+       |  SELECT ia AS node_id, ib AS nbr_id, cos6 FROM p
+       |  UNION ALL SELECT ib, ia, cos6 FROM p
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY node_id
+       |    ORDER BY cos6 DESC, nbr_id) AS rk
+       |  FROM d
+       |)
+       |SELECT node_id, CAST(rk AS INT) AS rk, nbr_id, cos6
+       |FROM r WHERE rk <= 5 ORDER BY node_id, rk""".stripMargin
+
   val s06: String =
     s"""WITH v AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -621,4 +621,65 @@ object Ann {
       .toDF("query_id", "sel_rank", "vec_id", "score6")
       .orderBy(col("query_id"), col("sel_rank"))
   }
+
+  /** s08: the exact k-NEAREST-NEIGHBOR GRAPH over the WHOLE embedding
+    * table — where s01 ranks a handful of query probes, s08 ranks
+    * every node against every other: the primitive under semantic-
+    * dedup clustering (d14's neighborhoods), graph label propagation
+    * (s04 at corpus scale) and corpus cartography. Exact by
+    * construction — n² cosines IS the semantics — so it reuses d05's
+    * grid-bounded all-pairs tier (each unordered pair materializes
+    * exactly once in one (i ≤ j) block task, no cartesian node) with
+    * the same explicit guard; at real-corpus scale you build the same
+    * graph from s02/s03 candidate sets and trade recall for the
+    * quadratic term.
+    *
+    * Determinism: per-pair cosine is one shared IEEE chain quantized
+    * to 1e-6 BEFORE ranking (s01's rule: cos6 desc, then neighbor
+    * id). Scale shape: pair generation is the d05 block join; a
+    * union flips each pair's direction; ONE row_number window per
+    * node (hash exchange on node id over the n² pair rows) selects k.
+    */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 5,
+      blockSize: Int = 128, maxExactRows: Long = 1000000L): DataFrame = {
+    import s.implicits._
+    val v = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm2", dot(col("v"), col("v")))
+    val n = v.count()
+    require(n <= maxExactRows,
+      s"s08 knnGraph is the EXACT all-pairs tier: n=$n rows exceeds " +
+        s"maxExactRows=$maxExactRows (~${n * n} directed pairs). Build the " +
+        "graph from s02/s03 candidates at corpus scale, or raise " +
+        "maxExactRows deliberately.")
+    val nBlocks = math.max(1, ((n + blockSize - 1) / blockSize).toInt)
+    val tasks = (0 until nBlocks)
+      .flatMap(i => (i until nBlocks).map(j => (i, j)))
+      .toDF("bi", "bj")
+    val a = v.select(pmod(col("vec_id"), lit(nBlocks)).cast("int").as("bi"),
+      col("vec_id").as("id_x"), col("v").as("vx"), col("norm2").as("nx"))
+    val b = v.select(pmod(col("vec_id"), lit(nBlocks)).cast("int").as("bj"),
+      col("vec_id").as("id_y"), col("v").as("vy"), col("norm2").as("ny"))
+    val pairs = a.join(broadcast(tasks), Seq("bi"))
+      .join(b, Seq("bj"))
+      .filter(col("bi") =!= col("bj") || col("id_x") < col("id_y"))
+      .withColumn("cos6",
+        floor(cosine(col("vx"), col("vy"), col("nx"), col("ny")) *
+          lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .select(col("id_x"), col("id_y"), col("cos6"))
+    val directed = pairs
+      .select(col("id_x").as("node_id"), col("id_y").as("nbr_id"),
+        col("cos6"))
+      .unionAll(pairs.select(col("id_y").as("node_id"),
+        col("id_x").as("nbr_id"), col("cos6")))
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("cos6").desc, col("nbr_id"))
+    directed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("node_id"), col("rk"), col("nbr_id"), col("cos6"))
+      .orderBy(col("node_id"), col("rk"))
+  }
 }

@@ -1063,6 +1063,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccard(spark, tmp).collect().isEmpty)
   }
 
+  test("s08 kNN graph: agrees with s01 on the probe nodes, k rows each, " +
+      "no cartesian") {
+    val g = Ann.knnGraph(spark, dir)
+    val rows = g.collect()
+    val byNode = rows.groupBy(_.getAs[Long]("node_id"))
+    assert(byNode.values.forall(_.length == 5))
+    assert(rows.forall(r =>
+      r.getAs[Long]("node_id") != r.getAs[Long]("nbr_id")))
+    // the graph restricted to s01's query nodes IS s01's answer
+    val s01 = Ann.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos6"))).sorted
+    val sub = rows.filter(_.getAs[Long]("node_id") < 10)
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("cos6"))).sorted
+    assert(sub.sameElements(s01))
+    val plan = g.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("d17 edit-distance dedup: exact distance on a planted edit pair") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("editdup").toString
