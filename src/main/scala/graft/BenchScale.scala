@@ -99,7 +99,12 @@ object BenchScale {
     // (t15), one-scan shard manifest
     "q69_ks_drift", "q70_page_hinkley", "st18_stream_gap",
     "st19_stream_page_hinkley", "d17_edit_distance_dedup",
-    "t15_lexical_diversity", "p07_release_manifest")
+    "t15_lexical_diversity", "p07_release_manifest",
+    // round 9d: row-local regex triage, one-pass grouped funnel walk
+    // (batch + the per-user stream state). q71/q72 ride the TPC-H
+    // tables the sf1 stage doesn't synthesize (like q20-q51); s08 is
+    // the exact n² tier by semantics — its scale path IS s02/s03.
+    "t16_markup_density", "q73_funnel", "st20_stream_funnel")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
