@@ -49,6 +49,8 @@ object SparkEntry {
     "q66_benford"        -> ((s, d) => SignalOps.q66Benford(s, d)),
     "q69_ks_drift"       -> ((s, d) => SignalOps.q69KsDrift(s, d)),
     "q70_page_hinkley"   -> ((s, d) => SignalOps.q70PageHinkley(s, d)),
+    "q74_spc_rules"      -> ((s, d) => SignalOps.q74SpcRules(s, d)),
+    "q75_runs_test"      -> ((s, d) => SignalOps.q75RunsTest(s, d)),
     "q68_seasonal_mk"    -> ((s, d) => SignalOps.q68SeasonalMk(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "q67_holt_winters"   -> ((s, d) => SignalOps.q67HoltWinters(s, d)),
@@ -254,6 +256,8 @@ object SparkEntry {
     "q66_benford"        -> SignalOracle.q66,
     "q69_ks_drift"       -> SignalOracle.q69,
     "q70_page_hinkley"   -> SignalOracle.q70,
+    "q74_spc_rules"      -> SignalOracle.q74,
+    "q75_runs_test"      -> SignalOracle.q75,
     "q68_seasonal_mk"    -> SignalOracle.q68,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "q67_holt_winters"   -> SignalOracle.q67,

@@ -1302,6 +1302,159 @@ object SignalOps {
         col("drift"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q74: Western Electric SPC rule screen per ticker (WECO 1956;
+    * Nelson 1984) — the control-chart runs rules the per-point z
+    * threshold (q09) cannot express: a process can drift out of
+    * control while every individual point stays inside 3σ. Four
+    * classic zone tests over the same standardized chart:
+    *   rule 1 — one point beyond 3σ (q09's check, for completeness);
+    *   rule 2 — ≥2 of the last 3 points beyond 2σ on the same side;
+    *   rule 3 — ≥4 of the last 5 points beyond 1σ on the same side;
+    *   rule 4 — 8 consecutive points on the same side of the mean.
+    * Each rule is evaluated only once its full lookback exists
+    * (i ≥ 3/5/8) so the verdict at row t is a pure function of rows
+    * t−7..t — deterministic, no partial-frame edge cases.
+    *
+    * Exactness: z is q19's 1e-6 fixed-point standardization from
+    * exact integer moment sums (decimal(38,0) s2, one shared IEEE
+    * division + sqrt chain), so every zone membership is an integer
+    * comparison and the rule counts are exact window sums. A
+    * zero-variance ticker has zf = 0 everywhere — on the center
+    * line, no side, no flags (q19's convention).
+    *
+    * Scale shape: q19's exactly — ONE hash exchange on the ticker
+    * key; the unordered moment window and the four ordered frames
+    * (3/5/8-row lookbacks) all reuse it; O(1) state per row.
+    */
+  def q74SpcRules(s: SparkSession, dir: String): DataFrame = {
+    val w3 = wAsc.rowsBetween(-2, 0)
+    val w5 = wAsc.rowsBetween(-4, 0)
+    val w8 = wAsc.rowsBetween(-7, 0)
+    def cnt(c: Column): Column = sum(when(c, 1).otherwise(0))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("s1", sum(col("v4l")).over(wKey))
+      .withColumn("s2",
+        sum((col("v4l").cast("decimal(19,0)") *
+          col("v4l").cast("decimal(19,0)")).cast("decimal(38,0)")).over(wKey))
+      .withColumn("a", col("n") * col("v4l") - col("s1"))
+      .withColumn("c",
+        (col("n").cast("decimal(38,0)") * col("s2") -
+          col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
+          .cast("decimal(38,0)"))
+      .withColumn("zf",
+        when(col("n") > 1 && col("c") > 0,
+          floor(col("a").cast("double") /
+            sqrt(col("c").cast("double") * col("n") / (col("n") - 1)) *
+            lit(1000000.0) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("i", row_number().over(wAsc))
+      .withColumn("c2p", cnt(col("zf") > 2000000L).over(w3))
+      .withColumn("c2n", cnt(col("zf") < -2000000L).over(w3))
+      .withColumn("c1p", cnt(col("zf") > 1000000L).over(w5))
+      .withColumn("c1n", cnt(col("zf") < -1000000L).over(w5))
+      .withColumn("c0p", cnt(col("zf") > 0L).over(w8))
+      .withColumn("c0n", cnt(col("zf") < 0L).over(w8))
+      .withColumn("rule1",
+        when(abs(col("zf")) > 3000000L, 1).otherwise(0))
+      .withColumn("rule2",
+        when(col("i") >= 3 && (col("c2p") >= 2 || col("c2n") >= 2), 1)
+          .otherwise(0))
+      .withColumn("rule3",
+        when(col("i") >= 5 && (col("c1p") >= 4 || col("c1n") >= 4), 1)
+          .otherwise(0))
+      .withColumn("rule4",
+        when(col("i") >= 8 && (col("c0p") === 8 || col("c0n") === 8), 1)
+          .otherwise(0))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), (col("v4l") / lit(10000.0)).as("value"),
+        (col("zf") / lit(1000000.0)).as("zscore6"),
+        col("rule1"), col("rule2"), col("rule3"), col("rule4"),
+        when(col("rule1") + col("rule2") + col("rule3") + col("rule4") > 0,
+          1).otherwise(0).as("spc_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  /** q75: Wald–Wolfowitz RUNS test per ticker (Wald & Wolfowitz
+    * 1940) — the randomness screen none of the magnitude detectors
+    * run: a feed whose values are individually in range can still be
+    * serially dependent (too FEW runs — trending/sticky ingestion) or
+    * oscillating (too MANY runs — alternating-source interleave).
+    * Dichotomize each observation against the ticker's exact lower
+    * median (q56's integer-rank selection at ⌈n/2⌉; ties ON the
+    * median are excluded, the standard convention), count the runs R
+    * of consecutive same-side points in time order, and reject
+    * randomness at α = 0.05 when |R − μ_R| > 1.96·σ_R with
+    * μ_R = 2·n₁·n₂/n + 1, σ²_R = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)).
+    *
+    * Exactness: the verdict is compared in the SQUARED integer
+    * domain — with dev = R·n − 2n₁n₂ − n (= n·(R − μ_R), an exact
+    * long) the rejection is dev²·(n−1)·10⁴ > 38416·2n₁n₂(2n₁n₂−n),
+    * all in decimal(38,0)/HUGEINT: no sqrt, no rounding, bit-equal
+    * on both engines (exact through per-ticker histories ~10⁶; a
+    * degenerate side or σ² ≤ 0 yields flag 0). `runs_z6` is the one
+    * shared IEEE chain for human consumption, 1e-6-floored.
+    *
+    * Scale shape: ONE hash exchange on the ticker key — the median
+    * rank window (same partitioning, value sort), the sign lag
+    * window (time sort) and the final per-ticker aggregate all reuse
+    * it; the median join is ticker-cardinality, AQE-broadcast.
+    */
+  def q75RunsTest(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+    val wVal = Window.partitionBy(keyCols: _*)
+      .orderBy(col("v4l"), col("event_id"))
+    val med = base
+      .withColumn("rk", row_number().over(wVal))
+      .withColumn("nk", count(lit(1)).over(wKey))
+      .filter(col("rk") === floor((col("nk") + 1) / 2).cast("long"))
+      .select(col("user_id"), col("event_type"), col("v4l").as("med4"))
+    val signed = base
+      .join(med, Seq("user_id", "event_type"))
+      .withColumn("sgn",
+        when(col("v4l") > col("med4"), 1)
+          .when(col("v4l") < col("med4"), -1).otherwise(0))
+      .filter(col("sgn") =!= 0)
+      .withColumn("prev", lag(col("sgn"), 1).over(wAsc))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+          .otherwise(0L))
+    signed
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("med4")).as("med4"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_below"),
+        sum(col("chg")).as("runs"))
+      .withColumn("n", col("n_above") + col("n_below"))
+      .withColumn("p", (lit(2).cast("decimal(38,0)") *
+        col("n_above") * col("n_below")).cast("decimal(38,0)"))
+      .withColumn("dev", (col("runs").cast("decimal(38,0)") * col("n") -
+        col("p") - col("n")).cast("decimal(38,0)"))
+      .withColumn("den",
+        (col("p") * (col("p") - col("n"))).cast("decimal(38,0)"))
+      .withColumn("nonrandom_flag",
+        when(col("n_above") > 0 && col("n_below") > 0 && col("den") > 0 &&
+          (col("dev") * col("dev") * (col("n") - 1) * lit(10000))
+            .cast("decimal(38,0)") > (col("den") * lit(38416)), 1)
+          .otherwise(0))
+      .withColumn("runs_z6",
+        when(col("n_above") > 0 && col("n_below") > 0 && col("den") > 0,
+          floor(col("dev").cast("double") /
+            sqrt(col("den").cast("double") / (col("n") - 1)) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("user_id"), col("event_type"),
+        (col("med4") / lit(10000.0)).as("median"),
+        col("n").as("n_obs"), col("n_above"), col("n_below"),
+        col("runs").cast("long").as("runs"), col("runs_z6"),
+        col("nonrandom_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -2813,4 +2966,121 @@ object SignalOracle {
       |UNION ALL SELECT user_id, CAST(2 AS INT), t FROM t2
       |UNION ALL SELECT user_id, CAST(3 AS INT), t FROM t3
       |ORDER BY user_id, stage""".stripMargin
+
+  /** q74: q19's exact fixed-point z, then the four Western Electric
+    * zone tests as window counts over 3/5/8-row lookback frames.
+    */
+  val q74: String =
+    """WITH base AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), st AS (
+      |  SELECT *,
+      |    count(*) OVER wk AS n,
+      |    sum(v4l) OVER wk AS s1,
+      |    sum(CAST(v4l AS HUGEINT) * v4l) OVER wk AS s2
+      |  FROM base
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), z AS (
+      |  SELECT *,
+      |    CASE WHEN n > 1 AND (n * s2 - CAST(s1 AS HUGEINT) * s1) > 0
+      |      THEN CAST(floor(
+      |        CAST(n * v4l - s1 AS DOUBLE) /
+      |        sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) * n / (n - 1))
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |      ELSE 0 END AS zf
+      |  FROM st
+      |), f AS (
+      |  SELECT *,
+      |    row_number() OVER wo AS i,
+      |    sum(CASE WHEN zf >  2000000 THEN 1 ELSE 0 END) OVER w3 AS c2p,
+      |    sum(CASE WHEN zf < -2000000 THEN 1 ELSE 0 END) OVER w3 AS c2n,
+      |    sum(CASE WHEN zf >  1000000 THEN 1 ELSE 0 END) OVER w5 AS c1p,
+      |    sum(CASE WHEN zf < -1000000 THEN 1 ELSE 0 END) OVER w5 AS c1n,
+      |    sum(CASE WHEN zf > 0 THEN 1 ELSE 0 END) OVER w8 AS c0p,
+      |    sum(CASE WHEN zf < 0 THEN 1 ELSE 0 END) OVER w8 AS c0n
+      |  FROM z
+      |  WINDOW
+      |    wo AS (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+      |    w3 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      |    w5 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      |    w8 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+      |), r AS (
+      |  SELECT *,
+      |    CAST(CASE WHEN abs(zf) > 3000000 THEN 1 ELSE 0 END AS INT) AS rule1,
+      |    CAST(CASE WHEN i >= 3 AND (c2p >= 2 OR c2n >= 2)
+      |      THEN 1 ELSE 0 END AS INT) AS rule2,
+      |    CAST(CASE WHEN i >= 5 AND (c1p >= 4 OR c1n >= 4)
+      |      THEN 1 ELSE 0 END AS INT) AS rule3,
+      |    CAST(CASE WHEN i >= 8 AND (c0p = 8 OR c0n = 8)
+      |      THEN 1 ELSE 0 END AS INT) AS rule4
+      |  FROM f
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value, zf / 1000000.0 AS zscore6,
+      |  rule1, rule2, rule3, rule4,
+      |  CAST(CASE WHEN rule1 + rule2 + rule3 + rule4 > 0 THEN 1 ELSE 0 END
+      |    AS INT) AS spc_flag
+      |FROM r
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** q75: exact lower-median dichotomy, run count via sign-change lag,
+    * squared-integer-domain rejection — HUGEINT mirrors decimal(38,0).
+    */
+  val q75: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), mr AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY v4l, event_id) AS rk,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS nk
+      |  FROM b
+      |), med AS (
+      |  SELECT user_id, event_type, v4l AS med4 FROM mr
+      |  WHERE rk = (nk + 1) // 2
+      |), sg AS (
+      |  SELECT b.*, med.med4,
+      |    CASE WHEN b.v4l > med.med4 THEN 1
+      |         WHEN b.v4l < med.med4 THEN -1 ELSE 0 END AS sgn
+      |  FROM b JOIN med USING (user_id, event_type)
+      |), nz AS (
+      |  SELECT *, lag(sgn) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id) AS prev
+      |  FROM sg WHERE sgn <> 0
+      |), g AS (
+      |  SELECT user_id, event_type, max(med4) AS med4,
+      |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_above,
+      |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_below,
+      |    CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS runs
+      |  FROM nz GROUP BY user_id, event_type
+      |), f AS (
+      |  SELECT *, n_above + n_below AS n,
+      |    CAST(2 AS HUGEINT) * n_above * n_below AS p
+      |  FROM g
+      |), f2 AS (
+      |  SELECT *, CAST(runs AS HUGEINT) * n - p - n AS dev,
+      |    p * (p - n) AS den
+      |  FROM f
+      |)
+      |SELECT user_id, event_type, med4 / 10000.0 AS median,
+      |  n AS n_obs, n_above, n_below, runs,
+      |  CASE WHEN n_above > 0 AND n_below > 0 AND den > 0 THEN
+      |    CAST(floor(CAST(dev AS DOUBLE) /
+      |      sqrt(CAST(den AS DOUBLE) / (n - 1)) * 1000000.0 + 0.5) AS BIGINT)
+      |  END AS runs_z6,
+      |  CAST(CASE WHEN n_above > 0 AND n_below > 0 AND den > 0
+      |    AND dev * dev * (n - 1) * 10000 > den * 38416
+      |    THEN 1 ELSE 0 END AS INT) AS nonrandom_flag
+      |FROM f2
+      |ORDER BY user_id, event_type""".stripMargin
 }

@@ -657,4 +657,105 @@ class SignalOpsSpec extends AnyFunSuite {
       .findAllMatchIn(plan).map(_.group(1)).toSet.size
     assert(exchanges <= 1, s"want <=1 hash exchange, got $exchanges:\n$plan")
   }
+
+  test("q74 SPC: a same-side run trips rule 4 while every point stays " +
+      "inside 2 sigma") {
+    import spark.implicits._
+    // alternate around 10, then 10 gently-above-mean points: each is
+    // well under 2 sigma (rule 1/2 silent) but 8 consecutive land on
+    // the same side of the center line
+    val vals = (1 to 30).map(i => if (i % 2 == 0) 9.0 else 11.0) ++
+      Seq.fill(10)(10.6)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "run", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q74spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q74SpcRules(spark, tmp).collect()
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(out.length == 40)
+    assert(out.forall(r => math.abs(r.getAs[Double]("zscore6")) < 2.0),
+      "every point stays inside 2 sigma")
+    assert(out.forall(_.getAs[Int]("rule1") == 0))
+    assert(out.forall(_.getAs[Int]("rule2") == 0))
+    // the 8th consecutive above-mean point (event_id 37 = index 30+7)
+    // trips rule 4, and it stays tripped through the run
+    val r4 = out.map(_.getAs[Int]("rule4"))
+    assert(r4.take(37).forall(_ == 0), r4.mkString(","))
+    assert(r4.drop(37).forall(_ == 1), r4.mkString(","))
+    assert(out.drop(37).forall(_.getAs[Int]("spc_flag") == 1))
+  }
+
+  test("q74 SPC: a 3-sigma spike trips rule 1 where the run rules stay " +
+      "quiet, and the plan is one ticker exchange") {
+    import spark.implicits._
+    // +-1 alternation keeps every non-spike point on alternating sides
+    // of the (spike-dragged) mean, so no same-side run can form
+    val vals = (1 to 40).map(i => if (i == 35) 30.0
+      else if (i % 2 == 0) 9.0 else 11.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "spike", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q74spec2").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q74SpcRules(spark, tmp).collect()
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(out(34).getAs[Int]("rule1") == 1, out(34).toString)
+    assert(out.count(_.getAs[Int]("rule1") == 1) == 1)
+    assert(out.forall(_.getAs[Int]("rule4") == 0))
+    val plan = SignalOps.q74SpcRules(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning.*plan_id=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(exchanges <= 1, s"want <=1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("q75 runs test: oscillation and stickiness both flag, a mixed " +
+      "series does not") {
+    import spark.implicits._
+    def write(vals: Seq[Double], key: String): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, key, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q75spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // every series carries one exact-10.0 sentinel so the exact lower
+    // median is 10.0 and the 9/11 points dichotomize cleanly (a pure
+    // two-valued balanced series would exclude its own low side as
+    // median ties -- the documented convention)
+    // perfect oscillation: R = n (every step changes side) -> too many
+    val osc = (1 to 30).map(i => if (i % 2 == 0) 9.0 else 11.0) :+ 10.0
+    val o = SignalOps.q75RunsTest(spark, write(osc, "x")).collect().head
+    assert(o.getAs[Long]("runs") == 30, o.toString)
+    assert(o.getAs[Int]("nonrandom_flag") == 1, o.toString)
+    assert(o.getAs[Long]("runs_z6") > 0)
+    // perfect stickiness: 15 low then 15 high -> R = 2 -> too few
+    val sticky = Seq.fill(15)(9.0) ++ Seq(10.0) ++ Seq.fill(15)(11.0)
+    val t = SignalOps.q75RunsTest(spark, write(sticky, "x")).collect().head
+    assert(t.getAs[Long]("runs") == 2, t.toString)
+    assert(t.getAs[Int]("nonrandom_flag") == 1, t.toString)
+    assert(t.getAs[Long]("runs_z6") < 0)
+    // a balanced interleave with mid-length runs stays unflagged:
+    // runs of 2 -> R = n/2 (z ~ -0.4 for n = 32). The trailing 10.0
+    // sentinel makes the exact lower median 10.0, so neither side is
+    // swallowed by the tie-exclusion rule
+    val mixed = (0 until 32).map(i => if ((i / 2) % 2 == 0) 9.0 else 11.0) :+
+      10.0
+    val m = SignalOps.q75RunsTest(spark, write(mixed, "x")).collect().head
+    assert(m.getAs[Long]("n_obs") == 32, m.toString)
+    assert(m.getAs[Long]("runs") == 16, m.toString)
+    assert(m.getAs[Int]("nonrandom_flag") == 0, m.toString)
+    // ties on the median are excluded: extra exact-median points drop
+    // out of n_obs but leave the verdict intact
+    val withTies = osc ++ Seq(10.0, 10.0)
+    val w = SignalOps.q75RunsTest(spark, write(withTies, "x"))
+      .collect().head
+    assert(w.getAs[Long]("n_obs") == 30, w.toString)
+    assert(w.getAs[Int]("nonrandom_flag") == 1, w.toString)
+  }
 }
