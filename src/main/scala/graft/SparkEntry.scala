@@ -92,6 +92,8 @@ object SparkEntry {
     "q71_grouping_sets"  -> Relational.groupingSetsAgg _,
     "q72_range_window"   -> Relational.rangeWindow _,
     "q73_funnel"         -> Relational.funnel _,
+    "q76_scd2"           -> Relational.q76Scd2 _,
+    "p08_dq_audit"       -> Relational.p08DqAudit _,
     "q52_stratified_sample" -> Sampling.stratifiedSample _,
     "q56_group_quantiles" -> ScaleOps.groupQuantiles _,
     "q58_winsorize"      -> ScaleOps.winsorize _,
@@ -635,6 +637,104 @@ object SparkEntry {
          LEFT JOIN t2 ON t2.user_id = u.user_id
          LEFT JOIN t3 ON t3.user_id = u.user_id
          ORDER BY u.user_id""",
+    "q76_scd2" ->
+      """WITH b AS (
+           SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+             o_orderpriority,
+             lag(o_orderstatus) OVER w AS p_status,
+             lag(o_orderpriority) OVER w AS p_prio
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey)
+         ), ch AS (
+           SELECT * FROM b
+           WHERE p_status IS NULL OR p_status <> o_orderstatus
+              OR p_prio <> o_orderpriority
+         ), v AS (
+           SELECT *, CAST(row_number() OVER w2 AS INT) AS version,
+             lead(o_orderdate) OVER w2 AS valid_to
+           FROM ch
+           WINDOW w2 AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey)
+         )
+         SELECT o_custkey, version, o_orderstatus AS status,
+           o_orderpriority AS priority, o_orderdate AS valid_from, valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+         FROM v ORDER BY o_custkey, version""",
+    "p08_dq_audit" ->
+      """WITH fk1 AS (
+           SELECT 'fk_orders_customer' AS check_name,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS violations,
+             count(*) AS total
+           FROM orders o
+           LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey
+         ), fk2 AS (
+           SELECT 'fk_lineitem_orders',
+             CAST(sum(CASE WHEN k.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             count(*)
+           FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) k
+             ON l.l_orderkey = k.o_orderkey
+         ), fk3 AS (
+           SELECT 'fk_lineitem_part',
+             CAST(sum(CASE WHEN k.p_partkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             count(*)
+           FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT p_partkey FROM part) k
+             ON l.l_partkey = k.p_partkey
+         ), fk4 AS (
+           SELECT 'fk_lineitem_supplier',
+             CAST(sum(CASE WHEN k.s_suppkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             count(*)
+           FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) k
+             ON l.l_suppkey = k.s_suppkey
+         ), pk1 AS (
+           SELECT 'pk_orders_unique',
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+             count(*)
+           FROM orders
+         ), pk2 AS (
+           SELECT 'pk_lineitem_unique',
+             CAST(count(*) -
+               (SELECT count(*) FROM
+                 (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+               AS BIGINT),
+             count(*)
+           FROM lineitem
+         ), n1 AS (
+           SELECT 'null_events_value',
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(*)
+           FROM events
+         ), r1 AS (
+           SELECT 'range_lineitem_quantity',
+             CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 10000
+               THEN 1 ELSE 0 END) AS BIGINT),
+             count(*)
+           FROM lineitem
+         ), r2 AS (
+           SELECT 'range_lineitem_discount',
+             CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+               THEN 1 ELSE 0 END) AS BIGINT),
+             count(*)
+           FROM lineitem
+         ), u AS (
+           SELECT * FROM fk1 UNION ALL SELECT * FROM fk2
+           UNION ALL SELECT * FROM fk3 UNION ALL SELECT * FROM fk4
+           UNION ALL SELECT * FROM pk1 UNION ALL SELECT * FROM pk2
+           UNION ALL SELECT * FROM n1 UNION ALL SELECT * FROM r1
+           UNION ALL SELECT * FROM r2
+         )
+         SELECT check_name, violations, total,
+           violations * 1000000 // total AS ratio6
+         FROM u ORDER BY check_name""",
     // d07/q52: content-addressed (md5 + salt) selection — both engines
     // render md5 as lowercase hex, so the threshold compare is exact
     "d07_train_split" ->

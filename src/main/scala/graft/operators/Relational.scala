@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -470,5 +470,104 @@ object Relational {
       }
       .toDF("user_id", "stage1_ts", "stage2_ts", "stage3_ts", "reached")
       .orderBy(col("user_id"))
+  }
+
+  /** q76: SCD TYPE-2 history build (Kimball's slowly-changing
+    * dimension) — q51 keeps only the LATEST version per key; the
+    * warehouse pattern the reference's dim joins assume keeps every
+    * version with its validity interval. Treat each customer's order
+    * stream as a CDC feed of the (status, priority) attribute pair in
+    * (o_orderdate, o_orderkey) order: a row opens a new version iff
+    * the tracked attributes CHANGED vs the previous version
+    * (consecutive unchanged rows collapse — that is what makes it
+    * SCD2 and not a raw snapshot log); valid_from = the change row's
+    * date, valid_to = the NEXT version's valid_from (half-open
+    * interval, the standard join-friendly convention), is_current on
+    * the open tail.
+    *
+    * Scale shape: ONE hash exchange on the key — the change-detect
+    * lag, the version lead and the version numbering are all frames
+    * over the same (o_custkey, date, orderkey) sort; the unchanged
+    * rows die in the post-lag filter before the second window sees
+    * them.
+    */
+  def q76Scd2(s: SparkSession, dir: String): DataFrame = {
+    val wk = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .withColumn("p_status", lag(col("o_orderstatus"), 1).over(wk))
+      .withColumn("p_prio", lag(col("o_orderpriority"), 1).over(wk))
+      .filter(col("p_status").isNull ||
+        col("p_status") =!= col("o_orderstatus") ||
+        col("p_prio") =!= col("o_orderpriority"))
+      .withColumn("version", row_number().over(wk))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(wk))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  /** p08: the DATA-QUALITY AUDIT — the referential/shape assertions a
+    * warehouse runs before trusting a load (the reference's whole
+    * premise is "ingestion errors before they affect customer
+    * decisions"; this is the relational side of that contract):
+    * orphan foreign keys across the star schema (anti-join counts
+    * against the DISTINCT dim key, so a dirty dim cannot fan the fact
+    * out), primary-key duplicate excess (rows − distinct keys), null
+    * and range violations on the value columns. One row per check:
+    * violations, total, 1e-6-floored integer ratio.
+    *
+    * Scale shape: each FK check is one hash join keyed on the FK +
+    * one map-side-combined count — AQE broadcasts the deduped dim
+    * key table when small; the PK checks are one exact distinct each
+    * (the d01 digest-distinct posture is the documented swap-in for
+    * key sets beyond memory); the null/range checks ride a single
+    * scan each. The audit of a 100 TB load is a fixed number of
+    * scan-shaped passes with sub-row-count output.
+    */
+  def p08DqAudit(s: SparkSession, dir: String): DataFrame = {
+    def fkCheck(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk))
+        .join(dim.select(col(pk)).distinct(), col(fk) === col(pk), "left")
+        .agg(count(lit(1)).as("total"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"), col("total"))
+    def pkCheck(name: String, fact: DataFrame, keys: Seq[String]): DataFrame =
+      fact.agg(count(lit(1)).as("total"),
+        (count(lit(1)) - count_distinct(col(keys.head),
+          keys.tail.map(col): _*)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"), col("total"))
+    def ruleCheck(name: String, fact: DataFrame, bad: Column): DataFrame =
+      fact.agg(count(lit(1)).as("total"),
+        sum(when(bad, 1L).otherwise(0L)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"), col("total"))
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val ev = Tables.events(s, dir)
+    Seq(
+      fkCheck("fk_orders_customer", orders, "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      fkCheck("fk_lineitem_orders", li, "l_orderkey", orders, "o_orderkey"),
+      fkCheck("fk_lineitem_part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      fkCheck("fk_lineitem_supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      pkCheck("pk_orders_unique", orders, Seq("o_orderkey")),
+      pkCheck("pk_lineitem_unique", li, Seq("l_orderkey", "l_linenumber")),
+      ruleCheck("null_events_value", ev, col("value").isNull),
+      ruleCheck("range_lineitem_quantity", li,
+        col("l_quantity") <= 0 || col("l_quantity") > 10000),
+      ruleCheck("range_lineitem_discount", li,
+        col("l_discount") < 0 || col("l_discount") > 1))
+      .reduce(_.unionByName(_))
+      .select(col("check_name"), col("violations"), col("total"),
+        expr("violations * 1000000L div total").as("ratio6"))
+      .orderBy(col("check_name"))
   }
 }

@@ -175,4 +175,79 @@ class RelationalSpec extends AnyFunSuite {
     assert(!scanLine.contains("l_shipdate") && !scanLine.contains("l_orderkey"),
       s"column pruning failed: $scanLine")
   }
+
+  test("q76 SCD2: unchanged rows collapse, validity intervals chain") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // cust 1: O,O,F,O -> versions O(1..3), F(3..4), O(4..)
+    // cust 2: single order -> one current version
+    val rows = Seq(
+      (1L, 10L, "O", "HIGH", d(1)), (1L, 11L, "O", "HIGH", d(2)),
+      (1L, 12L, "F", "HIGH", d(3)), (1L, 13L, "O", "HIGH", d(4)),
+      (2L, 20L, "P", "LOW", d(5)))
+    val tmp = java.nio.file.Files.createTempDirectory("q76spec").toString
+    rows.toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate")
+      .withColumn("o_totalprice", org.apache.spark.sql.functions.lit(1.0))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = operators.Relational.q76Scd2(spark, tmp).collect()
+    val c1 = out.filter(_.getAs[Long]("o_custkey") == 1L)
+      .sortBy(_.getAs[Int]("version"))
+    assert(c1.length == 3, out.mkString("\n"))
+    assert(c1.map(_.getAs[String]("status")).toSeq == Seq("O", "F", "O"))
+    assert(c1(0).getAs[java.sql.Timestamp]("valid_from") == d(1))
+    assert(c1(0).getAs[java.sql.Timestamp]("valid_to") == d(3),
+      "the repeated O on day 2 must NOT open a version")
+    assert(c1(1).getAs[java.sql.Timestamp]("valid_to") == d(4))
+    assert(c1(2).isNullAt(c1(2).fieldIndex("valid_to")))
+    assert(c1.map(_.getAs[Int]("is_current")).toSeq == Seq(0, 0, 1))
+    val c2 = out.filter(_.getAs[Long]("o_custkey") == 2L)
+    assert(c2.length == 1 && c2.head.getAs[Int]("is_current") == 1)
+  }
+
+  test("p08 DQ audit: planted violations are each counted by their check") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("p08spec").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${m}%02d:00")
+    // customer 1..2; order 5 -> orphan custkey 99; order 6 duplicated
+    Seq((1L, "a", 0, 1.0, "B"), (2L, "b", 0, 1.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq((5L, 99L, "O", 1.0, ts(1), "HIGH"), (6L, 1L, "O", 1.0, ts(2), "LOW"),
+      (6L, 1L, "O", 1.0, ts(3), "LOW"), (7L, 2L, "F", 1.0, ts(4), "LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1L, "p", "B", "T", 1, 1.0)).toDF("p_partkey", "p_name", "p_brand",
+      "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    Seq((1L, "s", 1, 1.0)).toDF("s_suppkey", "s_name", "s_nationkey",
+      "s_acctbal")
+      .write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
+    // lineitem: one clean, one orphan orderkey + orphan part + negative
+    // quantity, one discount 1.5
+    Seq((5L, 1L, 1L, 1, 2.0, 10.0, 0.1, 0.0, "N", "O", ts(1)),
+      (99L, 9L, 1L, 1, -3.0, 10.0, 0.2, 0.0, "N", "O", ts(2)),
+      (6L, 1L, 1L, 2, 1.0, 10.0, 1.5, 0.0, "N", "O", ts(3)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq((0L, ts(1), 1L, "a", Some(1.0), "{}"),
+      (1L, ts(2), 1L, "a", None, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.Relational.p08DqAudit(spark, tmp).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        r.getAs[Long]("violations")).toMap
+    assert(out("fk_orders_customer") == 1, out.toString)
+    assert(out("fk_lineitem_orders") == 1)
+    assert(out("fk_lineitem_part") == 1)
+    assert(out("fk_lineitem_supplier") == 0)
+    assert(out("pk_orders_unique") == 1)
+    assert(out("pk_lineitem_unique") == 0)
+    assert(out("null_events_value") == 1)
+    assert(out("range_lineitem_quantity") == 1)
+    assert(out("range_lineitem_discount") == 1)
+  }
 }
