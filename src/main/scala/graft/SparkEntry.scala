@@ -51,6 +51,7 @@ object SparkEntry {
     "q70_page_hinkley"   -> ((s, d) => SignalOps.q70PageHinkley(s, d)),
     "q74_spc_rules"      -> ((s, d) => SignalOps.q74SpcRules(s, d)),
     "q75_runs_test"      -> ((s, d) => SignalOps.q75RunsTest(s, d)),
+    "q77_lead_lag"       -> ((s, d) => SignalOps.q77LeadLag(s, d)),
     "q68_seasonal_mk"    -> ((s, d) => SignalOps.q68SeasonalMk(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "q67_holt_winters"   -> ((s, d) => SignalOps.q67HoltWinters(s, d)),
@@ -260,6 +261,7 @@ object SparkEntry {
     "q70_page_hinkley"   -> SignalOracle.q70,
     "q74_spc_rules"      -> SignalOracle.q74,
     "q75_runs_test"      -> SignalOracle.q75,
+    "q77_lead_lag"       -> SignalOracle.q77,
     "q68_seasonal_mk"    -> SignalOracle.q68,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "q67_holt_winters"   -> SignalOracle.q67,

@@ -1455,6 +1455,91 @@ object SignalOps {
         col("nonrandom_flag"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q77: peer LEAD-LAG detection — the ingestion-DELAY diagnostic:
+    * a feed whose values are correct but arrive k days late tracks
+    * its granularity peers perfectly AT LAG k and poorly at lag 0,
+    * which q59's contemporaneous correlation reads only as generic
+    * decorrelation. Cross-correlate each ticker's daily series x(d)
+    * against its LEAVE-ONE-OUT peer mean at y(d − k) for
+    * k ∈ [−maxLag, maxLag]: the argmax k is the measured offset
+    * (positive = the feed LAGS its peers by k days), tie-broken
+    * toward |k| then k so a flat cross-correlogram reports 0 and the
+    * `lagged_feed` flag fires only when some k ≠ 0 STRICTLY beats
+    * the contemporaneous correlation.
+    *
+    * Exactness: q59's fixed-point peer machinery (1e-4 longs, one
+    * floor-div peer mean) feeding q60's exact whole-series moments —
+    * the n·Σ − Σ·Σ combinations in decimal(38,0) ↔ HUGEINT, one
+    * double division + sqrt, 1e-6 quantized. Lags with < minPairs
+    * pairs or zero variance are excluded.
+    *
+    * Scale shape: group stats groupBy'd on the DAILY table and
+    * broadcast back (q59's posture); the ×(2·maxLag+1) lag explode
+    * runs over one-row-per-ticker-day, joined back to itself hashed
+    * on (ticker, day); per-(ticker, k) moments are one
+    * map-side-combined groupBy; the argmax is a ticker-partitioned
+    * window. Nothing corpus-sized moves more than once.
+    */
+  def q77LeadLag(s: SparkSession, dir: String, maxLag: Int = 3,
+      minPairs: Int = 5): DataFrame = {
+    val key = Seq(col("user_id"), col("event_type"))
+    val wDay = Window.partitionBy(key :+ col("day"): _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long")
+          .as("x4l"))
+    val grp = daily.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("x4l")).as("gs"), count(lit(1)).as("gc"))
+      .localCheckpoint()
+    val base = daily.join(broadcast(grp), Seq("event_type", "day"))
+      .filter(col("gc") > 1)
+      .withColumn("y4l", expr("(gs - x4l) div (gc - 1)"))
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("x4l"), col("y4l"))
+      .localCheckpoint() // probe side and lag side share one pass
+    val xs = base
+      .select(col("user_id"), col("event_type"), col("day"), col("x4l"))
+      .withColumn("k", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("jday", date_sub(col("day"), col("k")))
+      .select(col("user_id"), col("event_type"), col("jday"), col("k"),
+        col("x4l"))
+    val ys = base.select(col("user_id"), col("event_type"),
+      col("day").as("jday"), col("y4l"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val mom = xs.join(ys, Seq("user_id", "event_type", "jday"))
+      .groupBy(key :+ col("k"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x4l")).as("sx"), sum(col("y4l")).as("sy"),
+        sum(col("x4l") * col("x4l")).as("sxx"),
+        sum(col("y4l") * col("y4l")).as("syy"),
+        sum(col("x4l") * col("y4l")).as("sxy"))
+      .withColumn("num", dec(col("n")) * dec(col("sxy")) -
+        dec(col("sx")) * dec(col("sy")))
+      .withColumn("den1", dec(col("n")) * dec(col("sxx")) -
+        dec(col("sx")) * dec(col("sx")))
+      .withColumn("den2", dec(col("n")) * dec(col("syy")) -
+        dec(col("sy")) * dec(col("sy")))
+      .filter(col("n") >= minPairs && col("den1") > 0 && col("den2") > 0)
+      .withColumn("r6",
+        floor(col("num").cast("double") /
+          sqrt(col("den1").cast("double") * col("den2").cast("double")) *
+          lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+    val wBest = Window.partitionBy(key: _*)
+      .orderBy(col("r6").desc, abs(col("k")).asc, col("k").asc)
+    mom
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("k").cast("int").as("best_lag"), col("r6").as("xcorr6"),
+        col("n").as("n_pairs"),
+        when(col("k") =!= 0, 1).otherwise(0).as("lagged_feed"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -3082,5 +3167,63 @@ object SignalOracle {
       |    AND dev * dev * (n - 1) * 10000 > den * 38416
       |    THEN 1 ELSE 0 END AS INT) AS nonrandom_flag
       |FROM f2
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q77: q59's leave-one-out peer mean, q60's exact cross-moments
+    * per lag, argmax with the |k|-then-k tie rule.
+    */
+  val q77: String =
+    """WITH daily AS (
+      |  SELECT user_id, event_type, CAST(ts AS DATE) AS day, value,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, event_type, CAST(ts AS DATE)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |), d1 AS (
+      |  SELECT user_id, event_type, day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS x4l
+      |  FROM daily WHERE rn = 1
+      |), g AS (
+      |  SELECT event_type, day, CAST(sum(x4l) AS BIGINT) AS gs,
+      |    count(*) AS gc
+      |  FROM d1 GROUP BY 1, 2
+      |), b AS (
+      |  SELECT d.user_id, d.event_type, d.day, d.x4l,
+      |    (g.gs - d.x4l) // (g.gc - 1) AS y4l
+      |  FROM d1 d JOIN g USING (event_type, day) WHERE g.gc > 1
+      |), pairs AS (
+      |  SELECT a.user_id, a.event_type, l.k, a.x4l, y.y4l
+      |  FROM b a
+      |  CROSS JOIN (SELECT CAST(unnest(range(-3, 4)) AS INT) AS k) l
+      |  JOIN b y ON y.user_id = a.user_id
+      |    AND y.event_type = a.event_type
+      |    AND y.day = a.day - l.k
+      |), mom AS (
+      |  SELECT user_id, event_type, k,
+      |    CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x4l) AS HUGEINT) AS sx,
+      |    CAST(sum(y4l) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x4l AS HUGEINT) * x4l) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y4l AS HUGEINT) * y4l) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(x4l AS HUGEINT) * y4l) AS HUGEINT) AS sxy
+      |  FROM pairs GROUP BY 1, 2, 3
+      |), r AS (
+      |  SELECT user_id, event_type, k, n,
+      |    floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |           CAST(n * syy - sy * sy AS DOUBLE))
+      |      * 1000000.0 + 0.5) / 1000000.0 AS r6
+      |  FROM mom
+      |  WHERE n >= 5 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |), best AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id, event_type
+      |    ORDER BY r6 DESC, abs(k) ASC, k ASC) AS rk
+      |  FROM r
+      |)
+      |SELECT user_id, event_type, CAST(k AS INT) AS best_lag,
+      |  r6 AS xcorr6, CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(CASE WHEN k <> 0 THEN 1 ELSE 0 END AS INT) AS lagged_feed
+      |FROM best WHERE rk = 1
       |ORDER BY user_id, event_type""".stripMargin
 }

@@ -758,4 +758,34 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(w.getAs[Long]("n_obs") == 30, w.toString)
     assert(w.getAs[Int]("nonrandom_flag") == 1, w.toString)
   }
+
+  test("q77 lead-lag: a 2-day-delayed feed reports best_lag 2, on-time " +
+      "peers report 0") {
+    import spark.implicits._
+    // aperiodic shared signal; tickers 1/2 on time (constant offsets
+    // don't move correlation), ticker 3 carries sig delayed 2 days
+    val sig = Seq(10.0, 12, 9, 15, 11, 14, 8, 13, 10, 16, 9, 12, 15, 8,
+      14, 11, 13, 9, 16, 10)
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    var eid = 0L
+    val rows = scala.collection.mutable.ArrayBuffer[
+      (Long, String, Long, java.sql.Timestamp, Double)]()
+    for (day <- 1 to 20) {
+      eid += 3
+      rows += ((1L, "t", eid - 2, d(day), sig(day - 1)))
+      rows += ((2L, "t", eid - 1, d(day), sig(day - 1) + 1.0))
+      if (day >= 3) rows += ((3L, "t", eid, d(day), sig(day - 3)))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("q77spec").toString
+    rows.toSeq.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q77LeadLag(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(3L).getAs[Int]("best_lag") == 2, out(3L).toString)
+    assert(out(3L).getAs[Int]("lagged_feed") == 1)
+    assert(out(3L).getAs[Double]("xcorr6") > 0.99, out(3L).toString)
+    assert(out(1L).getAs[Int]("best_lag") == 0, out(1L).toString)
+    assert(out(2L).getAs[Int]("best_lag") == 0, out(2L).toString)
+    assert(out(1L).getAs[Int]("lagged_feed") == 0)
+  }
 }
