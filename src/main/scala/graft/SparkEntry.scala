@@ -141,6 +141,8 @@ object SparkEntry {
       graft.text.TextFns.lexicalDiversity(s, d)),
     "t16_markup_density" -> ((s, d) =>
       graft.text.TextFns.markupDensity(s, d)),
+    "t17_oov_rate"       -> ((s, d) =>
+      graft.text.TextFns.t17OovRate(s, d)),
     "d08_decontaminate"  -> ((s, d) =>
       graft.dedup.Decontaminate.contaminated(s, d)),
     "d08_clean_corpus"   -> ((s, d) =>
@@ -277,6 +279,7 @@ object SparkEntry {
     "t14_zipf_fit"       -> LlmOracle.t14,
     "t15_lexical_diversity" -> LlmOracle.t15,
     "t16_markup_density" -> LlmOracle.t16,
+    "t17_oov_rate"       -> LlmOracle.t17,
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,

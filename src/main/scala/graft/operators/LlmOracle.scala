@@ -1835,4 +1835,30 @@ object LlmOracle {
        |FROM filtered JOIN keep USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** t17: top-K vocab by (count desc, term asc), left join back,
+    * exact integer floor-division rate.
+    */
+  val t17: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, unnest(string_split($Norm, ' ')) AS w
+       |        FROM documents)
+       |  WHERE len(w) > 0
+       |), vocab AS (
+       |  SELECT w, 1 AS iv FROM (
+       |    SELECT w, count(*) AS c FROM toks GROUP BY w
+       |    ORDER BY c DESC, w ASC LIMIT 16)
+       |), agg AS (
+       |  SELECT t.doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN v.iv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_oov
+       |  FROM toks t LEFT JOIN vocab v ON t.w = v.w
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT doc_id, n_tokens, n_oov,
+       |  n_oov * 1000000 // n_tokens AS oov_rate6,
+       |  CAST(CASE WHEN n_oov * 1000000 // n_tokens > 100000
+       |    THEN 1 ELSE 0 END AS INT) AS oov_flag
+       |FROM agg ORDER BY doc_id""".stripMargin
 }

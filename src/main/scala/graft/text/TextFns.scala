@@ -772,4 +772,46 @@ object TextFns {
           .as("markup_density6"))
       .orderBy(col("doc_id"))
   }
+
+  /** t17: OUT-OF-VOCABULARY rate per document — the tokenizer-fit /
+    * vocabulary-coverage statistic: the fraction of a document's
+    * tokens outside the corpus's top-K vocabulary. A doc dense in
+    * OOV tokens is either off-domain, mojibake, or will fragment
+    * into expensive subword pieces — the classic pre-tokenization
+    * triage (and the measured input to choosing K itself). K = 16
+    * exercises the synthetic corpus's 31-word vocabulary; ~50k is
+    * the documented production default for a BPE-sized vocab.
+    *
+    * Determinism: the vocabulary is the top K terms by (count desc,
+    * term asc) — a total order, so the vocab set is identical on
+    * both engines; the rate is an exact integer floor-division at
+    * 1e-6.
+    *
+    * Scale shape: one corpus scan → (doc, token) pairs; the term
+    * count groupBy is Zipf-compact (map-side combined); the top-K
+    * is orderBy+limit = TakeOrderedAndProject (t07's posture — never
+    * a global sort of the dictionary); the K-row vocab BROADCASTS
+    * back onto the unshuffled token stream and the per-doc roll-up
+    * is one map-side-combinable groupBy on doc_id.
+    */
+  def t17OovRate(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(k)
+      .select(col("w"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000L div n_tokens").as("oov_rate6"),
+        when(expr("n_oov * 1000000L div n_tokens") > 100000L, 1)
+          .otherwise(0).as("oov_flag"))
+      .orderBy(col("doc_id"))
+  }
 }

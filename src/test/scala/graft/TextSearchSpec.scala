@@ -108,6 +108,29 @@ class TextSearchSpec extends AnyFunSuite {
       c.getAs[Double]("markup_density6") == 0.0, c.toString)
   }
 
+  test("t17 OOV rate: exact fractions against the top-K vocab, vocab " +
+      "join broadcasts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t17spec").toString
+    // counts: a=4, b=2, c=1, d=1 -> top-2 vocab = {a, b}
+    Seq((0L, "a a a b", "en", "w", 7L), (1L, "a b c d", "en", "w", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextFns.t17OovRate(spark, tmp, k = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_oov") == 0)
+    assert(out(0L).getAs[Long]("oov_rate6") == 0)
+    assert(out(0L).getAs[Int]("oov_flag") == 0)
+    assert(out(1L).getAs[Long]("n_tokens") == 4)
+    assert(out(1L).getAs[Long]("n_oov") == 2, out(1L).toString)
+    assert(out(1L).getAs[Long]("oov_rate6") == 500000L)
+    assert(out(1L).getAs[Int]("oov_flag") == 1)
+    val plan = TextFns.t17OovRate(spark, dir).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("t06 tf-idf: top-k per doc, scores ranked, terms from the doc") {
     val out = TextFns.tfidf(spark, dir).cache()
     val perDoc = out.groupBy("doc_id").count()
