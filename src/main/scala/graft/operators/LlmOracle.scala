@@ -1265,6 +1265,44 @@ object LlmOracle {
       |  CAST(floor(width * 10.0 / height) AS INT) AS aspect_bucket
       |FROM px ORDER BY media_id""".stripMargin
 
+  /** m10: the m01 closed-form pixel grid re-aggregated into exposure
+    * bins; integer floor-division mean, division-free majority flags.
+    */
+  val m10: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(8 + doc_id % 25 AS INT) AS width,
+      |    CAST(8 + (doc_id * 7) % 25 AS INT) AS height
+      |  FROM documents
+      |), xs AS (
+      |  SELECT media_id, width, height, unnest(range(width)) AS x FROM d
+      |), xy AS (
+      |  SELECT media_id, width, height, x, unnest(range(height)) AS y FROM xs
+      |), v AS (
+      |  SELECT media_id, width, height,
+      |    (media_id * 31 + x * 7 + y * 13) % 256 AS px
+      |  FROM xy
+      |), px AS (
+      |  SELECT media_id, width, height,
+      |    SUM(px) AS s,
+      |    SUM(CASE WHEN px < 32 THEN 1 ELSE 0 END) AS nu,
+      |    SUM(CASE WHEN px >= 224 THEN 1 ELSE 0 END) AS no,
+      |    MIN(px) AS mn, MAX(px) AS mx
+      |  FROM v GROUP BY 1, 2, 3
+      |)
+      |SELECT media_id, width, height,
+      |  CAST(s AS BIGINT) * 1000000 // (width * height) AS mean_l6,
+      |  CAST(nu AS BIGINT) AS n_under,
+      |  CAST(no AS BIGINT) AS n_over,
+      |  CAST(mx - mn AS INT) AS dyn_range,
+      |  CAST(CASE WHEN nu * 2 > width * height THEN 1 ELSE 0 END AS INT)
+      |    AS underexposed,
+      |  CAST(CASE WHEN no * 2 > width * height THEN 1 ELSE 0 END AS INT)
+      |    AS overexposed,
+      |  CAST(CASE WHEN mx - mn < 64 THEN 1 ELSE 0 END AS INT)
+      |    AS low_contrast
+      |FROM px ORDER BY media_id""".stripMargin
+
   /** t06: TF-IDF top terms — integer tf/df, one ln() quantized at
     * 1e-6 (t05 proved ln parity at 1e-9).
     */

@@ -913,6 +913,56 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!m07.contains("hashpartitioning"), m07)
   }
 
+  test("m10 exposure: planted dark/bright/flat/split images bin exactly, " +
+      "corrupt flagged, plan shuffle-free") {
+    import spark.implicits._
+    def png(v: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.getRaster.setSample(x, y, 0, v(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png((_, _) => 5)),              // crushed shadows
+      (2L, png((_, _) => 250)),            // blown highlights
+      (3L, png((_, _) => 128)),            // flat gray
+      (4L, png((x, y) => if ((x + y) % 2 == 0) 0 else 255)), // full range
+      (5L, Array[Byte](1, 2, 3)))          // garbage
+      .toDF("media_id", "payload")
+    val out = Multimodal.exposure(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_under") == 256 &&
+      out(1L).getAs[Long]("n_over") == 0)
+    assert(out(2L).getAs[Long]("n_over") == 256)
+    assert(out(3L).getAs[Int]("px_min") == 128 &&
+      out(3L).getAs[Int]("px_max") == 128)
+    assert(out(4L).getAs[Long]("n_under") == 128 &&
+      out(4L).getAs[Long]("n_over") == 128 &&
+      out(4L).getAs[Int]("px_max") - out(4L).getAs[Int]("px_min") == 255)
+    assert(out(5L).getAs[Int]("_corrupt") == 1, "garbage flags, not throws")
+    // the graded query agrees with the closed-form pixel function
+    val q = Multimodal.qExposure(spark, dir).collect()
+    assert(q.length == 500)
+    q.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val w = 8 + (id % 25).toInt
+      val h = 8 + ((id * 7) % 25).toInt
+      var s = 0L; var nu = 0L; var no = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (id * 31 + x * 7 + y * 13) % 256
+        s += v; if (v < 32) nu += 1; if (v >= 224) no += 1
+      }
+      assert(r.getAs[Long]("mean_l6") == s * 1000000L / (w * h), r.toString)
+      assert(r.getAs[Long]("n_under") == nu && r.getAs[Long]("n_over") == no)
+    }
+    val plan = Multimodal.qExposure(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
   test("m09 audio near-dup: planted re-uploads at overlap 1.0; corrupt tolerated") {
     import graft.multimodal.Audio
     val out = Audio.audioNearDup(spark, dir).collect()
