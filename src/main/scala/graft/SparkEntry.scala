@@ -52,6 +52,7 @@ object SparkEntry {
     "q74_spc_rules"      -> ((s, d) => SignalOps.q74SpcRules(s, d)),
     "q75_runs_test"      -> ((s, d) => SignalOps.q75RunsTest(s, d)),
     "q77_lead_lag"       -> ((s, d) => SignalOps.q77LeadLag(s, d)),
+    "q78_ljung_box"      -> ((s, d) => SignalOps.q78LjungBox(s, d)),
     "q68_seasonal_mk"    -> ((s, d) => SignalOps.q68SeasonalMk(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "q67_holt_winters"   -> ((s, d) => SignalOps.q67HoltWinters(s, d)),
@@ -265,6 +266,7 @@ object SparkEntry {
     "q74_spc_rules"      -> SignalOracle.q74,
     "q75_runs_test"      -> SignalOracle.q75,
     "q77_lead_lag"       -> SignalOracle.q77,
+    "q78_ljung_box"      -> SignalOracle.q78,
     "q68_seasonal_mk"    -> SignalOracle.q68,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "q67_holt_winters"   -> SignalOracle.q67,

@@ -1540,6 +1540,73 @@ object SignalOps {
         when(col("k") =!= 0, 1).otherwise(0).as("lagged_feed"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q78: Ljung–Box portmanteau WHITENESS test per ticker (Box &
+    * Pierce 1970; Ljung & Box 1978) — the model-adequacy check the
+    * whole detector family assumes but never runs: every z/CUSUM/EWMA
+    * verdict standardizes the one-period differences as if they were
+    * uncorrelated noise, yet a feed with surviving autocorrelation
+    * (upstream smoothing, interpolated gaps, duplicated prints)
+    * breaks that premise silently and makes those thresholds
+    * optimistic. Q = n(n+2)·Σ_{k=1..h} r_k²/(n−k) over the first
+    * h = 5 autocorrelations of the diff series, rejected against
+    * χ²(5, 0.05) = 11.0705: a flagged ticker's diffs are NOT white.
+    *
+    * Exactness: with d_t the 1e-4 fixed-point diffs and S = Σd,
+    * e_t = n·d_t − S is an EXACT long, so C = Σe² and the lag
+    * cross-sums A_k = Σ e_t·e_{t−k} are exact decimal(38,0)/HUGEINT;
+    * each r_k = A_k/C is ONE double division, each r_k²/(n−k) term
+    * one shared IEEE chain floored to a 1e-9 long, and
+    * Q9 = n(n+2)·Σterm9 stays an exact long (bounded by ~n·h·1e9 so
+    * it is < 2⁵³ at any realistic per-ticker history). Zero-variance
+    * tickers report NULL stats and flag 0; tickers with < minDiffs
+    * diffs are excluded (the test has no power there).
+    *
+    * Scale shape: ONE hash exchange on the ticker key — the diff
+    * lag, the unbounded moment window and the h residual-lag windows
+    * all reuse it, and the final groupBy is map-side combined on the
+    * same partitioning; O(h) state per row, nothing global.
+    */
+  def q78LjungBox(s: SparkSession, dir: String, h: Int = 5,
+      minDiffs: Int = 8): DataFrame = {
+    require(h >= 1 && h < minDiffs, "need h lags inside the min history")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val diffs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("d", col("v4l") - lag(col("v4l"), 1).over(wAsc))
+      .filter(col("d").isNotNull)
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("e", col("n") * col("d") - sum(col("d")).over(wKey))
+    val lagged = (1 to h).foldLeft(diffs) { (df, k) =>
+      df.withColumn(s"p$k",
+        (d19(col("e")) * d19(lag(col("e"), k).over(wAsc)))
+          .cast("decimal(38,0)"))
+    }
+    val aggs = sum((d19(col("e")) * d19(col("e"))).cast("decimal(38,0)"))
+      .as("c") +: (1 to h).map(k => sum(col(s"p$k")).as(s"a$k"))
+    val mom = lagged.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .filter(col("n") >= minDiffs)
+    val withR = (1 to h).foldLeft(mom) { (df, k) =>
+      df.withColumn(s"r$k",
+        when(col("c") > 0,
+          col(s"a$k").cast("double") / col("c").cast("double")))
+        .withColumn(s"t$k",
+          floor(col(s"r$k") * col(s"r$k") / (col("n") - lit(k)) *
+            lit(1.0e9) + lit(0.5)).cast("long"))
+    }
+    withR
+      .withColumn("sum9", (1 to h).map(k => col(s"t$k")).reduce(_ + _))
+      .withColumn("lb_q9", col("n") * (col("n") + lit(2)) * col("sum9"))
+      .select(col("user_id"), col("event_type"), col("n").as("n_diffs"),
+        floor(col("r1") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("acf1_6"),
+        col("lb_q9"),
+        when(col("lb_q9") > lit(11070500000L), 1).otherwise(0)
+          .as("white_reject_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -3225,5 +3292,74 @@ object SignalOracle {
       |  r6 AS xcorr6, CAST(n AS BIGINT) AS n_pairs,
       |  CAST(CASE WHEN k <> 0 THEN 1 ELSE 0 END AS INT) AS lagged_feed
       |FROM best WHERE rk = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q78: the same exact e_t = n·d_t − S residuals, HUGEINT lag
+    * cross-sums, one double division per r_k and the shared
+    * r²/(n−k) IEEE chain floored to 1e-9 longs.
+    */
+  val q78: String =
+    """WITH base AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), df AS (
+      |  SELECT *, v4l - lag(v4l) OVER w AS d
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), dd AS (
+      |  SELECT * FROM df WHERE d IS NOT NULL
+      |), ce AS (
+      |  SELECT *,
+      |    CAST(count(*) OVER wk AS BIGINT) * d
+      |      - CAST(sum(d) OVER wk AS BIGINT) AS e
+      |  FROM dd
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), lg AS (
+      |  SELECT *, lag(e, 1) OVER w AS e1, lag(e, 2) OVER w AS e2,
+      |    lag(e, 3) OVER w AS e3, lag(e, 4) OVER w AS e4,
+      |    lag(e, 5) OVER w AS e5
+      |  FROM ce
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), mom AS (
+      |  SELECT user_id, event_type, count(*) AS n,
+      |    sum(CAST(e AS HUGEINT) * e) AS c,
+      |    sum(CAST(e AS HUGEINT) * e1) AS a1,
+      |    sum(CAST(e AS HUGEINT) * e2) AS a2,
+      |    sum(CAST(e AS HUGEINT) * e3) AS a3,
+      |    sum(CAST(e AS HUGEINT) * e4) AS a4,
+      |    sum(CAST(e AS HUGEINT) * e5) AS a5
+      |  FROM lg GROUP BY 1, 2 HAVING count(*) >= 8
+      |), r AS (
+      |  SELECT *,
+      |    CASE WHEN c > 0 THEN CAST(a1 AS DOUBLE) / CAST(c AS DOUBLE) END
+      |      AS r1,
+      |    CASE WHEN c > 0 THEN CAST(a2 AS DOUBLE) / CAST(c AS DOUBLE) END
+      |      AS r2,
+      |    CASE WHEN c > 0 THEN CAST(a3 AS DOUBLE) / CAST(c AS DOUBLE) END
+      |      AS r3,
+      |    CASE WHEN c > 0 THEN CAST(a4 AS DOUBLE) / CAST(c AS DOUBLE) END
+      |      AS r4,
+      |    CASE WHEN c > 0 THEN CAST(a5 AS DOUBLE) / CAST(c AS DOUBLE) END
+      |      AS r5
+      |  FROM mom
+      |), t AS (
+      |  SELECT *,
+      |    CAST(floor(r1 * r1 / (n - 1) * 1000000000.0 + 0.5) AS BIGINT) AS t1,
+      |    CAST(floor(r2 * r2 / (n - 2) * 1000000000.0 + 0.5) AS BIGINT) AS t2,
+      |    CAST(floor(r3 * r3 / (n - 3) * 1000000000.0 + 0.5) AS BIGINT) AS t3,
+      |    CAST(floor(r4 * r4 / (n - 4) * 1000000000.0 + 0.5) AS BIGINT) AS t4,
+      |    CAST(floor(r5 * r5 / (n - 5) * 1000000000.0 + 0.5) AS BIGINT) AS t5
+      |  FROM r
+      |), q AS (
+      |  SELECT *, n * (n + 2) * (t1 + t2 + t3 + t4 + t5) AS lb_q9
+      |  FROM t
+      |)
+      |SELECT user_id, event_type, n AS n_diffs,
+      |  CAST(floor(r1 * 1000000.0 + 0.5) AS BIGINT) AS acf1_6,
+      |  lb_q9,
+      |  CAST(CASE WHEN lb_q9 > 11070500000 THEN 1 ELSE 0 END AS INT)
+      |    AS white_reject_flag
+      |FROM q
       |ORDER BY user_id, event_type""".stripMargin
 }

@@ -788,4 +788,62 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(out(2L).getAs[Int]("best_lag") == 0, out(2L).toString)
     assert(out(1L).getAs[Int]("lagged_feed") == 0)
   }
+
+  test("q78 Ljung-Box: an autocorrelated feed rejects whiteness, a " +
+      "scrambled one does not, and Q matches the textbook formula") {
+    import spark.implicits._
+    def write(vals: Seq[Double], key: String): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, key, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q78spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // a smoothed feed: diffs alternate sign every 4 steps -> strong
+    // positive lag-1 autocorrelation in the diff series
+    val smooth = (0 until 48).scanLeft(10.0) { (v, i) =>
+      v + (if ((i / 4) % 2 == 0) 0.5 else -0.5)
+    }
+    val s1 = SignalOps.q78LjungBox(spark, write(smooth, "x"))
+      .collect().head
+    assert(s1.getAs[Int]("white_reject_flag") == 1, s1.toString)
+    assert(s1.getAs[Long]("acf1_6") > 500000L, s1.toString)
+    // the same ±0.5 step sizes in a pre-searched white order (sample
+    // acf at lags 1-5 near zero: textbook Q = 0.035)
+    val noise = Seq(-1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1,
+      1, 1, -1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1,
+      1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1)
+      .map(_ * 0.5).scanLeft(10.0)(_ + _)
+    val s2 = SignalOps.q78LjungBox(spark, write(noise, "x"))
+      .collect().head
+    assert(s2.getAs[Int]("white_reject_flag") == 0, s2.toString)
+    // Q replays the textbook double formula within quantization
+    val diffs = smooth.sliding(2).map(p => p(1) - p(0)).toArray
+    val n = diffs.length
+    val mean = diffs.sum / n
+    val c0 = diffs.map(d => (d - mean) * (d - mean)).sum
+    val q = n * (n + 2.0) * (1 to 5).map { k =>
+      val ak = (k until n).map(t => (diffs(t) - mean) *
+        (diffs(t - k) - mean)).sum
+      val r = ak / c0
+      r * r / (n - k)
+    }.sum
+    assert(math.abs(s1.getAs[Long]("lb_q9") / 1e9 - q) < 1e-3,
+      s"lb_q ${s1.getAs[Long]("lb_q9") / 1e9} vs textbook $q")
+    // a constant ticker (zero-variance diffs) reports NULLs and flag 0
+    val flat = Seq.fill(20)(10.0)
+    val s3 = SignalOps.q78LjungBox(spark, write(flat, "x"))
+      .collect().head
+    assert(s3.isNullAt(s3.fieldIndex("lb_q9")), s3.toString)
+    assert(s3.getAs[Int]("white_reject_flag") == 0, s3.toString)
+    // one ticker exchange serves diff lag, moments, residual lags and
+    // the final groupBy
+    val plan = SignalOps.q78LjungBox(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning.*plan_id=(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(exchanges <= 1, s"want <=1 hash exchange, got $exchanges:\n$plan")
+  }
 }
