@@ -1607,6 +1607,97 @@ object SignalOps {
           .as("white_reject_flag"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q79: VARIANCE-drift screen per event type — the Brown–Forsythe
+    * test (Brown & Forsythe 1974; Levene with the median center),
+    * closing the drift-family triangle: q61's PSI sees occupancy
+    * shifts, q69's KS sees any CDF change, but neither NAMES a pure
+    * dispersion change (a feed whose mean holds while its noise
+    * doubles — a precision regression, a unit half-fix — moves every
+    * decile symmetrically and can sit under both thresholds). Using
+    * q61/q69's era split (global span midpoint), dichotomize each
+    * era's values into absolute deviations from that ERA's exact
+    * lower median (the median center is what makes the test robust
+    * to the non-normality real feeds have), then the two-group
+    * ANOVA F on the deviations:
+    *   F = (N−2)·d² / (N·(w1·n2 + w2·n1)),
+    * with d = s1·n2 − s2·n1 and w_i = n_i·Σa² − (Σa)² — every
+    * ingredient an EXACT integer (decimal(38,0) ↔ HUGEINT; the
+    * n·Σ − Σ·Σ combinations are q60's pre-empted overflow class).
+    * The only floating point is the final ONE shared IEEE chain,
+    * 1e-9-floored to `bf_f9`; rejection at the χ²(1, 0.05) ≈ 3.8415
+    * literal.
+    *
+    * Scale shape: ONE corpus exchange on (event_type, era) — the
+    * median rank window, the deviation pass and the per-era moment
+    * groupBy all reuse it; the era medians come back as a broadcast
+    * (2 rows per type) and the final era-pivot groupBy runs over
+    * types×2 rows. The 1-row span pivot is a broadcast cross join
+    * (q69's posture).
+    */
+  def q79VarianceDrift(s: SparkSession, dir: String,
+      minEra: Int = 2): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("pivot",
+        expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .select(col("pivot"))
+    val wEra = Window.partitionBy(col("event_type"), col("cur"))
+    val wRank = wEra.orderBy(col("v4l"))
+    val ranked = ev.crossJoin(broadcast(span))
+      .withColumn("cur", (col("day") > col("pivot")).cast("int"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("nk", count(lit(1)).over(wEra))
+    val med = ranked
+      .filter(col("rk") === floor((col("nk") + 1) / 2).cast("long"))
+      .select(col("event_type"), col("cur"), col("v4l").as("med4"))
+    val era = ranked.join(broadcast(med), Seq("event_type", "cur"))
+      .withColumn("a", abs(col("v4l") - col("med4")))
+      .groupBy(col("event_type"), col("cur"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+        sum((d19(col("a")) * d19(col("a"))).cast("decimal(38,0)")).as("qa"),
+        max(col("med4")).as("med4"))
+      .withColumn("w",
+        (col("qa") * col("n") - dec(col("sa")) * dec(col("sa")))
+          .cast("decimal(38,0)"))
+    era.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("cur") === 0, col("n"))).as("n1"),
+        sum(when(col("cur") === 1, col("n"))).as("n2"),
+        sum(when(col("cur") === 0, col("sa"))).as("s1"),
+        sum(when(col("cur") === 1, col("sa"))).as("s2"),
+        sum(when(col("cur") === 0, col("w"))).as("w1"),
+        sum(when(col("cur") === 1, col("w"))).as("w2"),
+        sum(when(col("cur") === 0, col("med4"))).as("med1"),
+        sum(when(col("cur") === 1, col("med4"))).as("med2"))
+      .filter(col("n1") >= minEra && col("n2") >= minEra)
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("d",
+        (dec(col("s1")) * col("n2") - dec(col("s2")) * col("n1"))
+          .cast("decimal(38,0)"))
+      .withColumn("ww",
+        (col("w1") * col("n2") + col("w2") * col("n1"))
+          .cast("decimal(38,0)"))
+      .withColumn("dd", col("d").cast("double"))
+      .withColumn("bf_f9",
+        when(col("ww") > 0,
+          floor(col("dd") * col("dd") * (col("nn") - 2) /
+            (col("nn").cast("double") * col("ww").cast("double")) *
+            lit(1.0e9) + lit(0.5)).cast("long")))
+      .select(col("event_type"),
+        col("n1").cast("long").as("n_ref"),
+        col("n2").cast("long").as("n_cur"),
+        (col("med1") / lit(10000.0)).as("med_ref"),
+        (col("med2") / lit(10000.0)).as("med_cur"),
+        col("bf_f9"),
+        when(col("bf_f9") > lit(3841500000L), 1).otherwise(0)
+          .as("var_drift_flag"))
+      .orderBy(col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -3362,4 +3453,74 @@ object SignalOracle {
       |    AS white_reject_flag
       |FROM q
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** q79: q69's era split, per-era exact lower medians, exact HUGEINT
+    * Brown–Forsythe ingredients, the one shared IEEE F chain.
+    */
+  val q79: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), span AS (
+      |  SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS pivot
+      |  FROM ev
+      |), tag AS (
+      |  SELECT e.event_type, e.v4l,
+      |    CASE WHEN e.day > s.pivot THEN 1 ELSE 0 END AS cur
+      |  FROM ev e, span s
+      |), rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, cur ORDER BY v4l)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY event_type, cur) AS nk
+      |  FROM tag
+      |), med AS (
+      |  SELECT event_type, cur, v4l AS med4 FROM rk
+      |  WHERE rk = (nk + 1) // 2
+      |), era AS (
+      |  SELECT t.event_type, t.cur, count(*) AS n,
+      |    sum(abs(t.v4l - m.med4)) AS sa,
+      |    sum(CAST(abs(t.v4l - m.med4) AS HUGEINT) *
+      |        abs(t.v4l - m.med4)) AS qa,
+      |    max(m.med4) AS med4
+      |  FROM rk t JOIN med m
+      |    ON m.event_type = t.event_type AND m.cur = t.cur
+      |  GROUP BY 1, 2
+      |), eraw AS (
+      |  SELECT *, qa * n - CAST(sa AS HUGEINT) * sa AS w FROM era
+      |), piv AS (
+      |  SELECT event_type,
+      |    sum(CASE WHEN cur = 0 THEN n END) AS n1,
+      |    sum(CASE WHEN cur = 1 THEN n END) AS n2,
+      |    sum(CASE WHEN cur = 0 THEN sa END) AS s1,
+      |    sum(CASE WHEN cur = 1 THEN sa END) AS s2,
+      |    sum(CASE WHEN cur = 0 THEN w END) AS w1,
+      |    sum(CASE WHEN cur = 1 THEN w END) AS w2,
+      |    sum(CASE WHEN cur = 0 THEN med4 END) AS med1,
+      |    sum(CASE WHEN cur = 1 THEN med4 END) AS med2
+      |  FROM eraw GROUP BY 1
+      |), f AS (
+      |  SELECT *, n1 + n2 AS nn,
+      |    CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1 AS d,
+      |    w1 * n2 + w2 * n1 AS ww
+      |  FROM piv WHERE n1 >= 2 AND n2 >= 2
+      |), g AS (
+      |  SELECT *,
+      |    CASE WHEN ww > 0 THEN
+      |      CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) * (nn - 2) /
+      |        (CAST(nn AS DOUBLE) * CAST(ww AS DOUBLE)) * 1000000000.0
+      |        + 0.5) AS BIGINT)
+      |    END AS bf_f9
+      |  FROM f
+      |)
+      |SELECT event_type,
+      |  CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+      |  CAST(med1 AS BIGINT) / 10000.0 AS med_ref,
+      |  CAST(med2 AS BIGINT) / 10000.0 AS med_cur,
+      |  bf_f9,
+      |  CAST(CASE WHEN bf_f9 > 3841500000 THEN 1 ELSE 0 END AS INT)
+      |    AS var_drift_flag
+      |FROM g
+      |ORDER BY event_type""".stripMargin
 }

@@ -846,4 +846,60 @@ class SignalOpsSpec extends AnyFunSuite {
       .findAllMatchIn(plan).map(_.group(1)).toSet.size
     assert(exchanges <= 1, s"want <=1 hash exchange, got $exchanges:\n$plan")
   }
+
+  test("q79 variance drift: a noise-doubled second era flags while a " +
+      "pure mean shift stays quiet") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-$day%02d 12:00:00")
+    def write(rows: Seq[(String, Int, Double)]): String = {
+      val df = rows.zipWithIndex.map { case ((typ, day, v), i) =>
+        (1L, typ, i.toLong, d(day), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q79spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // span 1..20, pivot = day 10; two rows per day at center±amp with
+    // amp alternating 1/2 by day parity (within-era spread > 0).
+    // "vol": era-2 amps x4 — dispersion quadruples, center holds.
+    // "shift": era-2 center +10 — the median moves, dispersion holds.
+    val vol = (1 to 20).flatMap { day =>
+      val amp = (if (day % 2 == 0) 2.0 else 1.0) *
+        (if (day > 10) 4.0 else 1.0)
+      Seq(("vol", day, 10.0 - amp), ("vol", day, 10.0 + amp))
+    }
+    val shift = (1 to 20).flatMap { day =>
+      val amp = if (day % 2 == 0) 2.0 else 1.0
+      val c = if (day > 10) 20.0 else 10.0
+      Seq(("shift", day, c - amp), ("shift", day, c + amp))
+    }
+    val out = SignalOps.q79VarianceDrift(spark, write(vol ++ shift))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("vol").getAs[Int]("var_drift_flag") == 1,
+      out("vol").toString)
+    assert(out("shift").getAs[Int]("var_drift_flag") == 0,
+      out("shift").toString)
+    assert(out("shift").getAs[Double]("med_cur") >
+      out("shift").getAs[Double]("med_ref") + 5.0)
+    assert(out("vol").getAs[Long]("n_ref") == 20 &&
+      out("vol").getAs[Long]("n_cur") == 20)
+    // F replays the textbook Brown-Forsythe two-group formula with
+    // the exact lower-median center
+    def bfF(v1: Seq[Double], v2: Seq[Double]): Double = {
+      def lowerMed(v: Seq[Double]) = v.sorted.apply((v.length + 1) / 2 - 1)
+      val a1 = v1.map(x => math.abs(x - lowerMed(v1)))
+      val a2 = v2.map(x => math.abs(x - lowerMed(v2)))
+      val (n1, n2) = (a1.length, a2.length)
+      val (m1, m2) = (a1.sum / n1, a2.sum / n2)
+      val ssw = a1.map(x => (x - m1) * (x - m1)).sum +
+        a2.map(x => (x - m2) * (x - m2)).sum
+      (n1 + n2 - 2) * (n1.toDouble * n2 / (n1 + n2)) *
+        (m1 - m2) * (m1 - m2) / ssw
+    }
+    val f = bfF(vol.filter(_._2 <= 10).map(_._3),
+      vol.filter(_._2 > 10).map(_._3))
+    assert(math.abs(out("vol").getAs[Long]("bf_f9") / 1e9 - f) < 1e-3,
+      s"bf_f ${out("vol").getAs[Long]("bf_f9") / 1e9} vs textbook $f")
+  }
 }
