@@ -1899,4 +1899,34 @@ object LlmOracle {
        |  CAST(CASE WHEN n_oov * 1000000 // n_tokens > 100000
        |    THEN 1 ELSE 0 END AS INT) AS oov_flag
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** t18: the same t03 regex tokens, ⌈(n−C)/S⌉+1 chunk counts and
+    * 1-based inclusive list slices (C=32, S=24).
+    */
+  val t18: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]') AS toks
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, toks, len(toks) AS n_tok_doc
+       |  FROM d WHERE len(toks) > 0
+       |), c AS (
+       |  SELECT doc_id, toks, n_tok_doc,
+       |    CASE WHEN n_tok_doc <= 32 THEN 1
+       |         ELSE (n_tok_doc - 32 + 23) // 24 + 1 END AS n_chunks
+       |  FROM n
+       |), e AS (
+       |  SELECT doc_id, toks, n_tok_doc,
+       |    unnest(range(0, n_chunks)) AS chunk_id
+       |  FROM c
+       |)
+       |SELECT doc_id, CAST(n_tok_doc AS INT) AS n_tok_doc,
+       |  CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+       |  CAST(least(32, n_tok_doc - chunk_id * 24) AS BIGINT) AS n_tok,
+       |  array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+       |    AS chunk_text
+       |FROM e
+       |ORDER BY doc_id, chunk_id""".stripMargin
 }

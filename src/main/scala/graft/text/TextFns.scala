@@ -814,4 +814,53 @@ object TextFns {
           .otherwise(0).as("oov_flag"))
       .orderBy(col("doc_id"))
   }
+
+  /** t18: RAG CHUNKING — overlapping fixed-size token windows with a
+    * stride, the retrieval-ingestion twin of d13's training packing:
+    * d13 cuts the CONCATENATED corpus into training sequences (doc
+    * boundaries ignored), a retrieval index cuts EACH document into
+    * chunks that overlap so no answer span is split across a chunk
+    * boundary (the standard RAG ingestion shape; overlap = chunk −
+    * stride). Chunk starts at 0, stride, 2·stride, …; a document
+    * with ≤ chunkTok tokens is one chunk; the last chunk is the
+    * first one covering the final token (⌈(n−C)/S⌉+1 total), so
+    * every token is covered and no chunk is a suffix-duplicate of
+    * its predecessor. Tokens are t03's regex tokens over the d01
+    * normalization, re-joined with single spaces; empty docs emit
+    * no chunks (nothing to index).
+    *
+    * Exactness: chunk count, bounds and lengths are pure integer
+    * arithmetic; the chunk text is an array slice + join — no floats
+    * anywhere, so the oracle replays bit-for-bit.
+    *
+    * Scale shape: ZERO shuffles — tokenize, chunk-explode and slice
+    * are row-local; a 100 TB corpus chunks at scan speed with output
+    * ∝ n/stride per doc. The explode carries the token ARRAY only
+    * inside the row (never into an exchange).
+    */
+  def t18RagChunk(s: SparkSession, dir: String, chunkTok: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(stride >= 1 && stride <= chunkTok, "stride within chunk")
+    val toks = regexp_extract_all(normText(col("text")),
+      lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_tok_doc", size(col("toks")))
+      .filter(col("n_tok_doc") > 0)
+      .withColumn("n_chunks",
+        when(col("n_tok_doc") <= chunkTok, lit(1L)).otherwise(
+          expr(s"(n_tok_doc - $chunkTok + ${stride - 1}) div $stride")
+            + 1))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .select(col("doc_id"), col("n_tok_doc"), col("chunk_id"),
+        col("start_tok"),
+        least(lit(chunkTok), col("n_tok_doc") - col("start_tok"))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("toks"),
+          (col("start_tok") + 1).cast("int"), lit(chunkTok)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

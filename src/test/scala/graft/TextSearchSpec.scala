@@ -194,6 +194,42 @@ class TextSearchSpec extends AnyFunSuite {
     assert(scans(TextFns.bigramPerplexity(spark, dir)) <= 1)
   }
 
+  test("t18 rag chunk: coverage, overlap and slices on planted docs, " +
+      "zero exchanges in the plan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t18spec").toString
+    // 80 distinct tokens -> chunks at 0/24/48 full, final at 72 len 8;
+    // a short doc -> one chunk; an empty doc -> no chunks
+    val longText = (0 until 80).map(i => s"w$i").mkString(" ")
+    Seq((0L, longText, "en", "w", 100L),
+      (1L, "alpha beta gamma", "en", "w", 16L),
+      (2L, "   ", "en", "w", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextFns.t18RagChunk(spark, tmp).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(!byDoc.contains(2L), "empty doc emits no chunks")
+    assert(byDoc(1L).length == 1)
+    assert(byDoc(1L).head.getAs[String]("chunk_text") == "alpha beta gamma")
+    assert(byDoc(1L).head.getAs[Long]("n_tok") == 3)
+    val chunks = byDoc(0L).sortBy(_.getAs[Long]("chunk_id"))
+    // ceil((80-32)/24)+1 = 3 chunks (starts 0/24/48 cover token 79)
+    assert(chunks.length == 3, chunks.mkString("\n"))
+    assert(chunks.map(_.getAs[Long]("start_tok")).toSeq == Seq(0L, 24L, 48L))
+    assert(chunks.map(_.getAs[Long]("n_tok")).toSeq == Seq(32L, 32L, 32L))
+    // consecutive chunks overlap by chunk - stride = 8 tokens, and the
+    // union covers every token exactly
+    val toks = chunks.map(_.getAs[String]("chunk_text").split(" ").toSeq)
+    assert(toks(0).takeRight(8) == toks(1).take(8))
+    assert(toks.flatten.distinct.length == 80)
+    assert(toks(2).last == "w79", "final token covered")
+    // row-local: no exchange anywhere in the plan
+    val plan = TextFns.t18RagChunk(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+      s"expected zero hash exchanges:\n$plan")
+  }
+
   test("s04 knn classify: majority label of the s01 neighbourhood") {
     val nn = Ann.bruteForceTopK(spark, dir)
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
