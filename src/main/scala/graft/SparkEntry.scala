@@ -147,6 +147,8 @@ object SparkEntry {
       graft.text.TextFns.t17OovRate(s, d)),
     "t18_rag_chunk"      -> ((s, d) =>
       graft.text.TextFns.t18RagChunk(s, d)),
+    "t19_ngram_novelty"  -> ((s, d) =>
+      graft.text.TextFns.t19NgramNovelty(s, d)),
     "d08_decontaminate"  -> ((s, d) =>
       graft.dedup.Decontaminate.contaminated(s, d)),
     "d08_clean_corpus"   -> ((s, d) =>
@@ -288,6 +290,7 @@ object SparkEntry {
     "t16_markup_density" -> LlmOracle.t16,
     "t17_oov_rate"       -> LlmOracle.t17,
     "t18_rag_chunk"      -> LlmOracle.t18,
+    "t19_ngram_novelty"  -> LlmOracle.t19,
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,

@@ -1929,4 +1929,27 @@ object LlmOracle {
        |    AS chunk_text
        |FROM e
        |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** t19: the same row-local distinct trigram sets, df over the
+    * (doc, gram) pair table, exact integer floor-division rate.
+    */
+  val t19: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+       |), pg AS (
+       |  SELECT doc_id, unnest(list_distinct(${ngListSql(3)})) AS g
+       |  FROM b
+       |), dfq AS (
+       |  SELECT g, count(*) AS df FROM pg GROUP BY g
+       |), per AS (
+       |  SELECT p.doc_id, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared
+       |  FROM pg p JOIN dfq d USING (g) GROUP BY p.doc_id
+       |)
+       |SELECT doc_id, n_grams, n_shared,
+       |  n_shared * 1000000 // n_grams AS shared_rate6,
+       |  CAST(CASE WHEN n_shared * 1000000 // n_grams > 500000
+       |    THEN 1 ELSE 0 END AS INT) AS boilerplate_flag
+       |FROM per ORDER BY doc_id""".stripMargin
 }

@@ -863,4 +863,46 @@ object TextFns {
           .as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  /** t19: cross-document n-gram NOVELTY profile — for each document,
+    * the fraction of its DISTINCT word trigrams that occur in at
+    * least one OTHER document. The per-doc diagnostic between t10
+    * (repetition inside one doc) and d11 (span excision across
+    * docs): a near-1 shared rate marks boilerplate/template pages —
+    * d11 removes the literal spans, t19 SCORES how much of a page is
+    * corpus-repeated so curation can rank or drop it (the RefinedWeb
+    * / Dolma duplication-profile diagnostic); a near-0 rate marks
+    * genuinely novel text worth keeping even when its source is
+    * dup-heavy.
+    *
+    * Exactness: gram sets are row-local `word_ngrams` +
+    * `array_distinct` (so df counts docs, not occurrences); the rate
+    * is one integer floor division at 1e-6 — no floats at all.
+    *
+    * Scale shape: one corpus scan → distinct (doc, gram) pairs, all
+    * row-local until the explode; the gram-dictionary groupBy is
+    * Zipf-compact and map-side combined; the df join back runs over
+    * the checkpointed compact pair table (t06/t12's posture — the
+    * dictionary side is df-unique so there is NO fan-out, output =
+    * pair rows); the per-doc roll-up is one map-side-combinable
+    * groupBy. A hot boilerplate gram is one dictionary row.
+    */
+  def t19NgramNovelty(s: SparkSession, dir: String, n: Int = 3,
+      tau6: Long = 500000L): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgrams(words(col("text")), n)))
+          .as("g"))
+      .localCheckpoint()
+    val dfTab = pairs.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    pairs.join(dfTab, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        expr("n_shared * 1000000L div n_grams").as("shared_rate6"),
+        when(expr("n_shared * 1000000L div n_grams") > tau6, 1)
+          .otherwise(0).as("boilerplate_flag"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -230,6 +230,36 @@ class TextSearchSpec extends AnyFunSuite {
       s"expected zero hash exchanges:\n$plan")
   }
 
+  test("t19 ngram novelty: a template page shares everything, novel " +
+      "prose shares only the planted boilerplate") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t19spec").toString
+    // docs 0/1: identical template (every trigram shared); doc 2:
+    // novel prose wrapped with the template's opening line (exactly
+    // the boilerplate trigrams shared); doc 3: fully novel
+    val template = "all rights reserved contact us for terms of service"
+    Seq(
+      (0L, template, "en", "w", 100L),
+      (1L, template, "en", "w", 100L),
+      (2L, "all rights reserved the quick brown fox jumps over lazy dogs",
+        "en", "w", 100L),
+      (3L, "completely original sentence nobody else ever wrote here",
+        "en", "w", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextFns.t19NgramNovelty(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("shared_rate6") == 1000000L)
+    assert(out(0L).getAs[Int]("boilerplate_flag") == 1)
+    assert(out(1L).getAs[Long]("shared_rate6") == 1000000L)
+    // doc 2: 9 trigrams, exactly one ("all rights reserved") shared
+    assert(out(2L).getAs[Long]("n_grams") == 9, out(2L).toString)
+    assert(out(2L).getAs[Long]("n_shared") == 1, out(2L).toString)
+    assert(out(2L).getAs[Int]("boilerplate_flag") == 0)
+    assert(out(3L).getAs[Long]("n_shared") == 0)
+    assert(out(3L).getAs[Long]("shared_rate6") == 0L)
+  }
+
   test("s04 knn classify: majority label of the s01 neighbourhood") {
     val nn = Ann.bruteForceTopK(spark, dir)
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
