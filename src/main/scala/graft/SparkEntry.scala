@@ -102,6 +102,7 @@ object SparkEntry {
     "q58_winsorize"      -> ScaleOps.winsorize _,
     "d12_domain_cap"     -> ((s, d) => Sampling.domainCap(s, d)),
     "d16_mixture_sample" -> ((s, d) => Sampling.mixtureSample(s, d)),
+    "d18_token_budget"   -> ((s, d) => Sampling.d18TokenBudget(s, d)),
     "d17_edit_distance_dedup" -> ((s, d) =>
       graft.dedup.Dedup.editDistanceDedup(s, d)),
     "d07_train_split"    -> Sampling.trainSplit _,
@@ -299,6 +300,7 @@ object SparkEntry {
     "d13_sequence_pack"  -> LlmOracle.d13,
     "d15_incremental_dedup" -> LlmOracle.d15,
     "d16_mixture_sample" -> LlmOracle.d16,
+    "d18_token_budget"   -> LlmOracle.d18,
     "d17_edit_distance_dedup" -> LlmOracle.d17,
     "d10_ngram_containment" -> LlmOracle.d10,
     "s04_knn_classify"   -> LlmOracle.s04,

@@ -1930,6 +1930,51 @@ object LlmOracle {
        |FROM e
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** d18: the greedy quality-prefix budget selection replayed with an
+    * ordered cumulative window (the oracle may afford the global sort
+    * the engine's radix boundary avoids); t02's quality as a 1e-6
+    * BIGINT, t03's regex token counts, budget 20000.
+    */
+  val d18: String = {
+    val stops = TextFns.Profiles.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    length(text) AS n_char,
+       |    len(string_split($Norm, ' ')) AS n_words,
+       |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+       |      AS n_punct,
+       |    len(list_filter(string_split($Norm, ' '), w -> w IN ($stops)))
+       |      AS n_stop,
+       |    length($Norm) AS n_char_norm,
+       |    CAST(len(regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]'))
+       |      AS BIGINT) AS n_tok
+       |  FROM documents
+       |), r AS (
+       |  SELECT *,
+       |    CAST(n_char_norm - (n_words - 1) AS DOUBLE) / n_words
+       |      AS avg_word_len,
+       |    CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       |    CAST(n_punct AS DOUBLE) / n_char AS punct_ratio
+       |  FROM m
+       |), q AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(floor((
+       |      (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END) +
+       |      (CASE WHEN avg_word_len BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END) +
+       |      (CASE WHEN stop_ratio >= 0.01 THEN 0.2 ELSE 0.0 END) +
+       |      (CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END)
+       |    ) * 1000000.0 + 0.5) AS BIGINT) AS q6
+       |  FROM r
+       |), c AS (
+       |  SELECT *, sum(n_tok) OVER (ORDER BY q6 DESC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM q
+       |)
+       |SELECT doc_id, q6 / 1000000.0 AS quality, n_tok
+       |FROM c WHERE cum <= 20000
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** t19: the same row-local distinct trigram sets, df over the
     * (doc, gram) pair table, exact integer floor-division rate.
     */

@@ -173,6 +173,96 @@ object Sampling {
     * driver traffic is O(65536·4) longs regardless of row count: the
     * scale-safe order statistic for selecting top-k thresholds.
     */
+  /** Weighted prefix boundary over a LONG key — the token-budget
+    * generalization of `kthSmallestLong`: walk the 16-bit radix
+    * histograms of the key's order-preserving unsigned image summing
+    * the WEIGHT column in ascending-key order, and return the exact
+    * key value whose cumulative weight first EXCEEDS `budget`,
+    * together with the budget remaining on entering that key's group
+    * (None when everything fits). ≤4 weight-histogram groupBys over a
+    * shrinking subset, each collect ≤65536 rows — never a global
+    * sort, never a single-partition window.
+    */
+  private def prefixBoundaryLong(df: DataFrame, c: String, w: String,
+      budget: Long): Option[(Long, Long)] = {
+    require(budget >= 0, "budget must be non-negative")
+    val ub = col(c).bitwiseXOR(lit(Long.MinValue))
+    var cur = df
+    var rem = budget
+    var prefix = 0L
+    var p = 0
+    while (p < 4) {
+      val bucket = shiftrightunsigned(ub, 48 - 16 * p).bitwiseAND(lit(65535L))
+      val hist = cur.groupBy(bucket.as("b")).agg(sum(col(w)).as("sw"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      var chosen = -1L
+      hist.foreach { case (bv, sw) =>
+        if (chosen < 0) {
+          if (acc + sw > rem) { chosen = bv; rem -= acc }
+          else acc += sw
+        }
+      }
+      if (chosen < 0) return None // the whole (sub)set fits the budget
+      cur = cur.filter(bucket === lit(chosen))
+      prefix = (prefix << 16) | chosen
+      p += 1
+    }
+    Some((prefix ^ Long.MinValue, rem))
+  }
+
+  /** d18: TOKEN-BUDGET selection — "give me the best `budget` tokens
+    * of this corpus": rank documents by t02's composite quality
+    * (ties broken by doc_id) and keep the maximal prefix whose
+    * cumulative t03 token count stays within the budget — the
+    * data-mixing step every training run actually ends with (a 2T
+    * token budget, not a document count; the greedy quality-prefix
+    * rule is the standard practical answer, cf. the quality-filter +
+    * budget pipelines of GPT-3/Gopher/LLaMA data work).
+    *
+    * Semantics (oracle-replayable): select docs where the running
+    * token sum over (quality desc, doc_id asc) is ≤ budget — the
+    * first overflowing document stops the prefix (no skip-ahead
+    * knapsack; deterministic and engine-exact since quality is a
+    * 1e-6 integer and token counts are exact ints).
+    *
+    * Scale shape: the d09 lesson applied to a WEIGHTED rank — a
+    * cumulative-sum window over (quality desc, doc_id) would funnel
+    * one row per document through a single partition, the exact
+    * scale-killer d09 removed. Instead `prefixBoundaryLong` radix-
+    * selects the boundary QUALITY (≤4 token-weighted histogram
+    * passes, 65536-row collects), then the boundary DOC inside the
+    * one boundary-quality group (same machinery keyed on doc_id),
+    * and the selection is a scan-speed filter
+    * `q > t || (q = t && doc_id < d)` over the checkpointed
+    * 3-longs-per-doc feature table. One corpus scan total.
+    */
+  def d18TokenBudget(s: SparkSession, dir: String,
+      budget: Long = 20000L): DataFrame = {
+    val feats = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        floor(graft.text.TextFns.qualityCol(col("text")) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("q6"),
+        graft.text.TextFns.reTokensCol(col("text")).cast("long")
+          .as("n_tok"))
+      .withColumn("nq", -col("q6")) // ascending nq = descending quality
+      .localCheckpoint()
+    val sel = prefixBoundaryLong(feats, "nq", "n_tok", budget) match {
+      case None => feats
+      case Some((v, rem)) =>
+        val grp = feats.filter(col("nq") === v)
+        val inGrp = prefixBoundaryLong(grp, "doc_id", "n_tok", rem) match {
+          case None => grp
+          case Some((d, _)) => grp.filter(col("doc_id") < d)
+        }
+        feats.filter(col("nq") < v).unionByName(inGrp)
+    }
+    sel
+      .select(col("doc_id"), (col("q6") / lit(1000000.0)).as("quality"),
+        col("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
   private def kthSmallestLong(df: DataFrame, c: String, k: Long): Long = {
     require(k >= 1, s"k must be >= 1, got $k")
     val ub = col(c).bitwiseXOR(lit(Long.MinValue))

@@ -256,4 +256,52 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("d18 token budget: radix boundary equals the global-sort prefix " +
+      "rule, boundary group splits by doc_id") {
+    import org.apache.spark.sql.expressions.Window
+    // reference = the window-cumsum prefix the engine must NOT plan:
+    // recompute it here over the same features and compare sets
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        floor(graft.text.TextFns.qualityCol(col("text")) * lit(1000000.0)
+          + lit(0.5)).cast("long").as("q6"),
+        graft.text.TextFns.reTokensCol(col("text")).cast("long")
+          .as("n_tok"))
+    val total = feats.agg(sum("n_tok")).head().getLong(0)
+    val budget = total / 2
+    val ref = feats
+      .withColumn("cum", sum(col("n_tok")).over(
+        Window.orderBy(col("q6").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Sampling.d18TokenBudget(spark, dir, budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == ref,
+      s"missing=${(ref -- got).take(5)} extra=${(got -- ref).take(5)}")
+    assert(got.nonEmpty && got.size < feats.count(),
+      "half-budget must select a strict subset")
+    // a budget ending mid-group picks the doc_id prefix of the
+    // boundary-quality group
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d18spec").toString
+    val text = "one two three four five" // 5 tokens, same quality each
+    (0L until 5L).map(i => (i, text, "en", "w", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sel = Sampling.d18TokenBudget(spark, tmp, 12L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(sel == Set(0L, 1L), sel.toString) // 2x5 <= 12 < 3x5
+    // everything-fits path
+    val all = Sampling.d18TokenBudget(spark, tmp, 1000L).count()
+    assert(all == 5)
+    // the engine never plans a global (un-partitioned) window or a
+    // single-partition exchange over the corpus
+    val plan = Sampling.d18TokenBudget(spark, dir, budget)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["), s"no window expected:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no single-partition exchange expected:\n$plan")
+  }
 }
