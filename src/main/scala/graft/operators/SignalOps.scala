@@ -3523,4 +3523,76 @@ object SignalOracle {
       |    AS var_drift_flag
       |FROM g
       |ORDER BY event_type""".stripMargin
+
+  /** st21: st08's segmented causal standardization feeding q74's zone
+    * counts over trailing 3/5/8-row frames per 8-day segment.
+    */
+  val st21: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), st AS (
+      |  SELECT *,
+      |    count(*) OVER wk AS n,
+      |    sum(v4l) OVER wk AS s1,
+      |    sum(CAST(v4l AS HUGEINT) * v4l) OVER wk AS s2
+      |  FROM seg
+      |  WINDOW wk AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), z AS (
+      |  SELECT *, v4l / 10000.0 AS value,
+      |    CASE WHEN n > 1 AND (n * s2 - CAST(s1 AS HUGEINT) * s1) > 0
+      |      THEN CAST(floor(
+      |        CAST(n * v4l - s1 AS DOUBLE) /
+      |        sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) * n / (n - 1))
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |      ELSE 0 END AS zf
+      |  FROM st
+      |), r AS (
+      |  SELECT *,
+      |    sum(CASE WHEN zf > 2000000 THEN 1 ELSE 0 END) OVER w3 AS c2p,
+      |    sum(CASE WHEN zf < -2000000 THEN 1 ELSE 0 END) OVER w3 AS c2n,
+      |    sum(CASE WHEN zf > 1000000 THEN 1 ELSE 0 END) OVER w5 AS c1p,
+      |    sum(CASE WHEN zf < -1000000 THEN 1 ELSE 0 END) OVER w5 AS c1n,
+      |    sum(CASE WHEN zf > 0 THEN 1 ELSE 0 END) OVER w8 AS c0p,
+      |    sum(CASE WHEN zf < 0 THEN 1 ELSE 0 END) OVER w8 AS c0n
+      |  FROM z
+      |  WINDOW w3 AS (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      |    w5 AS (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      |    w8 AS (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+      |), f AS (
+      |  SELECT *,
+      |    CASE WHEN abs(zf) > 3000000 THEN 1 ELSE 0 END AS rule1,
+      |    CASE WHEN n >= 3 AND (c2p >= 2 OR c2n >= 2)
+      |      THEN 1 ELSE 0 END AS rule2,
+      |    CASE WHEN n >= 5 AND (c1p >= 4 OR c1n >= 4)
+      |      THEN 1 ELSE 0 END AS rule3,
+      |    CASE WHEN n >= 8 AND (c0p = 8 OR c0n = 8)
+      |      THEN 1 ELSE 0 END AS rule4
+      |  FROM r
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded, value,
+      |  zf / 1000000.0 AS zscore6,
+      |  CAST(rule1 AS INT) AS rule1, CAST(rule2 AS INT) AS rule2,
+      |  CAST(rule3 AS INT) AS rule3, CAST(rule4 AS INT) AS rule4,
+      |  CAST(CASE WHEN rule1 + rule2 + rule3 + rule4 > 0
+      |    THEN 1 ELSE 0 END AS INT) AS spc_flag
+      |FROM f
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 }

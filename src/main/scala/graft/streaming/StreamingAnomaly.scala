@@ -1804,6 +1804,124 @@ object StreamingAnomaly {
       staleDays: Double = 8.0): DataFrame =
     st19FromStream(s, eventStream(s, dir), staleDays)
 
+  /** st21 per-ticker SPC state: prefix moments (st08's exact two-limb
+    * s2) + the ring of the last ≤7 standardized points — the zone
+    * rules' whole lookback. Bounded: 7 longs however long the stream.
+    */
+  case class SpcState(lastUs: Long, n: Long, s1: Long, s2Hi: Long,
+      s2Lo: Long, ring: Array[Long])
+
+  case class SpcOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, zscore6: Double,
+      rule1: Int, rule2: Int, rule3: Int, rule4: Int, spc_flag: Int)
+
+  /** st21: q74's Western Electric zone rules answered LIVE — the
+    * control-chart screen run at arrival time: one point beyond 3σ
+    * (rule 1), 2-of-3 beyond 2σ same side (rule 2), 4-of-5 beyond 1σ
+    * same side (rule 3), 8 consecutive same side (rule 4). Where the
+    * batch q74 standardizes against the WHOLE series (a batch-only
+    * luxury), the live chart standardizes each arrival against the
+    * PREFIX moments — st08's causal convention — and the zone
+    * lookbacks come from a bounded ring of the last 7 standardized
+    * points; each rule stays silent until its full lookback exists in
+    * the current segment (q74's i ≥ 3/5/8 rule). Staleness gaps and
+    * EventTimeTimeout eviction restart the segment. Fully
+    * oracle-backed: prefix moments, zf and the trailing zone counts
+    * are all plain windows per 8-day segment.
+    */
+  def st21Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[SpcOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val limb = BigInt(1000000000000000000L) // 1e18
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[SpcState]): Iterator[SpcOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // quiet ticker: chart gone, key evicted
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[SpcOut]
+        var st = state.getOption
+          .getOrElse(SpcState(0L, 0L, 0L, 0L, 0L, Array.empty[Long]))
+        sorted.foreach { e =>
+          // in-data staleness gap: same segment restart the timeout
+          // path would have caused had the key stayed quiet
+          if (st.n > 0 && usOf(e.ts) - st.lastUs > staleUs)
+            st = SpcState(0L, 0L, 0L, 0L, 0L, Array.empty[Long])
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          val n = st.n + 1
+          val s1 = st.s1 + vl
+          val s2 = BigInt(st.s2Hi) * limb + st.s2Lo + BigInt(vl) * BigInt(vl)
+          val c = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
+          val zf =
+            if (n > 1 && c > 0) {
+              val a = (n * vl - s1).toDouble
+              math.floor(a / math.sqrt(c.toDouble * n / (n - 1)) *
+                1000000.0 + 0.5).toLong
+            } else 0L
+          def zone(win: Int, lim: Long, need: Int): Boolean = {
+            val w = st.ring.takeRight(win - 1) :+ zf
+            n >= win && (w.count(_ > lim) >= need ||
+              w.count(_ < -lim) >= need)
+          }
+          val r1 = if (math.abs(zf) > 3000000L) 1 else 0
+          val r2 = if (zone(3, 2000000L, 2)) 1 else 0
+          val r3 = if (zone(5, 1000000L, 4)) 1 else 0
+          val r4 = if (n >= 8 && {
+            val w = st.ring.takeRight(7) :+ zf
+            w.forall(_ > 0L) || w.forall(_ < 0L)
+          }) 1 else 0
+          val ring2 = (st.ring :+ zf).takeRight(7)
+          st = SpcState(usOf(e.ts), n, s1, (s2 / limb).toLong,
+            (s2 % limb).toLong, ring2)
+          out += SpcOut(key._1, key._2, e.event_id, e.ts, vl / 10000.0,
+            zf / 1000000.0, r1, r2, r3, r4,
+            if (r1 + r2 + r3 + r4 > 0) 1 else 0)
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st21FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st21_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st21Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("zscore6"),
+        col("rule1"), col("rule2"), col("rule3"), col("rule4"),
+        col("spc_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st21StreamSpc(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st21FromStream(s, eventStream(s, dir), staleDays)
+
   /** st20 per-user funnel state: the three stage timestamps (µs,
     * None = not reached). Deliberately no timeout and no staleness
     * reset — a conversion funnel is a lifetime property of the user,

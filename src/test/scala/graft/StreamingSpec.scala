@@ -640,6 +640,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.length == single.length && multi.sameElements(single))
   }
 
+  test("st21 streaming SPC: a same-side run trips rule 4 live, a gap " +
+      "restarts the chart; multi-batch matches") {
+    import spark.implicits._
+    // q74's layout: 30 alternating 9/11 (last one 9), then 10 gently
+    // above-center points — rule 4 trips at the 8th consecutive
+    val vals = (1 to 30).map(i => if (i % 2 == 0) 9.0 else 11.0) ++
+      Seq.fill(10)(10.6)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "run", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("st21spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st21StreamSpc(spark, tmp).collect()
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(out.length == 40)
+    assert(out.forall(_.getAs[Int]("rule1") == 0))
+    val r4 = out.map(_.getAs[Int]("rule4"))
+    assert(r4.take(37).forall(_ == 0), r4.mkString(","))
+    assert(r4.drop(37).forall(_ == 1), r4.mkString(","))
+    assert(out.drop(37).forall(_.getAs[Int]("spc_flag") == 1))
+    // a 9-day gap restarts the segment: the same run again, but the
+    // first 7 post-gap rows cannot have a full lookback
+    val vals2 = vals ++ Seq.fill(10)(10.6)
+    val df2 = vals2.zipWithIndex.map { case (v, i) =>
+      val base = if (i < 40) i.toLong else i.toLong + 9L * 24 * 60
+      (1L, "gap", i.toLong, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+          base * 60000L), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp2 = java.nio.file.Files.createTempDirectory("st21spec2").toString
+    df2.write.mode("overwrite").parquet(s"$tmp2/events.parquet")
+    val out2 = StreamingAnomaly.st21StreamSpc(spark, tmp2).collect()
+      .sortBy(_.getAs[Long]("event_id"))
+      .filter(_.getAs[String]("event_type") == "gap")
+    // post-gap rows (40..49) restart: rules silent for the first 7
+    assert(out2.slice(40, 47).forall(_.getAs[Int]("rule4") == 0),
+      out2.slice(40, 47).map(_.toString).mkString("\n"))
+    // batch boundaries don't perturb the moment+ring state
+    val multi = StreamingAnomaly.st21FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st21StreamSpc(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
+
   test("st20 streaming funnel: emits on each stage advance; multi-batch") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${m}%02d:00")
