@@ -1698,6 +1698,74 @@ object SignalOps {
           .as("var_drift_flag"))
       .orderBy(col("event_type"))
   }
+
+  /** q80: SPEARMAN rank correlation of each ticker against its
+    * leave-one-out peer mean — the monotone-robust companion to
+    * q59's Pearson: a feed whose values went through a monotone
+    * re-scale (unit change, log compression, index rebasing) still
+    * RANKS its days exactly like its peers, so Spearman stays 1.0
+    * where Pearson decays — and conversely a genuinely decorrelated
+    * feed cannot hide behind a lucky linear fit. Over q77's daily
+    * machinery (last observation per ticker-day, exact floor-div
+    * LOO peer mean per (event_type, day), gc > 1), rank each
+    * ticker's days by own value and by peer value with the
+    * DETERMINISTIC (value, day) tie order (permutation ranks, not
+    * average ranks — documented, engine-exact), then the classic
+    * ρ = 1 − 6·Σd²/(n·(n²−1)).
+    *
+    * Exactness: ranks and Σd² are exact integers; M = n³−n is an
+    * exact decimal(38,0)/HUGEINT; ρ is ONE double division floored
+    * to 1e-6. Tickers with < minDays ranked days are excluded.
+    *
+    * Scale shape: q59/q77's posture — the daily collapse window and
+    * BOTH rank windows hash on the ticker family (one corpus-daily
+    * exchange reused thrice), group stats groupBy'd on the daily
+    * table and broadcast back; the final per-ticker groupBy is
+    * map-side combined on the same partitioning.
+    */
+  def q80SpearmanPeer(s: SparkSession, dir: String,
+      minDays: Int = 5): DataFrame = {
+    val key = Seq(col("user_id"), col("event_type"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val wDay = Window.partitionBy(key :+ col("day"): _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long")
+          .as("x4l"))
+    val grp = daily.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("x4l")).as("gs"), count(lit(1)).as("gc"))
+      .localCheckpoint()
+    val wx = Window.partitionBy(key: _*).orderBy(col("x4l"), col("day"))
+    val wy = Window.partitionBy(key: _*).orderBy(col("y4l"), col("day"))
+    daily.join(broadcast(grp), Seq("event_type", "day"))
+      .filter(col("gc") > 1)
+      .withColumn("y4l", expr("(gs - x4l) div (gc - 1)"))
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .withColumn("dr", (col("rx") - col("ry")).cast("long"))
+      .groupBy(key: _*)
+      .agg(count(lit(1)).as("n"),
+        sum((d19(col("dr")) * d19(col("dr"))).cast("decimal(38,0)"))
+          .as("dd"))
+      .filter(col("n") >= minDays)
+      .withColumn("m",
+        (dec(col("n")) * col("n") * col("n") - col("n"))
+          .cast("decimal(38,0)"))
+      .withColumn("rho6",
+        floor((col("m") - lit(6) * col("dd")).cast("double") /
+          col("m").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .select(col("user_id"), col("event_type"), col("n").as("n_days"),
+        col("rho6"),
+        when(col("rho6") < lit(500000L), 1).otherwise(0)
+          .as("decorrelated_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -3523,6 +3591,53 @@ object SignalOracle {
       |    AS var_drift_flag
       |FROM g
       |ORDER BY event_type""".stripMargin
+
+  /** q80: q77's daily LOO peer machinery, deterministic (value, day)
+    * permutation ranks, the exact 1 − 6Σd²/(n³−n) closed form.
+    */
+  val q80: String =
+    """WITH daily AS (
+      |  SELECT user_id, event_type, CAST(ts AS DATE) AS day, value,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, event_type, CAST(ts AS DATE)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |), d1 AS (
+      |  SELECT user_id, event_type, day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS x4l
+      |  FROM daily WHERE rn = 1
+      |), g AS (
+      |  SELECT event_type, day, CAST(sum(x4l) AS BIGINT) AS gs,
+      |    count(*) AS gc
+      |  FROM d1 GROUP BY 1, 2
+      |), b AS (
+      |  SELECT d.user_id, d.event_type, d.day, d.x4l,
+      |    (g.gs - d.x4l) // (g.gc - 1) AS y4l
+      |  FROM d1 d JOIN g USING (event_type, day) WHERE g.gc > 1
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY x4l, day) AS rx,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY y4l, day) AS ry
+      |  FROM b
+      |), a AS (
+      |  SELECT user_id, event_type, count(*) AS n,
+      |    sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS dd
+      |  FROM r GROUP BY 1, 2 HAVING count(*) >= 5
+      |), f AS (
+      |  SELECT *, CAST(n AS HUGEINT) * n * n - n AS m FROM a
+      |), h AS (
+      |  SELECT *,
+      |    CAST(floor(CAST(m - 6 * dd AS DOUBLE) / CAST(m AS DOUBLE) *
+      |      1000000.0 + 0.5) AS BIGINT) AS rho6
+      |  FROM f
+      |)
+      |SELECT user_id, event_type, n AS n_days, rho6,
+      |  CAST(CASE WHEN rho6 < 500000 THEN 1 ELSE 0 END AS INT)
+      |    AS decorrelated_flag
+      |FROM h
+      |ORDER BY user_id, event_type""".stripMargin
 
   /** st21: st08's segmented causal standardization feeding q74's zone
     * counts over trailing 3/5/8-row frames per 8-day segment.

@@ -902,4 +902,46 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(math.abs(out("vol").getAs[Long]("bf_f9") / 1e9 - f) < 1e-3,
       s"bf_f ${out("vol").getAs[Long]("bf_f9") / 1e9} vs textbook $f")
   }
+
+  test("q80 Spearman peer: a monotone re-scale keeps rho 1, a reversed " +
+      "feed scores -1, a shuffled feed decorrelates") {
+    import spark.implicits._
+    // aperiodic positive shared signal with distinct daily values
+    val sig = Seq(3.0, 7, 2, 9, 5, 8, 1, 6, 4, 10, 2.5, 7.5, 3.5, 8.5,
+      1.5, 6.5, 4.5, 9.5, 5.5, 2.2)
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    var eid = 0L
+    val rows = scala.collection.mutable.ArrayBuffer[
+      (Long, String, Long, java.sql.Timestamp, Double)]()
+    val shuffled = Seq(6.5, 1.5, 9.5, 3.0, 8.5, 2.2, 7.0, 4.5, 10.0,
+      2.0, 5.5, 9.0, 1.0, 7.5, 3.5, 8.0, 2.5, 6.0, 4.0, 5.0)
+    // separate peer groups so each probe ticker sees CLEAN peers
+    for (day <- 1 to 20) {
+      val v = sig(day - 1)
+      rows += ((1L, "m", { eid += 1; eid }, d(day), v))
+      rows += ((2L, "m", { eid += 1; eid }, d(day), v + 1.0))
+      rows += ((3L, "m", { eid += 1; eid }, d(day), v * v)) // monotone
+      rows += ((11L, "r", { eid += 1; eid }, d(day), v))
+      rows += ((12L, "r", { eid += 1; eid }, d(day), v + 1.0))
+      rows += ((4L, "r", { eid += 1; eid }, d(day), 11.0 - v)) // reversed
+      rows += ((21L, "s", { eid += 1; eid }, d(day), v))
+      rows += ((22L, "s", { eid += 1; eid }, d(day), v + 1.0))
+      rows += ((5L, "s", { eid += 1; eid }, d(day), shuffled(day - 1)))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("q80spec").toString
+    rows.toSeq.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q80SpearmanPeer(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    // the squared feed ranks its days exactly like its peers rank
+    // theirs -> Spearman 1.0 (where Pearson would decay)
+    assert(out(3L).getAs[Long]("rho6") == 1000000L, out(3L).toString)
+    assert(out(3L).getAs[Int]("decorrelated_flag") == 0)
+    assert(out(4L).getAs[Long]("rho6") == -1000000L, out(4L).toString)
+    assert(out(4L).getAs[Int]("decorrelated_flag") == 1)
+    assert(out(1L).getAs[Long]("rho6") > 900000L, out(1L).toString)
+    assert(math.abs(out(5L).getAs[Long]("rho6")) < 500000L,
+      out(5L).toString)
+    assert(out(5L).getAs[Int]("decorrelated_flag") == 1)
+  }
 }
