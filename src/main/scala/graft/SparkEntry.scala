@@ -97,6 +97,7 @@ object SparkEntry {
     "q72_range_window"   -> Relational.rangeWindow _,
     "q73_funnel"         -> Relational.funnel _,
     "q76_scd2"           -> Relational.q76Scd2 _,
+    "q81_set_ops"        -> Relational.q81SetOps _,
     "p08_dq_audit"       -> Relational.p08DqAudit _,
     "q52_stratified_sample" -> Sampling.stratifiedSample _,
     "q56_group_quantiles" -> ScaleOps.groupQuantiles _,
@@ -685,6 +686,28 @@ object SparkEntry {
            CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
              AS is_current
          FROM v ORDER BY o_custkey, version""",
+    "q81_set_ops" ->
+      """WITH span AS (
+           SELECT min(CAST(o_orderdate AS DATE)) +
+             CAST((max(CAST(o_orderdate AS DATE)) -
+                   min(CAST(o_orderdate AS DATE))) // 2 AS INT) AS pivot
+           FROM orders
+         ), a AS (
+           SELECT DISTINCT o_custkey FROM orders, span s
+           WHERE CAST(o_orderdate AS DATE) <= s.pivot
+         ), b AS (
+           SELECT DISTINCT o_custkey FROM orders, span s
+           WHERE CAST(o_orderdate AS DATE) > s.pivot
+         )
+         SELECT 'lapsed' AS status, o_custkey
+         FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+         UNION ALL
+         SELECT 'new' AS status, o_custkey
+         FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+         UNION ALL
+         SELECT 'retained' AS status, o_custkey
+         FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+         ORDER BY status, o_custkey""",
     "p08_dq_audit" ->
       """WITH fk1 AS (
            SELECT 'fk_orders_customer' AS check_name,

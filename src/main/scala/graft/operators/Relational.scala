@@ -570,4 +570,40 @@ object Relational {
         expr("violations * 1000000L div total").as("ratio6"))
       .orderBy(col("check_name"))
   }
+
+  /** q81: EXCEPT / INTERSECT set operations — the remaining ANSI set
+    * surface beside q30's UNION: the customer retention slice (lapsed
+    * = ordered only in the first half of the date span, new = only in
+    * the second, retained = both) computed with Spark's
+    * EXCEPT/INTERSECT DISTINCT operators. Catalyst plans them as
+    * distinct aggregates + left-anti / left-semi joins hashed on the
+    * key — exactly the distributed shape one would hand-write, so
+    * covering the operators costs nothing at scale.
+    *
+    * Scale shape: each era reduces orders to a DISTINCT custkey table
+    * (map-side combined) BEFORE any set op and is checkpointed so the
+    * two uses share one computation; the set ops then hash
+    * key-cardinality tables only. The 1-row span pivot is a broadcast
+    * cross join (q69's posture).
+    */
+  def q81SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+    val span = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("pivot",
+        expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .select(col("pivot"))
+    val tagged = o.crossJoin(broadcast(span))
+    val a = tagged.filter(col("day") <= col("pivot"))
+      .select("o_custkey").distinct().localCheckpoint()
+    val b = tagged.filter(col("day") > col("pivot"))
+      .select("o_custkey").distinct().localCheckpoint()
+    a.except(b).select(lit("lapsed").as("status"), col("o_custkey"))
+      .unionByName(
+        b.except(a).select(lit("new").as("status"), col("o_custkey")))
+      .unionByName(
+        a.intersect(b)
+          .select(lit("retained").as("status"), col("o_custkey")))
+      .orderBy(col("status"), col("o_custkey"))
+  }
 }

@@ -250,4 +250,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(out("range_lineitem_quantity") == 1)
     assert(out("range_lineitem_discount") == 1)
   }
+
+  test("q81 set ops: lapsed/new/retained partition the customer set " +
+      "and agree with a conditional-aggregation replay") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Relational.q81SetOps(spark, dir).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[Long]("o_custkey")))
+    // every custkey appears exactly once across the three statuses
+    val keys = out.map(_._2)
+    assert(keys.distinct.length == keys.length, "statuses must partition")
+    // independent replay via era-presence flags per customer
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+    val spanRow = o.agg(min("day"), max("day")).head()
+    val d0 = spanRow.getDate(0)
+    val d1 = spanRow.getDate(1)
+    val pivotDay = new java.sql.Date(d0.getTime +
+      ((d1.getTime - d0.getTime) / 86400000L / 2) * 86400000L)
+    val ref = o.groupBy("o_custkey")
+      .agg(max(when(col("day") <= lit(pivotDay), 1).otherwise(0)).as("a"),
+        max(when(col("day") > lit(pivotDay), 1).otherwise(0)).as("b"))
+      .collect().map { r =>
+        val st = (r.getInt(1), r.getInt(2)) match {
+          case (1, 0) => "lapsed"
+          case (0, 1) => "new"
+          case _ => "retained"
+        }
+        (st, r.getLong(0))
+      }.toSet
+    assert(out.toSet == ref,
+      s"missing=${(ref -- out.toSet).take(5)} extra=${(out.toSet -- ref).take(5)}")
+    assert(out.exists(_._1 == "retained"), "sf0.001 must retain someone")
+  }
 }
