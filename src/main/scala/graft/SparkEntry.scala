@@ -175,6 +175,7 @@ object SparkEntry {
     "m04_image_resize" -> ((s, d) => graft.multimodal.Multimodal.qResize(s, d)),
     "m05_scene_change" -> ((s, d) => graft.multimodal.Video.qScenes(s, d)),
     "m06_phash_dedup"  -> ((s, d) => graft.multimodal.Multimodal.phashDedup(s, d)),
+    "m11_dhash_dedup"  -> ((s, d) => graft.multimodal.Multimodal.dhashDedup(s, d)),
     "m10_image_exposure" -> ((s, d) => graft.multimodal.Multimodal.qExposure(s, d)),
     "m07_audio_segment" -> ((s, d) => graft.multimodal.Audio.qSegment(s, d)),
     "m09_audio_near_dup" -> ((s, d) =>
@@ -837,6 +838,7 @@ object SparkEntry {
     "m03_video_frames" -> LlmOracle.m03,
     "m05_scene_change" -> LlmOracle.m05,
     "m06_phash_dedup"  -> LlmOracle.m06,
+    "m11_dhash_dedup"  -> LlmOracle.m11,
     "m10_image_exposure" -> LlmOracle.m10,
     "m08_video_near_dup" -> LlmOracle.m08,
     "m07_audio_segment" -> LlmOracle.m07,

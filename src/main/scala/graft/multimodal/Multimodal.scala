@@ -395,15 +395,24 @@ object Multimodal {
     * closed-form: DuckDB recomputes every aHash from the pixel
     * formula and brute-forces the ≤r pairs.
     */
-  def phashDedup(s: SparkSession, dir: String, r: Int = 3): DataFrame = {
+  def phashDedup(s: SparkSession, dir: String, r: Int = 3): DataFrame =
+    hammingPairs(phashTable(stagedMediaTable(s, dir))
+      .filter(col("_corrupt") === 0)
+      .select(col("media_id"), col("h_lo"), col("h_hi")), r)
+
+  /** The ONE copy of the 4-band pigeonhole hamming join, shared by
+    * m06 (aHash) and m11 (dHash): two 64-bit hashes within hamming
+    * ≤ 3 must agree on at least one whole 16-bit band, so candidates
+    * come from an equi-join on (band_idx, band_value) — never an
+    * all-pairs compare; exact `bit_count(xor)` verifies each
+    * candidate and `distinct` collapses multi-band collisions.
+    */
+  private def hammingPairs(hs: DataFrame, r: Int): DataFrame = {
     // the FOUR-band pigeonhole is complete only while r < 4 flipped
     // bits cannot straddle every band — a larger radius needs more
     // bands, so reject it rather than silently under-report pairs
     require(r >= 0 && r <= 3,
       s"4-band pigeonhole join is exact only for hamming radius <= 3, got $r")
-    val hs = phashTable(stagedMediaTable(s, dir))
-      .filter(col("_corrupt") === 0)
-      .select(col("media_id"), col("h_lo"), col("h_hi"))
     def band(i: Int, c: Column): Column =
       struct(lit(i).as("bi"),
         shiftrightunsigned(c, 16 * (i % 2)).bitwiseAND(lit(65535L)).as("bv"))
@@ -429,4 +438,73 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** m11: difference-hash (dHash) of each image — the GRADIENT
+    * fingerprint beside m06's mean-threshold aHash: each bit compares
+    * horizontally adjacent samples of a 9×8 NN-resample (left <
+    * right), so the hash keys on LOCAL structure. A re-render with a
+    * smooth exposure gradient (vignette, levels ramp) leaves every
+    * adjacent-sample comparison intact while moving many samples
+    * across the global mean — dHash scores hamming 0 where aHash
+    * drifts past any usable radius (spec-proven with a planted
+    * ramped copy). Same two-halves packing, per-partition decode
+    * scope and corrupt policy as m06.
+    */
+  def dhashTable(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.map { case (id, bytes) =>
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            reader.setInput(iis)
+            val img = reader.read(0)
+            val w = img.getWidth
+            val h = img.getHeight
+            val raster = img.getRaster
+            var lo = 0L
+            var hi = 0L
+            var y = 0
+            while (y < 8) {
+              val sy = y * h / 8
+              val row = new Array[Int](9)
+              var x = 0
+              while (x < 9) {
+                row(x) = raster.getSample(x * w / 9, sy, 0)
+                x += 1
+              }
+              x = 0
+              while (x < 8) {
+                if (row(x) < row(x + 1)) {
+                  val i = y * 8 + x
+                  if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(lo), Some(hi), 0)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, Option.empty[Long], Option.empty[Long], 1)
+          }
+        }
+      }
+      .toDF("media_id", "h_lo", "h_hi", "_corrupt")
+  }
+
+  /** m11 query: gradient-hash near-dup image pairs at hamming ≤ r —
+    * m06's scale shape exactly (the shared 4-band pigeonhole join);
+    * fully oracle-backed via the closed-form pixel function.
+    */
+  def dhashDedup(s: SparkSession, dir: String, r: Int = 3): DataFrame =
+    hammingPairs(dhashTable(stagedMediaTable(s, dir))
+      .filter(col("_corrupt") === 0)
+      .select(col("media_id"), col("h_lo"), col("h_hi")), r)
 }

@@ -1649,6 +1649,44 @@ object LlmOracle {
       |    + bit_count(xor(a.h_hi, b.h_hi)) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** m11: every dHash recomputed from the closed-form pixel function
+    * (9×8 NN grid, left < right bits), brute-forced ≤3 pairs.
+    */
+  val m11: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(8 + doc_id % 25 AS INT) AS w,
+      |    CAST(8 + (doc_id * 7) % 25 AS INT) AS h
+      |  FROM documents
+      |), xs AS (
+      |  SELECT media_id, w, h, unnest(range(9)) AS x FROM d
+      |), xy AS (
+      |  SELECT media_id, w, h, x, unnest(range(8)) AS y FROM xs
+      |), sam AS (
+      |  SELECT media_id, x, y,
+      |    (media_id * 31 + (x * w // 9) * 7 + (y * h // 8) * 13) % 256 AS p
+      |  FROM xy
+      |), bits AS (
+      |  SELECT l.media_id,
+      |    CAST(SUM(CASE WHEN l.p < rr.p AND l.y * 8 + l.x < 32
+      |      THEN (1::BIGINT << (l.y * 8 + l.x)) ELSE 0 END) AS BIGINT)
+      |      AS h_lo,
+      |    CAST(SUM(CASE WHEN l.p < rr.p AND l.y * 8 + l.x >= 32
+      |      THEN (1::BIGINT << (l.y * 8 + l.x - 32)) ELSE 0 END) AS BIGINT)
+      |      AS h_hi
+      |  FROM sam l JOIN sam rr ON rr.media_id = l.media_id
+      |    AND rr.y = l.y AND rr.x = l.x + 1
+      |  WHERE l.x < 8
+      |  GROUP BY 1
+      |)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  CAST(bit_count(xor(a.h_lo, b.h_lo))
+      |     + bit_count(xor(a.h_hi, b.h_hi)) AS INT) AS dist
+      |FROM bits a JOIN bits b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.h_lo, b.h_lo))
+      |    + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** m08: per-sampled-frame aHash in closed form (m03's frame grid ×
     * m06's bit packing, video pixel formula), distinct hash sets per
     * video, >100-video hashes dropped, all-pairs overlap verify.

@@ -715,6 +715,53 @@ class LlmOpsSpec extends AnyFunSuite {
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("m11 dhash: band join equals brute force; a smooth exposure " +
+      "ramp keeps dHash at 0 where aHash drifts past the radius") {
+    import spark.implicits._
+    val r = 3
+    val hs = Multimodal.dhashTable(Multimodal.mediaTable(spark, dir))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(hs.length > 10)
+    val expect = (for {
+      (a, alo, ahi) <- hs
+      (b, blo, bhi) <- hs
+      if a < b
+      d = java.lang.Long.bitCount(alo ^ blo) +
+        java.lang.Long.bitCount(ahi ^ bhi)
+      if d <= r
+    } yield (a, b, d)).toSet
+    val got = Multimodal.dhashDedup(spark, dir, r).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    // planted re-render: strong column structure + a smooth exposure
+    // ramp — every adjacent-sample comparison survives (dHash 0) but
+    // many samples cross the global mean (aHash drifts)
+    def png(v: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.getRaster.setSample(x, y, 0, v(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val colv = Seq(60, 190, 70, 180, 110, 150, 90, 170, 100, 160, 80,
+      185, 105, 155, 65, 175)
+    val media = Seq(
+      (1L, png((x, _) => colv(x))),
+      (2L, png((x, y) => math.min(255, colv(x) + y * 3 + x * 2))))
+      .toDF("media_id", "payload")
+    def ham(t: org.apache.spark.sql.DataFrame): Int = {
+      val m = t.collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2))).toMap
+      java.lang.Long.bitCount(m(1L)._1 ^ m(2L)._1) +
+        java.lang.Long.bitCount(m(1L)._2 ^ m(2L)._2)
+    }
+    assert(ham(Multimodal.dhashTable(media)) == 0, "dHash invariant")
+    assert(ham(Multimodal.phashTable(media)) > r, "aHash drifts")
+  }
+
   test("m06 hashes flag corrupt payloads and dedup excludes them") {
     val media = Multimodal.mediaTable(spark, dir)
     val garbage = lit("not a png".getBytes("US-ASCII"))
