@@ -131,6 +131,7 @@ object SparkEntry {
     "s06_hybrid_rrf"     -> ((s, d) => graft.similarity.Ann.hybridRrf(s, d)),
     "s07_mmr_diverse"    -> ((s, d) => graft.similarity.Ann.mmrDiverse(s, d)),
     "s08_knn_graph"      -> ((s, d) => graft.similarity.Ann.knnGraph(s, d)),
+    "s09_range_search"   -> ((s, d) => graft.similarity.Ann.rangeSearch(s, d)),
     "d14_semdedup"       -> ((s, d) => graft.similarity.Ann.semDedup(s, d)),
     "t01_langid"         -> graft.text.TextFns.langId _,
     "t02_quality_score"  -> graft.text.TextFns.qualityScore _,
@@ -822,6 +823,7 @@ object SparkEntry {
     "s06_hybrid_rrf"     -> LlmOracle.s06,
     "s07_mmr_diverse"    -> LlmOracle.s07,
     "s08_knn_graph"      -> LlmOracle.s08,
+    "s09_range_search"   -> LlmOracle.s09,
     "t01_langid"         -> LlmOracle.t01,
     "t02_quality_score"  -> LlmOracle.t02,
     "t03_token_count"    -> LlmOracle.t03,

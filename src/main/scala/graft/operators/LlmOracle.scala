@@ -554,6 +554,31 @@ object LlmOracle {
        |SELECT query_id, rk, vec_id, cos6 FROM ranked WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
+  /** s09: s01's scored table filtered at the quantized radius
+    * instead of ranked to k; count window per probe.
+    */
+  val s09: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM v
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    floor(${dotSql("q.v", "c.v")} / sqrt(q.norm2 * c.norm2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cos6
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10
+       |), inr AS (
+       |  SELECT * FROM scored WHERE cos6 >= 0.2
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos6 DESC, vec_id) AS rk,
+       |    count(*) OVER (PARTITION BY query_id) AS n_in_range
+       |  FROM inr
+       |)
+       |SELECT query_id, rk, vec_id, cos6, n_in_range FROM ranked
+       |ORDER BY query_id, rk""".stripMargin
+
   /** s06: reciprocal-rank fusion of the s01 cosine ranking (at pool
     * depth 50) with a distinct-token Jaccard ranking; contributions
     * are exact ⌊1e9/(60+rk)⌋ BIGINTs so the fused sum is order-free.

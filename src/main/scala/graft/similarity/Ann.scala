@@ -44,6 +44,50 @@ object Ann {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** s09: cosine RANGE search — ALL neighbours within cos6 ≥ τ of
+    * each probe, the other fundamental similarity query beside s01's
+    * top-k: dedup sweeps, radius joins and diversity pools ask
+    * "everything at least this similar", not "the 5 most similar",
+    * and a top-k API can only emulate a radius with a guessed k.
+    * Exact, s01's posture: probes BROADCAST against the unshuffled
+    * corpus, one pass, cosines quantized at 1e-6 BEFORE the
+    * threshold so the emitted set is engine-exact; rank by
+    * (cos6 desc, vec_id) within each probe for a deterministic
+    * ordering and an explicit n_in_range count.
+    *
+    * Scale shape: identical to s01 (zero corpus shuffles; the rank
+    * window sees only in-range candidates). When the radius is loose
+    * enough that in-range sets are corpus-sized, the answer itself
+    * is corpus-sized — s02/s03's bucketed paths bound the scored
+    * candidates the same way they do for top-k.
+    */
+  def rangeSearch(s: SparkSession, dir: String, nQueries: Int = 10,
+      tau: Double = 0.2): DataFrame = {
+    val tau6 = math.floor(tau * 1000000.0 + 0.5) / 1000000.0
+    val v = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm2", dot(col("v"), col("v")))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm2").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos6").desc, col("vec_id"))
+    val wq = Window.partitionBy(col("query_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        cosine(col("qv"), col("v"), col("qn"), col("norm2")))
+      .withColumn("cos6",
+        floor(col("cos") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .filter(col("cos6") >= tau6)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_in_range", count(lit(1)).over(wq))
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos6"),
+        col("n_in_range"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** s04: kNN label classification — majority vote over the s01
     * exact top-k neighbourhood (the standard label-propagation /
     * weak-labelling primitive for training-data curation). Tie-break:

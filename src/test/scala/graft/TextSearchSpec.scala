@@ -260,6 +260,29 @@ class TextSearchSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("shared_rate6") == 0L)
   }
 
+  test("s09 range search: exactly the >= tau slice of the exact " +
+      "cosine table, consistent with s01's ranking") {
+    val tau = 0.2
+    val got = Ann.rangeSearch(spark, dir, 10, tau).collect()
+    assert(got.nonEmpty, "sf0.001 must have in-range neighbours")
+    // brute-force reference over the full scored table
+    val all = Ann.bruteForceTopK(spark, dir, 10, Int.MaxValue).collect()
+    val expect = all.filter(_.getAs[Double]("cos6") >= tau)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos6"))).toSet
+    assert(got.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("vec_id"), r.getAs[Double]("cos6"))).toSet == expect)
+    // every emitted row is >= tau, ranks are dense per query and
+    // n_in_range equals the per-query row count
+    val byQ = got.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.forall(_.getAs[Double]("cos6") >= tau))
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq ==
+        (1 to rows.length))
+      assert(rows.forall(_.getAs[Long]("n_in_range") == rows.length))
+    }
+  }
+
   test("s04 knn classify: majority label of the s01 neighbourhood") {
     val nn = Ann.bruteForceTopK(spark, dir)
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
