@@ -104,7 +104,17 @@ object BenchScale {
     // (batch + the per-user stream state). q71/q72 ride the TPC-H
     // tables the sf1 stage doesn't synthesize (like q20-q51); s08 is
     // the exact n² tier by semantics — its scale path IS s02/s03.
-    "t16_markup_density", "q73_funnel", "st20_stream_funnel")
+    "t16_markup_density", "q73_funnel", "st20_stream_funnel",
+    // round 9e: trailing-zone-frame windows (batch + the ring-state
+    // stream), lag-window portmanteau moments, (type, era) median
+    // exchanges, twin rank windows over the daily peer grid, weighted
+    // radix boundary (collect-driven, no window), cross-doc gram-df
+    // join, banded dHash over 10× media (output-driven like m06).
+    // q81 rides the TPC-H tables the sf1 stage doesn't synthesize;
+    // t18 is a pure row-local scan (t16's class).
+    "q74_spc_rules", "st21_stream_spc", "q78_ljung_box",
+    "q79_variance_drift", "q80_spearman_peer", "d18_token_budget",
+    "t19_ngram_novelty", "m11_dhash_dedup")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

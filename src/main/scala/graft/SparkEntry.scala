@@ -55,6 +55,9 @@ object SparkEntry {
     "q78_ljung_box"      -> ((s, d) => SignalOps.q78LjungBox(s, d)),
     "q79_variance_drift" -> ((s, d) => SignalOps.q79VarianceDrift(s, d)),
     "q80_spearman_peer"  -> ((s, d) => SignalOps.q80SpearmanPeer(s, d)),
+    "q82_ols_trend"      -> ((s, d) => SignalOps.q82OlsTrend(s, d)),
+    "q83_seasonal_strength" ->
+      ((s, d) => Decompose.q83SeasonalStrength(s, d)),
     "q68_seasonal_mk"    -> ((s, d) => SignalOps.q68SeasonalMk(s, d)),
     "q54_holt_forecast"  -> SignalOps.q54Holt _,
     "q67_holt_winters"   -> ((s, d) => SignalOps.q67HoltWinters(s, d)),
@@ -282,6 +285,8 @@ object SparkEntry {
     "q78_ljung_box"      -> SignalOracle.q78,
     "q79_variance_drift" -> SignalOracle.q79,
     "q80_spearman_peer"  -> SignalOracle.q80,
+    "q82_ols_trend"      -> SignalOracle.q82,
+    "q83_seasonal_strength" -> DecomposeOracle.q83,
     "q68_seasonal_mk"    -> SignalOracle.q68,
     "q54_holt_forecast"  -> SignalOracle.q54,
     "q67_holt_winters"   -> SignalOracle.q67,

@@ -512,4 +512,69 @@ object Decompose {
 
   def q15FaultInject(s: SparkSession, dir: String): DataFrame =
     faultInjectedFlags(s, dir)
+
+  /** q83: seasonal/trend STRENGTH features (Wang, Smith & Hyndman
+    * 2006 — the tsfeatures/feasts "strength" pair): how much of the
+    * detrended variance the seasonal component explains,
+    * F_s = max(0, 1 − Var(remainder)/Var(detrended)), and how much
+    * of the deseasonalized variance the trend explains,
+    * F_t = max(0, 1 − Var(remainder)/Var(value − seasonal)). The
+    * ONE-NUMBER summary of q11's decomposition a monitoring system
+    * needs before trusting it: the reference hard-codes frequency=7
+    * into `ts()`/`stl()` (func.R:101) — F_s says whether that weekly
+    * cycle is even real for this ticker (the q60/q13
+    * measured-vs-declared axis, answered from the decomposition
+    * itself), and a low-F_t, low-F_s ticker is pure noise no
+    * trend/seasonal detector should be believed on.
+    *
+    * Exactness: both variances share n, so each ratio needs only the
+    * n·Σx² − (Σx)² combinations — exact decimal(38,0)/HUGEINT sums
+    * over the decomposition's own fixed-point longs; ONE IEEE chain
+    * per strength, clamped at 0, 1e-6-floored. Degenerate (zero
+    * denominator) tickers report NULL and flag 0.
+    *
+    * Scale shape: the decomposition's single ticker exchange plus a
+    * map-side-combined moment groupBy on the same key — nothing new
+    * moves.
+    */
+  def q83SeasonalStrength(s: SparkSession, dir: String,
+      minObs: Int = 8): DataFrame = {
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    def sq(c: Column) = (d19(c) * d19(c)).cast("decimal(38,0)")
+    def strength(v: Column, d: Column): Column =
+      when(d > 0,
+        greatest(lit(0L),
+          floor((lit(1.0) - v.cast("double") / d.cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+    decompose(s, dir)
+      .withColumn("deseason_s", col("value_s") - col("seasonal_s"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("remainder_s")).as("sr"),
+        sum(sq(col("remainder_s"))).as("qr"),
+        sum(col("detrended_s")).as("sdt"),
+        sum(sq(col("detrended_s"))).as("qdt"),
+        sum(col("deseason_s")).as("sds"),
+        sum(sq(col("deseason_s"))).as("qds"))
+      .filter(col("n") >= minObs)
+      .withColumn("vr",
+        (dec38(col("n")) * col("qr") - dec38(col("sr")) * dec38(col("sr")))
+          .cast("decimal(38,0)"))
+      .withColumn("vdt",
+        (dec38(col("n")) * col("qdt") -
+          dec38(col("sdt")) * dec38(col("sdt"))).cast("decimal(38,0)"))
+      .withColumn("vds",
+        (dec38(col("n")) * col("qds") -
+          dec38(col("sds")) * dec38(col("sds"))).cast("decimal(38,0)"))
+      .withColumn("seasonal_strength6", strength(col("vr"), col("vdt")))
+      .withColumn("trend_strength6", strength(col("vr"), col("vds")))
+      .select(col("user_id"), col("event_type"), col("n").as("n_obs"),
+        col("seasonal_strength6"), col("trend_strength6"),
+        when(col("seasonal_strength6") >= lit(600000L), 1).otherwise(0)
+          .as("strongly_seasonal"),
+        when(col("trend_strength6") >= lit(600000L), 1).otherwise(0)
+          .as("trending"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }

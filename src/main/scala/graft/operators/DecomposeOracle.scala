@@ -96,6 +96,52 @@ object DecomposeOracle {
        |  remainder_l2, score, is_anomaly
        |FROM anom6 ORDER BY user_id, event_type, seq""".stripMargin
 
+  /** q83: moment sums over the chain's own fixed-point components;
+    * seasonal_s recovered exactly from the quantized double, one IEEE
+    * chain per strength, clamped at 0.
+    */
+  val q83: String =
+    s"""$chain, dec2 AS (
+       |  SELECT *,
+       |    value_s - CAST(floor(seasonal * 10000.0 + 0.5) AS BIGINT)
+       |      AS deseason_s
+       |  FROM dec
+       |), mom AS (
+       |  SELECT user_id, event_type, count(*) AS n,
+       |    sum(remainder_s) AS sr,
+       |    sum(CAST(remainder_s AS HUGEINT) * remainder_s) AS qr,
+       |    sum(detrended_s) AS sdt,
+       |    sum(CAST(detrended_s AS HUGEINT) * detrended_s) AS qdt,
+       |    sum(deseason_s) AS sds,
+       |    sum(CAST(deseason_s AS HUGEINT) * deseason_s) AS qds
+       |  FROM dec2 GROUP BY 1, 2 HAVING count(*) >= 8
+       |), f AS (
+       |  SELECT *,
+       |    n * qr - CAST(sr AS HUGEINT) * sr AS vr,
+       |    n * qdt - CAST(sdt AS HUGEINT) * sdt AS vdt,
+       |    n * qds - CAST(sds AS HUGEINT) * sds AS vds
+       |  FROM mom
+       |), g AS (
+       |  SELECT *,
+       |    CASE WHEN vdt > 0 THEN
+       |      greatest(CAST(0 AS BIGINT),
+       |        CAST(floor((1.0 - CAST(vr AS DOUBLE) / CAST(vdt AS DOUBLE))
+       |          * 1000000.0 + 0.5) AS BIGINT)) END AS seasonal_strength6,
+       |    CASE WHEN vds > 0 THEN
+       |      greatest(CAST(0 AS BIGINT),
+       |        CAST(floor((1.0 - CAST(vr AS DOUBLE) / CAST(vds AS DOUBLE))
+       |          * 1000000.0 + 0.5) AS BIGINT)) END AS trend_strength6
+       |  FROM f
+       |)
+       |SELECT user_id, event_type, n AS n_obs,
+       |  seasonal_strength6, trend_strength6,
+       |  CAST(CASE WHEN seasonal_strength6 >= 600000 THEN 1 ELSE 0 END
+       |    AS INT) AS strongly_seasonal,
+       |  CAST(CASE WHEN trend_strength6 >= 600000 THEN 1 ELSE 0 END
+       |    AS INT) AS trending
+       |FROM g
+       |ORDER BY user_id, event_type""".stripMargin
+
   val q13: String =
     s"""$chain, summ AS (
        |  SELECT *,

@@ -1766,6 +1766,67 @@ object SignalOps {
           .as("decorrelated_flag"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q82: ORDINARY-LEAST-SQUARES trend per ticker — the parametric
+    * companion to q64's Mann–Kendall/Theil–Sen: OLS adds the
+    * variance-weighted rate and the R² goodness-of-fit the robust
+    * pair deliberately ignores, and the CONTRAST between the two is
+    * itself a diagnostic — an outlier-dragged OLS slope far from the
+    * Sen slope marks a contaminated series (spec plants exactly
+    * that). x = exact integer day offsets from the ticker's first
+    * day; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and
+    * R² = num²/(dx·dy) from exact decimal(38,0)/HUGEINT moment
+    * combinations (q60's pre-empted overflow class), ONE IEEE chain
+    * each, 1e-6 quantized (`ols_slope_day6` is value-units/day ×1e6).
+    * Zero-x-variance or zero-y-variance tickers report NULLs, flag 0.
+    *
+    * Scale shape: ONE ticker exchange — the min-day window and the
+    * map-side-combined moment groupBy share it; O(1) state per row.
+    */
+  def q82OlsTrend(s: SparkSession, dir: String,
+      minObs: Int = 5): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("x",
+        datediff(col("day"), min(col("day")).over(wKey)).cast("long"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((d19(col("x")) * d19(col("x"))).cast("decimal(38,0)"))
+          .as("sxx"),
+        sum((d19(col("y")) * d19(col("y"))).cast("decimal(38,0)"))
+          .as("syy"),
+        sum((d19(col("x")) * d19(col("y"))).cast("decimal(38,0)"))
+          .as("sxy"))
+      .filter(col("n") >= minObs)
+      .withColumn("num",
+        (dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+          .cast("decimal(38,0)"))
+      .withColumn("dx",
+        (dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+          .cast("decimal(38,0)"))
+      .withColumn("dy",
+        (dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy")))
+          .cast("decimal(38,0)"))
+      .withColumn("ols_slope_day6",
+        when(col("dx") > 0,
+          floor(col("num").cast("double") / col("dx").cast("double") *
+            lit(100.0) + lit(0.5)).cast("long")))
+      .withColumn("r2_6",
+        when(col("dx") > 0 && col("dy") > 0,
+          floor(col("num").cast("double") * col("num").cast("double") /
+            (col("dx").cast("double") * col("dy").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("user_id"), col("event_type"), col("n").as("n_obs"),
+        col("ols_slope_day6"), col("r2_6"),
+        when(col("r2_6") >= lit(500000L), 1).otherwise(0)
+          .as("trend_fit_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -3637,6 +3698,49 @@ object SignalOracle {
       |  CAST(CASE WHEN rho6 < 500000 THEN 1 ELSE 0 END AS INT)
       |    AS decorrelated_flag
       |FROM h
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q82: q80's daily exactness discipline on the OLS normal
+    * equations — exact HUGEINT moment combinations, one IEEE chain
+    * per statistic.
+    */
+  val q82: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), xs AS (
+      |  SELECT *, day - min(day) OVER (PARTITION BY user_id, event_type)
+      |    AS x
+      |  FROM b
+      |), mom AS (
+      |  SELECT user_id, event_type, count(*) AS n,
+      |    sum(CAST(x AS BIGINT)) AS sx, sum(y) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM xs GROUP BY 1, 2 HAVING count(*) >= 5
+      |), f AS (
+      |  SELECT *,
+      |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    n * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+      |    n * syy - CAST(sy AS HUGEINT) * sy AS dy
+      |  FROM mom
+      |), g AS (
+      |  SELECT *,
+      |    CASE WHEN dx > 0 THEN
+      |      CAST(floor(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) * 100.0
+      |        + 0.5) AS BIGINT) END AS ols_slope_day6,
+      |    CASE WHEN dx > 0 AND dy > 0 THEN
+      |      CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+      |        (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) * 1000000.0
+      |        + 0.5) AS BIGINT) END AS r2_6
+      |  FROM f
+      |)
+      |SELECT user_id, event_type, n AS n_obs, ols_slope_day6, r2_6,
+      |  CAST(CASE WHEN r2_6 >= 500000 THEN 1 ELSE 0 END AS INT)
+      |    AS trend_fit_flag
+      |FROM g
       |ORDER BY user_id, event_type""".stripMargin
 
   /** st21: st08's segmented causal standardization feeding q74's zone

@@ -1922,6 +1922,22 @@ object StreamingAnomaly {
       staleDays: Double = 8.0): DataFrame =
     st21FromStream(s, eventStream(s, dir), staleDays)
 
+  def st21ToFileSink(s: SparkSession, stream: DataFrame, path: String,
+      checkpoint: String, staleDays: Double = 8.0): String = {
+    withStatePartitions(s, 8) {
+      val q = st21Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", versionedSink(path))
+        .option("checkpointLocation", versionedCheckpoint(checkpoint))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    versionedSink(path)
+  }
+
   /** st20 per-user funnel state: the three stage timestamps (µs,
     * None = not reached). Deliberately no timeout and no staleness
     * reset — a conversion funnel is a lifetime property of the user,

@@ -134,4 +134,35 @@ class DecomposeSpec extends AnyFunSuite {
     val b = Decompose.seasonalEsd(spark, dir).collect()
     assert(a.sameElements(b))
   }
+
+  test("q83 strength: a weekly cycle scores seasonal, a ramp scores " +
+      "trending, alternation scores neither") {
+    import spark.implicits._
+    // period-7 pattern (matches the decomposition's hard-coded
+    // frequency), a pure ramp, and a ±1 alternation (period 2 — the
+    // odd 7-phase split mixes its signs, so no seasonal credit)
+    val pat = Seq(0.0, 3, 8, 2, 9, 1, 5)
+    def series(key: String, f: Int => Double) =
+      (0 until 42).map(i => (1L, key, i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), f(i)))
+    val rows = series("season", i => 10.0 + pat(i % 7)) ++
+      series("ramp", i => 10.0 + 0.5 * i) ++
+      series("noise", i => if (i % 2 == 0) 9.0 else 11.0)
+    val tmp = java.nio.file.Files.createTempDirectory("q83spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Decompose.q83SeasonalStrength(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("season").getAs[Long]("seasonal_strength6") >= 800000L,
+      out("season").toString)
+    assert(out("season").getAs[Int]("strongly_seasonal") == 1)
+    assert(out("ramp").getAs[Long]("trend_strength6") >= 800000L,
+      out("ramp").toString)
+    assert(out("ramp").getAs[Int]("trending") == 1)
+    assert(out("ramp").getAs[Long]("seasonal_strength6") < 600000L,
+      out("ramp").toString)
+    assert(out("noise").getAs[Long]("seasonal_strength6") < 600000L,
+      out("noise").toString)
+    assert(out("noise").getAs[Int]("trending") == 0, out("noise").toString)
+  }
 }

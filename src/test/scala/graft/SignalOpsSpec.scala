@@ -944,4 +944,36 @@ class SignalOpsSpec extends AnyFunSuite {
       out(5L).toString)
     assert(out(5L).getAs[Int]("decorrelated_flag") == 1)
   }
+
+  test("q82 OLS trend: exact slope and R2 on a clean ramp; an outlier " +
+      "drags OLS where q64's Sen slope holds") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    def write(rows: Seq[(Long, String, Long, java.sql.Timestamp, Double)])
+        : String = {
+      val tmp = java.nio.file.Files.createTempDirectory("q82spec").toString
+      rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    val clean = (1 to 20).map(i =>
+      (1L, "t", i.toLong, d(i), 10.0 + 0.5 * (i - 1)))
+    val o1 = SignalOps.q82OlsTrend(spark, write(clean)).collect().head
+    assert(o1.getAs[Long]("ols_slope_day6") == 500000L, o1.toString)
+    assert(o1.getAs[Long]("r2_6") == 1000000L, o1.toString)
+    assert(o1.getAs[Int]("trend_fit_flag") == 1)
+    // one gross outlier: OLS slope leaves the true rate and R2
+    // collapses, while the Theil-Sen slope stays put
+    val dirty = clean.map { case r @ (u, t, e, ts, v) =>
+      if (e == 10L) (u, t, e, ts, 1000.0) else r
+    }
+    val tmp2 = write(dirty)
+    val o2 = SignalOps.q82OlsTrend(spark, tmp2).collect().head
+    assert(math.abs(o2.getAs[Long]("ols_slope_day6") - 500000L) > 200000L,
+      o2.toString)
+    assert(o2.getAs[Long]("r2_6") < 500000L, o2.toString)
+    val sen = SignalOps.q64TrendMk(spark, tmp2).collect().head
+      .getAs[Double]("sen_slope_day")
+    assert(math.abs(sen - 0.5) < 0.05, s"Sen slope moved: $sen")
+  }
 }

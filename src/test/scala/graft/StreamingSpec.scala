@@ -223,6 +223,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st21 kill-and-restart restores the moment + zone-ring state " +
+      "(HDFS and RocksDB providers)") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    // the single-run reference: every z depends on the key's whole
+    // prefix moments and every rule on the last-7 ring — a resume
+    // that lost or mangled either wrongs rows after the restart
+    val single = StreamingAnomaly.st21StreamSpc(spark, dir)
+      .collect().map(_.toString).sorted
+    val slices = stageSlices().listFiles()
+      .filter(_.getName.startsWith("slice_")).sortBy(_.getName)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    for (provider <- Seq(None, Some("org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider"))) {
+      provider.foreach(spark.conf.set(providerKey, _))
+      try {
+        val inDir = Files.createTempDirectory("st21_restart_in").toFile
+        val cp = Files.createTempDirectory("st21_restart_cp").toString
+        val outPath = Files.createTempDirectory("st21_restart_out").toString
+        def addSlice(i: Int): Unit = {
+          val dst = new java.io.File(inDir, slices(i).getName)
+          Files.copy(slices(i).toPath, dst.toPath,
+            StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst.toPath,
+            FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+        def stream() = spark.readStream.schema(StreamingAnomaly.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath)
+        addSlice(0); addSlice(1)
+        val written =
+          StreamingAnomaly.st21ToFileSink(spark, stream(), outPath, cp)
+        val out1 = spark.read.parquet(written).count()
+        assert(out1 > 0)
+        addSlice(2); addSlice(3)
+        StreamingAnomaly.st21ToFileSink(spark, stream(), outPath, cp)
+        val resumed = spark.read.parquet(written)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts").as("date_recorded"), col("value"), col("zscore6"),
+            col("rule1"), col("rule2"), col("rule3"), col("rule4"),
+            col("spc_flag"))
+          .collect().map(_.toString).sorted
+        assert(resumed.length > out1, "restart must process new slices")
+        assert(resumed.length == single.length,
+          s"$provider: resumed ${resumed.length} vs single ${single.length}")
+        assert(resumed.sameElements(single), s"$provider: rows differ")
+      } finally provider.foreach(_ => spark.conf.unset(providerKey))
+    }
+  }
+
   test("st08 streaming CUSUM obeys the clamped recursion and flags consistently") {
     val rows = StreamingAnomaly.st08StreamCusum(spark, dir).collect()
     assert(rows.length == Tables.events(spark, dir).count())
