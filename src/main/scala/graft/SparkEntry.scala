@@ -56,6 +56,7 @@ object SparkEntry {
     "q79_variance_drift" -> ((s, d) => SignalOps.q79VarianceDrift(s, d)),
     "q80_spearman_peer"  -> ((s, d) => SignalOps.q80SpearmanPeer(s, d)),
     "q82_ols_trend"      -> ((s, d) => SignalOps.q82OlsTrend(s, d)),
+    "q84_mann_whitney"   -> ((s, d) => SignalOps.q84MannWhitney(s, d)),
     "q83_seasonal_strength" ->
       ((s, d) => Decompose.q83SeasonalStrength(s, d)),
     "q68_seasonal_mk"    -> ((s, d) => SignalOps.q68SeasonalMk(s, d)),
@@ -286,6 +287,7 @@ object SparkEntry {
     "q79_variance_drift" -> SignalOracle.q79,
     "q80_spearman_peer"  -> SignalOracle.q80,
     "q82_ols_trend"      -> SignalOracle.q82,
+    "q84_mann_whitney"   -> SignalOracle.q84,
     "q83_seasonal_strength" -> DecomposeOracle.q83,
     "q68_seasonal_mk"    -> SignalOracle.q68,
     "q54_holt_forecast"  -> SignalOracle.q54,

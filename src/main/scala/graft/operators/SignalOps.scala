@@ -1827,6 +1827,85 @@ object SignalOps {
           .as("trend_fit_flag"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q84: MANN–WHITNEY U location-shift test per event type (Mann &
+    * Whitney 1947; Wilcoxon 1945) — the rank-based era comparison
+    * completing the drift-test family: q69's KS asks "any CDF
+    * change", q79 isolates dispersion, q84 isolates LOCATION without
+    * assuming normality or equal variances (a heavy-tailed feed's
+    * level shift that drags the mean test around is exactly where
+    * the rank test keeps its size). Using q61/q69's era split: U
+    * from the tie-midrank sums computed EXACTLY in the ×2 integer
+    * domain over the per-(type, value) distribution table —
+    * R1×2 = Σ_v c1·(2·cumBefore + t + 1), U×2 = R1×2 − n1(n1+1),
+    * dev = U×2 − n1·n2 — with the tie-corrected variance
+    * σ²(U×2) = n1n2·((n+1)n(n−1) − Σ(t³−t)) / (3n(n−1)). All
+    * ingredients exact decimal(38,0)/HUGEINT; mw_z6 is ONE shared
+    * IEEE chain, flagged at |z| > 1.96. An all-tied type (zero
+    * variance) reports NULL and flag 0.
+    *
+    * Scale shape: q69's exactly — ONE corpus exchange into the
+    * (type, v4l) count groupBy; the cumulative window runs over the
+    * DISTINCT-VALUE table (bounded by the 4-decimal value domain,
+    * not corpus rows); the final per-type aggregate is map-side
+    * combined on the same partitioning.
+    */
+  def q84MannWhitney(s: SparkSession, dir: String,
+      minEra: Int = 2): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("pivot",
+        expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .select(col("pivot"))
+    val dist = ev.crossJoin(broadcast(span))
+      .withColumn("cur", (col("day") > col("pivot")).cast("int"))
+      .groupBy(col("event_type"), col("v4l"))
+      .agg(sum(when(col("cur") === 0, lit(1L)).otherwise(lit(0L))).as("c1"),
+        sum(when(col("cur") === 1, lit(1L)).otherwise(lit(0L))).as("c2"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("v4l"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dist
+      .withColumn("t", col("c1") + col("c2"))
+      .withColumn("cb", coalesce(sum(col("t")).over(wOrd), lit(0L)))
+      .withColumn("r1x2_term",
+        (dec(col("c1")) * (lit(2) * col("cb") + col("t") + 1))
+          .cast("decimal(38,0)"))
+      .withColumn("tie_term",
+        (dec(col("t")) * col("t") * col("t") - col("t"))
+          .cast("decimal(38,0)"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("r1x2_term")).as("r1x2"),
+        sum(col("tie_term")).as("ties"))
+      .filter(col("n1") >= minEra && col("n2") >= minEra)
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("dev",
+        (col("r1x2") - dec(col("n1")) * (col("n1") + 1) -
+          dec(col("n1")) * col("n2")).cast("decimal(38,0)"))
+      .withColumn("nn", (dec(col("n1")) * col("n2")).cast("decimal(38,0)"))
+      .withColumn("vv",
+        (dec(col("n") + 1) * col("n") * (col("n") - 1) - col("ties"))
+          .cast("decimal(38,0)"))
+      .withColumn("dd",
+        (lit(3).cast("decimal(38,0)") * col("n") * (col("n") - 1))
+          .cast("decimal(38,0)"))
+      .withColumn("mw_z6",
+        when(col("vv") > 0,
+          floor(col("dev").cast("double") /
+            sqrt(col("nn").cast("double") * col("vv").cast("double") /
+              col("dd").cast("double")) * lit(1000000.0) + lit(0.5))
+            .cast("long")))
+      .select(col("event_type"),
+        col("n1").cast("long").as("n_ref"),
+        col("n2").cast("long").as("n_cur"),
+        col("mw_z6"),
+        when(abs(col("mw_z6")) > lit(1960000L), 1).otherwise(0)
+          .as("location_shift_flag"))
+      .orderBy(col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -3742,6 +3821,60 @@ object SignalOracle {
       |    AS trend_fit_flag
       |FROM g
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** q84: q69's distribution table, ×2-midrank sums, tie-corrected
+    * variance — exact HUGEINT ingredients, one IEEE z chain.
+    */
+  val q84: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), span AS (
+      |  SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS pivot
+      |  FROM ev
+      |), dist AS (
+      |  SELECT e.event_type, e.v4l,
+      |    SUM(CASE WHEN e.day > s.pivot THEN 0 ELSE 1 END) AS c1,
+      |    SUM(CASE WHEN e.day > s.pivot THEN 1 ELSE 0 END) AS c2
+      |  FROM ev e, span s GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT *, c1 + c2 AS t,
+      |    coalesce(sum(c1 + c2) OVER (PARTITION BY event_type
+      |      ORDER BY v4l ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS cb
+      |  FROM dist
+      |), agg AS (
+      |  SELECT event_type,
+      |    sum(c1) AS n1, sum(c2) AS n2,
+      |    sum(CAST(c1 AS HUGEINT) * (2 * cb + t + 1)) AS r1x2,
+      |    sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+      |  FROM cum GROUP BY 1
+      |), f AS (
+      |  SELECT *, n1 + n2 AS n,
+      |    r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+      |      - CAST(n1 AS HUGEINT) * n2 AS dev,
+      |    CAST(n1 AS HUGEINT) * n2 AS nn,
+      |    CAST(n1 + n2 + 1 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1)
+      |      - ties AS vv,
+      |    CAST(3 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1) AS dd
+      |  FROM agg WHERE n1 >= 2 AND n2 >= 2
+      |), g AS (
+      |  SELECT *,
+      |    CASE WHEN vv > 0 THEN
+      |      CAST(floor(CAST(dev AS DOUBLE) /
+      |        sqrt(CAST(nn AS DOUBLE) * CAST(vv AS DOUBLE) /
+      |          CAST(dd AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS mw_z6
+      |  FROM f
+      |)
+      |SELECT event_type,
+      |  CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+      |  mw_z6,
+      |  CAST(CASE WHEN abs(mw_z6) > 1960000 THEN 1 ELSE 0 END AS INT)
+      |    AS location_shift_flag
+      |FROM g
+      |ORDER BY event_type""".stripMargin
 
   /** st21: st08's segmented causal standardization feeding q74's zone
     * counts over trailing 3/5/8-row frames per 8-day segment.

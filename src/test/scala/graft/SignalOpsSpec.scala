@@ -945,6 +945,63 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(out(5L).getAs[Int]("decorrelated_flag") == 1)
   }
 
+  test("q84 Mann-Whitney: a level shift flags, a symmetric dispersion " +
+      "change stays quiet, z replays the tie-corrected textbook formula") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    def write(rows: Seq[(String, Int, Double)]): String = {
+      val df = rows.zipWithIndex.map { case ((typ, day, v), i) =>
+        (1L, typ, i.toLong, d(day), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q84spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // "shift": era-2 center +2 with overlapping spread (ties included);
+    // "vol": q79's symmetric dispersion quadrupling — same median,
+    // balanced ranks, so the LOCATION test must stay quiet
+    val shift = (1 to 20).flatMap { day =>
+      val c = if (day > 10) 12.0 else 10.0
+      val amp = if (day % 2 == 0) 1.0 else 0.5
+      Seq(("shift", day, c - amp), ("shift", day, c + amp))
+    }
+    val vol = (1 to 20).flatMap { day =>
+      val amp = (if (day % 2 == 0) 2.0 else 1.0) *
+        (if (day > 10) 4.0 else 1.0)
+      Seq(("vol", day, 10.0 - amp), ("vol", day, 10.0 + amp))
+    }
+    val out = SignalOps.q84MannWhitney(spark, write(shift ++ vol))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("shift").getAs[Int]("location_shift_flag") == 1,
+      out("shift").toString)
+    assert(out("vol").getAs[Int]("location_shift_flag") == 0,
+      out("vol").toString)
+    assert(math.abs(out("vol").getAs[Long]("mw_z6")) < 500000L,
+      out("vol").toString)
+    // textbook replay with midranks and the tie-corrected variance
+    val a = shift.filter(_._2 <= 10).map(_._3)
+    val b = shift.filter(_._2 > 10).map(_._3)
+    val all = (a.map((_, 0)) ++ b.map((_, 1))).sortBy(_._1)
+    val ranks = scala.collection.mutable.Map[Double, Double]()
+    var i = 0
+    while (i < all.length) {
+      var j = i
+      while (j < all.length && all(j)._1 == all(i)._1) j += 1
+      ranks(all(i)._1) = (i + 1 + j) / 2.0
+      i = j
+    }
+    val r1 = a.map(ranks).sum
+    val (n1, n2) = (a.length, b.length)
+    val n = n1 + n2
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val ties = all.groupBy(_._1).values.map(_.size.toDouble)
+      .map(t => t * t * t - t).sum
+    val varU = n1.toDouble * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1.0)))
+    val z = (u1 - n1.toDouble * n2 / 2.0) / math.sqrt(varU)
+    assert(math.abs(out("shift").getAs[Long]("mw_z6") / 1e6 - z) < 1e-3,
+      s"z ${out("shift").getAs[Long]("mw_z6") / 1e6} vs textbook $z")
+  }
+
   test("q82 OLS trend: exact slope and R2 on a clean ramp; an outlier " +
       "drags OLS where q64's Sen slope holds") {
     import spark.implicits._
