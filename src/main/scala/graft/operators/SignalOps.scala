@@ -1828,6 +1828,54 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** p09: the DRIFT PANEL — one row per event type composing the five
+    * era monitors into the review a data-platform team actually runs:
+    * q61's PSI (decile occupancy), q69's KS (full CDF), q79's
+    * Brown–Forsythe (pure dispersion), q84's Mann–Whitney (pure
+    * location) and q66's Benford screen (provenance), each keeping
+    * its own published exactness contract, plus the flag count and
+    * the any-flag verdict. Pure LEFT joins on event_type from q66's
+    * base (the one monitor with no era requirement), so p09 ≡ its
+    * standalone components row-for-row by construction and the
+    * oracle composes the component oracles verbatim.
+    *
+    * Scale shape: every component reduces the corpus to TYPE
+    * cardinality before the panel joins those few-row tables —
+    * nothing corpus-sized moves again (p05's posture on the type
+    * axis).
+    */
+  def p09DriftPanel(s: SparkSession, dir: String): DataFrame = {
+    val bf = q66Benford(s, dir)
+      .select(col("event_type"), col("n"), col("chi9"),
+        col("benford_flag"))
+    val ks = q69KsDrift(s, dir)
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("ks6"),
+        col("drift_flag").as("ks_flag"))
+    val psi = q61DriftPsi(s, dir)
+      .select(col("event_type"), col("psi9"), col("drift").as("psi_flag"))
+    val vd = q79VarianceDrift(s, dir)
+      .select(col("event_type"), col("bf_f9"), col("var_drift_flag"))
+    val mw = q84MannWhitney(s, dir)
+      .select(col("event_type"), col("mw_z6"), col("location_shift_flag"))
+    bf.join(ks, Seq("event_type"), "left")
+      .join(psi, Seq("event_type"), "left")
+      .join(vd, Seq("event_type"), "left")
+      .join(mw, Seq("event_type"), "left")
+      .withColumn("drift_score",
+        coalesce(col("psi_flag"), lit(0)) +
+          coalesce(col("ks_flag"), lit(0)) +
+          coalesce(col("var_drift_flag"), lit(0)) +
+          coalesce(col("location_shift_flag"), lit(0)) +
+          coalesce(col("benford_flag"), lit(0)))
+      .select(col("event_type"), col("n"), col("n_ref"), col("n_cur"),
+        col("psi9"), col("psi_flag"), col("ks6"), col("ks_flag"),
+        col("bf_f9"), col("var_drift_flag"), col("mw_z6"),
+        col("location_shift_flag"), col("chi9"), col("benford_flag"),
+        col("drift_score"),
+        when(col("drift_score") > 0, 1).otherwise(0).as("drift_any"))
+      .orderBy(col("event_type"))
+  }
+
   /** q84: MANN–WHITNEY U location-shift test per event type (Mann &
     * Whitney 1947; Wilcoxon 1945) — the rank-based era comparison
     * completing the drift-test family: q69's KS asks "any CDF
@@ -3821,6 +3869,39 @@ object SignalOracle {
       |    AS trend_fit_flag
       |FROM g
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** p09: the five era-monitor oracles composed VERBATIM and
+    * left-joined on event_type — the oracle-level mirror of the
+    * panel's by-construction equivalence to its standalone parts.
+    */
+  def p09: String =
+    s"""WITH bf AS (SELECT * FROM ($q66)),
+       |ks AS (SELECT * FROM ($q69)),
+       |psi AS (SELECT * FROM ($q61)),
+       |vd AS (SELECT * FROM ($q79)),
+       |mw AS (SELECT * FROM ($q84)),
+       |j AS (
+       |  SELECT bf.event_type, bf.n, ks.n_ref, ks.n_cur,
+       |    psi.psi9, psi.drift AS psi_flag,
+       |    ks.ks6, ks.drift_flag AS ks_flag,
+       |    vd.bf_f9, vd.var_drift_flag,
+       |    mw.mw_z6, mw.location_shift_flag,
+       |    bf.chi9, bf.benford_flag,
+       |    CAST(coalesce(psi.drift, 0) + coalesce(ks.drift_flag, 0)
+       |      + coalesce(vd.var_drift_flag, 0)
+       |      + coalesce(mw.location_shift_flag, 0)
+       |      + coalesce(bf.benford_flag, 0) AS INT) AS drift_score
+       |  FROM bf
+       |  LEFT JOIN ks USING (event_type)
+       |  LEFT JOIN psi USING (event_type)
+       |  LEFT JOIN vd USING (event_type)
+       |  LEFT JOIN mw USING (event_type)
+       |)
+       |SELECT *,
+       |  CAST(CASE WHEN drift_score > 0 THEN 1 ELSE 0 END AS INT)
+       |    AS drift_any
+       |FROM j
+       |ORDER BY event_type""".stripMargin
 
   /** q84: q69's distribution table, ×2-midrank sums, tie-corrected
     * variance — exact HUGEINT ingredients, one IEEE z chain.

@@ -945,6 +945,31 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(out(5L).getAs[Int]("decorrelated_flag") == 1)
   }
 
+  test("p09 drift panel: column-for-column identity with the five " +
+      "standalone era monitors") {
+    val panel = SignalOps.p09DriftPanel(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(panel.nonEmpty)
+    def byType(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val psi = byType(SignalOps.q61DriftPsi(spark, dir))
+    val ks = byType(SignalOps.q69KsDrift(spark, dir))
+    val mw = byType(SignalOps.q84MannWhitney(spark, dir))
+    val bf = byType(SignalOps.q66Benford(spark, dir))
+    panel.foreach { case (t, row) =>
+      assert(row.getAs[Long]("chi9") == bf(t).getAs[Long]("chi9"))
+      psi.get(t).foreach(p =>
+        assert(row.getAs[Long]("psi9") == p.getAs[Long]("psi9")))
+      ks.get(t).foreach(k =>
+        assert(row.getAs[Long]("ks6") == k.getAs[Long]("ks6")))
+      mw.get(t).foreach(m =>
+        assert(row.getAs[Long]("mw_z6") == m.getAs[Long]("mw_z6")))
+      val score = row.getAs[Int]("drift_score")
+      assert(score >= 0 && score <= 5)
+      assert(row.getAs[Int]("drift_any") == (if (score > 0) 1 else 0))
+    }
+  }
+
   test("q84 Mann-Whitney: a level shift flags, a symmetric dispersion " +
       "change stays quiet, z replays the tie-corrected textbook formula") {
     import spark.implicits._
