@@ -110,6 +110,8 @@ object SparkEntry {
     "d12_domain_cap"     -> ((s, d) => Sampling.domainCap(s, d)),
     "d16_mixture_sample" -> ((s, d) => Sampling.mixtureSample(s, d)),
     "d18_token_budget"   -> ((s, d) => Sampling.d18TokenBudget(s, d)),
+    "d19_semantic_clusters" ->
+      ((s, d) => graft.dedup.Dedup.semanticClusters(s, d)),
     "d17_edit_distance_dedup" -> ((s, d) =>
       graft.dedup.Dedup.editDistanceDedup(s, d)),
     "d07_train_split"    -> Sampling.trainSplit _,
@@ -318,6 +320,7 @@ object SparkEntry {
     "d15_incremental_dedup" -> LlmOracle.d15,
     "d16_mixture_sample" -> LlmOracle.d16,
     "d18_token_budget"   -> LlmOracle.d18,
+    "d19_semantic_clusters" -> LlmOracle.d19,
     "d17_edit_distance_dedup" -> LlmOracle.d17,
     "d10_ngram_containment" -> LlmOracle.d10,
     "s04_knn_classify"   -> LlmOracle.s04,

@@ -387,10 +387,21 @@ object Dedup {
     * member.
     */
   def dedupClusters(s: SparkSession, dir: String, maxIter: Int = 20,
-      localSolveMaxEdges: Long = 1000000L): DataFrame = {
+      localSolveMaxEdges: Long = 1000000L): DataFrame =
+    componentsFrom(s,
+      ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")),
+      maxIter, localSolveMaxEdges)
+
+  /** The ONE copy of the connected-components solver (alternating
+    * large-star/small-star with the adaptive ≤1M-edge local tier),
+    * parameterized over ANY (doc_a, doc_b) edge table — d06 feeds it
+    * the d04 lexical pairs, d19 the d05 embedding-cosine pairs.
+    */
+  private[graft] def componentsFrom(s: SparkSession, rawPairs: DataFrame,
+      maxIter: Int = 20, localSolveMaxEdges: Long = 1000000L): DataFrame = {
     // cache the pair list: the edge seed and the node universe both
     // read it — uncached, the expensive similarity join would run twice
-    val pairs = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    val pairs = rawPairs.select(col("doc_a"), col("doc_b")).cache()
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
 
@@ -532,6 +543,34 @@ object Dedup {
     pairs.unpersist()
     result.orderBy(col("doc_id"))
     } finally s.conf.set(shuffleKey, prevShuffle)
+  }
+
+  /** d19: SEMANTIC CLUSTER assignment — connected components over the
+    * d05 embedding-cosine pair graph: where d06 clusters LEXICAL
+    * near-dups and d14 greedily prunes within k-means cells, d19
+    * gives every vector its exact cosine-threshold component plus the
+    * cluster size — the grouping under semantic dedup with an
+    * explicit keeper-per-cluster, corpus cartography and
+    * redundancy-weighted sampling. Exact by composition: d05's
+    * grid-bounded pair join (no cartesian node) feeds the ONE shared
+    * component solver (large-star/small-star with the adaptive local
+    * tier), so the scale posture is d05's + d06's with nothing new.
+    * Fully oracle-backed (recursive-CTE components over the d05 pair
+    * SQL).
+    */
+  def semanticClusters(s: SparkSession, dir: String,
+      tau: Double = 0.4): DataFrame = {
+    val pairs = embeddingDedup(s, dir, tau)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val comp = componentsFrom(s, pairs)
+      .select(col("doc_id").as("vec_id"), col("component_id"),
+        col("is_kept"))
+    val sizes = comp.groupBy(col("component_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("component_id"))
+      .select(col("vec_id"), col("component_id"), col("is_kept"),
+        col("cluster_size"))
+      .orderBy(col("vec_id"))
   }
 
   /** Sequential dot product via the native codegen'd expression —

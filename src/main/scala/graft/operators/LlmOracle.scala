@@ -535,6 +535,33 @@ object LlmOracle {
        |SELECT id_a, id_b, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos6
        |FROM pairs WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  /** d19: the d06 recursive-CTE component closure over the d05
+    * embedding pair SQL, plus per-component sizes.
+    */
+  val d19: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a AS doc_a, id_b AS doc_b FROM ($d05)
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS vec_id, least(a, min(b)) AS component_id
+       |  FROM reach GROUP BY a
+       |), sz AS (
+       |  SELECT component_id, count(*) AS cluster_size
+       |  FROM comp GROUP BY 1
+       |)
+       |SELECT c.vec_id, c.component_id,
+       |  CAST(CASE WHEN c.component_id = c.vec_id THEN 1 ELSE 0 END AS INT)
+       |    AS is_kept,
+       |  CAST(sz.cluster_size AS BIGINT) AS cluster_size
+       |FROM comp c JOIN sz USING (component_id)
+       |ORDER BY c.vec_id""".stripMargin
+
   val s01: String =
     s"""WITH v AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

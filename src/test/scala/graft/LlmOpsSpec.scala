@@ -715,6 +715,39 @@ class LlmOpsSpec extends AnyFunSuite {
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("d19 semantic clusters: components match a local union-find " +
+      "over the d05 pair graph, sizes and keepers consistent") {
+    val pairs = Dedup.embeddingDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty, "sf0.001 must have cosine pairs")
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val got = Dedup.semanticClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (v, row) =>
+      assert(row.getAs[Long]("component_id") == expect(v),
+        s"vec $v: ${row.getAs[Long]("component_id")} vs ${expect(v)}")
+      assert(row.getAs[Int]("is_kept") ==
+        (if (expect(v) == v) 1 else 0))
+    }
+    // sizes: each component's size equals its member count
+    val bySize = expect.values.groupBy(identity).view.mapValues(_.size)
+    got.foreach { case (v, row) =>
+      assert(row.getAs[Long]("cluster_size") == bySize(expect(v)).toLong)
+    }
+  }
+
   test("m11 dhash: band join equals brute force; a smooth exposure " +
       "ramp keeps dHash at 0 where aHash drifts past the radius") {
     import spark.implicits._
