@@ -2330,6 +2330,69 @@ object SignalOracle {
       |FROM z
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
+  /** st22: the dyadic EWMA recursion replayed per 8-day staleness
+    * segment with prefix error moments carried through the recursion
+    * — st09's oracle with the level limb only.
+    */
+  val st22: String =
+    """WITH RECURSIVE b AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), sq AS MATERIALIZED (
+      |  SELECT user_id, event_type, seg_id, event_id, ts, v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM seg
+      |), rec AS (
+      |  SELECT user_id, event_type, seg_id, seq, event_id, ts, v4l,
+      |    v4l AS l,
+      |    CAST(NULL AS BIGINT) AS e,
+      |    CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS s1,
+      |    CAST(0 AS HUGEINT) AS s2
+      |  FROM sq WHERE seq = 1
+      |  UNION ALL
+      |  SELECT n2.user_id, n2.event_type, n2.seg_id, n2.seq, n2.event_id,
+      |    n2.ts, n2.v4l,
+      |    CAST(floor((n2.v4l + 3.0 * r.l) / 4.0) AS BIGINT),
+      |    n2.v4l - r.l,
+      |    r.n + 1,
+      |    r.s1 + (n2.v4l - r.l),
+      |    r.s2 + CAST(n2.v4l - r.l AS HUGEINT) * (n2.v4l - r.l)
+      |  FROM rec r JOIN sq n2
+      |    ON n2.user_id = r.user_id AND n2.event_type = r.event_type
+      |   AND n2.seg_id = r.seg_id AND n2.seq = r.seq + 1
+      |), z AS (
+      |  SELECT *,
+      |    CASE WHEN e IS NULL THEN NULL
+      |         WHEN n > 1 AND (n * s2 - CAST(s1 AS HUGEINT) * s1) > 0
+      |         THEN CAST(floor(CAST(n * e - s1 AS DOUBLE) /
+      |           sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |             * n / (n - 1)) * 1000000.0 + 0.5) AS BIGINT)
+      |         ELSE 0 END AS z6l
+      |  FROM rec
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value,
+      |  l / 10000.0 AS ewma,
+      |  e / 10000.0 AS resid,
+      |  z6l / 1000000.0 AS ewma_z6,
+      |  CASE WHEN z6l IS NOT NULL AND abs(z6l) >= 3000000 THEN 1 ELSE 0 END
+      |    AS ewma_flag
+      |FROM z
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
   /** st17: q67's Holt-Winters recursion replayed per STALENESS
     * SEGMENT (st09's 8-day gap rule) with PREFIX error moments
     * carried through the recursion — the ring travels as a BIGINT

@@ -1922,6 +1922,118 @@ object StreamingAnomaly {
       staleDays: Double = 8.0): DataFrame =
     st21FromStream(s, eventStream(s, dir), staleDays)
 
+  /** st22 per-ticker streaming EWMA state: O(1) per key — the dyadic
+    * level plus prefix error moments (two-limb s2), last event time
+    * for eviction. The level-only sibling of st09's Holt state.
+    */
+  case class EwmaState(lastUs: Long, l: Long, n: Long, s1: Long,
+      s2Hi: Long, s2Lo: Long)
+
+  case class EwmaOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, ewma: Double,
+      resid: Option[Double], ewma_z6: Option[Double], ewma_flag: Int)
+
+  /** st22: the EWMA control chart (Roberts 1959) as continuously-
+    * updating state — the level-only member completing the streaming
+    * control-chart family (st08 CUSUM, st09 Holt, st17 Holt-Winters,
+    * st14 Kalman, st21 zone rules): s_t = ⌊(v + 3·s_{t−1})/4⌋ with
+    * the dyadic α = ¼ keeping the recursion EXACT in fixed point,
+    * each arrival scored by its one-step residual v − s_{t−1}
+    * standardized against the PREFIX error moments (st08's causal
+    * convention), flagged at 3σ. Where the batch q49 approximates
+    * the chart with a truncated 10-tap kernel (the windowable form),
+    * the stream runs the TRUE recursion — state makes it free.
+    * Staleness gaps and EventTimeTimeout eviction restart the
+    * segment; fully oracle-backed (recursive CTE per 8-day segment).
+    */
+  def st22Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[EwmaOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val limb = BigInt(1000000000000000000L) // 1e18
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // quiet ticker: chart gone, key evicted
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[EwmaOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          // in-data staleness gap: restart the segment baseline
+          stOpt = stOpt.filter(st => usOf(e.ts) - st.lastUs <= staleUs)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          stOpt match {
+            case None =>
+              stOpt = Some(EwmaState(usOf(e.ts), vl, 0L, 0L, 0L, 0L))
+              out += EwmaOut(key._1, key._2, e.event_id, e.ts,
+                vl / 10000.0, vl / 10000.0, None, None, 0)
+            case Some(st) =>
+              val err = vl - st.l
+              val n = st.n + 1
+              val s1 = st.s1 + err
+              val s2 = BigInt(st.s2Hi) * limb + st.s2Lo +
+                BigInt(err) * BigInt(err)
+              val c = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
+              val z6 =
+                if (n > 1 && c > 0) {
+                  val a = (BigInt(n) * BigInt(err) - BigInt(s1)).toDouble
+                  Some(math.floor(a / math.sqrt(c.toDouble * n / (n - 1)) *
+                    1000000.0 + 0.5).toLong)
+                } else Some(0L)
+              val l2 = math.floor((vl + 3.0 * st.l) / 4.0).toLong
+              stOpt = Some(EwmaState(usOf(e.ts), l2, n, s1,
+                (s2 / limb).toLong, (s2 % limb).toLong))
+              out += EwmaOut(key._1, key._2, e.event_id, e.ts,
+                vl / 10000.0, l2 / 10000.0, Some(err / 10000.0),
+                z6.map(_ / 1000000.0),
+                if (z6.exists(z => math.abs(z) >= 3000000L)) 1 else 0)
+          }
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st22FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st22_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st22Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("ewma"),
+        col("resid"), col("ewma_z6"), col("ewma_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st22StreamEwma(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st22FromStream(s, eventStream(s, dir), staleDays)
+
   def st21ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, staleDays: Double = 8.0): String = {
     withStatePartitions(s, 8) {

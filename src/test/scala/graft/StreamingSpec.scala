@@ -223,6 +223,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st22 streaming EWMA: the dyadic recursion replays bit-for-bit, " +
+      "a spike flags at 3 sigma, multi-batch matches") {
+    import spark.implicits._
+    val vals = (1 to 30).map(i => 10.0 + (if (i % 2 == 0) 0.2 else -0.2)) ++
+      Seq(18.0) ++ Seq.fill(9)(10.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "e", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("st22spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st22StreamEwma(spark, tmp).collect()
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(out.length == 40)
+    // local replay of the exact recursion
+    var l = math.floor(vals.head * 10000.0 + 0.5).toLong
+    assert(out.head.getAs[Double]("ewma") == l / 10000.0)
+    assert(out.head.isNullAt(out.head.fieldIndex("resid")))
+    vals.zipWithIndex.drop(1).foreach { case (v, i) =>
+      val vl = math.floor(v * 10000.0 + 0.5).toLong
+      val e = vl - l
+      l = math.floor((vl + 3.0 * l) / 4.0).toLong
+      val row = out(i)
+      assert(row.getAs[Double]("ewma") == l / 10000.0, s"row $i: $row")
+      assert(row.getAs[Double]("resid") == e / 10000.0, s"row $i: $row")
+    }
+    // the planted spike is the only 3-sigma flag
+    val flagged = out.filter(_.getAs[Int]("ewma_flag") == 1)
+      .map(_.getAs[Long]("event_id"))
+    assert(flagged.contains(30L), flagged.mkString(","))
+    assert(!flagged.exists(_ < 30L), flagged.mkString(","))
+    // batch boundaries don't perturb the level + moment state
+    val multi = StreamingAnomaly.st22FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st22StreamEwma(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
+
   test("st21 kill-and-restart restores the moment + zone-ring state " +
       "(HDFS and RocksDB providers)") {
     import java.nio.file.{Files, StandardCopyOption}
