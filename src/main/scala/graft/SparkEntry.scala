@@ -57,6 +57,7 @@ object SparkEntry {
     "q80_spearman_peer"  -> ((s, d) => SignalOps.q80SpearmanPeer(s, d)),
     "q82_ols_trend"      -> ((s, d) => SignalOps.q82OlsTrend(s, d)),
     "q84_mann_whitney"   -> ((s, d) => SignalOps.q84MannWhitney(s, d)),
+    "q85_weekday_anova"  -> ((s, d) => SignalOps.q85WeekdayAnova(s, d)),
     "p09_drift_panel"    -> ((s, d) => SignalOps.p09DriftPanel(s, d)),
     "q83_seasonal_strength" ->
       ((s, d) => Decompose.q83SeasonalStrength(s, d)),
@@ -294,6 +295,7 @@ object SparkEntry {
     "q80_spearman_peer"  -> SignalOracle.q80,
     "q82_ols_trend"      -> SignalOracle.q82,
     "q84_mann_whitney"   -> SignalOracle.q84,
+    "q85_weekday_anova"  -> SignalOracle.q85,
     "p09_drift_panel"    -> SignalOracle.p09,
     "q83_seasonal_strength" -> DecomposeOracle.q83,
     "q68_seasonal_mk"    -> SignalOracle.q68,

@@ -1828,6 +1828,69 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q85: WEEKDAY-EFFECT one-way ANOVA per ticker — the significance
+    * rule beside q83's strength features and q60's measured period:
+    * does the day-of-week mean structure the reference hard-codes
+    * (frequency = 7 into `ts()`/`stl()`, func.R:101) actually exist
+    * for this ticker? Group values by the epoch-anchored day index
+    * mod 7 (pure integer arithmetic — no engine dayofweek()
+    * convention to disagree on), pivot the 7 groups into fixed
+    * columns, and compute the classic F = (SSB/6)/(SSW/(N−7)) in ONE
+    * fixed-order IEEE chain over exact integer ingredients (group
+    * sums are exact longs, Σv² exact decimal(38,0)); rejection at
+    * the F(6, ∞, 0.05) = 2.0986 literal (the large-sample
+    * convention, q79's class). Tickers missing any weekday with
+    * ≥ minPerDay observations are excluded (the test needs all
+    * seven groups).
+    *
+    * Scale shape: ONE map-side-combined groupBy on the ticker key —
+    * the 7-group pivot is conditional aggregation, no second
+    * exchange, O(1) state per row.
+    */
+  def q85WeekdayAnova(s: SparkSession, dir: String,
+      minPerDay: Int = 2): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("((datediff(to_date(ts), DATE'1970-01-05') % 7) + 7) % 7")
+          .as("g"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+    val aggs = (0 until 7).flatMap { i =>
+      Seq(
+        sum(when(col("g") === i, lit(1L)).otherwise(lit(0L))).as(s"n$i"),
+        sum(when(col("g") === i, col("y")).otherwise(lit(0L))).as(s"s$i"),
+        sum(when(col("g") === i,
+          (d19(col("y")) * d19(col("y"))).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as(s"q$i"))
+    }
+    val piv = base.groupBy(col("user_id"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter((0 until 7).map(i => col(s"n$i") >= minPerDay)
+        .reduce(_ && _))
+    val a = (0 until 7).map(i =>
+      col(s"s$i").cast("double") * col(s"s$i").cast("double") /
+        col(s"n$i")).reduce(_ + _)
+    val nTot = (0 until 7).map(i => col(s"n$i")).reduce(_ + _)
+    val sTot = (0 until 7).map(i => col(s"s$i")).reduce(_ + _)
+    val qTot = (0 until 7).map(i => col(s"q$i")).reduce(_ + _)
+    piv
+      .withColumn("nn", nTot)
+      .withColumn("aa", a)
+      .withColumn("ssb",
+        col("aa") - sTot.cast("double") * sTot.cast("double") / col("nn"))
+      .withColumn("ssw", qTot.cast("double") - col("aa"))
+      .withColumn("weekday_f6",
+        when(col("ssw") > 0,
+          floor(col("ssb") / lit(6.0) /
+            (col("ssw") / (col("nn") - 7)) * lit(1000000.0) + lit(0.5))
+            .cast("long")))
+      .select(col("user_id"), col("event_type"), col("nn").as("n_obs"),
+        col("weekday_f6"),
+        when(col("weekday_f6") > lit(2098600L), 1).otherwise(0)
+          .as("weekday_effect_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** p09: the DRIFT PANEL — one row per event type composing the five
     * era monitors into the review a data-platform team actually runs:
     * q61's PSI (decile occupancy), q69's KS (full CDF), q79's
@@ -3932,6 +3995,57 @@ object SignalOracle {
       |    AS trend_fit_flag
       |FROM g
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** q85: the same epoch-anchored weekday pivot and the ONE
+    * fixed-order IEEE F chain over exact integer group moments.
+    */
+  val q85: String = {
+    val pivCols = (0 until 7).map(i =>
+      s"""SUM(CASE WHEN g = $i THEN 1 ELSE 0 END) AS n$i,
+         |    SUM(CASE WHEN g = $i THEN y ELSE 0 END) AS s$i,
+         |    SUM(CASE WHEN g = $i THEN CAST(y AS HUGEINT) * y
+         |        ELSE 0 END) AS q$i""".stripMargin).mkString(",\n    ")
+    val aTerms = (0 until 7).map(i =>
+      s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / n$i").mkString(" + ")
+    val guard = (0 until 7).map(i => s"n$i >= 2").mkString(" AND ")
+    s"""WITH b AS (
+       |  SELECT user_id, event_type,
+       |    ((CAST(CAST(ts AS DATE) - DATE '1970-01-05' AS BIGINT) % 7)
+       |      + 7) % 7 AS g,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+       |  FROM events
+       |), piv AS (
+       |  SELECT user_id, event_type,
+       |    $pivCols
+       |  FROM b GROUP BY 1, 2
+       |), ok AS (
+       |  SELECT * FROM piv WHERE $guard
+       |), m AS (
+       |  SELECT *,
+       |    ($aTerms) AS aa,
+       |    n0 + n1 + n2 + n3 + n4 + n5 + n6 AS nn,
+       |    s0 + s1 + s2 + s3 + s4 + s5 + s6 AS stot,
+       |    q0 + q1 + q2 + q3 + q4 + q5 + q6 AS qtot
+       |  FROM ok
+       |), h AS (
+       |  SELECT *,
+       |    aa - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) / nn AS ssb,
+       |    CAST(qtot AS DOUBLE) - aa AS ssw
+       |  FROM m
+       |), i2 AS (
+       |  SELECT *,
+       |    CASE WHEN ssw > 0 THEN
+       |      CAST(floor(ssb / 6.0 / (ssw / (nn - 7)) * 1000000.0 + 0.5)
+       |        AS BIGINT) END AS weekday_f6
+       |  FROM h
+       |)
+       |SELECT user_id, event_type, CAST(nn AS BIGINT) AS n_obs,
+       |  weekday_f6,
+       |  CAST(CASE WHEN weekday_f6 > 2098600 THEN 1 ELSE 0 END AS INT)
+       |    AS weekday_effect_flag
+       |FROM i2
+       |ORDER BY user_id, event_type""".stripMargin
+  }
 
   /** p09: the five era-monitor oracles composed VERBATIM and
     * left-joined on event_type — the oracle-level mirror of the

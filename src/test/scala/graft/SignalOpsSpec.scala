@@ -945,6 +945,46 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(out(5L).getAs[Int]("decorrelated_flag") == 1)
   }
 
+  test("q85 weekday ANOVA: a real day-of-week pattern flags, i.i.d. " +
+      "noise does not, F replays the textbook formula") {
+    import spark.implicits._
+    // daily cadence over 8 weeks: "wk" carries a weekday mean pattern
+    // + small alternation; "flat" carries only the alternation
+    val pat = Seq(0.0, 4, 1, 6, 2, 8, 3)
+    def d(i: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime +
+        i.toLong * 86400000L)
+    val rows = (0 until 56).flatMap { i =>
+      val jig = if (i % 2 == 0) 0.2 else -0.2
+      Seq(
+        (1L, "wk", (2 * i).toLong, d(i), 10.0 + pat(i % 7) + jig),
+        (1L, "flat", (2 * i + 1).toLong, d(i), 10.0 + jig))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("q85spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q85WeekdayAnova(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("wk").getAs[Int]("weekday_effect_flag") == 1,
+      out("wk").toString)
+    assert(out("flat").getAs[Int]("weekday_effect_flag") == 0,
+      out("flat").toString)
+    // textbook one-way ANOVA replay for "wk"
+    val vals = (0 until 56).map(i =>
+      (i % 7, 10.0 + pat(i % 7) + (if (i % 2 == 0) 0.2 else -0.2)))
+    val groups = vals.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val n = vals.length
+    val grand = vals.map(_._2).sum / n
+    val ssb = groups.map(g =>
+      g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => {
+      val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum
+    }).sum
+    val f = (ssb / 6.0) / (ssw / (n - 7))
+    assert(math.abs(out("wk").getAs[Long]("weekday_f6") / 1e6 - f) < 1e-2,
+      s"F ${out("wk").getAs[Long]("weekday_f6") / 1e6} vs textbook $f")
+  }
+
   test("p09 drift panel: column-for-column identity with the five " +
       "standalone era monitors") {
     val panel = SignalOps.p09DriftPanel(spark, dir).collect()
