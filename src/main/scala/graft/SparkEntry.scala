@@ -104,6 +104,8 @@ object SparkEntry {
     "q73_funnel"         -> Relational.funnel _,
     "q76_scd2"           -> Relational.q76Scd2 _,
     "q81_set_ops"        -> Relational.q81SetOps _,
+    "q86_ohlc_bars"      -> ((s, d) => SignalOps.q86OhlcBars(s, d)),
+    "q87_json_extract"   -> Relational.q87JsonExtract _,
     "p08_dq_audit"       -> Relational.p08DqAudit _,
     "q52_stratified_sample" -> Sampling.stratifiedSample _,
     "q56_group_quantiles" -> ScaleOps.groupQuantiles _,
@@ -296,6 +298,30 @@ object SparkEntry {
     "q82_ols_trend"      -> SignalOracle.q82,
     "q84_mann_whitney"   -> SignalOracle.q84,
     "q85_weekday_anova"  -> SignalOracle.q85,
+    "q86_ohlc_bars"      -> SignalOracle.q86,
+    "q87_json_extract" ->
+      """WITH e AS (
+           SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events
+         ), kk AS (
+           SELECT event_type, k, count(*) AS c FROM e GROUP BY 1, 2
+         ), agg AS (
+           SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN k IS NOT NULL THEN c ELSE 0 END)
+               AS BIGINT) AS n_with_k,
+             CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS k_distinct,
+             min(k) AS k_min, max(k) AS k_max,
+             CAST(sum(k * c) AS BIGINT) AS k_sum
+           FROM kk GROUP BY event_type
+         )
+         SELECT event_type, n_events, n_with_k, k_distinct, k_min, k_max,
+           k_sum,
+           CASE WHEN n_with_k > 0 THEN k_sum * 1000000 // n_with_k END
+             AS k_avg6
+         FROM agg ORDER BY event_type""",
     "p09_drift_panel"    -> SignalOracle.p09,
     "q83_seasonal_strength" -> DecomposeOracle.q83,
     "q68_seasonal_mk"    -> SignalOracle.q68,

@@ -586,6 +586,42 @@ object Relational {
     * key-cardinality tables only. The 1-row span pivot is a broadcast
     * cross join (q69's posture).
     */
+  /** q87: SEMI-STRUCTURED extraction — the JSON surface the events
+    * feed actually carries (`props` holds a JSON document): parse
+    * `$.k` with the native `get_json_object` path expression
+    * (row-local in the scan, codegen'd — never a UDF) and roll it up
+    * per event type: parse coverage, exact min/max/sum, the exact
+    * integer-division mean and the distinct-k count. The BigQuery
+    * JSON_EXTRACT usage class the reference's warehouse implies,
+    * Spark-first.
+    *
+    * Scale shape: JSON parse never leaves the scan; distinct-k comes
+    * from a (type, k) pre-aggregate (map-side combined, Zipf-compact)
+    * rolled up per type — never a count_distinct expand.
+    */
+  def q87JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val kk = Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    kk.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"),
+        sum(when(col("k").isNotNull, col("c")).otherwise(lit(0L)))
+          .as("n_with_k"),
+        sum(when(col("k").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("k_distinct"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        sum(col("k") * col("c")).as("k_sum"))
+      .withColumn("k_avg6",
+        when(col("n_with_k") > 0,
+          expr("k_sum * 1000000L div n_with_k")))
+      .select(col("event_type"), col("n_events"), col("n_with_k"),
+        col("k_distinct"), col("k_min"), col("k_max"), col("k_sum"),
+        col("k_avg6"))
+      .orderBy(col("event_type"))
+  }
+
   def q81SetOps(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))

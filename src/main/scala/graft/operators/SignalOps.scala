@@ -1828,6 +1828,47 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q86: OHLC BAR resample — the canonical time-series downsample
+    * every market/telemetry store ships: per ticker-day open (first
+    * print by the (ts, event_id) order), high, low, close (last
+    * print) and the print count, plus the day-over-day close-to-open
+    * gap. Exact: all selections on 1e-4 longs with the engine-wide
+    * deterministic order; the gap is an exact long difference.
+    *
+    * Scale shape: ONE hash exchange on (ticker, day) for the
+    * first/last windows + the map-side-combined bar aggregate; the
+    * day-over-day lag window re-partitions the BAR table (one row
+    * per ticker-day, corpus-collapsed) on the ticker family.
+    */
+  def q86OhlcBars(s: SparkSession, dir: String): DataFrame = {
+    val key = Seq(col("user_id"), col("event_type"), col("day"))
+    val wA = Window.partitionBy(key: _*).orderBy(col("ts"), col("event_id"))
+    val wD = Window.partitionBy(key: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wLag = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("day"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rd", row_number().over(wD))
+      .groupBy(key: _*)
+      .agg(max(when(col("ra") === 1, col("v4l"))).as("o4"),
+        max(col("v4l")).as("h4"), min(col("v4l")).as("l4"),
+        max(when(col("rd") === 1, col("v4l"))).as("c4"),
+        count(lit(1)).as("n_trades"))
+      .withColumn("pc4", lag(col("c4"), 1).over(wLag))
+      .select(col("user_id"), col("event_type"), col("day"),
+        (col("o4") / lit(10000.0)).as("open"),
+        (col("h4") / lit(10000.0)).as("high"),
+        (col("l4") / lit(10000.0)).as("low"),
+        (col("c4") / lit(10000.0)).as("close"),
+        col("n_trades"),
+        ((col("o4") - col("pc4")) / lit(10000.0)).as("overnight_gap"))
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+
   /** q85: WEEKDAY-EFFECT one-way ANOVA per ticker — the significance
     * rule beside q83's strength features and q60's measured period:
     * does the day-of-week mean structure the reference hard-codes
@@ -3995,6 +4036,42 @@ object SignalOracle {
       |    AS trend_fit_flag
       |FROM g
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** q86: the same deterministic first/last selections over the
+    * (ticker, day) windows, exact long bar values.
+    */
+  val q86: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, event_type, day
+      |      ORDER BY ts, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY user_id, event_type, day
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM b
+      |), bar AS (
+      |  SELECT user_id, event_type, day,
+      |    max(CASE WHEN ra = 1 THEN v4l END) AS o4,
+      |    max(v4l) AS h4, min(v4l) AS l4,
+      |    max(CASE WHEN rd = 1 THEN v4l END) AS c4,
+      |    count(*) AS n_trades
+      |  FROM r GROUP BY 1, 2, 3
+      |), g AS (
+      |  SELECT *, lag(c4) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY day) AS pc4
+      |  FROM bar
+      |)
+      |SELECT user_id, event_type, day,
+      |  o4 / 10000.0 AS open, h4 / 10000.0 AS high,
+      |  l4 / 10000.0 AS low, c4 / 10000.0 AS close,
+      |  n_trades,
+      |  (o4 - pc4) / 10000.0 AS overnight_gap
+      |FROM g
+      |ORDER BY user_id, event_type, day""".stripMargin
 
   /** q85: the same epoch-anchored weekday pivot and the ONE
     * fixed-order IEEE F chain over exact integer group moments.

@@ -251,6 +251,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(out("range_lineitem_discount") == 1)
   }
 
+  test("q87 json extract: planted props parse exactly, malformed and " +
+      "null rows counted but excluded from k stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (0L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a",
+        1.0, """{"k": 5}"""),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "a",
+        1.0, """{"k": 15}"""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "a",
+        1.0, """{"k": 5}"""),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 1L, "a",
+        1.0, "not json"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), 1L, "a",
+        1.0, null.asInstanceOf[String]))
+    val tmp = java.nio.file.Files.createTempDirectory("q87spec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = operators.Relational.q87JsonExtract(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_events") == 5, r.toString)
+    assert(r.getAs[Long]("n_with_k") == 3, r.toString)
+    assert(r.getAs[Long]("k_distinct") == 2, r.toString)
+    assert(r.getAs[Long]("k_min") == 5 && r.getAs[Long]("k_max") == 15)
+    assert(r.getAs[Long]("k_sum") == 25)
+    assert(r.getAs[Long]("k_avg6") == 8333333L, r.toString)
+    // the parse stays in the scan: no UDF node, two hash aggregates
+    val plan = operators.Relational.q87JsonExtract(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan)
+  }
+
   test("q81 set ops: lapsed/new/retained partition the customer set " +
       "and agree with a conditional-aggregation replay") {
     import org.apache.spark.sql.functions._

@@ -945,6 +945,38 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(out(5L).getAs[Int]("decorrelated_flag") == 1)
   }
 
+  test("q86 OHLC bars: first/last/extremes per day, overnight gap " +
+      "against the prior close") {
+    import spark.implicits._
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val rows = Seq(
+      (1L, "x", 0L, t(1, 9), 10.0), (1L, "x", 1L, t(1, 12), 12.5),
+      (1L, "x", 2L, t(1, 16), 11.0),
+      (1L, "x", 3L, t(2, 9), 11.8), (1L, "x", 4L, t(2, 16), 9.5),
+      // same-timestamp prints: event_id breaks the tie
+      (1L, "x", 5L, t(3, 9), 7.0), (1L, "x", 6L, t(3, 9), 8.0))
+    val tmp = java.nio.file.Files.createTempDirectory("q86spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q86OhlcBars(spark, tmp).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(out.length == 3)
+    val d1 = out(0)
+    assert(d1.getAs[Double]("open") == 10.0 &&
+      d1.getAs[Double]("high") == 12.5 && d1.getAs[Double]("low") == 10.0 &&
+      d1.getAs[Double]("close") == 11.0 &&
+      d1.getAs[Long]("n_trades") == 3, d1.toString)
+    assert(d1.isNullAt(d1.fieldIndex("overnight_gap")))
+    val d2 = out(1)
+    assert(d2.getAs[Double]("open") == 11.8 &&
+      d2.getAs[Double]("close") == 9.5, d2.toString)
+    assert(math.abs(d2.getAs[Double]("overnight_gap") - 0.8) < 1e-9)
+    val d3 = out(2)
+    assert(d3.getAs[Double]("open") == 7.0 &&
+      d3.getAs[Double]("close") == 8.0, d3.toString)
+  }
+
   test("q85 weekday ANOVA: a real day-of-week pattern flags, i.i.d. " +
       "noise does not, F replays the textbook formula") {
     import spark.implicits._
