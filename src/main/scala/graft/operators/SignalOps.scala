@@ -1889,7 +1889,7 @@ object SignalOps {
     * exchange, O(1) state per row.
     */
   def q85WeekdayAnova(s: SparkSession, dir: String,
-      minPerDay: Int = 2): DataFrame = {
+      minPerDay: Int = 1): DataFrame = {
     val d19 = (c: Column) => c.cast("decimal(19,0)")
     val base = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"),
@@ -1921,7 +1921,7 @@ object SignalOps {
         col("aa") - sTot.cast("double") * sTot.cast("double") / col("nn"))
       .withColumn("ssw", qTot.cast("double") - col("aa"))
       .withColumn("weekday_f6",
-        when(col("ssw") > 0,
+        when(col("ssw") > 0 && col("nn") > 7,
           floor(col("ssb") / lit(6.0) /
             (col("ssw") / (col("nn") - 7)) * lit(1000000.0) + lit(0.5))
             .cast("long")))
@@ -4084,7 +4084,7 @@ object SignalOracle {
          |        ELSE 0 END) AS q$i""".stripMargin).mkString(",\n    ")
     val aTerms = (0 until 7).map(i =>
       s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / n$i").mkString(" + ")
-    val guard = (0 until 7).map(i => s"n$i >= 2").mkString(" AND ")
+    val guard = (0 until 7).map(i => s"n$i >= 1").mkString(" AND ")
     s"""WITH b AS (
        |  SELECT user_id, event_type,
        |    ((CAST(CAST(ts AS DATE) - DATE '1970-01-05' AS BIGINT) % 7)
@@ -4111,7 +4111,7 @@ object SignalOracle {
        |  FROM m
        |), i2 AS (
        |  SELECT *,
-       |    CASE WHEN ssw > 0 THEN
+       |    CASE WHEN ssw > 0 AND nn > 7 THEN
        |      CAST(floor(ssb / 6.0 / (ssw / (nn - 7)) * 1000000.0 + 0.5)
        |        AS BIGINT) END AS weekday_f6
        |  FROM h
