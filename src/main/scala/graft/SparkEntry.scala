@@ -226,6 +226,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st21StreamSpc(s, d)),
     "st22_stream_ewma" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st22StreamEwma(s, d)),
+    "st23_stream_bars" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st23StreamBars(s, d)),
     "st20_stream_funnel" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st20StreamFunnel(s, d)),
     "st08_stream_cusum" ->
@@ -275,6 +277,7 @@ object SparkEntry {
     "st19_stream_page_hinkley" -> SignalOracle.st19,
     "st21_stream_spc"    -> SignalOracle.st21,
     "st22_stream_ewma"   -> SignalOracle.st22,
+    "st23_stream_bars"   -> SignalOracle.st23,
     "st20_stream_funnel" -> SignalOracle.st20,
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q55_cross_sectional" -> SignalOracle.q55,

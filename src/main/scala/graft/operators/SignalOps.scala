@@ -4037,6 +4037,37 @@ object SignalOracle {
       |FROM g
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** st23: q86's bar selections restricted to watermark-closed day
+    * windows (st16's timeout-eligibility rule).
+    */
+  val st23: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), w AS (
+      |  SELECT *, (epoch_us(tsu) // 86400000000) * 86400000000 AS wus
+      |  FROM b
+      |), fireable AS (
+      |  SELECT * FROM w
+      |  WHERE (wus + 86400000000) // 1000 <
+      |    (SELECT epoch_us(max(tsu)) // 1000 - 3600000 FROM b)
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, event_type, wus
+      |      ORDER BY tsu, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY user_id, event_type, wus
+      |      ORDER BY tsu DESC, event_id DESC) AS rd
+      |  FROM fireable
+      |)
+      |SELECT make_timestamp(wus) AS win_start, user_id, event_type,
+      |  max(CASE WHEN ra = 1 THEN v4l END) / 10000.0 AS open,
+      |  max(v4l) / 10000.0 AS high, min(v4l) / 10000.0 AS low,
+      |  max(CASE WHEN rd = 1 THEN v4l END) / 10000.0 AS close,
+      |  count(*) AS n_trades
+      |FROM r GROUP BY 1, 2, 3
+      |ORDER BY win_start, user_id, event_type""".stripMargin
+
   /** q86: the same deterministic first/last selections over the
     * (ticker, day) windows, exact long bar values.
     */

@@ -1457,6 +1457,94 @@ object StreamingAnomaly {
   def st16StreamBenford(s: SparkSession, dir: String): DataFrame =
     st16FromStream(s, eventStream(s, dir))
 
+  /** st23 per-(ticker, day) bar state: the open/close carry their
+    * (µs, event_id) order keys so late in-window arrivals can still
+    * claim first/last print deterministically; 9 longs per LIVE bar
+    * however many prints arrive.
+    */
+  case class BarState(oUs: Long, oEid: Long, oV: Long, hV: Long, lV: Long,
+      cUs: Long, cEid: Long, cV: Long, n: Long)
+
+  case class BarOut(win_start: java.sql.Timestamp, user_id: Long,
+      event_type: String, open: Double, high: Double, low: Double,
+      close: Double, n_trades: Long)
+
+  /** st23: q86's OHLC bars answered LIVE — the daily bar emitted the
+    * moment the watermark closes its day (timeout-finalized, st16's
+    * pattern), not at tomorrow's batch. A built-in streaming
+    * first()/last() is arrival-order-dependent; the state carries the
+    * open's and close's (event-time µs, event_id) keys, so a late
+    * in-window print claims first/last EXACTLY as q86's windows rank
+    * them and the entry is fully oracle-backed (q86's bar selection +
+    * the watermark eligibility rule). State = 9 longs per LIVE
+    * (ticker, day) regardless of print volume; closed bars evict.
+    */
+  def st23Transform(s: SparkSession, stream: DataFrame)
+      : org.apache.spark.sql.Dataset[BarOut] = {
+    import s.implicits._
+    val dayUs = 86400000000L
+
+    def update(key: (Long, String, Long), events: Iterator[TickEvent],
+        state: GroupState[BarState]): Iterator[BarOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single(BarOut(new java.sql.Timestamp(key._3 / 1000L),
+          key._1, key._2, st.oV / 10000.0, st.hV / 10000.0,
+          st.lV / 10000.0, st.cV / 10000.0, st.n))
+      } else {
+        var st = state.getOption.getOrElse(
+          BarState(Long.MaxValue, Long.MaxValue, 0L, Long.MinValue,
+            Long.MaxValue, Long.MinValue, Long.MinValue, 0L, 0L))
+        events.foreach { e =>
+          val us = usOf(e.ts)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          var (oUs, oEid, oV) = (st.oUs, st.oEid, st.oV)
+          if (us < oUs || (us == oUs && e.event_id < oEid)) {
+            oUs = us; oEid = e.event_id; oV = vl
+          }
+          var (cUs, cEid, cV) = (st.cUs, st.cEid, st.cV)
+          if (us > cUs || (us == cUs && e.event_id > cEid)) {
+            cUs = us; cEid = e.event_id; cV = vl
+          }
+          st = BarState(oUs, oEid, oV, math.max(st.hV, vl),
+            math.min(st.lV, vl), cUs, cEid, cV, st.n + 1)
+        }
+        state.update(st)
+        state.setTimeoutTimestamp((key._3 + dayUs) / 1000L)
+        Iterator.empty
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e =>
+        (e.user_id, e.event_type, (usOf(e.ts) / dayUs) * dayUs))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st23FromStream(s: SparkSession, stream: DataFrame): DataFrame = {
+    val name = s"st23_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st23Transform(s, stream)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .orderBy(col("win_start"), col("user_id"), col("event_type"))
+  }
+
+  def st23StreamBars(s: SparkSession, dir: String): DataFrame =
+    st23FromStream(s, eventStream(s, dir))
+
   /** st17 per-ticker streaming Holt-Winters state: the dyadic
     * level/trend pair, the 7-slot seasonal ring (Long.MinValue =
     * phase not yet seen this segment), the segment-local row index

@@ -223,6 +223,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st23 streaming bars: deterministic open/close per closed day, " +
+      "the unclosed tail window held back; multi-batch matches") {
+    import spark.implicits._
+    def t(day: Int, h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+    // day 1: same-timestamp open prints (event_id tie-break), a spike
+    // high and a close; day 2: one print; day 3 (the max-event-time
+    // day): its window cannot close under the 1 h watermark
+    val rows = Seq(
+      (1L, "x", 1L, t(1, 9), 10.0), (1L, "x", 0L, t(1, 9), 10.5),
+      (1L, "x", 2L, t(1, 12), 15.0), (1L, "x", 3L, t(1, 16), 11.0),
+      (1L, "x", 4L, t(2, 10), 9.0),
+      (1L, "x", 5L, t(3, 10), 7.0))
+    val tmp = java.nio.file.Files.createTempDirectory("st23spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st23StreamBars(spark, tmp).collect()
+    assert(out.length == 2, out.mkString("\n")) // day 3 never closes
+    val d1 = out.head
+    assert(d1.getAs[Double]("open") == 10.5, d1.toString) // event_id 0
+    assert(d1.getAs[Double]("high") == 15.0 &&
+      d1.getAs[Double]("low") == 10.0 &&
+      d1.getAs[Double]("close") == 11.0 &&
+      d1.getAs[Long]("n_trades") == 4, d1.toString)
+    val d2 = out(1)
+    assert(d2.getAs[Double]("open") == 9.0 &&
+      d2.getAs[Double]("close") == 9.0 &&
+      d2.getAs[Long]("n_trades") == 1, d2.toString)
+    // batch boundaries don't perturb the bar state
+    val multi = StreamingAnomaly.st23FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st23StreamBars(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.nonEmpty)
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
+
   test("st22 streaming EWMA: the dyadic recursion replays bit-for-bit, " +
       "a spike flags at 3 sigma, multi-batch matches") {
     import spark.implicits._
