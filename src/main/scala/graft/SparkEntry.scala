@@ -115,6 +115,7 @@ object SparkEntry {
     "d18_token_budget"   -> ((s, d) => Sampling.d18TokenBudget(s, d)),
     "d19_semantic_clusters" ->
       ((s, d) => graft.dedup.Dedup.semanticClusters(s, d)),
+    "p10_quality_mix"    -> ((s, d) => Sampling.p10QualityMix(s, d)),
     "d17_edit_distance_dedup" -> ((s, d) =>
       graft.dedup.Dedup.editDistanceDedup(s, d)),
     "d07_train_split"    -> Sampling.trainSplit _,
@@ -355,6 +356,7 @@ object SparkEntry {
     "d16_mixture_sample" -> LlmOracle.d16,
     "d18_token_budget"   -> LlmOracle.d18,
     "d19_semantic_clusters" -> LlmOracle.d19,
+    "p10_quality_mix"    -> LlmOracle.p10,
     "d17_edit_distance_dedup" -> LlmOracle.d17,
     "d10_ngram_containment" -> LlmOracle.d10,
     "s04_knn_classify"   -> LlmOracle.s04,

@@ -2065,6 +2065,58 @@ object LlmOracle {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** p10: d18's t02-quality + t03-token feature block rolled up per
+    * (source, level) with exact floor-division shares.
+    */
+  val p10: String = {
+    val stops = TextFns.Profiles.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id, source,
+       |    length(text) AS n_char,
+       |    len(string_split($Norm, ' ')) AS n_words,
+       |    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+       |      AS n_punct,
+       |    len(list_filter(string_split($Norm, ' '), w -> w IN ($stops)))
+       |      AS n_stop,
+       |    length($Norm) AS n_char_norm,
+       |    CAST(len(regexp_extract_all($Norm, '[a-z0-9]+|[^a-z0-9 ]'))
+       |      AS BIGINT) AS n_tok
+       |  FROM documents
+       |), r AS (
+       |  SELECT *,
+       |    CAST(n_char_norm - (n_words - 1) AS DOUBLE) / n_words
+       |      AS avg_word_len,
+       |    CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+       |    CAST(n_punct AS DOUBLE) / n_char AS punct_ratio
+       |  FROM m
+       |), q AS (
+       |  SELECT source, n_tok,
+       |    CAST(floor((
+       |      (CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END) +
+       |      (CASE WHEN avg_word_len BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END) +
+       |      (CASE WHEN stop_ratio >= 0.01 THEN 0.2 ELSE 0.0 END) +
+       |      (CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END)
+       |    ) * 1000000.0 + 0.5) AS BIGINT) AS q6
+       |  FROM r
+       |), cells AS (
+       |  SELECT source, q6, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM q GROUP BY 1, 2
+       |), src AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM cells GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens FROM cells
+       |)
+       |SELECT c.source, c.q6 / 1000000.0 AS quality, c.n_docs, c.n_tokens,
+       |  CASE WHEN s.src_tokens > 0
+       |    THEN c.n_tokens * 1000000 // s.src_tokens END AS src_share6,
+       |  CASE WHEN t.all_tokens > 0
+       |    THEN c.n_tokens * 1000000 // t.all_tokens END AS corpus_share6
+       |FROM cells c JOIN src s USING (source) CROSS JOIN tot t
+       |ORDER BY c.source, quality""".stripMargin
+  }
+
   /** t19: the same row-local distinct trigram sets, df over the
     * (doc, gram) pair table, exact integer floor-division rate.
     */

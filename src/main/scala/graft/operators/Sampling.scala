@@ -263,6 +263,44 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** p10: the QUALITY-MIX report — the curation diagnostic read
+    * BEFORE choosing d16 mixture weights or a d18 budget: per
+    * (source, t02 quality level) the doc and token volumes with the
+    * exact within-source and corpus token shares. t02's composite is
+    * a 16-level discrete score, so the levels ARE the bands (no
+    * quantile machinery needed) and the report is exact integers +
+    * two floor-division shares.
+    *
+    * Scale shape: one corpus scan → 3-longs-per-doc features; ONE
+    * map-side-combined (source, level) groupBy; the share
+    * denominators are a sources-sized broadcast join + a 1-row total
+    * (d16's posture).
+    */
+  def p10QualityMix(s: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(s, dir)
+      .select(col("source"),
+        floor(graft.text.TextFns.qualityCol(col("text")) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("q6"),
+        graft.text.TextFns.reTokensCol(col("text")).cast("long")
+          .as("n_tok"))
+    val cells = feats.groupBy(col("source"), col("q6"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .localCheckpoint()
+    val perSource = cells.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val total = cells.agg(sum(col("n_tokens")).as("all_tokens"))
+    cells
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), (col("q6") / lit(1000000.0)).as("quality"),
+        col("n_docs"), col("n_tokens"),
+        when(col("src_tokens") > 0,
+          expr("n_tokens * 1000000L div src_tokens")).as("src_share6"),
+        when(col("all_tokens") > 0,
+          expr("n_tokens * 1000000L div all_tokens")).as("corpus_share6"))
+      .orderBy(col("source"), col("quality"))
+  }
+
   private def kthSmallestLong(df: DataFrame, c: String, k: Long): Long = {
     require(k >= 1, s"k must be >= 1, got $k")
     val ub = col(c).bitwiseXOR(lit(Long.MinValue))

@@ -257,6 +257,29 @@ class SamplingSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("p10 quality mix: shares sum to ~1 per source and corpus-wide, " +
+      "cells partition the corpus") {
+    val out = Sampling.p10QualityMix(spark, dir).collect()
+    assert(out.nonEmpty)
+    val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.documents(spark, dir).count())
+    // per-source shares sum to 1 within floor-division slack
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val s = rows.map(_.getAs[Long]("src_share6")).sum
+      assert(s > 1000000L - rows.length && s <= 1000000L,
+        s"$src shares sum $s")
+    }
+    val c = out.map(_.getAs[Long]("corpus_share6")).sum
+    assert(c > 1000000L - out.length && c <= 1000000L, s"corpus sum $c")
+    // quality levels are the discrete t02 lattice
+    val okLevels = (for {
+      a <- Seq(0.0, 0.4); b <- Seq(0.0, 0.3)
+      d <- Seq(0.0, 0.2); e <- Seq(0.0, 0.1)
+    } yield math.floor((a + b + d + e) * 1e6 + 0.5) / 1e6).toSet
+    out.foreach(r =>
+      assert(okLevels.contains(r.getAs[Double]("quality")), r.toString))
+  }
+
   test("d18 token budget: radix boundary equals the global-sort prefix " +
       "rule, boundary group splits by doc_id") {
     import org.apache.spark.sql.expressions.Window
