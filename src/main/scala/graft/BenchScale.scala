@@ -114,7 +114,17 @@ object BenchScale {
     // t18 is a pure row-local scan (t16's class).
     "q74_spc_rules", "st21_stream_spc", "q78_ljung_box",
     "q79_variance_drift", "q80_spearman_peer", "d18_token_budget",
-    "t19_ngram_novelty", "m11_dhash_dedup")
+    "t19_ngram_novelty", "m11_dhash_dedup",
+    // round 9f: EWMA/bar state classes, midrank distinct-value
+    // windows, ticker-day bar windows, ticker moment groupBys, the
+    // shared component solver over embedding pairs, the five-monitor
+    // panel, broadcast range scan, quality-mix cells. q81/q87 ride
+    // tables the sf1 stage doesn't synthesize (orders / unmodified
+    // props); t18 is row-local (t16's class).
+    "st22_stream_ewma", "st23_stream_bars", "q84_mann_whitney",
+    "q85_weekday_anova", "q86_ohlc_bars", "q82_ols_trend",
+    "q83_seasonal_strength", "d19_semantic_clusters", "p09_drift_panel",
+    "s09_range_search", "p10_quality_mix")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
