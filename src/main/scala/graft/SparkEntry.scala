@@ -58,6 +58,7 @@ object SparkEntry {
     "q82_ols_trend"      -> ((s, d) => SignalOps.q82OlsTrend(s, d)),
     "q84_mann_whitney"   -> ((s, d) => SignalOps.q84MannWhitney(s, d)),
     "q85_weekday_anova"  -> ((s, d) => SignalOps.q85WeekdayAnova(s, d)),
+    "q88_acf_table"      -> ((s, d) => SignalOps.q88AcfTable(s, d)),
     "p09_drift_panel"    -> ((s, d) => SignalOps.p09DriftPanel(s, d)),
     "q83_seasonal_strength" ->
       ((s, d) => Decompose.q83SeasonalStrength(s, d)),
@@ -302,6 +303,7 @@ object SparkEntry {
     "q82_ols_trend"      -> SignalOracle.q82,
     "q84_mann_whitney"   -> SignalOracle.q84,
     "q85_weekday_anova"  -> SignalOracle.q85,
+    "q88_acf_table"      -> SignalOracle.q88,
     "q86_ohlc_bars"      -> SignalOracle.q86,
     "q87_json_extract" ->
       """WITH e AS (

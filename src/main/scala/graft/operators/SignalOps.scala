@@ -1608,6 +1608,64 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q88: the ACF CORRELOGRAM table per ticker — the full diagnostic
+    * q78's portmanteau aggregates away: one row per lag k = 1..10
+    * with the exact autocorrelation of the diff series and the
+    * classical ±1.96/√n white-noise band, so a reviewer sees WHERE
+    * the serial structure lives (a spike at k = 7 is weekly
+    * seasonality leaking through the detrend; a slow geometric decay
+    * is upstream smoothing). Same exact machinery as q78 — e_t =
+    * n·d_t − S residual longs, HUGEINT lag cross-sums, one double
+    * division per r_k — then the per-lag rows come from ONE row-local
+    * struct explode (never a second pass), with the band as one
+    * shared IEEE chain and the flag an integer compare of the two
+    * quantized values.
+    *
+    * Scale shape: q78's exactly — ONE ticker exchange reused by the
+    * diff lag, the moment window, the 10 residual-lag windows and the
+    * map-side-combined groupBy; the explode multiplies only the
+    * per-ticker RESULT rows (×10).
+    */
+  def q88AcfTable(s: SparkSession, dir: String, maxLag: Int = 10,
+      minDiffs: Int = 12): DataFrame = {
+    require(maxLag >= 1 && maxLag < minDiffs)
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val diffs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("d", col("v4l") - lag(col("v4l"), 1).over(wAsc))
+      .filter(col("d").isNotNull)
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("e", col("n") * col("d") - sum(col("d")).over(wKey))
+    val lagged = (1 to maxLag).foldLeft(diffs) { (df, k) =>
+      df.withColumn(s"p$k",
+        (d19(col("e")) * d19(lag(col("e"), k).over(wAsc)))
+          .cast("decimal(38,0)"))
+    }
+    val aggs = sum((d19(col("e")) * d19(col("e"))).cast("decimal(38,0)"))
+      .as("c") +: (1 to maxLag).map(k => sum(col(s"p$k")).as(s"a$k"))
+    val mom = lagged.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .filter(col("n") >= minDiffs)
+    val acfCols = (1 to maxLag).map { k =>
+      struct(lit(k).as("k"),
+        when(col("c") > 0,
+          floor(col(s"a$k").cast("double") / col("c").cast("double") *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("acf6"))
+    }
+    mom
+      .withColumn("band6",
+        floor(lit(1.96) / sqrt(col("n").cast("double")) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("kr", explode(array(acfCols: _*)))
+      .select(col("user_id"), col("event_type"),
+        col("kr.k").as("k"), col("n").as("n_diffs"),
+        col("kr.acf6").as("acf6"), col("band6"),
+        when(abs(col("kr.acf6")) > col("band6"), 1).otherwise(0)
+          .as("sig_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("k"))
+  }
+
   /** q79: VARIANCE-drift screen per event type — the Brown–Forsythe
     * test (Brown & Forsythe 1974; Levene with the median center),
     * closing the drift-family triangle: q61's PSI sees occupancy
@@ -3876,6 +3934,59 @@ object SignalOracle {
       |    AS white_reject_flag
       |FROM q
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** q88: q78's exact residual machinery widened to 10 lags, per-lag
+    * rows via UNION ALL of the same quantized r_k formulas.
+    */
+  val q88: String = {
+    val lagCols = (1 to 10).map(k => s"lag(e, $k) OVER w AS e$k")
+      .mkString(",\n      |    ")
+    val aCols = (1 to 10).map(k =>
+      s"sum(CAST(e AS HUGEINT) * e$k) AS a$k").mkString(",\n      |    ")
+    val branches = (1 to 10).map(k =>
+      s"""SELECT user_id, event_type, $k AS k, n,
+         |  CASE WHEN c > 0 THEN
+         |    CAST(floor(CAST(a$k AS DOUBLE) / CAST(c AS DOUBLE)
+         |      * 1000000.0 + 0.5) AS BIGINT) END AS acf6, band6
+         |FROM mom""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), df AS (
+      |  SELECT *, v4l - lag(v4l) OVER w AS d
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), dd AS (
+      |  SELECT * FROM df WHERE d IS NOT NULL
+      |), ce AS (
+      |  SELECT *,
+      |    CAST(count(*) OVER wk AS BIGINT) * d
+      |      - CAST(sum(d) OVER wk AS BIGINT) AS e
+      |  FROM dd
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), lg AS (
+      |  SELECT *,
+      |    $lagCols
+      |  FROM ce
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), mom AS (
+      |  SELECT user_id, event_type, count(*) AS n,
+      |    CAST(floor(1.96 / sqrt(CAST(count(*) AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS band6,
+      |    sum(CAST(e AS HUGEINT) * e) AS c,
+      |    $aCols
+      |  FROM lg GROUP BY 1, 2 HAVING count(*) >= 12
+      |), rows12 AS (
+      |  $branches
+      |)
+      |SELECT user_id, event_type, CAST(k AS INT) AS k, n AS n_diffs,
+      |  acf6, band6,
+      |  CAST(CASE WHEN abs(acf6) > band6 THEN 1 ELSE 0 END AS INT)
+      |    AS sig_flag
+      |FROM rows12
+      |ORDER BY user_id, event_type, k""".stripMargin
+  }
 
   /** q79: q69's era split, per-era exact lower medians, exact HUGEINT
     * Brown–Forsythe ingredients, the one shared IEEE F chain.

@@ -847,6 +847,39 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"want <=1 hash exchange, got $exchanges:\n$plan")
   }
 
+  test("q88 acf table: lag-1 matches q78's acf1, the smoothed series " +
+      "flags low lags, the white one stays inside the band") {
+    import spark.implicits._
+    def write(vals: Seq[Double]): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, "x", i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q88spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    val smooth = (0 until 48).scanLeft(10.0) { (v, i) =>
+      v + (if ((i / 4) % 2 == 0) 0.5 else -0.5)
+    }
+    val tmp = write(smooth)
+    val acf = SignalOps.q88AcfTable(spark, tmp).collect()
+      .map(r => r.getAs[Int]("k") -> r).toMap
+    assert(acf.size == 10)
+    val q78row = SignalOps.q78LjungBox(spark, tmp).collect().head
+    assert(acf(1).getAs[Long]("acf6") == q78row.getAs[Long]("acf1_6"))
+    assert(acf(1).getAs[Int]("sig_flag") == 1, acf(1).toString)
+    // the 4-up/4-down square wave anticorrelates at its half period
+    assert(acf(4).getAs[Long]("acf6") < 0, acf(4).toString)
+    val white = Seq(-1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1,
+      1, 1, -1, 1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1,
+      1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1)
+      .map(_ * 0.5).scanLeft(10.0)(_ + _)
+    val w = SignalOps.q88AcfTable(spark, write(white)).collect()
+    assert(w.count(_.getAs[Int]("sig_flag") == 1) == 0,
+      w.filter(_.getAs[Int]("sig_flag") == 1).mkString("\n"))
+  }
+
   test("q79 variance drift: a noise-doubled second era flags while a " +
       "pure mean shift stays quiet") {
     import spark.implicits._
