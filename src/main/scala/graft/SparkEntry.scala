@@ -165,6 +165,8 @@ object SparkEntry {
       graft.text.TextFns.t18RagChunk(s, d)),
     "t19_ngram_novelty"  -> ((s, d) =>
       graft.text.TextFns.t19NgramNovelty(s, d)),
+    "t20_kneser_ney"     -> ((s, d) =>
+      graft.text.TextFns.t20KneserNey(s, d)),
     "d08_decontaminate"  -> ((s, d) =>
       graft.dedup.Decontaminate.contaminated(s, d)),
     "d08_clean_corpus"   -> ((s, d) =>
@@ -348,6 +350,7 @@ object SparkEntry {
     "t17_oov_rate"       -> LlmOracle.t17,
     "t18_rag_chunk"      -> LlmOracle.t18,
     "t19_ngram_novelty"  -> LlmOracle.t19,
+    "t20_kneser_ney"     -> LlmOracle.t20,
     "d08_decontaminate"  -> LlmOracle.d08,
     "d08_clean_corpus"   -> LlmOracle.d08Clean,
     "d09_importance_sample" -> LlmOracle.d09,

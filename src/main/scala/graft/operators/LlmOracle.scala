@@ -1504,6 +1504,43 @@ object LlmOracle {
        |  (CAST(sum(nll9) AS DOUBLE) / 1.0e9) / count(*) AS avg_nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t20: Kneser–Ney bigram perplexity — exact BIGINT type/token
+    * counts, the interpolated-KN probability as the SAME IEEE operator
+    * tree as the Spark side, one ln() per bigram type quantized at
+    * 1e-9, order-free per-doc BIGINT sums.
+    */
+  val t20: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all($Norm, '[a-z0-9]+') AS toks
+       |  FROM documents
+       |), bg AS (
+       |  SELECT doc_id, b[1] AS v, b[2] AS w FROM (
+       |    SELECT doc_id,
+       |      unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)])) AS b
+       |    FROM tk WHERE len(toks) >= 2
+       |  )
+       |), cvw AS (
+       |  SELECT v, w, count(*) AS cvw FROM bg GROUP BY 1, 2
+       |), cv AS (
+       |  SELECT v, sum(cvw) AS cv, count(*) AS n1v FROM cvw GROUP BY 1
+       |), n1w AS (
+       |  SELECT w, count(*) AS n1w FROM cvw GROUP BY 1
+       |), n1tot AS (
+       |  SELECT count(*) AS n1tot FROM cvw
+       |), scored AS (
+       |  SELECT bg.doc_id,
+       |    CAST(floor(-ln(
+       |      (CAST(cvw AS DOUBLE) - 0.75) / CAST(cv AS DOUBLE)
+       |        + (0.75 * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE))
+       |          * (CAST(n1w AS DOUBLE) / CAST(n1tot AS DOUBLE))
+       |    ) * 1.0e9 + 0.5) AS BIGINT) AS nll9
+       |  FROM bg JOIN cvw USING (v, w) JOIN cv USING (v)
+       |    JOIN n1w USING (w) CROSS JOIN n1tot
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  (CAST(sum(nll9) AS DOUBLE) / 1.0e9) / count(*) AS avg_nll
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** s04: majority-vote kNN classification over the s01 top-k set —
     * tie-break (votes desc, nearest-neighbour rank, label).
     */

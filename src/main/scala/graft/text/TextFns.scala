@@ -905,4 +905,71 @@ object TextFns {
           .otherwise(0).as("boilerplate_flag"))
       .orderBy(col("doc_id"))
   }
+
+  /** t20: Kneser–Ney smoothed bigram perplexity — the standard LM
+    * smoothing upgrade over t08's add-1 (Kneser & Ney 1995; Chen &
+    * Goodman 1999 interpolated form with a fixed absolute discount
+    * D = 0.75):
+    *
+    *   P(w|v) = (c(v,w) − D)/c(v)
+    *          + (D · N1+(v,·)/c(v)) · (N1+(·,w)/N1+(··))
+    *
+    * where N1+(v,·) = distinct continuations of context v, N1+(·,w) =
+    * distinct contexts preceding w, N1+(··) = distinct bigram types —
+    * the continuation distribution that makes "francisco" cheap only
+    * after "san". Scoring the corpus itself means every scored bigram
+    * has c(v,w) ≥ 1, so P > 0 without an unseen-word backstop.
+    *
+    * Exactness: every model quantity is an exact BIGINT off ONE
+    * bigram-type table; P is one fixed IEEE double expression over
+    * those counts (identical operator tree in the oracle) and the
+    * per-bigram nll is one ln() quantized to 1e-9 (t08 posture), so
+    * per-doc sums are order-free and the hash exact.
+    *
+    * Scale shape: identical to t08 — bigrams are row-local slice+zip,
+    * the model is map-side-combined groupBys over the Zipf-compact
+    * (v,w) type table (checkpointed once, reused by all four count
+    * aggregates), N1+(··) is a 1-row broadcast, and scoring re-joins
+    * the checkpointed per-doc multiplicity table on the bigram key.
+    */
+  def t20KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val arr = regexp_extract_all(normText(col("text")),
+      lit("[a-z0-9]+"), lit(0))
+    val dvw = docs
+      .select(col("doc_id"), arr.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("v"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w"))).as("b"))
+      .groupBy(col("doc_id"), col("b.v").as("v"), col("b.w").as("w"))
+      .agg(count(lit(1)).as("mult"))
+      .localCheckpoint()
+    // the bigram TYPE table: cvw feeds the token counts, its row
+    // counts per v / per w / total are the N1+ type statistics
+    val cvw = dvw.groupBy(col("v"), col("w"))
+      .agg(sum(col("mult")).as("cvw"))
+      .localCheckpoint()
+    val cv = cvw.groupBy(col("v"))
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+    val n1w = cvw.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+    val n1tot = cvw.agg(count(lit(1)).as("n1tot"))
+    dvw
+      .join(cvw, Seq("v", "w"))
+      .join(cv, Seq("v"))
+      .join(n1w, Seq("w"))
+      .crossJoin(broadcast(n1tot))
+      .withColumn("p",
+        (col("cvw").cast("double") - lit(0.75)) / col("cv").cast("double")
+          + (lit(0.75) * col("n1v").cast("double") /
+              col("cv").cast("double")) *
+            (col("n1w").cast("double") / col("n1tot").cast("double")))
+      .withColumn("nll9",
+        floor(-log(col("p")) * lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mult")).as("n_bigrams"),
+        ((sum(col("mult") * col("nll9")) / lit(1.0e9)) /
+          sum(col("mult"))).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -35,6 +35,36 @@ class TextSearchSpec extends AnyFunSuite {
       b.getAs[Int]("n_sentences") == 1, b.toString)
   }
 
+  test("t20 Kneser-Ney: exact interpolated-KN probabilities by hand") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t20spec").toString
+    Seq(
+      (0L, "a b a b a c", "en", "w", 11L),
+      (1L, "a b", "en", "w", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // model: c(a,b)=3 c(b,a)=2 c(a,c)=1; c(a·)=4 c(b·)=2;
+    // N1+(a,·)=2 N1+(b,·)=1; N1+(·,a)=N1+(·,b)=N1+(·,c)=1; N1+(··)=3
+    val pAB = (3.0 - 0.75) / 4.0 + (0.75 * 2.0 / 4.0) * (1.0 / 3.0) // 0.6875
+    val pBA = (2.0 - 0.75) / 2.0 + (0.75 * 1.0 / 2.0) * (1.0 / 3.0) // 0.75
+    val pAC = (1.0 - 0.75) / 4.0 + (0.75 * 2.0 / 4.0) * (1.0 / 3.0) // 0.1875
+    // over v=a the full-vocab mass is exactly 1 (discount mass routed
+    // through the continuation distribution): (2.25+0.25)/4 + 0.375 = 1
+    def n9(p: Double) = math.floor(-math.log(p) * 1e9 + 0.5).toLong
+    val out = TextFns.t20KneserNey(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_bigrams") == 5L, d0.toString)
+    val exp0 = ((2 * n9(pAB) + 2 * n9(pBA) + n9(pAC)) / 1.0e9) / 5L
+    assert(d0.getAs[Double]("avg_nll") == exp0, d0.toString)
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_bigrams") == 1L &&
+      d1.getAs[Double]("avg_nll") == (n9(pAB) / 1.0e9) / 1L, d1.toString)
+    // smoothing sanity: the KN nll of the frequent bigram is lower
+    // than its rare-continuation sibling
+    assert(n9(pAB) < n9(pAC))
+  }
+
   test("t14 Zipf fit: natural curve near -1, flat template exactly 0") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("t14spec").toString
