@@ -59,6 +59,8 @@ object SparkEntry {
     "q84_mann_whitney"   -> ((s, d) => SignalOps.q84MannWhitney(s, d)),
     "q85_weekday_anova"  -> ((s, d) => SignalOps.q85WeekdayAnova(s, d)),
     "q88_acf_table"      -> ((s, d) => SignalOps.q88AcfTable(s, d)),
+    "q89_drawdown"       -> ((s, d) => SignalOps.q89Drawdown(s, d)),
+    "q90_theil_sen"      -> ((s, d) => SignalOps.q90TheilSen(s, d)),
     "p09_drift_panel"    -> ((s, d) => SignalOps.p09DriftPanel(s, d)),
     "q83_seasonal_strength" ->
       ((s, d) => Decompose.q83SeasonalStrength(s, d)),
@@ -306,6 +308,8 @@ object SparkEntry {
     "q84_mann_whitney"   -> SignalOracle.q84,
     "q85_weekday_anova"  -> SignalOracle.q85,
     "q88_acf_table"      -> SignalOracle.q88,
+    "q89_drawdown"       -> SignalOracle.q89,
+    "q90_theil_sen"      -> SignalOracle.q90,
     "q86_ohlc_bars"      -> SignalOracle.q86,
     "q87_json_extract" ->
       """WITH e AS (

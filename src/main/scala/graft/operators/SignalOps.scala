@@ -817,12 +817,16 @@ object SignalOps {
     * any engine. Subsequences with no admissible neighbor (possible
     * near n = 2m) are excluded on both engines; keys need n ≥ 2m.
     *
-    * Scale shape: q14/q54's ONE groupByKey exchange; the O(n²·m)
-    * pairwise scan is the matrix profile's inherent cost, paid
-    * PER KEY in one task with zero shuffle amplification — tickers
-    * process independently, and per-key history is bounded (the
-    * windowed-feed shape st02 shards on). For one monster series,
-    * the STOMP O(n²) recurrence is the documented in-task upgrade.
+    * Scale shape: q14/q54's ONE groupByKey exchange; the in-task scan
+    * is the STOMP diagonal recurrence (Zhu et al. 2016): along each
+    * diagonal j−i = c, D²(i+1,j+1) = D²(i,j) − (v_i−v_j)² +
+    * (v_{i+m}−v_{j+m})² — O(n²) total instead of the naive O(n²·m),
+    * each admissible pair visited ONCE with the symmetric min folded
+    * into both endpoints. All updates are exact long adds, so the
+    * profile is bit-identical to the naive double loop (the spec
+    * asserts it). Paid PER KEY in one task with zero shuffle
+    * amplification — tickers process independently, and per-key
+    * history is bounded (the windowed-feed shape st02 shards on).
     */
   def q63Discord(s: SparkSession, dir: String, m: Int = 4): DataFrame = {
     import s.implicits._
@@ -840,24 +844,32 @@ object SignalOps {
         else {
           val v = evs.map(_._5).toArray
           val ns = n - m + 1
+          val nn = Array.fill(ns)(Long.MaxValue)
+          var c = m // diagonal offset j - i; admissibility is c >= m
+          while (c < ns) {
+            var d = 0L
+            var k = 0
+            while (k < m) { val t = v(k) - v(c + k); d += t * t; k += 1 }
+            var i = 0
+            while (i + c < ns) {
+              if (d < nn(i)) nn(i) = d
+              if (d < nn(i + c)) nn(i + c) = d
+              if (i + c + 1 < ns) {
+                val t0 = v(i) - v(i + c)
+                val t1 = v(i + m) - v(i + c + m)
+                d = d - t0 * t0 + t1 * t1
+              }
+              i += 1
+            }
+            c += 1
+          }
           var bestI = -1
           var bestD = -1L
           var i = 0
           while (i < ns) {
-            var nn = Long.MaxValue
-            var j = 0
-            while (j < ns) {
-              if (math.abs(i - j) >= m) {
-                var d = 0L
-                var k = 0
-                while (k < m) {
-                  val t = v(i + k) - v(j + k); d += t * t; k += 1
-                }
-                if (d < nn) nn = d
-              }
-              j += 1
+            if (nn(i) != Long.MaxValue && nn(i) > bestD) {
+              bestD = nn(i); bestI = i
             }
-            if (nn != Long.MaxValue && nn > bestD) { bestD = nn; bestI = i }
             i += 1
           }
           Iterator.single((key._1, key._2, ns, bestI + 1,
@@ -2115,6 +2127,111 @@ object SignalOps {
         when(abs(col("mw_z6")) > lit(1960000L), 1).otherwise(0)
           .as("location_shift_flag"))
       .orderBy(col("event_type"))
+  }
+
+  /** q89: drawdown profile per series — the running-peak diagnostic
+    * every market/telemetry monitor reports: per (ticker, event_type)
+    * the all-time peak, the maximum drawdown from a running peak
+    * (absolute and as a 1e-6 fraction of the peak then in force),
+    * time underwater, and the LONGEST underwater run (gaps-and-
+    * islands over the dd > 0 flag — q07's island machinery applied
+    * to the running-max residual).
+    *
+    * Exactness: everything runs on 1e-4 fixed-point longs; the
+    * fraction is one BIGINT integer division (non-negative, so trunc
+    * ≡ floor on both engines) and guarded to peaks > 0.
+    *
+    * Scale shape: ONE hash exchange on the series key — running max,
+    * row_number, and the cumulative underwater sum all share the
+    * (user_id, event_type) sort; the island roll-up and the final
+    * stats are map-side-combinable aggregates over that same
+    * partitioning, so Catalyst reuses the exchange. Series are
+    * calendar-bounded, keys are the parallelism axis.
+    */
+  def q89Drawdown(s: SparkSession, dir: String): DataFrame = {
+    val key = Seq(col("user_id"), col("event_type"))
+    val wOrd = Window.partitionBy(key: _*).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("peak4", max(col("v4l")).over(wRun))
+      .withColumn("dd4", col("peak4") - col("v4l"))
+      .withColumn("uw", when(col("dd4") > 0, 1).otherwise(0))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("grp", col("rn") - sum(col("uw")).over(wRun))
+    val stats = base
+      .groupBy(key: _*)
+      .agg(count(lit(1)).as("n_obs"),
+        (max(col("v4l")) / lit(10000.0)).as("peak"),
+        (max(col("dd4")) / lit(10000.0)).as("max_drawdown"),
+        max(when(col("peak4") > 0, expr("dd4 * 1000000L div peak4")))
+          .as("max_dd_frac6"),
+        sum(col("uw")).cast("long").as("n_underwater"))
+    val runs = base.filter(col("uw") === 1)
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("len")).as("mur"))
+    stats
+      .join(runs, Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"), col("n_obs"), col("peak"),
+        col("max_drawdown"), col("max_dd_frac6"), col("n_underwater"),
+        coalesce(col("mur"), lit(0L)).as("max_underwater_run"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q90: Theil–Sen robust trend — the median of all pairwise daily
+    * slopes (Theil 1950; Sen 1968), the breakdown-resistant contrast
+    * to q82's OLS the way q80's Spearman contrasts q59's Pearson: a
+    * single bad-feed day drags an OLS slope arbitrarily far but moves
+    * the pairwise-slope median by one rank.
+    *
+    * The series is first collapsed to per-day CLOSES (q86's last-print
+    * convention) so the pair set is calendar-bounded — O(d²) with
+    * d ≤ days-per-series, INDEPENDENT of corpus row count; the pair
+    * join is key-local after one exchange on the series key. Each
+    * slope is one IEEE division of exact ints quantized at 1e-6; the
+    * median is q42's deterministic lower-median SELECTION (an input
+    * value, never an interpolation).
+    */
+  def q90TheilSen(s: SparkSession, dir: String,
+      minObs: Int = 5): DataFrame = {
+    val key = Seq(col("user_id"), col("event_type"))
+    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
+      col("day")).orderBy(col("ts").desc, col("event_id").desc)
+    val wKeyAll = Window.partitionBy(key: _*)
+    val closes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("rd", row_number().over(wDay))
+      .filter(col("rd") === 1)
+      .withColumn("x",
+        datediff(col("day"), min(col("day")).over(wKeyAll)).cast("long"))
+      .withColumn("n_obs", count(lit(1)).over(wKeyAll))
+      .filter(col("n_obs") >= minObs) // prune thin series BEFORE pairing
+      .select(col("user_id"), col("event_type"), col("n_obs"), col("x"),
+        col("v4l").as("y"))
+    val a = closes.select(col("user_id"), col("event_type"), col("n_obs"),
+      col("x").as("xi"), col("y").as("yi"))
+    val b = closes.select(col("user_id"), col("event_type"),
+      col("x").as("xj"), col("y").as("yj"))
+    val slopes = a.join(b, Seq("user_id", "event_type"))
+      .filter(col("xj") > col("xi"))
+      .withColumn("slope6",
+        floor((col("yj") - col("yi")).cast("double") /
+          (col("xj") - col("xi")).cast("double") * lit(100.0) + lit(0.5))
+          .cast("long"))
+    val wRank = Window.partitionBy(key: _*)
+      .orderBy(col("slope6"), col("xi"), col("xj"))
+    slopes
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n_pairs", count(lit(1)).over(wKeyAll))
+      .filter(col("rk") === floor((col("n_pairs") + 1) / 2))
+      .select(col("user_id"), col("event_type"), col("n_obs"),
+        col("n_pairs"), col("slope6").as("theil_sen_slope6"))
+      .orderBy(col("user_id"), col("event_type"))
   }
 }
 
@@ -4424,4 +4541,92 @@ object SignalOracle {
       |    THEN 1 ELSE 0 END AS INT) AS spc_flag
       |FROM f
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** q89: running-peak drawdown stats + gaps-and-islands underwater
+    * runs, all on 1e-4 longs; the fraction is one BIGINT trunc
+    * division over non-negative operands.
+    */
+  val q89: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), r AS (
+      |  SELECT *,
+      |    max(v4l) OVER w AS peak4,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), d AS (
+      |  SELECT *, peak4 - v4l AS dd4,
+      |    CASE WHEN peak4 - v4l > 0 THEN 1 ELSE 0 END AS uw
+      |  FROM r
+      |), g AS (
+      |  SELECT *, rn - sum(uw) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM d
+      |), runs AS (
+      |  SELECT user_id, event_type, max(len) AS mur FROM (
+      |    SELECT user_id, event_type, grp, count(*) AS len
+      |    FROM g WHERE uw = 1 GROUP BY 1, 2, 3
+      |  ) GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT user_id, event_type, count(*) AS n_obs,
+      |    max(v4l) / 10000.0 AS peak,
+      |    max(dd4) / 10000.0 AS max_drawdown,
+      |    max(CASE WHEN peak4 > 0 THEN dd4 * 1000000 // peak4 END)
+      |      AS max_dd_frac6,
+      |    CAST(sum(uw) AS BIGINT) AS n_underwater
+      |  FROM g GROUP BY 1, 2
+      |)
+      |SELECT s.user_id, s.event_type, s.n_obs, s.peak, s.max_drawdown,
+      |  s.max_dd_frac6, s.n_underwater,
+      |  COALESCE(r2.mur, 0) AS max_underwater_run
+      |FROM stats s LEFT JOIN runs r2 USING (user_id, event_type)
+      |ORDER BY s.user_id, s.event_type""".stripMargin
+
+  /** q90: Theil–Sen — daily closes, all ordered pairs, one IEEE
+    * slope division quantized at 1e-6, q42's lower-median selection.
+    */
+  val q90: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), cl AS (
+      |  SELECT user_id, event_type, day, v4l AS y FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type, day
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |    FROM b
+      |  ) WHERE rd = 1
+      |), x AS (
+      |  SELECT user_id, event_type,
+      |    CAST(datediff('day', min(day) OVER (PARTITION BY user_id,
+      |      event_type), day) AS BIGINT) AS x,
+      |    y,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS n_obs
+      |  FROM cl
+      |), xf AS (
+      |  SELECT * FROM x WHERE n_obs >= 5
+      |), pr AS (
+      |  SELECT a.user_id, a.event_type, a.n_obs, a.x AS xi, b2.x AS xj,
+      |    CAST(floor(CAST(b2.y - a.y AS DOUBLE) /
+      |      CAST(b2.x - a.x AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS slope6
+      |  FROM xf a JOIN xf b2 USING (user_id, event_type)
+      |  WHERE b2.x > a.x
+      |), rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY slope6, xi, xj) AS rk,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS n_pairs
+      |  FROM pr
+      |)
+      |SELECT user_id, event_type, n_obs, n_pairs,
+      |  slope6 AS theil_sen_slope6
+      |FROM rk WHERE rk = CAST(floor((n_pairs + 1) / 2) AS BIGINT)
+      |ORDER BY user_id, event_type""".stripMargin
 }

@@ -53,6 +53,49 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(maxZ < 4.5, s"per-point z stays under the q09 threshold ($maxZ)")
   }
 
+  test("q89 drawdown: exact peak/drawdown/island stats on a planted path") {
+    import spark.implicits._
+    // path 10 8 9 7 12 11: peaks 10..10,12,12; dd 0 2 1 3 0 1;
+    // underwater flags 0 1 1 1 0 1 -> runs of 3 and 1
+    val vals = Seq(10.0, 8.0, 9.0, 7.0, 12.0, 11.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "dd", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:${i}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q89spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = SignalOps.q89Drawdown(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_obs") == 6L && row.getAs[Double]("peak") == 12.0)
+    assert(row.getAs[Double]("max_drawdown") == 3.0, row.toString)
+    // worst fraction: dd 3.0 against the 10.0 peak = 300000 ppm
+    assert(row.getAs[Long]("max_dd_frac6") == 300000L, row.toString)
+    assert(row.getAs[Long]("n_underwater") == 4L &&
+      row.getAs[Long]("max_underwater_run") == 3L, row.toString)
+  }
+
+  test("q90 Theil-Sen: outlier day leaves the pairwise-slope median put") {
+    import spark.implicits._
+    // clean daily closes y = 2 + x for 9 days, one wrecked day (+50):
+    // OLS slope moves ~unbounded, the Theil-Sen median stays 1.0/day
+    val df = (0 until 9).map { i =>
+      val v = if (i == 4) 56.0 else 2.0 + i
+      (1L, "ts", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-0${i + 1}%d 10:00:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q90spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = SignalOps.q90TheilSen(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_obs") == 9L &&
+      row.getAs[Long]("n_pairs") == 36L, row.toString)
+    // 8 of 36 pairs touch the outlier; the median pair slope is the
+    // clean 1.0/day = 1000000 at 1e-6
+    assert(row.getAs[Long]("theil_sen_slope6") == 1000000L, row.toString)
+  }
+
   test("q49 EWMA tracks a constant series exactly and flags a spike") {
     import spark.implicits._
     val vals = (1 to 30).map(i => if (i == 25) 100.0 else 5.0)
@@ -214,6 +257,41 @@ class SignalOpsSpec extends AnyFunSuite {
     val short = graft.operators.SignalOps
       .q63Discord(spark, write(Seq.fill(7)(10.0), "x")).collect()
     assert(short.isEmpty)
+  }
+
+  test("q63 STOMP recurrence matches the naive profile on an LCG series") {
+    import spark.implicits._
+    // deterministic pseudo-random walk: the STOMP diagonal updates
+    // must reproduce the naive O(n^2 m) scan bit-for-bit
+    val m = 4
+    var seed = 12345L
+    val vals = (0 until 60).map { _ =>
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      10.0 + (seed % 997).toDouble / 100.0
+    }
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (7L, "lcg", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:${i % 60}%02d:${i / 60}%02d"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q63stomp").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // naive reference on the same fixed-point longs
+    val v = vals.map(x => math.floor(x * 10000.0 + 0.5).toLong).toArray
+    val ns = v.length - m + 1
+    var bestI = -1; var bestD = -1L
+    for (i <- 0 until ns) {
+      var nn = Long.MaxValue
+      for (j <- 0 until ns if math.abs(i - j) >= m) {
+        var d = 0L
+        for (k <- 0 until m) { val t = v(i + k) - v(j + k); d += t * t }
+        if (d < nn) nn = d
+      }
+      if (nn != Long.MaxValue && nn > bestD) { bestD = nn; bestI = i }
+    }
+    val out = graft.operators.SignalOps.q63Discord(spark, tmp).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Int]("discord_seq") == bestI + 1, out.head.toString)
+    assert(out.head.getAs[Long]("discord_d2") == bestD, out.head.toString)
   }
 
   test("q64 trend: perfect ramp, sign symmetry, outlier-robust slope") {
