@@ -119,6 +119,8 @@ object SparkEntry {
     "d19_semantic_clusters" ->
       ((s, d) => graft.dedup.Dedup.semanticClusters(s, d)),
     "p10_quality_mix"    -> ((s, d) => Sampling.p10QualityMix(s, d)),
+    "p11_dedup_funnel"   -> ((s, d) =>
+      graft.operators.CorpusPipeline.p11DedupFunnel(s, d)),
     "d17_edit_distance_dedup" -> ((s, d) =>
       graft.dedup.Dedup.editDistanceDedup(s, d)),
     "d07_train_split"    -> Sampling.trainSplit _,
@@ -232,6 +234,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st21StreamSpc(s, d)),
     "st22_stream_ewma" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st22StreamEwma(s, d)),
+    "st24_stream_scd2" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st24StreamScd2(s, d)),
     "st23_stream_bars" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st23StreamBars(s, d)),
     "st20_stream_funnel" ->
@@ -284,6 +288,7 @@ object SparkEntry {
     "st21_stream_spc"    -> SignalOracle.st21,
     "st22_stream_ewma"   -> SignalOracle.st22,
     "st23_stream_bars"   -> SignalOracle.st23,
+    "st24_stream_scd2"   -> SignalOracle.st24,
     "st20_stream_funnel" -> SignalOracle.st20,
     "q53_hampel_filter"  -> SignalOracle.q53,
     "q55_cross_sectional" -> SignalOracle.q55,
@@ -366,6 +371,7 @@ object SparkEntry {
     "d18_token_budget"   -> LlmOracle.d18,
     "d19_semantic_clusters" -> LlmOracle.d19,
     "p10_quality_mix"    -> LlmOracle.p10,
+    "p11_dedup_funnel"   -> LlmOracle.p11,
     "d17_edit_distance_dedup" -> LlmOracle.d17,
     "d10_ngram_containment" -> LlmOracle.d10,
     "s04_knn_classify"   -> LlmOracle.s04,

@@ -341,4 +341,69 @@ object CorpusPipeline {
         col("n_tokens"), col("n_seqs"), col("pad_tokens"), col("checksum"))
       .orderBy(col("shard"))
   }
+
+  /** p11: the DEDUP FUNNEL report — per-stage attribution of the
+    * document dedup family over one corpus: how many docs each stage
+    * flags (exact d01 → containment d10 → n-gram Jaccard d04, cheap
+    * to expensive — the order a production pipeline runs them), how
+    * many are NEW at that stage (not already caught upstream — the
+    * number that justifies paying for the stage), the cumulative
+    * removal and the survivor count. The report a data lead reads
+    * before deciding which dedup passes a 100 TB crawl actually
+    * needs.
+    *
+    * Flag rule per stage: the standard greedy keep-smallest — a doc
+    * is flagged iff it is the non-canonical side (exact: id > group
+    * min; containment: the CONTAINED doc; Jaccard: the larger id of
+    * a qualifying pair).
+    *
+    * Scale shape: the three flag sets inherit their operators'
+    * bounded-candidate plans (digest groupBy / exact asymmetric
+    * prefix filter / PPJoin-capped inverted index); everything after
+    * is doc_id-set algebra — distinct + min-stage groupBys on a set
+    * no larger than the flagged docs — and the report itself is a
+    * 3-row spine (the unpartitioned cumsum window is over THREE
+    * rows, not data).
+    */
+  def p11DedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"))
+    val f1 = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+      .withColumn("keep", min(col("doc_id")).over(wH))
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("doc_id"))
+    val f2 = graft.dedup.Dedup.ngramContainment(s, dir)
+      .select(col("doc_contained").as("doc_id")).distinct()
+    val f3 = graft.dedup.Dedup.ngramJaccard(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val flags = f1.withColumn("stage", lit(1))
+      .unionByName(f2.withColumn("stage", lit(2)))
+      .unionByName(f3.withColumn("stage", lit(3)))
+      .localCheckpoint()
+    val nFlag = flags.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_flagged"))
+    val nNew = flags.groupBy(col("doc_id"))
+      .agg(min(col("stage")).as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_new"))
+    val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val spine = Seq((1, "exact"), (2, "containment"), (3, "jaccard"))
+      .toDF("stage", "stage_name")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("stage"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    spine
+      .join(nFlag, Seq("stage"), "left")
+      .join(nNew, Seq("stage"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_flagged", coalesce(col("n_flagged"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_removed", sum(col("n_new")).over(wCum))
+      .select(col("stage"), col("stage_name"), col("n_flagged"),
+        col("n_new"), col("cum_removed"),
+        (col("n_docs") - col("cum_removed")).as("survivors"))
+      .orderBy(col("stage"))
+  }
 }

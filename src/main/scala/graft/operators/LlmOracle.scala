@@ -2176,4 +2176,49 @@ object LlmOracle {
        |  CAST(CASE WHEN n_shared * 1000000 // n_grams > 500000
        |    THEN 1 ELSE 0 END AS INT) AS boilerplate_flag
        |FROM per ORDER BY doc_id""".stripMargin
+
+  /** p11: the dedup funnel — the three flag-set oracles composed
+    * verbatim (p05's pattern), then pure doc_id-set algebra over a
+    * 3-row spine.
+    */
+  val p11: String =
+    s"""WITH f1 AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      min(doc_id) OVER (PARTITION BY md5($Norm)) AS keep
+       |    FROM documents
+       |  ) WHERE doc_id <> keep
+       |), f2 AS (
+       |  SELECT DISTINCT doc_contained AS doc_id FROM ($d10)
+       |), f3 AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM ($d04)
+       |), fl AS (
+       |  SELECT 1 AS stage, doc_id FROM f1
+       |  UNION ALL SELECT 2 AS stage, doc_id FROM f2
+       |  UNION ALL SELECT 3 AS stage, doc_id FROM f3
+       |), nf AS (
+       |  SELECT stage, count(*) AS n_flagged FROM fl GROUP BY 1
+       |), fs AS (
+       |  SELECT doc_id, min(stage) AS stage FROM fl GROUP BY 1
+       |), nn AS (
+       |  SELECT stage, count(*) AS n_new FROM fs GROUP BY 1
+       |), tot AS (
+       |  SELECT count(*) AS n_docs FROM documents
+       |), st AS (
+       |  SELECT s.stage, s.stage_name,
+       |    COALESCE(nf.n_flagged, 0) AS n_flagged,
+       |    COALESCE(nn.n_new, 0) AS n_new
+       |  FROM (VALUES (1, 'exact'), (2, 'containment'), (3, 'jaccard'))
+       |    s(stage, stage_name)
+       |  LEFT JOIN nf ON nf.stage = s.stage
+       |  LEFT JOIN nn ON nn.stage = s.stage
+       |), cum AS (
+       |  SELECT *, CAST(sum(n_new) OVER (ORDER BY stage
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_removed
+       |  FROM st
+       |)
+       |SELECT stage, stage_name, n_flagged, n_new, cum_removed,
+       |  n_docs - cum_removed AS survivors
+       |FROM cum CROSS JOIN tot ORDER BY stage""".stripMargin
 }

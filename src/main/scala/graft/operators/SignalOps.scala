@@ -4629,4 +4629,39 @@ object SignalOracle {
       |  slope6 AS theil_sen_slope6
       |FROM rk WHERE rk = CAST(floor((n_pairs + 1) / 2) AS BIGINT)
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** st24: the batch temporal join the streaming SCD2 enrichment must
+    * equal — q76's version chain composed verbatim, then events
+    * joined on key + half-open validity interval.
+    */
+  val st24: String =
+    """WITH b AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    o_orderpriority,
+      |    lag(o_orderstatus) OVER w AS p_status,
+      |    lag(o_orderpriority) OVER w AS p_prio
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey)
+      |), ch AS (
+      |  SELECT * FROM b
+      |  WHERE p_status IS NULL OR p_status <> o_orderstatus
+      |     OR p_prio <> o_orderpriority
+      |), v AS (
+      |  SELECT *, CAST(row_number() OVER w2 AS INT) AS version,
+      |    lead(o_orderdate) OVER w2 AS valid_to
+      |  FROM ch
+      |  WINDOW w2 AS (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey)
+      |), e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events
+      |)
+      |SELECT e.event_id, e.user_id, e.ts, e.event_type, v.version,
+      |  v.o_orderstatus AS status, v.o_orderpriority AS priority
+      |FROM e JOIN v ON e.user_id = v.o_custkey
+      |  AND e.day >= v.o_orderdate
+      |  AND (v.valid_to IS NULL OR e.day < v.valid_to)
+      |ORDER BY e.event_id, v.version""".stripMargin
 }

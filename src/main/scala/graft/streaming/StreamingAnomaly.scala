@@ -1545,6 +1545,48 @@ object StreamingAnomaly {
   def st23StreamBars(s: SparkSession, dir: String): DataFrame =
     st23FromStream(s, eventStream(s, dir))
 
+  /** st24: streaming SCD2 TEMPORAL enrichment — st05's stream-static
+    * join upgraded from "latest attributes" to AS-OF-event-time
+    * attributes: each live event joins the q76 slowly-changing
+    * dimension on key AND validity interval (valid_from ≤ event day <
+    * valid_to, half-open — the standard warehouse lookup), so a
+    * replayed or late event gets the version that was TRUE at its
+    * event time, not today's row. The join is stateless (static side
+    * broadcast, re-planned per micro-batch so a dim rebuild is picked
+    * up live); intervals partition time per key, so each event emits
+    * at most one enriched row the moment it arrives.
+    *
+    * Scale shape: the stream side NEVER shuffles — broadcast hash
+    * join against the version table (dims are key-cardinality-sized,
+    * the st05 posture); the validity predicate rides the same
+    * broadcast probe. No watermark/state: temporal lookup is a pure
+    * enrichment. Fully oracle-backed (the batch temporal join over
+    * the composed q76 SQL).
+    */
+  def st24StreamScd2(s: SparkSession, dir: String): DataFrame = {
+    val name = s"st24_out_${counter.incrementAndGet()}"
+    val dim = graft.operators.Relational.q76Scd2(s, dir)
+      .select(col("o_custkey"), col("version"), col("status"),
+        col("priority"), col("valid_from"), col("valid_to"))
+    val enriched = eventStream(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .join(broadcast(dim),
+        col("user_id") === col("o_custkey") &&
+          col("day") >= col("valid_from") &&
+          (col("valid_to").isNull || col("day") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("version"), col("status"), col("priority"))
+    withStatePartitions(s, 8) {
+      val q = enriched.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name).orderBy(col("event_id"), col("version"))
+  }
+
   /** st17 per-ticker streaming Holt-Winters state: the dyadic
     * level/trend pair, the 7-slot seasonal ring (Long.MinValue =
     * phase not yet seen this segment), the segment-local row index

@@ -1320,4 +1320,38 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("bpe_tokens").head().getLong(0)
     assert(sing == 2L, s"sing = s + ing, got $sing") // not s+in+g = 3
   }
+
+  test("p11 dedup funnel: per-stage attribution on a planted corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("p11").toString
+    // 19 shared words -> 18 bigrams; doc1 = exact copy of doc0;
+    // doc2 = doc0 + 6-word tail (containment 1.0, Jaccard 18/24 = .75);
+    // doc3 swaps the last two words (16 shared bigrams of 18 each:
+    // Jaccard 16/20 = .8 exactly, containment 16/18 = .889 < .9);
+    // doc4 unrelated
+    val base = (1 to 19).map(i => s"a$i").mkString(" ")
+    val d2 = base + " " + (1 to 6).map(i => s"b$i").mkString(" ")
+    val d3 = (1 to 17).map(i => s"a$i").mkString(" ") + " c1 c2"
+    Seq((0L, base, "en", "s", base.length.toLong),
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, d2, "en", "s", d2.length.toLong),
+      (3L, d3, "en", "s", d3.length.toLong),
+      (4L, "zz yy xx ww vv", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.CorpusPipeline.p11DedupFunnel(spark, tmp)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // exact flags {1}; containment flags {0,1} (0<->1 mutual, 0->2,
+    // 1->2); jaccard flags {1,3} — so new-per-stage is 1/1/1
+    def chk(st: Int, nf: Long, nn: Long, cum: Long): Unit = {
+      val r = out(st)
+      assert(r.getAs[Long]("n_flagged") == nf &&
+        r.getAs[Long]("n_new") == nn &&
+        r.getAs[Long]("cum_removed") == cum &&
+        r.getAs[Long]("survivors") == 5L - cum, s"stage $st: $r")
+    }
+    chk(1, 1L, 1L, 1L)
+    chk(2, 2L, 1L, 2L)
+    chk(3, 2L, 1L, 3L)
+  }
 }

@@ -1019,4 +1019,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(rocks.length == hdfs(n).length && rocks.sameElements(hdfs(n)), n)
     } finally spark.conf.unset(key)
   }
+
+  test("st24 temporal SCD2 lookup enriches each event with its as-of " +
+    "version") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("st24").toString
+    // customer 1: status O until 01-10, F after (two SCD2 versions)
+    Seq((1L, 100L, java.sql.Date.valueOf("2024-01-01"), "O", "1-URGENT"),
+      (1L, 101L, java.sql.Date.valueOf("2024-01-05"), "O", "1-URGENT"),
+      (1L, 102L, java.sql.Date.valueOf("2024-01-10"), "F", "1-URGENT"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus",
+        "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq(
+      // before any version: dropped
+      (1L, java.sql.Timestamp.valueOf("2023-12-25 08:00:00"), 1L, "v", 1.0,
+        ""),
+      // inside version 1's half-open interval
+      (2L, java.sql.Timestamp.valueOf("2024-01-05 09:00:00"), 1L, "v", 1.0,
+        ""),
+      // ON the change day: the NEW version owns it (half-open)
+      (3L, java.sql.Timestamp.valueOf("2024-01-10 00:30:00"), 1L, "v", 1.0,
+        ""),
+      // unknown customer: dropped
+      (4L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 9L, "v", 1.0,
+        ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st24StreamScd2(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 3L), out.toString)
+    assert(out(2L).getAs[Int]("version") == 1 &&
+      out(2L).getAs[String]("status") == "O", out(2L).toString)
+    assert(out(3L).getAs[Int]("version") == 2 &&
+      out(3L).getAs[String]("status") == "F", out(3L).toString)
+  }
 }
