@@ -61,6 +61,9 @@ object SparkEntry {
     "q88_acf_table"      -> ((s, d) => SignalOps.q88AcfTable(s, d)),
     "q89_drawdown"       -> ((s, d) => SignalOps.q89Drawdown(s, d)),
     "q90_theil_sen"      -> ((s, d) => SignalOps.q90TheilSen(s, d)),
+    "q91_variance_ratio" -> ((s, d) => SignalOps.q91VarianceRatio(s, d)),
+    "t21_blocklist"      -> ((s, d) =>
+      graft.text.TextFns.t21Blocklist(s, d)),
     "p09_drift_panel"    -> ((s, d) => SignalOps.p09DriftPanel(s, d)),
     "q83_seasonal_strength" ->
       ((s, d) => Decompose.q83SeasonalStrength(s, d)),
@@ -210,6 +213,8 @@ object SparkEntry {
         AnomalyConfig(dataPeriods = 28))),
     "st03_stream_dedup" -> graft.streaming.StreamingAnomaly.st03StreamDedup _,
     "q47_orc_roundtrip"  -> graft.sources.Sources.orcRoundtrip _,
+    "q92_partitioned_write" ->
+      graft.sources.Sources.q92PartitionedWrite _,
     "st05_stream_static_join" ->
       graft.streaming.StreamingAnomaly.st05StreamStaticJoin _,
     "st04_stream_stream_join" ->
@@ -315,6 +320,14 @@ object SparkEntry {
     "q88_acf_table"      -> SignalOracle.q88,
     "q89_drawdown"       -> SignalOracle.q89,
     "q90_theil_sen"      -> SignalOracle.q90,
+    "q91_variance_ratio" -> SignalOracle.q91,
+    "t21_blocklist"      -> LlmOracle.t21,
+    "q92_partitioned_write" ->
+      """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_v4
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q86_ohlc_bars"      -> SignalOracle.q86,
     "q87_json_extract" ->
       """WITH e AS (

@@ -2177,6 +2177,40 @@ object LlmOracle {
        |    THEN 1 ELSE 0 END AS INT) AS boilerplate_flag
        |FROM per ORDER BY doc_id""".stripMargin
 
+  /** t21: blocklist screening — t09's planted-term pattern, the same
+    * RE2∩Java word-boundary lexicons, integer counts and verdict.
+    */
+  val t21: String = {
+    val spam = graft.text.TextFns.SpamRe
+    val boiler = graft.text.TextFns.BoilerRe
+    val adult = graft.text.TextFns.AdultRe
+    s"""WITH pl AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN ' please buy now winner'
+       |      ELSE '' END) ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN ' all rights reserved click here'
+       |      ELSE '' END) ||
+       |    (CASE WHEN doc_id % 9 = 0 THEN ' nsfw' ELSE '' END) AS planted
+       |  FROM documents
+       |), nr AS (
+       |  SELECT doc_id,
+       |    lower(regexp_replace(trim(planted), '\\s+', ' ', 'g')) AS p
+       |  FROM pl
+       |), c AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(p, '$spam')) AS INT) AS n_spam,
+       |    CAST(len(regexp_extract_all(p, '$boiler')) AS INT) AS n_boiler,
+       |    CAST(len(regexp_extract_all(p, '$adult')) AS INT) AS n_adult
+       |  FROM nr
+       |)
+       |SELECT doc_id, n_spam, n_boiler, n_adult,
+       |  CAST(n_spam + n_boiler + n_adult AS INT) AS n_blocked,
+       |  CAST(CASE WHEN n_adult > 0 OR n_spam + n_boiler >= 2
+       |    THEN 1 ELSE 0 END AS INT) AS blocked_flag
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** p11: the dedup funnel — the three flag-set oracles composed
     * verbatim (p05's pattern), then pure doc_id-set algebra over a
     * 3-row spine.

@@ -2233,6 +2233,67 @@ object SignalOps {
         col("n_pairs"), col("slope6").as("theil_sen_slope6"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q91: VARIANCE-RATIO random-walk test (Lo & MacKinlay 1988) — the
+    * market-microstructure diagnostic of the family: for a random
+    * walk, Var(q-period diff) = q · Var(1-period diff); VR > 1 means
+    * momentum/trending, VR < 1 mean reversion — an over-smoothed or
+    * interpolated feed shows VR ≪ 1 long before any point detector
+    * complains (the spec plants exactly that).
+    *
+    *   VR = [Var̂(v_t − v_{t−q}) / q] / Var̂(v_t − v_{t−1}),  q = 4
+    *
+    * Exactness: both diff sets are exact longs off ONE key-sorted
+    * window pass; each sample variance enters as the exact integer
+    * combination n·Σx² − (Σx)² (decimal(38,0)) and the VR is one
+    * fixed IEEE chain over those integers, 1e-6-floored; the verdict
+    * thresholds (0.8 / 1.2) compare the quantized long.
+    *
+    * Scale shape: ONE hash exchange on the series key — both lag
+    * windows share the (ts, event_id) sort and feed one
+    * map-side-combined groupBy; series are calendar-bounded so the
+    * decimal moments stay far from the 1e38 rail (q60's overflow
+    * class, pre-empted the same way).
+    */
+  def q91VarianceRatio(s: SparkSession, dir: String, q: Int = 4,
+      minObs: Int = 12): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val wOrd = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("r1", col("v4l") - lag(col("v4l"), 1).over(wOrd))
+      .withColumn("rq", col("v4l") - lag(col("v4l"), q).over(wOrd))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("r1")).as("n1"), sum(col("r1")).as("s11"),
+        sum((d19(col("r1")) * d19(col("r1"))).cast("decimal(38,0)"))
+          .as("s21"),
+        count(col("rq")).as("nq"), sum(col("rq")).as("s1q"),
+        sum((d19(col("rq")) * d19(col("rq"))).cast("decimal(38,0)"))
+          .as("s2q"))
+      .filter(col("n") >= minObs)
+      .withColumn("num",
+        (dec(col("nq")) * col("s2q") - dec(col("s1q")) * dec(col("s1q")))
+          .cast("decimal(38,0)"))
+      .withColumn("den",
+        (dec(col("n1")) * col("s21") - dec(col("s11")) * dec(col("s11")))
+          .cast("decimal(38,0)"))
+      .withColumn("vr6",
+        when(col("den") > 0,
+          floor((col("num").cast("double") /
+              (col("nq") * (col("nq") - 1)).cast("double")) /
+            (lit(q.toDouble) * (col("den").cast("double") /
+              (col("n1") * (col("n1") - 1)).cast("double"))) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("user_id"), col("event_type"), col("n").as("n_obs"),
+        col("vr6"),
+        when(col("vr6") > 1200000L, 1)
+          .when(col("vr6") < 800000L, -1).otherwise(0).as("vr_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -4629,6 +4690,47 @@ object SignalOracle {
       |  slope6 AS theil_sen_slope6
       |FROM rk WHERE rk = CAST(floor((n_pairs + 1) / 2) AS BIGINT)
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** q91: variance ratio — the same exact integer moment
+    * combinations (HUGEINT ≡ decimal(38,0)) and the identical IEEE
+    * chain, 1e-6-floored.
+    */
+  val q91: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), r AS (
+      |  SELECT *,
+      |    v4l - lag(v4l, 1) OVER w AS r1,
+      |    v4l - lag(v4l, 4) OVER w AS rq
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), a AS (
+      |  SELECT user_id, event_type, count(*) AS n,
+      |    count(r1) AS n1, sum(r1) AS s11,
+      |    sum(CAST(r1 AS HUGEINT) * r1) AS s21,
+      |    count(rq) AS nq, sum(rq) AS s1q,
+      |    sum(CAST(rq AS HUGEINT) * rq) AS s2q
+      |  FROM r GROUP BY 1, 2
+      |), f AS (
+      |  SELECT *,
+      |    nq * s2q - CAST(s1q AS HUGEINT) * s1q AS num,
+      |    n1 * s21 - CAST(s11 AS HUGEINT) * s11 AS den
+      |  FROM a WHERE n >= 12
+      |), v2 AS (
+      |  SELECT user_id, event_type, n,
+      |    CASE WHEN den > 0 THEN
+      |      CAST(floor((CAST(num AS DOUBLE) / CAST(nq * (nq - 1) AS DOUBLE))
+      |        / (4.0 * (CAST(den AS DOUBLE) /
+      |            CAST(n1 * (n1 - 1) AS DOUBLE)))
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS vr6
+      |  FROM f
+      |)
+      |SELECT user_id, event_type, n AS n_obs, vr6,
+      |  CAST(CASE WHEN vr6 > 1200000 THEN 1
+      |    WHEN vr6 < 800000 THEN -1 ELSE 0 END AS INT) AS vr_flag
+      |FROM v2 ORDER BY user_id, event_type""".stripMargin
 
   /** st24: the batch temporal join the streaming SCD2 enrichment must
     * equal — q76's version chain composed verbatim, then events

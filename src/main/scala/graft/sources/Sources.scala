@@ -81,4 +81,38 @@ object Sources {
         col("c_acctbal"))
       .orderBy(col("c_custkey"))
   }
+
+  /** q92: PARTITIONED-write round-trip with DYNAMIC partition
+    * overwrite — the lake-landing pattern every 100 TB/day pipeline
+    * runs: events written `partitionBy(event_type)` in overwrite mode
+    * with `partitionOverwriteMode=dynamic`, so a re-run (or a late
+    * backfill batch) replaces ONLY the partitions present in the
+    * incoming data instead of truncating the table — the idempotent
+    * daily-load contract. The read-back aggregates per (partition,
+    * day) and must equal computing directly off the source: parquet +
+    * the Hive partition layout round-trip values AND partition keys
+    * exactly.
+    *
+    * Scale shape: the write is one scan shuffled only by the sink's
+    * file sizing (no extra exchange — partitionBy is a sort within
+    * tasks); the read back prunes by directory, and the final
+    * roll-up is one map-side-combined groupBy. The graded timing
+    * INCLUDES the write — that is the operation.
+    */
+  def q92PartitionedWrite(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_pwrite/v1/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long")
+          .as("v4l"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type")
+      .parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v4l")).as("sum_v4"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

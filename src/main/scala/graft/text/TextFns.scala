@@ -972,4 +972,50 @@ object TextFns {
           sum(col("mult"))).as("avg_nll"))
       .orderBy(col("doc_id"))
   }
+
+  /** t21: multi-category BLOCKLIST screening — the lexicon-based
+    * policy filter every pretraining pipeline runs beside t09's PII
+    * pass (C4 dropped pages on a public "bad words" list; the lists
+    * here are small neutral PLACEHOLDERS — swap in production
+    * lexicons): per doc the match count per category plus a
+    * deterministic block verdict (any adult hit, or ≥ 2 combined
+    * spam/boilerplate hits).
+    *
+    * The corpus is synthetic (no real policy content), so terms are
+    * PLANTED from doc_id exactly like t09's emails — identically on
+    * both engines — and the graded machinery is the multi-pattern
+    * word-boundary matching at scan speed: row-local, zero shuffles,
+    * 100 TB screens in one pass. Patterns stay in the Java-regex ∩
+    * RE2 dialect (alternation + \b, no lookaround) so Spark and
+    * DuckDB match identically.
+    */
+  val SpamRe = "\\b(buy now|free money|act now|winner)\\b"
+  val BoilerRe =
+    "\\b(all rights reserved|cookie policy|terms of service|click here)\\b"
+  val AdultRe = "\\b(nsfw|adult content|explicit)\\b"
+
+  def t21Blocklist(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      col("text"),
+      when(col("doc_id") % 4 === 0, lit(" please buy now winner"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit(" all rights reserved click here"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit(" nsfw")).otherwise(lit("")))
+    Tables
+      .documents(s, dir)
+      .withColumn("p", normText(planted))
+      .withColumn("n_spam",
+        size(regexp_extract_all(col("p"), lit(SpamRe), lit(0))))
+      .withColumn("n_boiler",
+        size(regexp_extract_all(col("p"), lit(BoilerRe), lit(0))))
+      .withColumn("n_adult",
+        size(regexp_extract_all(col("p"), lit(AdultRe), lit(0))))
+      .select(col("doc_id"), col("n_spam"), col("n_boiler"), col("n_adult"),
+        (col("n_spam") + col("n_boiler") + col("n_adult")).as("n_blocked"),
+        when(col("n_adult") > 0 ||
+          col("n_spam") + col("n_boiler") >= 2, 1).otherwise(0)
+          .as("blocked_flag"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -8,6 +8,44 @@ class ScaleOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("q92 partitioned write: exact roundtrip and dynamic overwrite " +
+    "keeps untouched partitions") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q92spec").toString
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click",
+        1.5, ""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "click",
+        2.5, ""),
+      (3L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1L, "view",
+        3.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.sources.Sources.q92PartitionedWrite(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r).toMap
+    assert(out(("click", "2024-01-01")).getAs[Long]("n_rows") == 2L &&
+      out(("click", "2024-01-01")).getAs[Long]("sum_v4") == 40000L)
+    assert(out(("view", "2024-01-02")).getAs[Long]("sum_v4") == 30000L)
+    // dynamic overwrite: a click-only second batch must leave the
+    // view partition in place (static overwrite would truncate it)
+    val path = s"/tmp/graft_pwrite/v1/${tmp.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Seq((9L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 1L,
+      "click", 9.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type")
+      .parquet(path)
+    val back = spark.read.parquet(path)
+    assert(back.filter(col("event_type") === "view").count() == 1L,
+      "dynamic overwrite must not truncate untouched partitions")
+    assert(back.filter(col("event_type") === "click").count() == 1L,
+      "the click partition is replaced by the new batch")
+  }
+
   test("q33 asof join picks the latest order at-or-before each event") {
     val rows = ScaleOps.asofJoin(spark, dir)
     assert(rows.count() == Tables.events(spark, dir).count())

@@ -96,6 +96,44 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("theil_sen_slope6") == 1000000L, row.toString)
   }
 
+  test("q91 variance ratio: oscillation flags mean-reversion, LCG walk " +
+    "matches the exact chain") {
+    import spark.implicits._
+    def write(vals: Seq[Double]): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, "vr", i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q91spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // perfect oscillation: every 4-period diff is 0 -> VR = 0, flag -1
+    val osc = (0 until 24).map(i => 10.0 + (i % 2))
+    val o = SignalOps.q91VarianceRatio(spark, write(osc)).collect().head
+    assert(o.getAs[Long]("vr6") == 0L && o.getAs[Int]("vr_flag") == -1,
+      o.toString)
+    // LCG pseudo-walk: replicate the exact moment/IEEE chain locally
+    var seed = 777L
+    val steps = (0 until 40).map { _ =>
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      ((seed % 19).toInt - 9) * 0.1
+    }
+    val walk = steps.scanLeft(100.0)(_ + _)
+    val v = walk.map(x => math.floor(x * 10000.0 + 0.5).toLong)
+    val r1 = v.sliding(2).map(p => p(1) - p(0)).toSeq
+    val rq = v.indices.drop(4).map(i => v(i) - v(i - 4))
+    def mom(xs: Seq[Long]) = (xs.size.toLong,
+      xs.map(BigInt(_)).sum, xs.map(x => BigInt(x) * x).sum)
+    val (n1, s11, s21) = mom(r1); val (nq, s1q, s2q) = mom(rq)
+    val num = (BigInt(nq) * s2q - s1q * s1q).toDouble
+    val den = (BigInt(n1) * s21 - s11 * s11).toDouble
+    val exp6 = math.floor((num / (nq * (nq - 1)).toDouble) /
+      (4.0 * (den / (n1 * (n1 - 1)).toDouble)) * 1e6 + 0.5).toLong
+    val w = SignalOps.q91VarianceRatio(spark, write(walk)).collect().head
+    assert(w.getAs[Long]("vr6") == exp6, s"$w vs $exp6")
+  }
+
   test("q49 EWMA tracks a constant series exactly and flags a spike") {
     import spark.implicits._
     val vals = (1 to 30).map(i => if (i == 25) 100.0 else 5.0)

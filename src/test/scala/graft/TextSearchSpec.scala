@@ -65,6 +65,34 @@ class TextSearchSpec extends AnyFunSuite {
     assert(n9(pAB) < n9(pAC))
   }
 
+  test("t21 blocklist: category counts, word boundaries, verdict rule") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t21spec").toString
+    Seq(
+      // doc 0: all three planted tails (0 ≡ 0 mod 4, 6, 9)
+      (0L, "hello", "en", "s", 5L),
+      // natural hits only; "winners" must NOT match \bwinner\b
+      (1L, "winner winners act now", "en", "s", 22L),
+      (2L, "free money", "en", "s", 10L),
+      (3L, "nothing here", "en", "s", 12L),
+      (5L, "explicit", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextFns.t21Blocklist(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def chk(id: Long, sp: Int, bo: Int, ad: Int, fl: Int): Unit = {
+      val r = out(id)
+      assert(r.getAs[Int]("n_spam") == sp && r.getAs[Int]("n_boiler") == bo &&
+        r.getAs[Int]("n_adult") == ad && r.getAs[Int]("blocked_flag") == fl,
+        s"doc $id: $r")
+    }
+    chk(0L, 2, 2, 1, 1) // buy now+winner; all rights reserved+click here; nsfw
+    chk(1L, 2, 0, 0, 1) // winner + act now (2 combined hits block)
+    chk(2L, 1, 0, 0, 0) // one spam hit alone passes
+    chk(3L, 0, 0, 0, 0)
+    chk(5L, 0, 0, 1, 1) // any adult hit blocks
+  }
+
   test("t14 Zipf fit: natural curve near -1, flat template exactly 0") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("t14spec").toString
