@@ -62,6 +62,9 @@ object SparkEntry {
     "q89_drawdown"       -> ((s, d) => SignalOps.q89Drawdown(s, d)),
     "q90_theil_sen"      -> ((s, d) => SignalOps.q90TheilSen(s, d)),
     "q91_variance_ratio" -> ((s, d) => SignalOps.q91VarianceRatio(s, d)),
+    "q93_hurst"          -> ((s, d) => SignalOps.q93Hurst(s, d)),
+    "d20_source_overlap" -> ((s, d) =>
+      graft.dedup.Dedup.d20SourceOverlap(s, d)),
     "t21_blocklist"      -> ((s, d) =>
       graft.text.TextFns.t21Blocklist(s, d)),
     "p09_drift_panel"    -> ((s, d) => SignalOps.p09DriftPanel(s, d)),
@@ -321,6 +324,8 @@ object SparkEntry {
     "q89_drawdown"       -> SignalOracle.q89,
     "q90_theil_sen"      -> SignalOracle.q90,
     "q91_variance_ratio" -> SignalOracle.q91,
+    "q93_hurst"          -> SignalOracle.q93,
+    "d20_source_overlap" -> LlmOracle.d20,
     "t21_blocklist"      -> LlmOracle.t21,
     "q92_partitioned_write" ->
       """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

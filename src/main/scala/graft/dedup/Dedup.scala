@@ -641,4 +641,57 @@ object Dedup {
         (floor(col("cos") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("cos6"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** d20: cross-SOURCE contamination matrix — d08 answers "is my
+    * benchmark in the training set"; this answers the aggregate
+    * version a data lead asks first: which SOURCE PAIRS share
+    * verbatim n-gram content, and how much? One row per unordered
+    * source pair with distinct 8-gram vocabularies, the shared-gram
+    * count, Jaccard and containment rates (containment catches a
+    * small source swallowed by a big crawl, exactly as d10 vs d04) —
+    * the mirror-site / re-crawl / cross-dump leak report.
+    *
+    * Exactness: gram sets are row-local word 8-grams distinct'd per
+    * source; all rates are BIGINT floor divisions — no floats.
+    *
+    * Scale shape: one corpus scan → distinct (source, gram) pairs
+    * (map-side combined — the Zipf-compact gram dictionary);
+    * the pair join fans each gram by its SOURCE count, which is
+    * catalog-bounded (thousands), not corpus-bounded; the output
+    * spine is the sources×sources matrix (every pair reported, zeros
+    * included, so an EMPTY overlap is a visible healthy row) built
+    * from the source-catalog-sized size table — a broadcast
+    * cross join of two tiny sides.
+    */
+  def d20SourceOverlap(s: SparkSession, dir: String,
+      n: Int = 8): DataFrame = {
+    val ws = split(normText(col("text")), " ")
+    val grams = Tables.documents(s, dir)
+      .select(col("source"), explode(array_distinct(
+        graft.functions.VectorFunctions.word_ngrams(ws, n))).as("g"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = grams.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    broadcast(sizes.select(col("source").as("source_a"),
+        col("n_grams").as("n_grams_a")))
+      .crossJoin(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_grams").as("n_grams_b"))))
+      .filter(col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("n_grams_a"),
+        col("n_grams_b"), col("n_shared"),
+        expr("n_shared * 1000000L div (n_grams_a + n_grams_b - n_shared)")
+          .as("jaccard6"),
+        expr("n_shared * 1000000L div least(n_grams_a, n_grams_b)")
+          .as("containment6"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -2177,6 +2177,39 @@ object LlmOracle {
        |    THEN 1 ELSE 0 END AS INT) AS boilerplate_flag
        |FROM per ORDER BY doc_id""".stripMargin
 
+  /** d20: cross-source contamination matrix — distinct word 8-grams
+    * per source, shared counts over the full pair spine, BIGINT rate
+    * divisions.
+    */
+  val d20: String =
+    s"""WITH w AS (
+       |  SELECT source, string_split($Norm, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT DISTINCT source, unnest(list_transform(range(len(ws) - 7),
+       |    i -> array_to_string(ws[i + 1:i + 8], ' '))) AS g
+       |  FROM w
+       |), sizes AS (
+       |  SELECT source, count(*) AS n_grams FROM g GROUP BY 1
+       |), sh AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    count(*) AS n_shared
+       |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT sa.source AS source_a, sb.source AS source_b,
+       |  sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
+       |  COALESCE(sh.n_shared, 0) AS n_shared,
+       |  COALESCE(sh.n_shared, 0) * 1000000
+       |    // (sa.n_grams + sb.n_grams - COALESCE(sh.n_shared, 0))
+       |    AS jaccard6,
+       |  COALESCE(sh.n_shared, 0) * 1000000
+       |    // least(sa.n_grams, sb.n_grams) AS containment6
+       |FROM sizes sa
+       |CROSS JOIN sizes sb
+       |LEFT JOIN sh ON sh.source_a = sa.source AND sh.source_b = sb.source
+       |WHERE sa.source < sb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** t21: blocklist screening — t09's planted-term pattern, the same
     * RE2∩Java word-boundary lexicons, integer counts and verdict.
     */

@@ -2294,6 +2294,92 @@ object SignalOps {
           .when(col("vr6") < 800000L, -1).otherwise(0).as("vr_flag"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q93: HURST exponent via rescaled-range analysis (Hurst 1951;
+    * Mandelbrot & Wallis 1969) — the LONG-memory diagnostic beside
+    * q91's fixed-q variance ratio: over the increment series, each
+    * complete block of n ∈ {4, 8} contributes R/S = range of
+    * cumulative mean-deviations over the block σ; a random walk's
+    * increments give R/S ∝ n^0.5, persistence > 0.5, anti-persistence
+    * < 0.5. With the two dyadic sizes the log-log slope is in closed
+    * form: H = (ln m₈ − ln m₄)/ln 2.
+    *
+    * Exactness: per block, Z_k = n·prefix_k − k·s1 and
+    * n·s2 − s1² are exact integers, so each block's R/S is ONE IEEE
+    * division over one correctly-rounded sqrt, 1e-9-quantized before
+    * the per-size average (order-free long sums, t08's posture);
+    * zero-variance blocks are excluded identically on both engines;
+    * series without a valid block at both sizes report NULL rather
+    * than dropping the row (q85's thin-group lesson — the synthetic
+    * series are short; at 100 TB real series fill both sizes).
+    *
+    * Scale shape: ONE series-key exchange — the diff lag, the
+    * re-ranked index, the per-(size, block) prefix/moment windows and
+    * all roll-ups partition by (key, …) refinements of it; the size
+    * axis is a ×2 row-local explode of the diff rows.
+    */
+  def q93Hurst(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val key = Seq(col("user_id"), col("event_type"))
+    val wOrd = Window.partitionBy(key: _*).orderBy(col("ts"), col("event_id"))
+    val blkKey = key ++ Seq(col("n"), col("blk"))
+    val wBlk = Window.partitionBy(blkKey: _*)
+    val wBlkOrd = Window.partitionBy(blkKey: _*).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("d", col("v4l") - lag(col("v4l"), 1).over(wOrd))
+      .filter(col("d").isNotNull)
+      .withColumn("i", row_number().over(wOrd) - 1)
+      .withColumn("n", explode(array(lit(4), lit(8))))
+      .withColumn("blk", expr("i div n"))
+      .withColumn("k", (col("i") % col("n") + 1).cast("long"))
+      .withColumn("pref", sum(col("d")).over(wBlkOrd))
+      .withColumn("s1", sum(col("d")).over(wBlk))
+      .withColumn("s2",
+        sum((d19(col("d")) * d19(col("d"))).cast("decimal(38,0)"))
+          .over(wBlk))
+      .withColumn("cnt", count(lit(1)).over(wBlk))
+      .filter(col("cnt") === col("n"))
+      .withColumn("z", col("n") * col("pref") - col("k") * col("s1"))
+      .groupBy(blkKey: _*)
+      .agg((max(col("z")) - min(col("z"))).as("zrange"),
+        max(col("s1")).as("s1"), max(col("s2")).as("s2"))
+      .withColumn("den2",
+        (dec(col("n")) * col("s2") - dec(col("s1")) * dec(col("s1")))
+          .cast("decimal(38,0)"))
+      .filter(col("den2") > 0)
+      .withColumn("rs9",
+        floor(col("zrange").cast("double") /
+          sqrt(col("den2").cast("double")) * lit(1.0e9) + lit(0.5))
+          .cast("long"))
+    val base = Tables.events(s, dir)
+      .groupBy(key: _*).agg((count(lit(1)) - 1).as("n_diffs"))
+    val agg = rs.groupBy(key: _*)
+      .agg(sum(when(col("n") === 4, 1L)).as("nb4"),
+        sum(when(col("n") === 4, col("rs9"))).as("s4"),
+        sum(when(col("n") === 8, 1L)).as("nb8"),
+        sum(when(col("n") === 8, col("rs9"))).as("s8"))
+    base.join(agg, Seq("user_id", "event_type"), "left")
+      .withColumn("nb4", coalesce(col("nb4"), lit(0L)))
+      .withColumn("nb8", coalesce(col("nb8"), lit(0L)))
+      .withColumn("hurst6",
+        when(col("nb4") > 0 && col("nb8") > 0 &&
+            col("s4") > 0 && col("s8") > 0,
+          floor((log((col("s8").cast("double") / lit(1.0e9)) / col("nb8")) -
+            log((col("s4").cast("double") / lit(1.0e9)) / col("nb4"))) /
+            lit(0.6931471805599453) * lit(1000000.0) + lit(0.5))
+            .cast("long")))
+      .select(col("user_id"), col("event_type"), col("n_diffs"),
+        col("nb4").as("n_blocks4"), col("nb8").as("n_blocks8"),
+        col("hurst6"),
+        when(col("hurst6") > 550000L, 1)
+          .when(col("hurst6") < 450000L, -1).otherwise(0)
+          .as("memory_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -4731,6 +4817,76 @@ object SignalOracle {
       |  CAST(CASE WHEN vr6 > 1200000 THEN 1
       |    WHEN vr6 < 800000 THEN -1 ELSE 0 END AS INT) AS vr_flag
       |FROM v2 ORDER BY user_id, event_type""".stripMargin
+
+  /** q93: Hurst R/S — the same exact block integers (HUGEINT ≡
+    * decimal(38,0)), one sqrt+division per block 1e-9-quantized, and
+    * the identical closed-form dyadic-slope chain.
+    */
+  val q93: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), dd AS (
+      |  SELECT *, v4l - lag(v4l) OVER w AS d
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), di AS (
+      |  SELECT user_id, event_type, d,
+      |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) - 1 AS INT) AS i
+      |  FROM dd WHERE d IS NOT NULL
+      |), ex AS (
+      |  SELECT di.*, s.n FROM di CROSS JOIN (VALUES (4), (8)) s(n)
+      |), bl AS (
+      |  SELECT *, i // n AS blk, CAST(i % n + 1 AS BIGINT) AS k FROM ex
+      |), pw AS (
+      |  SELECT *,
+      |    sum(d) OVER (PARTITION BY user_id, event_type, n, blk ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref,
+      |    sum(d) OVER pb AS s1,
+      |    sum(CAST(d AS HUGEINT) * d) OVER pb AS s2,
+      |    count(*) OVER pb AS cnt
+      |  FROM bl
+      |  WINDOW pb AS (PARTITION BY user_id, event_type, n, blk)
+      |), zz AS (
+      |  SELECT *, n * pref - k * s1 AS z FROM pw WHERE cnt = n
+      |), br AS (
+      |  SELECT user_id, event_type, n, blk, max(z) - min(z) AS zrange,
+      |    max(s1) AS s1, max(s2) AS s2
+      |  FROM zz GROUP BY 1, 2, 3, 4
+      |), r9 AS (
+      |  SELECT user_id, event_type, n,
+      |    CAST(floor(CAST(zrange AS DOUBLE) /
+      |      sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) * 1.0e9 + 0.5)
+      |      AS BIGINT) AS rs9
+      |  FROM br WHERE n * s2 - s1 * s1 > 0
+      |), ag AS (
+      |  SELECT user_id, event_type,
+      |    CAST(sum(CASE WHEN n = 4 THEN 1 END) AS BIGINT) AS nb4,
+      |    sum(CASE WHEN n = 4 THEN rs9 END) AS s4,
+      |    CAST(sum(CASE WHEN n = 8 THEN 1 END) AS BIGINT) AS nb8,
+      |    sum(CASE WHEN n = 8 THEN rs9 END) AS s8
+      |  FROM r9 GROUP BY 1, 2
+      |), nb AS (
+      |  SELECT user_id, event_type, count(*) - 1 AS n_diffs
+      |  FROM b GROUP BY 1, 2
+      |), fin AS (
+      |  SELECT nb.user_id, nb.event_type, nb.n_diffs,
+      |    COALESCE(ag.nb4, 0) AS n_blocks4,
+      |    COALESCE(ag.nb8, 0) AS n_blocks8,
+      |    CASE WHEN COALESCE(ag.nb4, 0) > 0 AND COALESCE(ag.nb8, 0) > 0
+      |        AND ag.s4 > 0 AND ag.s8 > 0 THEN
+      |      CAST(floor((ln((CAST(ag.s8 AS DOUBLE) / 1.0e9) / ag.nb8) -
+      |        ln((CAST(ag.s4 AS DOUBLE) / 1.0e9) / ag.nb4))
+      |        / 0.6931471805599453 * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS hurst6
+      |  FROM nb LEFT JOIN ag USING (user_id, event_type)
+      |)
+      |SELECT user_id, event_type, n_diffs, n_blocks4, n_blocks8, hurst6,
+      |  CAST(CASE WHEN hurst6 > 550000 THEN 1
+      |    WHEN hurst6 < 450000 THEN -1 ELSE 0 END AS INT) AS memory_flag
+      |FROM fin ORDER BY user_id, event_type""".stripMargin
 
   /** st24: the batch temporal join the streaming SCD2 enrichment must
     * equal — q76's version chain composed verbatim, then events

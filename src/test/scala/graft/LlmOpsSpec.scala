@@ -1321,6 +1321,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sing == 2L, s"sing = s + ing, got $sing") // not s+in+g = 3
   }
 
+  test("d20 source overlap: exact pair matrix incl. zero rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d20").toString
+    // sa/sb share exactly ONE 8-gram (the a1..a8 prefix); sc disjoint
+    val a8 = (1 to 8).map(i => s"a$i").mkString(" ")
+    Seq((0L, s"$a8 x1 x2", "en", "sa", 10L),
+      (1L, s"$a8 y1 y2", "en", "sb", 10L),
+      (2L, (1 to 9).map(i => s"c$i").mkString(" "), "en", "sc", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.dedup.Dedup.d20SourceOverlap(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 3, out.keySet.toString) // full spine, zeros kept
+    val ab = out(("sa", "sb"))
+    assert(ab.getAs[Long]("n_grams_a") == 3L &&
+      ab.getAs[Long]("n_grams_b") == 3L &&
+      ab.getAs[Long]("n_shared") == 1L, ab.toString)
+    assert(ab.getAs[Long]("jaccard6") == 200000L &&
+      ab.getAs[Long]("containment6") == 333333L, ab.toString)
+    assert(out(("sa", "sc")).getAs[Long]("n_shared") == 0L)
+    assert(out(("sb", "sc")).getAs[Long]("containment6") == 0L)
+  }
+
   test("p11 dedup funnel: per-stage attribution on a planted corpus") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("p11").toString

@@ -134,6 +134,39 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(w.getAs[Long]("vr6") == exp6, s"$w vs $exp6")
   }
 
+  test("q93 Hurst: perfect oscillation scores exactly 0, LCG walk lands " +
+    "in the random band") {
+    import spark.implicits._
+    def write(vals: Seq[Double]): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, "h", i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q93spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // alternating increments: every block has R/S = 1 at BOTH sizes,
+    // so the dyadic slope is exactly ln(1)-ln(1) = 0 — the
+    // anti-persistent extreme
+    val osc = (0 until 34).map(i => 10.0 + (i % 2))
+    val o = SignalOps.q93Hurst(spark, write(osc)).collect().head
+    assert(o.getAs[Long]("n_blocks4") == 8L &&
+      o.getAs[Long]("n_blocks8") == 4L, o.toString)
+    assert(o.getAs[Long]("hurst6") == 0L &&
+      o.getAs[Int]("memory_flag") == -1, o.toString)
+    // iid LCG increments: H should sit in a loose random-walk band
+    var seed = 4242L
+    val steps = (0 until 128).map { _ =>
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      ((seed % 21).toInt - 10) * 0.1
+    }
+    val walk = steps.scanLeft(50.0)(_ + _)
+    val w = SignalOps.q93Hurst(spark, write(walk)).collect().head
+    val h = w.getAs[Long]("hurst6")
+    assert(h > 250000L && h < 750000L, s"iid H out of band: $w")
+  }
+
   test("q49 EWMA tracks a constant series exactly and flags a spike") {
     import spark.implicits._
     val vals = (1 to 30).map(i => if (i == 25) 100.0 else 5.0)
