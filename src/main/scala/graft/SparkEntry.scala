@@ -63,6 +63,7 @@ object SparkEntry {
     "q90_theil_sen"      -> ((s, d) => SignalOps.q90TheilSen(s, d)),
     "q91_variance_ratio" -> ((s, d) => SignalOps.q91VarianceRatio(s, d)),
     "q93_hurst"          -> ((s, d) => SignalOps.q93Hurst(s, d)),
+    "q94_corr_matrix"    -> ((s, d) => SignalOps.q94CorrMatrix(s, d)),
     "d20_source_overlap" -> ((s, d) =>
       graft.dedup.Dedup.d20SourceOverlap(s, d)),
     "t21_blocklist"      -> ((s, d) =>
@@ -244,6 +245,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st22StreamEwma(s, d)),
     "st24_stream_scd2" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st24StreamScd2(s, d)),
+    "st25_stream_vr" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st25StreamVr(s, d)),
     "st23_stream_bars" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st23StreamBars(s, d)),
     "st20_stream_funnel" ->
@@ -325,6 +328,8 @@ object SparkEntry {
     "q90_theil_sen"      -> SignalOracle.q90,
     "q91_variance_ratio" -> SignalOracle.q91,
     "q93_hurst"          -> SignalOracle.q93,
+    "q94_corr_matrix"    -> SignalOracle.q94,
+    "st25_stream_vr"     -> SignalOracle.st25,
     "d20_source_overlap" -> LlmOracle.d20,
     "t21_blocklist"      -> LlmOracle.t21,
     "q92_partitioned_write" ->

@@ -2295,6 +2295,78 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q94: pairwise ticker CORRELATION MATRIX — the full heatmap q59's
+    * per-ticker peer-mean score aggregates away: every unordered
+    * ticker pair within an event type, Pearson r over their common
+    * daily closes (q86's last-print convention), with the overlap-day
+    * count that qualifies the estimate. The instrument a reviewer
+    * uses to find the actual correlated CLIQUE after q59 says "ticker
+    * X decorrelated from its peers".
+    *
+    * Exactness: closes are 1e-4 longs; all five moments are exact
+    * decimal(38,0)/HUGEINT combinations; r is ONE IEEE chain
+    * (num / sqrt(dx·dy)) 1e-6-floored, guarded to positive
+    * variances; pairs below `minDays` common days are excluded on
+    * both engines.
+    *
+    * Scale shape: the corpus collapses to the per-day close table
+    * first (ONE (ticker, day) exchange), and the pair join runs on
+    * (event_type, day) over ticker-catalog-sized groups — tickers
+    * are the catalog axis, days the calendar axis, so the pair fan
+    * is tickers² per day, independent of print volume; the moment
+    * groupBy is map-side combined on the pair key.
+    */
+  def q94CorrMatrix(s: SparkSession, dir: String,
+      minDays: Int = 5): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
+      col("day")).orderBy(col("ts").desc, col("event_id").desc)
+    val closes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("rd", row_number().over(wDay))
+      .filter(col("rd") === 1)
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("v4l").as("y"))
+    val a = closes.select(col("event_type"), col("day"),
+      col("user_id").as("user_a"), col("y").as("ya"))
+    val b = closes.select(col("event_type"), col("day"),
+      col("user_id").as("user_b"), col("y").as("yb"))
+    a.join(b, Seq("event_type", "day"))
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("event_type"), col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ya")).as("sx"), sum(col("yb")).as("sy"),
+        sum((d19(col("ya")) * d19(col("ya"))).cast("decimal(38,0)"))
+          .as("sxx"),
+        sum((d19(col("yb")) * d19(col("yb"))).cast("decimal(38,0)"))
+          .as("syy"),
+        sum((d19(col("ya")) * d19(col("yb"))).cast("decimal(38,0)"))
+          .as("sxy"))
+      .filter(col("n_days") >= minDays)
+      .withColumn("num",
+        (dec(col("n_days")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+          .cast("decimal(38,0)"))
+      .withColumn("dx",
+        (dec(col("n_days")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+          .cast("decimal(38,0)"))
+      .withColumn("dy",
+        (dec(col("n_days")) * col("syy") - dec(col("sy")) * dec(col("sy")))
+          .cast("decimal(38,0)"))
+      .withColumn("corr6",
+        when(col("dx") > 0 && col("dy") > 0,
+          floor(col("num").cast("double") /
+            sqrt(col("dx").cast("double") * col("dy").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("event_type"), col("user_a"), col("user_b"),
+        col("n_days"), col("corr6"),
+        when(abs(col("corr6")) >= 800000L, 1).otherwise(0)
+          .as("comove_flag"))
+      .orderBy(col("event_type"), col("user_a"), col("user_b"))
+  }
+
   /** q93: HURST exponent via rescaled-range analysis (Hurst 1951;
     * Mandelbrot & Wallis 1969) — the LONG-memory diagnostic beside
     * q91's fixed-q variance ratio: over the increment series, each
@@ -4887,6 +4959,108 @@ object SignalOracle {
       |  CAST(CASE WHEN hurst6 > 550000 THEN 1
       |    WHEN hurst6 < 450000 THEN -1 ELSE 0 END AS INT) AS memory_flag
       |FROM fin ORDER BY user_id, event_type""".stripMargin
+
+  /** q94: pairwise correlation matrix — daily closes, exact HUGEINT
+    * moments per pair, one IEEE chain.
+    */
+  val q94: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), cl AS (
+      |  SELECT user_id, event_type, day, v4l AS y FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type, day
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |    FROM b
+      |  ) WHERE rd = 1
+      |), pr AS (
+      |  SELECT a.event_type, a.user_id AS user_a, b2.user_id AS user_b,
+      |    count(*) AS n_days,
+      |    sum(a.y) AS sx, sum(b2.y) AS sy,
+      |    sum(CAST(a.y AS HUGEINT) * a.y) AS sxx,
+      |    sum(CAST(b2.y AS HUGEINT) * b2.y) AS syy,
+      |    sum(CAST(a.y AS HUGEINT) * b2.y) AS sxy
+      |  FROM cl a JOIN cl b2 ON a.event_type = b2.event_type
+      |    AND a.day = b2.day AND a.user_id < b2.user_id
+      |  GROUP BY 1, 2, 3
+      |), f AS (
+      |  SELECT *,
+      |    n_days * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    n_days * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+      |    n_days * syy - CAST(sy AS HUGEINT) * sy AS dy
+      |  FROM pr WHERE n_days >= 5
+      |), v AS (
+      |  SELECT *,
+      |    CASE WHEN dx > 0 AND dy > 0 THEN
+      |      CAST(floor(CAST(num AS DOUBLE) /
+      |        sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS corr6
+      |  FROM f
+      |)
+      |SELECT event_type, user_a, user_b, n_days, corr6,
+      |  CAST(CASE WHEN abs(corr6) >= 800000 THEN 1 ELSE 0 END AS INT)
+      |    AS comove_flag
+      |FROM v
+      |ORDER BY event_type, user_a, user_b""".stripMargin
+
+  /** st25: the causal variance ratio — st19's segment machinery, the
+    * cumulative exact moments of both diff streams per row, q91's
+    * identical IEEE chain.
+    */
+  val st25: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), r AS (
+      |  SELECT *,
+      |    v4l - lag(v4l) OVER ws AS r1,
+      |    v4l - lag(v4l, 4) OVER ws AS rq
+      |  FROM seg
+      |  WINDOW ws AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id)
+      |), cum AS (
+      |  SELECT *,
+      |    count(r1) OVER wc AS n1, sum(r1) OVER wc AS s11,
+      |    sum(CAST(r1 AS HUGEINT) * r1) OVER wc AS s21,
+      |    count(rq) OVER wc AS nq, sum(rq) OVER wc AS s1q,
+      |    sum(CAST(rq AS HUGEINT) * rq) OVER wc AS s2q
+      |  FROM r
+      |  WINDOW wc AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), v AS (
+      |  SELECT *,
+      |    CASE WHEN nq >= 2
+      |        AND (n1 * s21 - CAST(s11 AS HUGEINT) * s11) > 0 THEN
+      |      CAST(floor((CAST(nq * s2q - CAST(s1q AS HUGEINT) * s1q
+      |          AS DOUBLE) / CAST(nq * (nq - 1) AS DOUBLE))
+      |        / (4.0 * (CAST(n1 * s21 - CAST(s11 AS HUGEINT) * s11
+      |            AS DOUBLE) / CAST(n1 * (n1 - 1) AS DOUBLE)))
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS vr6
+      |  FROM cum
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value, vr6,
+      |  CAST(CASE WHEN vr6 > 1200000 THEN 1
+      |    WHEN vr6 < 800000 THEN -1 ELSE 0 END AS INT) AS vr_flag
+      |FROM v
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
   /** st24: the batch temporal join the streaming SCD2 enrichment must
     * equal — q76's version chain composed verbatim, then events

@@ -1934,6 +1934,127 @@ object StreamingAnomaly {
       staleDays: Double = 8.0): DataFrame =
     st19FromStream(s, eventStream(s, dir), staleDays)
 
+  /** st25 per-ticker variance-ratio state: the ≤4-deep value ring
+    * (the lag-4 diff's whole lookback) + exact prefix moments of BOTH
+    * diff streams (squares as st08's two-limb base-1e18 pairs).
+    * Bounded: 12 longs however long the stream.
+    */
+  case class VrState(lastUs: Long, ring: Array[Long],
+      n1: Long, s11: Long, s21Hi: Long, s21Lo: Long,
+      nq: Long, s1q: Long, s2qHi: Long, s2qLo: Long)
+
+  case class VrOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, vr6: Option[Long],
+      vr_flag: Int)
+
+  /** st25: q91's variance-ratio random-walk test answered LIVE — the
+    * CAUSAL VR after every arrival: a feed that flips from random
+    * walk to oscillation (an upstream interpolator kicking in, a
+    * stuck-then-corrected gauge) drags the running VR toward 0 within
+    * a few prints, and this emits the verdict at the print, not at
+    * the nightly batch. Each arrival updates the 4-value ring and the
+    * exact prefix moments of the lag-1 and lag-4 diff streams, then
+    * runs q91's identical IEEE chain over the exact integers seen so
+    * far. Staleness gaps (> 8 days) and EventTimeTimeout eviction
+    * restart the segment (the family rule). Fully oracle-backed: the
+    * batch chain windows the same cumulative moments per segment.
+    */
+  def st25Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[VrOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val limb = BigInt(1000000000000000000L) // 1e18
+
+    def empty = VrState(Long.MinValue, Array.empty[Long],
+      0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[VrState]): Iterator[VrOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[VrOut]
+        var st = state.getOption.getOrElse(empty)
+        sorted.foreach { e =>
+          if (st.ring.nonEmpty && usOf(e.ts) - st.lastUs > staleUs)
+            st = empty
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          var n1 = st.n1; var s11 = st.s11
+          var s21 = BigInt(st.s21Hi) * limb + st.s21Lo
+          var nq = st.nq; var s1q = st.s1q
+          var s2q = BigInt(st.s2qHi) * limb + st.s2qLo
+          if (st.ring.nonEmpty) {
+            val r1 = vl - st.ring.last
+            n1 += 1; s11 += r1; s21 += BigInt(r1) * r1
+          }
+          if (st.ring.length == 4) {
+            val rq = vl - st.ring.head
+            nq += 1; s1q += rq; s2q += BigInt(rq) * rq
+          }
+          val vr6 =
+            if (nq >= 2) {
+              val num = BigInt(nq) * s2q - BigInt(s1q) * BigInt(s1q)
+              val den = BigInt(n1) * s21 - BigInt(s11) * BigInt(s11)
+              if (den > 0)
+                Some(math.floor(
+                  (num.toDouble / (nq * (nq - 1)).toDouble) /
+                    (4.0 * (den.toDouble / (n1 * (n1 - 1)).toDouble)) *
+                    1000000.0 + 0.5).toLong)
+              else None
+            } else None
+          st = VrState(usOf(e.ts), (st.ring :+ vl).takeRight(4),
+            n1, s11, (s21 / limb).toLong, (s21 % limb).toLong,
+            nq, s1q, (s2q / limb).toLong, (s2q % limb).toLong)
+          out += VrOut(key._1, key._2, e.event_id, e.ts, vl / 10000.0,
+            vr6, vr6 match {
+              case Some(v) if v > 1200000L => 1
+              case Some(v) if v < 800000L  => -1
+              case _                       => 0
+            })
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st25FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st25_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st25Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("vr6"),
+        col("vr_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st25StreamVr(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st25FromStream(s, eventStream(s, dir), staleDays)
+
   /** st21 per-ticker SPC state: prefix moments (st08's exact two-limb
     * s2) + the ring of the last ≤7 standardized points — the zone
     * rules' whole lookback. Bounded: 7 longs however long the stream.

@@ -167,6 +167,28 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(h > 250000L && h < 750000L, s"iid H out of band: $w")
   }
 
+  test("q94 corr matrix: perfect linear pairs score exactly +/-1") {
+    import spark.implicits._
+    // A = 10+d, B = 20+2d (r=+1), C = 16-d (r=-1 with both)
+    val rows = (1 to 6).flatMap { d =>
+      Seq((1L, 10.0 + d), (2L, 20.0 + 2 * d), (3L, 16.0 - d)).map {
+        case (u, v) => (u, "x", u * 10 + d,
+          java.sql.Timestamp.valueOf(f"2024-01-0$d%d 10:00:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q94spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q94CorrMatrix(spark, tmp).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r).toMap
+    assert(out.size == 3)
+    assert(out((1L, 2L)).getAs[Long]("corr6") == 1000000L &&
+      out((1L, 2L)).getAs[Int]("comove_flag") == 1)
+    assert(out((1L, 3L)).getAs[Long]("corr6") == -1000000L)
+    assert(out((2L, 3L)).getAs[Long]("corr6") == -1000000L)
+    assert(out((1L, 2L)).getAs[Long]("n_days") == 6L)
+  }
+
   test("q49 EWMA tracks a constant series exactly and flags a spike") {
     import spark.implicits._
     val vals = (1 to 30).map(i => if (i == 25) 100.0 else 5.0)

@@ -1020,6 +1020,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("st25 causal VR: warm-up NULLs, oscillation verdict, gap restart") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("st25").toString
+    def ts(d: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:$m%02d:00")
+    // 12 oscillating prints, then a 10-day gap, then 3 more prints
+    val rows = (0 until 12).map(i =>
+      (100L + i, ts(1, i), 7L, "vr", 10.0 + (i % 2), "")) ++
+      (0 until 3).map(i =>
+        (200L + i, ts(12, i), 7L, "vr", 20.0 + i, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st25StreamVr(spark, tmp).collect()
+      .map(r => r.getLong(2) -> r).toMap
+    // vr6 needs two lag-4 diffs: events 0..4 have at most nq=1
+    (100L to 104L).foreach(id => assert(out(id).isNullAt(5), out(id).toString))
+    // settled oscillation: every 4-diff is 0 -> VR exactly 0, flag -1
+    val last = out(111L)
+    assert(last.getAs[Long]("vr6") == 0L &&
+      last.getAs[Int]("vr_flag") == -1, last.toString)
+    // the 10-day gap restarts the segment: statistics gone, NULL again
+    (200L to 202L).foreach(id => assert(out(id).isNullAt(5), out(id).toString))
+  }
+
   test("st24 temporal SCD2 lookup enriches each event with its as-of " +
     "version") {
     import spark.implicits._
