@@ -64,6 +64,10 @@ object SparkEntry {
     "q91_variance_ratio" -> ((s, d) => SignalOps.q91VarianceRatio(s, d)),
     "q93_hurst"          -> ((s, d) => SignalOps.q93Hurst(s, d)),
     "q94_corr_matrix"    -> ((s, d) => SignalOps.q94CorrMatrix(s, d)),
+    "q95_ensemble_vote"  -> ((s, d) => SignalOps.q95EnsembleVote(s, d)),
+    "q96_twap"           -> ((s, d) => SignalOps.q96Twap(s, d)),
+    "s10_filtered_ann"   -> ((s, d) =>
+      graft.similarity.Ann.filteredTopK(s, d)),
     "d20_source_overlap" -> ((s, d) =>
       graft.dedup.Dedup.d20SourceOverlap(s, d)),
     "t21_blocklist"      -> ((s, d) =>
@@ -329,6 +333,9 @@ object SparkEntry {
     "q91_variance_ratio" -> SignalOracle.q91,
     "q93_hurst"          -> SignalOracle.q93,
     "q94_corr_matrix"    -> SignalOracle.q94,
+    "q95_ensemble_vote"  -> SignalOracle.q95,
+    "q96_twap"           -> SignalOracle.q96,
+    "s10_filtered_ann"   -> LlmOracle.s10,
     "st25_stream_vr"     -> SignalOracle.st25,
     "d20_source_overlap" -> LlmOracle.d20,
     "t21_blocklist"      -> LlmOracle.t21,

@@ -1541,6 +1541,28 @@ object LlmOracle {
        |  (CAST(sum(nll9) AS DOUBLE) / 1.0e9) / count(*) AS avg_nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** s10: filtered top-k — s01 with the label predicate INSIDE the
+    * candidate join.
+    */
+  val s10: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, label, v, ${dotSql("v", "v")} AS norm2 FROM v
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id, c.label,
+       |    floor(${dotSql("q.v", "c.v")} / sqrt(q.norm2 * c.norm2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cos6
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id AND c.label = q.label
+       |  WHERE q.vec_id < 10
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos6 DESC, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, vec_id, label, cos6 FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
   /** s04: majority-vote kNN classification over the s01 top-k set —
     * tie-break (votes desc, nearest-neighbour rank, label).
     */

@@ -2295,6 +2295,87 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q95: detector ENSEMBLE vote — the standard outlier-ensemble
+    * practice (Aggarwal & Sathe 2017): no single detector's
+    * assumptions hold everywhere, so the verdict that ships is the
+    * VOTE across decorrelated detectors. Composes the family's three
+    * per-observation flags — q09's z-threshold (global-σ), q12's
+    * IQR-on-remainder (seasonality-aware) and q53's Hampel
+    * (rolling-median local) — into votes ∈ 0..3 with a ≥ 2 majority
+    * flag: a seasonal peak that fools the z-test needs two more
+    * detectors to agree before paging anyone.
+    *
+    * Scale shape: each component reduces in its own documented plan
+    * (all ONE ticker exchange); the ensemble joins three
+    * per-observation tables co-keyed on (user, type, event) — same
+    * key family, so AQE plans co-partitioned joins with no extra
+    * corpus scan beyond the components'. The oracle composes the
+    * three component oracles verbatim (p05's pattern).
+    */
+  def q95EnsembleVote(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("user_id", "event_type", "event_id")
+    val z = TickerAnomaly.q09AnomalyFlags(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("date_recorded"),
+        col("standard_deviation_flag").as("z_flag"))
+    val iqr = Decompose.q12IqrAnomalize(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("is_anomaly").as("iqr_flag"))
+    val hm = q53Hampel(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("hampel_flag"))
+    z.join(iqr, keys)
+      .join(hm, keys)
+      .withColumn("votes",
+        col("z_flag") + col("iqr_flag") + col("hampel_flag"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("date_recorded"), col("z_flag"), col("iqr_flag"),
+        col("hampel_flag"), col("votes"),
+        when(col("votes") >= 2, 1).otherwise(0).as("ensemble_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("event_id"))
+  }
+
+  /** q96: TWAP — the TIME-weighted average price/value per ticker-day
+    * (the execution-quality benchmark beside q86's OHLC bars): each
+    * print is weighted by the µs it remained the live value (to the
+    * next print, the last to midnight), so a feed that prints a bad
+    * value and corrects it 100 ms later barely moves the TWAP while
+    * the unweighted daily mean treats both prints equally — exactly
+    * the robustness a staleness-prone feed (q08's subject) needs in
+    * its daily summary.
+    *
+    * Exactness: weights are exact µs longs off one lead() pass;
+    * Σ(v·w) is decimal(38,0)/HUGEINT; the TWAP is ONE integral
+    * division (positive operands — trunc ≡ floor on both engines).
+    *
+    * Scale shape: ONE (ticker, day) exchange shared by the lead
+    * window and the map-side-combined aggregate — q86's exact plan.
+    */
+  def q96Twap(s: SparkSession, dir: String): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val key = Seq(col("user_id"), col("event_type"), col("day"))
+    val w = Window.partitionBy(key: _*).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .withColumn("w_us",
+        coalesce(col("next_us"),
+          unix_micros(date_add(col("day"), 1).cast("timestamp"))) -
+          unix_micros(col("ts")))
+      .groupBy(key: _*)
+      .agg(count(lit(1)).as("n_prints"),
+        sum(col("w_us")).as("sw"),
+        sum((d19(col("v4l")) * d19(col("w_us"))).cast("decimal(38,0)"))
+          .as("swv"))
+      .withColumn("twap4", expr("CAST(swv div sw AS LONG)"))
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("n_prints"), col("twap4"),
+        (col("twap4") / lit(10000.0)).as("twap"))
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+
   /** q94: pairwise ticker CORRELATION MATRIX — the full heatmap q59's
     * per-ticker peer-mean score aggregates away: every unordered
     * ticker pair within an event type, Pearson r over their common
@@ -4959,6 +5040,58 @@ object SignalOracle {
       |  CAST(CASE WHEN hurst6 > 550000 THEN 1
       |    WHEN hurst6 < 450000 THEN -1 ELSE 0 END AS INT) AS memory_flag
       |FROM fin ORDER BY user_id, event_type""".stripMargin
+
+  /** q95: ensemble vote — the three component oracles composed
+    * verbatim, joined on the observation key.
+    */
+  lazy val q95: String =
+    s"""WITH zf AS (
+       |  SELECT user_id, event_type, event_id, date_recorded,
+       |    standard_deviation_flag AS z_flag
+       |  FROM (${AnomalyOracle.q09})
+       |), iqf AS (
+       |  SELECT user_id, event_type, event_id, is_anomaly AS iqr_flag
+       |  FROM (${DecomposeOracle.q12})
+       |), hf AS (
+       |  SELECT user_id, event_type, event_id, hampel_flag
+       |  FROM ($q53)
+       |)
+       |SELECT zf.user_id, zf.event_type, zf.event_id, zf.date_recorded,
+       |  zf.z_flag, iqf.iqr_flag, hf.hampel_flag,
+       |  CAST(zf.z_flag + iqf.iqr_flag + hf.hampel_flag AS INT) AS votes,
+       |  CAST(CASE WHEN zf.z_flag + iqf.iqr_flag + hf.hampel_flag >= 2
+       |    THEN 1 ELSE 0 END AS INT) AS ensemble_flag
+       |FROM zf
+       |JOIN iqf USING (user_id, event_type, event_id)
+       |JOIN hf USING (user_id, event_type, event_id)
+       |ORDER BY user_id, event_type, event_id""".stripMargin
+
+  /** q96: TWAP — exact µs weights off one lead() pass, HUGEINT
+    * weighted sum, one integral division.
+    */
+  val q96: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), r AS (
+      |  SELECT *, lead(epoch_us(ts)) OVER (PARTITION BY user_id,
+      |    event_type, day ORDER BY ts, event_id) AS next_us
+      |  FROM b
+      |), wts AS (
+      |  SELECT *, COALESCE(next_us,
+      |    epoch_us(CAST(day + 1 AS TIMESTAMP))) - epoch_us(ts) AS w_us
+      |  FROM r
+      |), ag AS (
+      |  SELECT user_id, event_type, day, count(*) AS n_prints,
+      |    sum(w_us) AS sw, sum(CAST(v4l AS HUGEINT) * w_us) AS swv
+      |  FROM wts GROUP BY 1, 2, 3
+      |)
+      |SELECT user_id, event_type, day, n_prints,
+      |  CAST(swv // sw AS BIGINT) AS twap4,
+      |  CAST(swv // sw AS BIGINT) / 10000.0 AS twap
+      |FROM ag ORDER BY user_id, event_type, day""".stripMargin
 
   /** q94: pairwise correlation matrix — daily closes, exact HUGEINT
     * moments per pair, one IEEE chain.

@@ -44,6 +44,46 @@ object Ann {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** s10: FILTERED top-k — s01's search under a metadata predicate
+    * (here: candidates restricted to the query's OWN label), the
+    * headline vector-store feature every RAG stack needs ("nearest
+    * docs in THIS tenant/language/shard"). The filter is applied
+    * BEFORE ranking — post-filtering a plain top-k silently returns
+    * fewer than k (or misses all) whenever the predicate is
+    * selective; pre-filtering keeps k exact and, at scale, shrinks
+    * the scored candidate set by the predicate's selectivity.
+    *
+    * Scale shape: s01's posture — probes broadcast, corpus never
+    * shuffles, and the label predicate rides the broadcast-join
+    * condition so filtered-out candidates are never scored; a
+    * partition-pruned label layout (q36) turns the filter into a
+    * scan bound.
+    */
+  def filteredTopK(s: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm2", dot(col("v"), col("v")))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm2").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos6").desc, col("vec_id"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id") &&
+        col("label") === col("qlabel"))
+      .withColumn("cos",
+        cosine(col("qv"), col("v"), col("qn"), col("norm2")))
+      .withColumn("cos6",
+        floor(col("cos") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("label"),
+        col("cos6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** s09: cosine RANGE search — ALL neighbours within cos6 ≥ τ of
     * each probe, the other fundamental similarity query beside s01's
     * top-k: dedup sweeps, radius joins and diversity pools ask

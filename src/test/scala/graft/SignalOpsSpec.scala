@@ -189,6 +189,51 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(out((1L, 2L)).getAs[Long]("n_days") == 6L)
   }
 
+  test("q95 ensemble vote: votes are the exact component sum") {
+    val out = SignalOps.q95EnsembleVote(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val v = r.getAs[Int]("z_flag") + r.getAs[Int]("iqr_flag") +
+        r.getAs[Int]("hampel_flag")
+      assert(r.getAs[Int]("votes") == v && v >= 0 && v <= 3, r.toString)
+      assert(r.getAs[Int]("ensemble_flag") == (if (v >= 2) 1 else 0),
+        r.toString)
+    }
+    // the ensemble is at most as trigger-happy as its loosest member
+    val nEns = out.count(_.getAs[Int]("ensemble_flag") == 1)
+    val nAny = out.count(r => r.getAs[Int]("z_flag") +
+      r.getAs[Int]("iqr_flag") + r.getAs[Int]("hampel_flag") >= 1)
+    assert(nEns <= nAny)
+  }
+
+  test("q96 TWAP: exact time weighting ignores a corrected blip") {
+    import spark.implicits._
+    val rows = Seq(
+      // day 1: two half-day prints -> twap exactly 15.0
+      (1L, "tw", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        10.0),
+      (1L, "tw", 2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
+        20.0),
+      // day 2: a bad print corrected after ONE second
+      (1L, "tw", 3L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        100.0),
+      (1L, "tw", 4L, java.sql.Timestamp.valueOf("2024-01-02 00:00:01"),
+        10.0))
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q96spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q96Twap(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getDate(2).toString) -> r).toMap
+    assert(out((1L, "2024-01-01")).getAs[Long]("twap4") == 150000L)
+    // day 2 exact: (1e6*100_0000 + 86399e6*10_0000) / 86400e6 -> trunc
+    val exp = (BigInt(1000000L) * 1000000L +
+      BigInt(86399000000L) * 100000L) / BigInt(86400000000L)
+    val d2 = out((1L, "2024-01-02"))
+    assert(d2.getAs[Long]("twap4") == exp.toLong, s"$d2 vs $exp")
+    assert(d2.getAs[Long]("twap4") < 110000L,
+      "a 1-second blip must barely move the TWAP")
+  }
+
   test("q49 EWMA tracks a constant series exactly and flags a spike") {
     import spark.implicits._
     val vals = (1 to 30).map(i => if (i == 25) 100.0 else 5.0)

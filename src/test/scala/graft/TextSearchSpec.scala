@@ -93,6 +93,29 @@ class TextSearchSpec extends AnyFunSuite {
     chk(5L, 0, 0, 1, 1) // any adult hit blocks
   }
 
+  test("s10 filtered ANN: predicate holds, k exact, dominated by s01") {
+    val filt = Ann.filteredTopK(spark, dir).collect()
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(filt.nonEmpty)
+    // every returned candidate carries the query's own label
+    filt.foreach { r =>
+      assert(r.getInt(3) == labels(r.getLong(0)), r.toString)
+    }
+    // ranks are 1..k dense per query
+    filt.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+    // the filtered top-1 can never beat the unfiltered top-1
+    val unf = Ann.bruteForceTopK(spark, dir).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    filt.filter(_.getInt(1) == 1).foreach { r =>
+      assert(r.getDouble(4) <= unf(r.getLong(0)), r.toString)
+    }
+  }
+
   test("t14 Zipf fit: natural curve near -1, flat template exactly 0") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("t14spec").toString
