@@ -132,6 +132,10 @@ object SparkEntry {
     "p10_quality_mix"    -> ((s, d) => Sampling.p10QualityMix(s, d)),
     "p11_dedup_funnel"   -> ((s, d) =>
       graft.operators.CorpusPipeline.p11DedupFunnel(s, d)),
+    "p12_media_card"     -> ((s, d) =>
+      graft.operators.CorpusPipeline.p12MediaCard(s, d)),
+    "q97_business_staleness" ->
+      ((s, d) => SignalOps.q97BusinessStaleness(s, d)),
     "d17_edit_distance_dedup" -> ((s, d) =>
       graft.dedup.Dedup.editDistanceDedup(s, d)),
     "d07_train_split"    -> Sampling.trainSplit _,
@@ -251,6 +255,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st24StreamScd2(s, d)),
     "st25_stream_vr" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st25StreamVr(s, d)),
+    "st26_stream_twap" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st26StreamTwap(s, d)),
     "st23_stream_bars" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st23StreamBars(s, d)),
     "st20_stream_funnel" ->
@@ -337,6 +343,7 @@ object SparkEntry {
     "q96_twap"           -> SignalOracle.q96,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "st25_stream_vr"     -> SignalOracle.st25,
+    "st26_stream_twap"   -> SignalOracle.st26,
     "d20_source_overlap" -> LlmOracle.d20,
     "t21_blocklist"      -> LlmOracle.t21,
     "q92_partitioned_write" ->
@@ -402,6 +409,8 @@ object SparkEntry {
     "d19_semantic_clusters" -> LlmOracle.d19,
     "p10_quality_mix"    -> LlmOracle.p10,
     "p11_dedup_funnel"   -> LlmOracle.p11,
+    "p12_media_card"     -> LlmOracle.p12,
+    "q97_business_staleness" -> SignalOracle.q97,
     "d17_edit_distance_dedup" -> LlmOracle.d17,
     "d10_ngram_containment" -> LlmOracle.d10,
     "s04_knn_classify"   -> LlmOracle.s04,

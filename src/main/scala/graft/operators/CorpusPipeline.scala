@@ -342,6 +342,45 @@ object CorpusPipeline {
       .orderBy(col("shard"))
   }
 
+  /** p12: the MEDIA corpus card — p04's data card for the multimodal
+    * legs: per modality the asset counts, decoded volume totals
+    * (pixels / samples / duration) and quality tallies (clipped
+    * assets, silent frames) in ONE long-format metric table — the
+    * summary a multimodal-training lead reads before weighting the
+    * media mix. Composes the decoded m01/m02/m07 outputs, so every
+    * number inherits their losslessly-decoded exactness; the oracle
+    * composes those oracles verbatim (p05's pattern).
+    *
+    * Scale shape: each component is the media family's row-local
+    * scan; the card is a handful of 1-row aggregates unioned — the
+    * report of a 100 TB media corpus is ten numbers.
+    */
+  def p12MediaCard(s: SparkSession, dir: String): DataFrame = {
+    val img = graft.multimodal.Multimodal.q(s, dir)
+    val au = graft.multimodal.Audio.q(s, dir)
+    val seg = graft.multimodal.Audio.qSegment(s, dir)
+    def row(modality: String, metric: String, v: Column,
+        src: DataFrame): DataFrame =
+      src.agg(v.cast("long").as("value"))
+        .select(lit(modality).as("modality"), lit(metric).as("metric"),
+          col("value"))
+    row("image", "n_assets", count(lit(1)), img)
+      .unionByName(row("image", "total_px",
+        sum(col("width").cast("long") * col("height")), img))
+      .unionByName(row("image", "px_sum_total", sum(col("px_sum")), img))
+      .unionByName(row("image", "max_width", max(col("width")), img))
+      .unionByName(row("image", "max_height", max(col("height")), img))
+      .unionByName(row("audio", "n_assets", count(lit(1)), au))
+      .unionByName(row("audio", "total_samples", sum(col("n_samples")), au))
+      .unionByName(row("audio", "total_duration_ms",
+        sum(col("duration_ms")), au))
+      .unionByName(row("audio", "clipped_assets",
+        sum(when(col("n_clipped") > 0, 1L).otherwise(0L)), seg))
+      .unionByName(row("audio", "total_silent_frames",
+        sum(col("n_silent")), seg))
+      .orderBy(col("modality"), col("metric"))
+  }
+
   /** p11: the DEDUP FUNNEL report — per-stage attribution of the
     * document dedup family over one corpus: how many docs each stage
     * flags (exact d01 → containment d10 → n-gram Jaccard d04, cheap

@@ -2266,6 +2266,38 @@ object LlmOracle {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** p12: the media corpus card — the decoded-output oracles composed
+    * verbatim, ten 1-row aggregates in long format.
+    */
+  lazy val p12: String =
+    s"""WITH img AS (SELECT * FROM ($m01)),
+       |au AS (SELECT * FROM ($m02)),
+       |seg AS (SELECT * FROM ($m07))
+       |SELECT * FROM (
+       |  SELECT 'image' AS modality, 'n_assets' AS metric,
+       |    CAST(count(*) AS BIGINT) AS value FROM img
+       |  UNION ALL SELECT 'image', 'total_px',
+       |    CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) FROM img
+       |  UNION ALL SELECT 'image', 'px_sum_total',
+       |    CAST(sum(px_sum) AS BIGINT) FROM img
+       |  UNION ALL SELECT 'image', 'max_width',
+       |    CAST(max(width) AS BIGINT) FROM img
+       |  UNION ALL SELECT 'image', 'max_height',
+       |    CAST(max(height) AS BIGINT) FROM img
+       |  UNION ALL SELECT 'audio', 'n_assets',
+       |    CAST(count(*) AS BIGINT) FROM au
+       |  UNION ALL SELECT 'audio', 'total_samples',
+       |    CAST(sum(n_samples) AS BIGINT) FROM au
+       |  UNION ALL SELECT 'audio', 'total_duration_ms',
+       |    CAST(sum(duration_ms) AS BIGINT) FROM au
+       |  UNION ALL SELECT 'audio', 'clipped_assets',
+       |    CAST(sum(CASE WHEN n_clipped > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM seg
+       |  UNION ALL SELECT 'audio', 'total_silent_frames',
+       |    CAST(sum(n_silent) AS BIGINT) FROM seg
+       |)
+       |ORDER BY modality, metric""".stripMargin
+
   /** p11: the dedup funnel — the three flag-set oracles composed
     * verbatim (p05's pattern), then pure doc_id-set algebra over a
     * 3-row spine.

@@ -2295,6 +2295,65 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Cumulative weekday count F(d) = #weekdays in [1970-01-01, d] —
+    * pure epoch-anchored integer arithmetic (no engine dayofweek()
+    * convention): with K = days-since-epoch + 1 and r = K mod 7
+    * (1970-01-01 is a Thursday, so residues {0,1,4,5,6} are Thu, Fri,
+    * Mon, Tue, Wed), F = (K div 7)·5 + (r − clamp(r−2, 0, 2)).
+    * Identical expression on the oracle side; spec-validated against
+    * java.time over a multi-year range.
+    */
+  private[operators] def weekdayCountExpr(dayCol: String): String =
+    s"(((datediff($dayCol, DATE'1970-01-01') + 1) div 7) * 5 + " +
+      s"((datediff($dayCol, DATE'1970-01-01') + 1) % 7 - " +
+      s"greatest(0, least((datediff($dayCol, DATE'1970-01-01') + 1) % 7" +
+      s" - 2, 2))))"
+
+  /** q97: BUSINESS-day staleness — q08 measures staleness in calendar
+    * days, but a finance/logistics feed that updates Mon–Fri looks
+    * "2 days stale" every Monday morning; this measures gaps on the
+    * WEEKDAY calendar: per series the business-day span per
+    * observation, the business days since the last print (against the
+    * corpus high-water day), the stale verdict at the business
+    * threshold, and the WEEKEND-print count (a supposedly-business
+    * feed printing on Saturdays is its own data-quality finding).
+    *
+    * Exactness: everything is the epoch-anchored integer F(d) above —
+    * no doubles anywhere except the final 1e-6 floor-division rate.
+    *
+    * Scale shape: one map-side-combined series groupBy; the corpus
+    * high-water day is a 1-row broadcast.
+    */
+  def q97BusinessStaleness(s: SparkSession, dir: String,
+      limitBdays: Int = 4): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"))
+      .withColumn("wd", expr(weekdayCountExpr("day")))
+      .withColumn("is_weekend",
+        expr("CASE WHEN datediff(day, DATE'1970-01-01') % 7 IN (2, 3) " +
+          "THEN 1 ELSE 0 END"))
+    val hi = ev.agg(max(col("day")).as("max_day"))
+      .withColumn("max_wd", expr(weekdayCountExpr("max_day")))
+      .select(col("max_wd"))
+    ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        min(col("wd")).as("first_wd"), max(col("wd")).as("last_wd"),
+        sum(col("is_weekend")).cast("long").as("weekend_prints"))
+      .crossJoin(broadcast(hi))
+      .withColumn("bday_span", col("last_wd") - col("first_wd"))
+      .withColumn("avg_bgap6",
+        when(col("n_obs") > 1,
+          expr("bday_span * 1000000L div (n_obs - 1)")))
+      .withColumn("bdays_since_last", col("max_wd") - col("last_wd"))
+      .select(col("user_id"), col("event_type"), col("n_obs"),
+        col("bday_span"), col("avg_bgap6"), col("weekend_prints"),
+        col("bdays_since_last"),
+        when(col("bdays_since_last") > limitBdays, 1).otherwise(0)
+          .as("stale_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** q95: detector ENSEMBLE vote — the standard outlier-ensemble
     * practice (Aggarwal & Sathe 2017): no single detector's
     * assumptions hold everywhere, so the verdict that ships is the
@@ -5041,6 +5100,45 @@ object SignalOracle {
       |    WHEN hurst6 < 450000 THEN -1 ELSE 0 END AS INT) AS memory_flag
       |FROM fin ORDER BY user_id, event_type""".stripMargin
 
+  /** q97: business-day staleness — the identical epoch-anchored
+    * weekday-count integer expression, INT-cast for dtype parity.
+    */
+  val q97: String = {
+    def wd(d: String) =
+      s"CAST((((($d - DATE '1970-01-01') + 1) // 7) * 5 + " +
+        s"((($d - DATE '1970-01-01') + 1) % 7 - " +
+        s"greatest(0, least((($d - DATE '1970-01-01') + 1) % 7 - 2, 2))))" +
+        s" AS BIGINT)"
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+       |  FROM events
+       |), w AS (
+       |  SELECT *, ${wd("day")} AS wd,
+       |    CASE WHEN (day - DATE '1970-01-01') % 7 IN (2, 3)
+       |      THEN 1 ELSE 0 END AS is_weekend
+       |  FROM e
+       |), hi AS (
+       |  SELECT ${wd("max(day)")} AS max_wd FROM e
+       |), a AS (
+       |  SELECT user_id, event_type, count(*) AS n_obs,
+       |    min(wd) AS first_wd, max(wd) AS last_wd,
+       |    CAST(sum(is_weekend) AS BIGINT) AS weekend_prints
+       |  FROM w GROUP BY 1, 2
+       |)
+       |SELECT user_id, event_type, n_obs,
+       |  last_wd - first_wd AS bday_span,
+       |  CASE WHEN n_obs > 1 THEN
+       |    CAST(last_wd - first_wd AS BIGINT) * 1000000 // (n_obs - 1)
+       |  END AS avg_bgap6,
+       |  weekend_prints,
+       |  max_wd - last_wd AS bdays_since_last,
+       |  CAST(CASE WHEN max_wd - last_wd > 4 THEN 1 ELSE 0 END AS INT)
+       |    AS stale_flag
+       |FROM a CROSS JOIN hi
+       |ORDER BY user_id, event_type""".stripMargin
+  }
+
   /** q95: ensemble vote — the three component oracles composed
     * verbatim, joined on the observation key.
     */
@@ -5194,6 +5292,44 @@ object SignalOracle {
       |    WHEN vr6 < 800000 THEN -1 ELSE 0 END AS INT) AS vr_flag
       |FROM v
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** st26: the batch TWAP the streaming day-close emission must equal
+    * — q96's weight chain on epoch-day windows + st23's watermark
+    * eligibility rule.
+    */
+  val st26: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), w AS (
+      |  SELECT *, (epoch_us(tsu) // 86400000000) * 86400000000 AS wus
+      |  FROM b
+      |), r AS (
+      |  SELECT *, lead(epoch_us(tsu)) OVER (PARTITION BY user_id,
+      |    event_type, wus ORDER BY tsu, event_id) AS next_us
+      |  FROM w
+      |), wts AS (
+      |  SELECT *, COALESCE(next_us, wus + 86400000000) - epoch_us(tsu)
+      |    AS w_us
+      |  FROM r
+      |), ag AS (
+      |  SELECT user_id, event_type, wus, count(*) AS n_prints,
+      |    min(epoch_us(tsu)) AS first_us,
+      |    sum(CAST(v4l AS HUGEINT) * w_us) AS swv
+      |  FROM wts GROUP BY 1, 2, 3
+      |), fireable AS (
+      |  SELECT * FROM ag
+      |  WHERE (wus + 86400000000) // 1000 <
+      |    (SELECT epoch_us(max(tsu)) // 1000 - 3600000 FROM b)
+      |)
+      |SELECT make_timestamp(wus) AS win_start, user_id, event_type,
+      |  n_prints,
+      |  CAST(swv // (wus + 86400000000 - first_us) AS BIGINT) AS twap4,
+      |  CAST(swv // (wus + 86400000000 - first_us) AS BIGINT) / 10000.0
+      |    AS twap
+      |FROM fireable
+      |ORDER BY win_start, user_id, event_type""".stripMargin
 
   /** st24: the batch temporal join the streaming SCD2 enrichment must
     * equal — q76's version chain composed verbatim, then events

@@ -2055,6 +2055,95 @@ object StreamingAnomaly {
       staleDays: Double = 8.0): DataFrame =
     st25FromStream(s, eventStream(s, dir), staleDays)
 
+  /** st26 per-(ticker, day) TWAP state: first/last print µs, the live
+    * value, and the weighted sum Σ(v·Δt) as two base-1e18 limbs
+    * (v4l·µs products overflow a single long). 6 longs per LIVE day.
+    */
+  case class TwapState(firstUs: Long, lastUs: Long, lastV: Long,
+      accHi: Long, accLo: Long, n: Long)
+
+  case class TwapOut(win_start: java.sql.Timestamp, user_id: Long,
+      event_type: String, n_prints: Long, twap4: Long, twap: Double)
+
+  /** st26: q96's TWAP answered LIVE — the daily time-weighted average
+    * emitted the moment the watermark closes the day (st23's
+    * timeout-finalized pattern): each arrival banks the PREVIOUS
+    * print's value times the µs it was live; day close banks the last
+    * print to midnight and divides once by (midnight − first print),
+    * exactly q96's weights. State = 6 longs per live (ticker, day)
+    * however many prints arrive; closed days evict. In-order contract
+    * per key within the day (st02/st09's documented contract — a
+    * retro-print would need retro-weights no streaming TWAP gives).
+    * Fully oracle-backed: q96's chain + st23's watermark eligibility.
+    */
+  def st26Transform(s: SparkSession, stream: DataFrame)
+      : org.apache.spark.sql.Dataset[TwapOut] = {
+    import s.implicits._
+    val dayUs = 86400000000L
+    val limb = BigInt(1000000000000000000L) // 1e18
+
+    def update(key: (Long, String, Long), events: Iterator[TickEvent],
+        state: GroupState[TwapState]): Iterator[TwapOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        val dayEnd = key._3 + dayUs
+        val acc = BigInt(st.accHi) * limb + st.accLo +
+          BigInt(st.lastV) * (dayEnd - st.lastUs)
+        val twap4 = (acc / (dayEnd - st.firstUs)).toLong
+        Iterator.single(TwapOut(new java.sql.Timestamp(key._3 / 1000L),
+          key._1, key._2, st.n, twap4, twap4 / 10000.0))
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        var st = state.getOption.getOrElse(
+          TwapState(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L))
+        sorted.foreach { e =>
+          val us = usOf(e.ts)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          if (st.n == 0L) {
+            st = TwapState(us, us, vl, 0L, 0L, 1L)
+          } else {
+            val acc = BigInt(st.accHi) * limb + st.accLo +
+              BigInt(st.lastV) * (us - st.lastUs)
+            st = TwapState(st.firstUs, us, vl,
+              (acc / limb).toLong, (acc % limb).toLong, st.n + 1)
+          }
+        }
+        state.update(st)
+        state.setTimeoutTimestamp((key._3 + dayUs) / 1000L)
+        Iterator.empty
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e =>
+        (e.user_id, e.event_type, (usOf(e.ts) / dayUs) * dayUs))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st26FromStream(s: SparkSession, stream: DataFrame): DataFrame = {
+    val name = s"st26_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st26Transform(s, stream)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .orderBy(col("win_start"), col("user_id"), col("event_type"))
+  }
+
+  def st26StreamTwap(s: SparkSession, dir: String): DataFrame =
+    st26FromStream(s, eventStream(s, dir))
+
   /** st21 per-ticker SPC state: prefix moments (st08's exact two-limb
     * s2) + the ring of the last ≤7 standardized points — the zone
     * rules' whole lookback. Bounded: 7 longs however long the stream.

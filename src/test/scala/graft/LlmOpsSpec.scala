@@ -1321,6 +1321,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(sing == 2L, s"sing = s + ing, got $sing") // not s+in+g = 3
   }
 
+  test("p12 media card: metrics equal direct component aggregates") {
+    val dir = "/root/testdata/sf0.001"
+    val card = graft.operators.CorpusPipeline.p12MediaCard(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(card.size == 10)
+    val img = graft.multimodal.Multimodal.q(spark, dir)
+    assert(card(("image", "n_assets")) == img.count())
+    val px = img.agg(sum(col("width").cast("long") * col("height")))
+      .head.getLong(0)
+    assert(card(("image", "total_px")) == px)
+    val au = graft.multimodal.Audio.q(spark, dir)
+    assert(card(("audio", "n_assets")) == au.count())
+    assert(card(("audio", "total_duration_ms")) ==
+      au.agg(sum(col("duration_ms"))).head.getLong(0))
+  }
+
   test("d20 source overlap: exact pair matrix incl. zero rows") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("d20").toString

@@ -234,6 +234,44 @@ class SignalOpsSpec extends AnyFunSuite {
       "a 1-second blip must barely move the TWAP")
   }
 
+  test("q97 business staleness: weekday-count formula and verdicts") {
+    import spark.implicits._
+    // the epoch-anchored integer weekday count must agree with
+    // java.time over a multi-year span
+    def f(epochDay: Long): Long = {
+      val k = epochDay + 1
+      val r = k % 7
+      (k / 7) * 5 + (r - math.max(0L, math.min(r - 2, 2L)))
+    }
+    (0L until 2000L).foreach { d =>
+      val dow = java.time.LocalDate.ofEpochDay(d).getDayOfWeek.getValue
+      val isWd = if (dow <= 5) 1L else 0L
+      assert(f(d) - f(d - 1) == isWd, s"epochDay $d")
+    }
+    // Fri 01-05, Sat 01-06 (weekend print), Mon 01-08, Tue 01-09:
+    // span = 2 business days over 3 gaps
+    val rows = Seq("2024-01-05", "2024-01-06", "2024-01-08", "2024-01-09")
+      .zipWithIndex.map { case (d, i) =>
+        (1L, "bz", i.toLong,
+          java.sql.Timestamp.valueOf(s"$d 10:00:00"), 1.0)
+      } ++ Seq( // a second series pushing the corpus high-water day
+      (2L, "bz", 99L,
+        java.sql.Timestamp.valueOf("2024-01-22 10:00:00"), 1.0))
+    val tmp = java.nio.file.Files.createTempDirectory("q97spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q97BusinessStaleness(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[Long]("bday_span") == 2L &&
+      a.getAs[Long]("avg_bgap6") == 666666L &&
+      a.getAs[Long]("weekend_prints") == 1L, a.toString)
+    // Tue 01-09 -> Mon 01-22 = 9 business days late: stale
+    assert(a.getAs[Long]("bdays_since_last") == 9L &&
+      a.getAs[Int]("stale_flag") == 1, a.toString)
+    assert(out(2L).getAs[Int]("stale_flag") == 0)
+  }
+
   test("q49 EWMA tracks a constant series exactly and flags a spike") {
     import spark.implicits._
     val vals = (1 to 30).map(i => if (i == 25) 100.0 else 5.0)

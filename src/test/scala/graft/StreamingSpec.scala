@@ -1044,6 +1044,30 @@ class StreamingSpec extends AnyFunSuite {
     (200L to 202L).foreach(id => assert(out(id).isNullAt(5), out(id).toString))
   }
 
+  test("st26 live TWAP: day closes at the watermark with q96's exact " +
+    "weights") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("st26").toString
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "tw",
+        10.0, ""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 7L, "tw",
+        20.0, ""),
+      // next-day print drags the watermark past day 1's end
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 12:00:00"), 7L, "tw",
+        99.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st26StreamTwap(spark, tmp).collect()
+    // only day 1 is closed; its TWAP is the exact half-half mix
+    assert(out.length == 1, out.toSeq.toString)
+    assert(out.head.getAs[Long]("n_prints") == 2L &&
+      out.head.getAs[Long]("twap4") == 150000L &&
+      out.head.getAs[Double]("twap") == 15.0, out.head.toString)
+    assert(out.head.getAs[java.sql.Timestamp]("win_start") ==
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+  }
+
   test("st24 temporal SCD2 lookup enriches each event with its as-of " +
     "version") {
     import spark.implicits._
