@@ -124,7 +124,27 @@ object BenchScale {
     "st22_stream_ewma", "st23_stream_bars", "q84_mann_whitney",
     "q85_weekday_anova", "q86_ohlc_bars", "q82_ols_trend",
     "q83_seasonal_strength", "d19_semantic_clusters", "p09_drift_panel",
-    "s09_range_search", "p10_quality_mix")
+    "s09_range_search", "p10_quality_mix",
+    // round 9 third continuation: running-max/island windows, pair
+    // joins over daily closes (Theil-Sen, corr matrix), dual-lag
+    // moment groupBys (batch + the ring-state stream), per-(size,
+    // block) R/S windows, STOMP in-task profile rides q63's probe,
+    // type-table KN model, source-pair gram join (fixed 190-row
+    // spine), three-stage flag-set algebra, filtered broadcast ANN,
+    // partitioned sink write, µs-weight windows (batch + day-close
+    // state), detector-ensemble co-keyed joins. t21 is row-local
+    // (t16's class); q97 one light groupBy; st24 rides orders (not
+    // synthesized, q81's class); p12 aggregates m01/m02's probes;
+    // q94's output is tickers² BY SEMANTICS — the synth's 10×
+    // tickers means a 100× pair matrix no real corpus growth
+    // produces (volume grows prints, not the catalog), so its probe
+    // ratio would read output growth, not plan health (m06's class,
+    // but ×100 — excluded rather than footnoted).
+    "q89_drawdown", "q90_theil_sen", "q91_variance_ratio",
+    "q92_partitioned_write", "q93_hurst",
+    "q95_ensemble_vote", "q96_twap", "t20_kneser_ney",
+    "d20_source_overlap", "p11_dedup_funnel", "s10_filtered_ann",
+    "st25_stream_vr", "st26_stream_twap")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
