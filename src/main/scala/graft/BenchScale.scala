@@ -144,7 +144,14 @@ object BenchScale {
     "q92_partitioned_write", "q93_hurst",
     "q95_ensemble_vote", "q96_twap", "t20_kneser_ney",
     "d20_source_overlap", "p11_dedup_funnel", "s10_filtered_ann",
-    "st25_stream_vr", "st26_stream_twap")
+    "st25_stream_vr", "st26_stream_twap",
+    // round 9 fourth continuation: three lag-kernel windows over one
+    // series sort (MACD) and O(W)/row rolling-moment frames
+    // (Bollinger) — both ride the series-key exchange. q100 rolling
+    // corr is q94's pair join plus a pair-key window: pair-days
+    // output, catalog-quadratic BY SEMANTICS — excluded for q94's
+    // reason.
+    "q98_macd", "q99_bollinger")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -66,6 +66,9 @@ object SparkEntry {
     "q94_corr_matrix"    -> ((s, d) => SignalOps.q94CorrMatrix(s, d)),
     "q95_ensemble_vote"  -> ((s, d) => SignalOps.q95EnsembleVote(s, d)),
     "q96_twap"           -> ((s, d) => SignalOps.q96Twap(s, d)),
+    "q98_macd"           -> ((s, d) => SignalOps.q98Macd(s, d)),
+    "q99_bollinger"      -> ((s, d) => SignalOps.q99Bollinger(s, d)),
+    "q100_rolling_corr"  -> ((s, d) => SignalOps.q100RollingCorr(s, d)),
     "s10_filtered_ann"   -> ((s, d) =>
       graft.similarity.Ann.filteredTopK(s, d)),
     "d20_source_overlap" -> ((s, d) =>
@@ -341,6 +344,9 @@ object SparkEntry {
     "q94_corr_matrix"    -> SignalOracle.q94,
     "q95_ensemble_vote"  -> SignalOracle.q95,
     "q96_twap"           -> SignalOracle.q96,
+    "q98_macd"           -> SignalOracle.q98,
+    "q99_bollinger"      -> SignalOracle.q99,
+    "q100_rolling_corr"  -> SignalOracle.q100,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "st25_stream_vr"     -> SignalOracle.st25,
     "st26_stream_twap"   -> SignalOracle.st26,

@@ -2592,6 +2592,231 @@ object SignalOps {
           .as("memory_flag"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** MACD kernel constants (q98). The classic 12/26/9-span EMAs are
+    * re-spanned to the short synthetic series (fast span 4, slow span
+    * ~12, signal span 3) and truncated to 8 taps (q49's finite-kernel
+    * discipline): at (1-a)^8 the dropped fast/signal mass is < 2%, the
+    * slow tail ~27% of the oldest retained weight — head rows
+    * renormalize over the lags that exist either way, so truncation is
+    * a kernel DEFINITION both engines share, not an approximation
+    * error. Weights are embedded as identical double literals in the
+    * Spark plan and the oracle SQL.
+    */
+  private[graft] val MacdTaps = 8
+  private[graft] val FastW: Seq[Double] =
+    (0 until MacdTaps).map(j => math.pow(0.6, j))
+  private[graft] val SlowW: Seq[Double] =
+    (0 until MacdTaps).map(j => math.pow(0.85, j))
+  private[graft] val SigW: Seq[Double] =
+    (0 until MacdTaps).map(j => math.pow(0.5, j))
+
+  /** q98: MACD convergence/divergence signal (Appel 1979) — the
+    * trend-following companion to q49's single EWMA band: the spread
+    * between a fast and a slow EMA of the ticker series, an EMA signal
+    * line over that spread, and the histogram's zero crossings as
+    * bullish(+1)/bearish(-1) turn flags. The reference's z-score
+    * (anomaly_proj_query.sql:108-150) sees LEVEL outliers; the MACD
+    * cross flags momentum REVERSALS that never leave the band.
+    *
+    * Exactness: the input is 1e-4-quantized (q49's pattern), all three
+    * kernels are finite truncated sums whose weights appear as the
+    * SAME double literals in both engines, and each EMA is
+    * 1e-6-floored to a long before the next stage — so macd6/hist6
+    * are exact integer differences and the cross flag is an exact
+    * sign test. Head-of-series rows renormalize over existing lags
+    * (null-aware weight sums); the signal kernel runs over the
+    * ALREADY-quantized macd6 longs.
+    *
+    * Scale shape: ONE series-key exchange — both EMA kernels, the
+    * signal kernel, and the hist lag are window chains over the same
+    * (ts, event_id) sort; no joins, no second scan.
+    */
+  def q98Macd(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"),
+        (floor(col("value") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("value"))
+    // left-assoc + chains keep the double addition order identical to
+    // the oracle's (t0 + t1 + ...) parse (q49's discipline)
+    def kernel6(src: Column, weights: Seq[Double]): (Column, Column) = {
+      val lags = weights.zipWithIndex.map { case (w, j) =>
+        (lag(src, j).over(wAsc), lit(w))
+      }
+      val num = lags.map { case (lv, w) =>
+        when(lv.isNotNull, w * lv).otherwise(lit(0.0))
+      }.reduceLeft(_ + _)
+      val den = lags.map { case (lv, w) =>
+        when(lv.isNotNull, w).otherwise(lit(0.0))
+      }.reduceLeft(_ + _)
+      (num, den)
+    }
+    val (fn, fd) = kernel6(col("value"), FastW)
+    val (sn, sd) = kernel6(col("value"), SlowW)
+    val withMacd = base
+      .withColumn("fast6",
+        floor(fn / fd * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("slow6",
+        floor(sn / sd * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("macd6", col("fast6") - col("slow6"))
+    val (gn, gd) = kernel6(col("macd6"), SigW)
+    withMacd
+      .withColumn("signal6", floor(gn / gd + lit(0.5)).cast("long"))
+      .withColumn("hist6", col("macd6") - col("signal6"))
+      .withColumn("prev_hist6", lag(col("hist6"), 1).over(wAsc))
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"),
+        col("macd6"), col("signal6"), col("hist6"),
+        when(col("hist6") > 0 && col("prev_hist6") <= 0, 1)
+          .when(col("hist6") < 0 && col("prev_hist6") >= 0, -1)
+          .otherwise(0).as("cross_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  /** q99: Bollinger bands (Bollinger 1983) — the rolling-window
+    * volatility envelope beside q49's geometric-kernel band: over the
+    * trailing 8 prints, mid = rolling mean, bands = mid ± 2·sd, %B
+    * locates the print inside the envelope, and the relative band
+    * width is the squeeze/expansion gauge. Windows with < 4 prints
+    * report NULL stats rather than dropping the row (q85's
+    * thin-series lesson).
+    *
+    * Exactness: rolling moments are exact long/decimal(38,0) sums of
+    * the 1e-4 input longs over ROWS frames; mid6/sd6 are each ONE
+    * floored IEEE expression over those exact integers, the band
+    * edges are exact long arithmetic, the breach flag an exact
+    * integer comparison, and %B / width one guarded IEEE division
+    * each.
+    *
+    * Scale shape: ONE series-key exchange — every rolling frame and
+    * the final projection share the (ts, event_id) sort; O(W)/row
+    * work, no joins.
+    */
+  def q99Bollinger(s: SparkSession, dir: String,
+      window: Int = 8, minN: Int = 4): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val wRoll = wAsc.rowsBetween(-(window - 1), Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("n", count(lit(1)).over(wRoll))
+      .withColumn("s1", sum(col("v4l")).over(wRoll))
+      .withColumn("s2",
+        sum((d19(col("v4l")) * d19(col("v4l"))).cast("decimal(38,0)"))
+          .over(wRoll))
+      .withColumn("mid6",
+        floor(col("s1").cast("double") / col("n") * lit(100.0) + lit(0.5))
+          .cast("long"))
+      .withColumn("c",
+        (dec(col("n")) * col("s2") - dec(col("s1")) * dec(col("s1")))
+          .cast("decimal(38,0)"))
+      .withColumn("sd6",
+        when(col("n") >= minN,
+          floor(sqrt(greatest(col("c"), lit(0)).cast("double") /
+            (col("n") * (col("n") - 1))) * lit(100.0) + lit(0.5))
+            .cast("long")))
+      .withColumn("upper6", col("mid6") + lit(2L) * col("sd6"))
+      .withColumn("lower6", col("mid6") - lit(2L) * col("sd6"))
+      .withColumn("v6", col("v4l") * lit(100L))
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"),
+        (col("v4l") / lit(10000.0)).as("value"),
+        col("mid6"), col("sd6"), col("upper6"), col("lower6"),
+        when(col("sd6") > 0,
+          floor((col("v6") - col("lower6")).cast("double") /
+            (col("upper6") - col("lower6")) * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("pctb6"),
+        when(col("sd6").isNotNull && col("mid6") =!= 0,
+          floor((col("upper6") - col("lower6")).cast("double") /
+            abs(col("mid6")) * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("bandwidth6"),
+        when(col("sd6").isNotNull && col("v6") > col("upper6"), 1)
+          .when(col("sd6").isNotNull && col("v6") < col("lower6"), -1)
+          .otherwise(0).as("band_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  /** q100: ROLLING pairwise correlation — q94's matrix unrolled along
+    * the calendar: for every unordered ticker pair within an event
+    * type, Pearson r over the trailing 8 COMMON daily closes, per
+    * overlap day. Where q94 answers "which pairs co-move overall",
+    * the rolling series shows WHEN a correlation regime formed or
+    * broke — the decorrelation onset q59 flags gets a date.
+    *
+    * Exactness: q94's discipline per frame — closes are 1e-4 longs,
+    * the five rolling moments are exact decimal(38,0) sums over ROWS
+    * frames, r is ONE guarded IEEE chain 1e-6-floored; frames with
+    * < 4 common days report NULL r (q85's lesson).
+    *
+    * Scale shape: corpus → per-day close table (ONE (ticker, day)
+    * exchange); the pair join fans tickers² per (type, day) — q94's
+    * catalog-quadratic semantics, the OUTPUT is pair-days by
+    * definition — then ONE pair-key exchange sorts each pair's
+    * overlap calendar for the rolling frames. Moment work is
+    * O(W)/row; no global windows.
+    */
+  def q100RollingCorr(s: SparkSession, dir: String,
+      window: Int = 8, minN: Int = 4): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
+      col("day")).orderBy(col("ts").desc, col("event_id").desc)
+    val closes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("rd", row_number().over(wDay))
+      .filter(col("rd") === 1)
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("v4l").as("y"))
+    val a = closes.select(col("event_type"), col("day"),
+      col("user_id").as("user_a"), col("y").as("ya"))
+    val b = closes.select(col("event_type"), col("day"),
+      col("user_id").as("user_b"), col("y").as("yb"))
+    val wPair = Window.partitionBy(col("event_type"), col("user_a"),
+      col("user_b")).orderBy(col("day"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    a.join(b, Seq("event_type", "day"))
+      .filter(col("user_a") < col("user_b"))
+      .withColumn("n_win", count(lit(1)).over(wPair))
+      .withColumn("sx", sum(col("ya")).over(wPair))
+      .withColumn("sy", sum(col("yb")).over(wPair))
+      .withColumn("sxx",
+        sum((d19(col("ya")) * d19(col("ya"))).cast("decimal(38,0)"))
+          .over(wPair))
+      .withColumn("syy",
+        sum((d19(col("yb")) * d19(col("yb"))).cast("decimal(38,0)"))
+          .over(wPair))
+      .withColumn("sxy",
+        sum((d19(col("ya")) * d19(col("yb"))).cast("decimal(38,0)"))
+          .over(wPair))
+      .withColumn("num",
+        (dec(col("n_win")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+          .cast("decimal(38,0)"))
+      .withColumn("dx",
+        (dec(col("n_win")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+          .cast("decimal(38,0)"))
+      .withColumn("dy",
+        (dec(col("n_win")) * col("syy") - dec(col("sy")) * dec(col("sy")))
+          .cast("decimal(38,0)"))
+      .withColumn("corr6",
+        when(col("n_win") >= minN && col("dx") > 0 && col("dy") > 0,
+          floor(col("num").cast("double") /
+            sqrt(col("dx").cast("double") * col("dy").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("event_type"), col("user_a"), col("user_b"), col("day"),
+        col("n_win"), col("corr6"),
+        when(abs(col("corr6")) >= 800000L, 1).otherwise(0)
+          .as("comove_flag"))
+      .orderBy(col("event_type"), col("user_a"), col("user_b"), col("day"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -5365,4 +5590,150 @@ object SignalOracle {
       |  AND e.day >= v.o_orderdate
       |  AND (v.valid_to IS NULL OR e.day < v.valid_to)
       |ORDER BY e.event_id, v.version""".stripMargin
+
+  /** q98: the three truncated EMA kernels unrolled with the SAME
+    * double-literal weights as the Spark plan (q49's pattern);
+    * macd6/hist6 exact longs, cross flag an exact sign test.
+    */
+  val q98: String = {
+    def kernel(src: String, ws: Seq[Double]): (String, String) = {
+      val terms = ws.zipWithIndex.map { case (w, j) =>
+        (s"CASE WHEN lag($src, $j) OVER wa IS NOT NULL THEN $w * lag($src, $j) OVER wa ELSE 0.0 END",
+          s"CASE WHEN lag($src, $j) OVER wa IS NOT NULL THEN $w ELSE 0.0 END")
+      }
+      (terms.map(_._1).mkString("(", " + ", ")"),
+        terms.map(_._2).mkString("(", " + ", ")"))
+    }
+    val (fn, fd) = kernel("value", SignalOps.FastW)
+    val (sn, sd) = kernel("value", SignalOps.SlowW)
+    val (gn, gd) = kernel("macd6", SignalOps.SigW)
+    s"""WITH base AS (
+       |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    floor(value * 10000.0 + 0.5) / 10000.0 AS value
+       |  FROM events
+       |), e AS (
+       |  SELECT *,
+       |    CAST(floor($fn / $fd * 1000000.0 + 0.5) AS BIGINT) AS fast6,
+       |    CAST(floor($sn / $sd * 1000000.0 + 0.5) AS BIGINT) AS slow6
+       |  FROM base
+       |  WINDOW wa AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+       |), m AS (
+       |  SELECT *, fast6 - slow6 AS macd6 FROM e
+       |), sg AS (
+       |  SELECT *,
+       |    CAST(floor($gn / $gd + 0.5) AS BIGINT) AS signal6
+       |  FROM m
+       |  WINDOW wa AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+       |), h AS (
+       |  SELECT *, macd6 - signal6 AS hist6,
+       |    lag(macd6 - signal6) OVER (PARTITION BY user_id, event_type
+       |      ORDER BY ts, event_id) AS prev_hist6
+       |  FROM sg
+       |)
+       |SELECT user_id, event_type, event_id, ts AS date_recorded, value,
+       |  macd6, signal6, hist6,
+       |  CAST(CASE WHEN hist6 > 0 AND prev_hist6 <= 0 THEN 1
+       |       WHEN hist6 < 0 AND prev_hist6 >= 0 THEN -1
+       |       ELSE 0 END AS INT) AS cross_flag
+       |FROM h
+       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+  }
+
+  /** q99: rolling exact moments over ROWS frames, one floored IEEE
+    * expression per published stat, exact-integer band test.
+    */
+  val q99: String =
+    """WITH base AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), m AS (
+      |  SELECT *,
+      |    count(*) OVER wr AS n,
+      |    sum(v4l) OVER wr AS s1,
+      |    sum(CAST(v4l AS HUGEINT) * v4l) OVER wr AS s2
+      |  FROM base
+      |  WINDOW wr AS (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+      |), st AS (
+      |  SELECT *,
+      |    CAST(floor(CAST(s1 AS DOUBLE) / n * 100.0 + 0.5) AS BIGINT)
+      |      AS mid6,
+      |    CASE WHEN n >= 4 THEN
+      |      CAST(floor(sqrt(CAST(greatest(n * s2 -
+      |        CAST(s1 AS HUGEINT) * s1, 0) AS DOUBLE) /
+      |        (n * (n - 1))) * 100.0 + 0.5) AS BIGINT)
+      |    END AS sd6
+      |  FROM m
+      |), bands AS (
+      |  SELECT *, mid6 + 2 * sd6 AS upper6, mid6 - 2 * sd6 AS lower6,
+      |    v4l * 100 AS v6
+      |  FROM st
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value, mid6, sd6, upper6, lower6,
+      |  CASE WHEN sd6 > 0 THEN
+      |    CAST(floor(CAST(v6 - lower6 AS DOUBLE) / (upper6 - lower6)
+      |      * 1000000.0 + 0.5) AS BIGINT)
+      |  END AS pctb6,
+      |  CASE WHEN sd6 IS NOT NULL AND mid6 != 0 THEN
+      |    CAST(floor(CAST(upper6 - lower6 AS DOUBLE) / abs(mid6)
+      |      * 1000000.0 + 0.5) AS BIGINT)
+      |  END AS bandwidth6,
+      |  CAST(CASE WHEN sd6 IS NOT NULL AND v6 > upper6 THEN 1
+      |       WHEN sd6 IS NOT NULL AND v6 < lower6 THEN -1
+      |       ELSE 0 END AS INT) AS band_flag
+      |FROM bands
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** q100: q94's pair join, rolling exact moments over ROWS frames
+    * per pair, the identical guarded IEEE correlation chain.
+    */
+  val q100: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), cl AS (
+      |  SELECT user_id, event_type, day, v4l AS y FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type, day
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |    FROM b
+      |  ) WHERE rd = 1
+      |), pr AS (
+      |  SELECT a.event_type, a.user_id AS user_a, b2.user_id AS user_b,
+      |    a.day, a.y AS ya, b2.y AS yb
+      |  FROM cl a JOIN cl b2 ON a.event_type = b2.event_type
+      |    AND a.day = b2.day AND a.user_id < b2.user_id
+      |), m AS (
+      |  SELECT *,
+      |    count(*) OVER wp AS n_win,
+      |    sum(ya) OVER wp AS sx, sum(yb) OVER wp AS sy,
+      |    sum(CAST(ya AS HUGEINT) * ya) OVER wp AS sxx,
+      |    sum(CAST(yb AS HUGEINT) * yb) OVER wp AS syy,
+      |    sum(CAST(ya AS HUGEINT) * yb) OVER wp AS sxy
+      |  FROM pr
+      |  WINDOW wp AS (PARTITION BY event_type, user_a, user_b
+      |    ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+      |), f AS (
+      |  SELECT *,
+      |    n_win * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    n_win * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+      |    n_win * syy - CAST(sy AS HUGEINT) * sy AS dy
+      |  FROM m
+      |), v AS (
+      |  SELECT *,
+      |    CASE WHEN n_win >= 4 AND dx > 0 AND dy > 0 THEN
+      |      CAST(floor(CAST(num AS DOUBLE) /
+      |        sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS corr6
+      |  FROM f
+      |)
+      |SELECT event_type, user_a, user_b, day, n_win, corr6,
+      |  CAST(CASE WHEN abs(corr6) >= 800000 THEN 1 ELSE 0 END AS INT)
+      |    AS comove_flag
+      |FROM v
+      |ORDER BY event_type, user_a, user_b, day""".stripMargin
 }

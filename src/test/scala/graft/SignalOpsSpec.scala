@@ -1417,4 +1417,120 @@ class SignalOpsSpec extends AnyFunSuite {
       .getAs[Double]("sen_slope_day")
     assert(math.abs(sen - 0.5) < 0.05, s"Sen slope moved: $sen")
   }
+
+  test("q98 MACD: flat series is identically zero, LCG walk matches " +
+    "the exact three-kernel chain") {
+    import spark.implicits._
+    def write(vals: Seq[Double]): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, "md", i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q98spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    val flat = SignalOps.q98Macd(spark, write(Seq.fill(20)(5.5))).collect()
+    assert(flat.length == 20 && flat.forall(r =>
+      r.getAs[Long]("macd6") == 0L && r.getAs[Long]("signal6") == 0L &&
+        r.getAs[Long]("hist6") == 0L && r.getAs[Int]("cross_flag") == 0))
+    // LCG pseudo-walk: replicate the kernel chain locally in the SAME
+    // left-assoc double order (0.0 terms included for missing lags)
+    var seed = 2468L
+    val steps = (0 until 40).map { _ =>
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      ((seed % 19).toInt - 9) * 0.1
+    }
+    val walk = steps.scanLeft(100.0)(_ + _)
+    val q = walk.map(x => math.floor(x * 10000.0 + 0.5) / 10000.0)
+    def kern(src: Int => Double, ws: Seq[Double], i: Int): Double = {
+      var num = 0.0; var den = 0.0
+      ws.zipWithIndex.foreach { case (w, j) =>
+        if (i - j >= 0) { num += w * src(i - j); den += w }
+        else { num += 0.0; den += 0.0 }
+      }
+      num / den
+    }
+    val fast = q.indices.map(i =>
+      math.floor(kern(q(_), SignalOps.FastW, i) * 1e6 + 0.5).toLong)
+    val slow = q.indices.map(i =>
+      math.floor(kern(q(_), SignalOps.SlowW, i) * 1e6 + 0.5).toLong)
+    val macd = fast.zip(slow).map { case (a, b) => a - b }
+    val sig = q.indices.map(i =>
+      math.floor(kern(j => macd(j).toDouble, SignalOps.SigW, i) + 0.5)
+        .toLong)
+    val hist = macd.zip(sig).map { case (a, b) => a - b }
+    val out = SignalOps.q98Macd(spark, write(walk))
+      .orderBy("event_id").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("macd6") == macd(i) &&
+        r.getAs[Long]("signal6") == sig(i) &&
+        r.getAs[Long]("hist6") == hist(i), s"row $i: $r")
+    }
+    assert(out.exists(_.getAs[Int]("cross_flag") != 0))
+  }
+
+  test("q99 Bollinger: flat series has zero width, planted spike " +
+    "breaches the upper band") {
+    import spark.implicits._
+    val vals = Seq.fill(10)(10.0) :+ 10.6
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "bb", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:${i}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q99spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q99Bollinger(spark, tmp).orderBy("event_id")
+      .collect()
+    assert(out.length == 11)
+    // n < 4: NULL stats, flag 0
+    out.take(3).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("sd6")) &&
+        r.getAs[Int]("band_flag") == 0, r.toString)
+    }
+    // flat full windows: zero width, bands collapse onto the mid
+    out.slice(3, 10).foreach { r =>
+      assert(r.getAs[Long]("sd6") == 0L &&
+        r.getAs[Long]("upper6") == r.getAs[Long]("mid6") &&
+        r.getAs[Long]("lower6") == r.getAs[Long]("mid6") &&
+        r.isNullAt(r.fieldIndex("pctb6")) &&
+        r.getAs[Long]("bandwidth6") == 0L &&
+        r.getAs[Int]("band_flag") == 0, r.toString)
+    }
+    // the spike: trailing window 7x10.0 + 10.6 -> sd6 = 212132,
+    // upper6 = 10075000 + 2*212132 < 10.6e6 -> breach
+    val sp = out.last
+    assert(sp.getAs[Long]("sd6") == 212132L, sp.toString)
+    assert(sp.getAs[Long]("upper6") == 10499264L, sp.toString)
+    assert(sp.getAs[Int]("band_flag") == 1, sp.toString)
+  }
+
+  test("q100 rolling corr: perfect linear pairs lock at +/-1 once the " +
+    "frame fills") {
+    import spark.implicits._
+    val rows = (1 to 10).flatMap { d =>
+      Seq((1L, 10.0 + d), (2L, 20.0 + 2 * d), (3L, 16.0 - d)).map {
+        case (u, v) => (u, "x", u * 100 + d,
+          java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q100spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q100RollingCorr(spark, tmp).collect()
+    assert(out.length == 30) // 3 pairs x 10 overlap days
+    out.foreach { r =>
+      val nw = r.getAs[Long]("n_win")
+      assert(nw <= 8L, r.toString)
+      val pair = (r.getAs[Long]("user_a"), r.getAs[Long]("user_b"))
+      if (nw >= 4L) {
+        val want = if (pair == (1L, 2L)) 1000000L else -1000000L
+        assert(r.getAs[Long]("corr6") == want, r.toString)
+        assert(r.getAs[Int]("comove_flag") == 1, r.toString)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("corr6")) &&
+          r.getAs[Int]("comove_flag") == 0, r.toString)
+      }
+    }
+  }
 }
