@@ -150,8 +150,11 @@ object BenchScale {
     // (Bollinger) — both ride the series-key exchange. q100 rolling
     // corr is q94's pair join plus a pair-key window: pair-days
     // output, catalog-quadratic BY SEMANTICS — excluded for q94's
-    // reason.
-    "q98_macd", "q99_bollinger")
+    // reason. q101 vol kernel + q102 squared-diff portmanteau ride
+    // the same series exchange; st27 is the three-detector state
+    // class (st21/st22's probe shape).
+    "q98_macd", "q99_bollinger", "q101_riskmetrics_vol",
+    "q102_arch_test", "st27_stream_ensemble")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

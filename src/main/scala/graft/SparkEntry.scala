@@ -69,6 +69,8 @@ object SparkEntry {
     "q98_macd"           -> ((s, d) => SignalOps.q98Macd(s, d)),
     "q99_bollinger"      -> ((s, d) => SignalOps.q99Bollinger(s, d)),
     "q100_rolling_corr"  -> ((s, d) => SignalOps.q100RollingCorr(s, d)),
+    "q101_riskmetrics_vol" -> ((s, d) => SignalOps.q101RiskmetricsVol(s, d)),
+    "q102_arch_test"     -> ((s, d) => SignalOps.q102ArchTest(s, d)),
     "s10_filtered_ann"   -> ((s, d) =>
       graft.similarity.Ann.filteredTopK(s, d)),
     "d20_source_overlap" -> ((s, d) =>
@@ -260,6 +262,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st25StreamVr(s, d)),
     "st26_stream_twap" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st26StreamTwap(s, d)),
+    "st27_stream_ensemble" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st27StreamEnsemble(s, d)),
     "st23_stream_bars" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st23StreamBars(s, d)),
     "st20_stream_funnel" ->
@@ -347,9 +351,12 @@ object SparkEntry {
     "q98_macd"           -> SignalOracle.q98,
     "q99_bollinger"      -> SignalOracle.q99,
     "q100_rolling_corr"  -> SignalOracle.q100,
+    "q101_riskmetrics_vol" -> SignalOracle.q101,
+    "q102_arch_test"     -> SignalOracle.q102,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "st25_stream_vr"     -> SignalOracle.st25,
     "st26_stream_twap"   -> SignalOracle.st26,
+    "st27_stream_ensemble" -> SignalOracle.st27,
     "d20_source_overlap" -> LlmOracle.d20,
     "t21_blocklist"      -> LlmOracle.t21,
     "q92_partitioned_write" ->

@@ -2817,6 +2817,131 @@ object SignalOps {
           .as("comove_flag"))
       .orderBy(col("event_type"), col("user_a"), col("user_b"), col("day"))
   }
+
+  /** RiskMetrics decay for q101, truncated at 10 taps (λ^10 ≈ 0.056 —
+    * q49's finite-kernel discipline; the head renormalizes anyway).
+    */
+  private[graft] val VolLambda = 0.75
+  private[graft] val VolTaps = 10
+  private[graft] val VolW: Seq[Double] =
+    (0 until VolTaps).map(j => math.pow(VolLambda, j))
+
+  /** q101: EWMA VOLATILITY (RiskMetrics 1996) — the conditional-scale
+    * estimate beside q49's conditional-level band: recent squared
+    * increments exponentially weighted into a rolling σ̂_t, each new
+    * increment standardized against the PREVIOUS print's σ̂ (the
+    * causal innovation a risk desk actually monitors), spiked at 3σ.
+    * A level detector scores |Δ| against ONE global σ; this scores it
+    * against the volatility REGIME — a 2-unit move is an anomaly in a
+    * calm regime and noise in a turbulent one.
+    *
+    * Exactness: d is an exact 1e-4 long, x = d² div 10⁴ an exact
+    * integer on both engines, the kernel a finite weighted sum with
+    * identical double literals (q98's discipline), σ̂ 1e-6-floored to
+    * a long, and the innovation ONE IEEE division over the quantized
+    * longs. Head rows renormalize; the first print has no increment
+    * and reports NULL.
+    *
+    * Scale shape: ONE series-key exchange — diff lag, the kernel's
+    * lag taps and the σ̂ lag all ride the same (ts, event_id) sort.
+    */
+  def q101RiskmetricsVol(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("d", col("v4l") - lag(col("v4l"), 1).over(wAsc))
+      // x = d² in 1e-4 units of squared value: exact integer floor
+      // division on both engines, keeps n·x − S inside decimal(38,0)
+      .withColumn("x", expr("(d * d) div 10000L"))
+    val lags = VolW.zipWithIndex.map { case (w, j) =>
+      (lag(col("x"), j).over(wAsc), lit(w))
+    }
+    val num = lags.map { case (lv, w) =>
+      when(lv.isNotNull, w * lv).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val den = lags.map { case (lv, w) =>
+      when(lv.isNotNull, w).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    base
+      .withColumn("vol6",
+        when(col("x").isNotNull,
+          floor(sqrt(num / den) * lit(100.0) + lit(0.5)).cast("long")))
+      .withColumn("vol6_prev", lag(col("vol6"), 1).over(wAsc))
+      .withColumn("z6",
+        when(col("d").isNotNull && col("vol6_prev") > 0,
+          floor((col("d") * lit(100L)).cast("double") /
+            col("vol6_prev") * lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"),
+        (col("v4l") / lit(10000.0)).as("value"),
+        (col("d") / lit(10000.0)).as("diff"),
+        col("vol6"), col("z6"),
+        when(abs(col("z6")) >= 3000000L, 1).otherwise(0)
+          .as("vol_spike_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  /** q102: ARCH-effect portmanteau (McLeod & Li 1983; Engle 1982) —
+    * q78's Ljung–Box machinery pointed at the SQUARED increments:
+    * white diffs can still carry volatility CLUSTERING (big moves
+    * follow big moves), which q78 cannot see because clustering lives
+    * in the second moment. Q = n(n+2)·Σ r_k²/(n−k) over the first
+    * h = 5 autocorrelations of d², rejected against χ²(5, .05); a
+    * flagged ticker needs q101's regime σ, not a global σ.
+    *
+    * Exactness: x = d² div 10⁴ exact integers (q101's compaction —
+    * keeps e = n·x − S and its squares inside decimal(38,0)), then
+    * verbatim q78: exact HUGEINT lag cross-sums, one shared IEEE
+    * chain per term 1e-9-floored, Q9 an exact long.
+    *
+    * Scale shape: q78's exactly — ONE ticker exchange reused by the
+    * diff lag, the moment window, the h residual-lag windows and the
+    * map-side-combined groupBy.
+    */
+  def q102ArchTest(s: SparkSession, dir: String, h: Int = 5,
+      minDiffs: Int = 8): DataFrame = {
+    require(h >= 1 && h < minDiffs, "need h lags inside the min history")
+    val d23 = (c: Column) => c.cast("decimal(23,0)")
+    val diffs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("d", col("v4l") - lag(col("v4l"), 1).over(wAsc))
+      .filter(col("d").isNotNull)
+      .withColumn("x", expr("(d * d) div 10000L"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("e", (d23(col("n")) * d23(col("x")) -
+        d23(sum(col("x")).over(wKey))).cast("decimal(23,0)"))
+    val lagged = (1 to h).foldLeft(diffs) { (df, k) =>
+      df.withColumn(s"p$k",
+        (col("e") * lag(col("e"), k).over(wAsc)).cast("decimal(38,0)"))
+    }
+    val aggs = sum((col("e") * col("e")).cast("decimal(38,0)"))
+      .as("c") +: (1 to h).map(k => sum(col(s"p$k")).as(s"a$k"))
+    val mom = lagged.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .filter(col("n") >= minDiffs)
+    val withR = (1 to h).foldLeft(mom) { (df, k) =>
+      df.withColumn(s"r$k",
+        when(col("c") > 0,
+          col(s"a$k").cast("double") / col("c").cast("double")))
+        .withColumn(s"t$k",
+          floor(col(s"r$k") * col(s"r$k") / (col("n") - lit(k)) *
+            lit(1.0e9) + lit(0.5)).cast("long"))
+    }
+    withR
+      .withColumn("sum9", (1 to h).map(k => col(s"t$k")).reduce(_ + _))
+      .withColumn("arch_q9", col("n") * (col("n") + lit(2)) * col("sum9"))
+      .select(col("user_id"), col("event_type"), col("n").as("n_diffs"),
+        floor(col("r1") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("acf2_1_6"),
+        col("arch_q9"),
+        when(col("arch_q9") > lit(11070500000L), 1).otherwise(0)
+          .as("arch_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -5736,4 +5861,218 @@ object SignalOracle {
       |    AS comove_flag
       |FROM v
       |ORDER BY event_type, user_a, user_b, day""".stripMargin
+
+  /** st27: st08's per-segment prefix-z + closed-form CUSUM chains
+    * composed with q53's list-frame selection medians on the CAUSAL
+    * trailing 7-frame — three detectors, one replayed state pass.
+    */
+  val st27: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), st AS (
+      |  SELECT *,
+      |    count(*) OVER wk AS n,
+      |    sum(v4l) OVER wk AS s1,
+      |    sum(CAST(v4l AS HUGEINT) * v4l) OVER wk AS s2
+      |  FROM seg
+      |  WINDOW wk AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), ham0 AS (
+      |  SELECT *,
+      |    list_sort(list(v4l) OVER wh) AS sa,
+      |    list(v4l) OVER wh AS harr
+      |  FROM st
+      |  WINDOW wh AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |), ham1 AS (
+      |  SELECT *,
+      |    (sa[(len(sa) + 1) // 2] + sa[len(sa) // 2 + 1]) / 2.0 AS med
+      |  FROM ham0
+      |), ham2 AS (
+      |  SELECT *,
+      |    list_sort(list_transform(harr,
+      |      x -> abs(CAST(x AS DOUBLE) - med))) AS sdl,
+      |    abs(CAST(v4l AS DOUBLE) - med) AS dev
+      |  FROM ham1
+      |), ham3 AS (
+      |  SELECT *,
+      |    (sdl[(len(sdl) + 1) // 2] + sdl[len(sdl) // 2 + 1]) / 2.0 AS mad
+      |  FROM ham2
+      |), z AS (
+      |  SELECT *, v4l / 10000.0 AS value,
+      |    CASE WHEN n > 1 AND (n * s2 - CAST(s1 AS HUGEINT) * s1) > 0
+      |      THEN CAST(floor(
+      |        CAST(n * v4l - s1 AS DOUBLE) /
+      |        sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) * n / (n - 1))
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |      ELSE 0 END AS zf
+      |  FROM ham3
+      |), r AS (
+      |  SELECT *,
+      |    sum(zf - 500000) OVER w AS r_pos,
+      |    sum(-zf - 500000) OVER w AS r_neg
+      |  FROM z
+      |  WINDOW w AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), sfin AS (
+      |  SELECT *,
+      |    r_pos - least(0, min(r_pos) OVER w) AS s_pos,
+      |    r_neg - least(0, min(r_neg) OVER w) AS s_neg
+      |  FROM r
+      |  WINDOW w AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), fl AS (
+      |  SELECT *,
+      |    CASE WHEN abs(zf) >= 3000000 THEN 1 ELSE 0 END AS z_flag,
+      |    CASE WHEN s_pos > 5000000 OR s_neg > 5000000 THEN 1 ELSE 0 END
+      |      AS cusum_flag,
+      |    CASE WHEN mad = 0.0 THEN CAST(dev > 0.0 AS INT)
+      |         ELSE CAST(dev > 3.0 * 1.4826 * mad AS INT) END
+      |      AS hampel_flag
+      |  FROM sfin
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded, value,
+      |  zf / 1000000.0 AS zscore6,
+      |  CAST(z_flag AS INT) AS z_flag,
+      |  CAST(cusum_flag AS INT) AS cusum_flag,
+      |  CAST(hampel_flag AS INT) AS hampel_flag,
+      |  CAST(z_flag + cusum_flag + hampel_flag AS INT) AS votes,
+      |  CAST(CASE WHEN z_flag + cusum_flag + hampel_flag >= 2
+      |    THEN 1 ELSE 0 END AS INT) AS ensemble_flag
+      |FROM fl
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** q101: the RiskMetrics kernel unrolled with the SAME double
+    * literals, σ̂/innovation the identical quantized IEEE chains.
+    */
+  val q101: String = {
+    val terms = SignalOps.VolW.zipWithIndex.map { case (w, j) =>
+      (s"CASE WHEN lag(x, $j) OVER wa IS NOT NULL THEN $w * lag(x, $j) OVER wa ELSE 0.0 END",
+        s"CASE WHEN lag(x, $j) OVER wa IS NOT NULL THEN $w ELSE 0.0 END")
+    }
+    val num = terms.map(_._1).mkString("(", " + ", ")")
+    val den = terms.map(_._2).mkString("(", " + ", ")")
+    s"""WITH b AS (
+       |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+       |  FROM events
+       |), dd AS (
+       |  SELECT *, v4l - lag(v4l) OVER (PARTITION BY user_id, event_type
+       |    ORDER BY ts, event_id) AS d
+       |  FROM b
+       |), xx AS (
+       |  SELECT *, (d * d) // 10000 AS x FROM dd
+       |), vv AS (
+       |  SELECT *,
+       |    CASE WHEN x IS NOT NULL THEN
+       |      CAST(floor(sqrt($num / $den) * 100.0 + 0.5) AS BIGINT)
+       |    END AS vol6
+       |  FROM xx
+       |  WINDOW wa AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+       |), pv AS (
+       |  SELECT *, lag(vol6) OVER (PARTITION BY user_id, event_type
+       |    ORDER BY ts, event_id) AS vol6_prev
+       |  FROM vv
+       |), zz AS (
+       |  SELECT *,
+       |    CASE WHEN d IS NOT NULL AND vol6_prev > 0 THEN
+       |      CAST(floor(CAST(d * 100 AS DOUBLE) / vol6_prev
+       |        * 1000000.0 + 0.5) AS BIGINT)
+       |    END AS z6
+       |  FROM pv
+       |)
+       |SELECT user_id, event_type, event_id, ts AS date_recorded,
+       |  v4l / 10000.0 AS value, d / 10000.0 AS diff, vol6, z6,
+       |  CAST(CASE WHEN abs(z6) >= 3000000 THEN 1 ELSE 0 END AS INT)
+       |    AS vol_spike_flag
+       |FROM zz
+       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+  }
+
+  /** q102: q78's oracle chain over x = d² // 10⁴ — exact HUGEINT
+    * residual cross-sums, one IEEE term chain, exact Q9.
+    */
+  val q102: String =
+    """WITH base AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), df AS (
+      |  SELECT *, v4l - lag(v4l) OVER w AS d
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), dd AS (
+      |  SELECT *, (d * d) // 10000 AS x FROM df WHERE d IS NOT NULL
+      |), ce AS (
+      |  SELECT *,
+      |    CAST(count(*) OVER wk AS HUGEINT) * x
+      |      - CAST(sum(x) OVER wk AS HUGEINT) AS e
+      |  FROM dd
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), lg AS (
+      |  SELECT *, lag(e, 1) OVER w AS e1, lag(e, 2) OVER w AS e2,
+      |    lag(e, 3) OVER w AS e3, lag(e, 4) OVER w AS e4,
+      |    lag(e, 5) OVER w AS e5
+      |  FROM ce
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), mom AS (
+      |  SELECT user_id, event_type, count(*) AS n,
+      |    sum(e * e) AS c,
+      |    sum(e * e1) AS a1,
+      |    sum(e * e2) AS a2,
+      |    sum(e * e3) AS a3,
+      |    sum(e * e4) AS a4,
+      |    sum(e * e5) AS a5
+      |  FROM lg GROUP BY 1, 2 HAVING count(*) >= 8
+      |), r AS (
+      |  SELECT *,
+      |    CASE WHEN c > 0 THEN CAST(a1 AS DOUBLE) / CAST(c AS DOUBLE) END
+      |      AS r1,
+      |    CASE WHEN c > 0 THEN CAST(a2 AS DOUBLE) / CAST(c AS DOUBLE) END
+      |      AS r2,
+      |    CASE WHEN c > 0 THEN CAST(a3 AS DOUBLE) / CAST(c AS DOUBLE) END
+      |      AS r3,
+      |    CASE WHEN c > 0 THEN CAST(a4 AS DOUBLE) / CAST(c AS DOUBLE) END
+      |      AS r4,
+      |    CASE WHEN c > 0 THEN CAST(a5 AS DOUBLE) / CAST(c AS DOUBLE) END
+      |      AS r5
+      |  FROM mom
+      |), t AS (
+      |  SELECT *,
+      |    CAST(floor(r1 * r1 / (n - 1) * 1000000000.0 + 0.5) AS BIGINT) AS t1,
+      |    CAST(floor(r2 * r2 / (n - 2) * 1000000000.0 + 0.5) AS BIGINT) AS t2,
+      |    CAST(floor(r3 * r3 / (n - 3) * 1000000000.0 + 0.5) AS BIGINT) AS t3,
+      |    CAST(floor(r4 * r4 / (n - 4) * 1000000000.0 + 0.5) AS BIGINT) AS t4,
+      |    CAST(floor(r5 * r5 / (n - 5) * 1000000000.0 + 0.5) AS BIGINT) AS t5
+      |  FROM r
+      |), q AS (
+      |  SELECT *, n * (n + 2) * (t1 + t2 + t3 + t4 + t5) AS arch_q9
+      |  FROM t
+      |)
+      |SELECT user_id, event_type, n AS n_diffs,
+      |  CASE WHEN c > 0 THEN
+      |    CAST(floor(r1 * 1000000.0 + 0.5) AS BIGINT)
+      |  END AS acf2_1_6,
+      |  arch_q9,
+      |  CAST(CASE WHEN arch_q9 > 11070500000 THEN 1 ELSE 0 END AS INT)
+      |    AS arch_flag
+      |FROM q
+      |ORDER BY user_id, event_type""".stripMargin
 }

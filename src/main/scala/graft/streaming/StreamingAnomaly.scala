@@ -2499,4 +2499,145 @@ object StreamingAnomaly {
     }
     versionedSink(path)
   }
+
+  /** st27 per-ticker ensemble state: prefix moments (st08's exact
+    * two-limb s2) + the two CUSUM accumulators + the ≤6-value Hampel
+    * ring — all three detectors' entire lookback in ~11 longs per LIVE
+    * key however long the stream runs.
+    */
+  case class EnsState(lastUs: Long, n: Long, s1: Long, s2Hi: Long,
+      s2Lo: Long, sPos: Long, sNeg: Long, ring: Array[Long])
+
+  case class EnsOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, zscore6: Double,
+      z_flag: Int, cusum_flag: Int, hampel_flag: Int, votes: Int,
+      ensemble_flag: Int)
+
+  /** st27: q95's detector ENSEMBLE answered LIVE — three causal
+    * detectors sharing ONE state pass and one shuffle instead of the
+    * three-way join the batch twin runs: the prefix z-test (st08's
+    * causal standardization), the CUSUM persistence test (st08's
+    * integer recursion on the quantized z), and a causal Hampel
+    * (q53's selection-median/MAD over the trailing ≤7 prints — the
+    * ring IS the whole lookback). Votes ∈ 0..3, page at the ≥ 2
+    * majority: a seasonal level-step that fools the z-test still
+    * needs a second detector to agree before anyone is woken up.
+    *
+    * Determinism contract (§8): values quantize to 1e-4 longs; z from
+    * exact BigInt moments with one correctly-rounded conversion,
+    * 1e-6-floored; the CUSUM runs in pure integers; the Hampel
+    * median/MAD use q53's exact rank-selection formula ((a+b)/2.0 on
+    * the exact long pair) so the DuckDB oracle (prefix windows + the
+    * closed-form CUSUM + list-frame selection medians per segment)
+    * matches bit-for-bit. EventTimeTimeout eviction + the in-data
+    * staleness gap restart the segment exactly like st02/st08; same
+    * in-order contract.
+    */
+  def st27Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[EnsOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val limb = BigInt(1000000000000000000L) // 1e18
+    val k = 500000L // CUSUM slack: 0.5 sigma in 1e6 fixed point
+    val h = 5000000L // CUSUM decision threshold: 5 sigma
+
+    def empty = EnsState(Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L,
+      Array.empty[Long])
+
+    // q53's selection median: 1-indexed picks (k+1)//2 and k//2+1
+    // averaged over the EXACT long sum — the oracle's (a + b) / 2.0
+    def medLong(sorted: Array[Long]): Double = {
+      val m = sorted.length
+      (sorted((m + 1) / 2 - 1) + sorted(m / 2)) / 2.0
+    }
+    def medDouble(sorted: Array[Double]): Double = {
+      val m = sorted.length
+      (sorted((m + 1) / 2 - 1) + sorted(m / 2)) / 2.0
+    }
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[EnsState]): Iterator[EnsOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // quiet ticker: baselines gone, key evicted
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[EnsOut]
+        var st = state.getOption.getOrElse(empty)
+        sorted.foreach { e =>
+          // in-data staleness gap: restart every detector's segment
+          if (st.n > 0 && usOf(e.ts) - st.lastUs > staleUs) st = empty
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          // detector 1: causal z against prefix moments incl. current
+          val n = st.n + 1
+          val s1 = st.s1 + vl
+          val s2 = BigInt(st.s2Hi) * limb + st.s2Lo + BigInt(vl) * vl
+          val c = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
+          val zf =
+            if (n > 1 && c > 0) {
+              val a = (BigInt(n) * BigInt(vl) - BigInt(s1)).toDouble
+              math.floor(a / math.sqrt(c.toDouble * n / (n - 1)) *
+                1000000.0 + 0.5).toLong
+            } else 0L
+          val zFlag = if (math.abs(zf) >= 3000000L) 1 else 0
+          // detector 2: CUSUM persistence on the quantized z
+          val sPos = math.max(0L, st.sPos + zf - k)
+          val sNeg = math.max(0L, st.sNeg - zf - k)
+          val cusumFlag = if (sPos > h || sNeg > h) 1 else 0
+          // detector 3: causal Hampel over the trailing <=7 prints
+          val win = st.ring :+ vl
+          val med = medLong(win.sorted)
+          val dev = math.abs(vl.toDouble - med)
+          val mad = medDouble(win.map(x => math.abs(x.toDouble - med)).sorted)
+          val hampelFlag =
+            if (mad == 0.0) { if (dev > 0.0) 1 else 0 }
+            else { if (dev > 3.0 * 1.4826 * mad) 1 else 0 }
+          val votes = zFlag + cusumFlag + hampelFlag
+          st = EnsState(usOf(e.ts), n, s1, (s2 / limb).toLong,
+            (s2 % limb).toLong, sPos, sNeg, win.takeRight(6))
+          out += EnsOut(key._1, key._2, e.event_id, e.ts, vl / 10000.0,
+            zf / 1000000.0, zFlag, cusumFlag, hampelFlag, votes,
+            if (votes >= 2) 1 else 0)
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st27FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st27_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st27Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("zscore6"),
+        col("z_flag"), col("cusum_flag"), col("hampel_flag"),
+        col("votes"), col("ensemble_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st27StreamEnsemble(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st27FromStream(s, eventStream(s, dir), staleDays)
 }

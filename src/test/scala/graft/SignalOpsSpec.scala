@@ -1505,6 +1505,93 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(sp.getAs[Int]("band_flag") == 1, sp.toString)
   }
 
+  test("q101 RiskMetrics vol: flat series is zero-vol, LCG walk " +
+    "matches the exact kernel chain") {
+    import spark.implicits._
+    def write(vals: Seq[Double]): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, "rv", i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q101spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    val flat = SignalOps.q101RiskmetricsVol(spark, write(Seq.fill(15)(7.5)))
+      .orderBy("event_id").collect()
+    assert(flat.head.isNullAt(flat.head.fieldIndex("vol6")))
+    flat.tail.foreach { r =>
+      assert(r.getAs[Long]("vol6") == 0L &&
+        r.isNullAt(r.fieldIndex("z6")) &&
+        r.getAs[Int]("vol_spike_flag") == 0, r.toString)
+    }
+    var seed = 1357L
+    val steps = (0 until 40).map { _ =>
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      ((seed % 19).toInt - 9) * 0.1
+    }
+    val walk = steps.scanLeft(100.0)(_ + _)
+    val v = walk.map(x => math.floor(x * 10000.0 + 0.5).toLong)
+    val d = v.indices.map(i => if (i == 0) None else Some(v(i) - v(i - 1)))
+    val x = d.map(_.map(dd => dd * dd / 10000L))
+    val vol6 = x.indices.map { i =>
+      if (x(i).isEmpty) None
+      else {
+        var num = 0.0; var den = 0.0
+        SignalOps.VolW.zipWithIndex.foreach { case (w, j) =>
+          if (i - j >= 0 && x(i - j).nonEmpty) {
+            num += w * x(i - j).get; den += w
+          } else { num += 0.0; den += 0.0 }
+        }
+        Some(math.floor(math.sqrt(num / den) * 100.0 + 0.5).toLong)
+      }
+    }
+    val z6 = v.indices.map { i =>
+      val vp = if (i == 0) None else vol6(i - 1)
+      if (d(i).nonEmpty && vp.exists(_ > 0))
+        Some(math.floor((d(i).get * 100L).toDouble / vp.get * 1000000.0 +
+          0.5).toLong)
+      else None
+    }
+    val out = SignalOps.q101RiskmetricsVol(spark, write(walk))
+      .orderBy("event_id").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      val gotVol = if (r.isNullAt(r.fieldIndex("vol6"))) None
+        else Some(r.getAs[Long]("vol6"))
+      val gotZ = if (r.isNullAt(r.fieldIndex("z6"))) None
+        else Some(r.getAs[Long]("z6"))
+      assert(gotVol == vol6(i) && gotZ == z6(i), s"row $i: $r")
+    }
+  }
+
+  test("q102 ARCH test: constant increments are degenerate-null, " +
+    "planted volatility clustering rejects") {
+    import spark.implicits._
+    def write(vals: Seq[Double]): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, "ar", i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q102spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // constant slope: every squared diff identical -> c = 0 -> NULLs
+    val lin = SignalOps.q102ArchTest(spark, write((1 to 20).map(_ * 1.0)))
+      .collect()
+    assert(lin.length == 1)
+    assert(lin.head.isNullAt(lin.head.fieldIndex("arch_q9")) &&
+      lin.head.getAs[Int]("arch_flag") == 0, lin.head.toString)
+    // calm half then wild half: squared diffs step up -> clustering
+    val diffs = (0 until 20).map(i => if (i % 2 == 0) 0.1 else -0.1) ++
+      (0 until 20).map(i => if (i % 2 == 0) 5.0 else -5.0)
+    val clustered = diffs.scanLeft(100.0)(_ + _)
+    val out = SignalOps.q102ArchTest(spark, write(clustered)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("acf2_1_6") > 500000L, out.head.toString)
+    assert(out.head.getAs[Int]("arch_flag") == 1, out.head.toString)
+  }
+
   test("q100 rolling corr: perfect linear pairs lock at +/-1 once the " +
     "frame fills") {
     import spark.implicits._

@@ -1044,6 +1044,45 @@ class StreamingSpec extends AnyFunSuite {
     (200L to 202L).foreach(id => assert(out(id).isNullAt(5), out(id).toString))
   }
 
+  test("st27 live ensemble: flat stream stays silent, a spike trips " +
+    "z + Hampel but not CUSUM, a gap restarts every detector") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("st27").toString
+    def ts(d: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:$m%02d:00")
+    // 10 flat prints, a single 5x spike, a 10-day gap, 2 flat prints
+    val rows = (0 until 10).map(i =>
+      (100L + i, ts(1, i), 7L, "en", 10.0, "")) ++
+      Seq((110L, ts(1, 10), 7L, "en", 50.0, "")) ++
+      (0 until 2).map(i => (200L + i, ts(12, i), 7L, "en", 20.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st27StreamEnsemble(spark, tmp).collect()
+      .map(r => r.getLong(2) -> r).toMap
+    assert(out.size == 13)
+    // flat prefix: zero variance -> all three detectors quiet
+    (100L to 109L).foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Int]("votes") == 0 &&
+        r.getAs[Int]("ensemble_flag") == 0, r.toString)
+    }
+    // spike: causal z = (500000-136364)/sd ~ 3.01 sigma -> z_flag;
+    // Hampel: ring median 10.0, MAD 0, dev > 0 -> hampel_flag;
+    // CUSUM: one step of z-k ~ 2.5e6 < h -> still quiet. 2-of-3 pages.
+    val sp = out(110L)
+    assert(sp.getAs[Int]("z_flag") == 1 &&
+      sp.getAs[Int]("hampel_flag") == 1 &&
+      sp.getAs[Int]("cusum_flag") == 0 &&
+      sp.getAs[Int]("votes") == 2 &&
+      sp.getAs[Int]("ensemble_flag") == 1, sp.toString)
+    // post-gap: every baseline restarted -> quiet again
+    (200L to 201L).foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Int]("votes") == 0 &&
+        r.getAs[Double]("zscore6") == 0.0, r.toString)
+    }
+  }
+
   test("st26 live TWAP: day closes at the watermark with q96's exact " +
     "weights") {
     import spark.implicits._
