@@ -154,7 +154,12 @@ object BenchScale {
     // the same series exchange; st27 is the three-detector state
     // class (st21/st22's probe shape).
     "q98_macd", "q99_bollinger", "q101_riskmetrics_vol",
-    "q102_arch_test", "st27_stream_ensemble")
+    "q102_arch_test", "st27_stream_ensemble",
+    // d21 = digest scan + m-bounded distinct + broadcast probe;
+    // q103 rides the q10 chain's ticker exchange. s11 composes s08's
+    // exact n² graph tier — excluded for s08's reason (its scale
+    // path is s02/s03 candidate edges into the same join chain).
+    "d21_bloom_admission", "q103_incident_report")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -71,6 +71,12 @@ object SparkEntry {
     "q100_rolling_corr"  -> ((s, d) => SignalOps.q100RollingCorr(s, d)),
     "q101_riskmetrics_vol" -> ((s, d) => SignalOps.q101RiskmetricsVol(s, d)),
     "q102_arch_test"     -> ((s, d) => SignalOps.q102ArchTest(s, d)),
+    "s11_lof"            -> ((s, d) =>
+      graft.similarity.Ann.s11Lof(s, d)),
+    "d21_bloom_admission" -> ((s, d) =>
+      graft.dedup.BloomAdmission.d21BloomAdmission(s, d)),
+    "q103_incident_report" ->
+      ((s, d) => TickerAnomaly.q103IncidentReport(s, d)),
     "s10_filtered_ann"   -> ((s, d) =>
       graft.similarity.Ann.filteredTopK(s, d)),
     "d20_source_overlap" -> ((s, d) =>
@@ -354,6 +360,9 @@ object SparkEntry {
     "q101_riskmetrics_vol" -> SignalOracle.q101,
     "q102_arch_test"     -> SignalOracle.q102,
     "s10_filtered_ann"   -> LlmOracle.s10,
+    "s11_lof"            -> LlmOracle.s11,
+    "d21_bloom_admission" -> LlmOracle.d21,
+    "q103_incident_report" -> AnomalyOracle.q103,
     "st25_stream_vr"     -> SignalOracle.st25,
     "st26_stream_twap"   -> SignalOracle.st26,
     "st27_stream_ensemble" -> SignalOracle.st27,

@@ -163,4 +163,37 @@ object AnomalyOracle {
        |WHERE date_recorded = most_recent_date
        |ORDER BY absolute_standard_deviations_from_avg DESC NULLS LAST,
        |  date_recorded DESC, user_id, event_type""".stripMargin
+
+  /** q103: flags2 rolled into contiguous anomaly islands — exact
+    * aggregates over already-matched columns, integer µs duration.
+    */
+  val q103: String =
+    s"""$chain,
+       |anom AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+       |    ORDER BY date_recorded, event_id) AS rn_all
+       |  FROM flags2
+       |), isl AS (
+       |  SELECT *, rn_all - row_number() OVER (PARTITION BY user_id,
+       |    event_type ORDER BY date_recorded, event_id) AS grp
+       |  FROM anom WHERE anomaly = 1
+       |), agg AS (
+       |  SELECT user_id, event_type, grp,
+       |    min(date_recorded) AS start_ts,
+       |    max(date_recorded) AS end_ts,
+       |    count(*) AS n_events,
+       |    max(absolute_standard_deviations_from_avg) AS peak_z,
+       |    CAST(sum(standard_deviation_flag) AS BIGINT) AS n_sd,
+       |    CAST(sum(data_repetitions_flag) AS BIGINT) AS n_rep,
+       |    CAST(sum(days_since_last_update_flag) AS BIGINT) AS n_stale
+       |  FROM isl GROUP BY 1, 2, 3
+       |)
+       |SELECT user_id, event_type,
+       |  CAST(row_number() OVER (PARTITION BY user_id, event_type
+       |    ORDER BY start_ts) AS INT) AS incident_id,
+       |  start_ts, end_ts,
+       |  epoch_us(end_ts) - epoch_us(start_ts) AS duration_us,
+       |  n_events, peak_z, n_sd, n_rep, n_stale
+       |FROM agg
+       |ORDER BY user_id, event_type, incident_id""".stripMargin
 }

@@ -220,6 +220,56 @@ object LlmOracle {
     * measured on the INDEX side; all-pairs here where the Spark side
     * prefix-filters (exactness of the filter is what's under test).
     */
+  /** d21: the split-hash Bloom filter replayed in ANSI SQL — identical
+    * mod-(2³¹−1) position arithmetic, so even the false positives
+    * hash-match the Spark side.
+    */
+  val d21: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, md5($Norm) AS h FROM documents
+       |), idx AS (
+       |  SELECT doc_id, h,
+       |    CAST(concat('0x', substring(h, 1, 15)) AS BIGINT)
+       |      % 2147483647 AS x
+       |  FROM docs WHERE doc_id % 10 <> 7
+       |), bat AS (
+       |  SELECT doc_id, h,
+       |    CAST(concat('0x', substring(h, 1, 15)) AS BIGINT)
+       |      % 2147483647 AS x
+       |  FROM docs WHERE doc_id % 10 = 7
+       |), fb AS (
+       |  SELECT DISTINCT unnest([
+       |    ((1103515245 * x + 12345) % 2147483647) % 1048576,
+       |    ((69069 * x + 1) % 2147483647) % 1048576,
+       |    ((1664525 * x + 1013904223) % 2147483647) % 1048576,
+       |    ((22695477 * x + 54321) % 2147483647) % 1048576]) AS pos
+       |  FROM idx
+       |), pr AS (
+       |  SELECT doc_id, h, unnest([
+       |    ((1103515245 * x + 12345) % 2147483647) % 1048576,
+       |    ((69069 * x + 1) % 2147483647) % 1048576,
+       |    ((1664525 * x + 1013904223) % 2147483647) % 1048576,
+       |    ((22695477 * x + 54321) % 2147483647) % 1048576]) AS pos
+       |  FROM bat
+       |), hits AS (
+       |  SELECT pr.doc_id, pr.h,
+       |    sum(CASE WHEN fb.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+       |  FROM pr LEFT JOIN fb ON pr.pos = fb.pos
+       |  GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT DISTINCT h FROM idx
+       |)
+       |SELECT hits.doc_id,
+       |  CAST(n_hits AS INT) AS n_hits,
+       |  CAST(CASE WHEN n_hits = 4 THEN 1 ELSE 0 END AS INT) AS bloom_hit,
+       |  CAST(CASE WHEN ex.h IS NOT NULL THEN 1 ELSE 0 END AS INT)
+       |    AS exact_dup,
+       |  CAST(CASE WHEN n_hits = 4 AND ex.h IS NULL THEN 1 ELSE 0 END
+       |    AS INT) AS false_positive,
+       |  CAST(CASE WHEN n_hits < 4 THEN 1 ELSE 0 END AS INT) AS admitted
+       |FROM hits LEFT JOIN ex ON hits.h = ex.h
+       |ORDER BY hits.doc_id""".stripMargin
+
   val d15: String =
     s"""WITH batch AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
@@ -633,6 +683,58 @@ object LlmOracle {
        |)
        |SELECT node_id, CAST(rk AS INT) AS rk, nbr_id, cos6
        |FROM r WHERE rk <= 5 ORDER BY node_id, rk""".stripMargin
+
+  /** s11: LOF over s08's exact graph — integer distances/kdist/reach,
+    * one integer division per lrd, one IEEE chain per LOF.
+    */
+  val s11: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM v
+       |), p AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    floor(${dotSql("a.v", "b.v")} / sqrt(a.norm2 * b.norm2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cos6
+       |  FROM n a JOIN n b ON b.vec_id > a.vec_id
+       |), d AS (
+       |  SELECT ia AS node_id, ib AS nbr_id, cos6 FROM p
+       |  UNION ALL SELECT ib, ia, cos6 FROM p
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY node_id
+       |    ORDER BY cos6 DESC, nbr_id) AS rk
+       |  FROM d
+       |), g AS (
+       |  SELECT node_id, nbr_id,
+       |    1000000 - CAST(floor(cos6 * 1000000.0 + 0.5) AS BIGINT) AS d6
+       |  FROM r WHERE rk <= 5
+       |), kd AS (
+       |  SELECT node_id, max(d6) AS kdist6, count(*) AS cnt
+       |  FROM g GROUP BY 1
+       |), reach AS (
+       |  SELECT g.node_id, greatest(kd.kdist6, g.d6) AS reach6
+       |  FROM g JOIN kd ON g.nbr_id = kd.node_id
+       |), lrd AS (
+       |  SELECT node_id, sum(reach6) AS sreach, count(*) AS cnt,
+       |    CASE WHEN sum(reach6) > 0
+       |      THEN (count(*) * 1000000000000000) // sum(reach6) END AS lrd9
+       |  FROM reach GROUP BY 1
+       |), ns AS (
+       |  SELECT g.node_id, sum(l2.lrd9) AS sum_lrd9
+       |  FROM g JOIN lrd l2 ON g.nbr_id = l2.node_id
+       |  GROUP BY 1
+       |)
+       |SELECT lrd.node_id AS vec_id, lrd.cnt AS n_nbrs, lrd.lrd9,
+       |  CASE WHEN lrd.lrd9 > 0 AND ns.sum_lrd9 IS NOT NULL THEN
+       |    CAST(floor(CAST(ns.sum_lrd9 AS DOUBLE) / lrd.cnt / lrd.lrd9
+       |      * 1000000.0 + 0.5) AS BIGINT)
+       |  END AS lof6,
+       |  CAST(CASE WHEN lrd.lrd9 > 0 AND ns.sum_lrd9 IS NOT NULL AND
+       |    CAST(floor(CAST(ns.sum_lrd9 AS DOUBLE) / lrd.cnt / lrd.lrd9
+       |      * 1000000.0 + 0.5) AS BIGINT) >= 1500000
+       |    THEN 1 ELSE 0 END AS INT) AS outlier_flag
+       |FROM lrd JOIN ns ON lrd.node_id = ns.node_id
+       |ORDER BY vec_id""".stripMargin
 
   val s06: String =
     s"""WITH v AS (

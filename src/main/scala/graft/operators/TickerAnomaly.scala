@@ -299,6 +299,53 @@ object TickerAnomaly {
         col("avg_days_bw_data"), col("days_since_last_update"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** q103: anomaly INCIDENT report — q09's per-event verdicts rolled
+    * into contiguous INCIDENTS (q07's gaps-and-islands applied to the
+    * anomaly flag itself): consecutive flagged observations per ticker
+    * collapse to one row with start/end, exact µs duration, event
+    * count, peak |z| and the per-detector flag tally. The on-call
+    * view — q09 pages per OBSERVATION; a 3-day degradation is ONE
+    * incident with a shape, not 17 pages.
+    *
+    * Determinism: islands are the classic rn − rn-over-flagged
+    * difference on the chain's already-deterministic order; every
+    * aggregate is an exact min/max/count/sum over already
+    * oracle-matched columns (peak z rides q06's rounded value);
+    * duration is an exact integer µs difference, no date semantics.
+    *
+    * Scale shape: the chain's ONE ticker exchange carries both
+    * row_numbers and the island groupBy (key-prefix partitioning);
+    * the incident_id window sees incident-count-sized groups.
+    */
+  def q103IncidentReport(s: SparkSession, dir: String,
+      cfg: AnomalyConfig = AnomalyConfig()): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("date_recorded"), col("event_id"))
+    val isl = flags(s, dir, cfg)
+      .withColumn("rn_all", row_number().over(wAll))
+      .filter(col("anomaly") === 1)
+      .withColumn("grp", col("rn_all") - row_number().over(wAll))
+    isl.groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(
+        min(col("date_recorded")).as("start_ts"),
+        max(col("date_recorded")).as("end_ts"),
+        count(lit(1)).as("n_events"),
+        max(col("absolute_standard_deviations_from_avg")).as("peak_z"),
+        sum(col("standard_deviation_flag")).as("n_sd"),
+        sum(col("data_repetitions_flag")).as("n_rep"),
+        sum(col("days_since_last_update_flag")).as("n_stale"))
+      .withColumn("incident_id",
+        row_number().over(Window.partitionBy(col("user_id"),
+          col("event_type")).orderBy(col("start_ts"))))
+      .select(col("user_id"), col("event_type"), col("incident_id"),
+        col("start_ts"), col("end_ts"),
+        (unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
+          .as("duration_us"),
+        col("n_events"), col("peak_z"), col("n_sd"), col("n_rep"),
+        col("n_stale"))
+      .orderBy(col("user_id"), col("event_type"), col("incident_id"))
+  }
+
   def q09AnomalyFlags(s: SparkSession, dir: String): DataFrame =
     ordered(flags(s, dir),
       "user_id", "event_type", "event_id", "date_recorded",

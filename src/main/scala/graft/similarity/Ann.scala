@@ -766,4 +766,64 @@ object Ann {
       .select(col("node_id"), col("rk"), col("nbr_id"), col("cos6"))
       .orderBy(col("node_id"), col("rk"))
   }
+
+  /** s11: LOCAL OUTLIER FACTOR (Breunig et al. 2000) over the
+    * embedding space — the density-ratio anomaly score the distance
+    * threshold s09 can't express: a point 0.2 away from a tight
+    * cluster is anomalous while a point 0.2 from a diffuse one is
+    * typical. Composes s08's exact kNN graph: k-distance, reachability
+    * distance reach(p←o) = max(kdist(o), d(p,o)), local reachability
+    * density, and LOF = (mean neighbor lrd)/lrd(p), flagged ≥ 1.5.
+    *
+    * Exactness: distances are EXACT 1e-6 integers (d6 = 10⁶ − cos6·10⁶
+    * off s08's floored similarity), kdist/reach/Σreach exact longs,
+    * lrd quantized by ONE integer division (cnt·10¹⁵ div Σreach —
+    * order-free), the neighbor-lrd sum an exact long sum, and LOF ONE
+    * final IEEE chain — no float accumulation anywhere. Duplicate
+    * clusters (Σreach = 0) report NULL lrd/LOF rather than ∞, flag 0,
+    * identically on both engines.
+    *
+    * Scale shape: everything after the graph is edge-list relational —
+    * two key-partitioned groupBys and two hash joins on a k·n edge
+    * table (k-bounded fan). The graph itself is s08's exact tier; at
+    * corpus scale feed the SAME pipeline s02/s03 candidate edges
+    * (documented there) — LOF only needs each node's approximate
+    * neighborhood, the join/groupBy chain is unchanged.
+    */
+  def s11Lof(s: SparkSession, dir: String, k: Int = 5,
+      lofFlagAt: Long = 1500000L): DataFrame = {
+    val g = knnGraph(s, dir, k)
+      .select(col("node_id"), col("nbr_id"),
+        (lit(1000000L) -
+          floor(col("cos6") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("d6"))
+    val kd = g.groupBy(col("node_id"))
+      .agg(max(col("d6")).as("kdist6"), count(lit(1)).as("cnt"))
+    // reach(p <- o) = max(kdist(o), d(p, o)): join the NEIGHBOR's
+    // k-distance onto each edge
+    val reach = g
+      .join(kd.select(col("node_id").as("nbr_id"),
+        col("kdist6").as("nbr_kdist6")), Seq("nbr_id"))
+      .withColumn("reach6", greatest(col("nbr_kdist6"), col("d6")))
+    val lrd = reach.groupBy(col("node_id"))
+      .agg(sum(col("reach6")).as("sreach"), count(lit(1)).as("cnt"))
+      .withColumn("lrd9",
+        when(col("sreach") > 0,
+          expr("(cnt * 1000000000000000L) div sreach")))
+    val nbrSum = g
+      .join(lrd.select(col("node_id").as("nbr_id"),
+        col("lrd9").as("nbr_lrd9")), Seq("nbr_id"))
+      .groupBy(col("node_id"))
+      .agg(sum(col("nbr_lrd9")).as("sum_lrd9"))
+    lrd.join(nbrSum, Seq("node_id"))
+      .withColumn("lof6",
+        when(col("lrd9") > 0 && col("sum_lrd9").isNotNull,
+          floor(col("sum_lrd9").cast("double") / col("cnt") /
+            col("lrd9") * lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("node_id").as("vec_id"), col("cnt").as("n_nbrs"),
+        col("lrd9"), col("lof6"),
+        when(col("lof6") >= lofFlagAt, 1).otherwise(0)
+          .as("outlier_flag"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -1394,4 +1394,74 @@ class LlmOpsSpec extends AnyFunSuite {
     chk(2, 2L, 1L, 2L)
     chk(3, 2L, 1L, 3L)
   }
+  test("s11 LOF: a point off a tight cluster scores high, the cluster " +
+    "scores ~1, duplicate clusters are NULL not infinite") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("s11spec").toString
+    def e(i: Int, v: Array[Float]) = (i.toLong, v, i)
+    // 8-point jittered cluster along axis 0, one orthogonal outlier
+    val cluster = (0 until 8).map { i =>
+      e(i, Array(1f, 0.01f * i, 0.005f * ((i % 3) + 1), 0f))
+    }
+    val rows = cluster :+ e(99, Array(0f, 0f, 0f, 1f))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = graft.similarity.Ann.s11Lof(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 9)
+    val outlier = out(99L)
+    assert(outlier.getAs[Int]("outlier_flag") == 1 &&
+      outlier.getAs[Long]("lof6") > 1500000L, outlier.toString)
+    (0L until 8L).foreach { i =>
+      val r = out(i)
+      assert(r.getAs[Int]("outlier_flag") == 0 &&
+        math.abs(r.getAs[Long]("lof6") - 1000000L) < 500000L, r.toString)
+    }
+    // all-identical cluster: zero distances -> NULL lrd/LOF, flag 0
+    val dup = (0 until 6).map(i => e(i, Array(1f, 0f, 0f, 0f)))
+    dup.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val d = graft.similarity.Ann.s11Lof(spark, tmp).collect()
+    assert(d.length == 6)
+    d.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("lrd9")) &&
+        r.isNullAt(r.fieldIndex("lof6")) &&
+        r.getAs[Int]("outlier_flag") == 0, r.toString)
+    }
+  }
+
+  test("d21 Bloom admission: no false negatives by construction, " +
+    "planted duplicate is caught, FPR stays tiny at m=2^20") {
+    import spark.implicits._
+    // planted: batch doc 7 duplicates (normalized) index doc 10
+    val index = Seq((10L, "Shared   Boilerplate\tText"),
+      (12L, "unique corpus material one"),
+      (14L, "unique corpus material two")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        md5(graft.dedup.Dedup.normText(col("text"))).as("h"))
+    val batch = Seq((7L, "shared boilerplate text"),
+      (17L, "novel arrival alpha"),
+      (27L, "novel arrival beta")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        md5(graft.dedup.Dedup.normText(col("text"))).as("h"))
+    val out = graft.dedup.BloomAdmission.bloomAdmission(index, batch)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(7L).getAs[Int]("bloom_hit") == 1 &&
+      out(7L).getAs[Int]("exact_dup") == 1 &&
+      out(7L).getAs[Int]("admitted") == 0, out(7L).toString)
+    // on the real corpus: exact_dup = 1 implies bloom_hit = 1 (no
+    // false negatives), and false positives are rare at this load
+    val full = graft.dedup.BloomAdmission
+      .d21BloomAdmission(spark, dir).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      if (r.getAs[Int]("exact_dup") == 1)
+        assert(r.getAs[Int]("bloom_hit") == 1, r.toString)
+      assert(r.getAs[Int]("admitted") ==
+        (if (r.getAs[Int]("bloom_hit") == 1) 0 else 1), r.toString)
+    }
+    val fpr = full.count(_.getAs[Int]("false_positive") == 1).toDouble /
+      math.max(1, full.count(_.getAs[Int]("exact_dup") == 0))
+    assert(fpr < 0.05, s"false-positive rate $fpr")
+  }
 }

@@ -73,4 +73,34 @@ class TickerAnomalySpec extends AnyFunSuite {
     assert(hashShuffles.size <= 1,
       s"expected one hash shuffle for the whole chain, got:\n$plan")
   }
+  test("q103 incidents partition the flagged rows into maximal runs") {
+    import org.apache.spark.sql.functions._
+    val inc = TickerAnomaly.q103IncidentReport(spark, dir).collect()
+    assert(inc.nonEmpty)
+    val flagged = TickerAnomaly.flags(spark, dir)
+      .filter(col("anomaly") === 1)
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every flagged observation lands in exactly one incident
+    val perKey = inc.groupBy(r => (r.getLong(0), r.getString(1)))
+      .view.mapValues(_.map(_.getAs[Long]("n_events")).sum).toMap
+    assert(perKey == flagged, s"$perKey vs $flagged")
+    inc.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      assert(n >= 1 && r.getAs[Long]("duration_us") >= 0L, r.toString)
+      // each flagged event carries at least one component flag
+      assert(r.getAs[Long]("n_sd") + r.getAs[Long]("n_rep") +
+        r.getAs[Long]("n_stale") >= n, r.toString)
+    }
+    // incidents within a key are disjoint and ordered
+    inc.groupBy(r => (r.getLong(0), r.getString(1))).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("incident_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("end_ts").getTime <
+            b.getAs[java.sql.Timestamp]("start_ts").getTime, s"$a | $b")
+        case _ =>
+      }
+    }
+  }
 }
