@@ -159,7 +159,11 @@ object BenchScale {
     // q103 rides the q10 chain's ticker exchange. s11 composes s08's
     // exact n² graph tier — excluded for s08's reason (its scale
     // path is s02/s03 candidate edges into the same join chain).
-    "d21_bloom_admission", "q103_incident_report")
+    "d21_bloom_admission", "q103_incident_report",
+    // q104 = one calendar-cell groupBy; q105 = q78's moment class on
+    // levels; t22 = dictionary-sized bigram groupBys (t06's class).
+    "q104_seasonal_profile", "q105_ar1_half_life",
+    "t22_pmi_collocations")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -71,6 +71,11 @@ object SparkEntry {
     "q100_rolling_corr"  -> ((s, d) => SignalOps.q100RollingCorr(s, d)),
     "q101_riskmetrics_vol" -> ((s, d) => SignalOps.q101RiskmetricsVol(s, d)),
     "q102_arch_test"     -> ((s, d) => SignalOps.q102ArchTest(s, d)),
+    "q104_seasonal_profile" ->
+      ((s, d) => SignalOps.q104SeasonalProfile(s, d)),
+    "q105_ar1_half_life" -> ((s, d) => SignalOps.q105Ar1HalfLife(s, d)),
+    "t22_pmi_collocations" ->
+      ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
       graft.similarity.Ann.s11Lof(s, d)),
     "d21_bloom_admission" -> ((s, d) =>
@@ -359,6 +364,9 @@ object SparkEntry {
     "q100_rolling_corr"  -> SignalOracle.q100,
     "q101_riskmetrics_vol" -> SignalOracle.q101,
     "q102_arch_test"     -> SignalOracle.q102,
+    "q104_seasonal_profile" -> SignalOracle.q104,
+    "q105_ar1_half_life" -> SignalOracle.q105,
+    "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,
     "d21_bloom_admission" -> LlmOracle.d21,

@@ -1606,6 +1606,44 @@ object LlmOracle {
        |  (CAST(sum(nll9) AS DOUBLE) / 1.0e9) / count(*) AS avg_nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t22: PMI collocations — exact counts, ONE ln over the identical
+    * left-assoc double chain, totally tie-broken top-K.
+    */
+  val t22: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_extract_all($Norm, '[a-z0-9]+') AS toks
+       |  FROM documents
+       |), uni AS (
+       |  SELECT t, count(*) AS c FROM (
+       |    SELECT unnest(toks) AS t FROM tk
+       |  ) GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(c) AS n1 FROM uni
+       |), bg AS (
+       |  SELECT b[1] AS w1, b[2] AS w2 FROM (
+       |    SELECT unnest(list_zip(toks[1:len(toks) - 1], toks[2:len(toks)]))
+       |      AS b
+       |    FROM tk WHERE len(toks) >= 2
+       |  )
+       |), nbt AS (
+       |  SELECT count(*) AS nb FROM bg
+       |), c12 AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+       |  HAVING count(*) >= 5
+       |), scored AS (
+       |  SELECT c12.w1, c12.w2, c12.c12, u1.c AS c1, u2.c AS c2,
+       |    CAST(floor(ln(CAST(c12.c12 AS DOUBLE) * n1 / u1.c / u2.c
+       |      * n1 / nb) * 1000000.0 + 0.5) AS BIGINT) AS pmi6
+       |  FROM c12
+       |  JOIN uni u1 ON c12.w1 = u1.t
+       |  JOIN uni u2 ON c12.w2 = u2.t
+       |  CROSS JOIN tot CROSS JOIN nbt
+       |)
+       |SELECT w1, w2, c12, CAST(c1 AS BIGINT) AS c1,
+       |  CAST(c2 AS BIGINT) AS c2, pmi6
+       |FROM scored
+       |ORDER BY pmi6 DESC, w1, w2 LIMIT 200""".stripMargin
+
   /** t20: Kneser–Ney bigram perplexity — exact BIGINT type/token
     * counts, the interpolated-KN probability as the SAME IEEE operator
     * tree as the Spark side, one ln() per bigram type quantized at

@@ -2942,6 +2942,113 @@ object SignalOps {
           .as("arch_flag"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q104: SEASONAL PROFILE grid — the (weekday × hour) habit table
+    * the decomposition detectors ASSUME exists: per event type, print
+    * volume and mean level per calendar cell, the cell's share of the
+    * type's volume, and a hot-cell flag where the cell mean leaves
+    * the type's ±2σ band — the table that answers "is Monday 09:00
+    * always like this?" before q17 subtracts it.
+    *
+    * Determinism: weekday/hour are pure epoch integer arithmetic
+    * ((days+4) mod 7 — no engine dayofweek() convention; q97's
+    * lesson); cell and type moments are exact long/decimal(38,0)
+    * sums; mean/σ are each ONE floored IEEE expression; the share is
+    * an exact integer division; the hot flag an exact long compare.
+    *
+    * Scale shape: ONE map-side-combined (type, dow, hour) groupBy
+    * over the corpus (catalog×168-bounded output) + a broadcast-sized
+    * per-type roll-up joined back. No windows, no corpus re-scan —
+    * the type stats derive from the CELL table.
+    */
+  def q104SeasonalProfile(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000L + 4) % 7").as("dow"),
+        expr("(unix_micros(ts) % 86400000000L) div 3600000000L").as("hour"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .groupBy(col("event_type"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v4l")).as("s1"),
+        sum((d19(col("v4l")) * d19(col("v4l"))).cast("decimal(38,0)"))
+          .as("s2"))
+    val types = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("tn"), sum(col("s1")).as("ts1"),
+        sum(col("s2")).as("ts2"))
+      .withColumn("tmean6",
+        floor(col("ts1").cast("double") / col("tn") * lit(100.0) + lit(0.5))
+          .cast("long"))
+      .withColumn("tc",
+        (dec(col("tn")) * col("ts2") - dec(col("ts1")) * dec(col("ts1")))
+          .cast("decimal(38,0)"))
+      .withColumn("tsd6",
+        when(col("tn") > 1,
+          floor(sqrt(greatest(col("tc"), lit(0)).cast("double") /
+            (col("tn") * (col("tn") - 1))) * lit(100.0) + lit(0.5))
+            .cast("long")))
+    cells.join(broadcast(types.select(col("event_type"), col("tn"),
+        col("tmean6"), col("tsd6"))), Seq("event_type"))
+      .withColumn("mean6",
+        floor(col("s1").cast("double") / col("n") * lit(100.0) + lit(0.5))
+          .cast("long"))
+      .select(col("event_type"), col("dow"), col("hour"), col("n"),
+        col("mean6"),
+        expr("(n * 1000000L) div tn").as("vol_share6"),
+        when(col("tsd6").isNotNull &&
+          abs(col("mean6") - col("tmean6")) > lit(2L) * col("tsd6"), 1)
+          .otherwise(0).as("hot_flag"))
+      .orderBy(col("event_type"), col("dow"), col("hour"))
+  }
+
+  /** q105: AR(1) MEAN-REVERSION HALF-LIFE — the "how fast does it
+    * come back" companion to q91/q93's "does it come back": the lag-1
+    * autocorrelation of the LEVEL series is the AR(1) coefficient
+    * estimate φ, and t½ = −ln 2/ln φ converts it to periods — the
+    * number a desk quotes ("shocks decay in ~6 prints") and the
+    * window length q53/q99 should be sized by. φ ≥ 1 (unit root /
+    * trending) reports NULL half-life with the diverging flag.
+    *
+    * Exactness: q78's residual machinery on LEVELS — e = n·x − S
+    * exact decimal(23,0), A₁/C exact decimal(38,0)/HUGEINT cross-
+    * sums, φ ONE division 1e-6-floored, and t½ ONE log chain over
+    * the QUANTIZED φ (identical parse both engines).
+    *
+    * Scale shape: ONE ticker exchange — the moment window, the lag
+    * window and the map-side-combined groupBy all reuse it.
+    */
+  def q105Ar1HalfLife(s: SparkSession, dir: String,
+      minObs: Int = 8): DataFrame = {
+    val d23 = (c: Column) => c.cast("decimal(23,0)")
+    val levels = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("x"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("e", (d23(col("n")) * d23(col("x")) -
+        d23(sum(col("x")).over(wKey))).cast("decimal(23,0)"))
+      .withColumn("p1",
+        (col("e") * lag(col("e"), 1).over(wAsc)).cast("decimal(38,0)"))
+    levels.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("e") * col("e")).cast("decimal(38,0)")).as("c"),
+        sum(col("p1")).as("a1"))
+      .filter(col("n") >= minObs)
+      .withColumn("phi6",
+        when(col("c") > 0,
+          floor(col("a1").cast("double") / col("c").cast("double") *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .withColumn("half_life6",
+        when(col("phi6") > 0 && col("phi6") < 1000000L,
+          floor(lit(-0.6931471805599453) /
+            log(col("phi6") / lit(1000000.0)) * lit(1000000.0) + lit(0.5))
+            .cast("long")))
+      .select(col("user_id"), col("event_type"), col("n").as("n_obs"),
+        col("phi6"), col("half_life6"),
+        when(col("phi6") >= 1000000L, 1).otherwise(0)
+          .as("diverging_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -6074,5 +6181,85 @@ object SignalOracle {
       |  CAST(CASE WHEN arch_q9 > 11070500000 THEN 1 ELSE 0 END AS INT)
       |    AS arch_flag
       |FROM q
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q104: epoch-integer calendar cells, exact cell/type moments,
+    * one floored IEEE mean/σ each, integer share and hot flag.
+    */
+  val q104: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) // 3600000000
+      |      AS hour,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), cells AS (
+      |  SELECT event_type, dow, hour, count(*) AS n,
+      |    sum(v4l) AS s1, sum(CAST(v4l AS HUGEINT) * v4l) AS s2
+      |  FROM b GROUP BY 1, 2, 3
+      |), typ AS (
+      |  SELECT event_type, CAST(sum(n) AS BIGINT) AS tn,
+      |    CAST(sum(s1) AS HUGEINT) AS ts1, sum(s2) AS ts2
+      |  FROM cells GROUP BY 1
+      |), typ2 AS (
+      |  SELECT *,
+      |    CAST(floor(CAST(ts1 AS DOUBLE) / tn * 100.0 + 0.5) AS BIGINT)
+      |      AS tmean6,
+      |    CASE WHEN tn > 1 THEN
+      |      CAST(floor(sqrt(CAST(greatest(tn * ts2 - ts1 * ts1, 0)
+      |        AS DOUBLE) / (tn * (tn - 1))) * 100.0 + 0.5) AS BIGINT)
+      |    END AS tsd6
+      |  FROM typ
+      |)
+      |SELECT c.event_type, c.dow, c.hour, c.n,
+      |  CAST(floor(CAST(c.s1 AS DOUBLE) / c.n * 100.0 + 0.5) AS BIGINT)
+      |    AS mean6,
+      |  (c.n * 1000000) // t.tn AS vol_share6,
+      |  CAST(CASE WHEN t.tsd6 IS NOT NULL AND
+      |    abs(CAST(floor(CAST(c.s1 AS DOUBLE) / c.n * 100.0 + 0.5)
+      |      AS BIGINT) - t.tmean6) > 2 * t.tsd6
+      |    THEN 1 ELSE 0 END AS INT) AS hot_flag
+      |FROM cells c JOIN typ2 t ON c.event_type = t.event_type
+      |ORDER BY c.event_type, c.dow, c.hour""".stripMargin
+
+  /** q105: q78's residual machinery on levels — exact HUGEINT
+    * moments, φ one division, t½ one log chain over quantized φ.
+    */
+  val q105: String =
+    """WITH base AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS x
+      |  FROM events
+      |), ce AS (
+      |  SELECT *,
+      |    CAST(count(*) OVER wk AS HUGEINT) * x
+      |      - CAST(sum(x) OVER wk AS HUGEINT) AS e
+      |  FROM base
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), lg AS (
+      |  SELECT *, lag(e, 1) OVER w AS e1
+      |  FROM ce
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), mom AS (
+      |  SELECT user_id, event_type, count(*) AS n,
+      |    sum(e * e) AS c, sum(e * e1) AS a1
+      |  FROM lg GROUP BY 1, 2 HAVING count(*) >= 8
+      |), ph AS (
+      |  SELECT *,
+      |    CASE WHEN c > 0 THEN
+      |      CAST(floor(CAST(a1 AS DOUBLE) / CAST(c AS DOUBLE)
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS phi6
+      |  FROM mom
+      |)
+      |SELECT user_id, event_type, n AS n_obs, phi6,
+      |  CASE WHEN phi6 > 0 AND phi6 < 1000000 THEN
+      |    CAST(floor(-0.6931471805599453 / ln(phi6 / 1000000.0)
+      |      * 1000000.0 + 0.5) AS BIGINT)
+      |  END AS half_life6,
+      |  CAST(CASE WHEN phi6 >= 1000000 THEN 1 ELSE 0 END AS INT)
+      |    AS diverging_flag
+      |FROM ph
       |ORDER BY user_id, event_type""".stripMargin
 }

@@ -1018,4 +1018,59 @@ object TextFns {
           .as("blocked_flag"))
       .orderBy(col("doc_id"))
   }
+
+  /** t22: PMI COLLOCATIONS (Church & Hanks 1990) — the corpus-level
+    * bigram-association table a tokenizer/vocab pipeline mines before
+    * merging multi-word units: PMI = ln P(w1,w2)/(P(w1)P(w2)) over
+    * bigram positions vs unigram frequencies, floor-thresholded on
+    * raw count so one lucky co-occurrence of two rare words cannot
+    * top the table. Emits the top-K by (PMI, w1, w2) — "new york"
+    * scores high because the pair is GLUED, not merely frequent
+    * (t08's conditional model sees P(w2|w1); PMI sees the symmetric
+    * lift).
+    *
+    * Exactness: all five counts are exact longs off two
+    * map-side-combined groupBys; PMI is ONE natural log of ONE
+    * left-assoc double chain (c12·N₁/c1/c2·N₁/N_b) 1e-6-floored —
+    * identical parse on both engines; the top-K order is totally
+    * tie-broken (pmi6, w1, w2).
+    *
+    * Scale shape: one corpus scan explodes bigrams into a
+    * dictionary-sized groupBy (Zipf-compact, map-side combined), one
+    * column-pruned scan for unigrams; the two 1-row totals broadcast;
+    * the final top-K is orderBy+limit — TakeOrderedAndProject, never
+    * a global sort.
+    */
+  def t22PmiCollocations(s: SparkSession, dir: String, minCount: Int = 5,
+      topK: Int = 200): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val arr = regexp_extract_all(normText(col("text")),
+      lit("[a-z0-9]+"), lit(0))
+    val toks = docs.select(explode(arr).as("t"))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val n1 = toks.agg(count(lit(1)).as("n1"))
+    val bg = docs
+      .select(arr.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("v"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("w"))).as("b"))
+      .select(col("b.v").as("w1"), col("b.w").as("w2"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    c12
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(nb))
+      .withColumn("pmi6",
+        floor(log(col("c12").cast("double") * col("n1") / col("c1") /
+          col("c2") * col("n1") / col("nb")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("pmi6"))
+      .orderBy(col("pmi6").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

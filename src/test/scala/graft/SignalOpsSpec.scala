@@ -1620,4 +1620,75 @@ class SignalOpsSpec extends AnyFunSuite {
       }
     }
   }
+  test("q104 seasonal profile: epoch weekday/hour cells, planted hot " +
+    "cell flags, shares sum to ~1") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday; (days+4)%7 with Sunday=0 -> Monday=1
+    val rows = (0 until 20).map { i =>
+      (1L, "sp", i.toLong,
+        java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 10.0)
+    } ++ (0 until 20).map { i =>
+      (1L, "sp", 100L + i,
+        java.sql.Timestamp.valueOf("2024-01-02 14:00:00"), 10.0)
+    } ++ Seq((1L, "sp", 999L,
+      java.sql.Timestamp.valueOf("2024-01-06 23:00:00"), 90.0))
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q104spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q104SeasonalProfile(spark, tmp).collect()
+    assert(out.length == 3)
+    val byCell = out.map(r => (r.getAs[Long]("dow"),
+      r.getAs[Long]("hour")) -> r).toMap
+    // java.time cross-check of the epoch weekday convention
+    assert(byCell.contains((1L, 9L)) && byCell.contains((2L, 14L)) &&
+      byCell.contains((6L, 23L)), byCell.keys.toString)
+    assert(java.time.LocalDate.of(2024, 1, 6).getDayOfWeek ==
+      java.time.DayOfWeek.SATURDAY)
+    // the lone 90.0 print in the Saturday 23:00 cell is the hot one
+    assert(byCell((6L, 23L)).getAs[Int]("hot_flag") == 1)
+    assert(byCell((1L, 9L)).getAs[Int]("hot_flag") == 0 &&
+      byCell((2L, 14L)).getAs[Int]("hot_flag") == 0)
+    val shares = out.map(_.getAs[Long]("vol_share6")).sum
+    assert(shares > 999000L && shares <= 1000000L, shares.toString)
+  }
+
+  test("q105 AR(1) half-life: oscillation is exactly phi = -(n-1)/n, " +
+    "LCG walk matches the exact moment chain") {
+    import spark.implicits._
+    def write(vals: Seq[Double]): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, "hl", i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q105spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // alternating +/-A residuals: a1/c = -(n-1)/n = -0.95 exactly
+    val osc = (0 until 20).map(i => 10.0 + (i % 2))
+    val o = SignalOps.q105Ar1HalfLife(spark, write(osc)).collect().head
+    assert(o.getAs[Long]("phi6") == -950000L &&
+      o.isNullAt(o.fieldIndex("half_life6")) &&
+      o.getAs[Int]("diverging_flag") == 0, o.toString)
+    var seed = 8642L
+    val steps = (0 until 40).map { _ =>
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      ((seed % 19).toInt - 9) * 0.1
+    }
+    val walk = steps.scanLeft(100.0)(_ + _)
+    val x = walk.map(v => math.floor(v * 10000.0 + 0.5).toLong)
+    val n = x.size
+    val sx = x.map(BigInt(_)).sum
+    val e = x.map(v => BigInt(n) * v - sx)
+    val c = e.map(v => v * v).sum
+    val a1 = (1 until n).map(i => e(i) * e(i - 1)).sum
+    val phi6 = math.floor(a1.toDouble / c.toDouble * 1e6 + 0.5).toLong
+    val w = SignalOps.q105Ar1HalfLife(spark, write(walk)).collect().head
+    assert(w.getAs[Long]("phi6") == phi6, s"$w vs $phi6")
+    if (phi6 > 0 && phi6 < 1000000L) {
+      val hl = math.floor(-0.6931471805599453 /
+        math.log(phi6 / 1000000.0) * 1e6 + 0.5).toLong
+      assert(w.getAs[Long]("half_life6") == hl, s"$w vs $hl")
+    }
+  }
 }

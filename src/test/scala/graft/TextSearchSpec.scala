@@ -384,4 +384,29 @@ class TextSearchSpec extends AnyFunSuite {
       assert(r.getAs[Long]("votes") == votes(predicted).toLong)
     }
   }
+  test("t22 PMI: a glued pair tops a frequent independent pair, exact " +
+    "single-log chain") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t22spec").toString
+    // "alpha beta" always glued (6x); "the" frequent and promiscuous
+    val docs = (0 until 6).map(i =>
+      (i.toLong, s"alpha beta the filler$i the story$i")) :+
+      (99L, "the end the start the middle the close")
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextFns.t22PmiCollocations(spark, tmp, minCount = 5,
+      topK = 10).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getAs[String]("w1") == "alpha" &&
+      top.getAs[String]("w2") == "beta", top.toString)
+    // exact chain: c12=6, c1=c2=6, n1 = total tokens, nb = bigrams
+    val n1 = docs.map(_._2.split(" ").length).sum.toDouble
+    val nb = docs.map(_._2.split(" ").length - 1).sum.toDouble
+    val want = math.floor(math.log(6.0 * n1 / 6.0 / 6.0 * n1 / nb) *
+      1000000.0 + 0.5).toLong
+    assert(top.getAs[Long]("pmi6") == want, s"$top vs $want")
+    // every emitted pair met the count floor
+    assert(out.forall(_.getAs[Long]("c12") >= 5L))
+  }
 }
