@@ -163,7 +163,11 @@ object BenchScale {
     // q104 = one calendar-cell groupBy; q105 = q78's moment class on
     // levels; t22 = dictionary-sized bigram groupBys (t06's class).
     "q104_seasonal_profile", "q105_ar1_half_life",
-    "t22_pmi_collocations")
+    "t22_pmi_collocations",
+    // st28 = 5-long dyadic state (st22's class); q106 rides the
+    // series lag + groupBy; q107 is one user exchange into a
+    // catalog^2-bounded groupBy.
+    "st28_stream_macd", "q106_burstiness", "q107_markov_transitions")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -74,6 +74,9 @@ object SparkEntry {
     "q104_seasonal_profile" ->
       ((s, d) => SignalOps.q104SeasonalProfile(s, d)),
     "q105_ar1_half_life" -> ((s, d) => SignalOps.q105Ar1HalfLife(s, d)),
+    "q106_burstiness"    -> ((s, d) => SignalOps.q106Burstiness(s, d)),
+    "q107_markov_transitions" ->
+      ((s, d) => SignalOps.q107MarkovTransitions(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
@@ -275,6 +278,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st26StreamTwap(s, d)),
     "st27_stream_ensemble" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st27StreamEnsemble(s, d)),
+    "st28_stream_macd" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st28StreamMacd(s, d)),
     "st23_stream_bars" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st23StreamBars(s, d)),
     "st20_stream_funnel" ->
@@ -366,6 +371,8 @@ object SparkEntry {
     "q102_arch_test"     -> SignalOracle.q102,
     "q104_seasonal_profile" -> SignalOracle.q104,
     "q105_ar1_half_life" -> SignalOracle.q105,
+    "q106_burstiness"    -> SignalOracle.q106,
+    "q107_markov_transitions" -> SignalOracle.q107,
     "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,
@@ -374,6 +381,7 @@ object SparkEntry {
     "st25_stream_vr"     -> SignalOracle.st25,
     "st26_stream_twap"   -> SignalOracle.st26,
     "st27_stream_ensemble" -> SignalOracle.st27,
+    "st28_stream_macd"   -> SignalOracle.st28,
     "d20_source_overlap" -> LlmOracle.d20,
     "t21_blocklist"      -> LlmOracle.t21,
     "q92_partitioned_write" ->

@@ -3049,6 +3049,94 @@ object SignalOps {
           .as("diverging_flag"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q106: INTERARRIVAL BURSTINESS (Goh & Barabási 2008) — the feed-
+    * cadence profile q08's staleness verdict aggregates away: per
+    * series the exact µs gap moments, the coefficient of variation,
+    * and B = (σ−μ)/(σ+μ) ∈ [−1, 1) — B ≈ −1 metronome, B ≈ 0 Poisson,
+    * B → 1 bursty. A feed that prints in bursts then sleeps passes
+    * every staleness check on average while violating it half the
+    * time; B is the number that says so.
+    *
+    * Exactness: gaps are exact µs longs off one lag pass; moments
+    * exact long/decimal(38,0); mean an exact integer division; σ ONE
+    * floored IEEE sqrt; CV and B one guarded IEEE division each over
+    * the QUANTIZED integers. < minGaps series report NULL stats
+    * (q85's lesson).
+    *
+    * Scale shape: ONE series exchange — the lag window and the
+    * map-side-combined groupBy reuse it.
+    */
+  def q106Burstiness(s: SparkSession, dir: String,
+      minGaps: Int = 4): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .withColumn("g",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wAsc))
+      .filter(col("g").isNotNull)
+    gaps.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("s1"),
+        sum((d19(col("g")) * d19(col("g"))).cast("decimal(38,0)"))
+          .as("s2"))
+      .withColumn("mean_gap_us", expr("s1 div n"))
+      .withColumn("c",
+        (dec(col("n")) * col("s2") - dec(col("s1")) * dec(col("s1")))
+          .cast("decimal(38,0)"))
+      .withColumn("sd_gap_us",
+        when(col("n") >= minGaps,
+          floor(sqrt(greatest(col("c"), lit(0)).cast("double") /
+            (col("n") * (col("n") - 1))) + lit(0.5)).cast("long")))
+      .select(col("user_id"), col("event_type"), col("n").as("n_gaps"),
+        col("mean_gap_us"), col("sd_gap_us"),
+        when(col("mean_gap_us") > 0,
+          floor(col("sd_gap_us").cast("double") / col("mean_gap_us") *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("cv6"),
+        when(col("sd_gap_us") + col("mean_gap_us") > 0,
+          floor((col("sd_gap_us") - col("mean_gap_us")).cast("double") /
+            (col("sd_gap_us") + col("mean_gap_us")) * lit(1000000.0) +
+            lit(0.5)).cast("long")).as("burstiness6"))
+      .withColumn("bursty_flag",
+        when(col("burstiness6") > 300000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q107: EVENT-TYPE TRANSITION MATRIX — the first-order Markov
+    * profile of user behavior: over each user's time-ordered event
+    * stream, count (from → to) type transitions, the row-conditional
+    * probability, and the self-loop share — the table that turns "user
+    * 7 did X then Y" into "X → Y is a 0.2% path corpus-wide" (the
+    * navigational prior a funnel like q73 assumes).
+    *
+    * Determinism: transitions off ONE lag over the (user; ts,
+    * event_id) order; counts exact; the probability an exact integer
+    * division (cnt·10⁶ div row total).
+    *
+    * Scale shape: ONE user-key exchange for the lag, then a
+    * map-side-combined groupBy on the (from, to) catalog pair —
+    * catalog², volume-independent output; the row-total join is
+    * catalog-sized and broadcast.
+    */
+  def q107MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(wUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("from_total"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        col("from_total"),
+        expr("(n_trans * 1000000L) div from_total").as("p6"),
+        when(col("from_type") === col("to_type"), 1).otherwise(0)
+          .as("self_loop"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -6182,6 +6270,143 @@ object SignalOracle {
       |    AS arch_flag
       |FROM q
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** st28: the three dyadic EMA recursions replayed per segment —
+    * st22's recursive-CTE machinery carrying (lf, ls, g, prev_hist).
+    */
+  val st28: String =
+    """WITH RECURSIVE b AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), sq AS MATERIALIZED (
+      |  SELECT user_id, event_type, seg_id, event_id, ts, v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM seg
+      |), rec AS (
+      |  SELECT user_id, event_type, seg_id, seq, event_id, ts, v4l,
+      |    v4l AS lf, v4l AS ls, CAST(0 AS BIGINT) AS g,
+      |    CAST(0 AS BIGINT) AS macd4, CAST(0 AS BIGINT) AS hist4,
+      |    CAST(0 AS INT) AS cross_flag
+      |  FROM sq WHERE seq = 1
+      |  UNION ALL
+      |  SELECT n2.user_id, n2.event_type, n2.seg_id, n2.seq, n2.event_id,
+      |    n2.ts, n2.v4l,
+      |    CAST(floor((n2.v4l + r.lf) / 2.0) AS BIGINT),
+      |    CAST(floor((n2.v4l + 7.0 * r.ls) / 8.0) AS BIGINT),
+      |    CAST(floor((CAST(floor((n2.v4l + r.lf) / 2.0) AS BIGINT)
+      |      - CAST(floor((n2.v4l + 7.0 * r.ls) / 8.0) AS BIGINT)
+      |      + 3.0 * r.g) / 4.0) AS BIGINT),
+      |    CAST(floor((n2.v4l + r.lf) / 2.0) AS BIGINT)
+      |      - CAST(floor((n2.v4l + 7.0 * r.ls) / 8.0) AS BIGINT),
+      |    CAST(floor((n2.v4l + r.lf) / 2.0) AS BIGINT)
+      |      - CAST(floor((n2.v4l + 7.0 * r.ls) / 8.0) AS BIGINT)
+      |      - CAST(floor((CAST(floor((n2.v4l + r.lf) / 2.0) AS BIGINT)
+      |        - CAST(floor((n2.v4l + 7.0 * r.ls) / 8.0) AS BIGINT)
+      |        + 3.0 * r.g) / 4.0) AS BIGINT),
+      |    CAST(CASE
+      |      WHEN (CAST(floor((n2.v4l + r.lf) / 2.0) AS BIGINT)
+      |        - CAST(floor((n2.v4l + 7.0 * r.ls) / 8.0) AS BIGINT)
+      |        - CAST(floor((CAST(floor((n2.v4l + r.lf) / 2.0) AS BIGINT)
+      |          - CAST(floor((n2.v4l + 7.0 * r.ls) / 8.0) AS BIGINT)
+      |          + 3.0 * r.g) / 4.0) AS BIGINT)) > 0 AND r.hist4 <= 0
+      |        THEN 1
+      |      WHEN (CAST(floor((n2.v4l + r.lf) / 2.0) AS BIGINT)
+      |        - CAST(floor((n2.v4l + 7.0 * r.ls) / 8.0) AS BIGINT)
+      |        - CAST(floor((CAST(floor((n2.v4l + r.lf) / 2.0) AS BIGINT)
+      |          - CAST(floor((n2.v4l + 7.0 * r.ls) / 8.0) AS BIGINT)
+      |          + 3.0 * r.g) / 4.0) AS BIGINT)) < 0 AND r.hist4 >= 0
+      |        THEN -1
+      |      ELSE 0 END AS INT)
+      |  FROM rec r JOIN sq n2
+      |    ON n2.user_id = r.user_id AND n2.event_type = r.event_type
+      |   AND n2.seg_id = r.seg_id AND n2.seq = r.seq + 1
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value, macd4,
+      |  CASE WHEN seq = 1 THEN CAST(0 AS BIGINT) ELSE g END AS signal4,
+      |  hist4, cross_flag
+      |FROM rec
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** q106: exact µs gap moments, integer mean, one floored sqrt,
+    * guarded CV/B divisions over the quantized integers.
+    */
+  val q106: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events
+      |), g AS (
+      |  SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |    (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS g
+      |  FROM b
+      |), gg AS (
+      |  SELECT * FROM g WHERE g IS NOT NULL
+      |), mom AS (
+      |  SELECT user_id, event_type, count(*) AS n, sum(g) AS s1,
+      |    sum(CAST(g AS HUGEINT) * g) AS s2
+      |  FROM gg GROUP BY 1, 2
+      |), st AS (
+      |  SELECT *, s1 // n AS mean_gap_us,
+      |    CASE WHEN n >= 4 THEN
+      |      CAST(floor(sqrt(CAST(greatest(n * s2 -
+      |        CAST(s1 AS HUGEINT) * s1, 0) AS DOUBLE) /
+      |        (n * (n - 1))) + 0.5) AS BIGINT)
+      |    END AS sd_gap_us
+      |  FROM mom
+      |)
+      |SELECT user_id, event_type, n AS n_gaps, mean_gap_us, sd_gap_us,
+      |  CASE WHEN mean_gap_us > 0 THEN
+      |    CAST(floor(CAST(sd_gap_us AS DOUBLE) / mean_gap_us
+      |      * 1000000.0 + 0.5) AS BIGINT)
+      |  END AS cv6,
+      |  CASE WHEN sd_gap_us + mean_gap_us > 0 THEN
+      |    CAST(floor(CAST(sd_gap_us - mean_gap_us AS DOUBLE) /
+      |      (sd_gap_us + mean_gap_us) * 1000000.0 + 0.5) AS BIGINT)
+      |  END AS burstiness6,
+      |  CAST(CASE WHEN (CASE WHEN sd_gap_us + mean_gap_us > 0 THEN
+      |    CAST(floor(CAST(sd_gap_us - mean_gap_us AS DOUBLE) /
+      |      (sd_gap_us + mean_gap_us) * 1000000.0 + 0.5) AS BIGINT)
+      |    END) > 300000 THEN 1 ELSE 0 END AS INT) AS bursty_flag
+      |FROM st
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q107: one lag over the user order, exact transition counts,
+    * integer conditional probability.
+    */
+  val q107: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events
+      |), tr AS (
+      |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS from_type
+      |  FROM b
+      |), cnt AS (
+      |  SELECT from_type, event_type AS to_type, count(*) AS n_trans
+      |  FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS from_total
+      |  FROM cnt GROUP BY 1
+      |)
+      |SELECT c.from_type, c.to_type, c.n_trans, t.from_total,
+      |  (c.n_trans * 1000000) // t.from_total AS p6,
+      |  CAST(CASE WHEN c.from_type = c.to_type THEN 1 ELSE 0 END AS INT)
+      |    AS self_loop
+      |FROM cnt c JOIN tot t ON c.from_type = t.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin
 
   /** q104: epoch-integer calendar cells, exact cell/type moments,
     * one floored IEEE mean/σ each, integer share and hot flag.

@@ -2640,4 +2640,106 @@ object StreamingAnomaly {
   def st27StreamEnsemble(s: SparkSession, dir: String,
       staleDays: Double = 8.0): DataFrame =
     st27FromStream(s, eventStream(s, dir), staleDays)
+
+  /** st28 per-ticker MACD state: the three dyadic EMA levels (fast ½,
+    * slow ⅛, signal ¼ over the spread) + the previous histogram for
+    * the cross test — 5 longs per LIVE key.
+    */
+  case class MacdState(lastUs: Long, lf: Long, ls: Long, g: Long,
+      prevHist: Long)
+
+  case class MacdOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, macd4: Long, signal4: Long,
+      hist4: Long, cross_flag: Int)
+
+  /** st28: q98's MACD answered LIVE with the TRUE recursions — where
+    * the batch twin approximates each EMA with a truncated kernel
+    * (the windowable form), the stream carries the real geometric
+    * state: dyadic α = ½/⅛/¼ keep all three recursions EXACT in
+    * fixed point (st22's discipline), the spread and histogram are
+    * exact long differences, and the zero-cross flag an exact sign
+    * test. First print seeds both levels at the print (spread 0) —
+    * the standard warm-up. Staleness gaps / EventTimeTimeout restart
+    * the segment; fully oracle-backed (recursive CTE per segment
+    * carrying the three levels + previous histogram).
+    */
+  def st28Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[MacdOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[MacdState]): Iterator[MacdOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // quiet ticker: levels gone, key evicted
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[MacdOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          // in-data staleness gap: restart the segment baseline
+          stOpt = stOpt.filter(st => usOf(e.ts) - st.lastUs <= staleUs)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          stOpt match {
+            case None =>
+              stOpt = Some(MacdState(usOf(e.ts), vl, vl, 0L, 0L))
+              out += MacdOut(key._1, key._2, e.event_id, e.ts,
+                vl / 10000.0, 0L, 0L, 0L, 0)
+            case Some(st) =>
+              val lf = math.floor((vl + st.lf) / 2.0).toLong
+              val ls = math.floor((vl + 7.0 * st.ls) / 8.0).toLong
+              val macd = lf - ls
+              val g = math.floor((macd + 3.0 * st.g) / 4.0).toLong
+              val hist = macd - g
+              val cross =
+                if (hist > 0 && st.prevHist <= 0) 1
+                else if (hist < 0 && st.prevHist >= 0) -1
+                else 0
+              stOpt = Some(MacdState(usOf(e.ts), lf, ls, g, hist))
+              out += MacdOut(key._1, key._2, e.event_id, e.ts,
+                vl / 10000.0, macd, g, hist, cross)
+          }
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st28FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st28_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st28Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("macd4"),
+        col("signal4"), col("hist4"), col("cross_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st28StreamMacd(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st28FromStream(s, eventStream(s, dir), staleDays)
 }

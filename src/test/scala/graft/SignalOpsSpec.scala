@@ -1691,4 +1691,57 @@ class SignalOpsSpec extends AnyFunSuite {
       assert(w.getAs[Long]("half_life6") == hl, s"$w vs $hl")
     }
   }
+  test("q106 burstiness: a metronome scores exactly -1, a planted " +
+    "burst pattern flags bursty") {
+    import spark.implicits._
+    def write(gapsSec: Seq[Long]): String = {
+      var t = 0L
+      val rows = (0L +: gapsSec.scanLeft(0L)(_ + _).tail).zipWithIndex
+        .map { case (sec, i) =>
+          (1L, "bu", i.toLong,
+            new java.sql.Timestamp(1704067200000L + sec * 1000L), 1.0)
+        }
+      val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q106spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    val metro = SignalOps.q106Burstiness(spark,
+      write(Seq.fill(10)(60L))).collect().head
+    assert(metro.getAs[Long]("sd_gap_us") == 0L &&
+      metro.getAs[Long]("cv6") == 0L &&
+      metro.getAs[Long]("burstiness6") == -1000000L &&
+      metro.getAs[Int]("bursty_flag") == 0, metro.toString)
+    // 9 one-second gaps then one 1000-second sleep: bursty
+    val bursty = SignalOps.q106Burstiness(spark,
+      write(Seq.fill(9)(1L) :+ 1000L)).collect().head
+    assert(bursty.getAs[Long]("burstiness6") > 300000L &&
+      bursty.getAs[Int]("bursty_flag") == 1, bursty.toString)
+  }
+
+  test("q107 transition matrix: exact counts and conditional " +
+    "probabilities on a planted path") {
+    import spark.implicits._
+    // user 1: A B A B A ; user 2: A A C
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      (1L, 1L, ts(0), "A"), (1L, 2L, ts(1), "B"), (1L, 3L, ts(2), "A"),
+      (1L, 4L, ts(3), "B"), (1L, 5L, ts(4), "A"),
+      (2L, 6L, ts(0), "A"), (2L, 7L, ts(1), "A"), (2L, 8L, ts(2), "C"))
+      .map { case (u, e, t, ty) => (u, e, t, ty, 1.0) }
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q107spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q107MarkovTransitions(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("A", "B"), ("B", "A"), ("A", "A"),
+      ("A", "C")), out.keys.toString)
+    assert(out(("A", "B")).getAs[Long]("n_trans") == 2L &&
+      out(("A", "B")).getAs[Long]("from_total") == 4L &&
+      out(("A", "B")).getAs[Long]("p6") == 500000L)
+    assert(out(("B", "A")).getAs[Long]("p6") == 1000000L)
+    assert(out(("A", "A")).getAs[Int]("self_loop") == 1 &&
+      out(("A", "A")).getAs[Long]("p6") == 250000L)
+    assert(out(("A", "C")).getAs[Long]("p6") == 250000L)
+  }
 }

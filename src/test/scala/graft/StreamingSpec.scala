@@ -1141,4 +1141,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(3L).getAs[Int]("version") == 2 &&
       out(3L).getAs[String]("status") == "F", out(3L).toString)
   }
+  test("st28 live MACD: flat stream is zero, a step up crosses bullish " +
+    "with the exact dyadic recursion, a gap restarts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("st28").toString
+    def ts(d: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:$m%02d:00")
+    // 5 flat prints at 10, 5 at 20, a 10-day gap, 2 flat prints
+    val vals = Seq.fill(5)(10.0) ++ Seq.fill(5)(20.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (100L + i, ts(1, i), 7L, "md", v, "")
+    } ++ (0 until 2).map(i => (200L + i, ts(12, i), 7L, "md", 30.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st28StreamMacd(spark, tmp).collect()
+      .map(r => r.getLong(2) -> r).toMap
+    assert(out.size == 12)
+    // replicate the recursion on the quantized longs
+    var lf = 100000L; var ls = 100000L; var g = 0L; var prevH = 0L
+    val expect = vals.tail.map { v =>
+      val vl = math.floor(v * 10000.0 + 0.5).toLong
+      lf = math.floor((vl + lf) / 2.0).toLong
+      ls = math.floor((vl + 7.0 * ls) / 8.0).toLong
+      val macd = lf - ls
+      g = math.floor((macd + 3.0 * g) / 4.0).toLong
+      val hist = macd - g
+      val cross = if (hist > 0 && prevH <= 0) 1
+        else if (hist < 0 && prevH >= 0) -1 else 0
+      prevH = hist
+      (macd, g, hist, cross)
+    }
+    // warm-up row
+    assert(out(100L).getAs[Long]("macd4") == 0L &&
+      out(100L).getAs[Int]("cross_flag") == 0)
+    expect.zipWithIndex.foreach { case ((m, sg, h, c), i) =>
+      val r = out(101L + i)
+      assert(r.getAs[Long]("macd4") == m && r.getAs[Long]("signal4") == sg &&
+        r.getAs[Long]("hist4") == h && r.getAs[Int]("cross_flag") == c,
+        s"row ${101 + i}: $r vs ($m,$sg,$h,$c)")
+    }
+    // the step produced exactly one bullish cross
+    assert(expect.count(_._4 == 1) == 1)
+    // the 10-day gap restarts: warm-up again, macd back to 0
+    assert(out(200L).getAs[Long]("macd4") == 0L &&
+      out(200L).getAs[Int]("cross_flag") == 0)
+  }
 }
