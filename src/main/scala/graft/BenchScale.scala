@@ -167,7 +167,12 @@ object BenchScale {
     // st28 = 5-long dyadic state (st22's class); q106 rides the
     // series lag + groupBy; q107 is one user exchange into a
     // catalog^2-bounded groupBy.
-    "st28_stream_macd", "q106_burstiness", "q107_markov_transitions")
+    "st28_stream_macd", "q106_burstiness", "q107_markov_transitions",
+    // q109 rides the series rank windows; st29 = 1-string state +
+    // catalog^2 broadcast map. q108 is q94's pair join x7 lags —
+    // catalog-quadratic output BY SEMANTICS, excluded for q94's
+    // reason.
+    "q109_percentile_envelope", "st29_stream_rare_transition")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -77,6 +77,10 @@ object SparkEntry {
     "q106_burstiness"    -> ((s, d) => SignalOps.q106Burstiness(s, d)),
     "q107_markov_transitions" ->
       ((s, d) => SignalOps.q107MarkovTransitions(s, d)),
+    "q108_cross_correlation" ->
+      ((s, d) => SignalOps.q108CrossCorrelation(s, d)),
+    "q109_percentile_envelope" ->
+      ((s, d) => SignalOps.q109PercentileEnvelope(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
@@ -280,6 +284,9 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st27StreamEnsemble(s, d)),
     "st28_stream_macd" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st28StreamMacd(s, d)),
+    "st29_stream_rare_transition" ->
+      ((s, d) =>
+        graft.streaming.StreamingAnomaly.st29StreamRareTransition(s, d)),
     "st23_stream_bars" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st23StreamBars(s, d)),
     "st20_stream_funnel" ->
@@ -373,6 +380,8 @@ object SparkEntry {
     "q105_ar1_half_life" -> SignalOracle.q105,
     "q106_burstiness"    -> SignalOracle.q106,
     "q107_markov_transitions" -> SignalOracle.q107,
+    "q108_cross_correlation" -> SignalOracle.q108,
+    "q109_percentile_envelope" -> SignalOracle.q109,
     "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,
@@ -382,6 +391,7 @@ object SparkEntry {
     "st26_stream_twap"   -> SignalOracle.st26,
     "st27_stream_ensemble" -> SignalOracle.st27,
     "st28_stream_macd"   -> SignalOracle.st28,
+    "st29_stream_rare_transition" -> SignalOracle.st29,
     "d20_source_overlap" -> LlmOracle.d20,
     "t21_blocklist"      -> LlmOracle.t21,
     "q92_partitioned_write" ->

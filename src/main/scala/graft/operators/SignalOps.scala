@@ -3137,6 +3137,138 @@ object SignalOps {
           .as("self_loop"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** q108: LEAD–LAG CROSS-CORRELATION table — q94's contemporaneous
+    * matrix extended along the lag axis: per unordered ticker pair,
+    * Pearson r between A's close on day d and B's close on day d+ℓ
+    * for ℓ ∈ −3..+3 — the CCF row that turns "A and B co-move" into
+    * "A LEADS B by two days" (a supply-chain/settlement-delay signal
+    * the symmetric matrix cannot see; Box & Jenkins's cross-
+    * correlogram). The ℓ = 0 column reproduces q94.
+    *
+    * Exactness: q94's discipline per (pair, lag) cell — 1e-4 close
+    * longs, five exact decimal(38,0)/HUGEINT moments, ONE guarded
+    * IEEE chain 1e-6-floored, < minDays overlaps excluded
+    * identically.
+    *
+    * Scale shape: corpus → close table once (one (ticker, day)
+    * exchange); the lag axis is a ×7 row-local explode of side A
+    * BEFORE the join, so the pair join stays one equi-join on
+    * (event_type, day) — catalog × calendar × 7 fan, independent of
+    * print volume; moments map-side combine on the (pair, lag) key.
+    */
+  def q108CrossCorrelation(s: SparkSession, dir: String, maxLag: Int = 3,
+      minDays: Int = 5): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
+      col("day")).orderBy(col("ts").desc, col("event_id").desc)
+    val closes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("rd", row_number().over(wDay))
+      .filter(col("rd") === 1)
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("v4l").as("y"))
+    val a = closes
+      .withColumn("lag", explode(array((-maxLag to maxLag).map(lit): _*)))
+      .select(col("event_type"),
+        date_add(col("day"), col("lag")).as("day"),
+        col("lag"), col("user_id").as("user_a"), col("y").as("ya"))
+    val b = closes.select(col("event_type"), col("day"),
+      col("user_id").as("user_b"), col("y").as("yb"))
+    a.join(b, Seq("event_type", "day"))
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("event_type"), col("user_a"), col("user_b"), col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ya")).as("sx"), sum(col("yb")).as("sy"),
+        sum((d19(col("ya")) * d19(col("ya"))).cast("decimal(38,0)"))
+          .as("sxx"),
+        sum((d19(col("yb")) * d19(col("yb"))).cast("decimal(38,0)"))
+          .as("syy"),
+        sum((d19(col("ya")) * d19(col("yb"))).cast("decimal(38,0)"))
+          .as("sxy"))
+      .filter(col("n_days") >= minDays)
+      .withColumn("num",
+        (dec(col("n_days")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+          .cast("decimal(38,0)"))
+      .withColumn("dx",
+        (dec(col("n_days")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+          .cast("decimal(38,0)"))
+      .withColumn("dy",
+        (dec(col("n_days")) * col("syy") - dec(col("sy")) * dec(col("sy")))
+          .cast("decimal(38,0)"))
+      .withColumn("ccf6",
+        when(col("dx") > 0 && col("dy") > 0,
+          floor(col("num").cast("double") /
+            sqrt(col("dx").cast("double") * col("dy").cast("double")) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("event_type"), col("user_a"), col("user_b"), col("lag"),
+        col("n_days"), col("ccf6"),
+        when(col("lag") =!= 0 && abs(col("ccf6")) >= 800000L, 1)
+          .otherwise(0).as("lead_flag"))
+      .orderBy(col("event_type"), col("user_a"), col("user_b"), col("lag"))
+  }
+
+  /** q109: PERCENTILE ENVELOPE + latest-print rank — "where does
+    * TODAY sit in this ticker's own history": exact selection
+    * quantiles (P5/P25/P50/P75/P95, q42's deterministic lower-rank
+    * pick at k = (n−1)·p div 100 + 1) and the latest print's exact
+    * midrank percentile, flagged when it escapes the 5–95 envelope.
+    * The z-score assumes a bell; the envelope is the distribution-
+    * free version of the same question.
+    *
+    * Determinism: ranks are row_number over the total (v4l, event_id)
+    * order; each quantile is ONE conditional max at an integer rank;
+    * the percentile is the exact midrank integer formula
+    * (2·|{<v}| + |{=v}| + 1)·10⁶ div (2n) — no doubles anywhere
+    * except the final /1e4 display cast.
+    *
+    * Scale shape: ONE series exchange — the rank window, the value
+    * counts and the map-side-combined roll-up all reuse it; output is
+    * one row per ticker.
+    */
+  def q109PercentileEnvelope(s: SparkSession, dir: String): DataFrame = {
+    val wVal = Window.partitionBy(keyCols: _*)
+      .orderBy(col("v4l"), col("event_id"))
+    val wLatest = Window.partitionBy(keyCols: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("rk", row_number().over(wVal))
+      .withColumn("lrk", row_number().over(wLatest))
+    def kp(p: Int): Column = expr(s"((n - 1) * $p) div 100 + 1")
+    def sel(p: Int): Column =
+      max(when(col("rk") === kp(p), col("v4l"))).as(s"p$p")
+    val stats = base
+      .withColumn("n", count(lit(1)).over(wKey))
+      .groupBy(col("user_id"), col("event_type"), col("n"))
+      .agg(sel(5), sel(25), sel(50), sel(75), sel(95),
+        max(when(col("lrk") === 1, col("v4l"))).as("latest"))
+    val latestRank = base
+      .withColumn("latest_v",
+        max(when(col("lrk") === 1, col("v4l"))).over(wKey))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(when(col("v4l") < col("latest_v"), 1L).otherwise(0L))
+          .as("n_lt"),
+        sum(when(col("v4l") === col("latest_v"), 1L).otherwise(0L))
+          .as("n_eq"))
+    stats.join(latestRank, Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("n").as("n_obs"),
+        (col("p5") / lit(10000.0)).as("p05"),
+        (col("p25") / lit(10000.0)).as("p25"),
+        (col("p50") / lit(10000.0)).as("p50"),
+        (col("p75") / lit(10000.0)).as("p75"),
+        (col("p95") / lit(10000.0)).as("p95"),
+        (col("latest") / lit(10000.0)).as("latest_value"),
+        expr("((2L * n_lt + n_eq + 1L) * 1000000L) div (2L * n)")
+          .as("latest_pct6"),
+        when(col("latest") < col("p5") || col("latest") > col("p95"), 1)
+          .otherwise(0).as("outside_env_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -6407,6 +6539,140 @@ object SignalOracle {
       |    AS self_loop
       |FROM cnt c JOIN tot t ON c.from_type = t.from_type
       |ORDER BY c.from_type, c.to_type""".stripMargin
+
+  /** q108: q94's pair-moment chain per (pair, lag) cell — the lag
+    * axis shifts side A's day before the equi-join.
+    */
+  val q108: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), cl AS (
+      |  SELECT user_id, event_type, day, v4l AS y FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type, day
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |    FROM b
+      |  ) WHERE rd = 1
+      |), la AS (
+      |  SELECT cl.event_type, cl.day + l.lag AS day, l.lag,
+      |    cl.user_id AS user_a, cl.y AS ya
+      |  FROM cl CROSS JOIN (
+      |    SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) l
+      |), pr AS (
+      |  SELECT la.event_type, la.user_a, b2.user_id AS user_b, la.lag,
+      |    count(*) AS n_days,
+      |    sum(la.ya) AS sx, sum(b2.y) AS sy,
+      |    sum(CAST(la.ya AS HUGEINT) * la.ya) AS sxx,
+      |    sum(CAST(b2.y AS HUGEINT) * b2.y) AS syy,
+      |    sum(CAST(la.ya AS HUGEINT) * b2.y) AS sxy
+      |  FROM la JOIN cl b2 ON la.event_type = b2.event_type
+      |    AND la.day = b2.day AND la.user_a < b2.user_id
+      |  GROUP BY 1, 2, 3, 4
+      |), f AS (
+      |  SELECT *,
+      |    n_days * sxy - CAST(sx AS HUGEINT) * sy AS num,
+      |    n_days * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+      |    n_days * syy - CAST(sy AS HUGEINT) * sy AS dy
+      |  FROM pr WHERE n_days >= 5
+      |), v AS (
+      |  SELECT *,
+      |    CASE WHEN dx > 0 AND dy > 0 THEN
+      |      CAST(floor(CAST(num AS DOUBLE) /
+      |        sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS ccf6
+      |  FROM f
+      |)
+      |SELECT event_type, user_a, user_b, CAST(lag AS INT) AS lag,
+      |  n_days, ccf6,
+      |  CAST(CASE WHEN lag != 0 AND abs(ccf6) >= 800000 THEN 1 ELSE 0 END
+      |    AS INT) AS lead_flag
+      |FROM v
+      |ORDER BY event_type, user_a, user_b, lag""".stripMargin
+
+  /** q109: row_number selection quantiles at integer ranks, exact
+    * midrank percentile, integer envelope test.
+    */
+  val q109: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY v4l, event_id) AS rk,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts DESC, event_id DESC) AS lrk,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+      |  FROM b
+      |), stats AS (
+      |  SELECT user_id, event_type, n,
+      |    max(CASE WHEN rk = ((n - 1) * 5) // 100 + 1 THEN v4l END) AS p5,
+      |    max(CASE WHEN rk = ((n - 1) * 25) // 100 + 1 THEN v4l END) AS p25,
+      |    max(CASE WHEN rk = ((n - 1) * 50) // 100 + 1 THEN v4l END) AS p50,
+      |    max(CASE WHEN rk = ((n - 1) * 75) // 100 + 1 THEN v4l END) AS p75,
+      |    max(CASE WHEN rk = ((n - 1) * 95) // 100 + 1 THEN v4l END) AS p95,
+      |    max(CASE WHEN lrk = 1 THEN v4l END) AS latest
+      |  FROM r GROUP BY 1, 2, 3
+      |), lr AS (
+      |  SELECT r.user_id, r.event_type,
+      |    sum(CASE WHEN r.v4l < s.latest THEN 1 ELSE 0 END) AS n_lt,
+      |    sum(CASE WHEN r.v4l = s.latest THEN 1 ELSE 0 END) AS n_eq
+      |  FROM r JOIN stats s ON r.user_id = s.user_id
+      |    AND r.event_type = s.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s.user_id, s.event_type, s.n AS n_obs,
+      |  s.p5 / 10000.0 AS p05, s.p25 / 10000.0 AS p25,
+      |  s.p50 / 10000.0 AS p50, s.p75 / 10000.0 AS p75,
+      |  s.p95 / 10000.0 AS p95,
+      |  s.latest / 10000.0 AS latest_value,
+      |  ((2 * lr.n_lt + lr.n_eq + 1) * 1000000) // (2 * s.n)
+      |    AS latest_pct6,
+      |  CAST(CASE WHEN s.latest < s.p5 OR s.latest > s.p95
+      |    THEN 1 ELSE 0 END AS INT) AS outside_env_flag
+      |FROM stats s JOIN lr ON s.user_id = lr.user_id
+      |  AND s.event_type = lr.event_type
+      |ORDER BY s.user_id, s.event_type""".stripMargin
+
+  /** st29: the per-user lag with the staleness-gap filter, joined to
+    * q107's probability chain — the state op's exact replay.
+    */
+  val st29: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events
+      |), tr AS (
+      |  SELECT *,
+      |    lag(event_type) OVER wu AS from_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER wu AS gap_us
+      |  FROM b
+      |  WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), cnt AS (
+      |  SELECT from_type, event_type AS to_type, count(*) AS n_trans
+      |  FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS from_total
+      |  FROM cnt GROUP BY 1
+      |), p AS (
+      |  SELECT c.from_type, c.to_type,
+      |    (c.n_trans * 1000000) // t.from_total AS p6
+      |  FROM cnt c JOIN tot t ON c.from_type = t.from_type
+      |), em AS (
+      |  SELECT user_id, event_id, ts, from_type, event_type AS to_type
+      |  FROM tr
+      |  WHERE from_type IS NOT NULL AND gap_us <= 691200000000
+      |)
+      |SELECT em.user_id, em.event_id, em.ts AS date_recorded,
+      |  em.from_type, em.to_type, p.p6,
+      |  CAST(CASE WHEN p.p6 < 100000 THEN 1 ELSE 0 END AS INT)
+      |    AS rare_flag
+      |FROM em JOIN p ON em.from_type = p.from_type
+      |  AND em.to_type = p.to_type
+      |ORDER BY em.user_id, date_recorded, em.event_id""".stripMargin
 
   /** q104: epoch-integer calendar cells, exact cell/type moments,
     * one floored IEEE mean/σ each, integer share and hot flag.

@@ -2742,4 +2742,106 @@ object StreamingAnomaly {
   def st28StreamMacd(s: SparkSession, dir: String,
       staleDays: Double = 8.0): DataFrame =
     st28FromStream(s, eventStream(s, dir), staleDays)
+
+  /** st29 per-user state: the previous event type + its µs — ONE
+    * string and one long per live user, the smallest state in the
+    * family.
+    */
+  case class LastTypeState(lastUs: Long, lastType: String)
+
+  case class TransOut(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, from_type: String, to_type: String,
+      p6: Long, rare_flag: Int)
+
+  /** st29: RARE-TRANSITION detector — q107's Markov profile consulted
+    * LIVE: each arrival closes a (from → to) behavioral transition
+    * for its user, looks up the corpus-trained conditional
+    * probability (the q107 table, catalog²-bounded, shipped into the
+    * state operator as a broadcast-sized map — st24's stream-static
+    * posture with the dimension folded into the task), and pages when
+    * the user walks a path the corpus rarely walks. The "user 7 never
+    * does X then Z" alert a threshold detector on values cannot
+    * express.
+    *
+    * Semantics contract: a transition is emitted only when the gap to
+    * the previous event is ≤ staleDays — the SAME rule the state
+    * eviction enforces — so the DuckDB oracle (lag + gap filter +
+    * the q107 chain joined back) replays it exactly; every observed
+    * transition exists in the table by construction, so p6 is never
+    * null. In-order contract per user (family rule).
+    */
+  def st29Transform(s: SparkSession, stream: DataFrame,
+      probs: Map[(String, String), Long], rareBelow: Long,
+      staleDays: Double): org.apache.spark.sql.Dataset[TransOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+
+    def update(key: Long, events: Iterator[TickEvent],
+        state: GroupState[LastTypeState]): Iterator[TransOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // idle user: 1-string state evicted
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[TransOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          stOpt match {
+            case Some(st) if usOf(e.ts) - st.lastUs <= staleUs =>
+              val p6 = probs.getOrElse((st.lastType, e.event_type), 0L)
+              out += TransOut(key, e.event_id, e.ts, st.lastType,
+                e.event_type, p6, if (p6 < rareBelow) 1 else 0)
+            case _ => // first event or stale gap: no transition closes
+          }
+          stOpt = Some(LastTypeState(usOf(e.ts), e.event_type))
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st29FromStream(s: SparkSession, stream: DataFrame,
+      transitions: DataFrame, rareBelow: Long = 100000L,
+      staleDays: Double = 8.0): DataFrame = {
+    // catalog²-bounded profile — the broadcast dimension
+    val probs = transitions
+      .select(col("from_type"), col("to_type"), col("p6"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val name = s"st29_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st29Transform(s, stream, probs, rareBelow, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_id"),
+        col("ts").as("date_recorded"), col("from_type"), col("to_type"),
+        col("p6"), col("rare_flag"))
+      .orderBy(col("user_id"), col("date_recorded"), col("event_id"))
+  }
+
+  def st29StreamRareTransition(s: SparkSession, dir: String,
+      rareBelow: Long = 100000L, staleDays: Double = 8.0): DataFrame =
+    st29FromStream(s, eventStream(s, dir),
+      graft.operators.SignalOps.q107MarkovTransitions(s, dir), rareBelow,
+      staleDays)
 }

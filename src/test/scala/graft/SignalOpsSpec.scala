@@ -1744,4 +1744,53 @@ class SignalOpsSpec extends AnyFunSuite {
       out(("A", "A")).getAs[Long]("p6") == 250000L)
     assert(out(("A", "C")).getAs[Long]("p6") == 250000L)
   }
+  test("q108 CCF: a 2-day follower locks at +1 exactly at lag +2") {
+    import spark.implicits._
+    var seed = 31L
+    val pat = (0 until 14).map { _ =>
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      10.0 + (seed % 97).toInt * 0.1
+    }
+    // B(d) = A(d-2): A leads B by two days
+    val rows = (2 until 14).flatMap { d =>
+      Seq((1L, pat(d)), (2L, pat(d - 2))).map { case (u, v) =>
+        (u, "x", u * 100 + d,
+          java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q108spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q108CrossCorrelation(spark, tmp).collect()
+      .map(r => r.getAs[Int]("lag") -> r).toMap
+    val atLead = out(2)
+    assert(atLead.getAs[Long]("ccf6") == 1000000L &&
+      atLead.getAs[Int]("lead_flag") == 1, atLead.toString)
+    // elsewhere the LCG pattern decorrelates
+    out.filterKeys(_ != 2).values.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("ccf6")) ||
+        math.abs(r.getAs[Long]("ccf6")) < 1000000L, r.toString)
+    }
+  }
+
+  test("q109 envelope: exact selection quantiles and midrank " +
+    "percentile on a planted ramp") {
+    import spark.implicits._
+    val rows = (1 to 20).map { i =>
+      (1L, "pe", i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:$i%02d:00"), i * 1.0)
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q109spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = SignalOps.q109PercentileEnvelope(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_obs") == 20L)
+    assert(r.getAs[Double]("p05") == 1.0 && r.getAs[Double]("p25") == 5.0 &&
+      r.getAs[Double]("p50") == 10.0 && r.getAs[Double]("p75") == 15.0 &&
+      r.getAs[Double]("p95") == 19.0, r.toString)
+    // latest print is the max: midrank (2*19+1+1)/(2*20) = exactly 1.0
+    assert(r.getAs[Double]("latest_value") == 20.0 &&
+      r.getAs[Long]("latest_pct6") == 1000000L &&
+      r.getAs[Int]("outside_env_flag") == 1, r.toString)
+  }
 }

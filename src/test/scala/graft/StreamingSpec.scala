@@ -1186,4 +1186,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(200L).getAs[Long]("macd4") == 0L &&
       out(200L).getAs[Int]("cross_flag") == 0)
   }
+  test("st29 rare transition: the once-walked path pages, the habitual " +
+    "one does not, gaps close no transition") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("st29").toString
+    def ts(d: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:$m%02d:00")
+    // 22 A/B alternations, one B->C detour, then a 10-day gap + 1 print
+    val types = (0 until 22).map(i => if (i % 2 == 0) "A" else "B") ++
+      Seq("C")
+    val rows = types.zipWithIndex.map { case (t, i) =>
+      (100L + i, ts(1, i), 7L, t, 1.0, "")
+    } :+ ((900L, ts(12, 0), 7L, "A", 1.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st29StreamRareTransition(spark, tmp)
+      .collect()
+    // 22 transitions close; the post-gap print closes none
+    assert(out.length == 22, out.length.toString)
+    assert(!out.exists(_.getAs[Long]("event_id") == 900L))
+    val rare = out.filter(_.getAs[Int]("rare_flag") == 1)
+    assert(rare.length == 1 &&
+      rare.head.getAs[String]("from_type") == "B" &&
+      rare.head.getAs[String]("to_type") == "C", rare.toSeq.toString)
+    // B-total = 11 -> p6(B->C) = 90909 < the 10% bar
+    assert(rare.head.getAs[Long]("p6") == 90909L)
+    out.filter(_.getAs[Int]("rare_flag") == 0).foreach { r =>
+      assert(r.getAs[Long]("p6") >= 100000L, r.toString)
+    }
+  }
 }
