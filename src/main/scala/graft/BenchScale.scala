@@ -172,7 +172,10 @@ object BenchScale {
     // catalog^2 broadcast map. q108 is q94's pair join x7 lags —
     // catalog-quadratic output BY SEMANTICS, excluded for q94's
     // reason.
-    "q109_percentile_envelope", "st29_stream_rare_transition")
+    "q109_percentile_envelope", "st29_stream_rare_transition",
+    // q110 = two rank windows + two co-partitioned joins on one
+    // series exchange (q109's class).
+    "q110_modified_zscore")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -81,6 +81,8 @@ object SparkEntry {
       ((s, d) => SignalOps.q108CrossCorrelation(s, d)),
     "q109_percentile_envelope" ->
       ((s, d) => SignalOps.q109PercentileEnvelope(s, d)),
+    "q110_modified_zscore" ->
+      ((s, d) => SignalOps.q110ModifiedZscore(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
@@ -382,6 +384,7 @@ object SparkEntry {
     "q107_markov_transitions" -> SignalOracle.q107,
     "q108_cross_correlation" -> SignalOracle.q108,
     "q109_percentile_envelope" -> SignalOracle.q109,
+    "q110_modified_zscore" -> SignalOracle.q110,
     "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,

@@ -3102,6 +3102,55 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q110: MODIFIED Z-SCORE (Iglewicz & Hoaglin 1993) — the global
+    * robust screen between q06 (mean/σ — masked by its own outliers)
+    * and q53 (rolling local): Mᵢ = 0.6745·(x − median)/MAD against
+    * the canonical 3.5 bar, per print. One fat-finger print inflates
+    * q06's σ enough to hide a second one; the median/MAD pair doesn't
+    * move.
+    *
+    * Exactness: median and MAD are SELECTED INPUT VALUES (q42's lower
+    * -median rank (n+1) div 2 over (v4l, id) and (|dev|, id)), so dev
+    * and MAD are exact longs end to end; Mᵢ is ONE IEEE chain over
+    * exact integers, 1e-6-floored; the MAD = 0 degenerate series
+    * falls back to the dev > 0 test (q53's convention).
+    *
+    * Scale shape: ONE series-key exchange reused by both rank windows
+    * and both key-co-partitioned median joins; O(1)/row otherwise.
+    */
+  def q110ModifiedZscore(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("rn", row_number().over(
+        wKey.orderBy(col("v4l"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(wKey))
+    val med = base.filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("event_type"), col("v4l").as("med4l"))
+    val withDev = base.join(med, Seq("user_id", "event_type"))
+      .withColumn("dev", abs(col("v4l") - col("med4l")))
+      .withColumn("rd", row_number().over(
+        wKey.orderBy(col("dev"), col("event_id"))))
+    val mad = withDev.filter(col("rd") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("event_type"), col("dev").as("mad4l"))
+    withDev.join(mad, Seq("user_id", "event_type"))
+      .withColumn("mz6",
+        when(col("mad4l") > 0,
+          floor(lit(0.6745) * (col("v4l") - col("med4l")) / col("mad4l") *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"),
+        (col("v4l") / lit(10000.0)).as("value"),
+        (col("med4l") / lit(10000.0)).as("series_median"),
+        (col("mad4l") / lit(10000.0)).as("mad"),
+        col("mz6"),
+        when(col("mad4l") > 0 && abs(col("mz6")) >= 3500000L, 1)
+          .when(col("mad4l") === 0 && col("dev") > 0, 1)
+          .otherwise(0).as("mz_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
   /** q107: EVENT-TYPE TRANSITION MATRIX — the first-order Markov
     * profile of user behavior: over each user's time-ordered event
     * stream, count (from → to) type transitions, the row-conditional
@@ -6537,6 +6586,52 @@ object SignalOracle {
       |    END) > 300000 THEN 1 ELSE 0 END AS INT) AS bursty_flag
       |FROM st
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** q110: rank-selected median/MAD input values, exact long devs,
+    * one IEEE chain per print.
+    */
+  val q110: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY v4l, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+      |  FROM b
+      |), med AS (
+      |  SELECT user_id, event_type, v4l AS med4l
+      |  FROM r WHERE rn = (n + 1) // 2
+      |), wd AS (
+      |  SELECT r.*, med.med4l, abs(r.v4l - med.med4l) AS dev,
+      |    row_number() OVER (PARTITION BY r.user_id, r.event_type
+      |      ORDER BY abs(r.v4l - med.med4l), r.event_id) AS rd
+      |  FROM r JOIN med ON r.user_id = med.user_id
+      |    AND r.event_type = med.event_type
+      |), mad AS (
+      |  SELECT user_id, event_type, dev AS mad4l
+      |  FROM wd WHERE rd = (n + 1) // 2
+      |), z AS (
+      |  SELECT wd.*, mad.mad4l,
+      |    CASE WHEN mad.mad4l > 0 THEN
+      |      CAST(floor(CAST(0.6745 AS DOUBLE) * (wd.v4l - wd.med4l)
+      |        / mad.mad4l * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS mz6
+      |  FROM wd JOIN mad ON wd.user_id = mad.user_id
+      |    AND wd.event_type = mad.event_type
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value,
+      |  med4l / 10000.0 AS series_median,
+      |  mad4l / 10000.0 AS mad,
+      |  mz6,
+      |  CAST(CASE WHEN mad4l > 0 AND abs(mz6) >= 3500000 THEN 1
+      |       WHEN mad4l = 0 AND dev > 0 THEN 1
+      |       ELSE 0 END AS INT) AS mz_flag
+      |FROM z
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
   /** q107: one lag over the user order, exact transition counts,
     * integer conditional probability.

@@ -1793,4 +1793,39 @@ class SignalOpsSpec extends AnyFunSuite {
       r.getAs[Long]("latest_pct6") == 1000000L &&
       r.getAs[Int]("outside_env_flag") == 1, r.toString)
   }
+  test("q110 modified z: the fat-finger print flags, MAD = 0 " +
+    "degenerates to the dev test") {
+    import spark.implicits._
+    def write(vals: Seq[Double]): String = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        (1L, "mz", i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:$i%02d:00"), v)
+      }.toDF("user_id", "event_type", "event_id", "ts", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q110spec").toString
+      df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // ramp 1..21 with one fat finger: median 11, MAD 5; 100 is
+    // 0.6745*(100-11)/5 = 12.0 sigma-equivalents
+    val ramp = (1 to 21).map(_ * 1.0) :+ 100.0
+    val out = SignalOps.q110ModifiedZscore(spark, write(ramp))
+      .orderBy("event_id").collect()
+    assert(out.length == 22)
+    val ff = out.last
+    assert(ff.getAs[Double]("series_median") == 11.0 &&
+      ff.getAs[Double]("mad") == 5.0, ff.toString)
+    val want = math.floor(0.6745 * ((1000000L - 110000L)) / 50000L *
+      1000000.0 + 0.5).toLong
+    assert(ff.getAs[Long]("mz6") == want &&
+      ff.getAs[Int]("mz_flag") == 1, s"$ff vs $want")
+    // in-band ramp rows stay quiet
+    assert(out.init.forall(_.getAs[Int]("mz_flag") == 0))
+    // constant series + one blip: MAD = 0, only the blip flags
+    val flat = Seq.fill(19)(10.0) :+ 10.5
+    val d = SignalOps.q110ModifiedZscore(spark, write(flat))
+      .orderBy("event_id").collect()
+    assert(d.last.getAs[Int]("mz_flag") == 1 &&
+      d.init.forall(_.getAs[Int]("mz_flag") == 0), d.last.toString)
+    assert(d.forall(_.isNullAt(d.head.fieldIndex("mz6"))))
+  }
 }
