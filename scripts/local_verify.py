@@ -46,6 +46,18 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
+            # HUGEINT/DECIMAL output columns convert to pandas
+            # differently across DuckDB versions (r9 lesson: all five
+            # driver hash FAILs were exactly the oracles with a
+            # HUGEINT output column) — ban them outright.
+            rel = con.sql(sql)
+            sus = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                   if str(t) == "HUGEINT" or str(t).startswith("DECIMAL")]
+            if sus:
+                print(f"FAIL {name}: version-sensitive oracle output "
+                      f"types {sus} — CAST to BIGINT/DOUBLE")
+                n_bad += 1
+                continue
             mine = canon(con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
             ora = canon(con.execute(sql).df())

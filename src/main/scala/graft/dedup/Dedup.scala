@@ -666,13 +666,19 @@ object Dedup {
   def d20SourceOverlap(s: SparkSession, dir: String,
       n: Int = 8): DataFrame = {
     val ws = split(normText(col("text")), " ")
-    val grams = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
+    val grams = docs
       .select(col("source"), explode(array_distinct(
         graft.functions.VectorFunctions.word_ngrams(ws, n))).as("g"))
       .distinct()
       .localCheckpoint()
-    val sizes = grams.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_grams"))
+    // spine from the SOURCE CATALOG, not the gram table — a source
+    // whose documents are all shorter than n tokens must still appear
+    // as a zero row, not vanish from the matrix
+    val sizes = docs.select(col("source")).distinct()
+      .join(grams.groupBy(col("source")).agg(count(lit(1)).as("ng")),
+        Seq("source"), "left")
+      .select(col("source"), coalesce(col("ng"), lit(0L)).as("n_grams"))
     val shared = grams.as("a")
       .join(grams.as("b"), col("a.g") === col("b.g") &&
         col("a.source") < col("b.source"))
@@ -688,10 +694,12 @@ object Dedup {
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .select(col("source_a"), col("source_b"), col("n_grams_a"),
         col("n_grams_b"), col("n_shared"),
-        expr("n_shared * 1000000L div (n_grams_a + n_grams_b - n_shared)")
-          .as("jaccard6"),
-        expr("n_shared * 1000000L div least(n_grams_a, n_grams_b)")
-          .as("containment6"))
+        when(col("n_grams_a") + col("n_grams_b") - col("n_shared") > 0,
+          expr("n_shared * 1000000L div (n_grams_a + n_grams_b - n_shared)"))
+          .otherwise(0L).as("jaccard6"),
+        when(least(col("n_grams_a"), col("n_grams_b")) > 0,
+          expr("n_shared * 1000000L div least(n_grams_a, n_grams_b)"))
+          .otherwise(0L).as("containment6"))
       .orderBy(col("source_a"), col("source_b"))
   }
 }

@@ -190,7 +190,7 @@ object AnomalyOracle {
        |)
        |SELECT user_id, event_type,
        |  CAST(row_number() OVER (PARTITION BY user_id, event_type
-       |    ORDER BY start_ts) AS INT) AS incident_id,
+       |    ORDER BY start_ts, grp) AS INT) AS incident_id,
        |  start_ts, end_ts,
        |  epoch_us(end_ts) - epoch_us(start_ts) AS duration_us,
        |  n_events, peak_z, n_sd, n_rep, n_stale

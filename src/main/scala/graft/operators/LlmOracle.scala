@@ -717,7 +717,8 @@ object LlmOracle {
        |), lrd AS (
        |  SELECT node_id, sum(reach6) AS sreach, count(*) AS cnt,
        |    CASE WHEN sum(reach6) > 0
-       |      THEN (count(*) * 1000000000000000) // sum(reach6) END AS lrd9
+       |      THEN CAST((count(*) * 1000000000000000) // sum(reach6)
+       |        AS BIGINT) END AS lrd9
        |  FROM reach GROUP BY 1
        |), ns AS (
        |  SELECT g.node_id, sum(l2.lrd9) AS sum_lrd9
@@ -2351,7 +2352,10 @@ object LlmOracle {
        |    i -> array_to_string(ws[i + 1:i + 8], ' '))) AS g
        |  FROM w
        |), sizes AS (
-       |  SELECT source, count(*) AS n_grams FROM g GROUP BY 1
+       |  SELECT cat.source, COALESCE(gs.ng, 0) AS n_grams
+       |  FROM (SELECT DISTINCT source FROM documents) cat
+       |  LEFT JOIN (SELECT source, count(*) AS ng FROM g GROUP BY 1) gs
+       |    ON gs.source = cat.source
        |), sh AS (
        |  SELECT a.source AS source_a, b.source AS source_b,
        |    count(*) AS n_shared
@@ -2361,11 +2365,14 @@ object LlmOracle {
        |SELECT sa.source AS source_a, sb.source AS source_b,
        |  sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
        |  COALESCE(sh.n_shared, 0) AS n_shared,
-       |  COALESCE(sh.n_shared, 0) * 1000000
-       |    // (sa.n_grams + sb.n_grams - COALESCE(sh.n_shared, 0))
-       |    AS jaccard6,
-       |  COALESCE(sh.n_shared, 0) * 1000000
-       |    // least(sa.n_grams, sb.n_grams) AS containment6
+       |  CASE WHEN sa.n_grams + sb.n_grams - COALESCE(sh.n_shared, 0) > 0
+       |    THEN COALESCE(sh.n_shared, 0) * 1000000
+       |      // (sa.n_grams + sb.n_grams - COALESCE(sh.n_shared, 0))
+       |    ELSE 0 END AS jaccard6,
+       |  CASE WHEN least(sa.n_grams, sb.n_grams) > 0
+       |    THEN COALESCE(sh.n_shared, 0) * 1000000
+       |      // least(sa.n_grams, sb.n_grams)
+       |    ELSE 0 END AS containment6
        |FROM sizes sa
        |CROSS JOIN sizes sb
        |LEFT JOIN sh ON sh.source_a = sa.source AND sh.source_b = sb.source

@@ -4201,7 +4201,7 @@ object SignalOracle {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |)
       |SELECT user_id, event_type, event_id, ts AS date_recorded,
-      |  v4l / 10000.0 AS value, ph9,
+      |  v4l / 10000.0 AS value, CAST(ph9 AS BIGINT) AS ph9,
       |  CAST(CASE WHEN ph9 > 5000000000 THEN 1 ELSE 0 END AS INT)
       |    AS ph_flag
       |FROM ph
@@ -4878,7 +4878,7 @@ object SignalOracle {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |)
       |SELECT user_id, event_type, event_id, ts AS date_recorded,
-      |  v4l / 10000.0 AS value, ph9,
+      |  v4l / 10000.0 AS value, CAST(ph9 AS BIGINT) AS ph9,
       |  CAST(CASE WHEN ph9 > 5000000000 THEN 1 ELSE 0 END AS INT)
       |    AS ph_flag
       |FROM ph
@@ -6563,7 +6563,7 @@ object SignalOracle {
       |    sum(CAST(g AS HUGEINT) * g) AS s2
       |  FROM gg GROUP BY 1, 2
       |), st AS (
-      |  SELECT *, s1 // n AS mean_gap_us,
+      |  SELECT *, CAST(s1 // n AS BIGINT) AS mean_gap_us,
       |    CASE WHEN n >= 4 THEN
       |      CAST(floor(sqrt(CAST(greatest(n * s2 -
       |        CAST(s1 AS HUGEINT) * s1, 0) AS DOUBLE) /
@@ -6761,8 +6761,8 @@ object SignalOracle {
       |  s.p50 / 10000.0 AS p50, s.p75 / 10000.0 AS p75,
       |  s.p95 / 10000.0 AS p95,
       |  s.latest / 10000.0 AS latest_value,
-      |  ((2 * lr.n_lt + lr.n_eq + 1) * 1000000) // (2 * s.n)
-      |    AS latest_pct6,
+      |  CAST(((2 * lr.n_lt + lr.n_eq + 1) * 1000000) // (2 * s.n)
+      |    AS BIGINT) AS latest_pct6,
       |  CAST(CASE WHEN s.latest < s.p5 OR s.latest > s.p95
       |    THEN 1 ELSE 0 END AS INT) AS outside_env_flag
       |FROM stats s JOIN lr ON s.user_id = lr.user_id

@@ -334,9 +334,11 @@ object TickerAnomaly {
         sum(col("standard_deviation_flag")).as("n_sd"),
         sum(col("data_repetitions_flag")).as("n_rep"),
         sum(col("days_since_last_update_flag")).as("n_stale"))
+      // grp tie-break: two islands can share start_ts under duplicate
+      // date_recorded values; grp is monotone in chain position
       .withColumn("incident_id",
         row_number().over(Window.partitionBy(col("user_id"),
-          col("event_type")).orderBy(col("start_ts"))))
+          col("event_type")).orderBy(col("start_ts"), col("grp"))))
       .select(col("user_id"), col("event_type"), col("incident_id"),
         col("start_ts"), col("end_ts"),
         (unix_micros(col("end_ts")) - unix_micros(col("start_ts")))

@@ -101,6 +101,13 @@ object Sources {
     */
   def q92PartitionedWrite(s: SparkSession, dir: String): DataFrame = {
     val out = s"/tmp/graft_pwrite/v1/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // clear the sink first: dynamic overwrite only replaces partitions
+    // present in THIS batch, so partitions left by an earlier run over
+    // a since-regenerated source would survive and pollute the
+    // read-back aggregate
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), to_date(col("ts")).as("day"),
