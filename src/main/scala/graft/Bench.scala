@@ -132,8 +132,30 @@ object Bench {
     val es = errs.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // recall@k of the ANN scale tier vs s01 exact — the one number a
+    // 10⁹-vector user asks first, published per round instead of
+    // living only inside the spec suite
+    val recall: String = try {
+      def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.collect()
+          .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id"))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val exact = topk(graft.similarity.Ann.bruteForceTopK(spark, sfDir))
+      def rec(df: org.apache.spark.sql.DataFrame): Double = {
+        val approx = topk(df)
+        val fracs = exact.map { case (q, t) =>
+          approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        }
+        math.floor(fracs.sum / fracs.size * 10000.0 + 0.5) / 10000.0
+      }
+      val r02 = rec(graft.similarity.Ann.lshTopK(spark, sfDir))
+      val r03 = rec(graft.similarity.Ann.ivfTopK(spark, sfDir))
+      val r05 = rec(graft.similarity.Ann.pqTopK(spark, sfDir))
+      sweep()
+      s"""{"s02_ann_lsh":$r02,"s03_ann_ivf":$r03,"s05_ann_pq":$r05,"k":5}"""
+    } catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"ann_recall":$recall,"sf":"$sfDir"}"""
     println(line)
     val out = new java.io.PrintWriter("bench_out.json")
     try out.println(line) finally out.close()

@@ -175,7 +175,12 @@ object BenchScale {
     "q109_percentile_envelope", "st29_stream_rare_transition",
     // q110 = two rank windows + two co-partitioned joins on one
     // series exchange (q109's class).
-    "q110_modified_zscore")
+    "q110_modified_zscore",
+    // round 10: q111 is q94's pair join + one lag window —
+    // catalog-quadratic output BY SEMANTICS, excluded for q94's
+    // reason; st30 is st02's state class (same baseline, incident
+    // accumulator is 6 scalars).
+    "q111_granger", "st30_stream_incidents")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

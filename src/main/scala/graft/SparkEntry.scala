@@ -83,6 +83,8 @@ object SparkEntry {
       ((s, d) => SignalOps.q109PercentileEnvelope(s, d)),
     "q110_modified_zscore" ->
       ((s, d) => SignalOps.q110ModifiedZscore(s, d)),
+    "q111_granger" ->
+      ((s, d) => SignalOps.q111Granger(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
@@ -248,6 +250,14 @@ object SparkEntry {
     "st02_stream_anomaly" -> ((s, d) =>
       graft.streaming.StreamingAnomaly.st02StatefulFlags(s, d,
         AnomalyConfig(dataPeriods = 28))),
+    // st30 rides st02's 28-diff oracle frame; the incident tracker
+    // runs a LOWER per-event bar (2.5 sigma, 2-run) than st02's pager
+    // — run-compression is what makes a sensitive bar tolerable, and
+    // the 4.5/3 bar never fires on this feed (zero incidents = a
+    // vacuous operator)
+    "st30_stream_incidents" -> ((s, d) =>
+      graft.streaming.StreamingAnomaly.st30StreamIncidents(s, d,
+        AnomalyConfig(dataPeriods = 28, stddevLim = 2.5, repLim = 2))),
     "st03_stream_dedup" -> graft.streaming.StreamingAnomaly.st03StreamDedup _,
     "q47_orc_roundtrip"  -> graft.sources.Sources.orcRoundtrip _,
     "q92_partitioned_write" ->
@@ -333,7 +343,9 @@ object SparkEntry {
     "st09_stream_holt"   -> SignalOracle.st09,
     "st14_stream_kalman" -> SignalOracle.st14,
     "st15_stream_trend"  -> SignalOracle.st15,
+    "st11_stream_quantiles" -> SignalOracle.st11,
     "st13_stream_drift"  -> SignalOracle.st13,
+    "st30_stream_incidents" -> SignalOracle.st30,
     "st16_stream_benford" -> SignalOracle.st16,
     "st17_stream_holt_winters" -> SignalOracle.st17,
     "st18_stream_gap"    -> SignalOracle.st18,
@@ -385,6 +397,7 @@ object SparkEntry {
     "q108_cross_correlation" -> SignalOracle.q108,
     "q109_percentile_envelope" -> SignalOracle.q109,
     "q110_modified_zscore" -> SignalOracle.q110,
+    "q111_granger"       -> SignalOracle.q111,
     "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,
@@ -969,10 +982,12 @@ object SparkEntry {
          FROM r WHERE rn <= 10 ORDER BY source, rk""",
     "t05_entropy_score"  -> LlmOracle.t05,
     "d01_dedup_exact"    -> LlmOracle.d01,
+    "d02_dedup_minhash_lsh" -> LlmOracle.d02,
     "d04_ngram_jaccard"  -> LlmOracle.d04,
     "d05_dedup_embedding" -> LlmOracle.d05,
     "d06_dedup_clusters" -> LlmOracle.d06,
     "s01_ann_bruteforce" -> LlmOracle.s01,
+    "s02_ann_lsh"        -> LlmOracle.s02,
     "s06_hybrid_rrf"     -> LlmOracle.s06,
     "s07_mmr_diverse"    -> LlmOracle.s07,
     "s08_knn_graph"      -> LlmOracle.s08,

@@ -7,15 +7,23 @@ import org.apache.spark.sql.functions._
 /** d02: MinHash + banded LSH near-duplicate detection.
   *
   * Pipeline: word 3-shingles → 64-permutation MinHash signature (one
-  * universal-hash family over xxhash64 of each shingle) → 8 bands × 8
-  * rows; docs colliding in any band become candidate pairs → verified
-  * by signature-estimated Jaccard.
+  * universal-hash family over the shingle's md5-derived integer) → 8
+  * bands × 8 rows; docs colliding in any band become candidate pairs
+  * → verified by signature-estimated Jaccard.
+  *
+  * Like d21's Bloom filter (and unlike engine-seeded murmur/xxhash),
+  * every hash here is explicit split-hash arithmetic over the md5
+  * digest — x = digest₆₀ mod (2³¹−1), component i = min over shingles
+  * of (aᵢ·x + bᵢ) mod (2³¹−1) with LCG-generated (aᵢ, bᵢ) — so the
+  * complete signature, banding and estimate are reproducible in ANSI
+  * SQL and the entry is fully oracle-backed (it graduated from the
+  * rows-only class). Band collision is equality of the 8-component
+  * band slice itself, not a hash of it.
   *
   * Scale: signatures are fixed 64-long arrays computed row-locally (no
   * shuffle); the only shuffle is the band-bucket join, whose fan-out is
   * the number of true near-duplicate collisions, not O(n²). This is the
-  * standard web-scale dedup shape. Rows-only (hash-seed specific, no
-  * SQL oracle) — planted near-dups are spec-verified.
+  * standard web-scale dedup shape.
   */
 object MinHashLSH {
 
@@ -51,11 +59,15 @@ object MinHashLSH {
   }
 
   /** 64-long MinHash signature of a shingle array, via the native
-    * one-pass expression (graft.functions.MinHashSignature).
+    * one-pass expression (graft.functions.MinHashSignature). The
+    * per-shingle integer is d21's digest₆₀ arithmetic (first 15 md5
+    * hex chars as a long, mod 2³¹−1) — identical conv/hex-cast maths
+    * on both engines, which is what makes the oracle exact.
     */
   def signature(sh: Column): Column =
     graft.functions.VectorFunctions.minhash_sig(
-      transform(sh, x => pmod(xxhash64(x), lit(Prime))),
+      transform(sh, x =>
+        conv(substring(md5(x), 1, 15), 16, 10).cast("long") % lit(Prime)),
       NumHashes, Prime, coeffs.map(_._1), coeffs.map(_._2))
 
   def signatures(s: SparkSession, dir: String): DataFrame =
@@ -72,12 +84,15 @@ object MinHashLSH {
     // leak a CacheManager entry for the rest of the session (the r2
     // bench collapse), while checkpoint blocks are GC-reclaimed
     val sigs = signatures(s, dir).localCheckpoint()
+    // bucket = the band's 8-component slice itself (arrays equi-join
+    // fine) — no hash-of-hash, so the SQL oracle's banding is
+    // EXACTLY this join, not an approximation of it
     val banded = sigs.select(
       col("doc_id"),
       explode(transform(
         sequence(lit(0), lit(Bands - 1)),
         b => struct(b.as("band"),
-          xxhash64(b, slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))
+          slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))
             .as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val cand = banded.as("x")

@@ -270,6 +270,58 @@ object LlmOracle {
        |FROM hits LEFT JOIN ex ON hits.h = ex.h
        |ORDER BY hits.doc_id""".stripMargin
 
+  /** d02: the full MinHash+LSH chain replayed in SQL — the 64 LCG
+    * (a, b) pairs are interpolated from MinHashLSH.coeffs verbatim,
+    * the per-shingle integer is d21's digest₆₀ arithmetic, banding is
+    * equality of the 8-component band slice (string_agg key), and the
+    * estimate is the exact agreeing-component count over 64.
+    */
+  val d02: String = {
+    val coeffRows = graft.dedup.MinHashLSH.coeffA
+      .zip(graft.dedup.MinHashLSH.coeffB).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(",\n       |    ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+       |), shg AS (
+       |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) <= 3
+       |    THEN [array_to_string(ws, ' ')]
+       |    ELSE list_transform(range(len(ws) - 2),
+       |      i -> array_to_string(ws[i + 1:i + 3], ' ')) END) AS g
+       |  FROM w
+       |), hx AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT)
+       |      % 2147483647 AS x
+       |  FROM shg
+       |), cf AS (
+       |  SELECT * FROM (VALUES $coeffRows) AS t(i, a, b)
+       |), sig AS (
+       |  SELECT hx.doc_id, cf.i,
+       |    min((cf.a * hx.x + cf.b) % 2147483647) AS m
+       |  FROM hx CROSS JOIN cf
+       |  GROUP BY 1, 2
+       |), bandkey AS (
+       |  SELECT doc_id, i // 8 AS band,
+       |    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bk
+       |  FROM sig GROUP BY doc_id, i // 8
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandkey a JOIN bandkey b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |), est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS neq
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, CAST(neq AS DOUBLE) / 64 AS est_jaccard
+       |FROM est WHERE CAST(neq AS DOUBLE) / 64 >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val d15: String =
     s"""WITH batch AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
@@ -630,6 +682,57 @@ object LlmOracle {
        |)
        |SELECT query_id, rk, vec_id, cos6 FROM ranked WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
+
+  /** s02: the multi-table hyperplane LSH replayed exactly — each of
+    * the 6×5 hyperplanes is interpolated as its integer numerators
+    * (Ann.planeComponentScaled) and rebuilt with the same k/10⁶ − 1
+    * chain; bucket bits via the same sequential-fold dot sign; then
+    * s01's cosine/rank conventions over the candidate set.
+    */
+  val s02: String = {
+    val bits = 5
+    val tables = 6
+    val dims = 64
+    def planeList(t: Int, p: Int): String =
+      (0 until dims).map { d =>
+        val k = graft.similarity.Ann.planeComponentScaled(t * 64 + p, d)
+        s"CAST($k AS DOUBLE) / 1000000 - 1.0"
+      }.mkString("[", ", ", "]")
+    val sigSelects = (0 until tables).map { t =>
+      val bucketExpr = (0 until bits).map { p =>
+        s"(CASE WHEN ${dotSql("v", planeList(t, p))} > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n       |    + ")
+      s"""SELECT vec_id, $t AS tb,
+       |    $bucketExpr AS bucket
+       |  FROM n"""
+    }.mkString("\n       |  UNION ALL\n       |  ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM v
+       |), sig AS (
+       |  $sigSelects
+       |), qs AS (
+       |  SELECT vec_id AS query_id, tb, bucket FROM sig WHERE vec_id < 10
+       |), cand AS (
+       |  SELECT DISTINCT qs.query_id, sg.vec_id
+       |  FROM sig sg JOIN qs ON sg.tb = qs.tb AND sg.bucket = qs.bucket
+       |  WHERE sg.vec_id <> qs.query_id
+       |), scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    floor(${dotSql("q.v", "cv.v")} / sqrt(q.norm2 * cv.norm2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cos6
+       |  FROM cand c
+       |  JOIN n q ON q.vec_id = c.query_id
+       |  JOIN n cv ON cv.vec_id = c.vec_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos6 DESC, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, vec_id, cos6 FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  }
 
   /** s09: s01's scored table filtered at the quantized radius
     * instead of ranked to k; count window per probe.

@@ -3341,6 +3341,113 @@ object SignalOps {
           .otherwise(0).as("outside_env_flag"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q111: pairwise GRANGER CAUSALITY (Granger 1969) — the
+    * significance test q77/q108 stop short of: per peer pair the
+    * lag-1 restricted-vs-unrestricted regression F, both directions.
+    * "A's yesterday improves the AR(1) forecast of B today" is the
+    * defensible form of "A leads B"; a big q108 cross-correlation
+    * can be pure common trend, the F-test conditions it on B's own
+    * past. Unrestricted y_t = a + b·y_{t−1} + c·x_{t−1}; restricted
+    * drops x; F = (RSS_r − RSS_u)·(n−3)/RSS_u ~ F(1, n−3), flagged
+    * at the conventional 4.0.
+    *
+    * Exactness: q108's daily-close collapse and common-day lag
+    * discipline; all 13 pair moments are exact decimal(38,0); the
+    * centered normal-equation terms S′ = n·Σxy − ΣxΣy are exact
+    * integers n× the centered sums (the n factors cancel in b, c and
+    * in the F ratio — RSS′ = n·RSS throughout); the closed-form 2×2
+    * solve and F are ONE shared IEEE chain over those integers,
+    * 1e-6-floored. Degenerate pairs (constant regressor, singular
+    * normal matrix, zero residual) report NULL F (q85's convention).
+    *
+    * Scale shape: q94/q108's class — one daily-close collapse, ONE
+    * pair equi-join on (event_type, day), one pair-key lag window
+    * feeding a map-side-combined 13-aggregate groupBy; output is one
+    * row per pair. Catalog-quadratic BY SEMANTICS; the 100× knob is
+    * bounding the pair set, not the plan.
+    */
+  def q111Granger(s: SparkSession, dir: String,
+      minDays: Int = 8): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    def prod(x: Column, y: Column): Column =
+      sum((d19(x) * d19(y)).cast("decimal(38,0)"))
+    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
+      col("day")).orderBy(col("ts").desc, col("event_id").desc)
+    val closes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("rd", row_number().over(wDay))
+      .filter(col("rd") === 1)
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("v4l").as("y"))
+    val a = closes.select(col("event_type"), col("day"),
+      col("user_id").as("user_a"), col("y").as("ya"))
+    val b = closes.select(col("event_type"), col("day"),
+      col("user_id").as("user_b"), col("y").as("yb"))
+    val wPair = Window.partitionBy(col("event_type"), col("user_a"),
+      col("user_b")).orderBy(col("day"))
+    val lagged = a.join(b, Seq("event_type", "day"))
+      .filter(col("user_a") < col("user_b"))
+      .select(col("event_type"), col("user_a"), col("user_b"), col("day"),
+        col("ya"), col("yb"))
+      .withColumn("ya1", lag(col("ya"), 1).over(wPair))
+      .withColumn("yb1", lag(col("yb"), 1).over(wPair))
+      .filter(col("ya1").isNotNull)
+    val mom = lagged
+      .groupBy(col("event_type"), col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ya")).as("sya"), sum(col("yb")).as("syb"),
+        sum(col("ya1")).as("sya1"), sum(col("yb1")).as("syb1"),
+        prod(col("ya"), col("ya")).as("saa"),
+        prod(col("yb"), col("yb")).as("sbb"),
+        prod(col("ya1"), col("ya1")).as("sa1a1"),
+        prod(col("yb1"), col("yb1")).as("sb1b1"),
+        prod(col("ya1"), col("yb1")).as("sa1b1"),
+        prod(col("yb"), col("yb1")).as("sbb1"),
+        prod(col("yb"), col("ya1")).as("sba1"),
+        prod(col("ya"), col("ya1")).as("saa1"),
+        prod(col("ya"), col("yb1")).as("sab1"))
+      .filter(col("n") >= minDays)
+    // S' = n·Σxy − Σx·Σy (exact decimal), then the shared IEEE chain
+    def sm(sxy: Column, sx: Column, sy: Column): Column =
+      (dec(col("n")) * sxy - dec(sx) * dec(sy)).cast("decimal(38,0)")
+        .cast("double")
+    def fStat(syy: Column, s11: Column, s22: Column, s12: Column,
+        s1y: Column, s2y: Column): Column = {
+      val rr = syy - s1y * s1y / s11
+      val det = s11 * s22 - s12 * s12
+      val bb = (s1y * s22 - s2y * s12) / det
+      val cc = (s2y * s11 - s1y * s12) / det
+      val ru = syy - bb * s1y - cc * s2y
+      val f = (rr - ru) * (col("n") - 3) / ru
+      when(s11 > 0 && det > 0 && ru > 0,
+        floor(f * lit(1000000.0) + lit(0.5)).cast("long"))
+    }
+    mom.select(col("event_type"), col("user_a"), col("user_b"),
+        col("n").as("n_obs"),
+        // A→B: y = yb, z1 = yb1 (own past), z2 = ya1 (A's past)
+        fStat(sm(col("sbb"), col("syb"), col("syb")),
+          sm(col("sb1b1"), col("syb1"), col("syb1")),
+          sm(col("sa1a1"), col("sya1"), col("sya1")),
+          sm(col("sa1b1"), col("syb1"), col("sya1")),
+          sm(col("sbb1"), col("syb"), col("syb1")),
+          sm(col("sba1"), col("syb"), col("sya1"))).as("f_ab6"),
+        // B→A: y = ya, z1 = ya1, z2 = yb1
+        fStat(sm(col("saa"), col("sya"), col("sya")),
+          sm(col("sa1a1"), col("sya1"), col("sya1")),
+          sm(col("sb1b1"), col("syb1"), col("syb1")),
+          sm(col("sa1b1"), col("sya1"), col("syb1")),
+          sm(col("saa1"), col("sya"), col("sya1")),
+          sm(col("sab1"), col("sya"), col("syb1"))).as("f_ba6"))
+      .withColumn("causal_ab",
+        when(col("f_ab6") > 4000000L, 1).otherwise(0))
+      .withColumn("causal_ba",
+        when(col("f_ba6") > 4000000L, 1).otherwise(0))
+      .orderBy(col("event_type"), col("user_a"), col("user_b"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -4740,6 +4847,171 @@ object SignalOracle {
       |    AS drift
       |FROM terms GROUP BY wus, event_type, n
       |ORDER BY win_start, event_type""".stripMargin
+
+  /** st11: the streaming percentile monitor replayed — st13's 6 h
+    * window assignment and timeout-eligibility rule, the fixed
+    * 64-bucket histogram (width = 10⁷ div 64 = 156250 in 1e-4 units,
+    * edge-clamped), q56's ceil(p·n) integer rank located in bucket
+    * space (the estimate is the bucket's UPPER edge), exact min/max
+    * and the clamp audit count.
+    */
+  val st11: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS tsu,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), mx AS (
+      |  SELECT (epoch_us(max(tsu)) // 1000 - 3600000) AS wm_ms FROM ev
+      |), wnd AS (
+      |  SELECT event_type,
+      |    (epoch_us(tsu) // 21600000000) * 21600000000 AS wus, v4l,
+      |    least(63, greatest(0, v4l // 156250)) AS b,
+      |    CASE WHEN v4l < 0 OR v4l > 10000000 THEN 1 ELSE 0 END AS clamped
+      |  FROM ev
+      |), fired AS (
+      |  SELECT w.* FROM wnd w, mx
+      |  WHERE (w.wus + 21600000000) // 1000 < mx.wm_ms
+      |), tot AS (
+      |  SELECT event_type, wus, count(*) AS n,
+      |    min(v4l) AS mn4, max(v4l) AS mx4,
+      |    CAST(sum(clamped) AS BIGINT) AS n_clamped
+      |  FROM fired GROUP BY 1, 2
+      |), cnt AS (
+      |  SELECT event_type, wus, b, count(*) AS c
+      |  FROM fired GROUP BY 1, 2, 3
+      |), cum AS (
+      |  SELECT event_type, wus, b,
+      |    sum(c) OVER (PARTITION BY event_type, wus ORDER BY b) AS cum
+      |  FROM cnt
+      |), p50 AS (
+      |  SELECT c.event_type, c.wus, min(c.b) AS b50
+      |  FROM cum c JOIN tot t
+      |    ON t.event_type = c.event_type AND t.wus = c.wus
+      |  WHERE c.cum >= (t.n + 1) // 2
+      |  GROUP BY 1, 2
+      |), p99 AS (
+      |  SELECT c.event_type, c.wus, min(c.b) AS b99
+      |  FROM cum c JOIN tot t
+      |    ON t.event_type = c.event_type AND t.wus = c.wus
+      |  WHERE c.cum >= (99 * t.n + 99) // 100
+      |  GROUP BY 1, 2
+      |)
+      |SELECT make_timestamp(t.wus) AS win_start, t.event_type,
+      |  t.n AS n_events, t.mn4 / 10000.0 AS min_v,
+      |  t.mx4 / 10000.0 AS max_v,
+      |  (p50.b50 + 1) * 156250 / 10000.0 AS p50_est,
+      |  (p99.b99 + 1) * 156250 / 10000.0 AS p99_est,
+      |  CAST(15.625 AS DOUBLE) AS err_bound, t.n_clamped
+      |FROM tot t
+      |JOIN p50 ON p50.event_type = t.event_type AND p50.wus = t.wus
+      |JOIN p99 ON p99.event_type = t.event_type AND p99.wus = t.wus
+      |ORDER BY win_start, t.event_type""".stripMargin
+
+  /** st30: st02's proven replay chain (same segments, same exact
+    * fixed-point z and repetition run, same staleness eligibility),
+    * rolled into gaps-and-islands incidents; only CLOSED incidents
+    * appear — an island followed by a clean row in its segment, or
+    * the tail island of a segment st02's staleness rule closes.
+    */
+  val st30: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    value, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vl
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), d AS (
+      |  SELECT user_id, event_type, event_id, ts, value, seg_id,
+      |    abs(vl - lag(vl) OVER w) AS dl
+      |  FROM seg
+      |  WINDOW w AS (PARTITION BY user_id, event_type, seg_id
+      |               ORDER BY ts, event_id)
+      |), g AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN dl = 0 THEN 0 ELSE 1 END) OVER
+      |      (PARTITION BY user_id, event_type, seg_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp,
+      |    CAST(SUM(dl) OVER f AS DOUBLE) AS sumd,
+      |    CAST(SUM(dl * dl) OVER f AS DOUBLE) AS sumsq,
+      |    COUNT(dl) OVER f AS n
+      |  FROM d
+      |  WINDOW f AS (PARTITION BY user_id, event_type, seg_id
+      |               ORDER BY ts, event_id
+      |               ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+      |), r AS (
+      |  SELECT *, COUNT(*) OVER
+      |      (PARTITION BY user_id, event_type, seg_id, grp
+      |       ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM g
+      |), z AS (
+      |  SELECT user_id, event_type, event_id, ts, seg_id,
+      |    CASE WHEN dl IS NULL THEN 0.0
+      |         WHEN n >= 2 AND (sumsq - sumd * sumd / n) > 0
+      |         THEN abs(CAST(dl AS DOUBLE) - sumd / n)
+      |              / sqrt((sumsq - sumd * sumd / n) / (n - 1))
+      |         ELSE 0.0 END AS zscore,
+      |    CASE WHEN dl IS NULL THEN 0
+      |         WHEN (CASE WHEN n >= 2 AND (sumsq - sumd * sumd / n) > 0
+      |           THEN abs(CAST(dl AS DOUBLE) - sumd / n)
+      |                / sqrt((sumsq - sumd * sumd / n) / (n - 1))
+      |           ELSE 0.0 END) >= 2.5 THEN 1 ELSE 0 END AS stddev_flag,
+      |    CASE WHEN dl IS NOT NULL AND run >= 2 THEN 1 ELSE 0 END
+      |      AS repetition_flag
+      |  FROM r
+      |), ev AS (
+      |  SELECT *,
+      |    CASE WHEN stddev_flag = 1 OR repetition_flag = 1
+      |         THEN 1 ELSE 0 END AS anomaly,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id) AS rn_all
+      |  FROM z
+      |), isl AS (
+      |  SELECT *, rn_all - row_number() OVER
+      |      (PARTITION BY user_id, event_type, seg_id
+      |       ORDER BY ts, event_id) AS gi
+      |  FROM ev WHERE anomaly = 1
+      |), agg AS (
+      |  SELECT user_id, event_type, seg_id, gi,
+      |    min(ts) AS start_ts, max(ts) AS end_ts,
+      |    max(rn_all) AS last_rn, count(*) AS n_events,
+      |    max(zscore) AS peak_z,
+      |    CAST(sum(stddev_flag) AS BIGINT) AS n_sd,
+      |    CAST(sum(repetition_flag) AS BIGINT) AS n_rep
+      |  FROM isl GROUP BY 1, 2, 3, 4
+      |), segend AS (
+      |  SELECT user_id, event_type, seg_id, max(rn_all) AS seg_last
+      |  FROM ev GROUP BY 1, 2, 3
+      |), closedseg AS (
+      |  SELECT user_id, event_type, seg_id FROM (
+      |    SELECT user_id, event_type, seg_id, ts,
+      |      row_number() OVER (PARTITION BY user_id, event_type, seg_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn,
+      |      max(seg_id) OVER (PARTITION BY user_id, event_type) AS max_seg
+      |    FROM seg
+      |  ) WHERE rn = 1 AND (seg_id < max_seg
+      |    OR epoch_ms(ts) + 691200000 <
+      |       (SELECT epoch_ms(max(ts)) FROM b) - 3600000)
+      |)
+      |SELECT a.user_id, a.event_type, a.start_ts, a.end_ts,
+      |  epoch_us(a.end_ts) - epoch_us(a.start_ts) AS duration_us,
+      |  a.n_events, a.peak_z, a.n_sd, a.n_rep
+      |FROM agg a
+      |JOIN segend se ON se.user_id = a.user_id
+      |  AND se.event_type = a.event_type AND se.seg_id = a.seg_id
+      |LEFT JOIN closedseg cs ON cs.user_id = a.user_id
+      |  AND cs.event_type = a.event_type AND cs.seg_id = a.seg_id
+      |WHERE a.last_rn < se.seg_last OR cs.seg_id IS NOT NULL
+      |ORDER BY a.user_id, a.event_type, a.start_ts, a.end_ts""".stripMargin
 
   /** st16: the streaming Benford monitor replayed — 6 h window
     * assignment, st13's timeout-eligibility rule, first-digit counts
@@ -6722,6 +6994,97 @@ object SignalOracle {
       |FROM v
       |ORDER BY event_type, user_a, user_b, lag""".stripMargin
   }
+
+  /** q111: q108's close collapse + pair join, one common-day lag,
+    * exact HUGEINT moments, the same closed-form 2×2 solve and
+    * F chain op-for-op.
+    */
+  val q111: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), cl AS (
+      |  SELECT user_id, event_type, day, v4l AS y FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type, day
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |    FROM b
+      |  ) WHERE rd = 1
+      |), pr0 AS (
+      |  SELECT a.event_type, a.user_id AS user_a, b2.user_id AS user_b,
+      |    a.day, a.y AS ya, b2.y AS yb
+      |  FROM cl a JOIN cl b2 ON a.event_type = b2.event_type
+      |    AND a.day = b2.day AND a.user_id < b2.user_id
+      |), lg AS (
+      |  SELECT *, lag(ya) OVER wp AS ya1, lag(yb) OVER wp AS yb1
+      |  FROM pr0
+      |  WINDOW wp AS (PARTITION BY event_type, user_a, user_b ORDER BY day)
+      |), mom AS (
+      |  SELECT event_type, user_a, user_b, count(*) AS n,
+      |    sum(ya) AS sya, sum(yb) AS syb,
+      |    sum(ya1) AS sya1, sum(yb1) AS syb1,
+      |    sum(CAST(ya AS HUGEINT) * ya) AS saa,
+      |    sum(CAST(yb AS HUGEINT) * yb) AS sbb,
+      |    sum(CAST(ya1 AS HUGEINT) * ya1) AS sa1a1,
+      |    sum(CAST(yb1 AS HUGEINT) * yb1) AS sb1b1,
+      |    sum(CAST(ya1 AS HUGEINT) * yb1) AS sa1b1,
+      |    sum(CAST(yb AS HUGEINT) * yb1) AS sbb1,
+      |    sum(CAST(yb AS HUGEINT) * ya1) AS sba1,
+      |    sum(CAST(ya AS HUGEINT) * ya1) AS saa1,
+      |    sum(CAST(ya AS HUGEINT) * yb1) AS sab1
+      |  FROM lg WHERE ya1 IS NOT NULL
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= 8
+      |), sm AS (
+      |  SELECT *,
+      |    CAST(n * sbb - CAST(syb AS HUGEINT) * syb AS DOUBLE) AS vyy_b,
+      |    CAST(n * sb1b1 - CAST(syb1 AS HUGEINT) * syb1 AS DOUBLE) AS v11_b,
+      |    CAST(n * sa1a1 - CAST(sya1 AS HUGEINT) * sya1 AS DOUBLE) AS v22_a,
+      |    CAST(n * sa1b1 - CAST(syb1 AS HUGEINT) * sya1 AS DOUBLE) AS v12,
+      |    CAST(n * sbb1 - CAST(syb AS HUGEINT) * syb1 AS DOUBLE) AS v1y_b,
+      |    CAST(n * sba1 - CAST(syb AS HUGEINT) * sya1 AS DOUBLE) AS v2y_b,
+      |    CAST(n * saa - CAST(sya AS HUGEINT) * sya AS DOUBLE) AS vyy_a,
+      |    CAST(n * saa1 - CAST(sya AS HUGEINT) * sya1 AS DOUBLE) AS v1y_a,
+      |    CAST(n * sab1 - CAST(sya AS HUGEINT) * syb1 AS DOUBLE) AS v2y_a
+      |  FROM mom
+      |), f1 AS (
+      |  SELECT *,
+      |    vyy_b - v1y_b * v1y_b / v11_b AS rr_ab,
+      |    vyy_a - v1y_a * v1y_a / v22_a AS rr_ba,
+      |    v11_b * v22_a - v12 * v12 AS det,
+      |    (v1y_b * v22_a - v2y_b * v12) / (v11_b * v22_a - v12 * v12)
+      |      AS bb_ab,
+      |    (v2y_b * v11_b - v1y_b * v12) / (v11_b * v22_a - v12 * v12)
+      |      AS cc_ab,
+      |    (v1y_a * v11_b - v2y_a * v12) / (v22_a * v11_b - v12 * v12)
+      |      AS bb_ba,
+      |    (v2y_a * v22_a - v1y_a * v12) / (v22_a * v11_b - v12 * v12)
+      |      AS cc_ba
+      |  FROM sm
+      |), f2 AS (
+      |  SELECT *,
+      |    vyy_b - bb_ab * v1y_b - cc_ab * v2y_b AS ru_ab,
+      |    vyy_a - bb_ba * v1y_a - cc_ba * v2y_a AS ru_ba
+      |  FROM f1
+      |), f3 AS (
+      |  SELECT *,
+      |    CASE WHEN v11_b > 0 AND det > 0 AND ru_ab > 0 THEN
+      |      CAST(floor((rr_ab - ru_ab) * (n - 3) / ru_ab
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS f_ab6,
+      |    CASE WHEN v22_a > 0 AND det > 0 AND ru_ba > 0 THEN
+      |      CAST(floor((rr_ba - ru_ba) * (n - 3) / ru_ba
+      |        * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS f_ba6
+      |  FROM f2
+      |)
+      |SELECT event_type, user_a, user_b, n AS n_obs, f_ab6, f_ba6,
+      |  CAST(CASE WHEN f_ab6 > 4000000 THEN 1 ELSE 0 END AS INT)
+      |    AS causal_ab,
+      |  CAST(CASE WHEN f_ba6 > 4000000 THEN 1 ELSE 0 END AS INT)
+      |    AS causal_ba
+      |FROM f3
+      |ORDER BY event_type, user_a, user_b""".stripMargin
 
   /** q109: row_number selection quantiles at integer ranks, exact
     * midrank percentile, integer envelope test.

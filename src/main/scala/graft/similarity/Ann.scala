@@ -158,13 +158,21 @@ object Ann {
   /** Deterministic pseudo-random hyperplanes: component (p, d) from a
     * splitmix-style integer mix — reproducible across runs/engines.
     */
-  private def planeComponent(p: Int, d: Int): Double = {
+  /** The component's exact integer numerator in [0, 2000000] — the
+    * SQL oracle interpolates THIS and replays the same two-op IEEE
+    * chain (k/10⁶ − 1), so the hyperplane doubles are bit-identical
+    * on both engines.
+    */
+  private[graft] def planeComponentScaled(p: Int, d: Int): Long = {
     var z = p.toLong * 2654435769L + d.toLong * 40503L + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
-    (math.abs(z % 2000001L).toDouble / 1000000.0) - 1.0
+    math.abs(z % 2000001L)
   }
+
+  private[graft] def planeComponent(p: Int, d: Int): Double =
+    (planeComponentScaled(p, d).toDouble / 1000000.0) - 1.0
 
   /** s02: multi-table random-hyperplane LSH — `tables` independent
     * `bits`-bit signatures; a corpus vector is a candidate for a query
@@ -172,7 +180,10 @@ object Ann {
     * P(candidate) = 1 − (1 − p^bits)^tables). Each table is one
     * (bucket-id, table) shuffle key; queries probe their buckets, so
     * scored pairs ≈ |Q| · tables · N / 2^bits instead of |Q| · N.
-    * Rows-only (recall is spec-tested against s01).
+    * Fully oracle-backed: the hyperplanes are deterministic splitmix
+    * integers replayed as literals in the SQL oracle (LlmOracle.s02),
+    * and the bucket bits, candidate join and cosine chain are all
+    * reproduced op-for-op. Recall vs s01 is additionally spec-tested.
     */
   def lshTopK(s: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, bits: Int = 5,

@@ -24,7 +24,10 @@ import org.apache.spark.sql.types._
   * state-partition count via `withStatePartitions`; StreamingSpec
   * proves output is byte-identical across providers.
   */
-object StreamingAnomaly {
+// Serializable: closures over this module's local defs (e.g. the
+// st30 update eta-expansion) capture MODULE$ as the lambda receiver;
+// the module carries no meaningful state, so serializing it is free
+object StreamingAnomaly extends Serializable {
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -2844,4 +2847,158 @@ object StreamingAnomaly {
     st29FromStream(s, eventStream(s, dir),
       graft.operators.SignalOps.q107MarkovTransitions(s, dir), rareBelow,
       staleDays)
+
+  /** st30 state: st02's rolling-diff baseline plus the OPEN incident
+    * accumulator (incN == 0 ⇔ no incident open).
+    */
+  case class IncidentState(base: TickerState, incN: Long,
+      incStart: java.sql.Timestamp, incEnd: java.sql.Timestamp,
+      peakZ: Double, nSd: Long, nRep: Long)
+
+  case class IncidentOut(user_id: Long, event_type: String,
+      start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp,
+      duration_us: Long, n_events: Long, peak_z: Double, n_sd: Long,
+      n_rep: Long)
+
+  /** st30: LIVE INCIDENT TRACKER — q103's incident report with q103's
+    * stated consumer (on-call) served live: st02's per-event anomaly
+    * verdict (same exact fixed-point z and repetition run over the
+    * same 28-diff baseline) is chained into contiguous incidents
+    * INSIDE the state, and ONE row per incident is emitted when the
+    * incident CLOSES — a clean observation arrives (data-driven
+    * close), the staleness gap splits the segment (st02's in-data gap
+    * rule), or the watermark outlives the key (EventTimeTimeout, same
+    * eviction discipline as st02, so key churn cannot leak state). A
+    * 3-day degradation pages once, with its shape — not 17 times.
+    *
+    * Determinism: every closure path is replayable — data closes are
+    * islands followed by a non-flagged row; gap and timeout closes
+    * reuse st02's PROVEN ms-floor staleness arithmetic, so the oracle
+    * is st02's replay chain + gaps-and-islands + that eligibility
+    * rule. Open incidents at the watermark frontier are NOT emitted
+    * (they are not closed — exactly the rows the oracle excludes).
+    *
+    * Scale shape: state is O(dataPeriods) per LIVE key (the incident
+    * accumulator is 6 scalars); output is incident-cardinality, not
+    * event-cardinality.
+    */
+  def st30Transform(s: SparkSession, stream: DataFrame,
+      cfg: AnomalyConfig = AnomalyConfig(),
+      staleDays: Double = 8.0)
+      : org.apache.spark.sql.Dataset[IncidentOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+
+    def emit(key: (Long, String), st: IncidentState): IncidentOut =
+      IncidentOut(key._1, key._2, st.incStart, st.incEnd,
+        usOf(st.incEnd) - usOf(st.incStart), st.incN, st.peakZ,
+        st.nSd, st.nRep)
+
+    def fresh(e: TickEvent, vl: Long): IncidentState =
+      IncidentState(TickerState(e.ts, e.value, vl, 1, Array.empty[Long]),
+        0L, e.ts, e.ts, 0.0, 0L, 0L)
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[IncidentState]): Iterator[IncidentOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        if (st.incN > 0) Iterator.single(emit(key, st)) else Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[IncidentOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          // in-data staleness gap: the segment closes, and with it any
+          // open incident — same row the timeout path would emit
+          stOpt.filter(st => usOf(e.ts) - usOf(st.base.lastTs) > staleUs)
+            .foreach { st =>
+              if (st.incN > 0) out += emit(key, st)
+              stOpt = None
+            }
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          stOpt match {
+            case None =>
+              stOpt = Some(fresh(e, vl))
+            case Some(st0) =>
+              val st = st0.base
+              // st02's exact chain: long diff window, one double
+              // conversion per sum, same flags
+              val dl = math.abs(vl - st.lastScaled)
+              val newRun = if (dl == 0L) st.runLength + 1 else 1
+              val n = math.min(st.diffs.length + 1, cfg.dataPeriods)
+              val ds = new Array[Long](n)
+              ds(0) = dl
+              System.arraycopy(st.diffs, 0, ds, 1, n - 1)
+              var sumdL = 0L
+              var sumsqL = 0L
+              var j = 0
+              while (j < n) {
+                val d = ds(j); sumdL += d; sumsqL += d * d; j += 1
+              }
+              val sumd = sumdL.toDouble
+              val sumsq = sumsqL.toDouble
+              val num = sumsq - sumd * sumd / n
+              val z =
+                if (n >= 2 && num > 0)
+                  math.abs(dl.toDouble - sumd / n) /
+                    math.sqrt(num / (n - 1))
+                else 0.0
+              val sdFlag = if (z >= cfg.stddevLim) 1L else 0L
+              val repFlag = if (newRun >= cfg.repLim) 1L else 0L
+              val nb = TickerState(e.ts, e.value, vl, newRun, ds)
+              if (sdFlag == 1L || repFlag == 1L) {
+                stOpt = Some(if (st0.incN == 0L)
+                  IncidentState(nb, 1L, e.ts, e.ts, z, sdFlag, repFlag)
+                else
+                  IncidentState(nb, st0.incN + 1, st0.incStart, e.ts,
+                    math.max(st0.peakZ, z), st0.nSd + sdFlag,
+                    st0.nRep + repFlag))
+              } else {
+                if (st0.incN > 0) out += emit(key, st0)
+                stOpt = Some(IncidentState(nb, 0L, e.ts, e.ts, 0.0,
+                  0L, 0L))
+              }
+          }
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.base.lastTs.getTime + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st30FromStream(s: SparkSession, stream: DataFrame,
+      cfg: AnomalyConfig = AnomalyConfig(),
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st30_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st30Transform(s, stream, cfg, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .orderBy(col("user_id"), col("event_type"), col("start_ts"),
+        col("end_ts"))
+  }
+
+  def st30StreamIncidents(s: SparkSession, dir: String,
+      cfg: AnomalyConfig = AnomalyConfig(),
+      staleDays: Double = 8.0): DataFrame =
+    st30FromStream(s, eventStream(s, dir), cfg, staleDays)
 }

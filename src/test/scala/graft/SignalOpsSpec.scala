@@ -1773,6 +1773,45 @@ class SignalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q111 Granger: the 1-day follower flags A->B only, a constant " +
+    "series degenerates to NULL") {
+    import spark.implicits._
+    var seed = 47L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 997).toInt * 0.01
+    }
+    val a = (0 until 24).map(_ => 10.0 + lcg())
+    val eps = (0 until 24).map(_ => lcg() * 0.01)
+    // user 1 = leader A; user 2 = B(d) = A(d-1) + tiny noise (noise
+    // keeps RSS_u > 0 so F is finite); user 3 = constant
+    val rows = (1 until 24).flatMap { d =>
+      Seq((1L, a(d)), (2L, a(d - 1) + eps(d)), (3L, 5.0)).map {
+        case (u, v) =>
+          (u, "x", u * 100 + d,
+            java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q111spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q111Granger(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")) -> r)
+      .toMap
+    val ab = out((1L, 2L))
+    assert(ab.getAs[Int]("causal_ab") == 1 &&
+      ab.getAs[Long]("f_ab6") > 4000000L, ab.toString)
+    // the reverse direction (B's past explaining white-noise A) must
+    // be far weaker than the planted one
+    assert(ab.isNullAt(ab.fieldIndex("f_ba6")) ||
+      ab.getAs[Long]("f_ba6") < ab.getAs[Long]("f_ab6") / 10,
+      ab.toString)
+    // constant target: S'11 = 0 -> NULL F, flag 0 (q85's convention)
+    val ac = out((1L, 3L))
+    assert(ac.isNullAt(ac.fieldIndex("f_ab6")) &&
+      ac.getAs[Int]("causal_ab") == 0, ac.toString)
+  }
+
   test("q109 envelope: exact selection quantiles and midrank " +
     "percentile on a planted ramp") {
     import spark.implicits._

@@ -1215,4 +1215,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[Long]("p6") >= 100000L, r.toString)
     }
   }
+
+  test("st30 incidents: a closed run emits once with its shape, the " +
+    "open tail run does not, a staleness gap closes") {
+    import spark.implicits._
+    val cfg = graft.operators.AnomalyConfig(dataPeriods = 28,
+      stddevLim = 2.5, repLim = 2)
+    def ts(d: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:$m%02d:00")
+    def write(rows: Seq[(Long, Long, java.sql.Timestamp, Double)]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("st30").toString
+      rows.map { case (u, e, t, v) => (e, t, u, "x", v, "") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      tmp
+    }
+    // run A: varied baseline, a 2-print repetition run CLOSED by a
+    // clean print, then a trailing repetition run left OPEN at the
+    // watermark frontier
+    val valsA = Seq(10.0, 11.0, 10.2, 11.4, 11.4, 11.4, 12.0,
+      13.0, 13.0, 13.0)
+    val a = StreamingAnomaly.st30StreamIncidents(spark,
+      write(valsA.zipWithIndex.map { case (v, i) =>
+        (1L, i.toLong, ts(1, i), v)
+      }), cfg).collect()
+    assert(a.length == 1, a.toSeq.toString)
+    val inc = a.head
+    assert(inc.getAs[java.sql.Timestamp]("start_ts") == ts(1, 4) &&
+      inc.getAs[java.sql.Timestamp]("end_ts") == ts(1, 5) &&
+      inc.getAs[Long]("duration_us") == 60000000L &&
+      inc.getAs[Long]("n_events") == 2L &&
+      inc.getAs[Long]("n_rep") == 2L &&
+      inc.getAs[Long]("n_sd") == 0L &&
+      inc.getAs[Double]("peak_z") < 2.5, inc.toString)
+    // run B: the repetition run is closed by the STALENESS GAP, not
+    // by a clean print — the segment break emits it
+    val b = StreamingAnomaly.st30StreamIncidents(spark,
+      write(Seq(
+        (2L, 0L, ts(1, 0), 10.0), (2L, 1L, ts(1, 1), 11.0),
+        (2L, 2L, ts(1, 2), 10.2), (2L, 3L, ts(1, 3), 11.4),
+        (2L, 4L, ts(1, 4), 11.4),
+        (2L, 5L, ts(11, 0), 20.0), (2L, 6L, ts(11, 1), 21.0))), cfg)
+      .collect()
+    assert(b.length == 1, b.toSeq.toString)
+    assert(b.head.getAs[java.sql.Timestamp]("start_ts") == ts(1, 4) &&
+      b.head.getAs[Long]("n_events") == 1L &&
+      b.head.getAs[Long]("duration_us") == 0L, b.head.toString)
+  }
 }
