@@ -179,8 +179,11 @@ object BenchScale {
     // round 10: q111 is q94's pair join + one lag window —
     // catalog-quadratic output BY SEMANTICS, excluded for q94's
     // reason; st30 is st02's state class (same baseline, incident
-    // accumulator is 6 scalars).
-    "q111_granger", "st30_stream_incidents")
+    // accumulator is 6 scalars). q112 is q111's pair shape (q94's
+    // exclusion reason); q113 is q105's series-moment class; st31 is
+    // st25's 12-long prefix-moment state class.
+    "q111_granger", "st30_stream_incidents", "q112_cointegration",
+    "q113_adf_unit_root", "st31_stream_adf")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

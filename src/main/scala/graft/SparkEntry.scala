@@ -85,6 +85,10 @@ object SparkEntry {
       ((s, d) => SignalOps.q110ModifiedZscore(s, d)),
     "q111_granger" ->
       ((s, d) => SignalOps.q111Granger(s, d)),
+    "q112_cointegration" ->
+      ((s, d) => SignalOps.q112Cointegration(s, d)),
+    "q113_adf_unit_root" ->
+      ((s, d) => SignalOps.q113AdfUnitRoot(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
@@ -290,6 +294,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st24StreamScd2(s, d)),
     "st25_stream_vr" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st25StreamVr(s, d)),
+    "st31_stream_adf" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st31StreamAdf(s, d)),
     "st26_stream_twap" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st26StreamTwap(s, d)),
     "st27_stream_ensemble" ->
@@ -398,12 +404,15 @@ object SparkEntry {
     "q109_percentile_envelope" -> SignalOracle.q109,
     "q110_modified_zscore" -> SignalOracle.q110,
     "q111_granger"       -> SignalOracle.q111,
+    "q112_cointegration" -> SignalOracle.q112,
+    "q113_adf_unit_root" -> SignalOracle.q113,
     "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,
     "d21_bloom_admission" -> LlmOracle.d21,
     "q103_incident_report" -> AnomalyOracle.q103,
     "st25_stream_vr"     -> SignalOracle.st25,
+    "st31_stream_adf"    -> SignalOracle.st31,
     "st26_stream_twap"   -> SignalOracle.st26,
     "st27_stream_ensemble" -> SignalOracle.st27,
     "st28_stream_macd"   -> SignalOracle.st28,

@@ -3448,6 +3448,207 @@ object SignalOps {
         when(col("f_ba6") > 4000000L, 1).otherwise(0))
       .orderBy(col("event_type"), col("user_a"), col("user_b"))
   }
+
+  /** q112: ENGLE–GRANGER COINTEGRATION (Engle & Granger 1987) — the
+    * pair family's final verdict: q94 says the pair co-moves, q111
+    * says one leads, q112 says the SPREAD is tradable — do the two
+    * level series share one stochastic trend, i.e. is yb − β·ya
+    * stationary while each leg walks. Step 1 regresses B's close on
+    * A's over the common days (levels, intercept); step 2 runs the
+    * no-constant Dickey–Fuller on the residual (Δe_t = ρ·e_{t−1}),
+    * t(ρ̂) below the Engle–Granger 5% bar −3.37 ⇒ cointegrated. Two
+    * INDEPENDENT walks can show a huge q94 r yet fail step 2 — the
+    * spurious-regression trap this test exists to catch.
+    *
+    * Exactness: q108's daily-close collapse; every moment — five
+    * full-sample level moments (step 1's basis) AND fifteen
+    * transition moments conditioned on the lag existing (step 2's
+    * basis) — is an exact decimal(38,0); e_t = yb_t − α − β·ya_t is
+    * LINEAR in (ya, yb), so Σe₁², Σe², Σe₁e expand over those exact
+    * integers with coefficients in (α, β), and β, α, the residual
+    * sums and the DF t are ONE shared IEEE chain, 1e-6-floored.
+    * Degenerate pairs (constant leg, zero residual variance) report
+    * NULL (q85's convention).
+    *
+    * Scale shape: q94/q111's class — one close collapse, ONE pair
+    * equi-join on (event_type, day), one pair-key lag window, one
+    * map-side-combined 20-aggregate groupBy, one row per pair.
+    * Catalog-quadratic BY SEMANTICS; the 100× knob is bounding the
+    * pair set, not the plan.
+    */
+  def q112Cointegration(s: SparkSession, dir: String,
+      minDays: Int = 8): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dd = (c: Column) => c.cast("double")
+    def prod(x: Column, y: Column): Column =
+      sum((d19(x) * d19(y)).cast("decimal(38,0)"))
+    def prodIf(g: Column, x: Column, y: Column): Column =
+      sum(when(g, (d19(x) * d19(y)).cast("decimal(38,0)")))
+    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
+      col("day")).orderBy(col("ts").desc, col("event_id").desc)
+    val closes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("rd", row_number().over(wDay))
+      .filter(col("rd") === 1)
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("v4l").as("y"))
+    val a = closes.select(col("event_type"), col("day"),
+      col("user_id").as("user_a"), col("y").as("ya"))
+    val b = closes.select(col("event_type"), col("day"),
+      col("user_id").as("user_b"), col("y").as("yb"))
+    val wPair = Window.partitionBy(col("event_type"), col("user_a"),
+      col("user_b")).orderBy(col("day"))
+    val lagged = a.join(b, Seq("event_type", "day"))
+      .filter(col("user_a") < col("user_b"))
+      .select(col("event_type"), col("user_a"), col("user_b"), col("day"),
+        col("ya"), col("yb"))
+      .withColumn("ya1", lag(col("ya"), 1).over(wPair))
+      .withColumn("yb1", lag(col("yb"), 1).over(wPair))
+    val hasLag = col("ya1").isNotNull
+    val mom = lagged
+      .groupBy(col("event_type"), col("user_a"), col("user_b"))
+      .agg(
+        // step 1: full-sample level moments
+        count(lit(1)).as("nf"),
+        sum(col("ya")).as("ua"), sum(col("yb")).as("ub"),
+        prod(col("ya"), col("ya")).as("uaa"),
+        prod(col("ya"), col("yb")).as("uab"),
+        // step 2: transition moments (lagged factors NULL out the
+        // first row on their own; current-only sums need the guard)
+        count(col("ya1")).as("m"),
+        sum(when(hasLag, col("ya"))).as("sya"),
+        sum(when(hasLag, col("yb"))).as("syb"),
+        sum(col("ya1")).as("sya1"), sum(col("yb1")).as("syb1"),
+        prodIf(hasLag, col("ya"), col("ya")).as("saa"),
+        prodIf(hasLag, col("yb"), col("yb")).as("sbb"),
+        prodIf(hasLag, col("ya"), col("yb")).as("sab"),
+        prod(col("ya1"), col("ya1")).as("sa1a1"),
+        prod(col("yb1"), col("yb1")).as("sb1b1"),
+        prod(col("ya1"), col("yb1")).as("sa1b1"),
+        prod(col("ya"), col("ya1")).as("saa1"),
+        prod(col("yb"), col("yb1")).as("sbb1"),
+        prod(col("ya"), col("yb1")).as("sab1"),
+        prod(col("yb"), col("ya1")).as("sba1"))
+      .filter(col("m") >= minDays)
+    val chain = mom
+      .withColumn("bden", dd((dec(col("nf")) * col("uaa") -
+        dec(col("ua")) * dec(col("ua"))).cast("decimal(38,0)")))
+      .withColumn("bnum", dd((dec(col("nf")) * col("uab") -
+        dec(col("ua")) * dec(col("ub"))).cast("decimal(38,0)")))
+      // guard every division (ANSI): a NULL β/rss propagates to NULL
+      // outputs exactly like the oracle's CASE chain
+      .withColumn("beta",
+        when(col("bden") > 0, col("bnum") / col("bden")))
+      .withColumn("alpha",
+        (dd(col("ub")) - col("beta") * dd(col("ua"))) / dd(col("nf")))
+      // Σe₁² / Σe² / Σe₁e via the linear-residual expansion — term
+      // order is the contract with the oracle's identical chain
+      .withColumn("se1sq",
+        dd(col("sb1b1")) - lit(2.0) * col("alpha") * dd(col("syb1")) -
+          lit(2.0) * col("beta") * dd(col("sa1b1")) +
+          dd(col("m")) * col("alpha") * col("alpha") +
+          lit(2.0) * col("alpha") * col("beta") * dd(col("sya1")) +
+          col("beta") * col("beta") * dd(col("sa1a1")))
+      .withColumn("sesq",
+        dd(col("sbb")) - lit(2.0) * col("alpha") * dd(col("syb")) -
+          lit(2.0) * col("beta") * dd(col("sab")) +
+          dd(col("m")) * col("alpha") * col("alpha") +
+          lit(2.0) * col("alpha") * col("beta") * dd(col("sya")) +
+          col("beta") * col("beta") * dd(col("saa")))
+      .withColumn("se1e",
+        dd(col("sbb1")) - col("alpha") * dd(col("syb1")) -
+          col("beta") * dd(col("sab1")) - col("alpha") * dd(col("syb")) +
+          dd(col("m")) * col("alpha") * col("alpha") +
+          col("alpha") * col("beta") * dd(col("sya")) -
+          col("beta") * dd(col("sba1")) +
+          col("alpha") * col("beta") * dd(col("sya1")) +
+          col("beta") * col("beta") * dd(col("saa1")))
+      .withColumn("s1d", col("se1e") - col("se1sq"))
+      .withColumn("sdd",
+        col("sesq") - lit(2.0) * col("se1e") + col("se1sq"))
+      .withColumn("rss",
+        when(col("se1sq") > 0,
+          col("sdd") - col("s1d") * col("s1d") / col("se1sq")))
+    chain.select(col("event_type"), col("user_a"), col("user_b"),
+        col("nf").as("n_days"),
+        when(col("bden") > 0,
+          floor(col("beta") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("beta6"),
+        when(col("bden") > 0 && col("se1sq") > 0 && col("rss") > 0,
+          floor(col("s1d") / sqrt(col("se1sq") *
+            (col("rss") / (dd(col("m")) - lit(1.0)))) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("df_t6"))
+      .withColumn("coint_flag",
+        when(col("df_t6") < -3370000L, 1).otherwise(0))
+      .orderBy(col("event_type"), col("user_a"), col("user_b"))
+  }
+
+  /** q113: AUGMENTED DICKEY–FULLER unit-root test, lag-0 with
+    * intercept (Dickey & Fuller 1979) — the stationarity verdict the
+    * rest of §2A quietly assumes: q105's AR(1) half-life and q54/q67's
+    * level forecasts only MEAN anything if the series reverts; a
+    * random walk gives q105 a φ ≈ 1 whose "half-life" is noise. Per
+    * series, regress Δy_t on (1, y_{t−1}); t(ρ̂) below the 5% DF bar
+    * −2.86 rejects the unit root ⇒ mean-reverting.
+    *
+    * Exactness: v4l levels off one lag pass, Δ an exact long; the
+    * five transition moments are exact decimal(38,0); ρ̂'s centered
+    * numerator/denominator are exact integers; ρ̂, α̂, RSS (the
+    * normal-equation form Sdd − α̂·Sd − ρ̂·S1d) and the t are ONE
+    * shared IEEE chain, 1e-6-floored. Degenerate series (constant
+    * level, zero residual) report NULL (q85's convention).
+    *
+    * Scale shape: ONE series exchange — the lag window and the
+    * map-side-combined groupBy reuse it (q105/q78's class).
+    */
+  def q113AdfUnitRoot(s: SparkSession, dir: String,
+      minObs: Int = 12): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dd = (c: Column) => c.cast("double")
+    def prod(x: Column, y: Column): Column =
+      sum((d19(x) * d19(y)).cast("decimal(38,0)"))
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("y1", lag(col("y"), 1).over(wAsc))
+      .filter(col("y1").isNotNull)
+      .withColumn("dy", col("y") - col("y1"))
+    val mom = base.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("y1")).as("s1"), sum(col("dy")).as("sd"),
+        prod(col("y1"), col("y1")).as("s11"),
+        prod(col("y1"), col("dy")).as("s1d"),
+        prod(col("dy"), col("dy")).as("sdd"))
+      .filter(col("m") >= minObs)
+    val chain = mom
+      .withColumn("den", dd((dec(col("m")) * col("s11") -
+        dec(col("s1")) * dec(col("s1"))).cast("decimal(38,0)")))
+      .withColumn("num", dd((dec(col("m")) * col("s1d") -
+        dec(col("s1")) * dec(col("sd"))).cast("decimal(38,0)")))
+      .withColumn("rho",
+        when(col("den") > 0, col("num") / col("den")))
+      .withColumn("alpha",
+        (dd(col("sd")) - col("rho") * dd(col("s1"))) / dd(col("m")))
+      .withColumn("rss",
+        dd(col("sdd")) - col("alpha") * dd(col("sd")) -
+          col("rho") * dd(col("s1d")))
+    chain.select(col("user_id"), col("event_type"),
+        col("m").as("n_trans"),
+        when(col("den") > 0,
+          floor(col("rho") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("rho6"),
+        when(col("den") > 0 && col("rss") > 0,
+          floor(col("rho") / sqrt((col("rss") / (dd(col("m")) - lit(2.0))) *
+            dd(col("m")) / col("den")) * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("adf_t6"))
+      .withColumn("stationary_flag",
+        when(col("adf_t6") < -2860000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -6314,6 +6515,77 @@ object SignalOracle {
       |FROM v
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
+  /** st31: the causal ADF — st25's segment machinery, cumulative
+    * exact transition moments per row, q113's identical IEEE chain.
+    */
+  val st31: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), r AS (
+      |  SELECT *,
+      |    lag(v4l) OVER ws AS y1,
+      |    v4l - lag(v4l) OVER ws AS dy
+      |  FROM seg
+      |  WINDOW ws AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id)
+      |), cum AS (
+      |  SELECT *,
+      |    count(y1) OVER wc AS m,
+      |    sum(y1) OVER wc AS s1, sum(dy) OVER wc AS sd,
+      |    sum(CAST(y1 AS HUGEINT) * y1) OVER wc AS s11,
+      |    sum(CAST(y1 AS HUGEINT) * dy) OVER wc AS s1d,
+      |    sum(CAST(dy AS HUGEINT) * dy) OVER wc AS sdd
+      |  FROM r
+      |  WINDOW wc AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), c1 AS (
+      |  SELECT *,
+      |    m * s11 - CAST(s1 AS HUGEINT) * s1 AS deni,
+      |    m * s1d - CAST(s1 AS HUGEINT) * sd AS numi
+      |  FROM cum
+      |), c2 AS (
+      |  SELECT *, CASE WHEN m >= 12 AND deni > 0
+      |    THEN CAST(numi AS DOUBLE) / CAST(deni AS DOUBLE) END AS rho
+      |  FROM c1
+      |), c3 AS (
+      |  SELECT *, (CAST(sd AS DOUBLE) - rho * CAST(s1 AS DOUBLE))
+      |    / CAST(m AS DOUBLE) AS alpha FROM c2
+      |), c4 AS (
+      |  SELECT *,
+      |    CAST(sdd AS DOUBLE) - alpha * CAST(sd AS DOUBLE)
+      |      - rho * CAST(s1d AS DOUBLE) AS rss
+      |  FROM c3
+      |), c5 AS (
+      |  SELECT *,
+      |    CASE WHEN rho IS NOT NULL THEN
+      |      CAST(floor(rho * 1000000.0 + 0.5) AS BIGINT) END AS rho6,
+      |    CASE WHEN rho IS NOT NULL AND rss > 0 THEN
+      |      CAST(floor(rho / sqrt(rss / (CAST(m AS DOUBLE) - 2.0)
+      |        * CAST(m AS DOUBLE) / CAST(deni AS DOUBLE))
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS adf_t6
+      |  FROM c4
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value, m AS n_trans, rho6, adf_t6,
+      |  CAST(CASE WHEN adf_t6 < -2860000 THEN 1 ELSE 0 END AS INT)
+      |    AS stationary_flag
+      |FROM c5
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
   /** st26: the batch TWAP the streaming day-close emission must equal
     * — q96's weight chain on epoch-day windows + st23's watermark
     * eligibility rule.
@@ -7085,6 +7357,162 @@ object SignalOracle {
       |    AS causal_ba
       |FROM f3
       |ORDER BY event_type, user_a, user_b""".stripMargin
+
+  /** q112: q111's close collapse + pair join + lag, the twenty exact
+    * HUGEINT moments, then the identical β/α/residual-sum/DF-t IEEE
+    * chain term-for-term.
+    */
+  val q112: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), cl AS (
+      |  SELECT user_id, event_type, day, v4l AS y FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type, day
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |    FROM b
+      |  ) WHERE rd = 1
+      |), pr0 AS (
+      |  SELECT a.event_type, a.user_id AS user_a, b2.user_id AS user_b,
+      |    a.day, a.y AS ya, b2.y AS yb
+      |  FROM cl a JOIN cl b2 ON a.event_type = b2.event_type
+      |    AND a.day = b2.day AND a.user_id < b2.user_id
+      |), lg AS (
+      |  SELECT *, lag(ya) OVER wp AS ya1, lag(yb) OVER wp AS yb1
+      |  FROM pr0
+      |  WINDOW wp AS (PARTITION BY event_type, user_a, user_b ORDER BY day)
+      |), mom AS (
+      |  SELECT event_type, user_a, user_b,
+      |    count(*) AS nf,
+      |    sum(ya) AS ua, sum(yb) AS ub,
+      |    sum(CAST(ya AS HUGEINT) * ya) AS uaa,
+      |    sum(CAST(ya AS HUGEINT) * yb) AS uab,
+      |    count(ya1) AS m,
+      |    sum(CASE WHEN ya1 IS NOT NULL THEN ya END) AS sya,
+      |    sum(CASE WHEN ya1 IS NOT NULL THEN yb END) AS syb,
+      |    sum(ya1) AS sya1, sum(yb1) AS syb1,
+      |    sum(CASE WHEN ya1 IS NOT NULL
+      |      THEN CAST(ya AS HUGEINT) * ya END) AS saa,
+      |    sum(CASE WHEN ya1 IS NOT NULL
+      |      THEN CAST(yb AS HUGEINT) * yb END) AS sbb,
+      |    sum(CASE WHEN ya1 IS NOT NULL
+      |      THEN CAST(ya AS HUGEINT) * yb END) AS sab,
+      |    sum(CAST(ya1 AS HUGEINT) * ya1) AS sa1a1,
+      |    sum(CAST(yb1 AS HUGEINT) * yb1) AS sb1b1,
+      |    sum(CAST(ya1 AS HUGEINT) * yb1) AS sa1b1,
+      |    sum(CAST(ya AS HUGEINT) * ya1) AS saa1,
+      |    sum(CAST(yb AS HUGEINT) * yb1) AS sbb1,
+      |    sum(CAST(ya AS HUGEINT) * yb1) AS sab1,
+      |    sum(CAST(yb AS HUGEINT) * ya1) AS sba1
+      |  FROM lg
+      |  GROUP BY 1, 2, 3 HAVING count(ya1) >= 8
+      |), c1 AS (
+      |  SELECT *,
+      |    CAST(nf * uaa - CAST(ua AS HUGEINT) * ua AS DOUBLE) AS bden,
+      |    CAST(nf * uab - CAST(ua AS HUGEINT) * ub AS DOUBLE) AS bnum
+      |  FROM mom
+      |), c2 AS (
+      |  SELECT *, CASE WHEN bden > 0 THEN bnum / bden END AS beta FROM c1
+      |), c3 AS (
+      |  SELECT *, (CAST(ub AS DOUBLE) - beta * CAST(ua AS DOUBLE))
+      |    / CAST(nf AS DOUBLE) AS alpha FROM c2
+      |), c4 AS (
+      |  SELECT *,
+      |    CAST(sb1b1 AS DOUBLE) - 2.0 * alpha * CAST(syb1 AS DOUBLE)
+      |      - 2.0 * beta * CAST(sa1b1 AS DOUBLE)
+      |      + CAST(m AS DOUBLE) * alpha * alpha
+      |      + 2.0 * alpha * beta * CAST(sya1 AS DOUBLE)
+      |      + beta * beta * CAST(sa1a1 AS DOUBLE) AS se1sq,
+      |    CAST(sbb AS DOUBLE) - 2.0 * alpha * CAST(syb AS DOUBLE)
+      |      - 2.0 * beta * CAST(sab AS DOUBLE)
+      |      + CAST(m AS DOUBLE) * alpha * alpha
+      |      + 2.0 * alpha * beta * CAST(sya AS DOUBLE)
+      |      + beta * beta * CAST(saa AS DOUBLE) AS sesq,
+      |    CAST(sbb1 AS DOUBLE) - alpha * CAST(syb1 AS DOUBLE)
+      |      - beta * CAST(sab1 AS DOUBLE) - alpha * CAST(syb AS DOUBLE)
+      |      + CAST(m AS DOUBLE) * alpha * alpha
+      |      + alpha * beta * CAST(sya AS DOUBLE)
+      |      - beta * CAST(sba1 AS DOUBLE)
+      |      + alpha * beta * CAST(sya1 AS DOUBLE)
+      |      + beta * beta * CAST(saa1 AS DOUBLE) AS se1e
+      |  FROM c3
+      |), c5 AS (
+      |  SELECT *, se1e - se1sq AS s1d,
+      |    sesq - 2.0 * se1e + se1sq AS sdd
+      |  FROM c4
+      |), c6 AS (
+      |  SELECT *, CASE WHEN se1sq > 0
+      |    THEN sdd - s1d * s1d / se1sq END AS rss FROM c5
+      |), c7 AS (
+      |  SELECT *,
+      |    CASE WHEN bden > 0 THEN
+      |      CAST(floor(beta * 1000000.0 + 0.5) AS BIGINT) END AS beta6,
+      |    CASE WHEN bden > 0 AND se1sq > 0 AND rss > 0 THEN
+      |      CAST(floor(s1d / sqrt(se1sq *
+      |        (rss / (CAST(m AS DOUBLE) - 1.0)))
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS df_t6
+      |  FROM c6
+      |)
+      |SELECT event_type, user_a, user_b, nf AS n_days, beta6, df_t6,
+      |  CAST(CASE WHEN df_t6 < -3370000 THEN 1 ELSE 0 END AS INT)
+      |    AS coint_flag
+      |FROM c7
+      |ORDER BY event_type, user_a, user_b""".stripMargin
+
+  /** q113: one series lag, five exact HUGEINT transition moments,
+    * the identical ρ/α/RSS/t IEEE chain.
+    */
+  val q113: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), lg AS (
+      |  SELECT *, lag(y) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id) AS y1
+      |  FROM b
+      |), d AS (
+      |  SELECT *, y - y1 AS dy FROM lg WHERE y1 IS NOT NULL
+      |), mom AS (
+      |  SELECT user_id, event_type, count(*) AS m,
+      |    sum(y1) AS s1, sum(dy) AS sd,
+      |    sum(CAST(y1 AS HUGEINT) * y1) AS s11,
+      |    sum(CAST(y1 AS HUGEINT) * dy) AS s1d,
+      |    sum(CAST(dy AS HUGEINT) * dy) AS sdd
+      |  FROM d
+      |  GROUP BY 1, 2 HAVING count(*) >= 12
+      |), c1 AS (
+      |  SELECT *,
+      |    CAST(m * s11 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS den,
+      |    CAST(m * s1d - CAST(s1 AS HUGEINT) * sd AS DOUBLE) AS num
+      |  FROM mom
+      |), c2 AS (
+      |  SELECT *, CASE WHEN den > 0 THEN num / den END AS rho FROM c1
+      |), c3 AS (
+      |  SELECT *, (CAST(sd AS DOUBLE) - rho * CAST(s1 AS DOUBLE))
+      |    / CAST(m AS DOUBLE) AS alpha FROM c2
+      |), c4 AS (
+      |  SELECT *,
+      |    CAST(sdd AS DOUBLE) - alpha * CAST(sd AS DOUBLE)
+      |      - rho * CAST(s1d AS DOUBLE) AS rss
+      |  FROM c3
+      |), c5 AS (
+      |  SELECT *,
+      |    CASE WHEN den > 0 THEN
+      |      CAST(floor(rho * 1000000.0 + 0.5) AS BIGINT) END AS rho6,
+      |    CASE WHEN den > 0 AND rss > 0 THEN
+      |      CAST(floor(rho / sqrt((rss / (CAST(m AS DOUBLE) - 2.0))
+      |        * CAST(m AS DOUBLE) / den)
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS adf_t6
+      |  FROM c4
+      |)
+      |SELECT user_id, event_type, m AS n_trans, rho6, adf_t6,
+      |  CAST(CASE WHEN adf_t6 < -2860000 THEN 1 ELSE 0 END AS INT)
+      |    AS stationary_flag
+      |FROM c5
+      |ORDER BY user_id, event_type""".stripMargin
 
   /** q109: row_number selection quantiles at integer ranks, exact
     * midrank percentile, integer envelope test.

@@ -2058,6 +2058,140 @@ object StreamingAnomaly extends Serializable {
       staleDays: Double = 8.0): DataFrame =
     st25FromStream(s, eventStream(s, dir), staleDays)
 
+  /** st31 per-ticker ADF state: previous value + exact prefix moments
+    * of the (y₁, Δy) transition stream — squares and the signed
+    * cross-product as st08's two-limb base-1e18 pairs (BigInt
+    * truncating div/mod reconstructs negatives exactly). Bounded:
+    * 12 longs however long the stream.
+    */
+  case class AdfState(lastUs: Long, lastV: Long, nVals: Long,
+      m: Long, s1: Long, sd: Long, s11Hi: Long, s11Lo: Long,
+      s1dHi: Long, s1dLo: Long, sddHi: Long, sddLo: Long)
+
+  case class AdfOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, n_trans: Long,
+      rho6: Option[Long], adf_t6: Option[Long], stationary_flag: Int)
+
+  /** st31: q113's Dickey–Fuller unit-root verdict answered LIVE — the
+    * causal "is this ticker mean-reverting RIGHT NOW" after every
+    * arrival: a feed that flips from reverting to drifting (a pairs
+    * trade losing its anchor, a gauge starting to integrate noise)
+    * drags the running ADF t above the −2.86 bar within a few prints,
+    * and this emits the verdict at the print, not at the nightly
+    * batch. Each arrival extends the exact transition moments
+    * (Δy_t on (1, y_{t−1})), then runs q113's identical IEEE chain
+    * over the exact integers seen so far (BigInt.toDouble and the
+    * batch's decimal→double cast are both correctly rounded, so the
+    * chains agree bit-for-bit). Staleness gaps (> 8 days) and
+    * EventTimeTimeout eviction restart the segment (the family
+    * rule); stats stay NULL until q113's minObs=12 transitions.
+    * Fully oracle-backed: the batch chain windows the same
+    * cumulative moments per segment.
+    */
+  def st31Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0, minObs: Long = 12L):
+      org.apache.spark.sql.Dataset[AdfOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val limb = BigInt(1000000000000000000L) // 1e18
+
+    def empty = AdfState(Long.MinValue, 0L, 0L,
+      0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[AdfState]): Iterator[AdfOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[AdfOut]
+        var st = state.getOption.getOrElse(empty)
+        sorted.foreach { e =>
+          if (st.nVals > 0 && usOf(e.ts) - st.lastUs > staleUs)
+            st = empty
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          var m = st.m; var s1 = st.s1; var sd = st.sd
+          var s11 = BigInt(st.s11Hi) * limb + st.s11Lo
+          var s1d = BigInt(st.s1dHi) * limb + st.s1dLo
+          var sdd = BigInt(st.sddHi) * limb + st.sddLo
+          if (st.nVals > 0) {
+            val y1 = st.lastV; val dy = vl - y1
+            m += 1; s1 += y1; sd += dy
+            s11 += BigInt(y1) * y1
+            s1d += BigInt(y1) * dy
+            sdd += BigInt(dy) * dy
+          }
+          // q113's exact chain over the moments seen so far
+          val den = BigInt(m) * s11 - BigInt(s1) * BigInt(s1)
+          val (rho6, adfT6) =
+            if (m >= minObs && den > 0) {
+              val num = BigInt(m) * s1d - BigInt(s1) * BigInt(sd)
+              val rho = num.toDouble / den.toDouble
+              val alpha =
+                (sd.toDouble - rho * s1.toDouble) / m.toDouble
+              val rss = sdd.toDouble - alpha * sd.toDouble -
+                rho * s1d.toDouble
+              val r6 = Some(math.floor(rho * 1000000.0 + 0.5).toLong)
+              if (rss > 0) {
+                val t = rho / math.sqrt(
+                  rss / (m.toDouble - 2.0) * m.toDouble / den.toDouble)
+                (r6, Some(math.floor(t * 1000000.0 + 0.5).toLong))
+              } else (r6, None)
+            } else (None, None)
+          st = AdfState(usOf(e.ts), vl, st.nVals + 1,
+            m, s1, sd,
+            (s11 / limb).toLong, (s11 % limb).toLong,
+            (s1d / limb).toLong, (s1d % limb).toLong,
+            (sdd / limb).toLong, (sdd % limb).toLong)
+          out += AdfOut(key._1, key._2, e.event_id, e.ts, vl / 10000.0,
+            m, rho6, adfT6,
+            adfT6 match {
+              case Some(t) if t < -2860000L => 1
+              case _                        => 0
+            })
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st31FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st31_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st31Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("n_trans"),
+        col("rho6"), col("adf_t6"), col("stationary_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st31StreamAdf(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st31FromStream(s, eventStream(s, dir), staleDays)
+
   /** st26 per-(ticker, day) TWAP state: first/last print µs, the live
     * value, and the weighted sum Σ(v·Δt) as two base-1e18 limbs
     * (v4l·µs products overflow a single long). 6 longs per LIVE day.

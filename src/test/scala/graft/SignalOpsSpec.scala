@@ -1812,6 +1812,84 @@ class SignalOpsSpec extends AnyFunSuite {
       ac.getAs[Int]("causal_ab") == 0, ac.toString)
   }
 
+  test("q112 cointegration: a shared-trend pair flags, independent " +
+    "walks do not, a constant leg degenerates to NULL") {
+    import spark.implicits._
+    var seed = 91L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0 // step in [-1, 1]
+    }
+    // user 1 = random walk A; user 2 = A + stationary noise (the
+    // cointegrated pair: the spread never drifts); user 4 = an
+    // INDEPENDENT walk (can correlate with A by luck, but the
+    // spread itself walks); user 5 = constant
+    val n = 30
+    val wA = Iterator.iterate(100.0)(_ + lcg()).take(n).toVector
+    val wC = Iterator.iterate(100.0)(_ + lcg()).take(n).toVector
+    val noise = (0 until n).map(_ => lcg() * 0.05)
+    val rows = (0 until n).flatMap { d =>
+      Seq((1L, wA(d)), (2L, wA(d) + noise(d)), (4L, wC(d)), (5L, 50.0))
+        .map { case (u, v) =>
+          (u, "x", u * 100 + d,
+            java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 10:00:00"), v)
+        }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q112spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q112Cointegration(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")) -> r)
+      .toMap
+    val coint = out((1L, 2L))
+    assert(coint.getAs[Int]("coint_flag") == 1 &&
+      coint.getAs[Long]("df_t6") < -3370000L, coint.toString)
+    // β̂ of the unit-slope pair is ≈ 1
+    assert(math.abs(coint.getAs[Long]("beta6") - 1000000L) < 100000L,
+      coint.toString)
+    val indep = out((1L, 4L))
+    assert(indep.getAs[Int]("coint_flag") == 0, indep.toString)
+    // constant leg: zero residual variance -> NULL t, flag 0
+    val const = out((1L, 5L))
+    assert(const.isNullAt(const.fieldIndex("df_t6")) &&
+      const.getAs[Int]("coint_flag") == 0, const.toString)
+  }
+
+  test("q113 ADF: white noise rejects the unit root, a random walk " +
+    "does not, a constant series degenerates to NULL") {
+    import spark.implicits._
+    var seed = 77L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 40
+    val noise = (0 until n).map(_ => 100.0 + lcg())            // stationary
+    val walk = Iterator.iterate(100.0)(_ + lcg()).take(n).toVector
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, noise(i)), (2L, walk(i)), (3L, 5.0)).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q113spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q113AdfUnitRoot(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val stat = out(1L)
+    assert(stat.getAs[Int]("stationary_flag") == 1 &&
+      stat.getAs[Long]("adf_t6") < -2860000L, stat.toString)
+    // a mean-reverting series regresses Δy fully on y1: ρ̂ ≈ -1
+    assert(math.abs(stat.getAs[Long]("rho6") + 1000000L) < 400000L,
+      stat.toString)
+    val rw = out(2L)
+    assert(rw.getAs[Int]("stationary_flag") == 0, rw.toString)
+    val const = out(3L)
+    assert(const.isNullAt(const.fieldIndex("adf_t6")) &&
+      const.getAs[Int]("stationary_flag") == 0, const.toString)
+  }
+
   test("q109 envelope: exact selection quantiles and midrank " +
     "percentile on a planted ramp") {
     import spark.implicits._

@@ -1044,6 +1044,55 @@ class StreamingSpec extends AnyFunSuite {
     (200L to 202L).foreach(id => assert(out(id).isNullAt(5), out(id).toString))
   }
 
+  test("st31 causal ADF: warm-up NULLs, noise rejects the unit root " +
+    "live, a walk does not, a gap restarts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("st31").toString
+    def ts(d: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:$m%02d:00")
+    var seed = 53L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    // user 7: 20 mean-reverting noise prints, a 10-day gap, 3 more;
+    // user 8: a 20-print drifting walk (the drift keeps a short
+    // sample path from rejecting by luck — Δy ≈ const, slope ≈ 0)
+    val noise = (0 until 20).map(_ => 10.0 + lcg())
+    val walk = Iterator.iterate(10.0)(_ + 0.6 + lcg()).take(20).toVector
+    val rows = (0 until 20).map(i =>
+      (100L + i, ts(1, i), 7L, "adf", noise(i), "")) ++
+      (0 until 3).map(i => (200L + i, ts(12, i), 7L, "adf", 10.0, "")) ++
+      (0 until 20).map(i => (300L + i, ts(1, i), 8L, "adf", walk(i), ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st31StreamAdf(spark, tmp).collect()
+      .map(r => r.getLong(2) -> r).toMap
+    // warm-up: stats NULL until the 12th transition (event ids
+    // 100..111 carry m = 0..11)
+    (100L to 111L).foreach { id =>
+      val r = out(id)
+      assert(r.isNullAt(r.fieldIndex("adf_t6")) &&
+        r.getAs[Int]("stationary_flag") == 0, r.toString)
+    }
+    // settled noise: ρ̂ ≈ -1, t far below the -2.86 bar
+    val last = out(119L)
+    assert(last.getAs[Long]("n_trans") == 19L &&
+      last.getAs[Long]("adf_t6") < -2860000L &&
+      last.getAs[Int]("stationary_flag") == 1, last.toString)
+    assert(math.abs(last.getAs[Long]("rho6") + 1000000L) < 400000L,
+      last.toString)
+    // the walk never rejects the unit root
+    val rw = out(319L)
+    assert(rw.getAs[Long]("n_trans") == 19L &&
+      rw.getAs[Int]("stationary_flag") == 0, rw.toString)
+    // the 10-day gap restarts the segment: statistics gone, NULL again
+    (200L to 202L).foreach { id =>
+      val r = out(id)
+      assert(r.isNullAt(r.fieldIndex("adf_t6")), r.toString)
+    }
+  }
+
   test("st27 live ensemble: flat stream stays silent, a spike trips " +
     "z + Hampel but not CUSUM, a gap restarts every detector") {
     import spark.implicits._
