@@ -89,6 +89,8 @@ object SparkEntry {
       ((s, d) => SignalOps.q112Cointegration(s, d)),
     "q113_adf_unit_root" ->
       ((s, d) => SignalOps.q113AdfUnitRoot(s, d)),
+    "q114_kpss" ->
+      ((s, d) => SignalOps.q114Kpss(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
@@ -230,6 +232,8 @@ object SparkEntry {
       graft.dedup.Dedup.substringDedup(s, d)),
     "d11_clean_corpus" -> ((s, d) =>
       graft.dedup.Dedup.substringClean(s, d)),
+    "d22_span_catalog" -> ((s, d) =>
+      graft.dedup.Dedup.spanCatalog(s, d)),
     "d13_sequence_pack"  -> ((s, d) =>
       graft.operators.Sampling.sequencePack(s, d)),
     "d15_incremental_dedup" -> ((s, d) =>
@@ -406,6 +410,7 @@ object SparkEntry {
     "q111_granger"       -> SignalOracle.q111,
     "q112_cointegration" -> SignalOracle.q112,
     "q113_adf_unit_root" -> SignalOracle.q113,
+    "q114_kpss"          -> SignalOracle.q114,
     "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,
@@ -475,6 +480,7 @@ object SparkEntry {
     "d09_importance_sample" -> LlmOracle.d09,
     "d11_substring_dedup" -> LlmOracle.d11,
     "d11_clean_corpus" -> LlmOracle.d11Clean,
+    "d22_span_catalog" -> LlmOracle.d22,
     "d13_sequence_pack"  -> LlmOracle.d13,
     "d15_incremental_dedup" -> LlmOracle.d15,
     "d16_mixture_sample" -> LlmOracle.d16,

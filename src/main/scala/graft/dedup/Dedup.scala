@@ -371,6 +371,74 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d22: the DUPLICATED-SPAN CATALOG — d11 answers "how much of each
+    * doc is boilerplate"; this answers the forensic follow-up "what IS
+    * the boilerplate": one row per distinct maximal repeated span
+    * text with its length, occurrence count, distinct-doc count and
+    * first carrier — the table Lee et al.'s suffix array produces as
+    * a by-product (reference: the d11 row's paper, §4's analysis of
+    * WHAT was removed), re-expressed over d11's k-gram-position
+    * mining with no suffix array and no global sort. Runs are
+    * doc-local maximal merges of repeated k-gram positions; grouping
+    * by exact run text makes each catalog row a verbatim passage, and
+    * `dup_verbatim` = 1 marks rows whose FULL text repeats (n_occ ≥ 2
+    * — disjoint boilerplate lands here exactly; a run that merged
+    * two overlapping sources stays cataloged at n_occ = 1 and its
+    * coverage remains in d11's per-doc stats).
+    *
+    * Scale shape: d11's mining (linear in corpus tokens, gram
+    * dictionary groupBy, semi-join, doc window), then ONE
+    * co-partitioned doc-key join to slice span texts row-locally and
+    * one span-text groupBy (Zipf-compact keys — boilerplate is by
+    * definition few distinct texts with high counts). At production
+    * scale drop `span_text` from the projection and keep the md5
+    * fingerprint (the groupBy key can be the fp; text column exists
+    * because the catalog is human-read at this corpus size).
+    */
+  def spanCatalog(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(normText(col("text")), " ")
+    val grams = when(size(ws) >= k,
+      graft.functions.VectorFunctions.word_ngrams(ws, k))
+      .otherwise(array().cast("array<string>"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), ws.as("toks"), grams.as("g"))
+    val pos = base.select(col("doc_id"), posexplode(col("g")))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "gram")
+    val rep = pos.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gram"))
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val runs = pos.join(rep, Seq("gram"))
+      .select(col("doc_id"), col("p"))
+      .withColumn("pp", lag(col("p"), 1).over(wnd))
+      .withColumn("brk",
+        when(col("pp").isNull || col("p") - col("pp") > k, 1).otherwise(0))
+      .withColumn("run_id", sum(col("brk")).over(
+        wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(min(col("p")).as("sp"), (max(col("p")) + lit(k)).as("ep"))
+    val spans = runs.join(base.select(col("doc_id"), col("toks")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("ep") - col("sp")).cast("int").as("span_tokens"),
+        concat_ws(" ", slice(col("toks"), col("sp") + lit(1),
+          col("ep") - col("sp"))).as("span_text"))
+    spans.groupBy(col("span_text"))
+      .agg(max(col("span_tokens")).as("span_tokens"),
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"))
+      .select(md5(col("span_text")).as("span_fp"), col("span_tokens"),
+        col("n_occurrences"), col("n_docs"), col("first_doc_id"),
+        when(col("n_occurrences") >= 2, 1).otherwise(0)
+          .as("dup_verbatim"),
+        col("span_text"))
+      .orderBy(col("span_text"))
+  }
+
   /** d06: near-duplicate CLUSTERS — connected components over the d04
     * similarity graph via alternating LARGE-STAR / SMALL-STAR rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"),

@@ -213,6 +213,57 @@ object LlmOracle {
        |FROM base b LEFT JOIN agg a USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  /** d22: d11's repeated-position mining, runs via the lag-gap +
+    * running-sum islands, span text sliced from the token list,
+    * grouped by exact text.
+    */
+  val d22: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id, ws, unnest(range(len(ws) - 4)) AS p
+       |  FROM w WHERE len(ws) >= 5
+       |), grams AS (
+       |  SELECT doc_id, p, array_to_string(ws[p + 1 : p + 5], ' ') AS gram
+       |  FROM g
+       |), rep AS (
+       |  SELECT gram FROM grams GROUP BY gram
+       |  HAVING count(DISTINCT doc_id) >= 2
+       |), hits AS (
+       |  SELECT doc_id, p FROM grams JOIN rep USING (gram)
+       |), lagged AS (
+       |  SELECT doc_id, p,
+       |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+       |  FROM hits
+       |), brk AS (
+       |  SELECT *, CASE WHEN pp IS NULL OR p - pp > 5 THEN 1 ELSE 0 END
+       |    AS b
+       |  FROM lagged
+       |), rn AS (
+       |  SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY p
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM brk
+       |), runs AS (
+       |  SELECT doc_id, run_id, min(p) AS sp, max(p) + 5 AS ep
+       |  FROM rn GROUP BY 1, 2
+       |), spans AS (
+       |  SELECT r.doc_id, CAST(r.ep - r.sp AS INT) AS span_tokens,
+       |    array_to_string(w.ws[r.sp + 1 : r.ep], ' ') AS span_text
+       |  FROM runs r JOIN w USING (doc_id)
+       |), cat AS (
+       |  SELECT span_text, max(span_tokens) AS span_tokens,
+       |    count(*) AS n_occurrences,
+       |    count(DISTINCT doc_id) AS n_docs,
+       |    min(doc_id) AS first_doc_id
+       |  FROM spans GROUP BY 1
+       |)
+       |SELECT md5(span_text) AS span_fp, span_tokens, n_occurrences,
+       |  n_docs, first_doc_id,
+       |  CAST(CASE WHEN n_occurrences >= 2 THEN 1 ELSE 0 END AS INT)
+       |    AS dup_verbatim,
+       |  span_text
+       |FROM cat ORDER BY span_text""".stripMargin
+
   /** d15: incremental dedup of the doc_id % 10 == 7 "arrivals" slice
     * against the rest of the corpus — exact digest tier (index
     * membership + within-batch first-id-wins) then, for survivors,

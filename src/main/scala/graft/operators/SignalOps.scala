@@ -3649,6 +3649,57 @@ object SignalOps {
         when(col("adf_t6") < -2860000L, 1).otherwise(0))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q114: KPSS level-stationarity test, bandwidth 0 (Kwiatkowski,
+    * Phillips, Schmidt & Shin 1992) — q113's mirror image: ADF's null
+    * is the unit root (failing to reject ≠ stationary, it may just be
+    * short data), KPSS's null is STATIONARITY, so running both splits
+    * "no evidence" from "evidence of drift". η = Σ_t S_t² / (n²·σ̂²)
+    * with S_t the partial sums of the demeaned series; η above the
+    * 5% bar 0.463 rejects level stationarity ⇒ drifting.
+    *
+    * Exactness: n·S_t = n·P_t − t·T is an EXACT integer per row
+    * (P_t prefix sum, T series total — the n² factors cancel against
+    * σ̂²'s), so A = Σ(n·S_t)² and D = n·Q − T² are exact
+    * decimal(38,0) and η = A/(n·n·D) is ONE IEEE chain, 1e-6-floored.
+    * Bandwidth 0 means σ̂² is the plain variance — the deterministic
+    * choice (a Newey–West bandwidth is a knob, not taken). Constant
+    * series (D = 0) report NULL (q85's convention).
+    *
+    * Scale shape: ONE series exchange — q105's pattern: the full-key
+    * window (n, T), the running prefix window and the final groupBy
+    * all reuse it.
+    */
+  def q114Kpss(s: SparkSession, dir: String,
+      minObs: Int = 12): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("t_tot", sum(col("y")).over(wKey))
+      .withColumn("p", sum(col("y")).over(wRun))
+      .withColumn("t_idx", row_number().over(wAsc))
+      // n·S_t = n·P_t − t·T, exact per row
+      .withColumn("e", (d19(col("n")) * d19(col("p")) -
+        d19(col("t_idx")) * d19(col("t_tot"))).cast("decimal(19,0)"))
+    val mom = rows.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("t_tot")).as("t_tot"),
+        sum((d19(col("y")) * d19(col("y"))).cast("decimal(38,0)")).as("q"),
+        sum((col("e") * col("e")).cast("decimal(38,0)")).as("a"))
+      .filter(col("n") >= minObs)
+      .withColumn("dvar", dd((dec(col("n")) * col("q") -
+        dec(col("t_tot")) * dec(col("t_tot"))).cast("decimal(38,0)")))
+    mom.select(col("user_id"), col("event_type"), col("n").as("n_obs"),
+        when(col("dvar") > 0,
+          floor(dd(col("a")) / (dd(col("n")) * dd(col("n")) * col("dvar")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("kpss6"))
+      .withColumn("nonstat_flag",
+        when(col("kpss6") > 463000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -7512,6 +7563,50 @@ object SignalOracle {
       |  CAST(CASE WHEN adf_t6 < -2860000 THEN 1 ELSE 0 END AS INT)
       |    AS stationary_flag
       |FROM c5
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q114: one series exchange — full-key totals, prefix sums, the
+    * exact n·S_t integers, the identical η IEEE chain.
+    */
+  val q114: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), w AS (
+      |  SELECT *, count(*) OVER wk AS n, sum(y) OVER wk AS t_tot,
+      |    sum(y) OVER wr AS p,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS t_idx
+      |  FROM b
+      |  WINDOW wk AS (PARTITION BY user_id, event_type),
+      |    wr AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), ee AS (
+      |  SELECT *,
+      |    CAST(n AS HUGEINT) * p - CAST(t_idx AS HUGEINT) * t_tot AS ei
+      |  FROM w
+      |), mom AS (
+      |  SELECT user_id, event_type, max(n) AS n, max(t_tot) AS t_tot,
+      |    sum(CAST(y AS HUGEINT) * y) AS q,
+      |    sum(ei * ei) AS a
+      |  FROM ee GROUP BY 1, 2 HAVING max(n) >= 12
+      |), c1 AS (
+      |  SELECT *,
+      |    CAST(n * q - CAST(t_tot AS HUGEINT) * t_tot AS DOUBLE) AS dvar
+      |  FROM mom
+      |), c2 AS (
+      |  SELECT *,
+      |    CASE WHEN dvar > 0 THEN
+      |      CAST(floor(CAST(a AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * dvar)
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS kpss6
+      |  FROM c1
+      |)
+      |SELECT user_id, event_type, n AS n_obs, kpss6,
+      |  CAST(CASE WHEN kpss6 > 463000 THEN 1 ELSE 0 END AS INT)
+      |    AS nonstat_flag
+      |FROM c2
       |ORDER BY user_id, event_type""".stripMargin
 
   /** q109: row_number selection quantiles at integer ranks, exact

@@ -612,6 +612,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(two(1L).getAs[Long]("covered_tokens") == 16L, two.toString)
   }
 
+  test("d22 span catalog: the shared passage is one verbatim row with " +
+      "exact multiplicity; disjoint blocks stay separate rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("spancat").toString
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val block2 = (1 to 6).map(i => s"c$i").mkString(" ")
+    Seq(
+      (1L, s"u1 u2 u3 $boiler u4 u5", "en", "s", 1L),
+      (2L, s"v1 $boiler v2 v3 v4 v5 v6", "en", "s", 1L),
+      (3L, s"w1 $boiler w2 $block2", "en", "s", 1L),
+      (4L, s"z1 z2 $block2 z3", "en", "s", 1L),
+      (5L, "completely unrelated text with many words here indeed",
+        "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Dedup.spanCatalog(spark, tmp).collect()
+      .map(r => r.getAs[String]("span_text") -> r).toMap
+    // exactly two distinct repeated passages are cataloged
+    assert(out.keySet == Set(boiler, block2), out.keySet.toString)
+    val b = out(boiler)
+    assert(b.getAs[Int]("span_tokens") == 10 &&
+      b.getAs[Long]("n_occurrences") == 3L &&
+      b.getAs[Long]("n_docs") == 3L &&
+      b.getAs[Long]("first_doc_id") == 1L &&
+      b.getAs[Int]("dup_verbatim") == 1, b.toString)
+    val c = out(block2)
+    assert(c.getAs[Int]("span_tokens") == 6 &&
+      c.getAs[Long]("n_occurrences") == 2L &&
+      c.getAs[Long]("n_docs") == 2L &&
+      c.getAs[Long]("first_doc_id") == 3L &&
+      c.getAs[Int]("dup_verbatim") == 1, c.toString)
+    // fingerprint is the md5 of the exact span text
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(boiler.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(b.getAs[String]("span_fp") == md, b.toString)
+  }
+
   test("media decoders flag corrupt payloads instead of failing the job") {
     import graft.multimodal.{Audio, Multimodal, Video}
     import spark.implicits._

@@ -1890,6 +1890,39 @@ class SignalOpsSpec extends AnyFunSuite {
       const.getAs[Int]("stationary_flag") == 0, const.toString)
   }
 
+  test("q114 KPSS: a drifting walk rejects level stationarity, " +
+    "white noise does not, a constant series degenerates to NULL") {
+    import spark.implicits._
+    var seed = 61L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 40
+    val noise = (0 until n).map(_ => 100.0 + lcg())
+    val walk = Iterator.iterate(100.0)(_ + 0.6 + lcg()).take(n).toVector
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, noise(i)), (2L, walk(i)), (3L, 5.0)).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q114spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q114Kpss(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val stat = out(1L)
+    assert(stat.getAs[Int]("nonstat_flag") == 0 &&
+      stat.getAs[Long]("kpss6") < 463000L, stat.toString)
+    val drift = out(2L)
+    assert(drift.getAs[Int]("nonstat_flag") == 1 &&
+      drift.getAs[Long]("kpss6") > 463000L, drift.toString)
+    val const = out(3L)
+    assert(const.isNullAt(const.fieldIndex("kpss6")) &&
+      const.getAs[Int]("nonstat_flag") == 0, const.toString)
+  }
+
   test("q109 envelope: exact selection quantiles and midrank " +
     "percentile on a planted ramp") {
     import spark.implicits._
