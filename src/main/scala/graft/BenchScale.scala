@@ -183,7 +183,8 @@ object BenchScale {
     // exclusion reason); q113 is q105's series-moment class; st31 is
     // st25's 12-long prefix-moment state class.
     "q111_granger", "st30_stream_incidents", "q112_cointegration",
-    "q113_adf_unit_root", "st31_stream_adf", "q114_kpss")
+    "q113_adf_unit_root", "st31_stream_adf", "q114_kpss",
+    "q115_chow_break")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -3700,6 +3700,81 @@ object SignalOps {
         when(col("kpss6") > 463000L, 1).otherwise(0))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q115: CHOW STRUCTURAL-BREAK test at the series midpoint (Chow
+    * 1960) — the regime question q82's single trend line assumes
+    * away: a series whose drift RATE changed mid-sample fits one line
+    * badly and two lines well, and F = ((RSS_p − RSS₁ − RSS₂)/2) /
+    * ((RSS₁ + RSS₂)/(n − 4)) ~ F(2, n−4) quantifies it; flagged at
+    * the 5% large-n bar 3.0. The midpoint is the standard no-prior
+    * diagnostic split (q65's Pettitt estimates WHERE the break is;
+    * Chow tests WHETHER the two halves share one line).
+    *
+    * Exactness: per segment (pooled, first half t ≤ n div 2, second
+    * half) the six regression moments over (t, y) are exact
+    * decimal(38,0) conditional sums off ONE pass; each RSS uses the
+    * centered closed form RSS = (C − B²/A)/m with A = mΣt² − (Σt)²,
+    * B = mΣty − ΣtΣy, C = mΣy² − (Σy)² exact integers; the three RSS
+    * and F are ONE shared IEEE chain, 1e-6-floored. Degenerate fits
+    * (RSS₁ + RSS₂ = 0: both halves exactly linear) report NULL
+    * (q85's convention).
+    *
+    * Scale shape: ONE series exchange — the full-key count window,
+    * the row-number window and the map-side-combined 13-aggregate
+    * groupBy reuse it (q105/q114's class).
+    */
+  def q115ChowBreak(s: SparkSession, dir: String,
+      minObs: Int = 16): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    def prodIf(g: Column, x: Column, y: Column): Column =
+      sum(when(g, (d19(x) * d19(y)).cast("decimal(38,0)")))
+    def sumIf(g: Column, x: Column): Column = sum(when(g, x))
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("t", row_number().over(wAsc).cast("long"))
+      .withColumn("h1",
+        col("t") <= floor(col("n") / lit(2.0)).cast("long"))
+    val one = lit(true)
+    def seg(tag: String, g: Column) = Seq(
+      count(when(g, 1)).as(s"m$tag"),
+      sumIf(g, col("t")).as(s"st$tag"),
+      sumIf(g, col("y")).as(s"sy$tag"),
+      prodIf(g, col("t"), col("t")).as(s"stt$tag"),
+      prodIf(g, col("t"), col("y")).as(s"sty$tag"),
+      prodIf(g, col("y"), col("y")).as(s"syy$tag"))
+    val aggs = seg("p", one) ++ seg("1", col("h1")) ++ seg("2", !col("h1"))
+    val mom = rows.groupBy(col("user_id"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("mp") >= minObs)
+    // per segment: A = mΣtt − (Σt)², B = mΣty − ΣtΣy, C = mΣyy − (Σy)²
+    def rssCol(tag: String): Column = {
+      val a = dd((dec(col(s"m$tag")) * col(s"stt$tag") -
+        dec(col(s"st$tag")) * dec(col(s"st$tag"))).cast("decimal(38,0)"))
+      val b = dd((dec(col(s"m$tag")) * col(s"sty$tag") -
+        dec(col(s"st$tag")) * dec(col(s"sy$tag"))).cast("decimal(38,0)"))
+      val c = dd((dec(col(s"m$tag")) * col(s"syy$tag") -
+        dec(col(s"sy$tag")) * dec(col(s"sy$tag"))).cast("decimal(38,0)"))
+      (c - b * b / a) / dd(col(s"m$tag"))
+    }
+    val chain = mom
+      .withColumn("rssp", rssCol("p"))
+      .withColumn("rss1", rssCol("1"))
+      .withColumn("rss2", rssCol("2"))
+      .withColumn("rsss", col("rss1") + col("rss2"))
+    chain.select(col("user_id"), col("event_type"),
+        col("mp").as("n_obs"),
+        when(col("rsss") > 0,
+          floor((col("rssp") - col("rss1") - col("rss2")) / lit(2.0) /
+            (col("rsss") / (dd(col("mp")) - lit(4.0))) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("f_chow6"))
+      .withColumn("break_flag",
+        when(col("f_chow6") > 3000000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -7607,6 +7682,75 @@ object SignalOracle {
       |  CAST(CASE WHEN kpss6 > 463000 THEN 1 ELSE 0 END AS INT)
       |    AS nonstat_flag
       |FROM c2
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q115: one series exchange, thirteen exact conditional moments,
+    * the identical centered-RSS closed forms and F chain.
+    */
+  val q115: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), w AS (
+      |  SELECT *, count(*) OVER wk AS n,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS t
+      |  FROM b
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), h AS (
+      |  SELECT *, t <= n // 2 AS h1 FROM w
+      |), mom AS (
+      |  SELECT user_id, event_type,
+      |    count(*) AS mp, sum(t) AS stp, sum(y) AS syp,
+      |    sum(CAST(t AS HUGEINT) * t) AS sttp,
+      |    sum(CAST(t AS HUGEINT) * y) AS styp,
+      |    sum(CAST(y AS HUGEINT) * y) AS syyp,
+      |    count(CASE WHEN h1 THEN 1 END) AS m1,
+      |    sum(CASE WHEN h1 THEN t END) AS st1,
+      |    sum(CASE WHEN h1 THEN y END) AS sy1,
+      |    sum(CASE WHEN h1 THEN CAST(t AS HUGEINT) * t END) AS stt1,
+      |    sum(CASE WHEN h1 THEN CAST(t AS HUGEINT) * y END) AS sty1,
+      |    sum(CASE WHEN h1 THEN CAST(y AS HUGEINT) * y END) AS syy1,
+      |    count(CASE WHEN NOT h1 THEN 1 END) AS m2,
+      |    sum(CASE WHEN NOT h1 THEN t END) AS st2,
+      |    sum(CASE WHEN NOT h1 THEN y END) AS sy2,
+      |    sum(CASE WHEN NOT h1 THEN CAST(t AS HUGEINT) * t END) AS stt2,
+      |    sum(CASE WHEN NOT h1 THEN CAST(t AS HUGEINT) * y END) AS sty2,
+      |    sum(CASE WHEN NOT h1 THEN CAST(y AS HUGEINT) * y END) AS syy2
+      |  FROM h GROUP BY 1, 2 HAVING count(*) >= 16
+      |), c1 AS (
+      |  SELECT *,
+      |    (CAST(mp * syyp - CAST(syp AS HUGEINT) * syp AS DOUBLE)
+      |      - CAST(mp * styp - CAST(stp AS HUGEINT) * syp AS DOUBLE)
+      |        * CAST(mp * styp - CAST(stp AS HUGEINT) * syp AS DOUBLE)
+      |        / CAST(mp * sttp - CAST(stp AS HUGEINT) * stp AS DOUBLE))
+      |      / CAST(mp AS DOUBLE) AS rssp,
+      |    (CAST(m1 * syy1 - CAST(sy1 AS HUGEINT) * sy1 AS DOUBLE)
+      |      - CAST(m1 * sty1 - CAST(st1 AS HUGEINT) * sy1 AS DOUBLE)
+      |        * CAST(m1 * sty1 - CAST(st1 AS HUGEINT) * sy1 AS DOUBLE)
+      |        / CAST(m1 * stt1 - CAST(st1 AS HUGEINT) * st1 AS DOUBLE))
+      |      / CAST(m1 AS DOUBLE) AS rss1,
+      |    (CAST(m2 * syy2 - CAST(sy2 AS HUGEINT) * sy2 AS DOUBLE)
+      |      - CAST(m2 * sty2 - CAST(st2 AS HUGEINT) * sy2 AS DOUBLE)
+      |        * CAST(m2 * sty2 - CAST(st2 AS HUGEINT) * sy2 AS DOUBLE)
+      |        / CAST(m2 * stt2 - CAST(st2 AS HUGEINT) * st2 AS DOUBLE))
+      |      / CAST(m2 AS DOUBLE) AS rss2
+      |  FROM mom
+      |), c2 AS (
+      |  SELECT *, rss1 + rss2 AS rsss FROM c1
+      |), c3 AS (
+      |  SELECT *,
+      |    CASE WHEN rsss > 0 THEN
+      |      CAST(floor((rssp - rss1 - rss2) / 2.0
+      |        / (rsss / (CAST(mp AS DOUBLE) - 4.0))
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS f_chow6
+      |  FROM c2
+      |)
+      |SELECT user_id, event_type, mp AS n_obs, f_chow6,
+      |  CAST(CASE WHEN f_chow6 > 3000000 THEN 1 ELSE 0 END AS INT)
+      |    AS break_flag
+      |FROM c3
       |ORDER BY user_id, event_type""".stripMargin
 
   /** q109: row_number selection quantiles at integer ranks, exact

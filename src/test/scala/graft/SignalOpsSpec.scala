@@ -1923,6 +1923,45 @@ class SignalOpsSpec extends AnyFunSuite {
       const.getAs[Int]("nonstat_flag") == 0, const.toString)
   }
 
+  test("q115 Chow: a mid-sample slope flip flags, one straight trend " +
+    "does not, a perfect two-regime step degenerates to NULL") {
+    import spark.implicits._
+    var seed = 83L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.001 - 0.1
+    }
+    val n = 40
+    // user 1: rises then falls (slope +1 -> -1) with tiny noise;
+    // user 2: one straight trend with the same noise;
+    // user 3: two CONSTANT halves — each half fits perfectly
+    // (B = C = 0 exactly), RSS1 + RSS2 = 0 -> the infinite-F
+    // degenerate reports NULL
+    val vee = (0 until n).map(i =>
+      100.0 + (if (i < 20) i else 40 - i) + lcg())
+    val line = (0 until n).map(i => 100.0 + i * 0.5 + lcg())
+    val kink = (0 until n).map(i => if (i < 20) 100.0 else 200.0)
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, vee(i)), (2L, line(i)), (3L, kink(i))).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q115spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q115ChowBreak(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val flip = out(1L)
+    assert(flip.getAs[Int]("break_flag") == 1 &&
+      flip.getAs[Long]("f_chow6") > 3000000L, flip.toString)
+    val straight = out(2L)
+    assert(straight.getAs[Int]("break_flag") == 0, straight.toString)
+    val exact = out(3L)
+    assert(exact.isNullAt(exact.fieldIndex("f_chow6")) &&
+      exact.getAs[Int]("break_flag") == 0, exact.toString)
+  }
+
   test("q109 envelope: exact selection quantiles and midrank " +
     "percentile on a planted ramp") {
     import spark.implicits._
