@@ -184,7 +184,10 @@ object BenchScale {
     // st25's 12-long prefix-moment state class.
     "q111_granger", "st30_stream_incidents", "q112_cointegration",
     "q113_adf_unit_root", "st31_stream_adf", "q114_kpss",
-    "q115_chow_break")
+    "q115_chow_break",
+    // p13 composes four excluded series-moment components on a
+    // catalog spine — excluded for their reason.
+    "p13_regime_panel")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

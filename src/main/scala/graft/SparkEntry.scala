@@ -93,6 +93,8 @@ object SparkEntry {
       ((s, d) => SignalOps.q114Kpss(s, d)),
     "q115_chow_break" ->
       ((s, d) => SignalOps.q115ChowBreak(s, d)),
+    "p13_regime_panel" ->
+      ((s, d) => SignalOps.p13RegimePanel(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
@@ -414,6 +416,7 @@ object SparkEntry {
     "q113_adf_unit_root" -> SignalOracle.q113,
     "q114_kpss"          -> SignalOracle.q114,
     "q115_chow_break"    -> SignalOracle.q115,
+    "p13_regime_panel"   -> SignalOracle.p13,
     "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,

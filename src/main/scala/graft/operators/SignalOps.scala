@@ -3775,6 +3775,59 @@ object SignalOps {
         when(col("f_chow6") > 3000000L, 1).otherwise(0))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** p13: the REGIME PANEL — round 10's stationarity diagnostics
+    * composed into the one report card a desk reads per ticker: q105's
+    * AR(1) memory (φ, half-life), q113's ADF verdict, q114's KPSS
+    * verdict, q115's structural-break F, and the joint REGIME call the
+    * two opposed nulls license together — ADF rejects + KPSS doesn't ⇒
+    * `mean_reverting`; ADF doesn't + KPSS rejects ⇒ `drifting`; both
+    * reject ⇒ `conflict` (regime change mid-sample — read the Chow
+    * column); neither ⇒ `inconclusive` (short data); any component
+    * missing ⇒ `insufficient`. p05's composition discipline: the spine
+    * is the ticker catalog (d20's lesson — a series too short for a
+    * test is a VISIBLE row with NULLs, not a missing one), components
+    * arrive already reduced to ticker cardinality, so every join is
+    * broadcast-sized.
+    *
+    * Scale shape: four already-reduced component tables left-joined on
+    * a catalog-cardinality spine — the cost is the components' (each
+    * ONE series exchange over the corpus; the panel adds only
+    * broadcast joins).
+    */
+  def p13RegimePanel(s: SparkSession, dir: String): DataFrame = {
+    val key = Seq("user_id", "event_type")
+    val spine = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val ar = q105Ar1HalfLife(s, dir)
+      .select(col("user_id"), col("event_type"), col("phi6"),
+        col("half_life6"))
+    val adf = q113AdfUnitRoot(s, dir)
+      .select(col("user_id"), col("event_type"), col("rho6"),
+        col("adf_t6"), col("stationary_flag"))
+    val kp = q114Kpss(s, dir)
+      .select(col("user_id"), col("event_type"), col("kpss6"),
+        col("nonstat_flag"))
+    val ch = q115ChowBreak(s, dir)
+      .select(col("user_id"), col("event_type"), col("f_chow6"),
+        col("break_flag"))
+    spine
+      .join(ar, key, "left")
+      .join(adf, key, "left")
+      .join(kp, key, "left")
+      .join(ch, key, "left")
+      .withColumn("regime",
+        when(col("stationary_flag") === 1 && col("nonstat_flag") === 0,
+          "mean_reverting")
+        .when(col("stationary_flag") === 0 && col("nonstat_flag") === 1,
+          "drifting")
+        .when(col("stationary_flag") === 1 && col("nonstat_flag") === 1,
+          "conflict")
+        .when(col("stationary_flag") === 0 && col("nonstat_flag") === 0,
+          "inconclusive")
+        .otherwise("insufficient"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -7752,6 +7805,40 @@ object SignalOracle {
       |    AS break_flag
       |FROM c3
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** p13: the four component oracles as subqueries left-joined on the
+    * ticker-catalog spine, the identical regime CASE. Lazy: q105's
+    * val is declared later in this object.
+    */
+  lazy val p13: String =
+    s"""WITH spine AS (
+       |  SELECT DISTINCT user_id, event_type FROM events
+       |)
+       |SELECT spine.user_id, spine.event_type,
+       |  ar.phi6, ar.half_life6,
+       |  adf.rho6, adf.adf_t6, adf.stationary_flag,
+       |  kp.kpss6, kp.nonstat_flag,
+       |  ch.f_chow6, ch.break_flag,
+       |  CASE
+       |    WHEN adf.stationary_flag = 1 AND kp.nonstat_flag = 0
+       |      THEN 'mean_reverting'
+       |    WHEN adf.stationary_flag = 0 AND kp.nonstat_flag = 1
+       |      THEN 'drifting'
+       |    WHEN adf.stationary_flag = 1 AND kp.nonstat_flag = 1
+       |      THEN 'conflict'
+       |    WHEN adf.stationary_flag = 0 AND kp.nonstat_flag = 0
+       |      THEN 'inconclusive'
+       |    ELSE 'insufficient' END AS regime
+       |FROM spine
+       |LEFT JOIN ($q105) ar
+       |  ON ar.user_id = spine.user_id AND ar.event_type = spine.event_type
+       |LEFT JOIN ($q113) adf
+       |  ON adf.user_id = spine.user_id AND adf.event_type = spine.event_type
+       |LEFT JOIN ($q114) kp
+       |  ON kp.user_id = spine.user_id AND kp.event_type = spine.event_type
+       |LEFT JOIN ($q115) ch
+       |  ON ch.user_id = spine.user_id AND ch.event_type = spine.event_type
+       |ORDER BY spine.user_id, spine.event_type""".stripMargin
 
   /** q109: row_number selection quantiles at integer ranks, exact
     * midrank percentile, integer envelope test.

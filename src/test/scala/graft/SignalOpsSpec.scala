@@ -1962,6 +1962,67 @@ class SignalOpsSpec extends AnyFunSuite {
       exact.getAs[Int]("break_flag") == 0, exact.toString)
   }
 
+  test("p13 regime panel: the joint ADF+KPSS call labels noise " +
+    "mean-reverting, a drifting walk drifting, and thin series " +
+    "insufficient") {
+    import spark.implicits._
+    var seed = 97L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 40
+    val noise = (0 until n).map(_ => 100.0 + lcg())
+    val walk = Iterator.iterate(100.0)(_ + 0.6 + lcg()).take(n).toVector
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, noise(i)), (2L, walk(i)), (3L, 5.0)).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }
+    } ++ (0 until 10).map(i => // user 4: long enough for q105 only
+      (4L, "x", 4000L + i, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:$i%02d:00"), 100.0 + lcg()))
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("p13spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.p13RegimePanel(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.size == 4, out.keySet.toString)
+    assert(out(1L).getAs[String]("regime") == "mean_reverting" &&
+      out(1L).getAs[Int]("stationary_flag") == 1 &&
+      out(1L).getAs[Int]("nonstat_flag") == 0, out(1L).toString)
+    assert(out(2L).getAs[String]("regime") == "drifting", out(2L).toString)
+    // constant series: both tests NULL their statistic, flags 0 —
+    // inconclusive, not insufficient (the rows are there)
+    assert(out(3L).getAs[String]("regime") == "inconclusive",
+      out(3L).toString)
+    // 10 prints pass q105's bar but none of the round-10 tests:
+    // φ present, verdict columns NULL, regime insufficient
+    val thin = out(4L)
+    assert(thin.getAs[String]("regime") == "insufficient" &&
+      thin.isNullAt(thin.fieldIndex("stationary_flag")) &&
+      !thin.isNullAt(thin.fieldIndex("phi6")), thin.toString)
+  }
+
+  test("q113/q114/q115 plan one series exchange; q112 plans no " +
+    "cartesian node") {
+    for (df <- Seq(SignalOps.q113AdfUnitRoot(spark, dir),
+        SignalOps.q114Kpss(spark, dir),
+        SignalOps.q115ChowBreak(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val seriesExchanges = plan.split("\n")
+        .count(l => l.contains("Exchange hashpartitioning") &&
+          l.contains("user_id") && l.contains("event_type"))
+      assert(seriesExchanges <= 1,
+        s"expected one series exchange:\n$plan")
+    }
+    val p112 = SignalOps.q112Cointegration(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p112.contains("CartesianProduct") &&
+      !p112.contains("BroadcastNestedLoopJoin"),
+      s"pair join must be an equi-join:\n$p112")
+  }
+
   test("q109 envelope: exact selection quantiles and midrank " +
     "percentile on a planted ramp") {
     import spark.implicits._
