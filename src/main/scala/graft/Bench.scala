@@ -146,14 +146,17 @@ object Bench {
         val fracs = exact.map { case (q, t) =>
           approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
         }
-        math.floor(fracs.sum / fracs.size * 10000.0 + 0.5) / 10000.0
+        // empty exact set (e.g. empty embeddings table) => 0.0, not
+        // NaN — NaN would make the emitted line invalid JSON
+        if (fracs.isEmpty) 0.0
+        else math.floor(fracs.sum / fracs.size * 10000.0 + 0.5) / 10000.0
       }
       val r02 = rec(graft.similarity.Ann.lshTopK(spark, sfDir))
       val r03 = rec(graft.similarity.Ann.ivfTopK(spark, sfDir))
       val r05 = rec(graft.similarity.Ann.pqTopK(spark, sfDir))
-      sweep()
       s"""{"s02_ann_lsh":$r02,"s03_ann_ivf":$r03,"s05_ann_pq":$r05,"k":5}"""
     } catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+    finally sweep() // cache sweep must run even when a recall call throws
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"ann_recall":$recall,"sf":"$sfDir"}"""
     println(line)

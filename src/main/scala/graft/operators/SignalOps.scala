@@ -3666,6 +3666,15 @@ object SignalOps {
     * choice (a Newey–West bandwidth is a knob, not taken). Constant
     * series (D = 0) report NULL (q85's convention).
     *
+    * Row ceiling: n·S_t is cast decimal(19,0), and with |y| ≤ 1e7
+    * (value×1e4) |n·S_t| ≤ n²·max|y|, so a series longer than ~3.1e4
+    * rows can overflow the 19-digit cap and throw under ANSI, while
+    * the DuckDB oracle's HUGEINT partial sums survive to roughly
+    * twice that length (its bound is Σ(n·S_t)² ≤ ~1.7e38) — the same
+    * documented HUGEINT-bounded ceiling as q105/q113/q115. The sf
+    * corpora cap series at ~1.5e3 rows; at 100 TB, pre-bucket series
+    * above ~3e4 rows (e.g. KPSS per month) before calling this.
+    *
     * Scale shape: ONE series exchange — q105's pattern: the full-key
     * window (n, T), the running prefix window and the final groupBy
     * all reuse it.
@@ -3783,8 +3792,11 @@ object SignalOps {
     * two opposed nulls license together — ADF rejects + KPSS doesn't ⇒
     * `mean_reverting`; ADF doesn't + KPSS rejects ⇒ `drifting`; both
     * reject ⇒ `conflict` (regime change mid-sample — read the Chow
-    * column); neither ⇒ `inconclusive` (short data); any component
-    * missing ⇒ `insufficient`. p05's composition discipline: the spine
+    * column); neither ⇒ `inconclusive` (short data); ADF or KPSS
+    * missing ⇒ `insufficient` (the regime call needs exactly the two
+    * opposed nulls — a missing Chow F or AR(1) φ leaves those columns
+    * NULL but does NOT retract a verdict the two tests licensed).
+    * p05's composition discipline: the spine
     * is the ticker catalog (d20's lesson — a series too short for a
     * test is a VISIBLE row with NULLs, not a missing one), components
     * arrive already reduced to ticker cardinality, so every join is
