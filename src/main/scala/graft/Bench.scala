@@ -78,6 +78,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // streaming memory sinks pin their whole output on the heap via
+      // the stXX_out_N temp view — once counted, drop it, or 30+
+      // streaming entries accumulate into late-suite GC pressure
+      // (the sf1 probe OOM'd a 24g driver on exactly this)
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.contains("_out_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
     }
     def family(name: String): String = name.takeWhile(!_.isDigit)
     // One timed execution. A failure is recorded as the exception

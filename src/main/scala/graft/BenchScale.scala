@@ -275,6 +275,12 @@ object BenchScale {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // drop streaming memory-sink temp views (stXX_out_N): at sf1
+      // they hold 10× output rows each and accumulating them across
+      // the suite exhausted a 24g driver heap in the round-10 pass
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.contains("_out_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
     }
     // double GC with a settle pause: one System.gc() leaves reference
     // processing / concurrent cleanup racing the next sample — the

@@ -95,6 +95,26 @@ object SparkEntry {
       ((s, d) => SignalOps.q115ChowBreak(s, d)),
     "p13_regime_panel" ->
       ((s, d) => SignalOps.p13RegimePanel(s, d)),
+    "q116_jarque_bera" ->
+      ((s, d) => SignalOps.q116JarqueBera(s, d)),
+    "q117_durbin_watson" ->
+      ((s, d) => SignalOps.q117DurbinWatson(s, d)),
+    "q118_sup_f" ->
+      ((s, d) => SignalOps.q118SupF(s, d)),
+    "q119_grubbs" ->
+      ((s, d) => SignalOps.q119Grubbs(s, d)),
+    "q120_cvm_drift" ->
+      ((s, d) => SignalOps.q120CvmDrift(s, d)),
+    "q121_kruskal_wallis" ->
+      ((s, d) => SignalOps.q121KruskalWallis(s, d)),
+    "q122_turning_points" ->
+      ((s, d) => SignalOps.q122TurningPoints(s, d)),
+    "q123_bartlett" ->
+      ((s, d) => SignalOps.q123Bartlett(s, d)),
+    "q124_cusum_squares" ->
+      ((s, d) => SignalOps.q124CusumSquares(s, d)),
+    "p14_residual_panel" ->
+      ((s, d) => SignalOps.p14ResidualPanel(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
@@ -304,6 +324,11 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingAnomaly.st25StreamVr(s, d)),
     "st31_stream_adf" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st31StreamAdf(s, d)),
+    "st32_stream_turning_points" ->
+      ((s, d) =>
+        graft.streaming.StreamingAnomaly.st32StreamTurningPoints(s, d)),
+    "st33_stream_drawdown" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st33StreamDrawdown(s, d)),
     "st26_stream_twap" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st26StreamTwap(s, d)),
     "st27_stream_ensemble" ->
@@ -417,6 +442,16 @@ object SparkEntry {
     "q114_kpss"          -> SignalOracle.q114,
     "q115_chow_break"    -> SignalOracle.q115,
     "p13_regime_panel"   -> SignalOracle.p13,
+    "q116_jarque_bera"   -> SignalOracle.q116,
+    "q117_durbin_watson" -> SignalOracle.q117,
+    "q118_sup_f"         -> SignalOracle.q118,
+    "q119_grubbs"        -> SignalOracle.q119,
+    "q120_cvm_drift"     -> SignalOracle.q120,
+    "q121_kruskal_wallis" -> SignalOracle.q121,
+    "q122_turning_points" -> SignalOracle.q122,
+    "q123_bartlett"      -> SignalOracle.q123,
+    "q124_cusum_squares" -> SignalOracle.q124,
+    "p14_residual_panel" -> SignalOracle.p14,
     "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,
@@ -424,6 +459,8 @@ object SparkEntry {
     "q103_incident_report" -> AnomalyOracle.q103,
     "st25_stream_vr"     -> SignalOracle.st25,
     "st31_stream_adf"    -> SignalOracle.st31,
+    "st32_stream_turning_points" -> SignalOracle.st32,
+    "st33_stream_drawdown" -> SignalOracle.st33,
     "st26_stream_twap"   -> SignalOracle.st26,
     "st27_stream_ensemble" -> SignalOracle.st27,
     "st28_stream_macd"   -> SignalOracle.st28,

@@ -3840,6 +3840,708 @@ object SignalOps {
         .otherwise("insufficient"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** q116: JARQUE–BERA normality test per ticker (Jarque & Bera
+    * 1980) — the residual-shape screen every parametric flag in this
+    * file silently assumes: q06's z-score bar, q82's t-test and q115's
+    * F are calibrated for Gaussian noise, and JB is the one statistic
+    * that says whether that calibration is honest. JB = n·(g1²/6 +
+    * g2²/24) from sample skewness g1 = M3/M2^1.5 and excess kurtosis
+    * g2 = M4/M2² − 3; JB above the χ²₂ 5% bar 5.991 rejects
+    * normality.
+    *
+    * Exactness: y is quantized at 1e-2 (NOT this file's usual 1e-4 —
+    * JB consumes FOURTH powers, and the coarser grid is what keeps
+    * n³·S4 and 3·S1⁴ inside 38 digits); the central moments come from
+    * raw power sums via the exact integer identities M2 = nS2 − S1²,
+    * M3 = n²S3 − 3nS1S2 + 2S1³, M4 = n³S4 − 4n²S1S3 + 6nS1²S2 −
+    * 3S1⁴ (= n²m̂2 / n³m̂3 / n⁴m̂4, and the n powers cancel inside
+    * g1/g2, which are scale- and shift-invariant), so the only
+    * doubles are the final correctly-rounded decimal→double casts and
+    * ONE shared IEEE chain, 1e-6-floored. Constant series (M2 = 0)
+    * report NULL (q85's convention).
+    *
+    * Row ceiling: with |y| ≤ 5.7e4 (value×1e2) the binding term is
+    * 3·S1⁴ ≤ 3(n·5.7e4)⁴ < 1e38 ⇒ n ≲ 3.1e4 rows per series —
+    * q114's documented HUGEINT-bounded class (DuckDB's partial sums
+    * cap at ~1.7e38, the same order). The sf corpora cap series at
+    * ~1.5e3 rows; at 100 TB, pre-bucket longer series (e.g. JB per
+    * quarter) before calling this.
+    *
+    * Scale shape: ONE series exchange — a single groupBy on the
+    * ticker key computing five integer power sums map-side-partial;
+    * no windows, no joins.
+    */
+  def q116JarqueBera(s: SparkSession, dir: String,
+      minObs: Int = 8): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("y"))
+    val mom = rows.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s1"),
+        sum((d19(col("y")) * d19(col("y"))).cast("decimal(38,0)"))
+          .as("s2"),
+        sum(((d19(col("y")) * d19(col("y"))).cast("decimal(38,0)") *
+          d19(col("y"))).cast("decimal(38,0)")).as("s3"),
+        sum((((d19(col("y")) * d19(col("y"))).cast("decimal(38,0)") *
+          d19(col("y"))).cast("decimal(38,0)") * d19(col("y")))
+          .cast("decimal(38,0)")).as("s4"))
+      .filter(col("n") >= minObs)
+    val nD = dec(col("n"))
+    val s1D = dec(col("s1"))
+    val chain = mom
+      .withColumn("m2i", (nD * col("s2") - s1D * s1D).cast("decimal(38,0)"))
+      .withColumn("m3i", (nD * nD * col("s3")
+        - lit(3) * nD * s1D * col("s2")
+        + lit(2) * s1D * s1D * s1D).cast("decimal(38,0)"))
+      .withColumn("m4i", (nD * nD * nD * col("s4")
+        - lit(4) * nD * nD * s1D * col("s3")
+        + lit(6) * nD * s1D * s1D * col("s2")
+        - lit(3) * s1D * s1D * s1D * s1D).cast("decimal(38,0)"))
+      .withColumn("m2d", dd(col("m2i")))
+      .withColumn("sk", when(col("m2i") > 0,
+        dd(col("m3i")) / (col("m2d") * sqrt(col("m2d")))))
+      .withColumn("ku", when(col("m2i") > 0,
+        dd(col("m4i")) / (col("m2d") * col("m2d")) - lit(3.0)))
+    chain.select(col("user_id"), col("event_type"), col("n").as("n_obs"),
+        floor(col("sk") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("skew6"),
+        floor(col("ku") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("kurt6"),
+        floor(dd(col("n")) * (col("sk") * col("sk") / lit(6.0) +
+          col("ku") * col("ku") / lit(24.0)) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("jb6"))
+      .withColumn("nonnormal_flag",
+        when(col("jb6") > 5991000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q117: DURBIN–WATSON statistic on q82's trend residuals (Durbin
+    * & Watson 1950) — the companion diagnostic q82's t-test needs:
+    * its slope standard error assumes independent residuals, and DW =
+    * Σ(Δe)²/Σe² ≈ 2(1−ρ̂₁) is the classic screen for serially
+    * correlated residuals that silently invalidate it. DW near 2 ⇒
+    * independent; below 1.5 ⇒ positive autocorrelation (the common
+    * failure); above 2.5 ⇒ negative (over-differencing). The bars are
+    * the textbook rule-of-thumb — the exact Durbin–Watson critical
+    * values are (n, k)-dependent table lookups, a knob not taken.
+    *
+    * Exactness: residuals of the OLS fit y = a + b·t are made exact
+    * by multiplying through by the integer determinant D = nΣt² −
+    * (Σt)²: D·Δe_t = D·Δy_t − N_b (N_b = nΣty − ΣtΣy), so the
+    * numerator A = Σ_{t≥2}(D·Δy_t − N_b)² is an exact integer, and
+    * the denominator uses the closed form Σe² = (CY·D − N_b²)/(n·D)
+    * (CY = nΣy² − (Σy)²), giving DW = A·n / (D·(CY·D − N_b²)) — all
+    * integer moments, ONE IEEE chain, 1e-6-floored. A perfect linear
+    * fit (CY·D = N_b²) reports NULL.
+    *
+    * Row ceiling: y is quantized at 1e-2 (like q116 — D ~ n⁴/12
+    * enters A SQUARED, the steepest growth in this file): A ≤
+    * n(Δy·D)² ≲ 8.4e7·n⁹ < 1e38 ⇒ n ≲ 2.1e3 rows per series, the
+    * tightest documented ceiling here (DuckDB's HUGEINT bound is the
+    * same order). The sf corpora cap series at ~1.5e3 rows; at
+    * 100 TB, pre-bucket (DW per quarter) above that.
+    *
+    * Scale shape: ONE series exchange — the full-key window moments,
+    * the lag and the final groupBy all reuse the same hash partition.
+    */
+  def q117DurbinWatson(s: SparkSession, dir: String,
+      minObs: Int = 8): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("t", row_number().over(wAsc).cast("long"))
+      .withColumn("st", sum(col("t")).over(wKey))
+      .withColumn("sy", sum(col("y")).over(wKey))
+      .withColumn("stt", sum((d19(col("t")) * d19(col("t")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("sty", sum((d19(col("t")) * d19(col("y")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("syy", sum((d19(col("y")) * d19(col("y")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("dy", col("y") - lag(col("y"), 1).over(wAsc))
+      .withColumn("dval", (dec(col("n")) * col("stt") -
+        dec(col("st")) * dec(col("st"))).cast("decimal(38,0)"))
+      .withColumn("nb", (dec(col("n")) * col("sty") -
+        dec(col("st")) * dec(col("sy"))).cast("decimal(38,0)"))
+      .withColumn("cy", (dec(col("n")) * col("syy") -
+        dec(col("sy")) * dec(col("sy"))).cast("decimal(38,0)"))
+      .withColumn("ai", when(col("dy").isNotNull,
+        ((d19(col("dy")) * col("dval") - col("nb")) *
+          (d19(col("dy")) * col("dval") - col("nb")))
+          .cast("decimal(38,0)")))
+    val mom = rows.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("dval")).as("dval"),
+        max(col("nb")).as("nb"), max(col("cy")).as("cy"),
+        sum(col("ai")).as("a"))
+      .filter(col("n") >= minObs)
+      .withColumn("den", (col("cy") * col("dval") - col("nb") * col("nb"))
+        .cast("decimal(38,0)"))
+    mom.select(col("user_id"), col("event_type"), col("n").as("n_obs"),
+        when(col("den") > 0,
+          floor(dd(col("a")) * dd(col("n")) /
+            (dd(col("dval")) * dd(col("den"))) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("dw6"))
+      .withColumn("pos_auto_flag",
+        when(col("dw6") < 1500000L, 1).otherwise(0))
+      .withColumn("neg_auto_flag",
+        when(col("dw6") > 2500000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q118: QUANDT–ANDREWS sup-F structural break scan (Quandt 1960;
+    * Andrews 1993) — q115 with the midpoint assumption removed: the
+    * Chow F is computed at EVERY candidate break τ inside the 15%
+    * trimmed interior (both segments ≥ 8 obs), and the supremum is
+    * the test statistic, with the maximizing τ the break-date
+    * ESTIMATE. The flag bar is Andrews' asymptotic 5% critical value
+    * for p = 2 restrictions at π₀ = 0.15 trimming, 11.79 — the sup of
+    * many F's is NOT F-distributed, which is exactly why q115's
+    * 3.00 bar cannot be reused here.
+    *
+    * Exactness: q115's centered-RSS machinery per candidate, fed by
+    * PREFIX sums — the running windows give segment-1 moments at
+    * every τ in one pass, segment 2 is totals − prefix, so the scan
+    * is O(n) per series, not O(n²). All moments exact integers; per
+    * candidate ONE IEEE chain (three closed-form RSS evaluations and
+    * the F ratio), 1e-6-floored; sup on the exact integer f6 with
+    * min-τ tie-break. Degenerate candidates (zero residual segment
+    * sum) are NULL and drop out of the sup; a series where every
+    * candidate degenerates keeps a VISIBLE row with NULLs (d20's
+    * convention). Same HUGEINT/decimal(38) row ceiling class as q115
+    * (quadratic moments only; n ≲ 3e4 per series).
+    *
+    * Scale shape: ONE series exchange — prefix windows, the trim
+    * filter, the sup window and the final groupBy all reuse the same
+    * (user_id, event_type) hash partition; the candidate fan-out is
+    * row-local (no self-join, no explode).
+    */
+  def q118SupF(s: SparkSession, dir: String,
+      minObs: Int = 16): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("t", row_number().over(wAsc).cast("long"))
+      .withColumn("sy", sum(col("y")).over(wKey))
+      .withColumn("stt0", sum((d19(col("t")) * d19(col("t")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("sty0", sum((d19(col("t")) * d19(col("y")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("syy0", sum((d19(col("y")) * d19(col("y")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("pst", sum(col("t")).over(wRun))
+      .withColumn("psy", sum(col("y")).over(wRun))
+      .withColumn("pstt", sum((d19(col("t")) * d19(col("t")))
+        .cast("decimal(38,0)")).over(wRun))
+      .withColumn("psty", sum((d19(col("t")) * d19(col("y")))
+        .cast("decimal(38,0)")).over(wRun))
+      .withColumn("psyy", sum((d19(col("y")) * d19(col("y")))
+        .cast("decimal(38,0)")).over(wRun))
+      .filter(col("n") >= minObs)
+    // rss·m closed form (q115): (C − B²/A) / m with A,B,C exact ints
+    def rssOf(m: Column, st: Column, sy: Column, stt: Column,
+        sty: Column, syy: Column): Column = {
+      val a = dd((dec(m) * stt - dec(st) * dec(st)).cast("decimal(38,0)"))
+      val b = dd((dec(m) * sty - dec(st) * dec(sy)).cast("decimal(38,0)"))
+      val c = dd((dec(m) * syy - dec(sy) * dec(sy)).cast("decimal(38,0)"))
+      (c - b * b / a) / dd(m)
+    }
+    val trimLo = greatest(lit(8L), ceil(col("n") * lit(0.15)).cast("long"))
+    // Σt over the whole series is the exact triangular number —
+    // integer `div` (Spark `/` on longs is DOUBLE division)
+    val stTot = expr("n * (n + 1) div 2")
+    val cand = rows
+      .filter(col("t") >= trimLo && col("t") <= col("n") - trimLo)
+      .withColumn("st2", stTot - col("pst"))
+      .withColumn("sy2", col("sy") - col("psy"))
+      .withColumn("stt2", (col("stt0") - col("pstt")).cast("decimal(38,0)"))
+      .withColumn("sty2", (col("sty0") - col("psty")).cast("decimal(38,0)"))
+      .withColumn("syy2", (col("syy0") - col("psyy")).cast("decimal(38,0)"))
+      .withColumn("rssp", rssOf(col("n"), stTot, col("sy"),
+        col("stt0"), col("sty0"), col("syy0")))
+      .withColumn("rss1", rssOf(col("t"), col("pst"), col("psy"),
+        col("pstt"), col("psty"), col("psyy")))
+      .withColumn("rss2", rssOf(col("n") - col("t"), col("st2"),
+        col("sy2"), col("stt2"), col("sty2"), col("syy2")))
+      .withColumn("rsss", col("rss1") + col("rss2"))
+      .withColumn("f6", when(col("rsss") > 0,
+        floor((col("rssp") - col("rss1") - col("rss2")) / lit(2.0) /
+          (col("rsss") / (dd(col("n")) - lit(4.0))) *
+          lit(1000000.0) + lit(0.5)).cast("long")))
+    // The trim interior is non-empty for every n >= 16 (2·trimLo <= n),
+    // so the candidate keys ARE the spine keys: no second scan/join —
+    // a null-safe argmax filter keeps all-degenerate series visible
+    // (f6 NULL <=> fmax NULL passes every candidate row; the when-guard
+    // then yields break_t NULL).
+    val wK2 = Window.partitionBy(keyCols: _*)
+    cand
+      .withColumn("fmax", max(col("f6")).over(wK2))
+      .filter(col("f6") <=> col("fmax"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n_obs"), max(col("fmax")).as("f_sup6"),
+        min(when(col("f6").isNotNull, col("t"))).as("break_t"))
+      .withColumn("break_flag",
+        when(col("f_sup6") > 11790000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q119: GRUBBS studentized extreme-deviate test (Grubbs 1950) —
+    * the single-outlier verdict the reference's per-point z-flag
+    * (anomaly_proj_query.sql:108-150) implies but never tests: G =
+    * max|y − ȳ|/s over the whole series, i.e. "is the WORST point
+    * surprising", where q06 asks it of every point separately. The
+    * flagged bar is the fixed 3.0 studentized deviation — the exact
+    * Grubbs critical value is an n-dependent t-quantile lookup, a
+    * knob not taken (3.0 is conservative for n ≤ 25 and the
+    * reference's own z-bar).
+    *
+    * Exactness: n(y − ȳ) = n·y − S1 is an exact integer per row, so
+    * maxdev = max|n·y − S1| and M2 = nS2 − S1² are exact and G =
+    * maxdev / √(M2·n/(n−1)) is ONE IEEE chain, 1e-6-floored. The
+    * outlier's event_id is the min event_id among argmax rows —
+    * deterministic because the argmax compares exact integers.
+    * Constant series (M2 = 0) report NULL.
+    *
+    * Scale shape: ONE series exchange — full-key window moments, the
+    * argmax min-if window and the final groupBy reuse the partition.
+    */
+  def q119Grubbs(s: SparkSession, dir: String,
+      minObs: Int = 3): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dd = (c: Column) => c.cast("double")
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("s1", sum(col("y")).over(wKey))
+      .withColumn("s2", sum((d19(col("y")) * d19(col("y")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("dev", abs((d19(col("n")) * d19(col("y")) -
+        d19(col("s1"))).cast("decimal(38,0)")))
+      .withColumn("maxdev", max(col("dev")).over(wKey))
+      .withColumn("cand_id",
+        when(col("dev") === col("maxdev"), col("event_id")))
+    val mom = rows.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("s1")).as("s1"),
+        max(col("s2")).as("s2"), max(col("maxdev")).as("maxdev"),
+        min(col("cand_id")).as("outlier_event_id"))
+      .filter(col("n") >= minObs)
+      .withColumn("m2i", (col("n").cast("decimal(38,0)") * col("s2") -
+        col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)"))
+        .cast("decimal(38,0)"))
+    mom.select(col("user_id"), col("event_type"), col("n").as("n_obs"),
+        col("outlier_event_id"),
+        when(col("m2i") > 0,
+          floor(dd(col("maxdev")) /
+            sqrt(dd(col("m2i")) * dd(col("n")) / (dd(col("n")) - lit(1.0)))
+            * lit(1000000.0) + lit(0.5)).cast("long")).as("g6"))
+      .withColumn("outlier_flag",
+        when(col("g6") > 3000000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q120: CRAMÉR–VON MISES two-sample drift test per event type
+    * (Anderson 1962) — q69's KS reads the drift verdict off the
+    * SINGLE worst CDF gap; CvM integrates the SQUARED gap over the
+    * whole pooled sample, T = n₁n₂/(n₁+n₂)² · Σ_pooled (F₁−F₂)², so
+    * a broad small shift that never produces one big gap (the shape
+    * KS is famously blind to) still registers. Same era split as
+    * q69: ref = first half of the day span, cur = second. The flag
+    * bar is the asymptotic 5% point of the ω² limit, 0.461.
+    *
+    * Exactness: on the grouped distinct-value CDF (ties weighted by
+    * pooled multiplicity w = c₁+c₂), U = Σ w·(cum₁·n₂ − cum₂·n₁)² is
+    * an exact integer and T = U/(n₁·n₂·(n₁+n₂)²) is ONE IEEE chain,
+    * 1e-6-floored.
+    *
+    * Row ceiling: U ≤ n⁵/16 < 1e38 ⇒ n ≲ 1.5e7 rows per event type
+    * (DuckDB HUGEINT same order) — far above the corpora; at 100 TB
+    * sample within type first (q28's reservoir) above that.
+    *
+    * Scale shape: q69's exact plan class — one (type, value) groupBy
+    * with map-side partials, one TYPE-cardinality window chain, one
+    * final TYPE groupBy; no join except the broadcast pivot date.
+    */
+  def q120CvmDrift(s: SparkSession, dir: String): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("pivot",
+        expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))"))
+      .select(col("pivot"))
+    val dist = ev.crossJoin(broadcast(span))
+      .withColumn("cur", (col("day") > col("pivot")).cast("int"))
+      .groupBy(col("event_type"), col("v4l"))
+      .agg(sum(when(col("cur") === 0, lit(1L)).otherwise(lit(0L))).as("c1"),
+        sum(when(col("cur") === 1, lit(1L)).otherwise(lit(0L))).as("c2"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("v4l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = dist
+      .withColumn("cum1", sum(col("c1")).over(wOrd))
+      .withColumn("cum2", sum(col("c2")).over(wOrd))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+    cum.filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("u", (d19(col("c1") + col("c2")) *
+        ((d19(col("cum1")) * d19(col("n2")) -
+          d19(col("cum2")) * d19(col("n1"))).cast("decimal(38,0)") *
+         (d19(col("cum1")) * d19(col("n2")) -
+          d19(col("cum2")) * d19(col("n1"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n_ref"), max(col("n2")).as("n_cur"),
+        sum(col("u")).as("usum"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        floor(dd(col("usum")) /
+          (dd(col("n_ref")) * dd(col("n_cur")) *
+            dd(col("n_ref") + col("n_cur")) *
+            dd(col("n_ref") + col("n_cur"))) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("cvm6"))
+      .withColumn("drift_flag",
+        when(col("cvm6") > 461000L, 1).otherwise(0))
+      .orderBy(col("event_type"))
+  }
+
+  /** q121: KRUSKAL–WALLIS weekday test per series (Kruskal & Wallis
+    * 1952) — q85's weekday ANOVA re-asked without the normality
+    * assumption q116 now audits: rank every print within its series,
+    * compare the seven weekday rank sums; H = 12/(n(n+1))·ΣR_d²/n_d −
+    * 3(n+1), tie-corrected by C = 1 − Σ(t³−t)/(n³−n), flagged above
+    * the χ²₆ 5% bar 12.5916. Where q85's F chases mean shifts JB-style
+    * outliers can fake, the rank test keeps its size on heavy tails —
+    * run both, trust the one whose assumptions q116 certifies.
+    *
+    * Exactness: q84's ×2-midrank integer domain on the per-(series,
+    * value) distribution table — 2·midrank = 2·cumBefore + t + 1
+    * exactly, so the seven doubled rank sums R2_d = Σ c_d·(2cb+t+1)
+    * and the tie mass Σ(t³−t) are exact decimal(38,0); with ΣR_d²/n_d
+    * = (ΣR2_d²/n_d)/4, H = (3·a)/(n(n+1)) − 3(n+1) over a =
+    * Σ_d R2_d²/n_d summed in FIXED weekday order (seven explicit
+    * terms, one IEEE chain mirrored verbatim in the oracle),
+    * 1e-6-floored. All seven weekdays must appear (q85's minPerDay
+    * guard — keeps df = 6 honest); a single-valued series (C = 0)
+    * reports NULL.
+    *
+    * Scale shape: q84's class on the series axis — ONE corpus
+    * exchange into the (series, value) count groupBy; the cumulative
+    * window runs over the DISTINCT-VALUE table; the final per-series
+    * aggregate is map-side combined on the same partitioning.
+    */
+  def q121KruskalWallis(s: SparkSession, dir: String,
+      minPerDay: Int = 1): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("((datediff(to_date(ts), DATE'1970-01-05') % 7) + 7) % 7")
+          .as("g"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+    val cnts = (0 until 7).map(i =>
+      sum(when(col("g") === i, lit(1L)).otherwise(lit(0L))).as(s"c$i"))
+    val dist = base.groupBy(col("user_id"), col("event_type"), col("y"))
+      .agg(cnts.head, cnts.tail: _*)
+      .withColumn("t", (0 until 7).map(i => col(s"c$i")).reduce(_ + _))
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = dist
+      .withColumn("cb", coalesce(sum(col("t")).over(wOrd), lit(0L)))
+      .withColumn("r2", lit(2) * col("cb") + col("t") + 1)
+    val aggs = (0 until 7).flatMap { i =>
+      Seq(sum(col(s"c$i")).cast("long").as(s"n$i"),
+        sum((d19(col(s"c$i")) * d19(col("r2"))).cast("decimal(38,0)"))
+          .as(s"r2s$i"))
+    } :+ sum(((d19(col("t")) * d19(col("t"))).cast("decimal(38,0)") *
+        d19(col("t")) - col("t")).cast("decimal(38,0)")).as("ties")
+    val piv = ranked.groupBy(col("user_id"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter((0 until 7).map(i => col(s"n$i") >= minPerDay)
+        .reduce(_ && _))
+    val a = (0 until 7).map(i =>
+      dd(col(s"r2s$i")) * dd(col(s"r2s$i")) / dd(col(s"n$i")))
+      .reduce(_ + _)
+    val nTot = (0 until 7).map(i => col(s"n$i")).reduce(_ + _)
+    piv
+      .withColumn("nn", nTot)
+      .withColumn("aa", a)
+      .withColumn("tden", (dec(col("nn")) * col("nn") * col("nn") -
+        col("nn")).cast("decimal(38,0)"))
+      .withColumn("cc", lit(1.0) - dd(col("ties")) / dd(col("tden")))
+      .withColumn("kw_h6",
+        when(col("cc") > 0,
+          floor((col("aa") * lit(3.0) /
+            (dd(col("nn")) * dd(col("nn") + 1)) -
+            lit(3.0) * dd(col("nn") + 1)) / col("cc") *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("user_id"), col("event_type"),
+        col("nn").cast("long").as("n_obs"), col("kw_h6"),
+        when(col("kw_h6") > lit(12591600L), 1).otherwise(0)
+          .as("weekday_effect_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q122: TURNING-POINTS randomness test per series (Kendall's
+    * classic; Brockwell & Davis 1991 §9.4 (public text)) — the
+    * oscillation screen q75's runs test (about the median) does not
+    * give: count interior prints that are strict local extrema
+    * (y_{t−1} < y_t > y_{t+1} or the reverse); under IID, E[T] =
+    * 2(n−2)/3 and Var[T] = (16n−29)/90, so z = (T−E)/√V flags both
+    * TOO FEW turns (trend/momentum — the series keeps going) and TOO
+    * MANY (over-differenced/oscillating feed, q117's negative-DW
+    * symptom seen nonparametrically), at |z| > 1.96.
+    *
+    * Exactness: T is an exact count of strict integer comparisons on
+    * the 1e-4 grid (plateaus are NOT turning points — ties break the
+    * continuous-distribution calibration either way, and the strict
+    * convention is the deterministic one; the documented knob); 3T −
+    * 2(n−2) is an exact integer, so z = (3T−2n+4)/(3·√((16n−29)/90))
+    * is ONE IEEE chain, 1e-6-floored.
+    *
+    * Scale shape: ONE series exchange — the lag/lead window and the
+    * map-side-combined count groupBy share the (user_id, event_type)
+    * partitioning; no joins.
+    */
+  def q122TurningPoints(s: SparkSession, dir: String,
+      minObs: Int = 8): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("p", lag(col("y"), 1).over(wAsc))
+      .withColumn("f", lead(col("y"), 1).over(wAsc))
+      .withColumn("turn",
+        when((col("p") < col("y") && col("y") > col("f")) ||
+          (col("p") > col("y") && col("y") < col("f")), 1L)
+          .otherwise(0L))
+    rows.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("turn")).as("n_turns"))
+      .filter(col("n_obs") >= minObs)
+      .withColumn("tp_z6",
+        floor(dd(lit(3) * col("n_turns") - lit(2) * col("n_obs") + 4) /
+          (lit(3.0) * sqrt(dd(lit(16) * col("n_obs") - 29) / lit(90.0))) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .select(col("user_id"), col("event_type"), col("n_obs"),
+        col("n_turns"), col("tp_z6"),
+        when(abs(col("tp_z6")) > lit(1960000L), 1).otherwise(0)
+          .as("nonrandom_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q123: BARTLETT weekday variance-homogeneity test per series
+    * (Bartlett 1937) — the assumption q85's ANOVA needs but never
+    * checks: the F-test compares weekday MEANS under equal weekday
+    * VARIANCES, and a ticker that is calm on Mondays and wild on
+    * Fridays breaks that silently. B = T/C with T = (N−k)·ln(s_p²) −
+    * Σ_d (n_d−1)·ln(s_d²) over the k = 7 weekday groups and C the
+    * Bartlett small-sample correction 1 + (Σ1/(n_d−1) − 1/(N−k))/
+    * (3(k−1)); B above the χ²₆ 5% bar 12.5916 flags heteroscedastic
+    * weekdays (run q85 only where q123 is quiet — and q121 where
+    * q116 rejects normality, Bartlett's own known sensitivity).
+    *
+    * Exactness: per-day second moments M2_d = n_d·S2_d − S1_d² are
+    * exact decimal(38,0) off ONE conditional-sum pass (q121's seven-
+    * column pivot); (n_d−1)·s_d² = M2_d/n_d enters as a double, and
+    * T/C is ONE shared IEEE chain with the seven day terms summed in
+    * FIXED weekday order (explicit 7-term expressions mirrored
+    * verbatim in the oracle — ln parity holds, q61/q93/q105 already
+    * ride ln across both engines), 1e-6-floored. Guards: the
+    * statistic needs all seven weekdays with n_d ≥ 2 (df = 6 honest)
+    * and no constant weekday (M2_d = 0 ⇒ ln(0)); ineligible series
+    * stay VISIBLE with a NULL bart6 (q85's sf0.001 lesson — never
+    * exclude thin series).
+    *
+    * Scale shape: q121's class minus the distinct-value table — ONE
+    * series exchange into a map-side-combined conditional-moment
+    * groupBy; no windows, no joins.
+    */
+  def q123Bartlett(s: SparkSession, dir: String,
+      minPerDay: Int = 2): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("((datediff(to_date(ts), DATE'1970-01-05') % 7) + 7) % 7")
+          .as("g"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+    val aggs = (0 until 7).flatMap { i =>
+      Seq(sum(when(col("g") === i, lit(1L)).otherwise(lit(0L)))
+          .as(s"n$i"),
+        sum(when(col("g") === i, col("y")).otherwise(lit(0L))).as(s"s$i"),
+        sum(when(col("g") === i,
+          (d19(col("y")) * d19(col("y"))).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as(s"q$i"))
+    }
+    val mom = base.groupBy(col("user_id"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+    val withM2 = (0 until 7).foldLeft(mom) { (df, i) =>
+      df.withColumn(s"m2_$i", (dec(col(s"n$i")) * col(s"q$i") -
+        dec(col(s"s$i")) * dec(col(s"s$i"))).cast("decimal(38,0)"))
+    }
+    val nTot = (0 until 7).map(i => col(s"n$i")).reduce(_ + _)
+    // v_d = (n_d - 1) * s_d^2 = M2_d / n_d, in fixed weekday order.
+    val vs = (0 until 7).map(i => dd(col(s"m2_$i")) / dd(col(s"n$i")))
+    val w = vs.reduce(_ + _)
+    val tStat = dd(col("nn") - 7) * log(w / dd(col("nn") - 7)) -
+      (0 until 7).map(i =>
+        dd(col(s"n$i") - 1) * log(vs(i) / dd(col(s"n$i") - 1)))
+        .reduce(_ + _)
+    val cCorr = lit(1.0) +
+      ((0 until 7).map(i => lit(1.0) / dd(col(s"n$i") - 1)).reduce(_ + _) -
+        lit(1.0) / dd(col("nn") - 7)) / lit(18.0)
+    // thin series (any weekday below minPerDay) stay VISIBLE with a
+    // NULL statistic (q85's sf0.001 lesson) — never excluded.
+    val eligible = (0 until 7).map(i => col(s"n$i") >= minPerDay)
+      .reduce(_ && _) &&
+      (0 until 7).map(i => col(s"m2_$i") > 0).reduce(_ && _)
+    withM2
+      .withColumn("nn", nTot)
+      .withColumn("bart6",
+        when(eligible,
+          floor(tStat / cCorr * lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("user_id"), col("event_type"),
+        col("nn").cast("long").as("n_obs"), col("bart6"),
+        when(col("bart6") > lit(12591600L), 1).otherwise(0)
+          .as("hetero_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q124: CUSUM-OF-SQUARES variance-break locator per series
+    * (Inclán & Tiao 1994; the Brown–Durbin–Evans idea on squared
+    * increments) — q19/q65 locate MEAN shifts and q79 watches the
+    * rolling variance RATIO drift, but none of them hands back a
+    * calibrated verdict with a DATE for a one-time volatility regime
+    * break. On the first differences d_t, D_k = C_k/C_m − k/m over
+    * the cumulative squares C_k = Σ_{t≤k} d_t² measures where squared
+    * energy accrues faster/slower than uniform; IT = √(m/2)·max|D_k|
+    * exceeds the asymptotic 5% sup-Brownian-bridge bar 1.358 under a
+    * variance break, and the maximizing k estimates the break print.
+    *
+    * Exactness: d_t is an exact 1e-4-grid integer, C_k and C_m exact
+    * decimal(38,0) prefix/total sums over the SAME (ts, event_id)
+    * sort, and the centered numerator num_k = m·C_k − k·C_m is an
+    * exact integer (the 1/(m·C_m) factors cancel into the final
+    * chain), so the sup and its argmax are decided on exact integers
+    * with min-(ts, event_id) tie-break; IT = √(m/2)·maxnum/(m·C_m)
+    * is ONE IEEE chain, 1e-6-floored. All-constant series (C_m = 0)
+    * report NULL. Growth is quadratic only (num ≤ m²·max d² ⇒ no
+    * practical row ceiling — q114's class, bound ~1e11 rows/series).
+    *
+    * Scale shape: ONE series exchange — the diff lag, the prefix and
+    * full-key sums, the argmax min-if and the final groupBy all
+    * reuse the (user_id, event_type) partition; no joins.
+    */
+  def q124CusumSquares(s: SparkSession, dir: String,
+      minObs: Int = 9): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("d", col("y") - lag(col("y"), 1).over(wAsc))
+      .filter(col("d").isNotNull)
+      .withColumn("k", row_number().over(wAsc).cast("long"))
+      .withColumn("m", count(lit(1)).over(wKey))
+      .withColumn("ck", sum((d19(col("d")) * d19(col("d")))
+        .cast("decimal(38,0)")).over(wRun))
+      .withColumn("cm", sum((d19(col("d")) * d19(col("d")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("num", abs((dec(col("m")) * col("ck") -
+        dec(col("k")) * col("cm")).cast("decimal(38,0)")))
+      .withColumn("maxnum", max(col("num")).over(wKey))
+      .withColumn("cand_id",
+        when(col("num") === col("maxnum"), col("event_id")))
+      .withColumn("cand_ts",
+        when(col("num") === col("maxnum"), col("ts")))
+    rows.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("m")).as("m"), max(col("cm")).as("cm"),
+        max(col("maxnum")).as("maxnum"),
+        min(col("cand_id")).as("break_event_id"),
+        min(col("cand_ts")).as("break_ts"))
+      .filter(col("m") >= minObs - 1)
+      .select(col("user_id"), col("event_type"),
+        (col("m") + 1).cast("long").as("n_obs"),
+        when(col("cm") > 0,
+          floor(sqrt(dd(col("m")) / lit(2.0)) * dd(col("maxnum")) /
+            (dd(col("m")) * dd(col("cm"))) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("it6"),
+        when(col("cm") > 0, col("break_event_id")).as("break_event_id"),
+        when(col("cm") > 0, col("break_ts")).as("break_ts"))
+      .withColumn("var_break_flag",
+        when(col("it6") > 1358000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** p14: the RESIDUAL-DIAGNOSTICS PANEL — round 11's assumption
+    * audits composed into the one per-ticker report that says whether
+    * the PARAMETRIC detectors upstream can be trusted: q116's
+    * normality (is q06's z-bar calibrated?), q117's residual serial
+    * correlation (is q82's t-test honest?), q119's worst-point verdict
+    * (is one fat finger driving everything?) and q122's turning-point
+    * randomness (is the feed trending or oscillating rather than
+    * noise?). The joint call: any diagnostic missing (short/constant
+    * series) ⇒ `insufficient`; zero flags ⇒ `clean` (parametric
+    * results upstream are trustworthy); one flag ⇒ `check` (read that
+    * column); two+ ⇒ `suspect` (route the ticker to the rank/robust
+    * family — q84/q90/q110/q121). p05/p13's composition discipline:
+    * the spine is the ticker catalog (thin series are VISIBLE rows
+    * with NULLs), components arrive already reduced to ticker
+    * cardinality, so every join is broadcast-sized.
+    *
+    * Scale shape: four already-reduced component tables left-joined
+    * on a catalog-cardinality spine — the cost is the components'
+    * (each ONE series exchange over the corpus).
+    */
+  def p14ResidualPanel(s: SparkSession, dir: String): DataFrame = {
+    val key = Seq("user_id", "event_type")
+    val spine = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val jb = q116JarqueBera(s, dir)
+      .select(col("user_id"), col("event_type"), col("skew6"),
+        col("kurt6"), col("jb6"), col("nonnormal_flag"))
+    val dw = q117DurbinWatson(s, dir)
+      .select(col("user_id"), col("event_type"), col("dw6"),
+        col("pos_auto_flag"), col("neg_auto_flag"))
+    val gr = q119Grubbs(s, dir)
+      .select(col("user_id"), col("event_type"), col("g6"),
+        col("outlier_event_id"), col("outlier_flag"))
+    val tp = q122TurningPoints(s, dir)
+      .select(col("user_id"), col("event_type"), col("tp_z6"),
+        col("nonrandom_flag"))
+    val issues = col("nonnormal_flag") + col("pos_auto_flag") +
+      col("neg_auto_flag") + col("outlier_flag") + col("nonrandom_flag")
+    spine
+      .join(jb, key, "left")
+      .join(dw, key, "left")
+      .join(gr, key, "left")
+      .join(tp, key, "left")
+      .withColumn("n_issues", issues)
+      .withColumn("verdict",
+        when(col("nonnormal_flag").isNull || col("pos_auto_flag").isNull ||
+          col("outlier_flag").isNull || col("nonrandom_flag").isNull,
+          "insufficient")
+        .when(col("n_issues") === 0, "clean")
+        .when(col("n_issues") === 1, "check")
+        .otherwise("suspect"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -8013,4 +8715,642 @@ object SignalOracle {
       |    AS diverging_flag
       |FROM ph
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** q116: same 1e-2 grid, the same integer central-moment
+    * identities in HUGEINT, the identical sk/ku/jb IEEE chain.
+    */
+  val q116: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), mom AS (
+      |  SELECT user_id, event_type, count(*) AS n, sum(y) AS s1,
+      |    sum(CAST(y AS HUGEINT) * y) AS s2,
+      |    sum(CAST(y AS HUGEINT) * y * y) AS s3,
+      |    sum(CAST(y AS HUGEINT) * y * y * y) AS s4
+      |  FROM b GROUP BY 1, 2 HAVING count(*) >= 8
+      |), c1 AS (
+      |  SELECT *,
+      |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2i,
+      |    CAST(n AS HUGEINT) * n * s3
+      |      - 3 * CAST(n AS HUGEINT) * s1 * s2
+      |      + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS m3i,
+      |    CAST(n AS HUGEINT) * n * n * s4
+      |      - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+      |      + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+      |      - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS m4i
+      |  FROM mom
+      |), c2 AS (
+      |  SELECT *, CAST(m2i AS DOUBLE) AS m2d FROM c1
+      |), c3 AS (
+      |  SELECT *,
+      |    CASE WHEN m2i > 0
+      |      THEN CAST(m3i AS DOUBLE) / (m2d * sqrt(m2d)) END AS sk,
+      |    CASE WHEN m2i > 0
+      |      THEN CAST(m4i AS DOUBLE) / (m2d * m2d) - 3.0 END AS ku
+      |  FROM c2
+      |), c4 AS (
+      |  SELECT *,
+      |    CAST(floor(sk * 1000000.0 + 0.5) AS BIGINT) AS skew6,
+      |    CAST(floor(ku * 1000000.0 + 0.5) AS BIGINT) AS kurt6,
+      |    CAST(floor(CAST(n AS DOUBLE)
+      |      * (sk * sk / 6.0 + ku * ku / 24.0)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS jb6
+      |  FROM c3
+      |)
+      |SELECT user_id, event_type, n AS n_obs, skew6, kurt6, jb6,
+      |  CAST(CASE WHEN jb6 > 5991000 THEN 1 ELSE 0 END AS INT)
+      |    AS nonnormal_flag
+      |FROM c4
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q117: same 1e-2 grid, the exact D-scaled residual deltas and
+    * the closed-form RSS denominator, one IEEE chain.
+    */
+  val q117: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), w AS (
+      |  SELECT *, count(*) OVER wk AS n,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS t
+      |  FROM b
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), w2 AS (
+      |  SELECT *, sum(y) OVER wk AS sy, sum(t) OVER wk AS st,
+      |    sum(CAST(t AS HUGEINT) * t) OVER wk AS stt,
+      |    sum(CAST(t AS HUGEINT) * y) OVER wk AS sty,
+      |    sum(CAST(y AS HUGEINT) * y) OVER wk AS syy,
+      |    y - lag(y) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS dy
+      |  FROM w
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), c AS (
+      |  SELECT *,
+      |    CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st AS dval,
+      |    CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy AS nb,
+      |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS cy
+      |  FROM w2
+      |), ai AS (
+      |  SELECT *, CASE WHEN dy IS NOT NULL
+      |    THEN (dy * dval - nb) * (dy * dval - nb) END AS a_i
+      |  FROM c
+      |), mom AS (
+      |  SELECT user_id, event_type, max(n) AS n, max(dval) AS dval,
+      |    max(nb) AS nb, max(cy) AS cy, sum(a_i) AS a
+      |  FROM ai GROUP BY 1, 2 HAVING max(n) >= 8
+      |), d2 AS (
+      |  SELECT *, cy * dval - nb * nb AS den FROM mom
+      |), d3 AS (
+      |  SELECT *, CASE WHEN den > 0 THEN
+      |    CAST(floor(CAST(a AS DOUBLE) * CAST(n AS DOUBLE)
+      |      / (CAST(dval AS DOUBLE) * CAST(den AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) END AS dw6
+      |  FROM d2
+      |)
+      |SELECT user_id, event_type, n AS n_obs, dw6,
+      |  CAST(CASE WHEN dw6 < 1500000 THEN 1 ELSE 0 END AS INT)
+      |    AS pos_auto_flag,
+      |  CAST(CASE WHEN dw6 > 2500000 THEN 1 ELSE 0 END AS INT)
+      |    AS neg_auto_flag
+      |FROM d3
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q118: q115's segment moments from prefix windows at every
+    * trimmed candidate, the sup on exact integer f6, min-τ ties.
+    */
+  val q118: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), w AS (
+      |  SELECT *, count(*) OVER wk AS n,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS t
+      |  FROM b
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), w2 AS (
+      |  SELECT *, sum(y) OVER wk AS sy,
+      |    sum(CAST(t AS HUGEINT) * t) OVER wk AS stt0,
+      |    sum(CAST(t AS HUGEINT) * y) OVER wk AS sty0,
+      |    sum(CAST(y AS HUGEINT) * y) OVER wk AS syy0,
+      |    sum(t) OVER wr AS pst, sum(y) OVER wr AS psy,
+      |    sum(CAST(t AS HUGEINT) * t) OVER wr AS pstt,
+      |    sum(CAST(t AS HUGEINT) * y) OVER wr AS psty,
+      |    sum(CAST(y AS HUGEINT) * y) OVER wr AS psyy
+      |  FROM w
+      |  WINDOW wk AS (PARTITION BY user_id, event_type),
+      |    wr AS (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), flt AS (
+      |  SELECT * FROM w2 WHERE n >= 16
+      |), cand AS (
+      |  SELECT *, greatest(8, CAST(ceil(n * 0.15) AS BIGINT)) AS trim_lo,
+      |    n * (n + 1) // 2 AS st_tot
+      |  FROM flt
+      |), cand2 AS (
+      |  SELECT *, st_tot - pst AS st2, sy - psy AS sy2,
+      |    stt0 - pstt AS stt2, sty0 - psty AS sty2, syy0 - psyy AS syy2
+      |  FROM cand WHERE t >= trim_lo AND t <= n - trim_lo
+      |), rss AS (
+      |  SELECT *,
+      |    (CAST(n * syy0 - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+      |      - CAST(n * sty0 - CAST(st_tot AS HUGEINT) * sy AS DOUBLE)
+      |        * CAST(n * sty0 - CAST(st_tot AS HUGEINT) * sy AS DOUBLE)
+      |        / CAST(n * stt0 - CAST(st_tot AS HUGEINT) * st_tot AS DOUBLE))
+      |      / CAST(n AS DOUBLE) AS rssp,
+      |    (CAST(t * psyy - CAST(psy AS HUGEINT) * psy AS DOUBLE)
+      |      - CAST(t * psty - CAST(pst AS HUGEINT) * psy AS DOUBLE)
+      |        * CAST(t * psty - CAST(pst AS HUGEINT) * psy AS DOUBLE)
+      |        / CAST(t * pstt - CAST(pst AS HUGEINT) * pst AS DOUBLE))
+      |      / CAST(t AS DOUBLE) AS rss1,
+      |    (CAST((n - t) * syy2 - CAST(sy2 AS HUGEINT) * sy2 AS DOUBLE)
+      |      - CAST((n - t) * sty2 - CAST(st2 AS HUGEINT) * sy2 AS DOUBLE)
+      |        * CAST((n - t) * sty2 - CAST(st2 AS HUGEINT) * sy2 AS DOUBLE)
+      |        / CAST((n - t) * stt2 - CAST(st2 AS HUGEINT) * st2 AS DOUBLE))
+      |      / CAST(n - t AS DOUBLE) AS rss2
+      |  FROM cand2
+      |), f1 AS (
+      |  SELECT *, rss1 + rss2 AS rsss FROM rss
+      |), f2 AS (
+      |  SELECT *, CASE WHEN rsss > 0 THEN
+      |    CAST(floor((rssp - rss1 - rss2) / 2.0
+      |      / (rsss / (CAST(n AS DOUBLE) - 4.0))
+      |      * 1000000.0 + 0.5) AS BIGINT) END AS f6
+      |  FROM f1
+      |), mx AS (
+      |  SELECT *, max(f6) OVER (PARTITION BY user_id, event_type) AS fmax
+      |  FROM f2
+      |), arg AS (
+      |  SELECT user_id, event_type, max(fmax) AS f_sup6,
+      |    min(t) AS break_t
+      |  FROM mx WHERE f6 = fmax GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT user_id, event_type, max(n) AS n_obs
+      |  FROM flt GROUP BY 1, 2
+      |)
+      |SELECT s.user_id, s.event_type, s.n_obs, a.f_sup6,
+      |  CAST(a.break_t AS BIGINT) AS break_t,
+      |  CAST(CASE WHEN a.f_sup6 > 11790000 THEN 1 ELSE 0 END AS INT)
+      |    AS break_flag
+      |FROM spine s LEFT JOIN arg a
+      |  ON s.user_id = a.user_id AND s.event_type = a.event_type
+      |ORDER BY s.user_id, s.event_type""".stripMargin
+
+  /** q119: the exact n·y − S1 deviations, min-id argmax, one chain. */
+  val q119: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), w AS (
+      |  SELECT *, count(*) OVER wk AS n, sum(y) OVER wk AS s1,
+      |    sum(CAST(y AS HUGEINT) * y) OVER wk AS s2
+      |  FROM b
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), d AS (
+      |  SELECT *, abs(CAST(n AS HUGEINT) * y - s1) AS dev FROM w
+      |), m AS (
+      |  SELECT *, max(dev) OVER (PARTITION BY user_id, event_type)
+      |    AS maxdev
+      |  FROM d
+      |), c AS (
+      |  SELECT *, CASE WHEN dev = maxdev THEN event_id END AS cand_id
+      |  FROM m
+      |), mom AS (
+      |  SELECT user_id, event_type, max(n) AS n, max(s1) AS s1,
+      |    max(s2) AS s2, max(maxdev) AS maxdev,
+      |    min(cand_id) AS outlier_event_id
+      |  FROM c GROUP BY 1, 2 HAVING max(n) >= 3
+      |), g AS (
+      |  SELECT *,
+      |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2i
+      |  FROM mom
+      |), g2 AS (
+      |  SELECT *, CASE WHEN m2i > 0 THEN
+      |    CAST(floor(CAST(maxdev AS DOUBLE)
+      |      / sqrt(CAST(m2i AS DOUBLE) * CAST(n AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) - 1.0))
+      |      * 1000000.0 + 0.5) AS BIGINT) END AS g6
+      |  FROM g
+      |)
+      |SELECT user_id, event_type, n AS n_obs, outlier_event_id, g6,
+      |  CAST(CASE WHEN g6 > 3000000 THEN 1 ELSE 0 END AS INT)
+      |    AS outlier_flag
+      |FROM g2
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q120: q69's era split and grouped CDF, the exact weighted
+    * squared-gap sum U, one IEEE chain.
+    */
+  val q120: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), span AS (
+      |  SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS pivot
+      |  FROM ev
+      |), dist AS (
+      |  SELECT e.event_type, e.v4l,
+      |    SUM(CASE WHEN e.day > s.pivot THEN 0 ELSE 1 END) AS c1,
+      |    SUM(CASE WHEN e.day > s.pivot THEN 1 ELSE 0 END) AS c2
+      |  FROM ev e, span s GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, v4l, c1, c2,
+      |    SUM(c1) OVER (PARTITION BY event_type ORDER BY v4l) AS cum1,
+      |    SUM(c2) OVER (PARTITION BY event_type ORDER BY v4l) AS cum2,
+      |    SUM(c1) OVER (PARTITION BY event_type) AS n1,
+      |    SUM(c2) OVER (PARTITION BY event_type) AS n2
+      |  FROM dist
+      |), u AS (
+      |  SELECT *, (c1 + c2) * ((cum1 * n2 - cum2 * n1)
+      |    * (cum1 * n2 - cum2 * n1)) AS ui
+      |  FROM cum WHERE n1 > 0 AND n2 > 0
+      |), agg AS (
+      |  SELECT event_type, CAST(max(n1) AS BIGINT) AS n_ref,
+      |    CAST(max(n2) AS BIGINT) AS n_cur, sum(ui) AS usum
+      |  FROM u GROUP BY 1
+      |)
+      |SELECT event_type, n_ref, n_cur,
+      |  CAST(floor(CAST(usum AS DOUBLE)
+      |    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+      |      * CAST(n_ref + n_cur AS DOUBLE)
+      |      * CAST(n_ref + n_cur AS DOUBLE))
+      |    * 1000000.0 + 0.5) AS BIGINT) AS cvm6,
+      |  CAST(CASE WHEN CAST(floor(CAST(usum AS DOUBLE)
+      |    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+      |      * CAST(n_ref + n_cur AS DOUBLE)
+      |      * CAST(n_ref + n_cur AS DOUBLE))
+      |    * 1000000.0 + 0.5) AS BIGINT) > 461000
+      |    THEN 1 ELSE 0 END AS INT) AS drift_flag
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  /** q121: the ×2-midrank integer domain on the per-(series, value)
+    * distribution table; seven fixed-order IEEE terms, tie-corrected.
+    */
+  val q121: String = {
+    val cnts = (0 until 7).map(i =>
+      s"SUM(CASE WHEN g = $i THEN 1 ELSE 0 END) AS c$i").mkString(",\n    ")
+    val aggs = (0 until 7).map(i =>
+      s"""CAST(SUM(c$i) AS BIGINT) AS n$i,
+         |    SUM(CAST(c$i AS HUGEINT) * r2) AS r2s$i""".stripMargin)
+      .mkString(",\n    ")
+    val guard = (0 until 7).map(i => s"n$i >= 1").mkString(" AND ")
+    val aTerms = (0 until 7).map(i =>
+      s"CAST(r2s$i AS DOUBLE) * CAST(r2s$i AS DOUBLE) / CAST(n$i AS DOUBLE)")
+      .mkString(" + ")
+    val nSum = (0 until 7).map(i => s"n$i").mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT user_id, event_type,
+       |    ((CAST(CAST(ts AS DATE) - DATE '1970-01-05' AS BIGINT) % 7)
+       |      + 7) % 7 AS g,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+       |  FROM events
+       |), dist AS (
+       |  SELECT user_id, event_type, y,
+       |    $cnts
+       |  FROM b GROUP BY 1, 2, 3
+       |), dist2 AS (
+       |  SELECT *, c0 + c1 + c2 + c3 + c4 + c5 + c6 AS t
+       |  FROM dist
+       |), ranked AS (
+       |  SELECT *,
+       |    coalesce(SUM(t) OVER (PARTITION BY user_id, event_type
+       |      ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS cb
+       |  FROM dist2
+       |), r2t AS (
+       |  SELECT *, 2 * cb + t + 1 AS r2 FROM ranked
+       |), piv AS (
+       |  SELECT user_id, event_type,
+       |    $aggs,
+       |    SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+       |  FROM r2t GROUP BY 1, 2
+       |), ok AS (
+       |  SELECT * FROM piv WHERE $guard
+       |), m AS (
+       |  SELECT *, ($aTerms) AS aa, $nSum AS nn
+       |  FROM ok
+       |), h AS (
+       |  SELECT *,
+       |    CAST(nn AS HUGEINT) * nn * nn - nn AS tden
+       |  FROM m
+       |), h2 AS (
+       |  SELECT *, 1.0 - CAST(ties AS DOUBLE) / CAST(tden AS DOUBLE) AS cc
+       |  FROM h
+       |), i2 AS (
+       |  SELECT *,
+       |    CASE WHEN cc > 0 THEN
+       |      CAST(floor((aa * 3.0
+       |        / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))
+       |        - 3.0 * CAST(nn + 1 AS DOUBLE)) / cc
+       |        * 1000000.0 + 0.5) AS BIGINT) END AS kw_h6
+       |  FROM h2
+       |)
+       |SELECT user_id, event_type, CAST(nn AS BIGINT) AS n_obs, kw_h6,
+       |  CAST(CASE WHEN kw_h6 > 12591600 THEN 1 ELSE 0 END AS INT)
+       |    AS weekday_effect_flag
+       |FROM i2
+       |ORDER BY user_id, event_type""".stripMargin
+  }
+
+  /** q122: strict-extremum count, (3T−2n+4)/(3√((16n−29)/90)) chain. */
+  val q122: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), w AS (
+      |  SELECT *,
+      |    lag(y, 1) OVER wa AS p,
+      |    lead(y, 1) OVER wa AS f
+      |  FROM b
+      |  WINDOW wa AS (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id)
+      |), t AS (
+      |  SELECT *, CASE WHEN (p < y AND y > f) OR (p > y AND y < f)
+      |    THEN 1 ELSE 0 END AS turn
+      |  FROM w
+      |), agg AS (
+      |  SELECT user_id, event_type, count(*) AS n_obs,
+      |    CAST(SUM(turn) AS BIGINT) AS n_turns
+      |  FROM t GROUP BY 1, 2
+      |), flt AS (
+      |  SELECT * FROM agg WHERE n_obs >= 8
+      |)
+      |SELECT user_id, event_type, n_obs, n_turns,
+      |  CAST(floor(CAST(3 * n_turns - 2 * n_obs + 4 AS DOUBLE)
+      |    / (3.0 * sqrt(CAST(16 * n_obs - 29 AS DOUBLE) / 90.0))
+      |    * 1000000.0 + 0.5) AS BIGINT) AS tp_z6,
+      |  CAST(CASE WHEN abs(CAST(floor(CAST(3 * n_turns - 2 * n_obs + 4
+      |      AS DOUBLE)
+      |    / (3.0 * sqrt(CAST(16 * n_obs - 29 AS DOUBLE) / 90.0))
+      |    * 1000000.0 + 0.5) AS BIGINT)) > 1960000
+      |    THEN 1 ELSE 0 END AS INT) AS nonrandom_flag
+      |FROM flt
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q123: seven exact conditional second moments, the T/C ln chain
+    * in fixed weekday order (ln parity per q61/q93/q105).
+    */
+  val q123: String = {
+    val aggs = (0 until 7).map(i =>
+      s"""CAST(SUM(CASE WHEN g = $i THEN 1 ELSE 0 END) AS BIGINT) AS n$i,
+         |    CAST(SUM(CASE WHEN g = $i THEN y ELSE 0 END) AS BIGINT) AS s$i,
+         |    SUM(CASE WHEN g = $i THEN CAST(y AS HUGEINT) * y
+         |      ELSE CAST(0 AS HUGEINT) END) AS q$i""".stripMargin)
+      .mkString(",\n    ")
+    val m2s = (0 until 7).map(i =>
+      s"CAST(n$i AS HUGEINT) * q$i - CAST(s$i AS HUGEINT) * s$i AS m2_$i")
+      .mkString(",\n    ")
+    val nSum = (0 until 7).map(i => s"n$i").mkString(" + ")
+    val vs = (0 until 7).map(i =>
+      s"CAST(m2_$i AS DOUBLE) / CAST(n$i AS DOUBLE)")
+    val w = vs.mkString(" + ")
+    val tTerms = (0 until 7).map(i =>
+      s"CAST(n$i - 1 AS DOUBLE) * ln((${vs(i)}) / CAST(n$i - 1 AS DOUBLE))")
+      .mkString(" + ")
+    val invTerms = (0 until 7).map(i =>
+      s"1.0 / CAST(n$i - 1 AS DOUBLE)").mkString(" + ")
+    val posGuard = ((0 until 7).map(i => s"n$i >= 2") ++
+      (0 until 7).map(i => s"m2_$i > 0")).mkString(" AND ")
+    s"""WITH b AS (
+       |  SELECT user_id, event_type,
+       |    ((CAST(CAST(ts AS DATE) - DATE '1970-01-05' AS BIGINT) % 7)
+       |      + 7) % 7 AS g,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+       |  FROM events
+       |), mom AS (
+       |  SELECT user_id, event_type,
+       |    $aggs
+       |  FROM b GROUP BY 1, 2
+       |), m2 AS (
+       |  SELECT *,
+       |    $m2s
+       |  FROM mom
+       |), nn2 AS (
+       |  SELECT *, $nSum AS nn FROM m2
+       |), fin AS (
+       |  SELECT *,
+       |    CASE WHEN $posGuard THEN
+       |      CAST(floor(
+       |        (CAST(nn - 7 AS DOUBLE)
+       |          * ln(($w) / CAST(nn - 7 AS DOUBLE))
+       |         - ($tTerms))
+       |        / (1.0 + (($invTerms) - 1.0 / CAST(nn - 7 AS DOUBLE))
+       |          / 18.0)
+       |        * 1000000.0 + 0.5) AS BIGINT) END AS bart6
+       |  FROM nn2
+       |)
+       |SELECT user_id, event_type, CAST(nn AS BIGINT) AS n_obs, bart6,
+       |  CAST(CASE WHEN bart6 > 12591600 THEN 1 ELSE 0 END AS INT)
+       |    AS hetero_flag
+       |FROM fin
+       |ORDER BY user_id, event_type""".stripMargin
+  }
+
+  /** q124: exact prefix/total squared-diff sums, sup and argmax on
+    * the exact centered numerator, one √(m/2)·max/(m·C) chain.
+    */
+  val q124: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), dif AS (
+      |  SELECT *, y - lag(y) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id) AS d
+      |  FROM b
+      |), dif2 AS (
+      |  SELECT * FROM dif WHERE d IS NOT NULL
+      |), w AS (
+      |  SELECT *,
+      |    row_number() OVER wa AS k,
+      |    count(*) OVER wk AS m,
+      |    sum(CAST(d AS HUGEINT) * d) OVER (PARTITION BY user_id,
+      |      event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+      |    sum(CAST(d AS HUGEINT) * d) OVER wk AS cm
+      |  FROM dif2
+      |  WINDOW wa AS (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id),
+      |    wk AS (PARTITION BY user_id, event_type)
+      |), num AS (
+      |  SELECT *, abs(CAST(m AS HUGEINT) * ck - CAST(k AS HUGEINT) * cm)
+      |    AS numv
+      |  FROM w
+      |), mx AS (
+      |  SELECT *, max(numv) OVER (PARTITION BY user_id, event_type)
+      |    AS maxnum
+      |  FROM num
+      |), agg AS (
+      |  SELECT user_id, event_type, max(m) AS m, max(cm) AS cm,
+      |    max(maxnum) AS maxnum,
+      |    min(CASE WHEN numv = maxnum THEN event_id END)
+      |      AS break_event_id0,
+      |    min(CASE WHEN numv = maxnum THEN ts END) AS break_ts0
+      |  FROM mx GROUP BY 1, 2 HAVING max(m) >= 8
+      |), fin AS (
+      |  SELECT *,
+      |    CASE WHEN cm > 0 THEN
+      |      CAST(floor(sqrt(CAST(m AS DOUBLE) / 2.0)
+      |        * CAST(maxnum AS DOUBLE)
+      |        / (CAST(m AS DOUBLE) * CAST(cm AS DOUBLE))
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS it6,
+      |    CASE WHEN cm > 0 THEN break_event_id0 END AS break_event_id,
+      |    CASE WHEN cm > 0 THEN break_ts0 END AS break_ts
+      |  FROM agg
+      |)
+      |SELECT user_id, event_type, CAST(m + 1 AS BIGINT) AS n_obs, it6,
+      |  break_event_id, break_ts,
+      |  CAST(CASE WHEN it6 > 1358000 THEN 1 ELSE 0 END AS INT)
+      |    AS var_break_flag
+      |FROM fin
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** st32: q122's turn confirmations replayed as segmented lag
+    * windows — per-print n, prefix turn count, one z chain.
+    */
+  val st32: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), w AS (
+      |  SELECT *,
+      |    row_number() OVER ws AS n,
+      |    lag(y, 1) OVER ws AS p,
+      |    lag(y, 2) OVER ws AS p2
+      |  FROM seg
+      |  WINDOW ws AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id)
+      |), t AS (
+      |  SELECT *, CASE WHEN p2 IS NOT NULL AND
+      |      ((p2 < p AND p > y) OR (p2 > p AND p < y))
+      |    THEN 1 ELSE 0 END AS turn
+      |  FROM w
+      |), c AS (
+      |  SELECT *, CAST(sum(turn) OVER (PARTITION BY user_id, event_type,
+      |      seg_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_turns
+      |  FROM t
+      |), fin AS (
+      |  SELECT *, CASE WHEN n >= 8 THEN
+      |    CAST(floor(CAST(3 * n_turns - 2 * n + 4 AS DOUBLE)
+      |      / (3.0 * sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0))
+      |      * 1000000.0 + 0.5) AS BIGINT) END AS tp_z6
+      |  FROM c
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  y / 10000.0 AS value, CAST(n AS BIGINT) AS n_obs, n_turns, tp_z6,
+      |  CAST(CASE WHEN abs(tp_z6) > 1960000 THEN 1 ELSE 0 END AS INT)
+      |    AS nonrandom_flag
+      |FROM fin
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** st33: segmented running peak / worst drawdown, q89's exact
+    * integer-div fraction and run-grouping trick per segment.
+    */
+  val st33: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), w AS (
+      |  SELECT *, max(y) OVER wr AS peak4,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM seg
+      |  WINDOW wr AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), d AS (
+      |  SELECT *, peak4 - y AS dd4,
+      |    CASE WHEN peak4 - y > 0 THEN 1 ELSE 0 END AS uw
+      |  FROM w
+      |), m AS (
+      |  SELECT *, max(dd4) OVER wr AS maxdd4,
+      |    CAST(rn - sum(uw) OVER wr AS BIGINT) AS grp
+      |  FROM d
+      |  WINDOW wr AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), r AS (
+      |  SELECT *,
+      |    CASE WHEN uw = 1 THEN CAST(row_number() OVER
+      |      (PARTITION BY user_id, event_type, seg_id, grp, uw
+      |       ORDER BY ts, event_id) AS BIGINT) ELSE 0 END
+      |      AS underwater_run
+      |  FROM m
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  y / 10000.0 AS value, peak4 / 10000.0 AS peak,
+      |  dd4 / 10000.0 AS drawdown,
+      |  CASE WHEN peak4 > 0 THEN dd4 * 1000000 // peak4 END AS dd_frac6,
+      |  underwater_run, maxdd4 / 10000.0 AS max_drawdown
+      |FROM r
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** p14: the four diagnostic oracles as nested-WITH subqueries on
+    * the catalog spine, p13's composition pattern.
+    */
+  lazy val p14: String =
+    s"""WITH spine AS (
+       |  SELECT DISTINCT user_id, event_type FROM events
+       |)
+       |SELECT spine.user_id, spine.event_type,
+       |  jb.skew6, jb.kurt6, jb.jb6, jb.nonnormal_flag,
+       |  dw.dw6, dw.pos_auto_flag, dw.neg_auto_flag,
+       |  gr.g6, gr.outlier_event_id, gr.outlier_flag,
+       |  tp.tp_z6, tp.nonrandom_flag,
+       |  jb.nonnormal_flag + dw.pos_auto_flag + dw.neg_auto_flag
+       |    + gr.outlier_flag + tp.nonrandom_flag AS n_issues,
+       |  CASE
+       |    WHEN jb.nonnormal_flag IS NULL OR dw.pos_auto_flag IS NULL
+       |      OR gr.outlier_flag IS NULL OR tp.nonrandom_flag IS NULL
+       |      THEN 'insufficient'
+       |    WHEN jb.nonnormal_flag + dw.pos_auto_flag + dw.neg_auto_flag
+       |      + gr.outlier_flag + tp.nonrandom_flag = 0 THEN 'clean'
+       |    WHEN jb.nonnormal_flag + dw.pos_auto_flag + dw.neg_auto_flag
+       |      + gr.outlier_flag + tp.nonrandom_flag = 1 THEN 'check'
+       |    ELSE 'suspect' END AS verdict
+       |FROM spine
+       |LEFT JOIN ($q116) jb
+       |  ON jb.user_id = spine.user_id AND jb.event_type = spine.event_type
+       |LEFT JOIN ($q117) dw
+       |  ON dw.user_id = spine.user_id AND dw.event_type = spine.event_type
+       |LEFT JOIN ($q119) gr
+       |  ON gr.user_id = spine.user_id AND gr.event_type = spine.event_type
+       |LEFT JOIN ($q122) tp
+       |  ON tp.user_id = spine.user_id AND tp.event_type = spine.event_type
+       |ORDER BY spine.user_id, spine.event_type""".stripMargin
 }

@@ -3135,4 +3135,206 @@ object StreamingAnomaly extends Serializable {
       cfg: AnomalyConfig = AnomalyConfig(),
       staleDays: Double = 8.0): DataFrame =
     st30FromStream(s, eventStream(s, dir), cfg, staleDays)
+
+  /** st32 per-ticker turning-point state: O(1) — the last two grid
+    * values, the print count and the confirmed interior-turn count;
+    * last event time for the staleness segment restart.
+    */
+  case class TurnState(lastUs: Long, prev2: Long, hasPrev2: Boolean,
+      prev: Long, n: Long, turns: Long)
+
+  case class TurnOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, n_obs: Long, n_turns: Long,
+      tp_z6: Option[Long], nonrandom_flag: Int)
+
+  /** st32: q122's turning-point randomness screen answered LIVE —
+    * each arrival CONFIRMS (or not) the previous print as a strict
+    * interior extremum, so the turn count among the first n prints is
+    * exact at every n and z_n = (3T−2n+4)/(3√((16n−29)/90)) streams
+    * with three longs of state per key. Too few turns = the feed is
+    * trending/momentum-driven; too many = oscillating (an
+    * over-differenced upstream), both flagged at |z| > 1.96 once
+    * n ≥ 8. Staleness gaps and EventTimeTimeout eviction restart the
+    * segment (st08's convention); fully oracle-backed — the turn
+    * confirmations and prefix counts replay as segmented lag windows.
+    */
+  def st32Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[TurnOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[TurnState]): Iterator[TurnOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[TurnOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          stOpt = stOpt.filter(st => usOf(e.ts) - st.lastUs <= staleUs)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          stOpt match {
+            case None =>
+              stOpt = Some(TurnState(usOf(e.ts), 0L, hasPrev2 = false,
+                vl, 1L, 0L))
+              out += TurnOut(key._1, key._2, e.event_id, e.ts,
+                vl / 10000.0, 1L, 0L, None, 0)
+            case Some(st) =>
+              val turned = st.hasPrev2 &&
+                ((st.prev2 < st.prev && st.prev > vl) ||
+                 (st.prev2 > st.prev && st.prev < vl))
+              val turns = st.turns + (if (turned) 1L else 0L)
+              val n = st.n + 1
+              val z6 =
+                if (n >= 8)
+                  Some(math.floor(
+                    (3 * turns - 2 * n + 4).toDouble /
+                      (3.0 * math.sqrt((16 * n - 29).toDouble / 90.0)) *
+                      1000000.0 + 0.5).toLong)
+                else None
+              stOpt = Some(TurnState(usOf(e.ts), st.prev,
+                hasPrev2 = true, vl, n, turns))
+              out += TurnOut(key._1, key._2, e.event_id, e.ts,
+                vl / 10000.0, n, turns, z6,
+                if (z6.exists(z => math.abs(z) > 1960000L)) 1 else 0)
+          }
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st32FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st32_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st32Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("n_obs"),
+        col("n_turns"), col("tp_z6"), col("nonrandom_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st32StreamTurningPoints(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st32FromStream(s, eventStream(s, dir), staleDays)
+
+  /** st33 per-ticker drawdown state: O(1) — the running peak, the
+    * worst drawdown so far and the current underwater run length;
+    * last event time for the staleness segment restart.
+    */
+  case class DrawdownState(lastUs: Long, peak4: Long, maxDd4: Long,
+      uwRun: Long)
+
+  case class DrawdownOut(user_id: Long, event_type: String,
+      event_id: Long, ts: java.sql.Timestamp, value: Double,
+      peak: Double, drawdown: Double, dd_frac6: Option[Long],
+      underwater_run: Long, max_drawdown: Double)
+
+  /** st33: q89's drawdown report answered LIVE — the running peak,
+    * the current drawdown (peak − value, the number a risk desk
+    * watches tick by tick), its fraction of peak (q89's exact
+    * integer-div convention), the current underwater run length and
+    * the worst drawdown SO FAR, all from three longs of state per
+    * key. The batch report summarizes after the fact; the live twin
+    * is what pages someone while the drawdown is still deepening.
+    * Staleness gaps and EventTimeTimeout eviction restart the
+    * segment; fully oracle-backed — running max windows and q89's
+    * run-grouping trick replay it exactly per segment.
+    */
+  def st33Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[DrawdownOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[DrawdownState]): Iterator[DrawdownOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[DrawdownOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          stOpt = stOpt.filter(st => usOf(e.ts) - st.lastUs <= staleUs)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          val prev = stOpt.getOrElse(DrawdownState(0L, vl, 0L, 0L))
+          val peak = math.max(prev.peak4, vl)
+          val dd = peak - vl
+          val maxDd = math.max(prev.maxDd4, dd)
+          val uwRun = if (dd > 0) prev.uwRun + 1 else 0L
+          val frac =
+            if (peak > 0) Some(dd * 1000000L / peak) else None
+          stOpt = Some(DrawdownState(usOf(e.ts), peak, maxDd, uwRun))
+          out += DrawdownOut(key._1, key._2, e.event_id, e.ts,
+            vl / 10000.0, peak / 10000.0, dd / 10000.0, frac, uwRun,
+            maxDd / 10000.0)
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st33FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st33_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st33Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("peak"),
+        col("drawdown"), col("dd_frac6"), col("underwater_run"),
+        col("max_drawdown"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st33StreamDrawdown(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st33FromStream(s, eventStream(s, dir), staleDays)
 }

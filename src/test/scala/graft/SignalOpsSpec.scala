@@ -2078,4 +2078,478 @@ class SignalOpsSpec extends AnyFunSuite {
       d.init.forall(_.getAs[Int]("mz_flag") == 0), d.last.toString)
     assert(d.forall(_.isNullAt(d.head.fieldIndex("mz6"))))
   }
+
+  test("q116 JB: a fat-tailed spike rejects normality, flat-ish noise " +
+    "does not, a constant series degenerates to NULL; moments match " +
+    "a double recomputation") {
+    import spark.implicits._
+    var seed = 91L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 40
+    val noise = (0 until n).map(_ => 100.0 + lcg())
+    val spiky = (0 until n).map(i =>
+      if (i == 17) 500.0 else 100.0 + lcg())
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, noise(i)), (2L, spiky(i)), (3L, 5.0)).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q116spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q116JarqueBera(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Int]("nonnormal_flag") == 0, out(1L).toString)
+    assert(out(2L).getAs[Int]("nonnormal_flag") == 1 &&
+      out(2L).getAs[Long]("jb6") > 5991000L, out(2L).toString)
+    val const = out(3L)
+    assert(const.isNullAt(const.fieldIndex("jb6")) &&
+      const.isNullAt(const.fieldIndex("skew6")) &&
+      const.getAs[Int]("nonnormal_flag") == 0, const.toString)
+    // double recomputation on the same 1e-2 grid (±2 µ for the
+    // different accumulation order)
+    val ys = spiky.map(v => math.floor(v * 100.0 + 0.5))
+    val mean = ys.sum / n
+    val m2 = ys.map(y => math.pow(y - mean, 2)).sum / n
+    val m3 = ys.map(y => math.pow(y - mean, 3)).sum / n
+    val m4 = ys.map(y => math.pow(y - mean, 4)).sum / n
+    val sk = m3 / math.pow(m2, 1.5)
+    val ku = m4 / (m2 * m2) - 3.0
+    val jb = n * (sk * sk / 6.0 + ku * ku / 24.0)
+    assert(math.abs(out(2L).getAs[Long]("skew6") - sk * 1e6) < 2.0 &&
+      math.abs(out(2L).getAs[Long]("kurt6") - ku * 1e6) < 2.0 &&
+      math.abs(out(2L).getAs[Long]("jb6") - jb * 1e6) < 20.0,
+      s"${out(2L)} vs ($sk, $ku, $jb)")
+  }
+
+  test("q117 DW: a walk's trend residuals flag positive autocorrelation, " +
+    "an alternator flags negative, white noise is near 2, a perfect " +
+    "line degenerates to NULL") {
+    import spark.implicits._
+    var seed = 19L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 40
+    val walk = Iterator.iterate(100.0)(_ + lcg()).take(n).toVector
+    val alt = (0 until n).map(i =>
+      100.0 + (if (i % 2 == 0) 1.0 else -1.0) + lcg() * 0.05)
+    val white = (0 until n).map(_ => 100.0 + lcg())
+    val line = (0 until n).map(i => 100.0 + 0.5 * i)
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, walk(i)), (2L, alt(i)), (3L, white(i)), (4L, line(i)))
+        .map { case (u, v) =>
+          (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+            f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+        }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q117spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q117DurbinWatson(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Int]("pos_auto_flag") == 1 &&
+      out(1L).getAs[Long]("dw6") < 1500000L, out(1L).toString)
+    assert(out(2L).getAs[Int]("neg_auto_flag") == 1 &&
+      out(2L).getAs[Long]("dw6") > 2500000L, out(2L).toString)
+    val w = out(3L)
+    assert(w.getAs[Int]("pos_auto_flag") == 0 &&
+      w.getAs[Int]("neg_auto_flag") == 0, w.toString)
+    val perfect = out(4L)
+    assert(perfect.isNullAt(perfect.fieldIndex("dw6")) &&
+      perfect.getAs[Int]("pos_auto_flag") == 0, perfect.toString)
+  }
+
+  test("q118 sup-F: an off-center kink is found near its true date, " +
+    "a straight trend stays quiet, a constant series degenerates " +
+    "to NULL") {
+    import spark.implicits._
+    var seed = 47L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.001 - 0.1
+    }
+    val n = 40
+    // kink at i = 28 — q115's fixed midpoint (t = 20) would split
+    // INSIDE the first regime; the scan must find ~28 itself
+    val vee = (0 until n).map(i =>
+      100.0 + (if (i < 28) i else 56 - i) + lcg())
+    val line = (0 until n).map(i => 100.0 + i * 0.5 + lcg())
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, vee(i)), (2L, line(i)), (3L, 7.0)).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q118spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q118SupF(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val kink = out(1L)
+    assert(kink.getAs[Int]("break_flag") == 1 &&
+      kink.getAs[Long]("f_sup6") > 11790000L, kink.toString)
+    assert(math.abs(kink.getAs[Long]("break_t") - 28L) <= 2L,
+      kink.toString)
+    assert(out(2L).getAs[Int]("break_flag") == 0, out(2L).toString)
+    val const = out(3L)
+    assert(const.isNullAt(const.fieldIndex("f_sup6")) &&
+      const.isNullAt(const.fieldIndex("break_t")) &&
+      const.getAs[Int]("break_flag") == 0 &&
+      const.getAs[Long]("n_obs") == n.toLong, const.toString)
+  }
+
+  test("q119 Grubbs: a fat finger flags with its event_id, plain noise " +
+    "stays quiet, an exact two-way tie picks the min event_id, a " +
+    "constant series degenerates to NULL") {
+    import spark.implicits._
+    var seed = 29L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 40
+    val spiky = (0 until n).map(i =>
+      if (i == 23) 500.0 else 100.0 + lcg())
+    val noise = (0 until n).map(_ => 100.0 + lcg())
+    val tie = (0 until n).map(i =>
+      if (i == 10 || i == 30) 150.0 else 100.0)
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, spiky(i)), (2L, noise(i)), (3L, tie(i)), (4L, 9.0))
+        .map { case (u, v) =>
+          (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+            f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+        }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q119spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q119Grubbs(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val ff = out(1L)
+    assert(ff.getAs[Int]("outlier_flag") == 1 &&
+      ff.getAs[Long]("g6") > 3000000L &&
+      ff.getAs[Long]("outlier_event_id") == 1023L, ff.toString)
+    assert(out(2L).getAs[Int]("outlier_flag") == 0, out(2L).toString)
+    // both spikes deviate identically (exact integer tie) — min id
+    assert(out(3L).getAs[Long]("outlier_event_id") == 3010L,
+      out(3L).toString)
+    val const = out(4L)
+    assert(const.isNullAt(const.fieldIndex("g6")) &&
+      const.getAs[Int]("outlier_flag") == 0, const.toString)
+  }
+
+  test("q120 CvM: identical era multisets give exactly zero, a " +
+    "location shift flags") {
+    import spark.implicits._
+    var seed = 53L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val nDays = 40
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+        .atStartOfDay())
+    // type "same": the second era replays the first era's values
+    // verbatim -> F1 == F2 at every pooled point -> T = 0 exactly
+    val firstEra = (0 until nDays / 2).map(_ => 100.0 + lcg())
+    // type "shift": a +0.8 location shift across the whole support
+    val refVals = (0 until nDays / 2).map(_ => 100.0 + lcg())
+    val rows =
+      (0 until nDays / 2).flatMap { i =>
+        Seq((1L, "same", i, firstEra(i)),
+          (2L, "same", i + nDays / 2, firstEra(i)),
+          (3L, "shift", i, refVals(i)),
+          (4L, "shift", i + nDays / 2, refVals(i) + 0.8))
+      }.map { case (u, t, d, v) =>
+        (u, t, u * 1000 + d, day(d), v)
+      }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q120spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q120CvmDrift(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val same = out("same")
+    assert(same.getAs[Long]("cvm6") == 0L &&
+      same.getAs[Int]("drift_flag") == 0, same.toString)
+    val sh = out("shift")
+    assert(sh.getAs[Int]("drift_flag") == 1 &&
+      sh.getAs[Long]("cvm6") > 461000L, sh.toString)
+    assert(sh.getAs[Long]("n_ref") == 20L &&
+      sh.getAs[Long]("n_cur") == 20L, sh.toString)
+  }
+
+  test("q116-q118 plan one series exchange; q120 plans no join " +
+    "beyond the broadcast pivot") {
+    for (df <- Seq(SignalOps.q116JarqueBera(spark, dir),
+        SignalOps.q117DurbinWatson(spark, dir),
+        SignalOps.q118SupF(spark, dir),
+        SignalOps.q119Grubbs(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val seriesExchanges = plan.split("\n")
+        .count(l => l.contains("Exchange hashpartitioning") &&
+          l.contains("user_id") && l.contains("event_type"))
+      assert(seriesExchanges <= 1,
+        s"expected one series exchange:\n$plan")
+    }
+    val p120 = SignalOps.q120CvmDrift(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p120.contains("CartesianProduct") &&
+      !p120.contains("SortMergeJoin"),
+      s"pivot must broadcast:\n$p120")
+  }
+
+  test("q121 KW: a planted Monday shift flags, plain noise doesn't, a " +
+    "constant series NULLs; H matches a double midrank recomputation") {
+    import spark.implicits._
+    var seed = 77L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 42 // 6 full weeks from a Monday — every weekday present
+    val d0 = java.time.LocalDate.parse("2024-01-01") // a Monday
+    val days = (0 until n).map(d0.plusDays(_))
+    val noise = (0 until n).map(_ => 100.0 + lcg())
+    val monday = days.map(d =>
+      100.0 + lcg() + (if (d.getDayOfWeek.getValue == 1) 50.0 else 0.0))
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, monday(i)), (2L, noise(i)), (3L, 5.0)).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          s"${days(i)} 10:00:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q121spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q121KruskalWallis(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Int]("weekday_effect_flag") == 1 &&
+      out(1L).getAs[Long]("kw_h6") > 12591600L, out(1L).toString)
+    assert(out(2L).getAs[Int]("weekday_effect_flag") == 0, out(2L).toString)
+    val const = out(3L)
+    assert(const.isNullAt(const.fieldIndex("kw_h6")) &&
+      const.getAs[Int]("weekday_effect_flag") == 0, const.toString)
+    // double midrank recomputation for the planted series
+    val ys = monday.map(v => math.floor(v * 10000.0 + 0.5))
+    val gs = days.map(d => (d.getDayOfWeek.getValue - 1) % 7)
+    val rank = ys.sorted.zipWithIndex.groupBy(_._1)
+      .map { case (y, xs) => y -> (xs.map(_._2 + 1).sum.toDouble / xs.size) }
+    val byDay = (0 until 7).map(g =>
+      (0 until n).filter(gs(_) == g).map(i => rank(ys(i))))
+    val a = byDay.map(rs => math.pow(rs.sum, 2) / rs.size).sum
+    val ties = ys.groupBy(identity).values
+      .map(v => math.pow(v.size, 3) - v.size).sum
+    val cc = 1.0 - ties / (math.pow(n, 3) - n)
+    val h = (12.0 / (n * (n + 1.0)) * a - 3.0 * (n + 1)) / cc
+    assert(math.abs(out(1L).getAs[Long]("kw_h6") - h * 1e6) < 5.0,
+      s"${out(1L)} vs $h")
+  }
+
+  test("q122 turning points: an alternator lands the exact closed-form " +
+    "z and flags, a monotone ramp flags low, LCG noise stays quiet") {
+    import spark.implicits._
+    var seed = 33L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 40
+    val alt = (0 until n).map(i =>
+      100.0 + (if (i % 2 == 0) 1.0 else -1.0))
+    val ramp = (0 until n).map(i => 100.0 + 0.5 * i)
+    val noise = (0 until n).map(_ => 100.0 + lcg())
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, alt(i)), (2L, ramp(i)), (3L, noise(i))).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q122spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q122TurningPoints(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val za = (3.0 * 38 - 2 * 40 + 4) / (3.0 * math.sqrt((16.0 * 40 - 29) / 90.0))
+    assert(out(1L).getAs[Long]("n_turns") == 38L &&
+      out(1L).getAs[Long]("tp_z6") == math.floor(za * 1e6 + 0.5).toLong &&
+      out(1L).getAs[Int]("nonrandom_flag") == 1, out(1L).toString)
+    assert(out(2L).getAs[Long]("n_turns") == 0L &&
+      out(2L).getAs[Long]("tp_z6") < -1960000L &&
+      out(2L).getAs[Int]("nonrandom_flag") == 1, out(2L).toString)
+    assert(out(3L).getAs[Int]("nonrandom_flag") == 0, out(3L).toString)
+  }
+
+  test("q123 Bartlett: a wild-Monday series flags, homogeneous noise " +
+    "doesn't, a constant weekday NULLs; B matches a double recomputation") {
+    import spark.implicits._
+    var seed = 91L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 42 // 6 full weeks from a Monday
+    val d0 = java.time.LocalDate.parse("2024-01-01") // a Monday
+    val days = (0 until n).map(d0.plusDays(_))
+    val wild = days.zipWithIndex.map { case (d, i) =>
+      100.0 + lcg() + (if (d.getDayOfWeek.getValue == 1)
+        (if (i % 2 == 0) 30.0 else -30.0) else 0.0)
+    }
+    val noise = (0 until n).map(_ => 100.0 + lcg())
+    val constMon = days.map(d =>
+      if (d.getDayOfWeek.getValue == 1) 100.0 else 100.0 + lcg())
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, wild(i)), (2L, noise(i)), (3L, constMon(i))).map {
+        case (u, v) =>
+          (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+            s"${days(i)} 10:00:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q123spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q123Bartlett(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[Int]("hetero_flag") == 1 &&
+      out(1L).getAs[Long]("bart6") > 12591600L, out(1L).toString)
+    assert(out(2L).getAs[Int]("hetero_flag") == 0, out(2L).toString)
+    val cst = out(3L)
+    assert(cst.isNullAt(cst.fieldIndex("bart6")) &&
+      cst.getAs[Int]("hetero_flag") == 0, cst.toString)
+    // double recomputation for the wild series on the 1e-4 grid
+    val ys = wild.map(v => math.floor(v * 10000.0 + 0.5).toLong)
+    val gs = days.map(d => (d.getDayOfWeek.getValue - 1) % 7)
+    val byDay = (0 until 7).map(g =>
+      (0 until n).filter(gs(_) == g).map(ys(_)))
+    val vsD = byDay.map { grp =>
+      val nd = grp.size.toLong
+      val m2 = nd * grp.map(y => y * y).sum - math.pow(grp.sum.toDouble, 2)
+      m2 / nd
+    }
+    val w = vsD.sum
+    val nn = n.toDouble
+    val t = (nn - 7) * math.log(w / (nn - 7)) -
+      byDay.zip(vsD).map { case (grp, v) =>
+        (grp.size - 1.0) * math.log(v / (grp.size - 1.0)) }.sum
+    val c = 1.0 + (byDay.map(g => 1.0 / (g.size - 1.0)).sum -
+      1.0 / (nn - 7)) / 18.0
+    assert(math.abs(out(1L).getAs[Long]("bart6") - t / c * 1e6) < 10.0,
+      s"${out(1L)} vs ${t / c}")
+  }
+
+  test("q124 CUSUM-of-squares: a planted variance break flags at its " +
+    "date, a constant-|diff| series scores exactly 0, a constant NULLs") {
+    import spark.implicits._
+    // series 1: 20 tiny |d|=0.01 steps then 20 huge |d|=10 steps
+    val brk = (0 to 40).map { i =>
+      if (i <= 20) 100.0 + (i % 2) * 0.01
+      else 100.0 + (i % 2) * 10.0
+    }
+    // series 2: perfect alternator — C_k = k exactly, D == 0
+    val alt = (0 to 40).map(i => 100.0 + (if (i % 2 == 0) 1.0 else -1.0))
+    val const = (0 to 40).map(_ => 42.0)
+    val rows = (0 to 40).flatMap { i =>
+      Seq((1L, brk(i)), (2L, alt(i)), (3L, const(i))).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q124spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q124CusumSquares(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val b = out(1L)
+    assert(b.getAs[Int]("var_break_flag") == 1 &&
+      b.getAs[Long]("it6") > 1358000L &&
+      b.getAs[Long]("break_event_id") == 1020L, b.toString)
+    assert(out(2L).getAs[Long]("it6") == 0L &&
+      out(2L).getAs[Int]("var_break_flag") == 0, out(2L).toString)
+    val cst = out(3L)
+    assert(cst.isNullAt(cst.fieldIndex("it6")) &&
+      cst.getAs[Int]("var_break_flag") == 0, cst.toString)
+    // closed-form IT for the planted break at k=20 of m=40
+    val cks = (1 to 40).map { k =>
+      val tiny = math.min(k, 20).toLong * 100L * 100L
+      val huge = math.max(k - 20, 0).toLong * 100000L * 100000L
+      tiny + huge
+    } // |d| grid: 100 in regime 1, 100000 in regime 2
+    val cm = cks.last
+    val maxnum = (1 to 40).map(k =>
+      math.abs(40L * cks(k - 1) - k.toLong * cm)).max
+    val it = math.sqrt(20.0) * maxnum.toDouble / (40.0 * cm.toDouble)
+    assert(b.getAs[Long]("it6") == math.floor(it * 1e6 + 0.5).toLong,
+      s"$b vs $it")
+  }
+
+  test("p14 residual panel: clean noise is clean, a pure ramp is a " +
+    "single-flag check, a drifting walk is suspect, thin is insufficient") {
+    import spark.implicits._
+    var seed = 33L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 40
+    val noise = (0 until n).map(_ => 100.0 + lcg())
+    val ramp = (0 until n).map(i => 100.0 + 0.5 * i)
+    var w = 100.0
+    val walk = (0 until n).map { _ =>
+      w += 0.6 + lcg(); w // drift keeps the walk decisively trending
+    }
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, noise(i)), (2L, ramp(i)), (4L, walk(i))).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }
+    } ++ (0 until 5).map(i => (3L, "x", 3000L + i, java.sql.Timestamp
+      .valueOf(f"2024-01-01 00:0$i%01d:00"), 100.0 + i))
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("p14spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.p14ResidualPanel(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).getAs[String]("verdict") == "clean" &&
+      out(1L).getAs[Int]("n_issues") == 0, out(1L).toString)
+    assert(out(2L).getAs[String]("verdict") == "check" &&
+      out(2L).getAs[Int]("nonrandom_flag") == 1, out(2L).toString)
+    assert(out(4L).getAs[String]("verdict") == "suspect" &&
+      out(4L).getAs[Int]("n_issues") >= 2, out(4L).toString)
+    val thin = out(3L)
+    assert(thin.getAs[String]("verdict") == "insufficient" &&
+      thin.isNullAt(thin.fieldIndex("jb6")), thin.toString)
+  }
+
+  test("q123/q124 plan one series exchange each") {
+    for (df <- Seq(SignalOps.q123Bartlett(spark, dir),
+        SignalOps.q124CusumSquares(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val seriesExchanges = plan.split("\n")
+        .count(l => l.contains("Exchange hashpartitioning") &&
+          l.contains("user_id") && l.contains("event_type"))
+      assert(seriesExchanges <= 1,
+        s"expected one series exchange:\n$plan")
+    }
+  }
+
+  test("q122 plans one series exchange; q121's second exchange is over " +
+    "the distinct-value table only") {
+    val p122 = SignalOps.q122TurningPoints(spark, dir)
+      .queryExecution.executedPlan.toString
+    val e122 = p122.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("user_id") && l.contains("event_type"))
+    assert(e122 <= 1, s"expected one series exchange:\n$p122")
+    val p121 = SignalOps.q121KruskalWallis(spark, dir)
+      .queryExecution.executedPlan.toString
+    val e121 = p121.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(e121 <= 2, s"expected corpus + distinct-table exchanges:\n$p121")
+  }
 }

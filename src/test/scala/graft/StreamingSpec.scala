@@ -1311,4 +1311,94 @@ class StreamingSpec extends AnyFunSuite {
       b.head.getAs[Long]("n_events") == 1L &&
       b.head.getAs[Long]("duration_us") == 0L, b.head.toString)
   }
+
+  test("st32 streaming turning points: an alternator confirms every " +
+      "interior turn, a gap restarts the count, multi-batch matches") {
+    import spark.implicits._
+    def t(day: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:$m%02d:00")
+    // ticker 1: 20-print alternator; ticker 2: 5 prints, a 9-day gap,
+    // then 3 more prints — the count must restart at 1
+    val alt = (0 until 20).map(i =>
+      (1L, "x", i.toLong, t(1, i), 10.0 + (if (i % 2 == 0) 1.0 else -1.0)))
+    val gap = (0 until 5).map(i =>
+      (2L, "x", 100L + i, t(1, i), 10.0 + i)) ++
+      (0 until 3).map(i => (2L, "x", 200L + i, t(11, i), 10.0 + i))
+    val tmp = java.nio.file.Files.createTempDirectory("st32spec").toString
+    (alt ++ gap).toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st32StreamTurningPoints(spark, tmp)
+      .collect()
+    val a = out.filter(_.getAs[Long]("user_id") == 1L)
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(a.length == 20)
+    // after print n the confirmed turns are n-2 (every interior print)
+    a.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_obs") == i + 1 &&
+        r.getAs[Long]("n_turns") == math.max(0, i - 1), s"row $i: $r")
+      if (i + 1 < 8) assert(r.isNullAt(r.fieldIndex("tp_z6")), r.toString)
+      else {
+        val n = i + 1L; val turns = i - 1L
+        val z = (3 * turns - 2 * n + 4).toDouble /
+          (3.0 * math.sqrt((16 * n - 29).toDouble / 90.0))
+        assert(r.getAs[Long]("tp_z6") ==
+          math.floor(z * 1e6 + 0.5).toLong, s"row $i: $r vs $z")
+      }
+    }
+    assert(a.last.getAs[Int]("nonrandom_flag") == 1, a.last.toString)
+    val g = out.filter(_.getAs[Long]("user_id") == 2L)
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(g.length == 8)
+    assert(g(4).getAs[Long]("n_obs") == 5L, g(4).toString)
+    assert(g(5).getAs[Long]("n_obs") == 1L &&
+      g(5).getAs[Long]("n_turns") == 0L, g(5).toString) // restarted
+    // batch boundaries don't perturb the turn state
+    val multi = StreamingAnomaly.st32FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st32StreamTurningPoints(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.nonEmpty)
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
+
+  test("st33 streaming drawdown: peak/drawdown/run replay a planted " +
+      "path exactly, a gap resets the peak, multi-batch matches") {
+    import spark.implicits._
+    def t(day: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:$m%02d:00")
+    val path = Seq(10.0, 12.0, 11.0, 9.0, 13.0, 8.0)
+    val rows = path.zipWithIndex.map { case (v, i) =>
+      (1L, "x", i.toLong, t(1, i), v)
+    } ++ Seq((2L, "x", 100L, t(1, 0), 50.0), (2L, "x", 101L, t(11, 0), 5.0))
+    val tmp = java.nio.file.Files.createTempDirectory("st33spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st33StreamDrawdown(spark, tmp).collect()
+    val a = out.filter(_.getAs[Long]("user_id") == 1L)
+      .sortBy(_.getAs[Long]("event_id"))
+    val expPeak = Seq(10.0, 12.0, 12.0, 12.0, 13.0, 13.0)
+    val expDd = Seq(0.0, 0.0, 1.0, 3.0, 0.0, 5.0)
+    val expRun = Seq(0L, 0L, 1L, 2L, 0L, 1L)
+    val expMax = Seq(0.0, 0.0, 1.0, 3.0, 3.0, 5.0)
+    a.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("peak") == expPeak(i) &&
+        r.getAs[Double]("drawdown") == expDd(i) &&
+        r.getAs[Long]("underwater_run") == expRun(i) &&
+        r.getAs[Double]("max_drawdown") == expMax(i), s"row $i: $r")
+    }
+    // frac at the last print: 5/13 of peak, exact integer div on the grid
+    assert(a.last.getAs[Long]("dd_frac6") ==
+      50000L * 1000000L / 130000L, a.last.toString)
+    // the 9-day gap resets the peak: the 5.0 print shows no drawdown
+    val g = out.filter(_.getAs[Long]("user_id") == 2L)
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(g.length == 2 && g(1).getAs[Double]("peak") == 5.0 &&
+      g(1).getAs[Double]("drawdown") == 0.0, g.mkString(","))
+    // batch boundaries don't perturb the peak + run state
+    val multi = StreamingAnomaly.st33FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st33StreamDrawdown(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
 }
