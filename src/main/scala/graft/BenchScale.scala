@@ -176,18 +176,34 @@ object BenchScale {
     // q110 = two rank windows + two co-partitioned joins on one
     // series exchange (q109's class).
     "q110_modified_zscore",
-    // round 10: q111 is q94's pair join + one lag window —
-    // catalog-quadratic output BY SEMANTICS, excluded for q94's
-    // reason; st30 is st02's state class (same baseline, incident
-    // accumulator is 6 scalars). q112 is q111's pair shape (q94's
-    // exclusion reason); q113 is q105's series-moment class; st31 is
-    // st25's 12-long prefix-moment state class.
-    "q111_granger", "st30_stream_incidents", "q112_cointegration",
+    // round 10: st30 is st02's state class (same baseline, incident
+    // accumulator is 6 scalars); q113/q114/q115 are q105's
+    // series-moment class; st31 is st25's 12-long prefix-moment
+    // state class. q111/q112 are q94's pair join shape —
+    // catalog-quadratic output BY SEMANTICS (10× tickers ⇒ 100×
+    // pairs no real corpus growth produces), excluded for q94's
+    // reason; p13 composes series-moment components on a catalog
+    // spine (its cost IS the probed components') — excluded as a
+    // composition, like p12.
+    "st30_stream_incidents",
     "q113_adf_unit_root", "st31_stream_adf", "q114_kpss",
     "q115_chow_break",
-    // p13 composes four excluded series-moment components on a
-    // catalog spine — excluded for their reason.
-    "p13_regime_panel")
+    // d22: doc-local run mining + exact-text groupBy — r10 probed it
+    // in a separate pass (2.49× at 10× rows); in-list now that the
+    // memory-sink sweep lets the full suite finish in one JVM.
+    "d22_span_catalog",
+    // round 11: q116 = five-power-sum groupBy; q117 = q82's moment
+    // windows + one lag; q118 = prefix-window sup scan (O(n)/series);
+    // q121 = q84's distinct-value midrank class; q122 = one lag/lead
+    // window + count; q123 = seven-column conditional-moment groupBy;
+    // q124 = prefix/total squared-diff windows + exact argmax; st32 =
+    // 3-long turn state; st33 = 3-long peak state. q119/q120 ride
+    // probed classes (q109's full-key windows / q69's distinct-value
+    // CDF); p14 is a composition (p13's exclusion reason).
+    "q116_jarque_bera", "q117_durbin_watson", "q118_sup_f",
+    "q121_kruskal_wallis", "q122_turning_points", "q123_bartlett",
+    "q124_cusum_squares", "st32_stream_turning_points",
+    "st33_stream_drawdown")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -115,6 +115,8 @@ object SparkEntry {
       ((s, d) => SignalOps.q124CusumSquares(s, d)),
     "p14_residual_panel" ->
       ((s, d) => SignalOps.p14ResidualPanel(s, d)),
+    "q125_sample_entropy" ->
+      ((s, d) => SignalOps.q125SampleEntropy(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
@@ -329,6 +331,9 @@ object SparkEntry {
         graft.streaming.StreamingAnomaly.st32StreamTurningPoints(s, d)),
     "st33_stream_drawdown" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st33StreamDrawdown(s, d)),
+    "st34_stream_burstiness" ->
+      ((s, d) =>
+        graft.streaming.StreamingAnomaly.st34StreamBurstiness(s, d)),
     "st26_stream_twap" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st26StreamTwap(s, d)),
     "st27_stream_ensemble" ->
@@ -452,6 +457,7 @@ object SparkEntry {
     "q123_bartlett"      -> SignalOracle.q123,
     "q124_cusum_squares" -> SignalOracle.q124,
     "p14_residual_panel" -> SignalOracle.p14,
+    "q125_sample_entropy" -> SignalOracle.q125,
     "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,
@@ -461,6 +467,7 @@ object SparkEntry {
     "st31_stream_adf"    -> SignalOracle.st31,
     "st32_stream_turning_points" -> SignalOracle.st32,
     "st33_stream_drawdown" -> SignalOracle.st33,
+    "st34_stream_burstiness" -> SignalOracle.st34,
     "st26_stream_twap"   -> SignalOracle.st26,
     "st27_stream_ensemble" -> SignalOracle.st27,
     "st28_stream_macd"   -> SignalOracle.st28,

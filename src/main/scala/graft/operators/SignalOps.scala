@@ -4489,6 +4489,75 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q125: SAMPLE ENTROPY per series (Richman & Moorman 2000) — the
+    * regularity number the turning-point screen (q122) only hints at:
+    * SampEn(m, r) = −ln(A/B), B = pairs of length-m templates within
+    * tolerance r, A = pairs still within r when extended one step.
+    * Low SampEn = the series repeats itself (predictable structure a
+    * forecast should exploit — and a data-quality smell when a live
+    * feed is TOO regular); high = irregular. m = 1 (the short-series
+    * recommendation — this corpus caps series at ~30 prints), r =
+    * 0.2·σ the standard tolerance, regular_flag below 0.5.
+    *
+    * Exactness: y on the 1e-4 grid; r is ONE shared IEEE chain off
+    * the exact M2 = nS2 − S1² rounded to an INTEGER grid tolerance
+    * r4, after which every template comparison |Δ| ≤ r4 is an exact
+    * integer predicate; A ≤ B by construction, SampEn = −ln(A/B) one
+    * IEEE chain 1e-6-floored (constant series: every template
+    * matches, A = B, SampEn exactly 0 — maximally regular); A = 0
+    * (no repeated pair survives extension) reports NULL. B = 0 is
+    * impossible for n ≥ 2 equal prints… for series with no pair
+    * within r, B = 0 also reports NULL.
+    *
+    * Scale shape: q90's pair class — ONE series exchange, the
+    * template self-join is key-local (series are short: pairs =
+    * C(n−1,2) per series, calendar-bounded like q90's slopes); at
+    * 100 TB with LONG series, pre-bucket templates by ⌊y/r⌋ and join
+    * adjacent cells (the LSH shape d02 uses) before the exact check.
+    */
+  def q125SampleEntropy(s: SparkSession, dir: String,
+      minObs: Int = 8): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dd = (c: Column) => c.cast("double")
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("s1", sum(col("y")).over(wKey))
+      .withColumn("s2", sum((d19(col("y")) * d19(col("y")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("i", row_number().over(wAsc).cast("long"))
+      .withColumn("y1", lead(col("y"), 1).over(wAsc))
+      .filter(col("n") >= minObs && col("y1").isNotNull)
+      .withColumn("m2i", (col("n").cast("decimal(38,0)") * col("s2") -
+        d19(col("s1")).cast("decimal(38,0)") * d19(col("s1")))
+        .cast("decimal(38,0)"))
+      .withColumn("r4", floor(lit(0.2) *
+        sqrt(dd(col("m2i")) / (dd(col("n")) * dd(col("n") - 1))) +
+        lit(0.5)).cast("long"))
+      .select(col("user_id"), col("event_type"), col("n"), col("r4"),
+        col("i"), col("y"), col("y1"))
+    val l = rows.as("l")
+    val r = rows.select(col("user_id"), col("event_type"),
+      col("i").as("j"), col("y").as("yj"), col("y1").as("yj1")).as("r")
+    val pairs = l.join(r, Seq("user_id", "event_type"))
+      .filter(col("i") < col("j"))
+      .withColumn("bm",
+        (abs(col("y") - col("yj")) <= col("r4")).cast("long"))
+      .withColumn("am", when(col("bm") === 1L &&
+        abs(col("y1") - col("yj1")) <= col("r4"), 1L).otherwise(0L))
+    pairs.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n_obs"), max(col("r4")).as("r4"),
+        sum(col("bm")).as("b_cnt"), sum(col("am")).as("a_cnt"))
+      .withColumn("sampen6",
+        when(col("a_cnt") > 0 && col("b_cnt") > 0,
+          floor(-log(dd(col("a_cnt")) / dd(col("b_cnt"))) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .withColumn("regular_flag",
+        when(col("sampen6") < 500000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** p14: the RESIDUAL-DIAGNOSTICS PANEL — round 11's assumption
     * audits composed into the one per-ticker report that says whether
     * the PARAMETRIC detectors upstream can be trusted: q116's
@@ -9319,6 +9388,120 @@ object SignalOracle {
       |  underwater_run, maxdd4 / 10000.0 AS max_drawdown
       |FROM r
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** st34: segmented prefix gap moments (gaps that cross the 8-day
+    * boundary start a new segment and emit nothing), q106's chain
+    * per row.
+    */
+  val st34: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS g
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN g IS NULL OR g > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), emitted AS (
+      |  SELECT * FROM seg WHERE g IS NOT NULL AND g <= 691200000000
+      |), w AS (
+      |  SELECT *,
+      |    row_number() OVER ws AS n,
+      |    sum(g) OVER wr AS s1,
+      |    sum(CAST(g AS HUGEINT) * g) OVER wr AS s2
+      |  FROM emitted
+      |  WINDOW ws AS (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id),
+      |    wr AS (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), c1 AS (
+      |  SELECT *, CAST(s1 // n AS BIGINT) AS mean_gap_us,
+      |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS c
+      |  FROM w
+      |), c2 AS (
+      |  SELECT *, CASE WHEN n >= 4 THEN
+      |    CAST(floor(sqrt(CAST(greatest(c, 0) AS DOUBLE)
+      |      / (n * (n - 1))) + 0.5) AS BIGINT) END AS sd_gap_us
+      |  FROM c1
+      |), c3 AS (
+      |  SELECT *,
+      |    CASE WHEN sd_gap_us IS NOT NULL AND mean_gap_us > 0 THEN
+      |      CAST(floor(CAST(sd_gap_us AS DOUBLE) / mean_gap_us
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS cv6,
+      |    CASE WHEN sd_gap_us IS NOT NULL
+      |        AND sd_gap_us + mean_gap_us > 0 THEN
+      |      CAST(floor(CAST(sd_gap_us - mean_gap_us AS DOUBLE)
+      |        / (sd_gap_us + mean_gap_us) * 1000000.0 + 0.5) AS BIGINT)
+      |      END AS burstiness6
+      |  FROM c2
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  g AS gap_us, CAST(n AS BIGINT) AS n_gaps, mean_gap_us,
+      |  sd_gap_us, cv6, burstiness6,
+      |  CAST(CASE WHEN burstiness6 > 300000 THEN 1 ELSE 0 END AS INT)
+      |    AS bursty_flag
+      |FROM c3
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** q125: integer template predicates after the one r4 chain, the
+    * key-local i<j pair join, −ln(A/B).
+    */
+  val q125: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), w AS (
+      |  SELECT *, count(*) OVER wk AS n, sum(y) OVER wk AS s1,
+      |    sum(CAST(y AS HUGEINT) * y) OVER wk AS s2,
+      |    row_number() OVER wa AS i,
+      |    lead(y) OVER wa AS y1
+      |  FROM b
+      |  WINDOW wk AS (PARTITION BY user_id, event_type),
+      |    wa AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), f AS (
+      |  SELECT * FROM w WHERE n >= 8 AND y1 IS NOT NULL
+      |), t AS (
+      |  SELECT *, CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+      |    AS m2i
+      |  FROM f
+      |), g AS (
+      |  SELECT *, CAST(floor(CAST(0.2 AS DOUBLE)
+      |    * sqrt(CAST(m2i AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+      |    + 0.5) AS BIGINT) AS r4
+      |  FROM t
+      |), p AS (
+      |  SELECT l.user_id, l.event_type, l.n, l.r4,
+      |    CASE WHEN abs(l.y - r.y) <= l.r4 THEN 1 ELSE 0 END AS bm,
+      |    CASE WHEN abs(l.y - r.y) <= l.r4
+      |      AND abs(l.y1 - r.y1) <= l.r4 THEN 1 ELSE 0 END AS am
+      |  FROM g l JOIN g r
+      |    ON l.user_id = r.user_id AND l.event_type = r.event_type
+      |    AND l.i < r.i
+      |), agg AS (
+      |  SELECT user_id, event_type, max(n) AS n_obs, max(r4) AS r4,
+      |    CAST(SUM(bm) AS BIGINT) AS b_cnt,
+      |    CAST(SUM(am) AS BIGINT) AS a_cnt
+      |  FROM p GROUP BY 1, 2
+      |), fin AS (
+      |  SELECT *, CASE WHEN a_cnt > 0 AND b_cnt > 0 THEN
+      |    CAST(floor(-ln(CAST(a_cnt AS DOUBLE) / CAST(b_cnt AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) END AS sampen6
+      |  FROM agg
+      |)
+      |SELECT user_id, event_type, n_obs, r4, b_cnt, a_cnt, sampen6,
+      |  CAST(CASE WHEN sampen6 < 500000 THEN 1 ELSE 0 END AS INT)
+      |    AS regular_flag
+      |FROM fin
+      |ORDER BY user_id, event_type""".stripMargin
 
   /** p14: the four diagnostic oracles as nested-WITH subqueries on
     * the catalog spine, p13's composition pattern.

@@ -3337,4 +3337,126 @@ object StreamingAnomaly extends Serializable {
   def st33StreamDrawdown(s: SparkSession, dir: String,
       staleDays: Double = 8.0): DataFrame =
     st33FromStream(s, eventStream(s, dir), staleDays)
+
+  /** st34 per-ticker interarrival state: O(1) — last event time, gap
+    * count, gap sum and the two-limb gap square sum (st22's base-1e18
+    * pair; gaps reach 6.9e11 µs so squares need 128 bits).
+    */
+  case class BurstState(lastUs: Long, n: Long, s1: Long,
+      s2Hi: Long, s2Lo: Long)
+
+  case class BurstOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, gap_us: Long, n_gaps: Long,
+      mean_gap_us: Long, sd_gap_us: Option[Long], cv6: Option[Long],
+      burstiness6: Option[Long], bursty_flag: Int)
+
+  /** st34: q106's interarrival burstiness answered LIVE — the feed-
+    * health number an ingestion on-call watches as prints arrive:
+    * each gap extends the exact prefix gap moments and re-emits
+    * B = (σ−μ)/(σ+μ) (Goh & Barabási 2008's bounded burstiness), so
+    * a feed drifting from steady (B < 0) toward bursty batching
+    * (B → 1) pages at the print where it crossed 0.3, not at the
+    * nightly batch. State is five longs per key; staleness gaps /
+    * EventTimeTimeout restart the segment (the 8-day horizon would
+    * otherwise dominate every moment). Exactness: gaps are exact µs
+    * longs, s2 exact via the two-limb pair, c = n·s2 − s1² exact
+    * BigInt, and q106's identical IEEE chain (BigInt.toDouble ≡ the
+    * batch's decimal→double cast, both correctly rounded) emits the
+    * same 1e-6-floored fixed points. Fully oracle-backed: segmented
+    * prefix gap moments + the q106 chain per row.
+    */
+  def st34Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0, minGaps: Int = 4):
+      org.apache.spark.sql.Dataset[BurstOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val limb = BigInt(1000000000000000000L) // 1e18
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[BurstState]): Iterator[BurstOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[BurstOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          stOpt = stOpt.filter(st => usOf(e.ts) - st.lastUs <= staleUs)
+          stOpt match {
+            case None =>
+              stOpt = Some(BurstState(usOf(e.ts), 0L, 0L, 0L, 0L))
+            case Some(st) =>
+              val g = usOf(e.ts) - st.lastUs
+              val n = st.n + 1
+              val s1 = st.s1 + g
+              val s2 = BigInt(st.s2Hi) * limb + st.s2Lo +
+                BigInt(g) * BigInt(g)
+              val mean = s1 / n
+              val c = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
+              val sd =
+                if (n >= minGaps)
+                  Some(math.floor(math.sqrt(
+                    c.max(BigInt(0)).toDouble / (n * (n - 1))) +
+                    0.5).toLong)
+                else None
+              val cv = sd.flatMap(sdv =>
+                if (mean > 0)
+                  Some(math.floor(
+                    sdv.toDouble / mean * 1000000.0 + 0.5).toLong)
+                else None)
+              val burst = sd.flatMap(sdv =>
+                if (sdv + mean > 0)
+                  Some(math.floor((sdv - mean).toDouble / (sdv + mean) *
+                    1000000.0 + 0.5).toLong)
+                else None)
+              stOpt = Some(BurstState(usOf(e.ts), n, s1,
+                (s2 / limb).toLong, (s2 % limb).toLong))
+              out += BurstOut(key._1, key._2, e.event_id, e.ts, g, n,
+                mean, sd, cv, burst,
+                if (burst.exists(_ > 300000L)) 1 else 0)
+          }
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st34FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st34_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st34Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("gap_us"), col("n_gaps"),
+        col("mean_gap_us"), col("sd_gap_us"), col("cv6"),
+        col("burstiness6"), col("bursty_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st34StreamBurstiness(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st34FromStream(s, eventStream(s, dir), staleDays)
 }

@@ -2526,6 +2526,63 @@ class SignalOpsSpec extends AnyFunSuite {
       thin.isNullAt(thin.fieldIndex("jb6")), thin.toString)
   }
 
+  test("q125 SampEn: a period-2 alternator is perfectly regular with " +
+    "exact template counts, a constant scores 0, noise is irregular") {
+    import spark.implicits._
+    var seed = 55L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 40
+    val alt = (0 until 20).map(i =>
+      100.0 + (if (i % 2 == 0) 1.0 else -1.0))
+    val noise = (0 until n).map(_ => 100.0 + lcg())
+    val const = (0 until n).map(_ => 42.0)
+    val rows = (0 until n).flatMap { i =>
+      (Seq((2L, noise(i)), (3L, const(i))) ++
+        (if (i < 20) Seq((1L, alt(i))) else Nil)).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q125spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q125SampleEntropy(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    // alternator: same-parity templates match exactly, extensions all
+    // survive — 10 odd + 9 even positions among i = 1..19
+    val a = out(1L)
+    assert(a.getAs[Long]("b_cnt") == 45L + 36L &&
+      a.getAs[Long]("a_cnt") == a.getAs[Long]("b_cnt") &&
+      a.getAs[Long]("sampen6") == 0L &&
+      a.getAs[Int]("regular_flag") == 1, a.toString)
+    assert(out(2L).getAs[Int]("regular_flag") == 0 &&
+      out(2L).getAs[Long]("b_cnt") > 0L, out(2L).toString)
+    val c = out(3L)
+    assert(c.getAs[Long]("r4") == 0L &&
+      c.getAs[Long]("b_cnt") == 39L * 38L / 2 &&
+      c.getAs[Long]("sampen6") == 0L &&
+      c.getAs[Int]("regular_flag") == 1, c.toString)
+    // scala recomputation of the noise series' template counts
+    val ys = noise.map(v => math.floor(v * 10000.0 + 0.5).toLong)
+    val m2 = n.toLong * ys.map(y => y * y).sum - ys.sum * ys.sum
+    val r4 = math.floor(0.2 * math.sqrt(
+      m2.toDouble / (n.toDouble * (n - 1))) + 0.5).toLong
+    val idx = 0 until (n - 1)
+    val b = (for (i <- idx; j <- idx if i < j)
+      yield if (math.abs(ys(i) - ys(j)) <= r4) 1 else 0).sum
+    val aa = (for (i <- idx; j <- idx if i < j)
+      yield if (math.abs(ys(i) - ys(j)) <= r4 &&
+        math.abs(ys(i + 1) - ys(j + 1)) <= r4) 1 else 0).sum
+    assert(out(2L).getAs[Long]("b_cnt") == b &&
+      out(2L).getAs[Long]("a_cnt") == aa, s"${out(2L)} vs B=$b A=$aa")
+    val plan = SignalOps.q125SampleEntropy(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q123/q124 plan one series exchange each") {
     for (df <- Seq(SignalOps.q123Bartlett(spark, dir),
         SignalOps.q124CusumSquares(spark, dir))) {

@@ -1401,4 +1401,57 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(multi.length == single.length && multi.sameElements(single))
   }
+
+  test("st34 streaming burstiness: a steady clock scores -1/3 with " +
+      "exact prefix moments, bursty batching flags, a gap emits nothing") {
+    import spark.implicits._
+    def t(day: Int, h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+    // ticker 1: perfectly periodic prints (sd = 0, B = -1); ticker 2:
+    // two tight bursts a day apart (huge sd vs mean, B > 0.3);
+    // ticker 3: 3 prints, a 9-day gap, then 2 more
+    val steady = (0 until 12).map(i => (1L, "x", i.toLong, t(1, 10, i)))
+    val bursts = (0 until 6).map(i => (2L, "x", 100L + i, t(1, 10, i))) ++
+      (0 until 6).map(i => (2L, "x", 200L + i, t(2, 10, i)))
+    val gappy = (0 until 3).map(i => (3L, "x", 300L + i, t(1, 10, i))) ++
+      (0 until 2).map(i => (3L, "x", 400L + i, t(11, 10, i)))
+    val rows = (steady ++ bursts ++ gappy).map { case (u, e, id, ts) =>
+      (u, e, id, ts, 10.0)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("st34spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st34StreamBurstiness(spark, tmp).collect()
+    val a = out.filter(_.getAs[Long]("user_id") == 1L)
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(a.length == 11) // first print emits nothing
+    val last = a.last
+    // constant 60s gaps: mean = 6e7 us, sd = 0, cv = 0, B = -1
+    assert(last.getAs[Long]("n_gaps") == 11L &&
+      last.getAs[Long]("mean_gap_us") == 60000000L &&
+      last.getAs[Long]("sd_gap_us") == 0L &&
+      last.getAs[Long]("cv6") == 0L &&
+      last.getAs[Long]("burstiness6") == -1000000L &&
+      last.getAs[Int]("bursty_flag") == 0, last.toString)
+    // warm-up: sd/cv/B null until the 4th gap
+    assert(a(2).isNullAt(a(2).fieldIndex("sd_gap_us")), a(2).toString)
+    assert(!a(3).isNullAt(a(3).fieldIndex("sd_gap_us")), a(3).toString)
+    val b = out.filter(_.getAs[Long]("user_id") == 2L)
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(b.last.getAs[Int]("bursty_flag") == 1 &&
+      b.last.getAs[Long]("burstiness6") > 300000L, b.last.toString)
+    val g = out.filter(_.getAs[Long]("user_id") == 3L)
+      .sortBy(_.getAs[Long]("event_id"))
+    // 2 gaps before the break, 1 after — the 9-day gap itself is mute
+    assert(g.length == 3 &&
+      g.map(_.getAs[Long]("event_id")).toSeq == Seq(301L, 302L, 401L) &&
+      g.last.getAs[Long]("n_gaps") == 1L, g.mkString(","))
+    // batch boundaries don't perturb the gap-moment state
+    val multi = StreamingAnomaly.st34FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st34StreamBurstiness(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.nonEmpty)
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
 }
