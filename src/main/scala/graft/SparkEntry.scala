@@ -1048,6 +1048,7 @@ object SparkEntry {
     "t05_entropy_score"  -> LlmOracle.t05,
     "d01_dedup_exact"    -> LlmOracle.d01,
     "d02_dedup_minhash_lsh" -> LlmOracle.d02,
+    "d03_dedup_simhash"  -> LlmOracle.d03,
     "d04_ngram_jaccard"  -> LlmOracle.d04,
     "d05_dedup_embedding" -> LlmOracle.d05,
     "d06_dedup_clusters" -> LlmOracle.d06,

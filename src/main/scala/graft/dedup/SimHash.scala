@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** d03: SimHash near-duplicate detection.
   *
   * 60-bit SimHash per document: each distinct token votes ±1 on every
-  * bit of its 64-bit hash; the signature takes the sign of each bit
+  * bit of its 60-bit hash; the signature takes the sign of each bit
   * sum. Near-dups are pairs within Hamming distance `maxHamming`,
   * found by the pigeonhole trick: split the signature into 4 chunks —
   * any pair within distance 3 must agree on at least one chunk, so the
@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   * the native `simhash_pack` expression folds each token hash's ±1 bit
   * votes in one pass (vs the earlier exploded token table + 60-column
   * aggregation buffer per doc, which shuffled every token of the
-  * corpus). The only shuffle left is the candidate chunk join. Rows-
-  * only — spec-verified with planted dups.
+  * corpus). The only shuffle left is the candidate chunk join.
+  *
+  * The per-token hash is d21/d02's explicit md5 digest₆₀ (first 15
+  * hex chars as a long) rather than engine-seeded xxhash64, so the
+  * votes, signature, chunking and Hamming verdicts all replay in ANSI
+  * SQL — the entry is fully oracle-backed (graduated from the
+  * rows-only class like d02/s02/st11 before it).
   */
 object SimHash {
 
@@ -27,8 +32,8 @@ object SimHash {
   val ChunkBits = Bits / Chunks // 15
 
   /** Per-doc signature: sign of the per-bit ±1 vote sums over the
-    * distinct-token xxhash64 values, packed into one long — computed
-    * entirely inside the row.
+    * distinct-token md5-digest₆₀ values, packed into one long —
+    * computed entirely inside the row.
     */
   def signatures(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -36,7 +41,7 @@ object SimHash {
       .select(col("doc_id"),
         graft.functions.VectorFunctions.simhash_pack(
           transform(array_distinct(split(Dedup.normText(col("text")), " ")),
-            t => xxhash64(t)),
+            t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")),
           Bits).as("simhash"))
 
   def nearDupPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {

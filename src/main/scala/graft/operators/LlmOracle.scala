@@ -373,6 +373,45 @@ object LlmOracle {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** d03: the md5 digest₆₀ per distinct token, ±1 votes per bit over
+    * an unnested 60-bit spine, sign-packed signature, the pigeonhole
+    * chunk join and exact Hamming — the same arithmetic as the Spark
+    * side's simhash_pack over conv(md5) hashes.
+    */
+  val d03: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($Norm, ' ') AS ws FROM documents
+       |), tok AS (
+       |  SELECT DISTINCT doc_id, unnest(ws) AS t FROM w
+       |), hx AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+       |  FROM tok
+       |), votes AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hx CROSS JOIN (SELECT unnest(range(60)) AS b) bits
+       |  GROUP BY 1, 2
+       |), sig AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0
+       |      THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS sh
+       |  FROM votes GROUP BY 1
+       |), chunks AS (
+       |  SELECT doc_id, sh, c, (sh >> (c * 15)) & 32767 AS cv
+       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) cs
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, x.sh AS sig_a,
+       |    y.doc_id AS doc_b, y.sh AS sig_b
+       |  FROM chunks x JOIN chunks y
+       |    ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val d15: String =
     s"""WITH batch AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
