@@ -117,6 +117,10 @@ object SparkEntry {
       ((s, d) => SignalOps.p14ResidualPanel(s, d)),
     "q125_sample_entropy" ->
       ((s, d) => SignalOps.q125SampleEntropy(s, d)),
+    "q126_flap_detection" ->
+      ((s, d) => graft.operators.TickerAnomaly.q126FlapDetection(s, d)),
+    "s12_knn_pagerank" ->
+      ((s, d) => graft.similarity.Ann.s12KnnPagerank(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
@@ -458,6 +462,8 @@ object SparkEntry {
     "q124_cusum_squares" -> SignalOracle.q124,
     "p14_residual_panel" -> SignalOracle.p14,
     "q125_sample_entropy" -> SignalOracle.q125,
+    "q126_flap_detection" -> AnomalyOracle.q126,
+    "s12_knn_pagerank"   -> LlmOracle.s12,
     "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,

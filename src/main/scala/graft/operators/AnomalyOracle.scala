@@ -196,4 +196,39 @@ object AnomalyOracle {
        |  n_events, peak_z, n_sd, n_rep, n_stale
        |FROM agg
        |ORDER BY user_id, event_type, incident_id""".stripMargin
+
+  /** q126: verdict transitions over the chain's order, one rate
+    * division, the 0.3-and-6-flips flap rule.
+    */
+  val q126: String =
+    s"""$chain
+       |, fl AS (
+       |  SELECT *, lag(anomaly) OVER w AS prev,
+       |    row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY date_recorded DESC, event_id DESC) AS lrk
+       |  FROM flags2
+       |  WINDOW w AS (PARTITION BY user_id, event_type
+       |    ORDER BY date_recorded, event_id)
+       |), fl2 AS (
+       |  SELECT *, CASE WHEN prev IS NOT NULL AND anomaly <> prev
+       |    THEN 1 ELSE 0 END AS flip
+       |  FROM fl
+       |), agg2 AS (
+       |  SELECT user_id, event_type, count(*) AS n_obs,
+       |    CAST(SUM(anomaly) AS BIGINT) AS n_alerts,
+       |    CAST(SUM(flip) AS BIGINT) AS n_flips,
+       |    MAX(CASE WHEN lrk = 1 THEN anomaly END) AS last_state
+       |  FROM fl2 GROUP BY 1, 2
+       |), fin AS (
+       |  SELECT *, CASE WHEN n_obs > 1 THEN
+       |    CAST(floor(CAST(n_flips AS DOUBLE) / CAST(n_obs - 1 AS DOUBLE)
+       |      * 1000000.0 + 0.5) AS BIGINT) END AS flip_rate6
+       |  FROM agg2
+       |)
+       |SELECT user_id, event_type, n_obs, n_alerts, n_flips, last_state,
+       |  flip_rate6,
+       |  CAST(CASE WHEN flip_rate6 > 300000 AND n_flips >= 6
+       |    THEN 1 ELSE 0 END AS INT) AS flapping_flag
+       |FROM fin
+       |ORDER BY user_id, event_type""".stripMargin
 }

@@ -930,6 +930,52 @@ object LlmOracle {
        |FROM lrd JOIN ns ON lrd.node_id = ns.node_id
        |ORDER BY vec_id""".stripMargin
 
+  /** s12: s08's edge list, then five MATERIALIZED integer PageRank
+    * iterations — r₀ = 10⁹//N, contrib = r//deg, r' = (15·r₀)//100 +
+    * (85·Σ)//100, the exact ops the Spark loop runs.
+    */
+  val s12: String = {
+    val iters = (1 to 5).map { k =>
+      s"""it$k AS MATERIALIZED (
+         |  SELECT nd.vec_id,
+         |    (15 * (SELECT 1000000000 // nn FROM cnt)) // 100
+         |      + (85 * coalesce(sm.m, 0)) // 100 AS r
+         |  FROM v nd LEFT JOIN (
+         |    SELECT g.nbr_id AS vec_id, SUM(p.r // od.deg) AS m
+         |    FROM g JOIN it${k - 1} p ON p.vec_id = g.node_id
+         |    JOIN od ON od.node_id = g.node_id
+         |    GROUP BY 1) sm ON sm.vec_id = nd.vec_id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM v
+       |), p AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    floor(${dotSql("a.v", "b.v")} / sqrt(a.norm2 * b.norm2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cos6
+       |  FROM n a JOIN n b ON b.vec_id > a.vec_id
+       |), d AS (
+       |  SELECT ia AS node_id, ib AS nbr_id, cos6 FROM p
+       |  UNION ALL SELECT ib, ia, cos6 FROM p
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY node_id
+       |    ORDER BY cos6 DESC, nbr_id) AS rk
+       |  FROM d
+       |), g AS (
+       |  SELECT node_id, nbr_id FROM r WHERE rk <= 5
+       |), cnt AS (
+       |  SELECT count(*) AS nn FROM v
+       |), od AS (
+       |  SELECT node_id, count(*) AS deg FROM g GROUP BY 1
+       |), it0 AS MATERIALIZED (
+       |  SELECT vec_id, 1000000000 // nn AS r FROM v, cnt
+       |), $iters
+       |SELECT vec_id, CAST(r AS BIGINT) AS pagerank9
+       |FROM it5 ORDER BY vec_id""".stripMargin
+  }
+
   val s06: String =
     s"""WITH v AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -354,6 +354,54 @@ object TickerAnomaly {
       "standard_deviation_flag", "data_repetitions_flag",
       "days_since_last_update_flag", "anomaly")(keyOrder: _*)
 
+  /** q126: ALERT FLAP DETECTION — the meta-detector an on-call
+    * rotation needs once q09 pages per observation: a ticker whose
+    * anomaly verdict TOGGLES constantly (marginal z hovering at the
+    * bar, a repetition run breaking and reforming) produces more
+    * pages than signal, and the textbook response is flap
+    * suppression (hold the alert until the state is stable — the
+    * same rule network monitors apply to interface up/down storms).
+    * Per ticker: count verdict transitions over the chain's order,
+    * flip rate = flips/(n−1), flapping once the rate clears 0.3 AND
+    * at least 6 flips (a 2-print ticker that toggled once is not a
+    * storm); last_state says whether the ticker is currently paging.
+    *
+    * Determinism: flips are integer comparisons on q09's already
+    * oracle-matched verdict column over the chain's deterministic
+    * (date_recorded, event_id) order; the rate is ONE IEEE division
+    * 1e-6-floored.
+    *
+    * Scale shape: rides the chain's ONE ticker exchange — the lag,
+    * the last-state rank and the groupBy all reuse it.
+    */
+  def q126FlapDetection(s: SparkSession, dir: String,
+      cfg: AnomalyConfig = AnomalyConfig()): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("date_recorded"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("date_recorded").desc, col("event_id").desc)
+    val fl = flags(s, dir, cfg)
+      .withColumn("prev", lag(col("anomaly"), 1).over(wAll))
+      .withColumn("flip", when(col("prev").isNotNull &&
+        col("anomaly") =!= col("prev"), 1L).otherwise(0L))
+      .withColumn("lrk", row_number().over(wDesc))
+    fl.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("anomaly")).cast("long").as("n_alerts"),
+        sum(col("flip")).as("n_flips"),
+        max(when(col("lrk") === 1, col("anomaly"))).as("last_state"))
+      .withColumn("flip_rate6", when(col("n_obs") > 1,
+        floor(col("n_flips").cast("double") /
+          (col("n_obs") - 1).cast("double") * lit(1000000.0) +
+          lit(0.5)).cast("long")))
+      .select(col("user_id"), col("event_type"), col("n_obs"),
+        col("n_alerts"), col("n_flips"), col("last_state"),
+        col("flip_rate6"),
+        when(col("flip_rate6") > 300000L && col("n_flips") >= 6, 1)
+          .otherwise(0).as("flapping_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   def q10AnomalyReport(s: SparkSession, dir: String): DataFrame =
     report(s, dir)
 }

@@ -837,4 +837,61 @@ object Ann {
           .as("outlier_flag"))
       .orderBy(col("vec_id"))
   }
+
+  /** s12: PAGERANK CENTRALITY over s08's kNN graph (Brin & Page
+    * 1998; centrality-based data selection à la representativeness
+    * sampling) — the graph-global "how typical is this vector"
+    * score s11's LOF inverts: LOF finds the points NO neighborhood
+    * claims, PageRank finds the ones every neighborhood points at —
+    * the natural keep-first order for d14-style semantic pruning and
+    * the seed order for s07's MMR.
+    *
+    * Exactness: ENTIRELY integer arithmetic — no floats anywhere.
+    * Ranks live in 1e-9 units: r₀ = 10⁹ div N; each of the FIVE
+    * fixed iterations sends contrib(u) = r(u) div outdeg(u) down
+    * every edge and sets r'(v) = (15·r₀) div 100 + (85·Σin(v)) div
+    * 100 (d = 0.85 as exact ·85 div 100; flooring leaks mass
+    * deterministically, identically on both engines). The oracle
+    * unrolls the five iterations as MATERIALIZED CTEs over the SAME
+    * integer ops, so the full rank vector hash-matches.
+    *
+    * Scale shape: after the graph, each iteration is ONE edge-list
+    * hash join + ONE map-side-combined groupBy on a k·n table —
+    * k-bounded fan, no windows. The graph is s08's exact tier; at
+    * corpus scale feed the same loop s02/s03 candidate edges.
+    */
+  def s12KnnPagerank(s: SparkSession, dir: String, k: Int = 5,
+      iters: Int = 5): DataFrame = {
+    val edges = knnGraph(s, dir, k)
+      .select(col("node_id"), col("nbr_id"))
+      .localCheckpoint()
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+      .localCheckpoint()
+    val n = nodes.count()
+    val r0 = 1000000000L / n
+    val teleport = 15L * r0 / 100L
+    val outdeg = edges.groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
+    var ranks = nodes.withColumn("r", lit(r0))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.select(col("vec_id").as("node_id"), col("r")),
+          Seq("node_id"))
+        .join(outdeg, Seq("node_id"))
+        .select(col("nbr_id").as("vec_id"), expr("r div deg").as("c"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("c")).as("m"))
+      ranks = nodes
+        .join(contribs, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(teleport) +
+            expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+    }
+    // no global rank window: a row_number over the whole node set is
+    // a single-partition sort at 10^9 vectors — consumers ORDER BY
+    // pagerank9 (distributed sort) and cut at their own k
+    ranks
+      .select(col("vec_id"), col("r").as("pagerank9"))
+      .orderBy(col("vec_id"))
+  }
 }

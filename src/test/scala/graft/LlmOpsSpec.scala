@@ -1502,4 +1502,44 @@ class LlmOpsSpec extends AnyFunSuite {
       math.max(1, full.count(_.getAs[Int]("exact_dup") == 0))
     assert(fpr < 0.05, s"false-positive rate $fpr")
   }
+
+  test("s12 kNN PageRank: a planted hub everyone points at tops the " +
+      "ranking, and the full vector replays the integer recursion") {
+    import spark.implicits._
+    // star in cosine space: v0 = e0; vi = e0 + 0.3*ei so cos(vi, v0)
+    // beats cos(vi, vj) — every node's nearest neighbour is the hub
+    val dim = 10
+    val vecs = (0 until 9).map { i =>
+      val a = Array.fill(dim)(0.0f)
+      a(0) = 1.0f
+      if (i > 0) a(i) = 0.3f
+      (i.toLong, a.toSeq, 0)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("s12spec").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Ann.s12KnnPagerank(spark, tmp).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("pagerank9"))
+      .toMap
+    assert(out.size == 9)
+    assert(out(0L) == out.values.max, out.toString)
+    assert(out.values.forall(_ > 0), out.toString)
+    // exact integer replay from the graph's edge list
+    val edges = Ann.knnGraph(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[Long]("nbr_id")))
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val n = 9L
+    val r0 = 1000000000L / n
+    val tele = 15L * r0 / 100L
+    var r = (0L until n).map(_ -> r0).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = (0L until n).map(v =>
+        v -> (tele + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    (0L until n).foreach(v =>
+      assert(out(v) == r(v), s"node $v: ${out(v)} vs ${r(v)}"))
+  }
 }

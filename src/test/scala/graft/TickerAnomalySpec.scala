@@ -103,4 +103,36 @@ class TickerAnomalySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q126 flap detection: flips/rate/last_state recount exactly " +
+      "from q09's verdict stream; flap rule needs rate AND volume") {
+    val verdicts = TickerAnomaly.q09AnomalyFlags(spark, dir).collect()
+      .map { r =>
+        val ts = r.getAs[java.sql.Timestamp]("date_recorded")
+        val us = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+        ((r.getAs[Long]("user_id"), r.getAs[String]("event_type")),
+          (us, r.getAs[Long]("event_id"), r.getAs[Int]("anomaly")))
+      }
+      .groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(_._2).sortBy(t => (t._1, t._2))
+        .map(_._3).toSeq }
+    val out = TickerAnomaly.q126FlapDetection(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
+      val seq = verdicts(k)
+      val flips = seq.sliding(2).count(p => p.size == 2 && p(0) != p(1))
+      assert(r.getAs[Long]("n_obs") == seq.size, s"$k: $r")
+      assert(r.getAs[Long]("n_alerts") == seq.map(_.toLong).sum, s"$k: $r")
+      assert(r.getAs[Long]("n_flips") == flips, s"$k: $r")
+      assert(r.getAs[Int]("last_state") == seq.last, s"$k: $r")
+      if (seq.size > 1) {
+        val rate = math.floor(
+          flips.toDouble / (seq.size - 1) * 1e6 + 0.5).toLong
+        assert(r.getAs[Long]("flip_rate6") == rate, s"$k: $r")
+        assert(r.getAs[Int]("flapping_flag") ==
+          (if (rate > 300000L && flips >= 6) 1 else 0), s"$k: $r")
+      }
+    }
+  }
 }
