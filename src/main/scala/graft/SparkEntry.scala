@@ -121,6 +121,8 @@ object SparkEntry {
       ((s, d) => graft.operators.TickerAnomaly.q126FlapDetection(s, d)),
     "s12_knn_pagerank" ->
       ((s, d) => graft.similarity.Ann.s12KnnPagerank(s, d)),
+    "p15_embedding_card" ->
+      ((s, d) => CorpusPipeline.p15EmbeddingCard(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
     "s11_lof"            -> ((s, d) =>
@@ -464,6 +466,7 @@ object SparkEntry {
     "q125_sample_entropy" -> SignalOracle.q125,
     "q126_flap_detection" -> AnomalyOracle.q126,
     "s12_knn_pagerank"   -> LlmOracle.s12,
+    "p15_embedding_card" -> LlmOracle.p15,
     "t22_pmi_collocations" -> LlmOracle.t22,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,

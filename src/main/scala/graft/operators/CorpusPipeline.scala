@@ -445,4 +445,63 @@ object CorpusPipeline {
         (col("n_docs") - col("cum_removed")).as("survivors"))
       .orderBy(col("stage"))
   }
+
+  /** p15: the EMBEDDING-CORPUS CARD — p04/p12's health-card
+    * discipline applied to the vector table, per label: size, LOF
+    * outlier count/rate (s11 — the vectors no neighborhood claims),
+    * the most CENTRAL vector (s12's PageRank argmax, pagerank9-desc/
+    * vec_id tie-break — the label's natural representative for
+    * audits and few-shot seeds), and the intra-label near-duplicate
+    * pair count (d05's exact cosine pairs restricted to same-label
+    * ends — the redundancy a d14-style prune would reclaim). One row
+    * per label; every number is an exact aggregate over
+    * already-oracle-matched component columns.
+    *
+    * Scale shape: the cost IS the components' (s11/s12 ride s08's
+    * graph, d05 the block pair join); the card itself adds
+    * vec-cardinality joins, one label-partitioned rank window and
+    * label-cardinality groupBys.
+    */
+  def p15EmbeddingCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"))
+    val lof = graft.similarity.Ann.s11Lof(s, dir)
+      .select(col("vec_id"), col("outlier_flag"))
+    val pr = graft.similarity.Ann.s12KnnPagerank(s, dir)
+    val base = labels
+      .join(lof, Seq("vec_id"), "left")
+      .join(pr, Seq("vec_id"), "left")
+    val wLab = Window.partitionBy(col("label"))
+      .orderBy(col("pagerank9").desc, col("vec_id"))
+    val stats = base
+      .withColumn("rk", row_number().over(wLab))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("outlier_flag"), lit(0))).cast("long")
+          .as("n_outliers"),
+        max(when(col("rk") === 1, col("vec_id")))
+          .as("top_central_vec_id"),
+        max(when(col("rk") === 1, col("pagerank9")))
+          .as("top_pagerank9"))
+      .withColumn("outlier_rate6",
+        floor(col("n_outliers").cast("double") /
+          col("n_vecs").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    val la = labels.select(col("vec_id").as("id_a"), col("label"))
+    val lb = labels.select(col("vec_id").as("id_b"),
+      col("label").as("label_b"))
+    val dups = graft.dedup.Dedup.embeddingDedup(s, dir)
+      .join(la, Seq("id_a"))
+      .join(lb, Seq("id_b"))
+      .filter(col("label") === col("label_b"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("dup_pairs"))
+    stats.join(dups, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"), col("n_outliers"),
+        col("outlier_rate6"), col("top_central_vec_id"),
+        col("top_pagerank9"),
+        coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"))
+      .orderBy(col("label"))
+  }
 }

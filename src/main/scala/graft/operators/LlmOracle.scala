@@ -930,6 +930,42 @@ object LlmOracle {
        |FROM lrd JOIN ns ON lrd.node_id = ns.node_id
        |ORDER BY vec_id""".stripMargin
 
+  /** p15: the three component oracles (s11 LOF, s12 PageRank, d05
+    * pairs) composed on the label spine — p13's nested-WITH pattern.
+    */
+  lazy val p15: String =
+    s"""WITH lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), base AS (
+       |  SELECT lab.label, lab.vec_id, lofq.outlier_flag, prq.pagerank9
+       |  FROM lab
+       |  LEFT JOIN ($s11) lofq ON lofq.vec_id = lab.vec_id
+       |  LEFT JOIN ($s12) prq ON prq.vec_id = lab.vec_id
+       |), rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY label
+       |    ORDER BY pagerank9 DESC, vec_id) AS rk
+       |  FROM base
+       |), st AS (
+       |  SELECT label, count(*) AS n_vecs,
+       |    CAST(SUM(coalesce(outlier_flag, 0)) AS BIGINT) AS n_outliers,
+       |    MAX(CASE WHEN rk = 1 THEN vec_id END) AS top_central_vec_id,
+       |    MAX(CASE WHEN rk = 1 THEN pagerank9 END) AS top_pagerank9
+       |  FROM rk GROUP BY 1
+       |), dp AS (
+       |  SELECT la.label, count(*) AS dup_pairs
+       |  FROM ($d05) d
+       |  JOIN lab la ON la.vec_id = d.id_a
+       |  JOIN lab lb ON lb.vec_id = d.id_b AND lb.label = la.label
+       |  GROUP BY 1
+       |)
+       |SELECT st.label, st.n_vecs, st.n_outliers,
+       |  CAST(floor(CAST(n_outliers AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+       |    * 1000000.0 + 0.5) AS BIGINT) AS outlier_rate6,
+       |  top_central_vec_id, top_pagerank9,
+       |  coalesce(dp.dup_pairs, 0) AS dup_pairs
+       |FROM st LEFT JOIN dp ON dp.label = st.label
+       |ORDER BY st.label""".stripMargin
+
   /** s12: s08's edge list, then five MATERIALIZED integer PageRank
     * iterations — r₀ = 10⁹//N, contrib = r//deg, r' = (15·r₀)//100 +
     * (85·Σ)//100, the exact ops the Spark loop runs.

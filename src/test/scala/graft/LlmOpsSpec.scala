@@ -1542,4 +1542,38 @@ class LlmOpsSpec extends AnyFunSuite {
     (0L until n).foreach(v =>
       assert(out(v) == r(v), s"node $v: ${out(v)} vs ${r(v)}"))
   }
+
+  test("p15 embedding card: every cell recounts from the component " +
+      "outputs (labels, LOF flags, PageRank argmax, d05 pairs)") {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val lof = Ann.s11Lof(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("outlier_flag"))
+      .toMap
+    val pr = Ann.s12KnnPagerank(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("pagerank9"))
+      .toMap
+    val dup = Dedup.embeddingDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val out = graft.operators.CorpusPipeline.p15EmbeddingCard(spark, dir)
+      .collect()
+    assert(out.map(_.getAs[Int]("label")).toSet == labels.values.toSet)
+    out.foreach { r =>
+      val lab = r.getAs[Int]("label")
+      val members = labels.collect { case (v, l) if l == lab => v }.toSeq
+      assert(r.getAs[Long]("n_vecs") == members.size, r.toString)
+      val outl = members.map(v => lof.getOrElse(v, 0).toLong).sum
+      assert(r.getAs[Long]("n_outliers") == outl, r.toString)
+      assert(r.getAs[Long]("outlier_rate6") == math.floor(
+        outl.toDouble / members.size * 1e6 + 0.5).toLong, r.toString)
+      val top = members.map(v => (v, pr(v)))
+        .minBy { case (v, p) => (-p, v) }
+      assert(r.getAs[Long]("top_central_vec_id") == top._1 &&
+        r.getAs[Long]("top_pagerank9") == top._2, r.toString)
+      val dp = dup.count { case (a, b) =>
+        labels(a) == lab && labels(b) == lab }
+      assert(r.getAs[Long]("dup_pairs") == dp, r.toString)
+    }
+  }
 }
