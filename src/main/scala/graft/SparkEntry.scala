@@ -340,6 +340,8 @@ object SparkEntry {
     "st34_stream_burstiness" ->
       ((s, d) =>
         graft.streaming.StreamingAnomaly.st34StreamBurstiness(s, d)),
+    "st35_stream_flap" ->
+      ((s, d) => graft.streaming.StreamingAnomaly.st35StreamFlap(s, d)),
     "st26_stream_twap" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st26StreamTwap(s, d)),
     "st27_stream_ensemble" ->
@@ -477,6 +479,7 @@ object SparkEntry {
     "st32_stream_turning_points" -> SignalOracle.st32,
     "st33_stream_drawdown" -> SignalOracle.st33,
     "st34_stream_burstiness" -> SignalOracle.st34,
+    "st35_stream_flap"   -> SignalOracle.st35,
     "st26_stream_twap"   -> SignalOracle.st26,
     "st27_stream_ensemble" -> SignalOracle.st27,
     "st28_stream_macd"   -> SignalOracle.st28,

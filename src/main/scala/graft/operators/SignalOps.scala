@@ -6176,6 +6176,96 @@ object SignalOracle {
       |WHERE a.last_rn < se.seg_last OR cs.seg_id IS NOT NULL
       |ORDER BY a.user_id, a.event_type, a.start_ts, a.end_ts""".stripMargin
 
+  /** st35: st30's verdict chain (st02's exact per-print anomaly over
+    * the same segments), then per-print transition prefix windows and
+    * q126's flap rule.
+    */
+  val st35: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    value, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vl
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), d AS (
+      |  SELECT user_id, event_type, event_id, ts, value, seg_id,
+      |    abs(vl - lag(vl) OVER w) AS dl
+      |  FROM seg
+      |  WINDOW w AS (PARTITION BY user_id, event_type, seg_id
+      |               ORDER BY ts, event_id)
+      |), g AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN dl = 0 THEN 0 ELSE 1 END) OVER
+      |      (PARTITION BY user_id, event_type, seg_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp,
+      |    CAST(SUM(dl) OVER f AS DOUBLE) AS sumd,
+      |    CAST(SUM(dl * dl) OVER f AS DOUBLE) AS sumsq,
+      |    COUNT(dl) OVER f AS n
+      |  FROM d
+      |  WINDOW f AS (PARTITION BY user_id, event_type, seg_id
+      |               ORDER BY ts, event_id
+      |               ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+      |), r AS (
+      |  SELECT *, COUNT(*) OVER
+      |      (PARTITION BY user_id, event_type, seg_id, grp
+      |       ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM g
+      |), z AS (
+      |  SELECT user_id, event_type, event_id, ts, seg_id,
+      |    CASE WHEN dl IS NULL THEN 0
+      |         WHEN (CASE WHEN n >= 2 AND (sumsq - sumd * sumd / n) > 0
+      |           THEN abs(CAST(dl AS DOUBLE) - sumd / n)
+      |                / sqrt((sumsq - sumd * sumd / n) / (n - 1))
+      |           ELSE 0.0 END) >= 2.5 THEN 1
+      |         WHEN run >= 2 THEN 1 ELSE 0 END AS anomaly,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id) AS rn_all
+      |  FROM r
+      |), fl AS (
+      |  SELECT *,
+      |    CASE WHEN rn_all = 1 THEN 0
+      |         WHEN anomaly <> lag(anomaly) OVER ws THEN 1 ELSE 0 END
+      |      AS flip
+      |  FROM z
+      |  WINDOW ws AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id)
+      |), cum AS (
+      |  SELECT *,
+      |    CAST(SUM(anomaly) OVER wr AS BIGINT) AS n_alerts,
+      |    CAST(SUM(flip) OVER wr AS BIGINT) AS n_flips
+      |  FROM fl
+      |  WINDOW wr AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), fin AS (
+      |  SELECT *, CASE WHEN rn_all > 1 THEN
+      |    CAST(floor(CAST(n_flips AS DOUBLE) / (rn_all - 1)
+      |      * 1000000.0 + 0.5) AS BIGINT) END AS flip_rate6
+      |  FROM cum
+      |), fin2 AS (
+      |  SELECT *, CASE WHEN flip_rate6 > 300000 AND n_flips >= 6
+      |    THEN 1 ELSE 0 END AS flapping_flag
+      |  FROM fin
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  CAST(anomaly AS INT) AS anomaly, CAST(rn_all AS BIGINT) AS n_obs,
+      |  n_alerts, n_flips, flip_rate6,
+      |  CAST(flapping_flag AS INT) AS flapping_flag,
+      |  CAST(CASE WHEN flapping_flag = 1 AND anomaly = 1
+      |    THEN 1 ELSE 0 END AS INT) AS suppressed_flag
+      |FROM fin2
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
   /** st16: the streaming Benford monitor replayed — 6 h window
     * assignment, st13's timeout-eligibility rule, first-digit counts
     * over positives only, q66's literal expectation table and exact

@@ -3459,4 +3459,150 @@ object StreamingAnomaly extends Serializable {
   def st34StreamBurstiness(s: SparkSession, dir: String,
       staleDays: Double = 8.0): DataFrame =
     st34FromStream(s, eventStream(s, dir), staleDays)
+
+  /** st35 per-ticker flap state: st02's baseline (TickerState) plus
+    * four scalars — prints seen, alerts, verdict transitions and the
+    * last verdict.
+    */
+  case class FlapState(base: TickerState, n: Long, nAlerts: Long,
+      flips: Long, lastVerdict: Int)
+
+  case class FlapOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, anomaly: Int, n_obs: Long, n_alerts: Long,
+      n_flips: Long, flip_rate6: Option[Long], flapping_flag: Int,
+      suppressed_flag: Int)
+
+  /** st35: q126's flap suppression answered LIVE — the page-or-hold
+    * decision made AT THE PRINT: st02's exact per-event verdict (the
+    * same 28-diff fixed-point z and repetition run st30 rides) feeds
+    * a per-key transition counter, and once the verdict has toggled
+    * past q126's bar (rate > 0.3 over ≥ 6 flips) the ticker is
+    * declared FLAPPING and its further alert prints carry
+    * suppressed_flag = 1 — the on-call pages on st30's incidents,
+    * not on a marginal z oscillating at the threshold. State is
+    * st02's baseline plus four scalars; staleness gaps /
+    * EventTimeTimeout restart both the baseline and the flap
+    * counters. Fully oracle-backed — st30's replay chain emits the
+    * identical verdict per print, and the flip statistics are lag
+    * windows over it.
+    */
+  def st35Transform(s: SparkSession, stream: DataFrame,
+      cfg: AnomalyConfig = AnomalyConfig(),
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[FlapOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[FlapState]): Iterator[FlapOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[FlapOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          stOpt = stOpt.filter(st =>
+            usOf(e.ts) - usOf(st.base.lastTs) <= staleUs)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          stOpt match {
+            case None =>
+              stOpt = Some(FlapState(
+                TickerState(e.ts, e.value, vl, 1, Array.empty[Long]),
+                1L, 0L, 0L, 0))
+              out += FlapOut(key._1, key._2, e.event_id, e.ts, 0, 1L,
+                0L, 0L, None, 0, 0)
+            case Some(st0) =>
+              val st = st0.base
+              // st02/st30's exact chain: long diffs, one double
+              // conversion per sum, same flags
+              val dl = math.abs(vl - st.lastScaled)
+              val newRun = if (dl == 0L) st.runLength + 1 else 1
+              val n = math.min(st.diffs.length + 1, cfg.dataPeriods)
+              val ds = new Array[Long](n)
+              ds(0) = dl
+              System.arraycopy(st.diffs, 0, ds, 1, n - 1)
+              var sumdL = 0L
+              var sumsqL = 0L
+              var j = 0
+              while (j < n) {
+                val d = ds(j); sumdL += d; sumsqL += d * d; j += 1
+              }
+              val sumd = sumdL.toDouble
+              val sumsq = sumsqL.toDouble
+              val num = sumsq - sumd * sumd / n
+              val z =
+                if (n >= 2 && num > 0)
+                  math.abs(dl.toDouble - sumd / n) /
+                    math.sqrt(num / (n - 1))
+                else 0.0
+              val verdict =
+                if (z >= cfg.stddevLim || newRun >= cfg.repLim) 1 else 0
+              val flip = if (verdict != st0.lastVerdict) 1L else 0L
+              val nObs = st0.n + 1
+              val alerts = st0.nAlerts + verdict
+              val flips = st0.flips + flip
+              val rate = Some(math.floor(
+                flips.toDouble / (nObs - 1) * 1000000.0 + 0.5).toLong)
+              val flapping =
+                if (rate.exists(_ > 300000L) && flips >= 6) 1 else 0
+              stOpt = Some(FlapState(
+                TickerState(e.ts, e.value, vl, newRun, ds),
+                nObs, alerts, flips, verdict))
+              out += FlapOut(key._1, key._2, e.event_id, e.ts, verdict,
+                nObs, alerts, flips, rate, flapping,
+                if (flapping == 1 && verdict == 1) 1 else 0)
+          }
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.base.lastTs.getTime + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st35FromStream(s: SparkSession, stream: DataFrame,
+      cfg: AnomalyConfig = AnomalyConfig(),
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st35_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st35Transform(s, stream, cfg, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("anomaly"), col("n_obs"),
+        col("n_alerts"), col("n_flips"), col("flip_rate6"),
+        col("flapping_flag"), col("suppressed_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  /** st30's sensitive per-event bar (2.5σ, 2-run, 28-diff frame) is
+    * the right default here too: flap SUPPRESSION is what makes a
+    * sensitive bar tolerable, and the 4.5/3 pager bar never toggles
+    * on this feed (a vacuous flap detector). The oracle hard-codes
+    * the same bar.
+    */
+  def st35StreamFlap(s: SparkSession, dir: String,
+      cfg: AnomalyConfig =
+        AnomalyConfig(dataPeriods = 28, stddevLim = 2.5, repLim = 2),
+      staleDays: Double = 8.0): DataFrame =
+    st35FromStream(s, eventStream(s, dir), cfg, staleDays)
 }

@@ -1454,4 +1454,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
     assert(multi.length == single.length && multi.sameElements(single))
   }
+
+  test("st35 live flap suppression: a repetition-driven toggler is " +
+      "declared flapping at flip 6 and its later alerts suppress, a " +
+      "steady mover never flaps, multi-batch matches") {
+    import spark.implicits._
+    def t(m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // pairs 10,10,12,12,10,10,... : 2nd of each pair trips the
+    // repetition run, the pair boundary clears it — verdict toggles
+    // every print
+    val flap = (0 until 20).map(i =>
+      (1L, "x", i.toLong, t(i), if ((i / 2) % 2 == 0) 10.0 else 12.0))
+    val calm = (0 until 20).map(i =>
+      (2L, "x", 100L + i, t(i), if (i % 2 == 0) 10.2 else 9.8))
+    val tmp = java.nio.file.Files.createTempDirectory("st35spec").toString
+    (flap ++ calm).toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st35StreamFlap(spark, tmp).collect()
+    val a = out.filter(_.getAs[Long]("user_id") == 1L)
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(a.length == 20)
+    a.zipWithIndex.foreach { case (r, i) =>
+      val verdict = if (i == 0) 0 else if (i % 2 == 1) 1 else 0
+      assert(r.getAs[Int]("anomaly") == verdict, s"row $i: $r")
+      assert(r.getAs[Long]("n_flips") == math.max(0, i.toLong),
+        s"row $i: $r") // every print from the 2nd flips
+    }
+    assert(a(5).getAs[Int]("flapping_flag") == 0, a(5).toString) // 5 flips
+    assert(a(6).getAs[Int]("flapping_flag") == 1 &&
+      a(6).getAs[Int]("suppressed_flag") == 0, a(6).toString) // clean print
+    assert(a(7).getAs[Int]("suppressed_flag") == 1, a(7).toString)
+    assert(a.last.getAs[Long]("flip_rate6") == 1000000L &&
+      a.last.getAs[Int]("suppressed_flag") == 1, a.last.toString)
+    val c = out.filter(_.getAs[Long]("user_id") == 2L)
+    assert(c.forall(r => r.getAs[Int]("anomaly") == 0 &&
+      r.getAs[Int]("flapping_flag") == 0), c.mkString(","))
+    // batch boundaries don't perturb the verdict + flap state
+    val multi = StreamingAnomaly.st35FromStream(spark, slicedStream(),
+      graft.operators.AnomalyConfig(dataPeriods = 28, stddevLim = 2.5,
+        repLim = 2))
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st35StreamFlap(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.nonEmpty)
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
 }
