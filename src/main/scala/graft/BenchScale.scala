@@ -203,7 +203,14 @@ object BenchScale {
     "q116_jarque_bera", "q117_durbin_watson", "q118_sup_f",
     "q121_kruskal_wallis", "q122_turning_points", "q123_bartlett",
     "q124_cusum_squares", "st32_stream_turning_points",
-    "st33_stream_drawdown")
+    "st33_stream_drawdown",
+    // round 11 continuation: st34 = 5-long gap-moment state (st22's
+    // class); q125 = key-local template pair join (q90's class);
+    // q126 rides q10's chain exchange; st35 = st02's verdict state +
+    // 4 scalars. s12/p15 compose s08's exact n² tier — excluded for
+    // s08's reason (their scale path is s02/s03 candidate edges).
+    "st34_stream_burstiness", "q125_sample_entropy",
+    "q126_flap_detection", "st35_stream_flap")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
