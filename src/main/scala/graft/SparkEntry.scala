@@ -119,6 +119,8 @@ object SparkEntry {
       ((s, d) => SignalOps.q125SampleEntropy(s, d)),
     "q126_flap_detection" ->
       ((s, d) => graft.operators.TickerAnomaly.q126FlapDetection(s, d)),
+    "q127_forecast_backtest" ->
+      ((s, d) => SignalOps.q127ForecastBacktest(s, d)),
     "s12_knn_pagerank" ->
       ((s, d) => graft.similarity.Ann.s12KnnPagerank(s, d)),
     "p15_embedding_card" ->
@@ -467,6 +469,7 @@ object SparkEntry {
     "p14_residual_panel" -> SignalOracle.p14,
     "q125_sample_entropy" -> SignalOracle.q125,
     "q126_flap_detection" -> AnomalyOracle.q126,
+    "q127_forecast_backtest" -> SignalOracle.q127,
     "s12_knn_pagerank"   -> LlmOracle.s12,
     "p15_embedding_card" -> LlmOracle.p15,
     "t22_pmi_collocations" -> LlmOracle.t22,

@@ -4558,6 +4558,59 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q127: FORECAST BACKTEST — the judge the forecast family was
+    * missing: q54/q67 EMIT one-step-ahead forecasts, but nothing
+    * said whether they EARN their keep. MASE (Hyndman & Koehler
+    * 2006) scores them against the one benchmark every forecast must
+    * beat — in-sample naive lag-1: MASE = Σ|e_model| / Σ|e_naive|
+    * over the same scored prints, < 1 means the model adds value,
+    * > 1 means shipping yesterday's print would have been better
+    * (the embarrassing outcome this op exists to catch). Also
+    * reports both MAEs in value units.
+    *
+    * Exactness: q54's residuals are exact 1e-4-grid longs (the
+    * emitted double is e/10⁴, and ⌊resid·10⁴ + ½⌋ recovers e exactly
+    * — the same roundtrip both engines perform identically); the
+    * naive errors are grid diffs off the same order; both sums are
+    * exact integers and each output is ONE IEEE division
+    * 1e-6-floored. The scored set is prints 2..n (rows where the
+    * model has a forecast — exactly the rows with a naive diff).
+    *
+    * Scale shape: q54's ONE groupByKey exchange produces the
+    * residuals; the backtest adds one lag window and one map-side-
+    * combined groupBy on the same key partitioning.
+    */
+  def q127ForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("date_recorded"), col("event_id"))
+    val h = q54Holt(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("date_recorded"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long")
+          .as("v4l"),
+        when(col("resid").isNotNull,
+          floor(col("resid") * lit(10000.0) + lit(0.5)).cast("long"))
+          .as("e4"))
+      .withColumn("d4", col("v4l") - lag(col("v4l"), 1).over(w))
+      .filter(col("e4").isNotNull)
+    h.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("e4"))).as("sae"),
+        sum(abs(col("d4"))).as("san"))
+      .select(col("user_id"), col("event_type"), col("n_scored"),
+        floor(dd(col("sae")) / dd(col("n_scored")) * lit(100.0) +
+          lit(0.5)).cast("long").as("holt_mae6"),
+        floor(dd(col("san")) / dd(col("n_scored")) * lit(100.0) +
+          lit(0.5)).cast("long").as("naive_mae6"),
+        when(col("san") > 0,
+          floor(dd(col("sae")) / dd(col("san")) * lit(1000000.0) +
+            lit(0.5)).cast("long")).as("mase6"))
+      .withColumn("beats_naive_flag",
+        when(col("mase6") < 1000000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** p14: the RESIDUAL-DIAGNOSTICS PANEL — round 11's assumption
     * audits composed into the one per-ticker report that says whether
     * the PARAMETRIC detectors upstream can be trusted: q116's
@@ -6175,6 +6228,59 @@ object SignalOracle {
       |  AND cs.event_type = a.event_type AND cs.seg_id = a.seg_id
       |WHERE a.last_rn < se.seg_last OR cs.seg_id IS NOT NULL
       |ORDER BY a.user_id, a.event_type, a.start_ts, a.end_ts""".stripMargin
+
+  /** q127: q54's exact dyadic recursion replayed for the residuals,
+    * naive lag-1 grid diffs over the same order, two MAEs and the
+    * MASE ratio.
+    */
+  val q127: String =
+    """WITH RECURSIVE base AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM events
+      |), rec AS (
+      |  SELECT user_id, event_type, event_id, ts, v4l, seq,
+      |    v4l AS l, CAST(0 AS BIGINT) AS b,
+      |    CAST(NULL AS BIGINT) AS e
+      |  FROM base WHERE seq = 1
+      |  UNION ALL
+      |  SELECT b2.user_id, b2.event_type, b2.event_id, b2.ts, b2.v4l,
+      |    b2.seq,
+      |    CAST(floor((b2.v4l + r.l + r.b) / 2.0) AS BIGINT) AS l,
+      |    CAST(floor((CAST(floor((b2.v4l + r.l + r.b) / 2.0) AS BIGINT)
+      |      - r.l + 3.0 * r.b) / 4.0) AS BIGINT) AS b,
+      |    b2.v4l - (r.l + r.b) AS e
+      |  FROM rec r JOIN base b2
+      |    ON b2.user_id = r.user_id AND b2.event_type = r.event_type
+      |   AND b2.seq = r.seq + 1
+      |), nv AS (
+      |  SELECT *, v4l - lag(v4l) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY seq) AS d
+      |  FROM rec
+      |), sc AS (
+      |  SELECT user_id, event_type, count(*) AS n_scored,
+      |    CAST(SUM(abs(e)) AS BIGINT) AS sae,
+      |    CAST(SUM(abs(d)) AS BIGINT) AS san
+      |  FROM nv WHERE e IS NOT NULL GROUP BY 1, 2
+      |), fin AS (
+      |  SELECT *,
+      |    CASE WHEN san > 0 THEN
+      |      CAST(floor(CAST(sae AS DOUBLE) / CAST(san AS DOUBLE)
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS mase6
+      |  FROM sc
+      |)
+      |SELECT user_id, event_type, n_scored,
+      |  CAST(floor(CAST(sae AS DOUBLE) / CAST(n_scored AS DOUBLE)
+      |    * 100.0 + 0.5) AS BIGINT) AS holt_mae6,
+      |  CAST(floor(CAST(san AS DOUBLE) / CAST(n_scored AS DOUBLE)
+      |    * 100.0 + 0.5) AS BIGINT) AS naive_mae6,
+      |  mase6,
+      |  CAST(CASE WHEN mase6 < 1000000 THEN 1 ELSE 0 END AS INT)
+      |    AS beats_naive_flag
+      |FROM fin
+      |ORDER BY user_id, event_type""".stripMargin
 
   /** st35: st30's verdict chain (st02's exact per-print anomaly over
     * the same segments), then per-print transition prefix windows and

@@ -2583,6 +2583,58 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q127 MASE backtest: a steady trend beats naive, and both " +
+    "error sums replay the dyadic Holt recursion exactly") {
+    import spark.implicits._
+    var seed = 21L
+    def lcg(): Double = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      (seed % 201).toInt * 0.01 - 1.0
+    }
+    val n = 40
+    val trend = (0 until n).map(i => 100.0 + 0.5 * i)
+    val noise = (0 until n).map(_ => 100.0 + lcg())
+    val rows = (0 until n).flatMap { i =>
+      Seq((1L, trend(i)), (2L, noise(i))).map { case (u, v) =>
+        (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q127spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q127ForecastBacktest(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    def replay(vals: Seq[Double]): (Long, Long) = {
+      val ys = vals.map(v => math.floor(v * 10000.0 + 0.5).toLong)
+      var l = ys.head; var b = 0L
+      var sae = 0L; var san = 0L
+      ys.zipWithIndex.drop(1).foreach { case (y, i) =>
+        sae += math.abs(y - (l + b))
+        san += math.abs(y - ys(i - 1))
+        val l2 = math.floor((y + l + b) / 2.0).toLong
+        b = math.floor((l2 - l + 3.0 * b) / 4.0).toLong
+        l = l2
+      }
+      (sae, san)
+    }
+    for ((u, vals) <- Seq(1L -> trend, 2L -> noise)) {
+      val (sae, san) = replay(vals)
+      val r = out(u)
+      assert(r.getAs[Long]("n_scored") == n - 1, r.toString)
+      assert(r.getAs[Long]("holt_mae6") ==
+        math.floor(sae.toDouble / (n - 1) * 100.0 + 0.5).toLong,
+        s"$u: $r vs sae=$sae")
+      assert(r.getAs[Long]("naive_mae6") ==
+        math.floor(san.toDouble / (n - 1) * 100.0 + 0.5).toLong,
+        s"$u: $r vs san=$san")
+      assert(r.getAs[Long]("mase6") ==
+        math.floor(sae.toDouble / san * 1e6 + 0.5).toLong,
+        s"$u: $r vs $sae/$san")
+    }
+    assert(out(1L).getAs[Int]("beats_naive_flag") == 1, out(1L).toString)
+  }
+
   test("q123/q124 plan one series exchange each") {
     for (df <- Seq(SignalOps.q123Bartlett(spark, dir),
         SignalOps.q124CusumSquares(spark, dir))) {
