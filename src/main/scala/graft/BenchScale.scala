@@ -210,7 +210,9 @@ object BenchScale {
     // 4 scalars. s12/p15 compose s08's exact n² tier — excluded for
     // s08's reason (their scale path is s02/s03 candidate edges).
     "st34_stream_burstiness", "q125_sample_entropy",
-    "q126_flap_detection", "st35_stream_flap")
+    "q126_flap_detection", "st35_stream_flap",
+    // q127 composes q54's probed recursion + one lag/groupBy
+    "q127_forecast_backtest")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
