@@ -344,6 +344,9 @@ object SparkEntry {
         graft.streaming.StreamingAnomaly.st34StreamBurstiness(s, d)),
     "st35_stream_flap" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st35StreamFlap(s, d)),
+    "st36_stream_extremes" ->
+      ((s, d) =>
+        graft.streaming.StreamingAnomaly.st36StreamExtremes(s, d)),
     "st26_stream_twap" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st26StreamTwap(s, d)),
     "st27_stream_ensemble" ->
@@ -483,6 +486,7 @@ object SparkEntry {
     "st33_stream_drawdown" -> SignalOracle.st33,
     "st34_stream_burstiness" -> SignalOracle.st34,
     "st35_stream_flap"   -> SignalOracle.st35,
+    "st36_stream_extremes" -> SignalOracle.st36,
     "st26_stream_twap"   -> SignalOracle.st26,
     "st27_stream_ensemble" -> SignalOracle.st27,
     "st28_stream_macd"   -> SignalOracle.st28,

@@ -9646,6 +9646,59 @@ object SignalOracle {
       |FROM c3
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
+  /** st36: segmented prefix min/max/moment windows, q119's exact
+    * envelope chain per row.
+    */
+  val st36: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), w AS (
+      |  SELECT *,
+      |    row_number() OVER ws AS n,
+      |    sum(y) OVER wr AS s1,
+      |    sum(CAST(y AS HUGEINT) * y) OVER wr AS s2,
+      |    min(y) OVER wr AS mn,
+      |    max(y) OVER wr AS mx
+      |  FROM seg
+      |  WINDOW ws AS (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id),
+      |    wr AS (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), c AS (
+      |  SELECT *,
+      |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2,
+      |    greatest(CAST(n AS HUGEINT) * mx - s1,
+      |      CAST(s1 AS HUGEINT) - CAST(n AS HUGEINT) * mn) AS maxdev
+      |  FROM w
+      |), fin AS (
+      |  SELECT *, CASE WHEN n >= 3 AND m2 > 0 THEN
+      |    CAST(floor(CAST(maxdev AS DOUBLE)
+      |      / sqrt(CAST(m2 AS DOUBLE) * n / (n - 1))
+      |      * 1000000.0 + 0.5) AS BIGINT) END AS g6
+      |  FROM c
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  y / 10000.0 AS value, CAST(n AS BIGINT) AS n_obs,
+      |  mn / 10000.0 AS run_min, mx / 10000.0 AS run_max, g6,
+      |  CAST(CASE WHEN g6 > 3000000 THEN 1 ELSE 0 END AS INT)
+      |    AS extreme_flag
+      |FROM fin
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
   /** q125: integer template predicates after the one r4 chain, the
     * key-local i<j pair join, −ln(A/B).
     */

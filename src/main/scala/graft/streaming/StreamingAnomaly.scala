@@ -3594,6 +3594,119 @@ object StreamingAnomaly extends Serializable {
         col("event_id"))
   }
 
+  /** st36 per-ticker extreme state: O(1) — last event time, count,
+    * value sum, two-limb square sum, running min and max.
+    */
+  case class ExtremeState(lastUs: Long, n: Long, s1: Long,
+      s2Hi: Long, s2Lo: Long, minY: Long, maxY: Long)
+
+  case class ExtremeOut(user_id: Long, event_type: String,
+      event_id: Long, ts: java.sql.Timestamp, value: Double,
+      n_obs: Long, run_min: Double, run_max: Double, g6: Option[Long],
+      extreme_flag: Int)
+
+  /** st36: q119's Grubbs question answered LIVE — "is the WORST
+    * print seen so far surprising, given everything seen so far."
+    * The batch statistic needs the full series, but the extreme
+    * deviation collapses to the running ENVELOPE: max_s|y_s − ȳ_t| =
+    * max(maxY − ȳ_t, ȳ_t − minY), so G_t streams with six longs of
+    * state (count, sum, two-limb square sum, min, max). A feed whose
+    * envelope G crosses the 3.0 bar is carrying a print its own
+    * history cannot explain — the live version of the fat-finger
+    * audit, complementing st02's z (which scores the CURRENT print,
+    * not the worst one on record). Exactness: n·maxY − S1 and S1 −
+    * n·minY are exact longs, M2 = nS2 − S1² exact via the two-limb
+    * pair, and G is q119's identical IEEE chain (BigInt.toDouble ≡
+    * decimal→double) 1e-6-floored; constant-so-far series (M2 = 0)
+    * report NULL. Staleness gaps / EventTimeTimeout restart the
+    * segment. Fully oracle-backed: segmented prefix min/max/moment
+    * windows + the q119 chain per row.
+    */
+  def st36Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0, minObs: Int = 3):
+      org.apache.spark.sql.Dataset[ExtremeOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val limb = BigInt(1000000000000000000L) // 1e18
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[ExtremeState]): Iterator[ExtremeOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[ExtremeOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          stOpt = stOpt.filter(st => usOf(e.ts) - st.lastUs <= staleUs)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          val prev = stOpt.getOrElse(
+            ExtremeState(0L, 0L, 0L, 0L, 0L, vl, vl))
+          val n = prev.n + 1
+          val s1 = prev.s1 + vl
+          val s2 = BigInt(prev.s2Hi) * limb + prev.s2Lo +
+            BigInt(vl) * BigInt(vl)
+          val mn = math.min(prev.minY, vl)
+          val mx = math.max(prev.maxY, vl)
+          val m2 = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
+          // maxdev = max(n*max - S1, S1 - n*min), q119's integer form
+          val maxdev = (BigInt(n) * mx - BigInt(s1))
+            .max(BigInt(s1) - BigInt(n) * mn)
+          val g6 =
+            if (n >= minObs && m2 > 0)
+              Some(math.floor(maxdev.toDouble /
+                math.sqrt(m2.toDouble * n / (n - 1)) *
+                1000000.0 + 0.5).toLong)
+            else None
+          stOpt = Some(ExtremeState(usOf(e.ts), n, s1,
+            (s2 / limb).toLong, (s2 % limb).toLong, mn, mx))
+          out += ExtremeOut(key._1, key._2, e.event_id, e.ts,
+            vl / 10000.0, n, mn / 10000.0, mx / 10000.0, g6,
+            if (g6.exists(_ > 3000000L)) 1 else 0)
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st36FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st36_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st36Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("n_obs"),
+        col("run_min"), col("run_max"), col("g6"), col("extreme_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st36StreamExtremes(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st36FromStream(s, eventStream(s, dir), staleDays)
+
   /** st30's sensitive per-event bar (2.5σ, 2-run, 28-diff frame) is
     * the right default here too: flap SUPPRESSION is what makes a
     * sensitive bar tolerable, and the 4.5/3 pager bar never toggles

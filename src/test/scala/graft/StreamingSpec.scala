@@ -1500,4 +1500,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
     assert(multi.length == single.length && multi.sameElements(single))
   }
+
+  test("st36 live extremes: a fat finger trips the envelope G and the " +
+      "whole chain replays exactly, a gap resets the envelope, " +
+      "multi-batch matches") {
+    import spark.implicits._
+    def t(day: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:$m%02d:00")
+    val vals = Seq.fill(10)(10.0) ++ Seq(50.0) ++ Seq.fill(9)(10.0)
+    val a = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "x", i.toLong, t(1, i), v) }
+    val g = Seq((2L, "x", 100L, t(1, 0), 10.0),
+      (2L, "x", 101L, t(1, 1), 20.0),
+      (2L, "x", 200L, t(11, 0), 30.0), (2L, "x", 201L, t(11, 1), 40.0))
+    val tmp = java.nio.file.Files.createTempDirectory("st36spec").toString
+    (a ++ g).toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st36StreamExtremes(spark, tmp).collect()
+    val rows = out.filter(_.getAs[Long]("user_id") == 1L)
+      .sortBy(_.getAs[Long]("event_id"))
+    // exact replay of the envelope chain
+    var n = 0L; var s1 = 0L; var s2 = BigInt(0)
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val y = math.floor(v * 10000.0 + 0.5).toLong
+      n += 1; s1 += y; s2 += BigInt(y) * BigInt(y)
+      mn = math.min(mn, y); mx = math.max(mx, y)
+      val m2 = BigInt(n) * s2 - BigInt(s1) * BigInt(s1)
+      val maxdev = (BigInt(n) * mx - BigInt(s1))
+        .max(BigInt(s1) - BigInt(n) * mn)
+      val r = rows(i)
+      if (n >= 3 && m2 > 0) {
+        val exp = math.floor(maxdev.toDouble /
+          math.sqrt(m2.toDouble * n / (n - 1)) * 1e6 + 0.5).toLong
+        assert(r.getAs[Long]("g6") == exp, s"row $i: $r vs $exp")
+      } else assert(r.isNullAt(r.fieldIndex("g6")), s"row $i: $r")
+    }
+    // the constant prefix is NULL, the spike flags and the envelope
+    // keeps it flagged to the end
+    assert(rows(9).getAs[Int]("extreme_flag") == 0, rows(9).toString)
+    assert(rows(10).getAs[Int]("extreme_flag") == 1 &&
+      rows(10).getAs[Double]("run_max") == 50.0, rows(10).toString)
+    assert(rows.last.getAs[Int]("extreme_flag") == 1, rows.last.toString)
+    // the 9-day gap resets the envelope
+    val gp = out.filter(_.getAs[Long]("user_id") == 2L)
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(gp(2).getAs[Long]("n_obs") == 1L &&
+      gp(2).getAs[Double]("run_min") == 30.0, gp(2).toString)
+    assert(gp(3).getAs[Double]("run_max") == 40.0 &&
+      gp(3).getAs[Double]("run_min") == 30.0, gp(3).toString)
+    // batch boundaries don't perturb the envelope state
+    val multi = StreamingAnomaly.st36FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st36StreamExtremes(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.nonEmpty)
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
 }
