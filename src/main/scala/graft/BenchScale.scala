@@ -212,7 +212,9 @@ object BenchScale {
     "st34_stream_burstiness", "q125_sample_entropy",
     "q126_flap_detection", "st35_stream_flap",
     // q127 composes q54's probed recursion + one lag/groupBy
-    "q127_forecast_backtest")
+    "q127_forecast_backtest",
+    // st36 = 6-long envelope state (st22's class)
+    "st36_stream_extremes")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
