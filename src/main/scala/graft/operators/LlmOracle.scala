@@ -773,11 +773,13 @@ object LlmOracle {
        |SELECT query_id, rk, vec_id, cos6 FROM ranked WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
-  /** s02: the multi-table hyperplane LSH replayed exactly — each of
-    * the 6×5 hyperplanes is interpolated as its integer numerators
-    * (Ann.planeComponentScaled) and rebuilt with the same k/10⁶ − 1
-    * chain; bucket bits via the same sequential-fold dot sign; then
-    * s01's cosine/rank conventions over the candidate set.
+  /** s02: the multi-table, multi-probe hyperplane LSH replayed
+    * exactly — each of the 6×5 hyperplanes is interpolated as its
+    * integer numerators (Ann.planeComponentScaled) and rebuilt with
+    * the same k/10⁶ − 1 chain; bucket bits via the same
+    * sequential-fold dot sign; the Hamming-1 probe fan-out as the
+    * same XOR flips (0 plus each single bit); then s01's cosine/rank
+    * conventions over the candidate set.
     */
   val s02: String = {
     val bits = 5
@@ -804,10 +806,16 @@ object LlmOracle {
        |  $sigSelects
        |), qs AS (
        |  SELECT vec_id AS query_id, tb, bucket FROM sig WHERE vec_id < 10
+       |), probes AS (
+       |  SELECT query_id, tb, xor(bucket, CAST(f.flip AS BIGINT)) AS bucket
+       |  FROM qs CROSS JOIN (VALUES ${
+        (0L +: (0 until bits).map(p => 1L << p).toSeq)
+          .map(f => s"($f)").mkString(", ")
+      }) f(flip)
        |), cand AS (
-       |  SELECT DISTINCT qs.query_id, sg.vec_id
-       |  FROM sig sg JOIN qs ON sg.tb = qs.tb AND sg.bucket = qs.bucket
-       |  WHERE sg.vec_id <> qs.query_id
+       |  SELECT DISTINCT pr.query_id, sg.vec_id
+       |  FROM sig sg JOIN probes pr ON sg.tb = pr.tb AND sg.bucket = pr.bucket
+       |  WHERE sg.vec_id <> pr.query_id
        |), scored AS (
        |  SELECT c.query_id, c.vec_id,
        |    floor(${dotSql("q.v", "cv.v")} / sqrt(q.norm2 * cv.norm2)

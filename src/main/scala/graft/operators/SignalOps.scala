@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * any accumulation order), and the EWMA is a truncated finite kernel
   * whose weights are embedded as identical double literals in both the
   * Spark plan and the DuckDB oracle.
+  *
+  * Parameter/oracle contract: knobs like `minObs`/`minPerDay` are real
+  * library parameters, but each paired DuckDB oracle hardcodes the
+  * DEFAULT values — the driver-verified hash parity therefore covers
+  * exactly the registry's default invocation. Non-default calls are
+  * just as deterministic (all arithmetic is the same fixed-point
+  * chain), they are simply not oracle-checked.
   */
 object SignalOps {
 
@@ -4504,10 +4511,10 @@ object SignalOps {
     * r4, after which every template comparison |Δ| ≤ r4 is an exact
     * integer predicate; A ≤ B by construction, SampEn = −ln(A/B) one
     * IEEE chain 1e-6-floored (constant series: every template
-    * matches, A = B, SampEn exactly 0 — maximally regular); A = 0
-    * (no repeated pair survives extension) reports NULL. B = 0 is
-    * impossible for n ≥ 2 equal prints… for series with no pair
-    * within r, B = 0 also reports NULL.
+    * matches, A = B, SampEn exactly 0 — maximally regular). The one
+    * NULL rule: A = 0 or B = 0 (no template pair survives extension,
+    * or no pair within r at all) means −ln(A/B) is undefined and the
+    * row reports sampen6 NULL, identically on both engines.
     *
     * Scale shape: q90's pair class — ONE series exchange, the
     * template self-join is key-local (series are short: pairs =
@@ -4618,8 +4625,12 @@ object SignalOps {
     * correlation (is q82's t-test honest?), q119's worst-point verdict
     * (is one fat finger driving everything?) and q122's turning-point
     * randomness (is the feed trending or oscillating rather than
-    * noise?). The joint call: any diagnostic missing (short/constant
-    * series) ⇒ `insufficient`; zero flags ⇒ `clean` (parametric
+    * noise?). The joint call: any component ROW missing (series
+    * shorter than a component's minObs) ⇒ `insufficient`; a present
+    * row whose underlying statistic degenerated to NULL (e.g. a
+    * CONSTANT series' jb6/dw6/g6) carries flag 0 from the component
+    * itself, i.e. counts as no-issue — a flat feed is not evidence
+    * against the parametric stack; zero flags ⇒ `clean` (parametric
     * results upstream are trustworthy); one flag ⇒ `check` (read that
     * column); two+ ⇒ `suspect` (route the ticker to the rank/robust
     * family — q84/q90/q110/q121). p05/p13's composition discipline:

@@ -174,16 +174,22 @@ object Ann {
   private[graft] def planeComponent(p: Int, d: Int): Double =
     (planeComponentScaled(p, d).toDouble / 1000000.0) - 1.0
 
-  /** s02: multi-table random-hyperplane LSH — `tables` independent
-    * `bits`-bit signatures; a corpus vector is a candidate for a query
-    * if they collide in ANY table (the standard recall amplifier:
-    * P(candidate) = 1 − (1 − p^bits)^tables). Each table is one
-    * (bucket-id, table) shuffle key; queries probe their buckets, so
-    * scored pairs ≈ |Q| · tables · N / 2^bits instead of |Q| · N.
+  /** s02: multi-table, MULTI-PROBE random-hyperplane LSH — `tables`
+    * independent `bits`-bit signatures; a corpus vector is a candidate
+    * for a query if it lands within Hamming distance 1 of the query's
+    * bucket in ANY table (Lv et al. 2007, "Multi-Probe LSH": a near
+    * neighbour that lands one flipped plane away is the single most
+    * likely miss, so probing the `bits` adjacent buckets buys the
+    * recall another table would, without re-hashing the corpus).
+    * Each table is one (bucket-id, table) shuffle key; the CORPUS is
+    * bucketed exactly once and never re-shuffled — only the tiny
+    * broadcast query side fans out ×(1+bits) probe rows, so scored
+    * pairs ≈ |Q| · tables · (1+bits) · N / 2^bits instead of |Q| · N.
     * Fully oracle-backed: the hyperplanes are deterministic splitmix
     * integers replayed as literals in the SQL oracle (LlmOracle.s02),
-    * and the bucket bits, candidate join and cosine chain are all
-    * reproduced op-for-op. Recall vs s01 is additionally spec-tested.
+    * and the bucket bits, the XOR probe fan-out, the candidate join
+    * and the cosine chain are all reproduced op-for-op. Recall vs s01
+    * is additionally spec-tested (≥ 0.7 at k = 5).
     */
   def lshTopK(s: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, bits: Int = 5,
@@ -208,9 +214,14 @@ object Ann {
         signature(col("v"), t)): _*)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
+    // multi-probe fan-out on the QUERY side only: the exact bucket
+    // plus the `bits` buckets one plane-flip away (XOR each bit)
+    val probeFlips = lit(0L) +: (0 until bits).map(p => lit(1L << p))
     val q = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm2").as("qn"), col("table"), col("bucket"))
+        col("norm2").as("qn"), col("table"),
+        explode(array(probeFlips.map(f =>
+          col("bucket").bitwiseXOR(f)): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos6").desc, col("vec_id"))
     bucketed
@@ -241,6 +252,14 @@ object Ann {
     * |Q|·N·nProbe/nCentroids vs brute force's |Q|·N. At 100 TB the
     * corpus is written clustered by centroid id, so a probe reads
     * only its lists' files. Rows-only (recall spec-tested vs s01).
+    *
+    * nProbe default: 8 of 16 lists. The SYNTHETIC test embeddings are
+    * near-uniform on the sphere, so Lloyd lists carry little structure
+    * and recall@fraction sits near its information bound (recall@5:
+    * 0.50 at nProbe=4, 0.76 at nProbe=8, measured at sf0.1) — the
+    * default buys the published ≥0.7 recall. Production embedding
+    * corpora are heavily clustered; there nProbe/nCentroids runs at
+    * 1/16th–1/4th for the same recall, and both knobs are exposed.
     */
   /** Centroid table with cached |c|² (shared by IVF and SemDeDup). */
   private def centroidDf(s: SparkSession,
@@ -298,7 +317,7 @@ object Ann {
 
   def ivfTopK(s: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16,
-      nProbe: Int = 4, iters: Int = 2): DataFrame = {
+      nProbe: Int = 8, iters: Int = 2): DataFrame = {
     val v = Tables
       .embeddings(s, dir)
       .select(col("vec_id"),
@@ -366,7 +385,7 @@ object Ann {
     */
   def pqTopK(s: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, m: Int = 8, codes: Int = 16,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, shortlistFactor: Int = 40): DataFrame = {
     val dims = 64
     val sub = dims / m
     val v = Tables
@@ -469,7 +488,12 @@ object Ann {
     // production shape is ADC top-`shortlist` from the compressed
     // scan, then EXACT distances on just those rows — the only full
     // vectors ever read per query are `shortlist` of them.
-    val shortlist = 10 * k
+    // shortlistFactor default 40 (= 200 full-vector reads per query at
+    // k=5): on the near-uniform synthetic corpus ADC ordering is noisy
+    // (recall@5 at sf0.1: 0.46 @10·k, 0.66 @20·k, 0.76 @40·k), and the
+    // exact re-rank pass is the cheap stage, so the default buys the
+    // published ≥0.7 recall at unchanged bench cost.
+    val shortlist = shortlistFactor * k
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("adist6"), col("vec_id"))
     val short = encoded.crossJoin(broadcast(qdt))
@@ -868,6 +892,10 @@ object Ann {
     val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
       .localCheckpoint()
     val n = nodes.count()
+    // empty corpus: no ranks to compute (and r0 below would divide by
+    // zero) — return the empty frame with the output schema
+    if (n == 0)
+      return nodes.select(col("vec_id"), lit(0L).as("pagerank9"))
     val r0 = 1000000000L / n
     val teleport = 15L * r0 / 100L
     val outdeg = edges.groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
@@ -880,12 +908,17 @@ object Ann {
         .select(col("nbr_id").as("vec_id"), expr("r div deg").as("c"))
         .groupBy(col("vec_id"))
         .agg(sum(col("c")).as("m"))
+      // cut the per-iteration lineage: without this the final plan
+      // nests `iters` join+agg subtrees (re-derived on every action);
+      // the rank table is node-sized, so the checkpoint is cheap and
+      // the integer ops — hence the published hashes — are unchanged
       ranks = nodes
         .join(contribs, Seq("vec_id"), "left")
         .select(col("vec_id"),
           (lit(teleport) +
             expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
+        .localCheckpoint()
     }
     // no global rank window: a row_number over the whole node set is
     // a single-partition sort at 10^9 vectors — consumers ORDER BY

@@ -131,13 +131,15 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("s02 LSH achieves nonzero recall against s01 and never scores cross-bucket") {
+  test("s02 multi-probe LSH achieves recall >= 0.7 against s01") {
     val exact = Ann.bruteForceTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val approx = Ann.lshTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.2, s"LSH recall too low: $recall")
+    // Hamming-1 multi-probe over 6 tables: measured 0.98 here, 0.94
+    // at sf0.1 — the published bar is 0.7
+    assert(recall >= 0.7, s"LSH recall too low: $recall")
   }
 
   test("s03 IVF achieves recall against s01 and beats random probing") {
@@ -146,9 +148,10 @@ class LlmOpsSpec extends AnyFunSuite {
     val approx = Ann.ivfTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // nProbe/nCentroids = 1/4 of the corpus scanned; random probing
-    // would land ~0.25 recall in expectation
-    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    // nProbe/nCentroids = 1/2 of the corpus scanned (the synthetic
+    // embeddings are near-uniform — see the op docstring); measured
+    // 0.82 here, 0.76 at sf0.1 — the published bar is 0.7
+    assert(recall >= 0.7, s"IVF recall too low: $recall")
   }
 
   test("d14 SemDeDup flags planted semantic duplicates, keeps min id") {
@@ -206,9 +209,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val approx = Ann.pqTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // m=8 subspaces x 16 codewords: ADC ranks from 8-byte codes; a
-    // random top-5 of ~500 vectors would land recall ~0.01
-    assert(recall >= 0.4, s"PQ recall too low: $recall")
+    // m=8 subspaces x 16 codewords, ADC shortlist 40·k re-ranked
+    // exactly; measured 0.96 here, 0.76 at sf0.1 — published bar 0.7
+    assert(recall >= 0.7, s"PQ recall too low: $recall")
     // schema sanity: 5 ranked rows per query, distances ascending
     val rows = Ann.pqTopK(spark, dir).collect()
     rows.groupBy(_.getLong(0)).values.foreach { g =>
