@@ -121,6 +121,12 @@ object SparkEntry {
       ((s, d) => graft.operators.TickerAnomaly.q126FlapDetection(s, d)),
     "q127_forecast_backtest" ->
       ((s, d) => SignalOps.q127ForecastBacktest(s, d)),
+    "q128_binary_segmentation" ->
+      ((s, d) => SignalOps.q128BinarySegmentation(s, d)),
+    "q129_kendall_tau" ->
+      ((s, d) => SignalOps.q129KendallTau(s, d)),
+    "q130_friedman" ->
+      ((s, d) => SignalOps.q130Friedman(s, d)),
     "s12_knn_pagerank" ->
       ((s, d) => graft.similarity.Ann.s12KnnPagerank(s, d)),
     "p15_embedding_card" ->
@@ -169,7 +175,7 @@ object SparkEntry {
     "q34_salted_agg"     -> ((s, d) => ScaleOps.saltedAgg(s, d)),
     "q35_bucketed_join"  -> ScaleOps.bucketedJoin _,
     "q36_partitioned_scan" -> ScaleOps.partitionedScan _,
-    "q37_approx_distinct" -> ScaleOps.approxDistinct _,
+    "q37_approx_distinct" -> ((s, d) => ScaleOps.approxDistinct(s, d)),
     "q38_csv_roundtrip"  -> graft.sources.Sources.csvRoundtrip _,
     "q40_topk_aggregate" -> ((s, d) => ScaleOps.topkAggregate(s, d)),
     "q41_cube"           -> Relational.cubeAgg _,
@@ -473,6 +479,9 @@ object SparkEntry {
     "q125_sample_entropy" -> SignalOracle.q125,
     "q126_flap_detection" -> AnomalyOracle.q126,
     "q127_forecast_backtest" -> SignalOracle.q127,
+    "q128_binary_segmentation" -> SignalOracle.q128,
+    "q129_kendall_tau" -> SignalOracle.q129,
+    "q130_friedman" -> SignalOracle.q130,
     "s12_knn_pagerank"   -> LlmOracle.s12,
     "p15_embedding_card" -> LlmOracle.p15,
     "t22_pmi_collocations" -> LlmOracle.t22,
@@ -724,7 +733,50 @@ object SparkEntry {
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
            event_type
          FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
-    // q37_approx_distinct: HLL sketch values are engine-specific (rows-only)
+    // q37: the explicit HLL register bank replayed — md5 digest₆₀
+    // hash, 512 registers via exact div/mod, rho from bin() length
+    // (rhoCap = 52), one exact integer S, then the mirrored IEEE
+    // estimate chain (alpha·m² = 188686.82445861166, 2^52 =
+    // 4503599627370496, linear-counting branch at E <= 2.5m = 1280
+    // with V empty registers)
+    "q37_approx_distinct" ->
+      """WITH base AS (
+           SELECT event_type, user_id,
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)
+               || 'q37'), 1, 15)) AS BIGINT) AS h
+           FROM events
+         ), rr AS (
+           SELECT event_type, h % 512 AS j,
+             CASE WHEN h // 512 = 0 THEN 52
+                  ELSE 52 - length(bin(h // 512)) END AS rho
+           FROM base
+         ), reg AS (
+           SELECT event_type, j, max(rho) AS mj FROM rr GROUP BY 1, 2
+         ), agg AS (
+           SELECT event_type,
+             sum((CAST(1 AS BIGINT) << (52 - mj))) AS s_present,
+             count(*) AS n_regs
+           FROM reg GROUP BY 1
+         ), est AS (
+           SELECT event_type,
+             CAST(188686.82445861166 AS DOUBLE)
+               * CAST(4503599627370496 AS DOUBLE)
+               / CAST(s_present + (512 - n_regs) * (CAST(1 AS BIGINT) << 52)
+                 AS DOUBLE) AS e_raw,
+             512 - n_regs AS v
+           FROM agg
+         )
+         SELECT e.event_type,
+           CAST(floor(CASE WHEN e_raw <= CAST(1280.0 AS DOUBLE) AND v > 0
+             THEN CAST(512.0 AS DOUBLE) * ln(CAST(512.0 AS DOUBLE)
+               / CAST(v AS DOUBLE))
+             ELSE e_raw END + CAST(0.5 AS DOUBLE)) AS BIGINT) AS approx_users,
+           x.exact_users, x.n_events
+         FROM est e
+         JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                 count(*) AS n_events FROM events GROUP BY 1) x
+           USING (event_type)
+         ORDER BY event_type""",
     "q40_topk_aggregate" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1256,6 +1308,8 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, session_start"""
-    // d02/d03/s02 (hash-seeded) and m01 (decode stub): rows-only
+    // rows-only by design (no oracleSql entry): d14/s03/s05 (k-means
+    // seeding is engine-specific) and st10 (SpaceSaving admission
+    // order); each is property-verified in its spec instead
   )
 }

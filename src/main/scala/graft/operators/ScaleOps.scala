@@ -122,19 +122,72 @@ object ScaleOps {
       .orderBy(col("event_id"))
   }
 
-  /** q37: sketch aggregation — HyperLogLog++ approximate distinct
-    * users per event type next to the exact count (rows-only; the
-    * spec bounds relative error). At 100 TB the sketch is the only
-    * affordable distinct — fixed-size partials merge map-side.
+  /** q37: sketch aggregation — an EXPLICIT HyperLogLog (Flajolet et
+    * al. 2007) approximate distinct users per event type next to the
+    * exact count. At 100 TB the sketch is the only affordable
+    * distinct: the register table is FIXED-SIZE (m = 2^p rows per
+    * key), partial maxes merge map-side, and nothing user-cardinality-
+    * sized ever shuffles — where countDistinct must exchange every
+    * distinct (key, user) pair.
+    *
+    * Fully oracle-backed (the d03/d21 split-hash graduation): the
+    * 60-bit hash is the md5 digest₆₀ both engines compute identically
+    * (first 15 hex chars as an integer), the register index/offset are
+    * exact integer div/mod, rho = rhoCap − bitlength(w) via the
+    * shared bin()-string length, the register bank reduces to ONE
+    * exact integer S = Σ 2^(rhoCap−Mj), and the final estimate is one
+    * mirrored IEEE chain (αm² · 2^rhoCap / S, with Flajolet's linear-
+    * counting branch m·ln(m/V) when E ≤ 2.5m and empty registers
+    * remain). p = 9 (512 registers, rsd ≈ 4.6%): deterministic error
+    * on the test corpus is 6.7%/2.0%/0.8% at sf0.001/0.01/0.1 — the
+    * sf0.001 figure is ±1 at n = 15. Oracle parity holds at the
+    * default p (the SQL hardcodes α·m² = 188686.82445861166).
     */
-  def approxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
+  def approxDistinct(s: SparkSession, dir: String, p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val rhoCap = 61 - p // digest60 minus p index bits, plus one
+    // alpha_m = 0.7213/(1 + 1.079/m) for m >= 128 (Flajolet et al.
+    // 2007, fig. 3; 0.709/0.697/0.673 for m = 64/32/16) — the same
+    // IEEE chain the oracle's hardcoded literal came from
+    val alphaM2 = (if (m >= 128) 0.7213 / (1 + 1.079 / m)
+      else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673) * m * m
+    val pow = 1L << rhoCap
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val regs = ev
+      .withColumn("h",
+        conv(substring(md5(concat(col("user_id").cast("string"),
+          lit("q37"))), 1, 15), 16, 10).cast("long"))
+      .select(col("event_type"),
+        pmod(col("h"), lit(m.toLong)).as("j"),
+        expr(s"h div $m").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(rhoCap))
+          .otherwise(lit(rhoCap) - length(bin(col("w")))))
+      .groupBy(col("event_type"), col("j"))
+      .agg(max(col("rho")).as("mj"))
+    // S over ALL m registers: absent registers carry Mj = 0
+    // (2^rhoCap); a present register has rho >= 1, so V (empty
+    // registers) is exactly m - n_regs
+    val est = regs.groupBy(col("event_type"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $rhoCap - mj)"))
+        .as("s_present"),
+        count(lit(1)).as("n_regs"))
+      .withColumn("s_all",
+        col("s_present") + (lit(m.toLong) - col("n_regs")) * lit(pow))
+      .withColumn("v", lit(m.toLong) - col("n_regs"))
+      .withColumn("e_raw",
+        lit(alphaM2) * lit(pow).cast("double") / col("s_all").cast("double"))
+      .withColumn("approx_users",
+        floor(when(col("e_raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+          .otherwise(col("e_raw")) + lit(0.5)).cast("long"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+    est.select(col("event_type"), col("approx_users"))
+      .join(exact, Seq("event_type"))
       .orderBy(col("event_type"))
+  }
 
   /** q40: top-k per key via the bounded-heap TypedImperativeAggregate
     * (graft.functions.TopKByAggregate) — same rows as q26's

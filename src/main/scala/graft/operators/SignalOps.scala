@@ -4618,6 +4618,291 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q128: BINARY-SEGMENTATION multi-changepoint locator, depth 2
+    * (Vostrikova 1981; the standard recursive CUSUM splitter) —
+    * q19/q65/q115/q118/q124 all stop at ONE break per series, but
+    * real feeds re-base more than once; binary segmentation finds the
+    * strongest break, splits there, and re-scans each half. The
+    * recursion is UNROLLED to depth 2 as two window passes — no
+    * recursion, no driver loop.
+    *
+    * Statistic per candidate split k inside a segment of length L:
+    * num_k = |L·P_k − k·P_L| over exact 1e-4-grid prefix sums (an
+    * exact integer — the scaled CUSUM deviation); the published
+    * z = num / (L · √(M2/(L·(L−1))) · √L) standardizes by the
+    * SEGMENT's own exact M2 = L·Σy² − (Σy)² in ONE IEEE chain,
+    * 1e-6-floored; the sup and its argmax are decided on the exact
+    * integers (ties → min (ts, event_id)). Candidates keep `minSeg`
+    * prints on each side (q118's trim discipline); the
+    * sup-Brownian-bridge 5% bar 1.358 flags each level (q124's bar);
+    * `n_breaks` counts hierarchically — the level-2 break only counts
+    * when level 1 was significant. Level 2 takes the BETTER half's
+    * sup (larger z, ties → earlier segment), the classic greedy step.
+    * Degenerate segments (constant ⇒ M2 = 0, or shorter than 2·minSeg
+    * ⇒ no candidates) report NULL at that level.
+    *
+    * Scale shape: TWO series exchanges — level 1 is q124's class
+    * (prefix + full-key windows + argmax all on one
+    * (user_id, event_type) partition), level 2 repartitions once on
+    * (key, segment) for the same window chain after ONE key-sized
+    * join carries the level-1 split onto the rows. Nothing beyond
+    * O(n) rows per series flows anywhere.
+    */
+  def q128BinarySegmentation(s: SparkSession, dir: String,
+      minObs: Int = 12, minSeg: Int = 4): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    // z for one segment: maxnum / (L * sqrt(M2/(L*(L-1))) * sqrt(L)),
+    // guarded NULL when the segment is constant or had no candidates
+    def zOf(ll: Column, m2: Column, maxnum: Column): Column =
+      when(m2 > 0 && maxnum.isNotNull,
+        floor(dd(maxnum) / (dd(ll) *
+          sqrt(dd(m2) / (dd(ll) * (dd(ll) - lit(1.0)))) * sqrt(dd(ll))) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+    def m2Of(ll: Column, sy: Column, syy: Column): Column =
+      (dec(ll) * syy - dec(sy) * dec(sy)).cast("decimal(38,0)")
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("t", row_number().over(wAsc).cast("long"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .filter(col("n") >= minObs)
+    val lvl1 = base
+      .withColumn("pk", sum(col("y")).over(wRun))
+      .withColumn("pl", sum(col("y")).over(wKey))
+      .withColumn("syy", sum((d19(col("y")) * d19(col("y")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("num", abs((dec(col("n")) * dec(col("pk")) -
+        dec(col("t")) * dec(col("pl"))).cast("decimal(38,0)")))
+      .withColumn("cnum",
+        when(col("t") >= minSeg && col("t") <= col("n") - minSeg,
+          col("num")))
+      .withColumn("maxnum", max(col("cnum")).over(wKey))
+    val agg1 = lvl1.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n_obs"), max(col("pl")).as("sy"),
+        max(col("syy")).as("syy"), max(col("maxnum")).as("maxnum"),
+        min(when(col("cnum") <=> col("maxnum") && col("cnum").isNotNull,
+          col("t"))).as("k1"),
+        min(when(col("cnum") <=> col("maxnum") && col("cnum").isNotNull,
+          col("ts"))).as("ts1"))
+      .withColumn("z1_6",
+        zOf(col("n_obs"), m2Of(col("n_obs"), col("sy"), col("syy")),
+          col("maxnum")))
+    val wSegAsc = Window
+      .partitionBy(col("user_id"), col("event_type"), col("seg"))
+      .orderBy(col("ts"), col("event_id"))
+    val wSegRun =
+      wSegAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeg = Window
+      .partitionBy(col("user_id"), col("event_type"), col("seg"))
+    val lvl2 = base
+      .join(agg1.select(col("user_id"), col("event_type"), col("k1"))
+        .filter(col("k1").isNotNull), Seq("user_id", "event_type"))
+      .withColumn("seg", when(col("t") <= col("k1"), 1).otherwise(2))
+      .withColumn("i", row_number().over(wSegAsc).cast("long"))
+      .withColumn("ll", count(lit(1)).over(wSeg))
+      .withColumn("pk", sum(col("y")).over(wSegRun))
+      .withColumn("pl", sum(col("y")).over(wSeg))
+      .withColumn("syy", sum((d19(col("y")) * d19(col("y")))
+        .cast("decimal(38,0)")).over(wSeg))
+      .withColumn("num", abs((dec(col("ll")) * dec(col("pk")) -
+        dec(col("i")) * dec(col("pl"))).cast("decimal(38,0)")))
+      .withColumn("cnum",
+        when(col("i") >= minSeg && col("i") <= col("ll") - minSeg,
+          col("num")))
+      .withColumn("maxnum", max(col("cnum")).over(wSeg))
+    val seg2 = lvl2.groupBy(col("user_id"), col("event_type"), col("seg"))
+      .agg(max(col("ll")).as("ll"), max(col("pl")).as("sy"),
+        max(col("syy")).as("syy"), max(col("maxnum")).as("maxnum"),
+        min(when(col("cnum") <=> col("maxnum") && col("cnum").isNotNull,
+          col("t"))).as("k2"),
+        min(when(col("cnum") <=> col("maxnum") && col("cnum").isNotNull,
+          col("ts"))).as("ts2"))
+      .withColumn("z2_6",
+        zOf(col("ll"), m2Of(col("ll"), col("sy"), col("syy")),
+          col("maxnum")))
+    val wPick = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("z2_6").desc_nulls_last, col("seg"))
+    val brk2 = seg2
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        when(col("z2_6").isNotNull, col("k2")).as("break2_t"),
+        when(col("z2_6").isNotNull, col("ts2")).as("break2_ts"),
+        col("z2_6"))
+    agg1
+      .join(brk2, Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"), col("n_obs"),
+        when(col("z1_6").isNotNull, col("k1")).as("break1_t"),
+        when(col("z1_6").isNotNull, col("ts1")).as("break1_ts"),
+        col("z1_6"), col("break2_t"), col("break2_ts"), col("z2_6"))
+      .withColumn("n_breaks",
+        when(col("z1_6") > 1358000L,
+          lit(1) + when(col("z2_6") > 1358000L, 1).otherwise(0))
+          .otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q129: KENDALL τ-b pair matrix (Kendall 1938) — completes the
+    * rank family at PAIR granularity: q94's Pearson matrix decays
+    * under any monotone-but-nonlinear co-movement and q80's Spearman
+    * is a per-peer column, not a matrix. τ counts CONCORDANT vs
+    * DISCORDANT day-pairs over the common daily closes of every
+    * unordered ticker pair — exact integer pair census, no ranks to
+    * float: C/D/tie counts are plain conditional counts over exact
+    * grid integers, and τ-b = (C − D)/√((n0 − n1)(n0 − n2)) (the tie
+    * correction: n0 = day-pairs, n1/n2 = pairs tied in x/y) is ONE
+    * IEEE chain, 1e-6-floored. A series with all closes equal makes
+    * its pairs' denominators 0 ⇒ tau6 NULL. Property (q80's, at pair
+    * granularity): ANY strictly monotone re-scale of one side leaves
+    * τ = ±1 exactly where Pearson decays — spec-planted.
+    *
+    * Scale shape: q94's close-collapse (one (key, day) window) and
+    * (event_type, day) pair equi-join, then ONE self-equi-join of the
+    * matched-day table on the pair key with day1 ≤ day2 — the
+    * diagonal rows (day1 = day2) carry the common-day count, the
+    * strict rows the O(d²) pair census, so ONE aggregation covers
+    * both and nothing is scanned twice. In-pair work is O(d²) on
+    * calendar-bounded common days (d ≈ tens); output is pair-sized.
+    * Quadratic in CATALOG by semantics, like q94 — the same top-K /
+    * pair-budget gate applies at 100× catalog growth.
+    */
+  def q129KendallTau(s: SparkSession, dir: String,
+      minDays: Int = 5): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
+      col("day")).orderBy(col("ts").desc, col("event_id").desc)
+    val closes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("rd", row_number().over(wDay))
+      .filter(col("rd") === 1)
+      .select(col("user_id"), col("event_type"), col("day"), col("y"))
+    val a = closes.select(col("event_type"), col("day"),
+      col("user_id").as("user_a"), col("y").as("ya"))
+    val b = closes.select(col("event_type"), col("day"),
+      col("user_id").as("user_b"), col("y").as("yb"))
+    val matched = a.join(b, Seq("event_type", "day"))
+      .filter(col("user_a") < col("user_b"))
+    val p = matched.select(col("event_type"), col("user_a"), col("user_b"),
+      col("day").as("day1"), col("ya").as("ya1"), col("yb").as("yb1"))
+    val q = matched.select(col("event_type"), col("user_a"), col("user_b"),
+      col("day").as("day2"), col("ya").as("ya2"), col("yb").as("yb2"))
+    val strict = col("day1") < col("day2")
+    // sign of the cross product decides concordance; exact long
+    // arithmetic (grid deltas ~1e8, product ~1e16 — no overflow)
+    val prod = (col("ya1") - col("ya2")) * (col("yb1") - col("yb2"))
+    p.join(q, Seq("event_type", "user_a", "user_b"))
+      .filter(col("day1") <= col("day2"))
+      .groupBy(col("event_type"), col("user_a"), col("user_b"))
+      .agg(
+        count(when(col("day1") === col("day2"), 1)).as("n_days"),
+        count(when(strict, 1)).as("n0"),
+        count(when(strict && prod > 0, 1)).as("c_pairs"),
+        count(when(strict && prod < 0, 1)).as("d_pairs"),
+        count(when(strict && col("ya1") === col("ya2"), 1)).as("n1"),
+        count(when(strict && col("yb1") === col("yb2"), 1)).as("n2"))
+      .filter(col("n_days") >= minDays)
+      .withColumn("tau6",
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          floor(dd(col("c_pairs") - col("d_pairs")) /
+            sqrt(dd((col("n0") - col("n1")) * (col("n0") - col("n2")))) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+      .select(col("event_type"), col("user_a"), col("user_b"),
+        col("n_days"), col("c_pairs"), col("d_pairs"), col("tau6"),
+        when(abs(col("tau6")) >= 800000L, 1).otherwise(0)
+          .as("comove_flag"))
+      .orderBy(col("event_type"), col("user_a"), col("user_b"))
+  }
+
+  /** q130: FRIEDMAN weekday-block rank test (Friedman 1937) —
+    * completes the weekday triangle: q85's ANOVA assumes normal
+    * within-day noise, q121's Kruskal–Wallis ranks ACROSS the whole
+    * series (so a trend masquerades as a weekday effect); Friedman
+    * ranks the 7 weekday closes WITHIN each complete calendar week,
+    * so week-to-week level shifts cancel by construction and only
+    * the within-week weekday ORDER accumulates evidence.
+    *
+    * Blocks are complete weeks only (all 7 weekday closes present —
+    * the test is undefined on incomplete blocks); mid-ranks in exact
+    * doubled integers (q121's r2 = 2·below + ties + 1, here within
+    * the 7-row block via one RANGE window); with R2_j the per-weekday
+    * doubled-rank sums, Σ(t³−t) = Σ_rows(t²−1) the exact tie mass,
+    * the tie-corrected statistic collapses to ONE exact-integer
+    * ratio: Q = 6·(3·ΣR2_j² − 1344·n²)/(336·n − ties) for k = 7 —
+    * a single IEEE division, 1e-6-floored. All-tied blocks (constant
+    * weeks: 336n = ties) ⇒ NULL; fewer than minBlocks complete weeks
+    * ⇒ NULL with the row VISIBLE and n_blocks published (q123's
+    * eligibility discipline — the synthetic corpus averages ~11
+    * trading days over 30, so complete weeks are rare there and the
+    * statistic exercises through the planted spec). Flag at the
+    * χ²(6) 5% bar 12.5916 (q121/q123's bar).
+    *
+    * Scale shape: the q94 close-collapse window, then every window
+    * and groupBy runs on the (user_id, event_type[, week]) partition
+    * family — series-exchange class, key-sized output, spine left
+    * join keeps thin series visible.
+    */
+  def q130Friedman(s: SparkSession, dir: String,
+      minBlocks: Int = 2): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
+      col("day")).orderBy(col("ts").desc, col("event_id").desc)
+    val closes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("rd", row_number().over(wDay))
+      .filter(col("rd") === 1)
+      .withColumn("dnum", expr("datediff(day, DATE'1970-01-05')"))
+      .withColumn("wd", expr("((dnum % 7) + 7) % 7"))
+      .withColumn("week", expr("dnum div 7"))
+      .select(col("user_id"), col("event_type"), col("week"), col("wd"),
+        col("y"))
+    val wBlk = Window.partitionBy(col("user_id"), col("event_type"),
+      col("week"))
+    val wRank = wBlk.orderBy(col("y"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wTie = Window.partitionBy(col("user_id"), col("event_type"),
+      col("week"), col("y"))
+    val ranked = closes
+      .withColumn("bn", count(lit(1)).over(wBlk))
+      .filter(col("bn") === 7)
+      .withColumn("cb", count(lit(1)).over(wRank))
+      .withColumn("t", count(lit(1)).over(wTie))
+      .withColumn("r2", lit(2) * col("cb") + col("t") + 1)
+    val stats = ranked
+      .groupBy(col("user_id"), col("event_type"), col("wd"))
+      .agg(sum(col("r2")).as("r2j"),
+        sum(col("t") * col("t") - lit(1)).as("tiesj"),
+        count(lit(1)).as("nbj"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum((d19(col("r2j")) * d19(col("r2j"))).cast("decimal(38,0)"))
+        .as("sr2"),
+        sum(col("tiesj")).as("ties"), max(col("nbj")).as("nb"))
+      .withColumn("qnum",
+        (lit(3) * col("sr2") - lit(1344) * dec(col("nb")) * dec(col("nb")))
+          .cast("decimal(38,0)"))
+      .withColumn("cden", lit(336) * col("nb") - col("ties"))
+      .withColumn("fried6",
+        when(col("nb") >= minBlocks && col("cden") > 0,
+          floor(lit(6.0) * dd(col("qnum")) / dd(col("cden")) *
+            lit(1000000.0) + lit(0.5)).cast("long")))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .join(stats.select(col("user_id"), col("event_type"), col("nb"),
+        col("fried6")), Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("nb"), lit(0L)).as("n_blocks"), col("fried6"),
+        when(col("fried6") > 12591600L, 1).otherwise(0)
+          .as("weekday_flag"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** p14: the RESIDUAL-DIAGNOSTICS PANEL — round 11's assumption
     * audits composed into the one per-ticker report that says whether
     * the PARAMETRIC detectors upstream can be trusted: q116's
@@ -9796,4 +10081,246 @@ object SignalOracle {
        |LEFT JOIN ($q122) tp
        |  ON tp.user_id = spine.user_id AND tp.event_type = spine.event_type
        |ORDER BY spine.user_id, spine.event_type""".stripMargin
+
+  /** q128: both binary-segmentation levels replayed — the same exact
+    * num = |L·P_k − k·P_L| prefix integers (HUGEINT here, decimal on
+    * the Spark side — equal as integers), the same trim, argmax and
+    * min-(ts, event_id) tie-break, the same one-chain z off the
+    * segment's exact M2, and the same better-half pick
+    * (z DESC NULLS LAST, then segment).
+    */
+  val q128: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), idx AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER wa AS BIGINT) AS t,
+      |    count(*) OVER wk AS n,
+      |    sum(y) OVER wr AS pk,
+      |    sum(y) OVER wk AS pl,
+      |    sum(CAST(y AS HUGEINT) * y) OVER wk AS syy
+      |  FROM b
+      |  WINDOW wa AS (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id),
+      |    wr AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wk AS (PARTITION BY user_id, event_type)
+      |), l1 AS (
+      |  SELECT *,
+      |    abs(CAST(n AS HUGEINT) * pk - CAST(t AS HUGEINT) * pl) AS num
+      |  FROM idx WHERE n >= 12
+      |), l1c AS (
+      |  SELECT *, CASE WHEN t >= 4 AND t <= n - 4 THEN num END AS cnum
+      |  FROM l1
+      |), l1m AS (
+      |  SELECT *, max(cnum) OVER (PARTITION BY user_id, event_type)
+      |    AS maxnum
+      |  FROM l1c
+      |), a1 AS (
+      |  SELECT user_id, event_type, max(n) AS n_obs, max(pl) AS sy,
+      |    max(syy) AS syy, max(maxnum) AS maxnum,
+      |    min(CASE WHEN cnum IS NOT DISTINCT FROM maxnum
+      |      AND cnum IS NOT NULL THEN t END) AS k1,
+      |    min(CASE WHEN cnum IS NOT DISTINCT FROM maxnum
+      |      AND cnum IS NOT NULL THEN ts END) AS ts1
+      |  FROM l1m GROUP BY 1, 2
+      |), z1 AS (
+      |  SELECT *,
+      |    CAST(n_obs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS m2
+      |  FROM a1
+      |), z1b AS (
+      |  SELECT *, CASE WHEN m2 > 0 AND maxnum IS NOT NULL THEN
+      |    CAST(floor(CAST(maxnum AS DOUBLE) / (CAST(n_obs AS DOUBLE)
+      |      * sqrt(CAST(m2 AS DOUBLE) / (CAST(n_obs AS DOUBLE)
+      |        * (CAST(n_obs AS DOUBLE) - 1.0)))
+      |      * sqrt(CAST(n_obs AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS z1_6
+      |  FROM z1
+      |), segrows AS (
+      |  SELECT l1.user_id, l1.event_type, l1.event_id, l1.ts, l1.y, l1.t,
+      |    CASE WHEN l1.t <= a.k1 THEN 1 ELSE 2 END AS seg
+      |  FROM l1 JOIN z1b a
+      |    ON a.user_id = l1.user_id AND a.event_type = l1.event_type
+      |  WHERE a.k1 IS NOT NULL
+      |), l2 AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER sa AS BIGINT) AS i,
+      |    count(*) OVER sk AS ll,
+      |    sum(y) OVER sr AS pk,
+      |    sum(y) OVER sk AS pl,
+      |    sum(CAST(y AS HUGEINT) * y) OVER sk AS syy
+      |  FROM segrows
+      |  WINDOW sa AS (PARTITION BY user_id, event_type, seg
+      |      ORDER BY ts, event_id),
+      |    sr AS (PARTITION BY user_id, event_type, seg
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    sk AS (PARTITION BY user_id, event_type, seg)
+      |), l2n AS (
+      |  SELECT *,
+      |    abs(CAST(ll AS HUGEINT) * pk - CAST(i AS HUGEINT) * pl) AS num
+      |  FROM l2
+      |), l2c AS (
+      |  SELECT *, CASE WHEN i >= 4 AND i <= ll - 4 THEN num END AS cnum
+      |  FROM l2n
+      |), l2m AS (
+      |  SELECT *,
+      |    max(cnum) OVER (PARTITION BY user_id, event_type, seg) AS maxnum
+      |  FROM l2c
+      |), a2 AS (
+      |  SELECT user_id, event_type, seg, max(ll) AS ll, max(pl) AS sy,
+      |    max(syy) AS syy, max(maxnum) AS maxnum,
+      |    min(CASE WHEN cnum IS NOT DISTINCT FROM maxnum
+      |      AND cnum IS NOT NULL THEN t END) AS k2,
+      |    min(CASE WHEN cnum IS NOT DISTINCT FROM maxnum
+      |      AND cnum IS NOT NULL THEN ts END) AS ts2
+      |  FROM l2m GROUP BY 1, 2, 3
+      |), z2 AS (
+      |  SELECT *, CAST(ll AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+      |    AS m2
+      |  FROM a2
+      |), z2b AS (
+      |  SELECT *, CASE WHEN m2 > 0 AND maxnum IS NOT NULL THEN
+      |    CAST(floor(CAST(maxnum AS DOUBLE) / (CAST(ll AS DOUBLE)
+      |      * sqrt(CAST(m2 AS DOUBLE) / (CAST(ll AS DOUBLE)
+      |        * (CAST(ll AS DOUBLE) - 1.0)))
+      |      * sqrt(CAST(ll AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+      |    END AS z2_6
+      |  FROM z2
+      |), pick AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY z2_6 DESC NULLS LAST, seg) AS rn
+      |  FROM z2b
+      |)
+      |SELECT a.user_id, a.event_type, a.n_obs,
+      |  CASE WHEN a.z1_6 IS NOT NULL THEN a.k1 END AS break1_t,
+      |  CASE WHEN a.z1_6 IS NOT NULL THEN a.ts1 END AS break1_ts,
+      |  a.z1_6,
+      |  CASE WHEN p.z2_6 IS NOT NULL THEN p.k2 END AS break2_t,
+      |  CASE WHEN p.z2_6 IS NOT NULL THEN p.ts2 END AS break2_ts,
+      |  p.z2_6,
+      |  CASE WHEN a.z1_6 > 1358000 THEN
+      |    1 + (CASE WHEN p.z2_6 > 1358000 THEN 1 ELSE 0 END)
+      |  ELSE 0 END AS n_breaks
+      |FROM z1b a
+      |LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p
+      |  ON p.user_id = a.user_id AND p.event_type = a.event_type
+      |ORDER BY a.user_id, a.event_type""".stripMargin
+
+  /** q129: the same close-collapse, pair equi-join and day1 ≤ day2
+    * self-join; conditional counts over the same exact sign products;
+    * the same one-chain τ-b with the n0>n1 ∧ n0>n2 NULL guard.
+    */
+  val q129: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), closes AS (
+      |  SELECT user_id, event_type, day, y FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type,
+      |      day ORDER BY ts DESC, event_id DESC) AS rd
+      |    FROM b)
+      |  WHERE rd = 1
+      |), m AS (
+      |  SELECT a.event_type, a.day, a.user_id AS user_a,
+      |    bb.user_id AS user_b, a.y AS ya, bb.y AS yb
+      |  FROM closes a JOIN closes bb
+      |    ON a.event_type = bb.event_type AND a.day = bb.day
+      |    AND a.user_id < bb.user_id
+      |), cen AS (
+      |  SELECT p.event_type, p.user_a, p.user_b,
+      |    count(CASE WHEN p.day = q.day THEN 1 END) AS n_days,
+      |    count(CASE WHEN p.day < q.day THEN 1 END) AS n0,
+      |    count(CASE WHEN p.day < q.day
+      |      AND (p.ya - q.ya) * (p.yb - q.yb) > 0 THEN 1 END) AS c_pairs,
+      |    count(CASE WHEN p.day < q.day
+      |      AND (p.ya - q.ya) * (p.yb - q.yb) < 0 THEN 1 END) AS d_pairs,
+      |    count(CASE WHEN p.day < q.day AND p.ya = q.ya THEN 1 END) AS n1,
+      |    count(CASE WHEN p.day < q.day AND p.yb = q.yb THEN 1 END) AS n2
+      |  FROM m p JOIN m q
+      |    ON p.event_type = q.event_type AND p.user_a = q.user_a
+      |    AND p.user_b = q.user_b AND p.day <= q.day
+      |  GROUP BY 1, 2, 3
+      |  HAVING count(CASE WHEN p.day = q.day THEN 1 END) >= 5
+      |)
+      |SELECT event_type, user_a, user_b, n_days, c_pairs, d_pairs,
+      |  CASE WHEN n0 > n1 AND n0 > n2 THEN
+      |    CAST(floor(CAST(c_pairs - d_pairs AS DOUBLE)
+      |      / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) END AS tau6,
+      |  CASE WHEN abs(CASE WHEN n0 > n1 AND n0 > n2 THEN
+      |    CAST(floor(CAST(c_pairs - d_pairs AS DOUBLE)
+      |      / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) END) >= 800000
+      |    THEN 1 ELSE 0 END AS comove_flag
+      |FROM cen
+      |ORDER BY event_type, user_a, user_b""".stripMargin
+
+  /** q130: the same close-collapse, complete-week filter, in-block
+    * doubled mid-ranks (RANGE window + tie count), and the single
+    * exact-integer Friedman ratio with the same NULL guards.
+    */
+  val q130: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), cl AS (
+      |  SELECT user_id, event_type, day, y FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type,
+      |      day ORDER BY ts DESC, event_id DESC) AS rd
+      |    FROM b)
+      |  WHERE rd = 1
+      |), wkd AS (
+      |  SELECT user_id, event_type, y,
+      |    ((CAST(day - DATE '1970-01-05' AS BIGINT) % 7) + 7) % 7 AS wd,
+      |    CAST(day - DATE '1970-01-05' AS BIGINT) // 7 AS week
+      |  FROM cl
+      |), cmp AS (
+      |  SELECT * FROM (
+      |    SELECT *, count(*) OVER (PARTITION BY user_id, event_type,
+      |      week) AS bn
+      |    FROM wkd)
+      |  WHERE bn = 7
+      |), rnk AS (
+      |  SELECT *,
+      |    count(*) OVER (PARTITION BY user_id, event_type, week
+      |      ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING) AS cb,
+      |    count(*) OVER (PARTITION BY user_id, event_type, week, y) AS t
+      |  FROM cmp
+      |), r2t AS (
+      |  SELECT *, 2 * cb + t + 1 AS r2 FROM rnk
+      |), bywd AS (
+      |  SELECT user_id, event_type, wd, sum(r2) AS r2j,
+      |    sum(t * t - 1) AS tiesj, count(*) AS nbj
+      |  FROM r2t GROUP BY 1, 2, 3
+      |), st AS (
+      |  SELECT user_id, event_type,
+      |    sum(CAST(r2j AS HUGEINT) * r2j) AS sr2,
+      |    sum(tiesj) AS ties, max(nbj) AS nb
+      |  FROM bywd GROUP BY 1, 2
+      |), fin AS (
+      |  SELECT user_id, event_type, nb,
+      |    CASE WHEN nb >= 2 AND 336 * nb - ties > 0 THEN
+      |      CAST(floor(CAST(6.0 AS DOUBLE)
+      |        * CAST(3 * sr2 - 1344 * CAST(nb AS HUGEINT) * nb AS DOUBLE)
+      |        / CAST(336 * nb - ties AS DOUBLE)
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS fried6
+      |  FROM st
+      |), spine AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |)
+      |SELECT s.user_id, s.event_type,
+      |  COALESCE(f.nb, 0) AS n_blocks, f.fried6,
+      |  CASE WHEN f.fried6 > 12591600 THEN 1 ELSE 0 END AS weekday_flag
+      |FROM spine s
+      |LEFT JOIN fin f
+      |  ON f.user_id = s.user_id AND f.event_type = s.event_type
+      |ORDER BY s.user_id, s.event_type""".stripMargin
 }

@@ -2488,6 +2488,119 @@ class SignalOpsSpec extends AnyFunSuite {
       s"$b vs $it")
   }
 
+  test("q128 binary segmentation: two planted mean breaks are both " +
+    "found at their dates, a single break reports one, constant NULLs") {
+    import spark.implicits._
+    // series 1: three regimes 100 / 200 / 50 (breaks after t=15, t=30)
+    val two = (1 to 45).map(i => if (i <= 15) 100.0
+      else if (i <= 30) 200.0 else 50.0)
+    // series 2: one clean step after t=20
+    val one = (1 to 40).map(i => if (i <= 20) 100.0 else 300.0)
+    val const = (1 to 40).map(_ => 42.0)
+    val rows =
+      two.zipWithIndex.map { case (v, i) => (1L, v, i) } ++
+        one.zipWithIndex.map { case (v, i) => (2L, v, i) } ++
+        const.zipWithIndex.map { case (v, i) => (3L, v, i) }
+    val df = rows.map { case (u, v, i) =>
+      (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q128spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q128BinarySegmentation(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val t2 = out(1L)
+    assert(t2.getAs[Int]("n_breaks") == 2, t2.toString)
+    val found = Set(t2.getAs[Long]("break1_t"), t2.getAs[Long]("break2_t"))
+    // each reported split within 2 prints of a true regime boundary,
+    // and the two reports hit DIFFERENT boundaries
+    assert(found.exists(k => math.abs(k - 15) <= 2) &&
+      found.exists(k => math.abs(k - 30) <= 2), t2.toString)
+    val s1 = out(2L)
+    assert(s1.getAs[Int]("n_breaks") == 1 &&
+      s1.getAs[Long]("break1_t") == 20L &&
+      s1.isNullAt(s1.fieldIndex("break2_t")), s1.toString)
+    val cst = out(3L)
+    assert(cst.getAs[Int]("n_breaks") == 0 &&
+      cst.isNullAt(cst.fieldIndex("break1_t")) &&
+      cst.isNullAt(cst.fieldIndex("z1_6")), cst.toString)
+  }
+
+  test("q129 Kendall tau: monotone re-scale keeps tau=1 where Pearson " +
+    "decays, anti-monotone is -1, an all-tied side is NULL") {
+    import spark.implicits._
+    // 8 daily closes; user 1 linear, user 2 = convex monotone rescale
+    // of user 1 (2^i), user 3 = reversed, user 4 constant
+    val days = 1 to 8
+    val rows = days.flatMap { i =>
+      Seq(
+        (1L, i.toDouble),
+        (2L, math.pow(2.0, i)),
+        (3L, (9 - i).toDouble),
+        (4L, 7.0)
+      ).zipWithIndex.map { case ((u, v), _) =>
+        (u, "x", u * 100 + i, java.sql.Timestamp.valueOf(
+          f"2024-01-${i}%02d 12:00:00"), v)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q129spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val tau = SignalOps.q129KendallTau(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")) -> r)
+      .toMap
+    assert(tau((1L, 2L)).getAs[Long]("tau6") == 1000000L, tau((1L, 2L)))
+    assert(tau((1L, 3L)).getAs[Long]("tau6") == -1000000L, tau((1L, 3L)))
+    val tied = tau((1L, 4L))
+    assert(tied.isNullAt(tied.fieldIndex("tau6")), tied.toString)
+    // ... while Pearson on the same (1,2) pair is strictly below 1
+    val pear = SignalOps.q94CorrMatrix(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")) -> r)
+      .toMap
+    assert(pear((1L, 2L)).getAs[Long]("corr6") < 1000000L, pear((1L, 2L)))
+    // exact census on the planted pair: all 28 day-pairs concordant
+    assert(tau((1L, 2L)).getAs[Long]("c_pairs") == 28L &&
+      tau((1L, 2L)).getAs[Long]("d_pairs") == 0L)
+  }
+
+  test("q130 Friedman: a consistent weekday order over 3 complete weeks " +
+    "scores exactly 6n and flags, constant weeks are NULL, thin visible") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday: days 1..21 = three complete Mon-Sun blocks
+    val rows =
+      (1 to 21).map { d =>
+        val wd = (d - 1) % 7
+        (1L, "x", 100L + d, java.sql.Timestamp.valueOf(
+          f"2024-01-$d%02d 12:00:00"), (wd + 1).toDouble)
+      } ++
+        (1 to 21).map { d =>
+          (2L, "x", 200L + d, java.sql.Timestamp.valueOf(
+            f"2024-01-$d%02d 12:00:00"), 42.0)
+        } ++
+        (1 to 5).map { d =>
+          (3L, "x", 300L + d, java.sql.Timestamp.valueOf(
+            f"2024-01-$d%02d 12:00:00"), d.toDouble)
+        }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q130spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q130Friedman(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.size == 3, "thin series stays visible")
+    val eff = out(1L)
+    // tie-free consistent order: Q = 6n = 18 exactly, over the bar
+    assert(eff.getAs[Long]("n_blocks") == 3L &&
+      eff.getAs[Long]("fried6") == 18000000L &&
+      eff.getAs[Int]("weekday_flag") == 1, eff.toString)
+    val cst = out(2L)
+    assert(cst.getAs[Long]("n_blocks") == 3L &&
+      cst.isNullAt(cst.fieldIndex("fried6")) &&
+      cst.getAs[Int]("weekday_flag") == 0, cst.toString)
+    val thin = out(3L)
+    assert(thin.getAs[Long]("n_blocks") == 0L &&
+      thin.isNullAt(thin.fieldIndex("fried6")), thin.toString)
+  }
+
   test("p14 residual panel: clean noise is clean, a pure ramp is a " +
     "single-flag check, a drifting walk is suspect, thin is insufficient") {
     import spark.implicits._
