@@ -214,7 +214,14 @@ object BenchScale {
     // q127 composes q54's probed recursion + one lag/groupBy
     "q127_forecast_backtest",
     // st36 = 6-long envelope state (st22's class)
-    "st36_stream_extremes")
+    "st36_stream_extremes",
+    // round 12: q128 = two prefix-window sup scans (q118's class ×2
+    // exchanges); q130 = close-collapse + (key, week) rank windows
+    // (q121's midrank class). q129 is q94's pair join shape —
+    // catalog-quadratic output BY SEMANTICS, excluded for q94's
+    // reason; q37's register bank is a fixed-width groupBy (q20's
+    // class).
+    "q128_binary_segmentation", "q130_friedman")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

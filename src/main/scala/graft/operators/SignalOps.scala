@@ -4516,11 +4516,20 @@ object SignalOps {
     * or no pair within r at all) means −ln(A/B) is undefined and the
     * row reports sampen6 NULL, identically on both engines.
     *
-    * Scale shape: q90's pair class — ONE series exchange, the
-    * template self-join is key-local (series are short: pairs =
-    * C(n−1,2) per series, calendar-bounded like q90's slopes); at
-    * 100 TB with LONG series, pre-bucket templates by ⌊y/r⌋ and join
-    * adjacent cells (the LSH shape d02 uses) before the exact check.
+    * Scale shape: the template join IS the d02 LSH shape — templates
+    * bucket by ⌊y/(r4+1)⌋ (width r4+1 guarantees any pair within r4
+    * lands in the same or an adjacent cell, including around 0 where
+    * truncating division widens one cell — still ≥ r4 wide), the left
+    * side probes its three adjacent cells, and the (key, bucket)
+    * equi-join materializes ONLY near-candidate pairs — each
+    * qualifying pair exactly once (the three probes are distinct, so
+    * at most one equals the right bucket) — before the exact integer
+    * predicate decides. Counts are therefore IDENTICAL to the full
+    * C(n−1,2) enumeration (the oracle still replays the plain i<j
+    * census); series with zero near pairs stay visible through the
+    * key spine with b_cnt = 0. Pairs scanned drop from C(n−1,2) to
+    * Σ_cell 3·|cell|² — the 100 TB long-series path, not just a doc
+    * note.
     */
   def q125SampleEntropy(s: SparkSession, dir: String,
       minObs: Int = 8): DataFrame = {
@@ -4544,18 +4553,30 @@ object SignalOps {
         lit(0.5)).cast("long"))
       .select(col("user_id"), col("event_type"), col("n"), col("r4"),
         col("i"), col("y"), col("y1"))
-    val l = rows.as("l")
-    val r = rows.select(col("user_id"), col("event_type"),
-      col("i").as("j"), col("y").as("yj"), col("y1").as("yj1")).as("r")
-    val pairs = l.join(r, Seq("user_id", "event_type"))
-      .filter(col("i") < col("j"))
-      .withColumn("bm",
-        (abs(col("y") - col("yj")) <= col("r4")).cast("long"))
-      .withColumn("am", when(col("bm") === 1L &&
-        abs(col("y1") - col("yj1")) <= col("r4"), 1L).otherwise(0L))
-    pairs.groupBy(col("user_id"), col("event_type"))
-      .agg(max(col("n")).as("n_obs"), max(col("r4")).as("r4"),
-        sum(col("bm")).as("b_cnt"), sum(col("am")).as("a_cnt"))
+    val spine = rows.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n_obs"), max(col("r4")).as("r4s"))
+    val left3 = rows
+      .withColumn("b0", expr("y div (r4 + 1)"))
+      .withColumn("bj",
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      .select(col("user_id"), col("event_type"), col("bj"), col("r4"),
+        col("i"), col("y"), col("y1"))
+    val right3 = rows
+      .select(col("user_id"), col("event_type"),
+        expr("y div (r4 + 1)").as("bj"), col("i").as("j"),
+        col("y").as("yj"), col("y1").as("yj1"))
+    val near = left3.join(right3, Seq("user_id", "event_type", "bj"))
+      .filter(col("i") < col("j") &&
+        abs(col("y") - col("yj")) <= col("r4"))
+      .withColumn("am",
+        when(abs(col("y1") - col("yj1")) <= col("r4"), 1L).otherwise(0L))
+    val counts = near.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("b_raw"), sum(col("am")).as("a_raw"))
+    spine.join(counts, Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"), col("n_obs"),
+        col("r4s").as("r4"),
+        coalesce(col("b_raw"), lit(0L)).as("b_cnt"),
+        coalesce(col("a_raw"), lit(0L)).as("a_cnt"))
       .withColumn("sampen6",
         when(col("a_cnt") > 0 && col("b_cnt") > 0,
           floor(-log(dd(col("a_cnt")) / dd(col("b_cnt"))) *
