@@ -217,11 +217,12 @@ object BenchScale {
     "st36_stream_extremes",
     // round 12: q128 = two prefix-window sup scans (q118's class ×2
     // exchanges); q130 = close-collapse + (key, week) rank windows
-    // (q121's midrank class). q129 is q94's pair join shape —
+    // (q121's midrank class); st37 = 7-long Holt+backtest state
+    // (st09/st22's class). q129 is q94's pair join shape —
     // catalog-quadratic output BY SEMANTICS, excluded for q94's
     // reason; q37's register bank is a fixed-width groupBy (q20's
-    // class).
-    "q128_binary_segmentation", "q130_friedman")
+    // class); p16 is a composition (p13/p14's exclusion reason).
+    "q128_binary_segmentation", "q130_friedman", "st37_stream_mase")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -115,6 +115,8 @@ object SparkEntry {
       ((s, d) => SignalOps.q124CusumSquares(s, d)),
     "p14_residual_panel" ->
       ((s, d) => SignalOps.p14ResidualPanel(s, d)),
+    "p16_changepoint_panel" ->
+      ((s, d) => SignalOps.p16ChangepointPanel(s, d)),
     "q125_sample_entropy" ->
       ((s, d) => SignalOps.q125SampleEntropy(s, d)),
     "q126_flap_detection" ->
@@ -353,6 +355,9 @@ object SparkEntry {
     "st36_stream_extremes" ->
       ((s, d) =>
         graft.streaming.StreamingAnomaly.st36StreamExtremes(s, d)),
+    "st37_stream_mase" ->
+      ((s, d) =>
+        graft.streaming.StreamingAnomaly.st37StreamMase(s, d)),
     "st26_stream_twap" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st26StreamTwap(s, d)),
     "st27_stream_ensemble" ->
@@ -476,6 +481,7 @@ object SparkEntry {
     "q123_bartlett"      -> SignalOracle.q123,
     "q124_cusum_squares" -> SignalOracle.q124,
     "p14_residual_panel" -> SignalOracle.p14,
+    "p16_changepoint_panel" -> SignalOracle.p16,
     "q125_sample_entropy" -> SignalOracle.q125,
     "q126_flap_detection" -> AnomalyOracle.q126,
     "q127_forecast_backtest" -> SignalOracle.q127,
@@ -496,6 +502,7 @@ object SparkEntry {
     "st34_stream_burstiness" -> SignalOracle.st34,
     "st35_stream_flap"   -> SignalOracle.st35,
     "st36_stream_extremes" -> SignalOracle.st36,
+    "st37_stream_mase" -> SignalOracle.st37,
     "st26_stream_twap"   -> SignalOracle.st26,
     "st27_stream_ensemble" -> SignalOracle.st27,
     "st28_stream_macd"   -> SignalOracle.st28,

@@ -4924,6 +4924,81 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** p16: the CHANGEPOINT CONSENSUS PANEL — the break family composed
+    * into the one per-ticker card an analyst actually asks for:
+    * "did this feed re-base, and do the detectors AGREE?" Five
+    * detectors with deliberately different nulls vote side by side —
+    * q65's rank-based mean shift (robust to outliers), q115's fixed
+    * mid-sample trend break, q118's SEARCHED trend break, q124's
+    * variance break, q128's greedy mean splitter — because a single
+    * detector flagging alone is usually its known blind spot (a
+    * variance burst trips q124 but not q65; a slope kink trips q118
+    * but not the mean shifters), while two-plus agreeing is a regime
+    * change worth a human.
+    *
+    * The verdict is EVIDENCE-WEIGHTED, not p14's all-or-nothing: the
+    * detectors' minObs differ by design (q118 wants 16 prints, q124
+    * nine), so a short series is judged on the detectors it can run —
+    * n_eligible counts present verdicts, n_votes sums their flags,
+    * and the call is `insufficient` below 3 eligible, `stable` at 0
+    * votes, `single-detector` at 1 (read that detector's blind spot),
+    * `corroborated` at 2+. Break locations ride along per family
+    * (q65's event id, q118's print index, q124's/q128's timestamps).
+    *
+    * Scale shape: p05/p13/p14's composition discipline — the spine is
+    * the ticker catalog, every component arrives already reduced to
+    * ticker cardinality, so each left join is broadcast-sized and the
+    * panel's cost IS its components' (each ONE series exchange).
+    */
+  def p16ChangepointPanel(s: SparkSession, dir: String): DataFrame = {
+    val key = Seq("user_id", "event_type")
+    val spine = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val pt = q65Pettitt(s, dir).select(col("user_id"), col("event_type"),
+      col("cp_event_id").as("mean_cp_event_id"),
+      col("sig_flag").as("mean_rank_flag"))
+    val ch = q115ChowBreak(s, dir).select(col("user_id"), col("event_type"),
+      col("f_chow6"), col("break_flag").as("chow_flag"))
+    val sf = q118SupF(s, dir).select(col("user_id"), col("event_type"),
+      col("break_t").as("trend_break_t"),
+      col("break_flag").as("supf_flag"))
+    val cs = q124CusumSquares(s, dir)
+      .select(col("user_id"), col("event_type"),
+        col("break_ts").as("var_break_ts"), col("var_break_flag"))
+    val bs = q128BinarySegmentation(s, dir)
+      .select(col("user_id"), col("event_type"),
+        col("break1_ts").as("mean_break_ts"), col("n_breaks"))
+    val flags = Seq(col("mean_rank_flag"), col("chow_flag"),
+      col("supf_flag"), col("var_break_flag"), col("binseg_flag"))
+    val nElig = flags.map(f => when(f.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val nVotes = flags.map(f => coalesce(f, lit(0))).reduce(_ + _)
+    spine
+      .join(pt, key, "left")
+      .join(ch, key, "left")
+      .join(sf, key, "left")
+      .join(cs, key, "left")
+      .join(bs, key, "left")
+      .withColumn("binseg_flag",
+        when(col("n_breaks").isNull, lit(null).cast("int"))
+          .when(col("n_breaks") >= 1, 1).otherwise(0))
+      .withColumn("n_eligible", nElig)
+      .withColumn("n_votes", nVotes)
+      .withColumn("verdict",
+        when(col("n_eligible") < 3, "insufficient")
+          .when(col("n_votes") === 0, "stable")
+          .when(col("n_votes") === 1, "single-detector")
+          .otherwise("corroborated"))
+      .select(col("user_id"), col("event_type"),
+        col("mean_cp_event_id"), col("mean_rank_flag"),
+        col("f_chow6"), col("chow_flag"),
+        col("trend_break_t"), col("supf_flag"),
+        col("var_break_ts"), col("var_break_flag"),
+        col("mean_break_ts"), col("n_breaks"), col("binseg_flag"),
+        col("n_eligible"), col("n_votes"), col("verdict"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** p14: the RESIDUAL-DIAGNOSTICS PANEL — round 11's assumption
     * audits composed into the one per-ticker report that says whether
     * the PARAMETRIC detectors upstream can be trusted: q116's
@@ -5355,6 +5430,71 @@ object SignalOracle {
       |  CASE WHEN z6l IS NOT NULL AND abs(z6l) >= 3000000 THEN 1 ELSE 0 END
       |    AS holt_flag
       |FROM z
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** st37: st09's segmented dyadic Holt replay, then the naive lag-1
+    * error via a segment lag and the running MASE as prefix sums of
+    * |e| and |naive| over the scored prints — one IEEE division per
+    * row off exact integers, exactly the streaming accumulation.
+    */
+  val st37: String =
+    """WITH RECURSIVE b AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), sq AS MATERIALIZED (
+      |  SELECT user_id, event_type, seg_id, event_id, ts, v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM seg
+      |), rec AS (
+      |  SELECT user_id, event_type, seg_id, seq, event_id, ts, v4l,
+      |    v4l AS l, CAST(0 AS BIGINT) AS tr,
+      |    CAST(NULL AS BIGINT) AS e
+      |  FROM sq WHERE seq = 1
+      |  UNION ALL
+      |  SELECT n2.user_id, n2.event_type, n2.seg_id, n2.seq, n2.event_id,
+      |    n2.ts, n2.v4l,
+      |    CAST(floor((n2.v4l + r.l + r.tr) / 2.0) AS BIGINT),
+      |    CAST(floor((CAST(floor((n2.v4l + r.l + r.tr) / 2.0) AS BIGINT)
+      |      - r.l + 3.0 * r.tr) / 4.0) AS BIGINT),
+      |    n2.v4l - (r.l + r.tr)
+      |  FROM rec r JOIN sq n2
+      |    ON n2.user_id = r.user_id AND n2.event_type = r.event_type
+      |   AND n2.seg_id = r.seg_id AND n2.seq = r.seq + 1
+      |), nv AS (
+      |  SELECT *, v4l - lag(v4l) OVER (PARTITION BY user_id, event_type,
+      |    seg_id ORDER BY seq) AS d
+      |  FROM rec
+      |), acc AS (
+      |  SELECT *,
+      |    sum(CASE WHEN e IS NOT NULL THEN abs(e) END) OVER wp AS sae,
+      |    sum(CASE WHEN e IS NOT NULL THEN abs(d) END) OVER wp AS san,
+      |    count(CASE WHEN e IS NOT NULL THEN 1 END) OVER wp AS n_scored
+      |  FROM nv
+      |  WINDOW wp AS (PARTITION BY user_id, event_type, seg_id
+      |    ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value,
+      |  CAST(n_scored AS BIGINT) AS n_scored,
+      |  CASE WHEN san > 0 THEN CAST(floor(CAST(sae AS DOUBLE) /
+      |    CAST(san AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) END AS mase6,
+      |  CASE WHEN san > 0 AND CAST(floor(CAST(sae AS DOUBLE) /
+      |    CAST(san AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) < 1000000
+      |    THEN 1 ELSE 0 END AS beats_naive_flag
+      |FROM acc
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
   /** st22: the dyadic EWMA recursion replayed per 8-day staleness
@@ -10344,4 +10484,52 @@ object SignalOracle {
       |LEFT JOIN fin f
       |  ON f.user_id = s.user_id AND f.event_type = s.event_type
       |ORDER BY s.user_id, s.event_type""".stripMargin
+
+  /** p16: the five changepoint-component oracles as nested-WITH
+    * subqueries left-joined on the catalog spine (p14's pattern),
+    * with the same evidence-weighted eligible/vote arithmetic.
+    */
+  lazy val p16: String = {
+    val elig = Seq("pt.sig_flag", "ch.break_flag", "sf.break_flag",
+      "cs.var_break_flag", "bsf.binseg_flag")
+    val nElig = elig
+      .map(f => s"(CASE WHEN $f IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString("\n       |    + ")
+    val nVotes = elig.map(f => s"COALESCE($f, 0)")
+      .mkString("\n       |    + ")
+    s"""WITH spine AS (
+       |  SELECT DISTINCT user_id, event_type FROM events
+       |)
+       |SELECT spine.user_id, spine.event_type,
+       |  pt.cp_event_id AS mean_cp_event_id,
+       |  pt.sig_flag AS mean_rank_flag,
+       |  ch.f_chow6, ch.break_flag AS chow_flag,
+       |  sf.break_t AS trend_break_t, sf.break_flag AS supf_flag,
+       |  cs.break_ts AS var_break_ts, cs.var_break_flag,
+       |  bsf.break1_ts AS mean_break_ts, bsf.n_breaks, bsf.binseg_flag,
+       |  $nElig AS n_eligible,
+       |  $nVotes AS n_votes,
+       |  CASE WHEN ($nElig) < 3 THEN 'insufficient'
+       |       WHEN ($nVotes) = 0 THEN 'stable'
+       |       WHEN ($nVotes) = 1 THEN 'single-detector'
+       |       ELSE 'corroborated' END AS verdict
+       |FROM spine
+       |LEFT JOIN ($q65) pt
+       |  ON pt.user_id = spine.user_id AND pt.event_type = spine.event_type
+       |LEFT JOIN ($q115) ch
+       |  ON ch.user_id = spine.user_id AND ch.event_type = spine.event_type
+       |LEFT JOIN ($q118) sf
+       |  ON sf.user_id = spine.user_id AND sf.event_type = spine.event_type
+       |LEFT JOIN ($q124) cs
+       |  ON cs.user_id = spine.user_id AND cs.event_type = spine.event_type
+       |LEFT JOIN (
+       |  SELECT user_id, event_type, break1_ts, n_breaks,
+       |    CASE WHEN n_breaks IS NULL THEN NULL
+       |         WHEN n_breaks >= 1 THEN 1 ELSE 0 END AS binseg_flag
+       |  FROM ($q128)
+       |) bsf
+       |  ON bsf.user_id = spine.user_id
+       |  AND bsf.event_type = spine.event_type
+       |ORDER BY spine.user_id, spine.event_type""".stripMargin
+  }
 }

@@ -3718,4 +3718,113 @@ object StreamingAnomaly extends Serializable {
         AnomalyConfig(dataPeriods = 28, stddevLim = 2.5, repLim = 2),
       staleDays: Double = 8.0): DataFrame =
     st35FromStream(s, eventStream(s, dir), cfg, staleDays)
+
+  /** st37 state: st09's exact dyadic Holt pair plus the running
+    * backtest integers — previous print (the naive forecaster),
+    * Σ|model error| and Σ|naive error| over the scored prints.
+    */
+  case class MaseState(lastUs: Long, l: Long, b: Long, prevV: Long,
+      sae: Long, san: Long, n: Long)
+
+  case class MaseOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, n_scored: Long,
+      mase6: Option[Long], beats_naive_flag: Int)
+
+  /** st37: q127's forecast backtest answered LIVE — "is the
+    * forecaster earning its keep RIGHT NOW", per print: the same
+    * dyadic Holt recursion st09 runs (bit-for-bit) also scores each
+    * print against the naive lag-1 forecaster, and the running
+    * MASE = Σ|e_model|/Σ|e_naive| over the segment's scored prints
+    * is published with every event — the moment it crosses 1 the
+    * consumer knows yesterday's print has started beating the model
+    * (q127 renders that verdict once per batch; an on-call decision
+    * needs it at the print). State is SEVEN longs per key: st09's
+    * (lastUs, l, b) plus prevV and the two exact error sums. The
+    * running MASE is ONE IEEE division of exact longs, 1e-6-floored.
+    * Staleness gaps / EventTimeTimeout restart the segment exactly
+    * like st09 (the oracle replays per segment). Same in-order
+    * contract as st02.
+    */
+  def st37Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): org.apache.spark.sql.Dataset[MaseOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[MaseState]): Iterator[MaseOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[MaseOut]
+        var stOpt = state.getOption
+        sorted.foreach { e =>
+          stOpt = stOpt.filter(st => usOf(e.ts) - st.lastUs <= staleUs)
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          stOpt match {
+            case None =>
+              stOpt = Some(MaseState(usOf(e.ts), vl, 0L, vl, 0L, 0L, 0L))
+              out += MaseOut(key._1, key._2, e.event_id, e.ts,
+                vl / 10000.0, 0L, None, 0)
+            case Some(st) =>
+              val err = vl - (st.l + st.b)
+              val d = vl - st.prevV
+              val sae = st.sae + math.abs(err)
+              val san = st.san + math.abs(d)
+              val n = st.n + 1
+              val mase6 =
+                if (san > 0)
+                  Some(math.floor(sae.toDouble / san.toDouble *
+                    1000000.0 + 0.5).toLong)
+                else None
+              val l2 = math.floor((vl + st.l + st.b) / 2.0).toLong
+              val b2 = math.floor((l2 - st.l + 3.0 * st.b) / 4.0).toLong
+              stOpt = Some(MaseState(usOf(e.ts), l2, b2, vl, sae, san, n))
+              out += MaseOut(key._1, key._2, e.event_id, e.ts,
+                vl / 10000.0, n, mase6,
+                if (mase6.exists(_ < 1000000L)) 1 else 0)
+          }
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st37FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0): DataFrame = {
+    val name = s"st37_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st37Transform(s, stream, staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("n_scored"),
+        col("mase6"), col("beats_naive_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st37StreamMase(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st37FromStream(s, eventStream(s, dir), staleDays)
 }

@@ -2601,6 +2601,35 @@ class SignalOpsSpec extends AnyFunSuite {
       thin.isNullAt(thin.fieldIndex("fried6")), thin.toString)
   }
 
+  test("p16 changepoint panel: a planted step is corroborated, a " +
+    "constant is stable on five eligible detectors, thin is insufficient") {
+    import spark.implicits._
+    val rows =
+      (1 to 40).map { i =>
+        (1L, if (i <= 20) 100.0 else 300.0, i) // clean mean step
+      } ++ (1 to 40).map(i => (2L, 42.0, i)) ++ // constant
+        (1 to 10).map(i => (3L, i.toDouble, i)) // too short for 3 of 5
+    val df = rows.map { case (u, v, i) =>
+      (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("p16spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.p16ChangepointPanel(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val step = out(1L)
+    assert(step.getAs[String]("verdict") == "corroborated" &&
+      step.getAs[Int]("n_votes") >= 2 &&
+      step.getAs[Int]("n_eligible") == 5, step.toString)
+    val cst = out(2L)
+    assert(cst.getAs[String]("verdict") == "stable" &&
+      cst.getAs[Int]("n_eligible") == 5 &&
+      cst.getAs[Int]("n_votes") == 0, cst.toString)
+    val thin = out(3L)
+    assert(thin.getAs[String]("verdict") == "insufficient" &&
+      thin.getAs[Int]("n_eligible") < 3, thin.toString)
+  }
+
   test("p14 residual panel: clean noise is clean, a pure ramp is a " +
     "single-flag check, a drifting walk is suspect, thin is insufficient") {
     import spark.implicits._

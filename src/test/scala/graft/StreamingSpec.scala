@@ -1557,4 +1557,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
     assert(multi.length == single.length && multi.sameElements(single))
   }
+
+  test("st37 live MASE: a steady trend beats naive with the exact " +
+      "running ratio replayed, a gap resets the backtest, " +
+      "multi-batch matches") {
+    import spark.implicits._
+    def t(day: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:$m%02d:00")
+    // clean unit-step trend: Holt locks onto the slope, the naive
+    // error stays one step — running MASE sinks below 1
+    val vals = (0 until 20).map(i => 100.0 + i)
+    val a = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "x", i.toLong, t(1, i), v) }
+    val g = Seq((2L, "x", 100L, t(1, 0), 10.0),
+      (2L, "x", 101L, t(1, 1), 20.0),
+      (2L, "x", 200L, t(11, 0), 30.0), (2L, "x", 201L, t(11, 1), 40.0))
+    val tmp = java.nio.file.Files.createTempDirectory("st37spec").toString
+    (a ++ g).toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st37StreamMase(spark, tmp).collect()
+    val rows = out.filter(_.getAs[Long]("user_id") == 1L)
+      .sortBy(_.getAs[Long]("event_id"))
+    // exact replay of the seven-long state
+    val ys = vals.map(v => math.floor(v * 10000.0 + 0.5).toLong)
+    var l = ys.head; var b = 0L
+    var prev = ys.head; var sae = 0L; var san = 0L
+    assert(rows.head.isNullAt(rows.head.fieldIndex("mase6")) &&
+      rows.head.getAs[Long]("n_scored") == 0L, rows.head.toString)
+    ys.zipWithIndex.drop(1).foreach { case (y, i) =>
+      val err = y - (l + b)
+      sae += math.abs(err); san += math.abs(y - prev); prev = y
+      val exp = math.floor(sae.toDouble / san.toDouble * 1e6 + 0.5).toLong
+      val r = rows(i)
+      assert(r.getAs[Long]("mase6") == exp &&
+        r.getAs[Long]("n_scored") == i.toLong, s"row $i: $r vs $exp")
+      val l2 = math.floor((y + l + b) / 2.0).toLong
+      b = math.floor((l2 - l + 3.0 * b) / 4.0).toLong; l = l2
+    }
+    // first scored print ties naive (MASE = 1, no flag); the tail
+    // beats it decisively
+    assert(rows(1).getAs[Long]("mase6") == 1000000L &&
+      rows(1).getAs[Int]("beats_naive_flag") == 0, rows(1).toString)
+    assert(rows.last.getAs[Long]("mase6") < 1000000L &&
+      rows.last.getAs[Int]("beats_naive_flag") == 1, rows.last.toString)
+    // the 9-day gap restarts the backtest segment
+    val gp = out.filter(_.getAs[Long]("user_id") == 2L)
+      .sortBy(_.getAs[Long]("event_id"))
+    assert(gp(2).getAs[Long]("n_scored") == 0L &&
+      gp(2).isNullAt(gp(2).fieldIndex("mase6")), gp(2).toString)
+    assert(gp(3).getAs[Long]("n_scored") == 1L, gp(3).toString)
+    // batch boundaries don't perturb the seven-long state
+    val multi = StreamingAnomaly.st37FromStream(spark, slicedStream())
+      .collect().map(_.toString).sorted
+    val single = StreamingAnomaly.st37StreamMase(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(multi.nonEmpty)
+    assert(multi.length == single.length && multi.sameElements(single))
+  }
 }
