@@ -135,6 +135,8 @@ object SparkEntry {
       ((s, d) => CorpusPipeline.p15EmbeddingCard(s, d)),
     "t22_pmi_collocations" ->
       ((s, d) => graft.text.TextFns.t22PmiCollocations(s, d)),
+    "t23_textrank_keywords" ->
+      ((s, d) => graft.text.TextFns.t23TextrankKeywords(s, d)),
     "s11_lof"            -> ((s, d) =>
       graft.similarity.Ann.s11Lof(s, d)),
     "d21_bloom_admission" -> ((s, d) =>
@@ -491,6 +493,10 @@ object SparkEntry {
     "s12_knn_pagerank"   -> LlmOracle.s12,
     "p15_embedding_card" -> LlmOracle.p15,
     "t22_pmi_collocations" -> LlmOracle.t22,
+    "t23_textrank_keywords" -> LlmOracle.t23,
+    "s03_ann_ivf" -> LlmOracle.s03,
+    "d14_semdedup" -> LlmOracle.d14,
+    "s05_ann_pq" -> LlmOracle.s05,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,
     "d21_bloom_admission" -> LlmOracle.d21,
@@ -1315,8 +1321,11 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, session_start"""
-    // rows-only by design (no oracleSql entry): d14/s03/s05 (k-means
-    // seeding is engine-specific) and st10 (SpaceSaving admission
-    // order); each is property-verified in its spec instead
+    // rows-only by design (no oracleSql entry): st10 only — the
+    // SpaceSaving admission/eviction order is a k-counter state
+    // machine over the stream, not expressible as the relational
+    // replay the other 251 entries carry; property-verified in its
+    // spec instead. (Round 12 graduated d14/s03/s05 by replaying the
+    // whole k-means/PQ training chain in SQL off md5-ranked seeds.)
   )
 }

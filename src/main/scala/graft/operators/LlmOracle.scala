@@ -714,6 +714,244 @@ object LlmOracle {
        |      list_transform(list_zip($a, $b), p -> p[1] * p[2])),
        |      (acc, x) -> acc + x)""".stripMargin
 
+  /** Shared k-means CTE chain for s03/d14 — Ann.trainCentroids
+    * replayed exactly: md5-digest₆₀-ranked seeds (Ann.seedRank's 'km'
+    * salt), `iters` Lloyd rounds where each assignment is the argmin
+    * of the same norm2 − 2·dot + |c|² IEEE chain (ties → smaller cid)
+    * and each centroid component is ONE exact DECIMAL(38,12) sum cast
+    * to double then ONE division by the count; empty clusters keep
+    * the previous centroid. Ends with `af(vec_id, v, norm2, cid)` —
+    * the final assignment against the trained bank `c<iters>`.
+    */
+  private def kmeansCtes(nCentroids: Int, iters: Int): String = {
+    def round(k: Int): String =
+      s"""d$k AS (
+         |  SELECT n.vec_id, n.v, c.cid,
+         |    n.norm2 - 2.0 * ${dotSql("n.v", "c.c")}
+         |      + ${dotSql("c.c", "c.c")} AS dist
+         |  FROM n CROSS JOIN c${k - 1} c
+         |), a$k AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS ar
+         |    FROM d$k)
+         |  WHERE ar = 1
+         |), m$k AS (
+         |  SELECT cid, pos,
+         |    CAST(SUM(CAST(comp AS DECIMAL(38,12))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS m
+         |  FROM (SELECT cid, unnest(v) AS comp,
+         |      unnest(range(1, len(v) + 1)) AS pos FROM a$k)
+         |  GROUP BY 1, 2
+         |), r$k AS (
+         |  SELECT cid, array_agg(m ORDER BY pos) AS c FROM m$k GROUP BY 1
+         |), c$k AS MATERIALIZED (
+         |  SELECT p.cid, COALESCE(r$k.c, p.c) AS c
+         |  FROM c${k - 1} p LEFT JOIN r$k ON r$k.cid = p.cid
+         |)""".stripMargin
+    val rounds = (1 to iters).map(round).mkString(", ")
+    s"""v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm2 FROM v
+       |), sr AS (
+       |  SELECT vec_id, v,
+       |    CAST(concat('0x', substring(md5(concat(
+       |      CAST(vec_id AS VARCHAR), 'km')), 1, 15)) AS BIGINT)
+       |      % 1000003 AS h
+       |  FROM n
+       |), c0 AS MATERIALIZED (
+       |  SELECT CAST(rn - 1 AS INT) AS cid, v AS c
+       |  FROM (SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn
+       |    FROM sr)
+       |  WHERE rn <= $nCentroids
+       |), $rounds, af AS MATERIALIZED (
+       |  SELECT vec_id, v, norm2, cid FROM (
+       |    SELECT n.vec_id, n.v, n.norm2, c.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        n.norm2 - 2.0 * ${dotSql("n.v", "c.c")}
+       |          + ${dotSql("c.c", "c.c")}, c.cid) AS ar
+       |    FROM n CROSS JOIN c$iters c)
+       |  WHERE ar = 1
+       |)""".stripMargin
+  }
+
+  /** s03: the IVF index replayed end-to-end — the kmeansCtes training
+    * chain, per-query centroid ranking (same dist chain, ties →
+    * smaller cid, nProbe = 8), exact cosine inside the probed lists,
+    * s01's (cos6 DESC, vec_id) rank.
+    */
+  val s03: String =
+    s"""WITH ${kmeansCtes(16, 2)}, q AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm2 AS qn FROM n
+       |  WHERE vec_id < 10
+       |), pr AS (
+       |  SELECT query_id, qv, qn, cid FROM (
+       |    SELECT q.query_id, q.qv, q.qn, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        q.qn - 2.0 * ${dotSql("q.qv", "c.c")}
+       |          + ${dotSql("c.c", "c.c")}, c.cid) AS prk
+       |    FROM q CROSS JOIN c2 c)
+       |  WHERE prk <= 8
+       |), scored AS (
+       |  SELECT pr.query_id, l.vec_id,
+       |    floor(${dotSql("pr.qv", "l.v")} / sqrt(pr.qn * l.norm2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cos6
+       |  FROM af l JOIN pr ON pr.cid = l.cid
+       |  WHERE l.vec_id <> pr.query_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos6 DESC, vec_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, rk, vec_id, cos6 FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** s05: the PQ index replayed end-to-end — per-subspace codebooks
+    * (md5-'pq'-ranked seeds, two Lloyd rounds with the same
+    * decimal-exact means), 4-bit code assignment (same dist chain,
+    * ties → smaller code), per-query ADC tables as ordered
+    * list-of-lists (each cell ONE sequential fold of squared diffs —
+    * the driver loop's exact order), the 8-term static-lookup adist
+    * sum, the 40·k shortlist and the exact L2² re-rank.
+    */
+  val s05: String = {
+    val m = 8
+    val sub = 8
+    val codes = 16
+    val iters = 2
+    def sq(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0,
+         |      list_transform(list_zip($a, $b),
+         |        p -> (p[1] - p[2]) * (p[1] - p[2]))),
+         |      (acc, x) -> acc + x)""".stripMargin
+    def round(k: Int): String =
+      s"""pd$k AS (
+         |  SELECT s.vec_id, s.m_idx, s.sv, s.sn2, c.code,
+         |    s.sn2 - 2.0 * ${dotSql("s.sv", "c.c")}
+         |      + ${dotSql("c.c", "c.c")} AS dist
+         |  FROM svs s JOIN cb${k - 1} c ON c.m_idx = s.m_idx
+         |), pa$k AS (
+         |  SELECT vec_id, m_idx, sv, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m_idx
+         |      ORDER BY dist, code) AS ar
+         |    FROM pd$k)
+         |  WHERE ar = 1
+         |), pm$k AS (
+         |  SELECT m_idx, code, pos,
+         |    CAST(SUM(CAST(comp AS DECIMAL(38,12))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS mu
+         |  FROM (SELECT m_idx, code, unnest(sv) AS comp,
+         |      unnest(range(1, len(sv) + 1)) AS pos FROM pa$k)
+         |  GROUP BY 1, 2, 3
+         |), pr$k AS (
+         |  SELECT m_idx, code, array_agg(mu ORDER BY pos) AS c
+         |  FROM pm$k GROUP BY 1, 2
+         |), cb$k AS MATERIALIZED (
+         |  SELECT p.m_idx, p.code, COALESCE(r.c, p.c) AS c
+         |  FROM cb${k - 1} p LEFT JOIN pr$k r
+         |    ON r.m_idx = p.m_idx AND r.code = p.code
+         |)""".stripMargin
+    val rounds = (1 to iters).map(round).mkString(", ")
+    val adist = (1 to m)
+      .map(i => s"qd.dt[$i][enc.cv[$i] + 1]")
+      .mkString("\n       |    + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), svs AS MATERIALIZED (
+       |  SELECT vec_id, m_idx,
+       |    v[(m_idx * $sub + 1):(m_idx * $sub + $sub)] AS sv,
+       |    ${dotSql(s"v[(m_idx * $sub + 1):(m_idx * $sub + $sub)]",
+      s"v[(m_idx * $sub + 1):(m_idx * $sub + $sub)]")} AS sn2
+       |  FROM v CROSS JOIN (SELECT unnest(range(0, $m)) AS m_idx) mi
+       |), sh AS (
+       |  SELECT vec_id, m_idx, sv,
+       |    CAST(concat('0x', substring(md5(concat(
+       |      CAST(vec_id * 131 + m_idx AS VARCHAR), 'pq')), 1, 15))
+       |      AS BIGINT) % 1000003 AS h
+       |  FROM svs
+       |), cb0 AS MATERIALIZED (
+       |  SELECT m_idx, CAST(rn - 1 AS INT) AS code, sv AS c
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY m_idx
+       |      ORDER BY h, vec_id) AS rn
+       |    FROM sh)
+       |  WHERE rn <= $codes
+       |), $rounds, paf AS (
+       |  SELECT vec_id, m_idx, code FROM (
+       |    SELECT s.vec_id, s.m_idx, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m_idx ORDER BY
+       |        s.sn2 - 2.0 * ${dotSql("s.sv", "c.c")}
+       |          + ${dotSql("c.c", "c.c")}, c.code) AS ar
+       |    FROM svs s JOIN cb$iters c ON c.m_idx = s.m_idx)
+       |  WHERE ar = 1
+       |), enc AS MATERIALIZED (
+       |  SELECT vec_id, array_agg(code ORDER BY m_idx) AS cv
+       |  FROM paf GROUP BY 1
+       |), qsub AS (
+       |  SELECT vec_id AS query_id, m_idx, sv FROM svs
+       |  WHERE vec_id < 10
+       |), dcell AS (
+       |  SELECT q.query_id, q.m_idx, c.code,
+       |    ${sq("q.sv", "c.c")} AS dv
+       |  FROM qsub q JOIN cb$iters c ON c.m_idx = q.m_idx
+       |), drow AS (
+       |  SELECT query_id, m_idx, array_agg(dv ORDER BY code) AS dl
+       |  FROM dcell GROUP BY 1, 2
+       |), qd AS MATERIALIZED (
+       |  SELECT query_id, array_agg(dl ORDER BY m_idx) AS dt
+       |  FROM drow GROUP BY 1
+       |), shortl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qd.query_id, enc.vec_id,
+       |      row_number() OVER (PARTITION BY qd.query_id ORDER BY
+       |        floor(($adist) * 1000000.0 + 0.5) / 1000000.0,
+       |        enc.vec_id) AS ark
+       |    FROM enc CROSS JOIN qd
+       |    WHERE enc.vec_id <> qd.query_id)
+       |  WHERE ark <= 200
+       |), nv AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS n2 FROM v
+       |), qx AS (
+       |  SELECT vec_id AS query_id, v AS qv, ${dotSql("v", "v")} AS qn
+       |  FROM v WHERE vec_id < 10
+       |), rer AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    floor((qx.qn - 2.0 * ${dotSql("qx.qv", "nv.v")} + nv.n2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS d2_6
+       |  FROM shortl s
+       |  JOIN nv ON nv.vec_id = s.vec_id
+       |  JOIN qx ON qx.query_id = s.query_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2_6, vec_id) AS rk
+       |  FROM rer
+       |)
+       |SELECT query_id, rk, vec_id, d2_6 FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** d14: the same training chain and final assignment, then the
+    * within-cluster i<j pair cosines at the 1e-6 grid, the ≥ τ
+    * filter, and the greedy min-id dup attribution.
+    */
+  val d14: String =
+    s"""WITH ${kmeansCtes(16, 2)}, pares AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    floor(${dotSql("a.v", "b.v")} / sqrt(a.norm2 * b.norm2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS cos6
+       |  FROM af a JOIN af b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |), dups AS (
+       |  SELECT id_b AS vec_id, min(id_a) AS dup_of, max(cos6) AS max_cos6
+       |  FROM pares WHERE cos6 >= CAST(0.4 AS DOUBLE)
+       |  GROUP BY 1
+       |)
+       |SELECT af.vec_id, af.cid,
+       |  CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+       |  d.dup_of, d.max_cos6
+       |FROM af LEFT JOIN dups d ON d.vec_id = af.vec_id
+       |ORDER BY af.vec_id""".stripMargin
+
   val d05: String =
     s"""WITH v AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1927,6 +2165,66 @@ object LlmOracle {
        |  CAST(c2 AS BIGINT) AS c2, pmi6
        |FROM scored
        |ORDER BY pmi6 DESC, w1, w2 LIMIT 200""".stripMargin
+
+  /** t23: the same ordered length-filtered token stream, distinct
+    * consecutive-pair edges, and s12's five MATERIALIZED integer
+    * PageRank iterations over the token graph; top 20 by (rank,
+    * token) with document frequency.
+    */
+  val t23: String = {
+    val iters = (1 to 5).map { k =>
+      s"""it$k AS MATERIALIZED (
+         |  SELECT nd.tok,
+         |    (15 * (SELECT 1000000000 // nn FROM cnt)) // 100
+         |      + (85 * coalesce(sm.m, 0)) // 100 AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT g.nbr_id AS tok, SUM(p.r // od.deg) AS m
+         |    FROM g JOIN it${k - 1} p ON p.tok = g.node_id
+         |    JOIN od ON od.node_id = g.node_id
+         |    GROUP BY 1) sm ON sm.tok = nd.tok
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH fl AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_extract_all($Norm, '[a-z0-9]+'),
+       |      x -> length(x) >= 4) AS fl
+       |  FROM documents
+       |), seq AS (
+       |  SELECT doc_id, unnest(fl) AS t,
+       |    unnest(range(1, len(fl) + 1)) AS pos
+       |  FROM fl
+       |), adj AS (
+       |  SELECT doc_id, t AS a,
+       |    lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+       |  FROM seq
+       |), e0 AS (
+       |  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+       |  FROM adj WHERE b IS NOT NULL AND a <> b
+       |), g AS (
+       |  SELECT x AS node_id, y AS nbr_id FROM e0
+       |  UNION ALL SELECT y, x FROM e0
+       |), nodes AS (
+       |  SELECT DISTINCT t AS tok FROM seq
+       |), cnt AS (
+       |  SELECT count(*) AS nn FROM nodes
+       |), od AS (
+       |  SELECT node_id, count(*) AS deg FROM g GROUP BY 1
+       |), it0 AS MATERIALIZED (
+       |  SELECT tok, 1000000000 // nn AS r FROM nodes, cnt
+       |), $iters, dfreq AS (
+       |  SELECT t AS tok, count(DISTINCT doc_id) AS n_docs FROM seq
+       |  GROUP BY 1
+       |), ranked AS (
+       |  SELECT tok, r,
+       |    row_number() OVER (ORDER BY r DESC, tok) AS krk
+       |  FROM it5
+       |)
+       |SELECT CAST(krk AS INT) AS keyword_rank, tok AS token,
+       |  CAST(r AS BIGINT) AS pagerank9, dfreq.n_docs
+       |FROM ranked JOIN dfreq USING (tok)
+       |WHERE krk <= 20
+       |ORDER BY krk""".stripMargin
+  }
 
   /** t20: Kneser–Ney bigram perplexity — exact BIGINT type/token
     * counts, the interpolated-KN probability as the SAME IEEE operator

@@ -251,7 +251,10 @@ object Ann {
     * inverted lists, exact cosine inside them. Scored pairs ≈
     * |Q|·N·nProbe/nCentroids vs brute force's |Q|·N. At 100 TB the
     * corpus is written clustered by centroid id, so a probe reads
-    * only its lists' files. Rows-only (recall spec-tested vs s01).
+    * only its lists' files. FULLY oracle-backed since round 12: the
+    * md5-ranked seeds, both Lloyd rounds (decimal-exact means), the
+    * assignment argmins and the probe ranking all replay in SQL
+    * (LlmOracle.s03); recall is additionally spec-tested vs s01.
     *
     * nProbe default: 8 of 16 lists. The SYNTHETIC test embeddings are
     * near-uniform on the sphere, so Lloyd lists carry little structure
@@ -283,15 +286,29 @@ object Ann {
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
 
+  /** Content-addressed k-means seed rank: the md5 digest₆₀ of the
+    * vector id (salted), modulo a prime — d03/d21's split-hash
+    * pattern, so a SQL oracle replays the exact seed choice (the
+    * round-11 xxhash64 rank was the one engine-seeded step keeping
+    * s03/d14 rows-only).
+    */
+  private def seedRank(salt: String): Column =
+    pmod(conv(substring(md5(concat(col("vec_id").cast("string"),
+      lit(salt))), 1, 15), 16, 10).cast("long"), lit(1000003L))
+
   /** Deterministic seeds + `iters` Lloyd rounds over
-    * v(vec_id, v, norm2); every collect is centroid-sized, partial
-    * sums in DECIMAL so centroids are bit-stable across partition
-    * orders. Shared by s03 (IVF lists) and d14 (SemDeDup clusters).
+    * v(vec_id, v, norm2); every collect is centroid-sized. Each mean
+    * is ONE exact DECIMAL(38,12) sum (order-free) cast to double,
+    * then ONE IEEE division by the count — bit-stable across
+    * partition orders AND replayable in the SQL oracle (both engines
+    * round double→DECIMAL(38,12) to nearest, and binary doubles
+    * never tie on the decimal grid). Shared by s03 (IVF lists) and
+    * d14 (SemDeDup clusters).
     */
   private def trainCentroids(s: SparkSession, v: DataFrame,
       nCentroids: Int, iters: Int): Array[(Int, Array[Double])] = {
     var cents: Array[(Int, Array[Double])] = v
-      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .orderBy(seedRank("km"), col("vec_id"))
       .limit(nCentroids)
       .collect()
       .zipWithIndex
@@ -301,8 +318,8 @@ object Ann {
       val recomputed = v.join(assigned, Seq("vec_id"))
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("col").cast("decimal(38,12)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .agg((sum(col("col").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
         .groupBy(col("cid"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("sm"))
         .select(col("cid"), transform(col("sm"), x => x("m")).as("c"))
@@ -381,7 +398,10 @@ object Ann {
     * work; the (m_idx, code, pos) recompute shuffles codebook-sized
     * partials; the query scan is one pass over the codes table with
     * broadcast distance tables — no corpus shuffle anywhere.
-    * Rows-only (recall is spec-tested against the exact L2 top-k).
+    * FULLY oracle-backed since round 12: seeds, per-subspace Lloyd
+    * rounds, code assignment, the per-query ADC tables and the
+    * shortlist + exact re-rank all replay in SQL (LlmOracle.s05);
+    * recall is additionally spec-tested against the exact L2 top-k.
     */
   def pqTopK(s: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, m: Int = 8, codes: Int = 16,
@@ -422,7 +442,9 @@ object Ann {
     var cb: Array[(Int, Int, Array[Double])] = svs
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("m_idx")).orderBy(
-          pmod(xxhash64(col("vec_id") * lit(131) + col("m_idx")),
+          pmod(conv(substring(md5(concat(
+            (col("vec_id") * lit(131) + col("m_idx")).cast("string"),
+            lit("pq"))), 1, 15), 16, 10).cast("long"),
             lit(1000003L)), col("vec_id"))))
       .filter(col("rn") <= codes)
       .select(col("m_idx"), (col("rn") - 1).as("code"), col("sv"))
@@ -434,8 +456,8 @@ object Ann {
         .join(assign(cb), Seq("vec_id", "m_idx"))
         .select(col("m_idx"), col("code"), posexplode(col("sv")))
         .groupBy(col("m_idx"), col("code"), col("pos"))
-        .agg((sum(col("col").cast("decimal(38,12)")) / count(lit(1)))
-          .cast("double").as("mu"))
+        .agg((sum(col("col").cast("decimal(38,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("mu"))
         .groupBy(col("m_idx"), col("code"))
         .agg(sort_array(collect_list(struct(col("pos"), col("mu")))).as("sm"))
         .select(col("m_idx"), col("code"),
@@ -540,7 +562,8 @@ object Ann {
     * executor-sized at 100 TB (the paper runs K ~ 10⁴ for 10⁸ docs;
     * 16 here just matches the test corpus). Output: one row per
     * vector with its cluster, dup flag, and the kept representative.
-    * Rows-only (k-means seeds are engine-specific; spec-verified with
+    * FULLY oracle-backed since round 12 (the training chain replays
+    * in SQL off md5-ranked seeds — LlmOracle.d14; spec-verified with
     * planted semantic duplicates). τ defaults to d05's 0.4 on the
     * synthetic corpus (whose random-ish embeddings never reach the
     * paper's 0.95 — production embeddings of true semantic dups do;

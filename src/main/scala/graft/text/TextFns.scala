@@ -1073,4 +1073,88 @@ object TextFns {
       .orderBy(col("pmi6").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** t23: TEXTRANK corpus keywords (Mihalcea & Tarau 2004) — the
+    * graph-centrality keyword extractor beside t06's tf-idf weights
+    * and t22's PMI pairs: a token matters not because it is frequent
+    * (tf-idf's frame) but because it CO-OCCURS with many other
+    * well-connected tokens; TextRank runs PageRank over the token
+    * adjacency graph, and its top ranks are the corpus's topical
+    * vocabulary — the labels a curation pipeline wants for mixture
+    * reporting (d16) and data cards (p04).
+    *
+    * Construction: t06's normalized tokens in document order,
+    * length ≥ `minLen` as the crude content-word filter (the paper
+    * filters by part of speech — a model dependency not taken);
+    * edges = DISTINCT unordered pairs of CONSECUTIVE filtered tokens;
+    * ranks = s12's ALL-INTEGER PageRank (r₀ = 10⁹ div N, five
+    * iterations of teleport + (85·Σ contrib) div 100 with
+    * contrib = r div deg — flooring leaks mass deterministically,
+    * identically on both engines), so the full rank vector
+    * hash-matches; top `topK` by (rank, token) published with each
+    * keyword's document frequency.
+    *
+    * Scale shape: tokenization is row-local; the edge list and degree
+    * table are vocabulary-sized (distinct pairs, not occurrences);
+    * each iteration is ONE edge hash join + ONE map-side-combined
+    * groupBy (s12's class). The final top-K is a rank window over the
+    * VOCABULARY (not the corpus) — at web scale cut with ORDER BY
+    * LIMIT's distributed TopK instead.
+    */
+  def t23TextrankKeywords(s: SparkSession, dir: String, minLen: Int = 4,
+      iters: Int = 5, topK: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(regexp_extract_all(normText(col("text")),
+          lit("[a-z0-9]+"), lit(0)), t => length(t) >= minLen).as("fl"))
+      .select(col("doc_id"), posexplode(col("fl")))
+      .select(col("doc_id"), col("pos"), col("col").as("t"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val e0 = toks
+      .withColumn("nx", lead(col("t"), 1).over(wDoc))
+      .filter(col("nx").isNotNull && col("t") =!= col("nx"))
+      .select(least(col("t"), col("nx")).as("x"),
+        greatest(col("t"), col("nx")).as("y"))
+      .distinct()
+    val edges = e0.select(col("x").as("node_id"), col("y").as("nbr_id"))
+      .unionAll(e0.select(col("y").as("node_id"), col("x").as("nbr_id")))
+      .localCheckpoint() // feeds outdeg + every iteration
+    val nodes = toks.select(col("t").as("tok")).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.select(lit(0).as("keyword_rank"),
+        col("tok").as("token"), lit(0L).as("pagerank9"),
+        lit(0L).as("n_docs"))
+    val r0 = 1000000000L / n
+    val teleport = 15L * r0 / 100L
+    val outdeg = edges.groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
+    var ranks = nodes.withColumn("r", lit(r0))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.select(col("tok").as("node_id"), col("r")),
+          Seq("node_id"))
+        .join(outdeg, Seq("node_id"))
+        .select(col("nbr_id").as("tok"), expr("r div deg").as("c"))
+        .groupBy(col("tok"))
+        .agg(sum(col("c")).as("m"))
+      ranks = nodes
+        .join(contribs, Seq("tok"), "left")
+        .select(col("tok"),
+          (lit(teleport) +
+            expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+        .localCheckpoint() // s12's per-iteration lineage cut
+    }
+    val df = toks.groupBy(col("t").as("tok"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val wRank = Window.orderBy(col("r").desc, col("tok"))
+    ranks
+      .withColumn("keyword_rank", row_number().over(wRank))
+      .filter(col("keyword_rank") <= topK)
+      .join(df, Seq("tok"))
+      .select(col("keyword_rank"), col("tok").as("token"),
+        col("r").as("pagerank9"), col("n_docs"))
+      .orderBy(col("keyword_rank"))
+  }
 }

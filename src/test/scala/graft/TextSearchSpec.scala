@@ -409,4 +409,32 @@ class TextSearchSpec extends AnyFunSuite {
     // every emitted pair met the count floor
     assert(out.forall(_.getAs[Long]("c12") >= 5L))
   }
+
+  test("t23 TextRank: the hub token every chain passes through tops the " +
+      "ranking, short tokens are filtered, and the run is deterministic") {
+    import spark.implicits._
+    // 'pivot' is adjacent to 8 distinct spokes (star graph); the
+    // spokes also chain pairwise so they have degree > 1 too; 'of'
+    // (3 chars) appears everywhere but is length-filtered out
+    val spokes = Seq("alpha", "bravo", "carol", "delta",
+      "eagle", "frost", "grape", "hotel")
+    val docs = spokes.zipWithIndex.map { case (w, i) =>
+      (i.toLong, s"pivot of $w ${spokes((i + 1) % 8)} of pivot $w")
+    } :+ (100L, "zulu yankee zulu yankee zulu")
+    val tmp = java.nio.file.Files.createTempDirectory("t23spec").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextFns.t23TextrankKeywords(spark, tmp).collect()
+    assert(out.head.getAs[String]("token") == "pivot" &&
+      out.head.getAs[Int]("keyword_rank") == 1, out.head.toString)
+    assert(out.head.getAs[Long]("n_docs") == 8L, out.head.toString)
+    // the length filter kept 'of' out of the graph entirely
+    assert(!out.exists(_.getAs[String]("token") == "of"))
+    // all-integer recursion: identical vector on a re-run
+    val again = TextFns.t23TextrankKeywords(spark, tmp).collect()
+      .map(_.toString)
+    assert(again.sameElements(out.map(_.toString)))
+  }
 }
