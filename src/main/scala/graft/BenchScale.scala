@@ -222,7 +222,11 @@ object BenchScale {
     // catalog-quadratic output BY SEMANTICS, excluded for q94's
     // reason; q37's register bank is a fixed-width groupBy (q20's
     // class); p16 is a composition (p13/p14's exclusion reason).
-    "q128_binary_segmentation", "q130_friedman", "st37_stream_mase")
+    "q128_binary_segmentation", "q130_friedman", "st37_stream_mase",
+    // t23 = row-local tokenize + vocab-sized edge groupBys + five
+    // integer-PageRank join rounds (t06's dictionary class + s12's
+    // iteration class)
+    "t23_textrank_keywords")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -497,6 +497,7 @@ object SparkEntry {
     "s03_ann_ivf" -> LlmOracle.s03,
     "d14_semdedup" -> LlmOracle.d14,
     "s05_ann_pq" -> LlmOracle.s05,
+    "st10_stream_heavy_hitters" -> SignalOracle.st10,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,
     "d21_bloom_admission" -> LlmOracle.d21,
@@ -1321,11 +1322,11 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, session_start"""
-    // rows-only by design (no oracleSql entry): st10 only — the
-    // SpaceSaving admission/eviction order is a k-counter state
-    // machine over the stream, not expressible as the relational
-    // replay the other 251 entries carry; property-verified in its
-    // spec instead. (Round 12 graduated d14/s03/s05 by replaying the
-    // whole k-means/PQ training chain in SQL off md5-ranked seeds.)
+    // As of round 12 EVERY registered entry carries an oracle: the
+    // last holdout, st10's SpaceSaving k-counter state machine,
+    // replays as a recursive CTE whose counter bank rides three LIST
+    // columns (SignalOracle.st10); d14/s03/s05 replay their whole
+    // k-means/PQ training chains off md5-ranked seeds; q37 replays
+    // its explicit HLL register bank.
   )
 }

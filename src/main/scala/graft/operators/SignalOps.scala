@@ -5432,6 +5432,83 @@ object SignalOracle {
       |FROM z
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
+  /** st10: the SpaceSaving k-counter state machine replayed as ONE
+    * recursive CTE carrying the counter bank as THREE LIST columns —
+    * per 6 h window, each recursion step consumes the next event in
+    * the deterministic (ts, event_id) order and applies the exact
+    * hit / admit / evict-min rule (ties → smallest key; the evicted
+    * counter's value becomes the newcomer's error bound), exactly
+    * the streaming update. A window publishes its top 5 only when
+    * the final watermark (max event time − 1 h, ms-floored) passed
+    * its end — the Append-mode finalization rule, so the in-flight
+    * last window is absent on both engines. The ONE remaining
+    * rows-only entry graduates with this replay: every driver entry
+    * is now oracle-backed.
+    */
+  val st10: String =
+    """WITH RECURSIVE b AS MATERIALIZED (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_id, user_id,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000)
+      |      * 21600000000 AS win
+      |  FROM events
+      |), sq AS MATERIALIZED (
+      |  SELECT win, user_id,
+      |    row_number() OVER (PARTITION BY win ORDER BY ts, event_id)
+      |      AS seq,
+      |    count(*) OVER (PARTITION BY win) AS nwin
+      |  FROM b
+      |), wm AS (
+      |  SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM b
+      |), rec AS (
+      |  SELECT win, seq, nwin,
+      |    [user_id] AS ks, [CAST(1 AS BIGINT)] AS cs,
+      |    [CAST(0 AS BIGINT)] AS es, CAST(1 AS BIGINT) AS total
+      |  FROM sq WHERE seq = 1
+      |  UNION ALL
+      |  SELECT win, seq, nwin,
+      |    CASE WHEN idx > 0 THEN ks
+      |         WHEN len(ks) < 16 THEN list_append(ks, u)
+      |         ELSE list_transform(range(1, len(ks) + 1),
+      |           i -> CASE WHEN i = mi THEN u ELSE ks[i] END)
+      |    END,
+      |    CASE WHEN idx > 0 THEN list_transform(range(1, len(cs) + 1),
+      |           i -> CASE WHEN i = idx THEN cs[i] + 1 ELSE cs[i] END)
+      |         WHEN len(ks) < 16 THEN list_append(cs, CAST(1 AS BIGINT))
+      |         ELSE list_transform(range(1, len(cs) + 1),
+      |           i -> CASE WHEN i = mi THEN cs[mi] + 1 ELSE cs[i] END)
+      |    END,
+      |    CASE WHEN idx > 0 THEN es
+      |         WHEN len(ks) < 16 THEN list_append(es, CAST(0 AS BIGINT))
+      |         ELSE list_transform(range(1, len(es) + 1),
+      |           i -> CASE WHEN i = mi THEN cs[mi] ELSE es[i] END)
+      |    END,
+      |    total + 1
+      |  FROM (
+      |    SELECT r.win, n.seq, r.nwin, r.ks, r.cs, r.es, r.total,
+      |      n.user_id AS u,
+      |      list_position(r.ks, n.user_id) AS idx,
+      |      list_reduce(range(1, len(r.cs) + 1),
+      |        (acc, i) -> CASE WHEN r.cs[i] < r.cs[acc]
+      |            OR (r.cs[i] = r.cs[acc] AND r.ks[i] < r.ks[acc])
+      |          THEN i ELSE acc END) AS mi
+      |    FROM rec r JOIN sq n ON n.win = r.win AND n.seq = r.seq + 1)
+      |), fin AS (
+      |  SELECT win, ks, cs, es, total FROM rec WHERE seq = nwin
+      |), ex AS (
+      |  SELECT win, total, unnest(ks) AS user_id, unnest(cs) AS est_count,
+      |    unnest(es) AS max_err
+      |  FROM fin
+      |), rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY win
+      |    ORDER BY est_count DESC, user_id) AS rank
+      |  FROM ex
+      |)
+      |SELECT make_timestamp(win) AS win_start, CAST(rank AS INT) AS rank,
+      |  user_id, est_count, max_err, total AS n_events
+      |FROM rk, wm
+      |WHERE rank <= 5 AND (win + 21600000000) // 1000 < wm.wm_ms
+      |ORDER BY win_start, rank""".stripMargin
+
   /** st37: st09's segmented dyadic Holt replay, then the naive lag-1
     * error via a segment lag and the running MASE as prefix sums of
     * |e| and |naive| over the scored prints — one IEEE division per
