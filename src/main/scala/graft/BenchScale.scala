@@ -225,8 +225,9 @@ object BenchScale {
     "q128_binary_segmentation", "q130_friedman", "st37_stream_mase",
     // t23 = row-local tokenize + vocab-sized edge groupBys + five
     // integer-PageRank join rounds (t06's dictionary class + s12's
-    // iteration class)
-    "t23_textrank_keywords")
+    // iteration class); q131 = q113's probed ten-sum series-moment
+    // class
+    "t23_textrank_keywords", "q131_adf_trend")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

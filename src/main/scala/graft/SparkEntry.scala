@@ -129,6 +129,8 @@ object SparkEntry {
       ((s, d) => SignalOps.q129KendallTau(s, d)),
     "q130_friedman" ->
       ((s, d) => SignalOps.q130Friedman(s, d)),
+    "q131_adf_trend" ->
+      ((s, d) => SignalOps.q131AdfTrend(s, d)),
     "s12_knn_pagerank" ->
       ((s, d) => graft.similarity.Ann.s12KnnPagerank(s, d)),
     "p15_embedding_card" ->
@@ -490,6 +492,7 @@ object SparkEntry {
     "q128_binary_segmentation" -> SignalOracle.q128,
     "q129_kendall_tau" -> SignalOracle.q129,
     "q130_friedman" -> SignalOracle.q130,
+    "q131_adf_trend" -> SignalOracle.q131,
     "s12_knn_pagerank"   -> LlmOracle.s12,
     "p15_embedding_card" -> LlmOracle.p15,
     "t22_pmi_collocations" -> LlmOracle.t22,

@@ -4924,6 +4924,89 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q131: DICKEY–FULLER unit-root test WITH LINEAR TREND (Dickey &
+    * Fuller 1979, the τ_t variant) — closes the level-vs-trend 2×2
+    * q113/q114 left open: q113's level-ADF asks "does the series
+    * revert to a CONSTANT mean", so a perfectly healthy
+    * trend-stationary feed (reverting to a moving ramp) can fail it;
+    * q131 regresses Δy_t on (1, t, y_{t−1}) and asks whether the
+    * series reverts to its own TREND LINE — the right stationarity
+    * question for drifting tickers before handing them to q54/q67.
+    * Rejected below the with-trend 5% critical value −3.41.
+    *
+    * Exactness: ten moment sums over the exact 1e-4 grid (t, y_{t−1},
+    * Δy products) as decimal(38,0); the centered normal-equation
+    * pieces A11/A12/A22/B1/B2 are exact integers cast to double
+    * (q118's discipline — their PRODUCTS would overflow 38 digits),
+    * then β̂/ρ̂ via Cramer, α̂ by back-substitution and RSS by the
+    * normal-equation identity Svv − α̂Sv − β̂Stv − ρ̂Suv, ONE shared
+    * IEEE chain, t(ρ̂) = ρ̂/√(RSS/(m−3)·m·A11/D), 1e-6-floored.
+    * Degenerate design (D ≤ 0: constant series, or y EXACTLY
+    * collinear with the trend — a noiseless line) reports NULL.
+    *
+    * Scale shape: q113's class — ONE series exchange shared by the
+    * lag window, the row index and the map-side-combined ten-sum
+    * groupBy; one row per series out.
+    */
+  def q131AdfTrend(s: SparkSession, dir: String,
+      minObs: Int = 12): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dd = (c: Column) => c.cast("double")
+    def prod(x: Column, y: Column): Column =
+      sum((d19(x) * d19(y)).cast("decimal(38,0)"))
+    def cA(sxy: Column, sx: Column, sy: Column): Column =
+      dd((dec(col("m")) * sxy - dec(sx) * dec(sy)).cast("decimal(38,0)"))
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("y1", lag(col("y"), 1).over(wAsc))
+      .filter(col("y1").isNotNull)
+      .withColumn("dy", col("y") - col("y1"))
+      .withColumn("t", row_number().over(wAsc).cast("long"))
+    val mom = base.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("t")).as("st"), sum(col("y1")).as("su"),
+        sum(col("dy")).as("sv"),
+        prod(col("t"), col("t")).as("stt"),
+        prod(col("t"), col("y1")).as("stu"),
+        prod(col("y1"), col("y1")).as("suu"),
+        prod(col("t"), col("dy")).as("stv"),
+        prod(col("y1"), col("dy")).as("suv"),
+        prod(col("dy"), col("dy")).as("svv"))
+      .filter(col("m") >= minObs)
+    val chain = mom
+      .withColumn("a11", cA(col("stt"), col("st"), col("st")))
+      .withColumn("a12", cA(col("stu"), col("st"), col("su")))
+      .withColumn("a22", cA(col("suu"), col("su"), col("su")))
+      .withColumn("b1", cA(col("stv"), col("st"), col("sv")))
+      .withColumn("b2", cA(col("suv"), col("su"), col("sv")))
+      .withColumn("ddet",
+        col("a11") * col("a22") - col("a12") * col("a12"))
+      .withColumn("beta", when(col("ddet") > 0,
+        (col("a22") * col("b1") - col("a12") * col("b2")) / col("ddet")))
+      .withColumn("rho", when(col("ddet") > 0,
+        (col("a11") * col("b2") - col("a12") * col("b1")) / col("ddet")))
+      .withColumn("alpha",
+        (dd(col("sv")) - col("beta") * dd(col("st")) -
+          col("rho") * dd(col("su"))) / dd(col("m")))
+      .withColumn("rss",
+        dd(col("svv")) - col("alpha") * dd(col("sv")) -
+          col("beta") * dd(col("stv")) - col("rho") * dd(col("suv")))
+    chain.select(col("user_id"), col("event_type"),
+        col("m").as("n_trans"),
+        when(col("ddet") > 0,
+          floor(col("rho") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("rho6"),
+        when(col("ddet") > 0 && col("rss") > 0,
+          floor(col("rho") / sqrt(col("rss") / (dd(col("m")) - lit(3.0)) *
+            dd(col("m")) * col("a11") / col("ddet")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("adf_trend_t6"))
+      .withColumn("trend_stationary_flag",
+        when(col("adf_trend_t6") < -3410000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** p16: the CHANGEPOINT CONSENSUS PANEL — the break family composed
     * into the one per-ticker card an analyst actually asks for:
     * "did this feed re-base, and do the detectors AGREE?" Five
@@ -10497,6 +10580,84 @@ object SignalOracle {
       |    THEN 1 ELSE 0 END AS comove_flag
       |FROM cen
       |ORDER BY event_type, user_a, user_b""".stripMargin
+
+  /** q131: the same ten exact moment sums (HUGEINT here, decimal on
+    * the Spark side — equal as integers), the same double-cast
+    * centered pieces, Cramer solve, back-substituted intercept,
+    * normal-equation RSS and one-chain t(ρ̂) with the D ≤ 0 guard.
+    */
+  val q131: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), dif AS (
+      |  SELECT *, lag(y) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id) AS y1
+      |  FROM b
+      |), d2 AS (
+      |  SELECT user_id, event_type, y1, y - y1 AS dy,
+      |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS BIGINT) AS t
+      |  FROM dif WHERE y1 IS NOT NULL
+      |), mom AS (
+      |  SELECT user_id, event_type, count(*) AS m,
+      |    sum(t) AS st, sum(y1) AS su, sum(dy) AS sv,
+      |    sum(CAST(t AS HUGEINT) * t) AS stt,
+      |    sum(CAST(t AS HUGEINT) * y1) AS stu,
+      |    sum(CAST(y1 AS HUGEINT) * y1) AS suu,
+      |    sum(CAST(t AS HUGEINT) * dy) AS stv,
+      |    sum(CAST(y1 AS HUGEINT) * dy) AS suv,
+      |    sum(CAST(dy AS HUGEINT) * dy) AS svv
+      |  FROM d2 GROUP BY 1, 2 HAVING count(*) >= 12
+      |), aa AS (
+      |  SELECT *,
+      |    CAST(CAST(m AS HUGEINT) * stt - CAST(st AS HUGEINT) * st
+      |      AS DOUBLE) AS a11,
+      |    CAST(CAST(m AS HUGEINT) * stu - CAST(st AS HUGEINT) * su
+      |      AS DOUBLE) AS a12,
+      |    CAST(CAST(m AS HUGEINT) * suu - CAST(su AS HUGEINT) * su
+      |      AS DOUBLE) AS a22,
+      |    CAST(CAST(m AS HUGEINT) * stv - CAST(st AS HUGEINT) * sv
+      |      AS DOUBLE) AS b1,
+      |    CAST(CAST(m AS HUGEINT) * suv - CAST(su AS HUGEINT) * sv
+      |      AS DOUBLE) AS b2
+      |  FROM mom
+      |), ch AS (
+      |  SELECT *, a11 * a22 - a12 * a12 AS ddet FROM aa
+      |), ch2 AS (
+      |  SELECT *,
+      |    CASE WHEN ddet > 0
+      |      THEN (a22 * b1 - a12 * b2) / ddet END AS beta,
+      |    CASE WHEN ddet > 0
+      |      THEN (a11 * b2 - a12 * b1) / ddet END AS rho
+      |  FROM ch
+      |), ch3 AS (
+      |  SELECT *,
+      |    (CAST(sv AS DOUBLE) - beta * CAST(st AS DOUBLE)
+      |      - rho * CAST(su AS DOUBLE)) / CAST(m AS DOUBLE) AS alpha
+      |  FROM ch2
+      |), ch4 AS (
+      |  SELECT *,
+      |    CAST(svv AS DOUBLE) - alpha * CAST(sv AS DOUBLE)
+      |      - beta * CAST(stv AS DOUBLE)
+      |      - rho * CAST(suv AS DOUBLE) AS rss
+      |  FROM ch3
+      |), fin AS (
+      |  SELECT user_id, event_type, m AS n_trans,
+      |    CASE WHEN ddet > 0
+      |      THEN CAST(floor(rho * 1000000.0 + 0.5) AS BIGINT) END AS rho6,
+      |    CASE WHEN ddet > 0 AND rss > 0 THEN
+      |      CAST(floor(rho / sqrt(rss / (CAST(m AS DOUBLE) - 3.0)
+      |        * CAST(m AS DOUBLE) * a11 / ddet)
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS adf_trend_t6
+      |  FROM ch4
+      |)
+      |SELECT user_id, event_type, n_trans, rho6, adf_trend_t6,
+      |  CASE WHEN adf_trend_t6 < -3410000 THEN 1 ELSE 0 END
+      |    AS trend_stationary_flag
+      |FROM fin
+      |ORDER BY user_id, event_type""".stripMargin
 
   /** q130: the same close-collapse, complete-week filter, in-block
     * doubled mid-ranks (RANGE window + tie count), and the single

@@ -2601,6 +2601,50 @@ class SignalOpsSpec extends AnyFunSuite {
       thin.isNullAt(thin.fieldIndex("fried6")), thin.toString)
   }
 
+  test("q131 trend-ADF: LCG noise around a ramp rejects the unit " +
+    "root, an LCG walk doesn't, a noiseless line and a constant NULL") {
+    import spark.implicits._
+    var seed = 7L
+    // high bits only: an LCG's low-bit parity ALTERNATES (period 2),
+    // and any perfectly periodic wave around the ramp makes the
+    // increment an affine function of (t, y_{t-1}) — an EXACT fit,
+    // RSS = 0, the designed NULL rather than a rejection
+    def lcg(): Int = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      ((seed >> 16) % 5).toInt - 2
+    }
+    var w = 500.0
+    val rows =
+      (1 to 40).map { i =>
+        (1L, 100.0 + 5.0 * i + lcg(), i)
+      } ++
+        (1 to 40).map { i => w += 3 * lcg() + 1; (2L, w, i) } ++
+        (1 to 40).map(i => (3L, 10.0 + 2.0 * i, i)) ++
+        (1 to 40).map(i => (4L, 42.0, i))
+    val df = rows.map { case (u, v, i) =>
+      (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q131spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q131AdfTrend(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    // detrended, the alternator mean-reverts hard: deep rejection
+    val ts1 = out(1L)
+    assert(ts1.getAs[Int]("trend_stationary_flag") == 1 &&
+      ts1.getAs[Long]("adf_trend_t6") < -3410000L, ts1.toString)
+    // the walk's level is not anchored to any trend line
+    val wk = out(2L)
+    assert(wk.getAs[Int]("trend_stationary_flag") == 0, wk.toString)
+    // a NOISELESS line makes y_{t-1} exactly collinear with t: the
+    // exact integer determinant is 0 and the test is undefined
+    val ln = out(3L)
+    assert(ln.isNullAt(ln.fieldIndex("adf_trend_t6")) &&
+      ln.getAs[Int]("trend_stationary_flag") == 0, ln.toString)
+    val cst = out(4L)
+    assert(cst.isNullAt(cst.fieldIndex("adf_trend_t6")), cst.toString)
+  }
+
   test("p16 changepoint panel: a planted step is corroborated, a " +
     "constant is stable on five eligible detectors, thin is insufficient") {
     import spark.implicits._
