@@ -226,8 +226,8 @@ object BenchScale {
     // t23 = row-local tokenize + vocab-sized edge groupBys + five
     // integer-PageRank join rounds (t06's dictionary class + s12's
     // iteration class); q131 = q113's probed ten-sum series-moment
-    // class
-    "t23_textrank_keywords", "q131_adf_trend")
+    // class; q132 = q114's prefix-window class
+    "t23_textrank_keywords", "q131_adf_trend", "q132_kpss_trend")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

@@ -131,6 +131,8 @@ object SparkEntry {
       ((s, d) => SignalOps.q130Friedman(s, d)),
     "q131_adf_trend" ->
       ((s, d) => SignalOps.q131AdfTrend(s, d)),
+    "q132_kpss_trend" ->
+      ((s, d) => SignalOps.q132KpssTrend(s, d)),
     "s12_knn_pagerank" ->
       ((s, d) => graft.similarity.Ann.s12KnnPagerank(s, d)),
     "p15_embedding_card" ->
@@ -493,6 +495,7 @@ object SparkEntry {
     "q129_kendall_tau" -> SignalOracle.q129,
     "q130_friedman" -> SignalOracle.q130,
     "q131_adf_trend" -> SignalOracle.q131,
+    "q132_kpss_trend" -> SignalOracle.q132,
     "s12_knn_pagerank"   -> LlmOracle.s12,
     "p15_embedding_card" -> LlmOracle.p15,
     "t22_pmi_collocations" -> LlmOracle.t22,

@@ -5007,6 +5007,70 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q132: KPSS stationarity test AROUND A LINEAR TREND, bandwidth 0
+    * (Kwiatkowski et al. 1992, the η_τ variant) — q131's mirror,
+    * completing the trend column of the stationarity 2×2 exactly as
+    * q114 mirrors q113 on the level column: q131's null is the unit
+    * root (failing to reject ≠ trend-stationary — may just be short
+    * data), q132's null IS trend-stationarity, so running both splits
+    * "no evidence" from "evidence of drift AWAY from the trend line".
+    * η = ΣS_t²/(n²σ̂²) over partial sums of the TREND residuals,
+    * flagged above the η_τ 5% bar 0.146.
+    *
+    * Exactness: with D = n·Stt − St² and B = n·Sty − St·Sy (exact
+    * integers), the scaled residual E_t = n·D·y_t − (D·Sy − B·St)
+    * − n·B·t is an exact integer per row, its prefix sum P_t = n·D·S_t
+    * likewise, and the (nD)² factors cancel: η = ΣP²/(n·ΣE²) — ONE
+    * IEEE division of two exact decimal sums, 1e-6-floored. y on the
+    * 1e-2 grid (q116's coarser-grid discipline: E carries n⁵-scale
+    * factors; documented ceiling ≈ 170 prints/series before ΣP²
+    * leaves 38 digits — this corpus caps at ~30 and scale growth
+    * adds TICKERS, not prints). A noiseless line or a constant fits
+    * the trend EXACTLY (all E = 0) ⇒ NULL. Bandwidth 0 = plain
+    * variance (the Newey–West bandwidth is a knob not taken —
+    * deterministic), q114's convention.
+    *
+    * Scale shape: q114's class — ONE series exchange shared by the
+    * full-key moment windows, the prefix window and the groupBy.
+    */
+  def q132KpssTrend(s: SparkSession, dir: String,
+      minObs: Int = 12): DataFrame = {
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val rows = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("n", count(lit(1)).over(wKey))
+      .withColumn("t", row_number().over(wAsc).cast("long"))
+      .withColumn("sy", sum(col("y")).over(wKey))
+      .withColumn("st", sum(col("t")).over(wKey))
+      .withColumn("stt", sum((d19(col("t")) * d19(col("t")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("sty", sum((d19(col("t")) * d19(col("y")))
+        .cast("decimal(38,0)")).over(wKey))
+      .withColumn("dD", (dec(col("n")) * col("stt") -
+        dec(col("st")) * dec(col("st"))).cast("decimal(38,0)"))
+      .withColumn("bB", (dec(col("n")) * col("sty") -
+        dec(col("st")) * dec(col("sy"))).cast("decimal(38,0)"))
+      .withColumn("ee", (dec(col("n")) * col("dD") * dec(col("y")) -
+        (col("dD") * dec(col("sy")) - col("bB") * dec(col("st"))) -
+        dec(col("n")) * col("bB") * dec(col("t"))).cast("decimal(38,0)"))
+      .withColumn("pp", sum(col("ee")).over(wRun))
+    val mom = rows.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum((col("ee") * col("ee")).cast("decimal(38,0)")).as("se2"),
+        sum((col("pp") * col("pp")).cast("decimal(38,0)")).as("sp2"))
+      .filter(col("n") >= minObs)
+    mom.select(col("user_id"), col("event_type"), col("n").as("n_obs"),
+        when(col("se2") > 0,
+          floor(dd(col("sp2")) / (dd(col("n")) * dd(col("se2"))) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("kpss_trend6"))
+      .withColumn("trend_nonstat_flag",
+        when(col("kpss_trend6") > 146000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** p16: the CHANGEPOINT CONSENSUS PANEL — the break family composed
     * into the one per-ticker card an analyst actually asks for:
     * "did this feed re-base, and do the detectors AGREE?" Five
@@ -10580,6 +10644,64 @@ object SignalOracle {
       |    THEN 1 ELSE 0 END AS comove_flag
       |FROM cen
       |ORDER BY event_type, user_a, user_b""".stripMargin
+
+  /** q132: the same exact scaled trend residuals (HUGEINT here,
+    * decimal on the Spark side — equal as integers), the same prefix
+    * sums and the single mirrored division ΣP²/(n·ΣE²).
+    */
+  val q132: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), w AS (
+      |  SELECT *,
+      |    count(*) OVER wk AS n,
+      |    CAST(row_number() OVER wa AS BIGINT) AS t,
+      |    sum(y) OVER wk AS sy
+      |  FROM b
+      |  WINDOW wa AS (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id),
+      |    wk AS (PARTITION BY user_id, event_type)
+      |), w2 AS (
+      |  SELECT *,
+      |    sum(CAST(t AS HUGEINT) * t) OVER wk AS stt,
+      |    sum(CAST(t AS HUGEINT) * y) OVER wk AS sty,
+      |    sum(t) OVER wk AS st
+      |  FROM w
+      |  WINDOW wk AS (PARTITION BY user_id, event_type)
+      |), w3 AS (
+      |  SELECT *,
+      |    CAST(n AS HUGEINT) * stt - CAST(st AS HUGEINT) * st AS dd,
+      |    CAST(n AS HUGEINT) * sty - CAST(st AS HUGEINT) * sy AS bb
+      |  FROM w2
+      |), w4 AS (
+      |  SELECT *,
+      |    CAST(n AS HUGEINT) * dd * y - (dd * sy - bb * st)
+      |      - CAST(n AS HUGEINT) * bb * t AS ee
+      |  FROM w3
+      |), w5 AS (
+      |  SELECT *, sum(ee) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+      |  FROM w4
+      |), mom AS (
+      |  SELECT user_id, event_type, max(n) AS n,
+      |    sum(ee * ee) AS se2, sum(pp * pp) AS sp2
+      |  FROM w5 GROUP BY 1, 2 HAVING max(n) >= 12
+      |)
+      |SELECT user_id, event_type, n AS n_obs,
+      |  CASE WHEN se2 > 0 THEN
+      |    CAST(floor(CAST(sp2 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(se2 AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) END AS kpss_trend6,
+      |  CASE WHEN (CASE WHEN se2 > 0 THEN
+      |    CAST(floor(CAST(sp2 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(se2 AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) END) > 146000
+      |    THEN 1 ELSE 0 END AS trend_nonstat_flag
+      |FROM mom
+      |ORDER BY user_id, event_type""".stripMargin
 
   /** q131: the same ten exact moment sums (HUGEINT here, decimal on
     * the Spark side — equal as integers), the same double-cast

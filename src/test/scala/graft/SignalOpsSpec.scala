@@ -2645,6 +2645,43 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(cst.isNullAt(cst.fieldIndex("adf_trend_t6")), cst.toString)
   }
 
+  test("q132 trend-KPSS: a drifting walk rejects trend-stationarity, " +
+    "LCG noise around a ramp doesn't, exact trend fits are NULL") {
+    import spark.implicits._
+    var seed = 19L
+    def lcg(): Int = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      ((seed >> 16) % 5).toInt - 2
+    }
+    var w = 500.0
+    val rows =
+      (1 to 40).map(i => (1L, 100.0 + 5.0 * i + lcg(), i)) ++
+        (1 to 40).map { i => w += 3 * lcg() + 1; (2L, w, i) } ++
+        (1 to 40).map(i => (3L, 10.0 + 2.0 * i, i)) ++
+        (1 to 40).map(i => (4L, 42.0, i))
+    val df = rows.map { case (u, v, i) =>
+      (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q132spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.q132KpssTrend(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    // residuals around the fitted ramp are bounded noise: under the bar
+    val ts1 = out(1L)
+    assert(ts1.getAs[Int]("trend_nonstat_flag") == 0 &&
+      ts1.getAs[Long]("kpss_trend6") <= 146000L, ts1.toString)
+    // a walk wanders away from ANY fitted line: over the bar
+    val wk = out(2L)
+    assert(wk.getAs[Int]("trend_nonstat_flag") == 1, wk.toString)
+    // an exact line and a constant both fit the trend exactly:
+    // all residuals are 0 and the statistic is undefined
+    val ln = out(3L)
+    assert(ln.isNullAt(ln.fieldIndex("kpss_trend6")) &&
+      ln.getAs[Int]("trend_nonstat_flag") == 0, ln.toString)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("kpss_trend6")))
+  }
+
   test("p16 changepoint panel: a planted step is corroborated, a " +
     "constant is stable on five eligible detectors, thin is insufficient") {
     import spark.implicits._
