@@ -62,5 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordNgrams(children(0), n)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("kendall_census"),
+      new ExpressionInfo(classOf[graft.functions.KendallCensus].getName,
+        "kendall_census"),
+      (children: Seq[Expression]) =>
+        graft.functions.KendallCensus(children(0), children(1))))
   }
 }

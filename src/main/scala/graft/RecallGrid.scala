@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.DataFrame
 
 /** Dev tool: recall@k / latency readout for the ANN tier (s02 LSH,
-  * s03 IVF, s05 PQ) against the s01 exact top-k, at the registry's
-  * default parameters — the measurement loop behind the published
-  * `ann_recall` bench field and the ≥0.7 spec bars.
+  * s03 IVF, s05 PQ, s13 IVF-PQ) against the s01 exact top-k, at the
+  * registry's default parameters — the measurement loop behind the
+  * published `ann_recall` bench field and the ≥0.7 spec bars.
   * Usage: `runMain graft.RecallGrid /root/testdata/sf0.1`.
   */
 object RecallGrid {
@@ -17,6 +17,11 @@ object RecallGrid {
         .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id"))
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
     val exact = topk(graft.similarity.Ann.bruteForceTopK(spark, dir))
+    // an empty query set (no embeddings table at `dir`, or an empty
+    // one) would print NaN below — fail loudly instead
+    require(exact.nonEmpty,
+      s"no exact top-k rows — is $dir/embeddings.parquet present and " +
+        "non-empty?")
     def rec(df: DataFrame, label: String): Unit = {
       val t0 = System.nanoTime()
       val approx = topk(df)
@@ -30,6 +35,7 @@ object RecallGrid {
     rec(graft.similarity.Ann.lshTopK(spark, dir), "s02 defaults")
     rec(graft.similarity.Ann.ivfTopK(spark, dir), "s03 defaults")
     rec(graft.similarity.Ann.pqTopK(spark, dir), "s05 defaults")
+    rec(graft.similarity.Ann.ivfPqTopK(spark, dir), "s13 defaults")
     spark.stop()
   }
 }

@@ -133,6 +133,8 @@ object SparkEntry {
       ((s, d) => SignalOps.q131AdfTrend(s, d)),
     "q132_kpss_trend" ->
       ((s, d) => SignalOps.q132KpssTrend(s, d)),
+    "q133_adf_lag" ->
+      ((s, d) => SignalOps.q133AdfLag(s, d)),
     "s12_knn_pagerank" ->
       ((s, d) => graft.similarity.Ann.s12KnnPagerank(s, d)),
     "p15_embedding_card" ->
@@ -240,6 +242,7 @@ object SparkEntry {
     "s02_ann_lsh"        -> ((s, d) => graft.similarity.Ann.lshTopK(s, d)),
     "s03_ann_ivf"        -> ((s, d) => graft.similarity.Ann.ivfTopK(s, d)),
     "s05_ann_pq"         -> ((s, d) => graft.similarity.Ann.pqTopK(s, d)),
+    "s13_ann_ivfpq"      -> ((s, d) => graft.similarity.Ann.ivfPqTopK(s, d)),
     "s06_hybrid_rrf"     -> ((s, d) => graft.similarity.Ann.hybridRrf(s, d)),
     "s07_mmr_diverse"    -> ((s, d) => graft.similarity.Ann.mmrDiverse(s, d)),
     "s08_knn_graph"      -> ((s, d) => graft.similarity.Ann.knnGraph(s, d)),
@@ -496,6 +499,7 @@ object SparkEntry {
     "q130_friedman" -> SignalOracle.q130,
     "q131_adf_trend" -> SignalOracle.q131,
     "q132_kpss_trend" -> SignalOracle.q132,
+    "q133_adf_lag" -> SignalOracle.q133,
     "s12_knn_pagerank"   -> LlmOracle.s12,
     "p15_embedding_card" -> LlmOracle.p15,
     "t22_pmi_collocations" -> LlmOracle.t22,
@@ -503,6 +507,7 @@ object SparkEntry {
     "s03_ann_ivf" -> LlmOracle.s03,
     "d14_semdedup" -> LlmOracle.d14,
     "s05_ann_pq" -> LlmOracle.s05,
+    "s13_ann_ivfpq" -> LlmOracle.s13,
     "st10_stream_heavy_hitters" -> SignalOracle.st10,
     "s10_filtered_ann"   -> LlmOracle.s10,
     "s11_lof"            -> LlmOracle.s11,

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** kendall_census(a, b) → array<long>[n_days, concordant, discordant,
+  * ties_a, ties_b] — the exact Kendall pair census over the common
+  * days of two DAY-SORTED close series, each an
+  * `array<struct<day:date, y:long>>` (the per-ticker shape
+  * `sort_array(collect_list(struct(day, y)))` produces).
+  *
+  * One compiled pass merge-intersects the two sorted arrays by day
+  * (O(da + db) — the sorted precondition is what makes this linear),
+  * then censuses the d common closes: for every i < j, concordant /
+  * discordant by SIGN COMPARISON (no Δya·Δyb product, so no overflow
+  * value-domain bound at any close magnitude), ties in a / ties in b
+  * counted separately (the τ-b correction terms). The census loop is
+  * O(d²) integer compares on calendar-bounded d (≈ tens; a decade of
+  * trading days is ~6·10⁶ compares, microseconds compiled) — at that
+  * bound a compiled d²/2 loop beats a merge-sort inversion count's
+  * constant factors and stays allocation-free, which is the entire
+  * point versus the interpreted higher-order-function form (~50×
+  * slower: one closure dispatch + boxed struct per comparison).
+  *
+  * Registered as SQL `kendall_census` via [[graft.GraftExtensions]].
+  */
+case class KendallCensus(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(StructType(Array(f0, f1)), _) =>
+        f0.dataType == DateType && f1.dataType == LongType
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array<struct<day:date,y:bigint>> expected, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KendallCensus.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.KendallCensus.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KendallCensus =
+    copy(left = newLeft, right = newRight)
+}
+
+object KendallCensus {
+  /** Shared by eval and codegen. Inputs MUST be day-sorted. */
+  def compute(xa: ArrayData, xb: ArrayData): ArrayData = {
+    val na = xa.numElements()
+    val nb = xb.numElements()
+    val cap = math.min(na, nb)
+    val ya = new Array[Long](cap)
+    val yb = new Array[Long](cap)
+    var i = 0
+    var j = 0
+    var d = 0
+    while (i < na && j < nb) {
+      val da = xa.getStruct(i, 2).getInt(0)
+      val db = xb.getStruct(j, 2).getInt(0)
+      if (da < db) i += 1
+      else if (db < da) j += 1
+      else {
+        ya(d) = xa.getStruct(i, 2).getLong(1)
+        yb(d) = xb.getStruct(j, 2).getLong(1)
+        d += 1; i += 1; j += 1
+      }
+    }
+    var c = 0L
+    var dis = 0L
+    var t1 = 0L
+    var t2 = 0L
+    var p = 0
+    while (p < d) {
+      var q = p + 1
+      while (q < d) {
+        val sa = java.lang.Long.compare(ya(p), ya(q))
+        val sb = java.lang.Long.compare(yb(p), yb(q))
+        if (sa == 0) t1 += 1
+        if (sb == 0) t2 += 1
+        if (sa != 0 && sb != 0) {
+          if ((sa > 0) == (sb > 0)) c += 1 else dis += 1
+        }
+        q += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(Array(d.toLong, c, dis, t1, t2))
+  }
+}

@@ -930,6 +930,150 @@ object LlmOracle {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** s13: the composed IVF-PQ index replayed end-to-end — the SAME
+    * kmeansCtes coarse chain as s03 (af + trained bank c2), residuals
+    * v − c(cid) by exact elementwise subtraction, s05's per-subspace
+    * Lloyd chain over the RESIDUAL subvectors ('pqr' seed salt), the
+    * per-(query, probed-cell) ADC tables built from the query's own
+    * residual against that cell (each cell one sequential
+    * squared-diff fold — the driver loop's exact order), the 8-term
+    * static-lookup adist over only the probed lists, the 40·k
+    * shortlist and the exact L2² re-rank.
+    */
+  val s13: String = {
+    val m = 8
+    val sub = 8
+    val codes = 16
+    val iters = 2
+    def sq(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0,
+         |      list_transform(list_zip($a, $b),
+         |        p -> (p[1] - p[2]) * (p[1] - p[2]))),
+         |      (acc, x) -> acc + x)""".stripMargin
+    def round(k: Int): String =
+      s"""pd$k AS (
+         |  SELECT s.vec_id, s.m_idx, s.sv, s.sn2, c.code,
+         |    s.sn2 - 2.0 * ${dotSql("s.sv", "c.c")}
+         |      + ${dotSql("c.c", "c.c")} AS dist
+         |  FROM svs s JOIN cb${k - 1} c ON c.m_idx = s.m_idx
+         |), pa$k AS (
+         |  SELECT vec_id, m_idx, sv, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m_idx
+         |      ORDER BY dist, code) AS ar
+         |    FROM pd$k)
+         |  WHERE ar = 1
+         |), pm$k AS (
+         |  SELECT m_idx, code, pos,
+         |    CAST(SUM(CAST(comp AS DECIMAL(38,12))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS mu
+         |  FROM (SELECT m_idx, code, unnest(sv) AS comp,
+         |      unnest(range(1, len(sv) + 1)) AS pos FROM pa$k)
+         |  GROUP BY 1, 2, 3
+         |), prr$k AS (
+         |  SELECT m_idx, code, array_agg(mu ORDER BY pos) AS c
+         |  FROM pm$k GROUP BY 1, 2
+         |), cb$k AS MATERIALIZED (
+         |  SELECT p.m_idx, p.code, COALESCE(r.c, p.c) AS c
+         |  FROM cb${k - 1} p LEFT JOIN prr$k r
+         |    ON r.m_idx = p.m_idx AND r.code = p.code
+         |)""".stripMargin
+    val rounds = (1 to iters).map(round).mkString(", ")
+    val adist = (1 to m)
+      .map(i => s"qd.dt[$i][ec.cv[$i] + 1]")
+      .mkString("\n       |    + ")
+    s"""WITH ${kmeansCtes(16, 2)}, res AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid,
+       |    list_transform(list_zip(a.v, c.c), p -> p[1] - p[2]) AS rv
+       |  FROM af a JOIN c$iters c ON c.cid = a.cid
+       |), svs AS MATERIALIZED (
+       |  SELECT vec_id, m_idx,
+       |    rv[(m_idx * $sub + 1):(m_idx * $sub + $sub)] AS sv,
+       |    ${dotSql(s"rv[(m_idx * $sub + 1):(m_idx * $sub + $sub)]",
+      s"rv[(m_idx * $sub + 1):(m_idx * $sub + $sub)]")} AS sn2
+       |  FROM res CROSS JOIN (SELECT unnest(range(0, $m)) AS m_idx) mi
+       |), sh AS (
+       |  SELECT vec_id, m_idx, sv,
+       |    CAST(concat('0x', substring(md5(concat(
+       |      CAST(vec_id * 131 + m_idx AS VARCHAR), 'pqr')), 1, 15))
+       |      AS BIGINT) % 1000003 AS h
+       |  FROM svs
+       |), cb0 AS MATERIALIZED (
+       |  SELECT m_idx, CAST(rn - 1 AS INT) AS code, sv AS c
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY m_idx
+       |      ORDER BY h, vec_id) AS rn
+       |    FROM sh)
+       |  WHERE rn <= $codes
+       |), $rounds, paf AS (
+       |  SELECT vec_id, m_idx, code FROM (
+       |    SELECT s.vec_id, s.m_idx, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m_idx ORDER BY
+       |        s.sn2 - 2.0 * ${dotSql("s.sv", "c.c")}
+       |          + ${dotSql("c.c", "c.c")}, c.code) AS ar
+       |    FROM svs s JOIN cb$iters c ON c.m_idx = s.m_idx)
+       |  WHERE ar = 1
+       |), enc AS MATERIALIZED (
+       |  SELECT p.vec_id, r.cid, array_agg(p.code ORDER BY p.m_idx) AS cv
+       |  FROM paf p JOIN res r ON r.vec_id = p.vec_id
+       |  GROUP BY 1, 2
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, norm2 AS qn FROM n
+       |  WHERE vec_id < 10
+       |), prq AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        q.qn - 2.0 * ${dotSql("q.qv", "c.c")}
+       |          + ${dotSql("c.c", "c.c")}, c.cid) AS prk
+       |    FROM q CROSS JOIN c$iters c)
+       |  WHERE prk <= 8
+       |), qres AS (
+       |  SELECT p.query_id, p.cid,
+       |    list_transform(list_zip(p.qv, c.c), x -> x[1] - x[2]) AS qrv
+       |  FROM prq p JOIN c$iters c ON c.cid = p.cid
+       |), qsub AS (
+       |  SELECT query_id, cid, m_idx,
+       |    qrv[(m_idx * $sub + 1):(m_idx * $sub + $sub)] AS sv
+       |  FROM qres CROSS JOIN (SELECT unnest(range(0, $m)) AS m_idx) mi
+       |), dcell AS (
+       |  SELECT s.query_id, s.cid, s.m_idx, c.code,
+       |    ${sq("s.sv", "c.c")} AS dv
+       |  FROM qsub s JOIN cb$iters c ON c.m_idx = s.m_idx
+       |), drow AS (
+       |  SELECT query_id, cid, m_idx, array_agg(dv ORDER BY code) AS dl
+       |  FROM dcell GROUP BY 1, 2, 3
+       |), qd AS MATERIALIZED (
+       |  SELECT query_id, cid, array_agg(dl ORDER BY m_idx) AS dt
+       |  FROM drow GROUP BY 1, 2
+       |), shortl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qd.query_id, ec.vec_id,
+       |      row_number() OVER (PARTITION BY qd.query_id ORDER BY
+       |        floor(($adist) * 1000000.0 + 0.5) / 1000000.0,
+       |        ec.vec_id) AS ark
+       |    FROM enc ec JOIN qd ON qd.cid = ec.cid
+       |    WHERE ec.vec_id <> qd.query_id)
+       |  WHERE ark <= 200
+       |), nv AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS n2 FROM v
+       |), qx AS (
+       |  SELECT vec_id AS query_id, v AS qv, ${dotSql("v", "v")} AS qn
+       |  FROM v WHERE vec_id < 10
+       |), rer AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    floor((qx.qn - 2.0 * ${dotSql("qx.qv", "nv.v")} + nv.n2)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS d2_6
+       |  FROM shortl s
+       |  JOIN nv ON nv.vec_id = s.vec_id
+       |  JOIN qx ON qx.query_id = s.query_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2_6, vec_id) AS rk
+       |  FROM rer
+       |)
+       |SELECT query_id, rk, vec_id, d2_6 FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   /** d14: the same training chain and final assignment, then the
     * within-cluster i<j pair cosines at the 1e-6 grid, the ≥ τ
     * filter, and the greedy min-id dup attribution.

@@ -3610,6 +3610,13 @@ object SignalOps {
     *
     * Scale shape: ONE series exchange — the lag window and the
     * map-side-combined groupBy reuse it (q105/q78's class).
+    *
+    * CAVEAT (p = 0): this design assumes Δy is serially uncorrelated.
+    * On series whose increments autocorrelate (most real tickers),
+    * the t-stat is size-distorted — negative Δy-autocorrelation makes
+    * it OVER-reject. q133AdfLag adds the Δy_{t−1} regressor that
+    * absorbs those short-run dynamics; prefer it when q78/q88 show
+    * lag-1 structure in the differences.
     */
   def q113AdfUnitRoot(s: SparkSession, dir: String,
       minObs: Int = 12): DataFrame = {
@@ -4779,15 +4786,28 @@ object SignalOps {
     * granularity): ANY strictly monotone re-scale of one side leaves
     * τ = ±1 exactly where Pearson decays — spec-planted.
     *
-    * Scale shape: q94's close-collapse (one (key, day) window) and
-    * (event_type, day) pair equi-join, then ONE self-equi-join of the
-    * matched-day table on the pair key with day1 ≤ day2 — the
-    * diagonal rows (day1 = day2) carry the common-day count, the
-    * strict rows the O(d²) pair census, so ONE aggregation covers
-    * both and nothing is scanned twice. In-pair work is O(d²) on
-    * calendar-bounded common days (d ≈ tens); output is pair-sized.
-    * Quadratic in CATALOG by semantics, like q94 — the same top-K /
-    * pair-budget gate applies at 100× catalog growth.
+    * Scale shape (round 13, the round-12 verdict's top item): the old
+    * plan joined closes on (event_type, day) and then SELF-JOINED the
+    * matched-day table — pairs × d² rows through an exchange, the
+    * suite's slowest entry at 43.6 s. Now NOTHING pair-sized ever
+    * shuffles: each ticker collapses to ONE day-sorted close array
+    * (catalog-sized — 7.5k rows at sf0.1, a few MB), one side
+    * broadcasts, and the ticker-pair BroadcastHashJoin generates each
+    * pair IN-TASK, where the native [[graft.functions.KendallCensus]]
+    * expression merge-intersects the two day-sorted arrays (O(da+db))
+    * and censuses the d common closes in one compiled allocation-free
+    * loop (q63's in-task STOMP posture; the interpreted HOF form of
+    * the same census measured ~50× slower). d rows per ticker cross
+    * the wire once; pairs never do. Concordance is decided by SIGN
+    * COMPARISON, not a delta product — no arithmetic on y at all, so
+    * the long-overflow domain bound the product form carried
+    * (|value| ≳ 1.5e5 made Δya·Δyb exceed Long.MAX) is gone on both
+    * engine and oracle. Output is pair-sized: quadratic in CATALOG
+    * by semantics, like q94 — the same top-K / pair-budget gate
+    * applies at 100× catalog growth, where the broadcast side
+    * (tickers × d closes) is still ~100 MB at 750k tickers; beyond
+    * that, fall back to a bucketed ticker-pair join, never to
+    * pair-day rows.
     */
   def q129KendallTau(s: SparkSession, dir: String,
       minDays: Int = 5): DataFrame = {
@@ -4801,31 +4821,29 @@ object SignalOps {
       .withColumn("rd", row_number().over(wDay))
       .filter(col("rd") === 1)
       .select(col("user_id"), col("event_type"), col("day"), col("y"))
-    val a = closes.select(col("event_type"), col("day"),
-      col("user_id").as("user_a"), col("y").as("ya"))
-    val b = closes.select(col("event_type"), col("day"),
-      col("user_id").as("user_b"), col("y").as("yb"))
-    val matched = a.join(b, Seq("event_type", "day"))
+    val byTicker = closes
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+    val lhs = byTicker.select(col("event_type"),
+      col("user_id").as("user_a"), col("arr").as("aa"))
+    val rhs = byTicker.select(col("event_type"),
+      col("user_id").as("user_b"), col("arr").as("ab"))
+    // broadcast the per-ticker close arrays; each task streams its
+    // ticker slice against them, so pair rows are born, intersected
+    // and censused in-task by the compiled expression
+    val paired = lhs.join(broadcast(rhs), Seq("event_type"))
       .filter(col("user_a") < col("user_b"))
-    val p = matched.select(col("event_type"), col("user_a"), col("user_b"),
-      col("day").as("day1"), col("ya").as("ya1"), col("yb").as("yb1"))
-    val q = matched.select(col("event_type"), col("user_a"), col("user_b"),
-      col("day").as("day2"), col("ya").as("ya2"), col("yb").as("yb2"))
-    val strict = col("day1") < col("day2")
-    // sign of the cross product decides concordance; exact long
-    // arithmetic (grid deltas ~1e8, product ~1e16 — no overflow)
-    val prod = (col("ya1") - col("ya2")) * (col("yb1") - col("yb2"))
-    p.join(q, Seq("event_type", "user_a", "user_b"))
-      .filter(col("day1") <= col("day2"))
-      .groupBy(col("event_type"), col("user_a"), col("user_b"))
-      .agg(
-        count(when(col("day1") === col("day2"), 1)).as("n_days"),
-        count(when(strict, 1)).as("n0"),
-        count(when(strict && prod > 0, 1)).as("c_pairs"),
-        count(when(strict && prod < 0, 1)).as("d_pairs"),
-        count(when(strict && col("ya1") === col("ya2"), 1)).as("n1"),
-        count(when(strict && col("yb1") === col("yb2"), 1)).as("n2"))
+    val pairs = paired
+      .withColumn("cen", expr("kendall_census(aa, ab)"))
+      .withColumn("n_days", col("cen").getItem(0))
       .filter(col("n_days") >= minDays)
+    pairs
+      .withColumn("n0", (col("n_days") * (col("n_days") - 1) / 2)
+        .cast("long"))
+      .withColumn("c_pairs", col("cen").getItem(1))
+      .withColumn("d_pairs", col("cen").getItem(2))
+      .withColumn("n1", col("cen").getItem(3))
+      .withColumn("n2", col("cen").getItem(4))
       .withColumn("tau6",
         when(col("n0") > col("n1") && col("n0") > col("n2"),
           floor(dd(col("c_pairs") - col("d_pairs")) /
@@ -4947,6 +4965,11 @@ object SignalOps {
     * Scale shape: q113's class — ONE series exchange shared by the
     * lag window, the row index and the map-side-combined ten-sum
     * groupBy; one row per series out.
+    *
+    * CAVEAT (p = 0): like q113, assumes serially-uncorrelated Δy;
+    * autocorrelated increments size-distort the t-stat (negative
+    * Δy-autocorrelation ⇒ spurious stationarity verdicts). q133AdfLag
+    * is this regression plus the Δy_{t−1} term that fixes it.
     */
   def q131AdfTrend(s: SparkSession, dir: String,
       minObs: Int = 12): DataFrame = {
@@ -5068,6 +5091,121 @@ object SignalOps {
             lit(1000000.0) + lit(0.5)).cast("long")).as("kpss_trend6"))
       .withColumn("trend_nonstat_flag",
         when(col("kpss_trend6") > 146000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** q133: AUGMENTED Dickey–Fuller with linear trend and ONE LAGGED
+    * DIFFERENCE (Said & Dickey 1984, p = 1) — the missing rung above
+    * q113/q131, whose p = 0 regressions assume Δy is serially
+    * UNCORRELATED. Every real ticker violates that (micro-structure
+    * bounce, staleness repeats), and the violation is not benign:
+    * negative autocorrelation in Δy makes p = 0 ADF OVER-reject, so
+    * q131 calls an honest random walk "trend-stationary" exactly when
+    * its increments mean-revert (spec-planted: Δy_t = −0.8·Δy_{t−1} +
+    * noise — y is I(1), q131 flags it, q133 does not, because the
+    * γ·Δy_{t−1} term absorbs the short-run dynamics the p = 0 design
+    * forces into ρ̂). Regresses Δy_t on (1, t, y_{t−1}, Δy_{t−1});
+    * same asymptotic τ_t distribution, same with-trend 5% bar −3.41.
+    *
+    * Exactness: q131's Cramer discipline scaled to the 3×3 — fifteen
+    * moment sums over the exact 1e-4 grid as decimal(38,0); the nine
+    * centered normal-equation pieces A11…A33/B1…B3 are exact integers
+    * cast to double (their PRODUCTS would overflow 38 digits), then
+    * β̂/ρ̂/γ̂ via the 3×3 Cramer cofactor expansion, α̂ by
+    * back-substitution, RSS by the normal-equation identity, and
+    * t(ρ̂) = ρ̂/√(RSS/(m−4)·m·(A11·A33 − A13²)/D) — the (ρ,ρ) cofactor
+    * over the determinant, q131's variance algebra one rank up. ONE
+    * shared IEEE chain, 1e-6-floored. Degenerate design (D ≤ 0:
+    * constant series, exact collinearity, m too short) reports NULL.
+    *
+    * Scale shape: q113/q131's class — ONE series exchange shared by
+    * the two lag windows, the row index and the map-side-combined
+    * fifteen-sum groupBy; one row per series out.
+    */
+  def q133AdfLag(s: SparkSession, dir: String,
+      minObs: Int = 12): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dd = (c: Column) => c.cast("double")
+    def prod(x: Column, y: Column): Column =
+      sum((d19(x) * d19(y)).cast("decimal(38,0)"))
+    def cA(sxy: Column, sx: Column, sy: Column): Column =
+      dd((dec(col("m")) * sxy - dec(sx) * dec(sy)).cast("decimal(38,0)"))
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("y1", lag(col("y"), 1).over(wAsc))
+      .withColumn("y2", lag(col("y"), 2).over(wAsc))
+      .filter(col("y2").isNotNull)
+      .withColumn("dy", col("y") - col("y1"))
+      .withColumn("dw", col("y1") - col("y2"))
+      .withColumn("t", row_number().over(wAsc).cast("long"))
+    val mom = base.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("t")).as("st"), sum(col("y1")).as("su"),
+        sum(col("dw")).as("sw"), sum(col("dy")).as("sv"),
+        prod(col("t"), col("t")).as("stt"),
+        prod(col("t"), col("y1")).as("stu"),
+        prod(col("t"), col("dw")).as("stw"),
+        prod(col("y1"), col("y1")).as("suu"),
+        prod(col("y1"), col("dw")).as("suw"),
+        prod(col("dw"), col("dw")).as("sww"),
+        prod(col("t"), col("dy")).as("stv"),
+        prod(col("y1"), col("dy")).as("suv"),
+        prod(col("dw"), col("dy")).as("swv"),
+        prod(col("dy"), col("dy")).as("svv"))
+      .filter(col("m") >= minObs)
+    val chain = mom
+      .withColumn("a11", cA(col("stt"), col("st"), col("st")))
+      .withColumn("a12", cA(col("stu"), col("st"), col("su")))
+      .withColumn("a13", cA(col("stw"), col("st"), col("sw")))
+      .withColumn("a22", cA(col("suu"), col("su"), col("su")))
+      .withColumn("a23", cA(col("suw"), col("su"), col("sw")))
+      .withColumn("a33", cA(col("sww"), col("sw"), col("sw")))
+      .withColumn("b1", cA(col("stv"), col("st"), col("sv")))
+      .withColumn("b2", cA(col("suv"), col("su"), col("sv")))
+      .withColumn("b3", cA(col("swv"), col("sw"), col("sv")))
+      // symmetric cofactors (reused by det, the solve and Var(ρ̂))
+      .withColumn("c11", col("a22") * col("a33") - col("a23") * col("a23"))
+      .withColumn("c12", col("a12") * col("a33") - col("a13") * col("a23"))
+      .withColumn("c13", col("a12") * col("a23") - col("a13") * col("a22"))
+      .withColumn("c22", col("a11") * col("a33") - col("a13") * col("a13"))
+      .withColumn("c23", col("a11") * col("a23") - col("a12") * col("a13"))
+      .withColumn("c33", col("a11") * col("a22") - col("a12") * col("a12"))
+      .withColumn("ddet",
+        col("a11") * col("c11") - col("a12") * col("c12") +
+          col("a13") * col("c13"))
+      .withColumn("beta", when(col("ddet") > 0,
+        (col("c11") * col("b1") - col("c12") * col("b2") +
+          col("c13") * col("b3")) / col("ddet")))
+      .withColumn("rho", when(col("ddet") > 0,
+        (-col("c12") * col("b1") + col("c22") * col("b2") -
+          col("c23") * col("b3")) / col("ddet")))
+      .withColumn("gam", when(col("ddet") > 0,
+        (col("c13") * col("b1") - col("c23") * col("b2") +
+          col("c33") * col("b3")) / col("ddet")))
+      .withColumn("alpha",
+        (dd(col("sv")) - col("beta") * dd(col("st")) -
+          col("rho") * dd(col("su")) - col("gam") * dd(col("sw"))) /
+          dd(col("m")))
+      .withColumn("rss",
+        dd(col("svv")) - col("alpha") * dd(col("sv")) -
+          col("beta") * dd(col("stv")) - col("rho") * dd(col("suv")) -
+          col("gam") * dd(col("swv")))
+    chain.select(col("user_id"), col("event_type"),
+        col("m").as("n_trans"),
+        when(col("ddet") > 0,
+          floor(col("rho") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("rho6"),
+        when(col("ddet") > 0,
+          floor(col("gam") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("gamma6"),
+        when(col("ddet") > 0 && col("rss") > 0,
+          floor(col("rho") / sqrt(col("rss") / (dd(col("m")) - lit(4.0)) *
+            dd(col("m")) * col("c22") / col("ddet")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("adf_lag_t6"))
+      .withColumn("trend_stationary_flag",
+        when(col("adf_lag_t6") < -3410000L, 1).otherwise(0))
       .orderBy(col("user_id"), col("event_type"))
   }
 
@@ -10594,9 +10732,12 @@ object SignalOracle {
       |  ON p.user_id = a.user_id AND p.event_type = a.event_type
       |ORDER BY a.user_id, a.event_type""".stripMargin
 
-  /** q129: the same close-collapse, pair equi-join and day1 ≤ day2
-    * self-join; conditional counts over the same exact sign products;
-    * the same one-chain τ-b with the n0>n1 ∧ n0>n2 NULL guard.
+  /** q129: the same close-collapse and pair equi-join; the census as
+    * the day1 ≤ day2 self-join (DuckDB materializes it fine at oracle
+    * scale — only Spark's plan moved in-task), concordance by SIGN
+    * COMPARISON rather than a delta product so the oracle carries no
+    * BIGINT-overflow value-domain bound either; the same one-chain
+    * τ-b with the n0>n1 ∧ n0>n2 NULL guard.
     */
   val q129: String =
     """WITH b AS (
@@ -10621,9 +10762,11 @@ object SignalOracle {
       |    count(CASE WHEN p.day = q.day THEN 1 END) AS n_days,
       |    count(CASE WHEN p.day < q.day THEN 1 END) AS n0,
       |    count(CASE WHEN p.day < q.day
-      |      AND (p.ya - q.ya) * (p.yb - q.yb) > 0 THEN 1 END) AS c_pairs,
+      |      AND ((p.ya < q.ya AND p.yb < q.yb)
+      |        OR (p.ya > q.ya AND p.yb > q.yb)) THEN 1 END) AS c_pairs,
       |    count(CASE WHEN p.day < q.day
-      |      AND (p.ya - q.ya) * (p.yb - q.yb) < 0 THEN 1 END) AS d_pairs,
+      |      AND ((p.ya < q.ya AND p.yb > q.yb)
+      |        OR (p.ya > q.ya AND p.yb < q.yb)) THEN 1 END) AS d_pairs,
       |    count(CASE WHEN p.day < q.day AND p.ya = q.ya THEN 1 END) AS n1,
       |    count(CASE WHEN p.day < q.day AND p.yb = q.yb THEN 1 END) AS n2
       |  FROM m p JOIN m q
@@ -10777,6 +10920,115 @@ object SignalOracle {
       |)
       |SELECT user_id, event_type, n_trans, rho6, adf_trend_t6,
       |  CASE WHEN adf_trend_t6 < -3410000 THEN 1 ELSE 0 END
+      |    AS trend_stationary_flag
+      |FROM fin
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q133: the same fifteen exact moment sums (HUGEINT here, decimal
+    * on the Spark side — equal as integers), the same double-cast
+    * centered pieces, the same signed-cofactor 3×3 Cramer solve,
+    * back-substituted intercept, normal-equation RSS and one-chain
+    * t(ρ̂) with the (ρ,ρ)-cofactor variance and the D ≤ 0 guard.
+    */
+  val q133: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), dif AS (
+      |  SELECT *,
+      |    lag(y) OVER w AS y1,
+      |    lag(y, 2) OVER w AS y2
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id)
+      |), d2 AS (
+      |  SELECT user_id, event_type, y1, y - y1 AS dy, y1 - y2 AS dw,
+      |    CAST(row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS BIGINT) AS t
+      |  FROM dif WHERE y2 IS NOT NULL
+      |), mom AS (
+      |  SELECT user_id, event_type, count(*) AS m,
+      |    sum(t) AS st, sum(y1) AS su, sum(dw) AS sw, sum(dy) AS sv,
+      |    sum(CAST(t AS HUGEINT) * t) AS stt,
+      |    sum(CAST(t AS HUGEINT) * y1) AS stu,
+      |    sum(CAST(t AS HUGEINT) * dw) AS stw,
+      |    sum(CAST(y1 AS HUGEINT) * y1) AS suu,
+      |    sum(CAST(y1 AS HUGEINT) * dw) AS suw,
+      |    sum(CAST(dw AS HUGEINT) * dw) AS sww,
+      |    sum(CAST(t AS HUGEINT) * dy) AS stv,
+      |    sum(CAST(y1 AS HUGEINT) * dy) AS suv,
+      |    sum(CAST(dw AS HUGEINT) * dy) AS swv,
+      |    sum(CAST(dy AS HUGEINT) * dy) AS svv
+      |  FROM d2 GROUP BY 1, 2 HAVING count(*) >= 12
+      |), aa AS (
+      |  SELECT *,
+      |    CAST(CAST(m AS HUGEINT) * stt - CAST(st AS HUGEINT) * st
+      |      AS DOUBLE) AS a11,
+      |    CAST(CAST(m AS HUGEINT) * stu - CAST(st AS HUGEINT) * su
+      |      AS DOUBLE) AS a12,
+      |    CAST(CAST(m AS HUGEINT) * stw - CAST(st AS HUGEINT) * sw
+      |      AS DOUBLE) AS a13,
+      |    CAST(CAST(m AS HUGEINT) * suu - CAST(su AS HUGEINT) * su
+      |      AS DOUBLE) AS a22,
+      |    CAST(CAST(m AS HUGEINT) * suw - CAST(su AS HUGEINT) * sw
+      |      AS DOUBLE) AS a23,
+      |    CAST(CAST(m AS HUGEINT) * sww - CAST(sw AS HUGEINT) * sw
+      |      AS DOUBLE) AS a33,
+      |    CAST(CAST(m AS HUGEINT) * stv - CAST(st AS HUGEINT) * sv
+      |      AS DOUBLE) AS b1,
+      |    CAST(CAST(m AS HUGEINT) * suv - CAST(su AS HUGEINT) * sv
+      |      AS DOUBLE) AS b2,
+      |    CAST(CAST(m AS HUGEINT) * swv - CAST(sw AS HUGEINT) * sv
+      |      AS DOUBLE) AS b3
+      |  FROM mom
+      |), cof AS (
+      |  SELECT *,
+      |    a22 * a33 - a23 * a23 AS c11,
+      |    a12 * a33 - a13 * a23 AS c12,
+      |    a12 * a23 - a13 * a22 AS c13,
+      |    a11 * a33 - a13 * a13 AS c22,
+      |    a11 * a23 - a12 * a13 AS c23,
+      |    a11 * a22 - a12 * a12 AS c33
+      |  FROM aa
+      |), ch AS (
+      |  SELECT *, a11 * c11 - a12 * c12 + a13 * c13 AS ddet FROM cof
+      |), ch2 AS (
+      |  SELECT *,
+      |    CASE WHEN ddet > 0 THEN
+      |      (c11 * b1 - c12 * b2 + c13 * b3) / ddet END AS beta,
+      |    CASE WHEN ddet > 0 THEN
+      |      (-c12 * b1 + c22 * b2 - c23 * b3) / ddet END AS rho,
+      |    CASE WHEN ddet > 0 THEN
+      |      (c13 * b1 - c23 * b2 + c33 * b3) / ddet END AS gam
+      |  FROM ch
+      |), ch3 AS (
+      |  SELECT *,
+      |    (CAST(sv AS DOUBLE) - beta * CAST(st AS DOUBLE)
+      |      - rho * CAST(su AS DOUBLE)
+      |      - gam * CAST(sw AS DOUBLE)) / CAST(m AS DOUBLE) AS alpha
+      |  FROM ch2
+      |), ch4 AS (
+      |  SELECT *,
+      |    CAST(svv AS DOUBLE) - alpha * CAST(sv AS DOUBLE)
+      |      - beta * CAST(stv AS DOUBLE)
+      |      - rho * CAST(suv AS DOUBLE)
+      |      - gam * CAST(swv AS DOUBLE) AS rss
+      |  FROM ch3
+      |), fin AS (
+      |  SELECT user_id, event_type, m AS n_trans,
+      |    CASE WHEN ddet > 0
+      |      THEN CAST(floor(rho * 1000000.0 + 0.5) AS BIGINT) END AS rho6,
+      |    CASE WHEN ddet > 0
+      |      THEN CAST(floor(gam * 1000000.0 + 0.5) AS BIGINT) END AS gamma6,
+      |    CASE WHEN ddet > 0 AND rss > 0 THEN
+      |      CAST(floor(rho / sqrt(rss / (CAST(m AS DOUBLE) - 4.0)
+      |        * CAST(m AS DOUBLE) * c22 / ddet)
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS adf_lag_t6
+      |  FROM ch4
+      |)
+      |SELECT user_id, event_type, n_trans, rho6, gamma6, adf_lag_t6,
+      |  CASE WHEN adf_lag_t6 < -3410000 THEN 1 ELSE 0 END
       |    AS trend_stationary_flag
       |FROM fin
       |ORDER BY user_id, event_type""".stripMargin

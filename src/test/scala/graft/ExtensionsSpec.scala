@@ -63,4 +63,42 @@ class ExtensionsSpec extends AnyFunSuite {
       .filter(col("c_acctbal") > 0).count()
     assert(viaJson == direct)
   }
+
+  test("kendall_census intersects by day and counts C/D/tie pairs exactly") {
+    // a: days 1..5 values 1,2,3,4,5 ; b: days 2..6 values 9,7,8,7
+    // (missing day 3) → common days 2,4,5 with (2,9),(4,8),(5,7):
+    // pairs (2,4): a up, b down → discordant; (2,5): a up, b down →
+    // discordant; (4,5): a up, b down → discordant. One b-tie pair? no
+    // — b values 9,8,7 distinct. So [3, 0, 3, 0, 0].
+    val cen = spark.sql(
+      """SELECT kendall_census(
+        |  array(named_struct('day', DATE'2024-01-01', 'y', 1L),
+        |        named_struct('day', DATE'2024-01-02', 'y', 2L),
+        |        named_struct('day', DATE'2024-01-03', 'y', 3L),
+        |        named_struct('day', DATE'2024-01-04', 'y', 4L),
+        |        named_struct('day', DATE'2024-01-05', 'y', 5L)),
+        |  array(named_struct('day', DATE'2024-01-02', 'y', 9L),
+        |        named_struct('day', DATE'2024-01-04', 'y', 8L),
+        |        named_struct('day', DATE'2024-01-05', 'y', 7L),
+        |        named_struct('day', DATE'2024-01-06', 'y', 7L))) AS c"""
+        .stripMargin).head().getSeq[Long](0)
+    assert(cen == Seq(3L, 0L, 3L, 0L, 0L))
+    // ties on both sides: a = (1,1), b = (5,5) on two common days →
+    // n_days 2, no C/D (both zero-sign), one tie pair each side
+    val tied = spark.sql(
+      """SELECT kendall_census(
+        |  array(named_struct('day', DATE'2024-01-01', 'y', 1L),
+        |        named_struct('day', DATE'2024-01-02', 'y', 1L)),
+        |  array(named_struct('day', DATE'2024-01-01', 'y', 5L),
+        |        named_struct('day', DATE'2024-01-02', 'y', 5L))) AS c"""
+        .stripMargin).head().getSeq[Long](0)
+    assert(tied == Seq(2L, 0L, 0L, 1L, 1L))
+    // disjoint day ranges → zero common days, all-zero census
+    val none = spark.sql(
+      """SELECT kendall_census(
+        |  array(named_struct('day', DATE'2024-01-01', 'y', 1L)),
+        |  array(named_struct('day', DATE'2024-02-01', 'y', 1L))) AS c"""
+        .stripMargin).head().getSeq[Long](0)
+    assert(none == Seq(0L, 0L, 0L, 0L, 0L))
+  }
 }

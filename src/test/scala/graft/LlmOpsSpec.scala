@@ -221,6 +221,46 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s13 composed IVF-PQ achieves recall against the exact L2 top-k " +
+    "and is deterministic") {
+    import graft.dedup.Dedup.dot
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("n2").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("vec_id"))
+    val exact = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2",
+        col("qn") - lit(2.0) * dot(col("qv"), col("v")) + col("n2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Ann.ivfPqTopK(spark, dir).collect()
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // coarse nProbe=8/16 lists pruned, residual-PQ ADC shortlist 40·k
+    // re-ranked exactly — recall is bounded by the IVF probe set, so
+    // the published bar matches s03's 0.7
+    assert(recall >= 0.7, s"IVF-PQ recall too low: $recall")
+    // 5 ranked rows per query, distances ascending
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      val ds = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+    // deterministic across runs (content-addressed seeds, decimal
+    // means, struct-min ties)
+    assert(Ann.ivfPqTopK(spark, dir).collect().map(_.toString)
+      .sameElements(rows.map(_.toString)))
+  }
+
   test("s06 RRF output: exact reciprocal-rank sums, ranked per query") {
     val out = Ann.hybridRrf(spark, dir).collect()
     val byQ = out.groupBy(_.getLong(0))

@@ -2682,6 +2682,60 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(out(4L).isNullAt(out(4L).fieldIndex("kpss_trend6")))
   }
 
+  test("q133 lag-ADF: a walk with mean-reverting increments fools " +
+    "p=0 q131 but not q133; AR-noise trend-stationarity still rejects") {
+    import spark.implicits._
+    var seed = 19L
+    def lcg(): Int = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      ((seed >> 16) % 5).toInt - 2
+    }
+    // user 1: y is I(1) (a true random walk) but its INCREMENTS
+    // mean-revert: Δy_t = −0.8·Δy_{t−1} + 3e_t. The p = 0 trend-ADF
+    // forces that short-run reversion into ρ̂ and spuriously rejects
+    // (prototyped t ≈ −4.4); the γ·Δy_{t−1} term absorbs it
+    // (prototyped t ≈ −1.9, correctly not rejected).
+    var w = 500.0
+    var d = 0.0
+    val walk = (1 to 60).map { i =>
+      val e = lcg(); d = -0.8 * d + 3 * e; w += d; (1L, w, i)
+    }
+    // user 2: genuinely trend-stationary with AR(1) noise — the lag
+    // term must NOT destroy power (prototyped p1 t ≈ −4.0)
+    var eps = 0.0
+    val ts = (1 to 60).map { i =>
+      eps = 0.3 * eps + lcg(); (2L, 100.0 + 5.0 * i + 4.0 * eps, i)
+    }
+    // user 3: noiseless line — Δy constant ⇒ Δy_{t−1} collinear with
+    // the intercept, exact determinant 0, designed NULL. user 4:
+    // constant — same degeneracy.
+    val rows = walk ++ ts ++
+      (1 to 60).map(i => (3L, 10.0 + 2.0 * i, i)) ++
+      (1 to 60).map(i => (4L, 42.0, i))
+    val df = rows.map { case (u, v, i) =>
+      (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q133spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val p0 = SignalOps.q131AdfTrend(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val p1 = SignalOps.q133AdfLag(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    // the headline contrast: p0 misreads the walk, p1 does not
+    assert(p0(1L).getAs[Int]("trend_stationary_flag") == 1, p0(1L).toString)
+    assert(p1(1L).getAs[Int]("trend_stationary_flag") == 0 &&
+      p1(1L).getAs[Long]("adf_lag_t6") > -3410000L, p1(1L).toString)
+    // the lag coefficient actually captured the reversion (γ < 0)
+    assert(p1(1L).getAs[Long]("gamma6") < -400000L, p1(1L).toString)
+    // power retained on the genuinely trend-stationary series
+    assert(p1(2L).getAs[Int]("trend_stationary_flag") == 1 &&
+      p1(2L).getAs[Long]("adf_lag_t6") < -3410000L, p1(2L).toString)
+    // exact-degeneracy NULLs
+    assert(p1(3L).isNullAt(p1(3L).fieldIndex("adf_lag_t6")), p1(3L).toString)
+    assert(p1(4L).isNullAt(p1(4L).fieldIndex("adf_lag_t6")), p1(4L).toString)
+  }
+
   test("p16 changepoint panel: a planted step is corroborated, a " +
     "constant is stable on five eligible detectors, thin is insufficient") {
     import spark.implicits._
