@@ -227,7 +227,18 @@ object BenchScale {
     // integer-PageRank join rounds (t06's dictionary class + s12's
     // iteration class); q131 = q113's probed ten-sum series-moment
     // class; q132 = q114's prefix-window class
-    "t23_textrank_keywords", "q131_adf_trend", "q132_kpss_trend")
+    "t23_textrank_keywords", "q131_adf_trend", "q132_kpss_trend",
+    // round 13: q129 probed DESPITE being catalog-quadratic BY
+    // SEMANTICS (q94's exclusion class) — the round-12 verdict asked
+    // for the datapoint; read its time ratio against rows_ratio
+    // (10× tickers ⇒ ~100× pairs, the output axis, while the
+    // per-pair in-task census is calendar-bounded). q133 = q131's
+    // fifteen-sum series-moment class; s13 composes s03's probed
+    // coarse chain + s05's probed residual-PQ rounds; st38 = 10-long
+    // histogram state (st13's class, per-print emission); st39 =
+    // st15's 16-obs ring class with the rank pass per print.
+    "q129_kendall_tau", "q133_adf_lag", "s13_ann_ivfpq",
+    "st38_stream_psi", "st39_stream_spearman")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

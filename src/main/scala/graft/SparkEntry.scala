@@ -367,6 +367,12 @@ object SparkEntry {
     "st37_stream_mase" ->
       ((s, d) =>
         graft.streaming.StreamingAnomaly.st37StreamMase(s, d)),
+    "st38_stream_psi" ->
+      ((s, d) =>
+        graft.streaming.StreamingAnomaly.st38StreamPsi(s, d)),
+    "st39_stream_spearman" ->
+      ((s, d) =>
+        graft.streaming.StreamingAnomaly.st39StreamSpearman(s, d)),
     "st26_stream_twap" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st26StreamTwap(s, d)),
     "st27_stream_ensemble" ->
@@ -521,6 +527,8 @@ object SparkEntry {
     "st35_stream_flap"   -> SignalOracle.st35,
     "st36_stream_extremes" -> SignalOracle.st36,
     "st37_stream_mase" -> SignalOracle.st37,
+    "st38_stream_psi" -> SignalOracle.st38,
+    "st39_stream_spearman" -> SignalOracle.st39,
     "st26_stream_twap"   -> SignalOracle.st26,
     "st27_stream_ensemble" -> SignalOracle.st27,
     "st28_stream_macd"   -> SignalOracle.st28,

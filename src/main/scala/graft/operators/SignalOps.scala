@@ -5046,9 +5046,12 @@ object SignalOps {
     * likewise, and the (nD)² factors cancel: η = ΣP²/(n·ΣE²) — ONE
     * IEEE division of two exact decimal sums, 1e-6-floored. y on the
     * 1e-2 grid (q116's coarser-grid discipline: E carries n⁵-scale
-    * factors; documented ceiling ≈ 170 prints/series before ΣP²
-    * leaves 38 digits — this corpus caps at ~30 and scale growth
-    * adds TICKERS, not prints). A noiseless line or a constant fits
+    * factors; ceiling ≈ 170 prints/series before ΣP² leaves 38
+    * digits — this corpus caps at ~30 and scale growth adds TICKERS,
+    * not prints, and the ceiling is now a HARD GUARD: n > 170 rows
+    * publish NULL rather than a silently-corrupted ratio, since
+    * Spark's non-ANSI decimal would NULL overflow terms and sum()
+    * would skip them). A noiseless line or a constant fits
     * the trend EXACTLY (all E = 0) ⇒ NULL. Bandwidth 0 = plain
     * variance (the Newey–West bandwidth is a knob not taken —
     * deterministic), q114's convention.
@@ -5085,8 +5088,14 @@ object SignalOps {
         sum((col("ee") * col("ee")).cast("decimal(38,0)")).as("se2"),
         sum((col("pp") * col("pp")).cast("decimal(38,0)")).as("sp2"))
       .filter(col("n") >= minObs)
+    // past n = maxExactN the n⁵-scale E/P factors leave decimal(38,0)
+    // and Spark's non-ANSI arithmetic NULLs terms SILENTLY — sum()
+    // would then skip rows and publish a corrupted statistic. Degrade
+    // to the documented NULL instead: the row stays visible with
+    // n_obs, the stat is absent (the round-12 advice item).
+    val maxExactN = 170
     mom.select(col("user_id"), col("event_type"), col("n").as("n_obs"),
-        when(col("se2") > 0,
+        when(col("se2") > 0 && col("n") <= maxExactN,
           floor(dd(col("sp2")) / (dd(col("n")) * dd(col("se2"))) *
             lit(1000000.0) + lit(0.5)).cast("long")).as("kpss_trend6"))
       .withColumn("trend_nonstat_flag",
@@ -5857,6 +5866,139 @@ object SignalOracle {
       |    CAST(san AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) < 1000000
       |    THEN 1 ELSE 0 END AS beats_naive_flag
       |FROM acc
+      |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
+
+  /** st38: the per-print PSI replayed with NO recursion — st22's
+    * 8-day staleness segmentation per event_type, then the prefix
+    * bucket occupancy as TEN conditional running window sums over one
+    * (type, segment) window, the reference occupancy as q61/st13's
+    * first-half-of-span fixed-domain counts, and the add-one-smoothed
+    * PSI as ten 1e-9-floored terms summed in fixed bucket order.
+    */
+  val st38: String = {
+    val runs = (0 until 10).map(j =>
+      s"sum(CASE WHEN b = $j THEN 1 ELSE 0 END) OVER wp AS c$j")
+      .mkString(",\n      |    ")
+    val refcols = (0 until 10).map(j =>
+      s"CAST(coalesce(sum(CASE WHEN b = $j THEN c END), 0) + 1 AS DOUBLE)" +
+        s" / (CAST(sum(c) AS BIGINT) + 10) AS p$j")
+      .mkString(",\n      |    ")
+    val terms = (0 until 10).map(j =>
+      s"CAST(floor((coalesce(p$j, 0.1) - (c$j + 1.0) / (n + 10)) * " +
+        s"ln(coalesce(p$j, 0.1) / ((c$j + 1.0) / (n + 10))) * " +
+        "1000000000.0 + 0.5) AS BIGINT)")
+      .mkString("\n      |    + ")
+    s"""WITH ev AS (
+      |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), span AS (
+      |  SELECT min(day) + CAST((max(day) - min(day)) // 2 AS INT) AS piv
+      |  FROM ev
+      |), bk AS (
+      |  SELECT event_type, event_id, ts, day,
+      |    v4l, least(9, greatest(0, v4l // 1000000)) AS b
+      |  FROM ev
+      |), refc AS (
+      |  SELECT event_type, b, count(*) AS c
+      |  FROM bk, span WHERE day <= span.piv GROUP BY 1, 2
+      |), refw AS (
+      |  SELECT event_type,
+      |    $refcols
+      |  FROM refc GROUP BY 1
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM bk
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), pre AS (
+      |  SELECT event_type, event_id, ts, v4l,
+      |    count(*) OVER wp AS n,
+      |    $runs
+      |  FROM seg
+      |  WINDOW wp AS (PARTITION BY event_type, seg_id
+      |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW)
+      |), scored AS (
+      |  SELECT p.event_type, p.event_id, p.ts, p.v4l,
+      |    CAST(p.n AS BIGINT) AS n_seen,
+      |    $terms AS psi9
+      |  FROM pre p LEFT JOIN refw r ON r.event_type = p.event_type
+      |)
+      |SELECT event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value, n_seen, psi9,
+      |  CASE WHEN psi9 > 200000000 THEN 1 ELSE 0 END AS drift_flag
+      |FROM scored
+      |ORDER BY event_type, date_recorded, event_id""".stripMargin
+  }
+
+  /** st39: the windowed Spearman replayed with NO recursion — st22's
+    * 8-day staleness segmentation, then per anchor row a seq-bounded
+    * self-join materializes its ≤16-row window, two rank windows give
+    * the position and (value, position) permutation ranks, and q80's
+    * one-division ρ chain runs off the exact Σd².
+    */
+  val st39: String =
+    """WITH b AS MATERIALIZED (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+      |  FROM events
+      |), sgap AS (
+      |  SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+      |), seg AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 691200000000
+      |        THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id, event_type ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      |  FROM sgap
+      |), sq AS MATERIALIZED (
+      |  SELECT user_id, event_type, seg_id, event_id, ts, v4l,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM seg
+      |), win AS (
+      |  SELECT a.user_id, a.event_type, a.seg_id, a.seq, a.event_id,
+      |    a.ts, a.v4l, bb.seq AS bseq, bb.v4l AS bv
+      |  FROM sq a JOIN sq bb
+      |    ON bb.user_id = a.user_id AND bb.event_type = a.event_type
+      |   AND bb.seg_id = a.seg_id
+      |   AND bb.seq BETWEEN a.seq - 15 AND a.seq
+      |), rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id, seq
+      |      ORDER BY bseq) AS rx,
+      |    row_number() OVER (PARTITION BY user_id, event_type, seg_id, seq
+      |      ORDER BY bv, bseq) AS ry
+      |  FROM win
+      |), agg AS (
+      |  SELECT user_id, event_type, seg_id, seq, event_id, ts, v4l,
+      |    count(*) AS n,
+      |    sum((rx - ry) * (rx - ry)) AS dd
+      |  FROM rk
+      |  GROUP BY 1, 2, 3, 4, 5, 6, 7
+      |), fin AS (
+      |  SELECT user_id, event_type, event_id, ts, v4l,
+      |    CAST(n AS INT) AS n_window,
+      |    CASE WHEN n >= 5 THEN
+      |      CAST(floor(CAST((n * n * n - n) - 6 * dd AS DOUBLE)
+      |        / CAST(n * n * n - n AS DOUBLE)
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS rho6
+      |  FROM agg
+      |)
+      |SELECT user_id, event_type, event_id, ts AS date_recorded,
+      |  v4l / 10000.0 AS value, n_window, rho6,
+      |  CASE WHEN abs(rho6) >= 800000 THEN 1 ELSE 0 END AS mono_flag
+      |FROM fin
       |ORDER BY user_id, event_type, date_recorded, event_id""".stripMargin
 
   /** st22: the dyadic EWMA recursion replayed per 8-day staleness
@@ -10834,11 +10976,11 @@ object SignalOracle {
       |  FROM w5 GROUP BY 1, 2 HAVING max(n) >= 12
       |)
       |SELECT user_id, event_type, n AS n_obs,
-      |  CASE WHEN se2 > 0 THEN
+      |  CASE WHEN se2 > 0 AND n <= 170 THEN
       |    CAST(floor(CAST(sp2 AS DOUBLE)
       |      / (CAST(n AS DOUBLE) * CAST(se2 AS DOUBLE))
       |      * 1000000.0 + 0.5) AS BIGINT) END AS kpss_trend6,
-      |  CASE WHEN (CASE WHEN se2 > 0 THEN
+      |  CASE WHEN (CASE WHEN se2 > 0 AND n <= 170 THEN
       |    CAST(floor(CAST(sp2 AS DOUBLE)
       |      / (CAST(n AS DOUBLE) * CAST(se2 AS DOUBLE))
       |      * 1000000.0 + 0.5) AS BIGINT) END) > 146000

@@ -3827,4 +3827,250 @@ object StreamingAnomaly extends Serializable {
   def st37StreamMase(s: SparkSession, dir: String,
       staleDays: Double = 8.0): DataFrame =
     st37FromStream(s, eventStream(s, dir), staleDays)
+
+  /** st38 per-type streaming PSI state: `buckets` longs + a total +
+    * the last event time for eviction — st13's histogram shape, but
+    * ACCUMULATING per print instead of resetting per window.
+    */
+  case class PsiState(lastUs: Long, counts: Array[Long], total: Long)
+
+  case class PsiOut(event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, n_seen: Long, psi9: Long,
+      drift_flag: Int)
+
+  /** st38: q61's Population-Stability drift served PER PRINT — the
+    * last batch drift family with no per-arrival live twin (st13
+    * answers it per closed 6 h window; an operator watching a feed
+    * cut over mid-window wants the verdict to move with EVERY print).
+    * Per event_type the state is st13's fixed-domain 10-bucket
+    * histogram, accumulated since the segment started; each arrival
+    * bumps its bucket and re-scores the PREFIX occupancy against the
+    * staged-history reference (st13Reference — first-half-of-span
+    * counts) with the add-one-smoothed PSI, terms 1e-9 fixed-point
+    * longs summed in fixed bucket order (q61/st13's exact chain), so
+    * `psi9` is exact and the entry replays in SQL with NO recursion:
+    * prefix bucket counts are ten conditional running window sums
+    * (SignalOracle.st38). Flag at the conventional 0.2 bar.
+    *
+    * Restart-proofness is st22's segment convention: an 8-day in-data
+    * gap resets the histogram (a feed silent that long is a new
+    * regime), and EventTimeTimeout eviction at the same horizon means
+    * a processing restart can never produce output a cold replay of
+    * the data wouldn't — the segment id is a pure function of the
+    * (ts, event_id) order. A type absent from the reference scores
+    * against the flat smoothed prior — loudly, which is the point.
+    */
+  def st38Transform(s: SparkSession, stream: DataFrame,
+      ref: Map[String, Array[Long]], buckets: Int = 10,
+      domainMax: Double = 1000.0, staleDays: Double = 8.0)
+      : org.apache.spark.sql.Dataset[PsiOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+    val dom4 = math.floor(domainMax * 10000.0 + 0.5).toLong
+    val width = math.max(1L, dom4 / buckets)
+
+    def update(key: String, events: Iterator[TickEvent],
+        state: GroupState[PsiState]): Iterator[PsiOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // quiet type: next arrival starts a new segment
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[PsiOut]
+        var stOpt = state.getOption
+        val rc = ref.getOrElse(key, new Array[Long](buckets))
+        val rTot = rc.sum
+        sorted.foreach { e =>
+          stOpt = stOpt.filter(st => usOf(e.ts) - st.lastUs <= staleUs)
+          val prev = stOpt.getOrElse(
+            PsiState(usOf(e.ts), new Array[Long](buckets), 0L))
+          val v4 = math.floor(e.value * 10000.0 + 0.5).toLong
+          val b = math.min(buckets - 1L, math.max(0L, v4 / width)).toInt
+          val counts = prev.counts.clone()
+          counts(b) += 1
+          val total = prev.total + 1
+          var psi9 = 0L
+          var j = 0
+          while (j < buckets) {
+            val p = (rc(j) + 1).toDouble / (rTot + buckets)
+            val q = (counts(j) + 1).toDouble / (total + buckets)
+            psi9 += math.floor((p - q) * math.log(p / q) * 1e9 + 0.5).toLong
+            j += 1
+          }
+          stOpt = Some(PsiState(usOf(e.ts), counts, total))
+          out += PsiOut(key, e.event_id, e.ts, v4 / 10000.0, total, psi9,
+            if (psi9 > 200000000L) 1 else 0)
+        }
+        val st = stOpt.get
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st38FromStream(s: SparkSession, stream: DataFrame,
+      ref: Map[String, Array[Long]], staleDays: Double = 8.0): DataFrame = {
+    val name = s"st38_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st38Transform(s, stream, ref, staleDays = staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("n_seen"),
+        col("psi9"), col("drift_flag"))
+      .orderBy(col("event_type"), col("date_recorded"), col("event_id"))
+  }
+
+  def st38StreamPsi(s: SparkSession, dir: String,
+      staleDays: Double = 8.0): DataFrame =
+    st38FromStream(s, eventStream(s, dir), st13Reference(s, dir), staleDays)
+
+  case class SpearOut(user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, value: Double, n_window: Int,
+      rho6: Option[Long], mono_flag: Int)
+
+  /** st39: WINDOWED SPEARMAN rank trend — the rank-correlation
+    * family's live twin, closing the last documented batch/live
+    * asymmetry: q80's statistic (ρ = 1 − 6Σd²/(n³−n), permutation
+    * ranks with a deterministic tie order) cannot stream over full
+    * history because every arrival re-ranks everything; over st15's
+    * bounded 16-obs ring it re-ranks 16 values per print — O(w log w)
+    * in-task — and answers "is this feed moving MONOTONELY right
+    * now", robust to any re-scale that would decay st15's Sen slope
+    * magnitude or a rolling Pearson. Rank axes: arrival position
+    * (the (ts, event_id) ring order — q80's day axis, never tied)
+    * vs value with the (value, position) deterministic tie order
+    * (q80's (value, day) convention). Exactness: both rank vectors
+    * and Σd² are exact integers (w ≤ 16 ⇒ M = w³−w ≤ 4080), ρ is ONE
+    * double division floored to 1e-6; fewer than `minWin` in-window
+    * points emit NULL. |ρ| ≥ 0.8 flags a monotone move. Staleness
+    * gaps and EventTimeTimeout eviction clear the ring (the family's
+    * segment-restart rule); fully oracle-backed — the replay needs NO
+    * recursion, just a seq-bounded self-join per 8-day segment and
+    * two rank windows per anchor (SignalOracle.st39).
+    */
+  def st39Transform(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0, window: Int = 16,
+      minWin: Int = 5): org.apache.spark.sql.Dataset[SpearOut] = {
+    import s.implicits._
+    val staleUs = (staleDays * 86400e6).toLong
+    val staleMs = (staleDays * 86400e3).toLong
+
+    def update(key: (Long, String), events: Iterator[TickEvent],
+        state: GroupState[TrendState]): Iterator[SpearOut] = {
+      if (state.hasTimedOut) {
+        state.remove() // quiet ticker: ring gone, key evicted
+        Iterator.empty
+      } else {
+        val sorted = events.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+        val out = Vector.newBuilder[SpearOut]
+        var st = state.getOption.getOrElse(
+          TrendState(0L, Array.empty[Long], Array.empty[Long]))
+        sorted.foreach { e =>
+          if (st.tus.nonEmpty && usOf(e.ts) - st.lastUs > staleUs)
+            st = TrendState(0L, Array.empty[Long], Array.empty[Long])
+          val vl = math.floor(e.value * 10000.0 + 0.5).toLong
+          val ts2 = (st.tus :+ usOf(e.ts)).takeRight(window)
+          val vs2 = (st.v4l :+ vl).takeRight(window)
+          st = TrendState(usOf(e.ts), ts2, vs2)
+          val m = vs2.length
+          if (m < minWin) {
+            out += SpearOut(key._1, key._2, e.event_id, e.ts,
+              vl / 10000.0, m, None, 0)
+          } else {
+            // ry(i) = permutation rank of (value, position); rx = i+1
+            var dd = 0L
+            var i = 0
+            while (i < m) {
+              var below = 0
+              var j = 0
+              while (j < m) {
+                if (vs2(j) < vs2(i) || (vs2(j) == vs2(i) && j < i)) below += 1
+                j += 1
+              }
+              val d = (i + 1).toLong - (below + 1).toLong
+              dd += d * d
+              i += 1
+            }
+            val bigM = m.toLong * m * m - m
+            val rho6 = math.floor((bigM - 6L * dd).toDouble / bigM.toDouble *
+              1000000.0 + 0.5).toLong
+            out += SpearOut(key._1, key._2, e.event_id, e.ts,
+              vl / 10000.0, m, Some(rho6),
+              if (math.abs(rho6) >= 800000L) 1 else 0)
+          }
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastUs / 1000 + staleMs)
+        out.result().iterator
+      }
+    }
+
+    stream
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[TickEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  def st39FromStream(s: SparkSession, stream: DataFrame,
+      staleDays: Double = 8.0, window: Int = 16): DataFrame = {
+    val name = s"st39_out_${counter.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = st39Transform(s, stream, staleDays, window)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.table(name)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("date_recorded"), col("value"), col("n_window"),
+        col("rho6"), col("mono_flag"))
+      .orderBy(col("user_id"), col("event_type"), col("date_recorded"),
+        col("event_id"))
+  }
+
+  def st39StreamSpearman(s: SparkSession, dir: String,
+      staleDays: Double = 8.0, window: Int = 16): DataFrame =
+    st39FromStream(s, eventStream(s, dir), staleDays, window)
+
+  def st38ToFileSink(s: SparkSession, stream: DataFrame,
+      ref: Map[String, Array[Long]], path: String, checkpoint: String,
+      staleDays: Double = 8.0): String = {
+    withStatePartitions(s, 8) {
+      val q = st38Transform(s, stream, ref, staleDays = staleDays)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", versionedSink(path))
+        .option("checkpointLocation", versionedCheckpoint(checkpoint))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    versionedSink(path)
+  }
 }

@@ -223,6 +223,125 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st38 kill-and-restart restores the PSI histogram state " +
+      "(HDFS and RocksDB providers)") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    // the single-run reference: every psi9 depends on the type's
+    // ENTIRE prefix occupancy, so a resume that lost or mangled the
+    // bucket-count state wrongs every row after the restart
+    val ref = StreamingAnomaly.st13Reference(spark, dir)
+    val single = StreamingAnomaly.st38StreamPsi(spark, dir)
+      .collect().map(_.toString).sorted
+    val slices = stageSlices().listFiles()
+      .filter(_.getName.startsWith("slice_")).sortBy(_.getName)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    for (provider <- Seq(None, Some("org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider"))) {
+      provider.foreach(spark.conf.set(providerKey, _))
+      try {
+        val inDir = Files.createTempDirectory("st38_restart_in").toFile
+        val cp = Files.createTempDirectory("st38_restart_cp").toString
+        val outPath = Files.createTempDirectory("st38_restart_out").toString
+        def addSlice(i: Int): Unit = {
+          val dst = new java.io.File(inDir, slices(i).getName)
+          Files.copy(slices(i).toPath, dst.toPath,
+            StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dst.toPath,
+            FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+        def stream() = spark.readStream.schema(StreamingAnomaly.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath)
+        addSlice(0); addSlice(1)
+        val written = StreamingAnomaly.st38ToFileSink(
+          spark, stream(), ref, outPath, cp)
+        val out1 = spark.read.parquet(written).count()
+        assert(out1 > 0)
+        addSlice(2); addSlice(3)
+        StreamingAnomaly.st38ToFileSink(spark, stream(), ref, outPath, cp)
+        val resumed = spark.read.parquet(written)
+          .select(col("event_type"), col("event_id"),
+            col("ts").as("date_recorded"), col("value"), col("n_seen"),
+            col("psi9"), col("drift_flag"))
+          .collect().map(_.toString).sorted
+        assert(resumed.length > out1, "restart must process new slices")
+        assert(resumed.length == single.length,
+          s"$provider: resumed ${resumed.length} vs single ${single.length}")
+        assert(resumed.sameElements(single), s"$provider: rows differ")
+      } finally provider.foreach(_ => spark.conf.unset(providerKey))
+    }
+  }
+
+  test("st38 per-print PSI: a planted mid-stream distribution shift " +
+      "crosses the 0.2 bar only after the shift") {
+    import spark.implicits._
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // history days 1..10 (reference era = days 1..5 by the midpoint
+    // pivot): values ~100 (bucket 1). From day 8 hour onwards the feed
+    // jumps to ~900 (bucket 9) — prints before the jump must sit under
+    // the 0.2 bar, the accumulating occupancy after it must cross
+    val rows = (1 to 10).flatMap { d =>
+      (0 until 4).map { h =>
+        val v = if (d <= 7) 100.0 + h else 900.0 + h
+        (1L, "x", (d * 10 + h).toLong, t(d, 9 + h), v)
+      }
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("st38spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st38StreamPsi(spark, tmp).collect()
+    assert(out.length == rows.length, "one verdict per print")
+    val byId = out.map(r => r.getAs[Long]("event_id") -> r).toMap
+    // day 6 (post-reference, pre-shift): same distribution, no drift
+    assert(byId(63L).getAs[Int]("drift_flag") == 0, byId(63L).toString)
+    // late prints after the jump: occupancy has moved two-plus buckets
+    val last = byId(103L)
+    assert(last.getAs[Int]("drift_flag") == 1 &&
+      last.getAs[Long]("psi9") > 200000000L, last.toString)
+    // n_seen accumulates across the whole (gap-free) stream
+    assert(last.getAs[Long]("n_seen") == rows.length, last.toString)
+  }
+
+  test("st39 windowed Spearman: ramps read ±1, monotone re-scale is " +
+      "invariant, warm-up prints emit NULL") {
+    import spark.implicits._
+    def t(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // user 1: strictly increasing; user 2: strictly decreasing;
+    // user 3: user 1 squared/100 (a strictly monotone re-scale —
+    // identical value RANKS, so identical rho6 per print); user 4:
+    // an up-down alternation (rank-decorrelated, |rho| small)
+    val rows = (0 until 12).flatMap { i =>
+      val v1 = 100.0 + 7.0 * i
+      Seq(
+        (1L, "x", (100 + i).toLong, t(1 + i / 4, 9 + i % 4), v1),
+        (2L, "x", (200 + i).toLong, t(1 + i / 4, 9 + i % 4), 500.0 - 3.0 * i),
+        (3L, "x", (300 + i).toLong, t(1 + i / 4, 9 + i % 4), v1 * v1 / 100.0),
+        (4L, "x", (400 + i).toLong, t(1 + i / 4, 9 + i % 4),
+          if (i % 2 == 0) 100.0 else 200.0 + i))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("st39spec").toString
+    rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StreamingAnomaly.st39StreamSpearman(spark, tmp).collect()
+    val byId = out.map(r => r.getAs[Long]("event_id") -> r).toMap
+    // warm-up (n < 5) emits NULL, visible row
+    assert(byId(103L).isNullAt(byId(103L).fieldIndex("rho6")))
+    assert(byId(103L).getAs[Int]("mono_flag") == 0)
+    // full-window ramps: exactly ±1e6
+    assert(byId(111L).getAs[Long]("rho6") == 1000000L, byId(111L).toString)
+    assert(byId(111L).getAs[Int]("mono_flag") == 1)
+    assert(byId(211L).getAs[Long]("rho6") == -1000000L, byId(211L).toString)
+    // monotone re-scale invariance: user 3 matches user 1 print-for-print
+    (4 until 12).foreach { i =>
+      assert(byId((300 + i).toLong).getAs[Long]("rho6") ==
+        byId((100 + i).toLong).getAs[Long]("rho6"), s"print $i")
+    }
+    // the alternator never looks monotone
+    assert(byId(411L).getAs[Int]("mono_flag") == 0, byId(411L).toString)
+  }
+
   test("st23 streaming bars: deterministic open/close per closed day, " +
       "the unclosed tail window held back; multi-batch matches") {
     import spark.implicits._
