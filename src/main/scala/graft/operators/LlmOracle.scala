@@ -937,8 +937,9 @@ object LlmOracle {
     * per-(query, probed-cell) ADC tables built from the query's own
     * residual against that cell (each cell one sequential
     * squared-diff fold — the driver loop's exact order), the 8-term
-    * static-lookup adist over only the probed lists, the 40·k
-    * shortlist and the exact L2² re-rank.
+    * static-lookup adist over only the probed lists, the 80·k
+    * shortlist (nProbe = 10 — the engine defaults) and the exact L2²
+    * re-rank.
     */
   val s13: String = {
     val m = 8
@@ -1025,7 +1026,7 @@ object LlmOracle {
        |        q.qn - 2.0 * ${dotSql("q.qv", "c.c")}
        |          + ${dotSql("c.c", "c.c")}, c.cid) AS prk
        |    FROM q CROSS JOIN c$iters c)
-       |  WHERE prk <= 8
+       |  WHERE prk <= 10
        |), qres AS (
        |  SELECT p.query_id, p.cid,
        |    list_transform(list_zip(p.qv, c.c), x -> x[1] - x[2]) AS qrv
@@ -1052,7 +1053,7 @@ object LlmOracle {
        |        ec.vec_id) AS ark
        |    FROM enc ec JOIN qd ON qd.cid = ec.cid
        |    WHERE ec.vec_id <> qd.query_id)
-       |  WHERE ark <= 200
+       |  WHERE ark <= 400
        |), nv AS (
        |  SELECT vec_id, v, ${dotSql("v", "v")} AS n2 FROM v
        |), qx AS (

@@ -563,9 +563,17 @@ object Ann {
     * build nProbe ADC tables driver-side (nQueries·nProbe·m·codes
     * exact squared diffs, bounded), broadcast them, score ONLY the
     * probed lists via m static element_at lookups, ADC-shortlist
-    * 40·k, exact-L2² re-rank on just those full vectors (s05's
+    * 80·k, exact-L2² re-rank on just those full vectors (s05's
     * convention). Scored rows ≈ |Q|·N·nProbe/nCentroids compressed
     * codes; full vectors read per query: `shortlist` of them.
+    *
+    * Defaults nProbe = 10, shortlistFactor = 80: recall is bounded by
+    * the probe set AND thinned by residual-ADC ordering noise on the
+    * near-uniform synthetic sphere (the s03/s05 docstrings' caveat),
+    * measured at sf0.1: 0.66 @ (8, 40), 0.70 @ (8, 80), 0.74 @
+    * (10, 40), 0.78 @ (10, 80) — the default buys the published ≥0.7
+    * bar with margin. Production clustered corpora run far lower
+    * nProbe/nCentroids for the same recall; both knobs are exposed.
     *
     * Scale shape: no corpus shuffle anywhere — assignment/encoding
     * are broadcast map-side passes, the ADC scan joins broadcast
@@ -577,8 +585,8 @@ object Ann {
     */
   def ivfPqTopK(s: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16,
-      nProbe: Int = 8, iters: Int = 2, m: Int = 8, codes: Int = 16,
-      shortlistFactor: Int = 40): DataFrame = {
+      nProbe: Int = 10, iters: Int = 2, m: Int = 8, codes: Int = 16,
+      shortlistFactor: Int = 80): DataFrame = {
     val dims = 64
     val sub = dims / m
     val v = Tables
