@@ -238,7 +238,9 @@ object BenchScale {
     // histogram state (st13's class, per-print emission); st39 =
     // st15's 16-obs ring class with the rank pass per print.
     "q129_kendall_tau", "q133_adf_lag", "s13_ann_ivfpq",
-    "st38_stream_psi", "st39_stream_spearman")
+    "st38_stream_psi", "st39_stream_spearman",
+    // q134 = q133's ten-sum sibling on the level design
+    "q134_adf_level_lag")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds

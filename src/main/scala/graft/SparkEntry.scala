@@ -135,6 +135,8 @@ object SparkEntry {
       ((s, d) => SignalOps.q132KpssTrend(s, d)),
     "q133_adf_lag" ->
       ((s, d) => SignalOps.q133AdfLag(s, d)),
+    "q134_adf_level_lag" ->
+      ((s, d) => SignalOps.q134AdfLevelLag(s, d)),
     "s12_knn_pagerank" ->
       ((s, d) => graft.similarity.Ann.s12KnnPagerank(s, d)),
     "p15_embedding_card" ->
@@ -506,6 +508,7 @@ object SparkEntry {
     "q131_adf_trend" -> SignalOracle.q131,
     "q132_kpss_trend" -> SignalOracle.q132,
     "q133_adf_lag" -> SignalOracle.q133,
+    "q134_adf_level_lag" -> SignalOracle.q134,
     "s12_knn_pagerank"   -> LlmOracle.s12,
     "p15_embedding_card" -> LlmOracle.p15,
     "t22_pmi_collocations" -> LlmOracle.t22,

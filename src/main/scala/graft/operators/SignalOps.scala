@@ -5218,6 +5218,91 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q134: AUGMENTED Dickey–Fuller, LEVEL variant with one lagged
+    * difference (Said & Dickey 1984, p = 1, intercept only) —
+    * completes the (level|trend) × (p = 0|p = 1) ADF grid q113/q131/
+    * q133 leave one hole in: q113's level regression carries the same
+    * serially-uncorrelated-Δy assumption q133 fixed for the trend
+    * variant, and a mean-reverting-increment random walk fools it the
+    * same way (the spec plants the identical contrast). Regresses
+    * Δy_t on (1, y_{t−1}, Δy_{t−1}); intercept-only 5% bar −2.86
+    * (q113's).
+    *
+    * Exactness: q131's 2×2 Cramer machinery verbatim with regressors
+    * (u = y_{t−1}, w = Δy_{t−1}) instead of (t, y_{t−1}) — ten exact
+    * decimal(38,0) moment sums, centered A11/A12/A22/B1/B2 exact
+    * integers cast to double, ρ̂/γ̂ via Cramer, α̂ back-substituted,
+    * normal-equation RSS, t(ρ̂) = ρ̂/√(RSS/(m−3)·m·A22… — note the
+    * (ρ,ρ) inverse entry here is a22' = A_ww, i.e. the OTHER diagonal
+    * — ONE shared IEEE chain, 1e-6-floored. Degenerate design (D ≤ 0)
+    * NULL.
+    *
+    * Scale shape: q113/q131's class — ONE series exchange shared by
+    * the two lag windows and the map-side-combined ten-sum groupBy.
+    */
+  def q134AdfLevelLag(s: SparkSession, dir: String,
+      minObs: Int = 12): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dd = (c: Column) => c.cast("double")
+    def prod(x: Column, y: Column): Column =
+      sum((d19(x) * d19(y)).cast("decimal(38,0)"))
+    def cA(sxy: Column, sx: Column, sy: Column): Column =
+      dd((dec(col("m")) * sxy - dec(sx) * dec(sy)).cast("decimal(38,0)"))
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
+      .withColumn("y1", lag(col("y"), 1).over(wAsc))
+      .withColumn("y2", lag(col("y"), 2).over(wAsc))
+      .filter(col("y2").isNotNull)
+      .withColumn("dy", col("y") - col("y1"))
+      .withColumn("dw", col("y1") - col("y2"))
+    val mom = base.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("y1")).as("su"), sum(col("dw")).as("sw"),
+        sum(col("dy")).as("sv"),
+        prod(col("y1"), col("y1")).as("suu"),
+        prod(col("y1"), col("dw")).as("suw"),
+        prod(col("dw"), col("dw")).as("sww"),
+        prod(col("y1"), col("dy")).as("suv"),
+        prod(col("dw"), col("dy")).as("swv"),
+        prod(col("dy"), col("dy")).as("svv"))
+      .filter(col("m") >= minObs)
+    val chain = mom
+      .withColumn("a11", cA(col("suu"), col("su"), col("su")))
+      .withColumn("a12", cA(col("suw"), col("su"), col("sw")))
+      .withColumn("a22", cA(col("sww"), col("sw"), col("sw")))
+      .withColumn("b1", cA(col("suv"), col("su"), col("sv")))
+      .withColumn("b2", cA(col("swv"), col("sw"), col("sv")))
+      .withColumn("ddet",
+        col("a11") * col("a22") - col("a12") * col("a12"))
+      .withColumn("rho", when(col("ddet") > 0,
+        (col("a22") * col("b1") - col("a12") * col("b2")) / col("ddet")))
+      .withColumn("gam", when(col("ddet") > 0,
+        (col("a11") * col("b2") - col("a12") * col("b1")) / col("ddet")))
+      .withColumn("alpha",
+        (dd(col("sv")) - col("rho") * dd(col("su")) -
+          col("gam") * dd(col("sw"))) / dd(col("m")))
+      .withColumn("rss",
+        dd(col("svv")) - col("alpha") * dd(col("sv")) -
+          col("rho") * dd(col("suv")) - col("gam") * dd(col("swv")))
+    chain.select(col("user_id"), col("event_type"),
+        col("m").as("n_trans"),
+        when(col("ddet") > 0,
+          floor(col("rho") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("rho6"),
+        when(col("ddet") > 0,
+          floor(col("gam") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("gamma6"),
+        when(col("ddet") > 0 && col("rss") > 0,
+          floor(col("rho") / sqrt(col("rss") / (dd(col("m")) - lit(3.0)) *
+            dd(col("m")) * col("a22") / col("ddet")) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("adf_lag_t6"))
+      .withColumn("stationary_flag",
+        when(col("adf_lag_t6") < -2860000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** p16: the CHANGEPOINT CONSENSUS PANEL — the break family composed
     * into the one per-ticker card an analyst actually asks for:
     * "did this feed re-base, and do the detectors AGREE?" Five
@@ -11172,6 +11257,87 @@ object SignalOracle {
       |SELECT user_id, event_type, n_trans, rho6, gamma6, adf_lag_t6,
       |  CASE WHEN adf_lag_t6 < -3410000 THEN 1 ELSE 0 END
       |    AS trend_stationary_flag
+      |FROM fin
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** q134: the same ten exact moment sums over (y_{t−1}, Δy_{t−1},
+    * Δy_t), the same double-cast centered pieces, 2×2 Cramer solve,
+    * back-substituted intercept, normal-equation RSS and one-chain
+    * t(ρ̂) with the (ρ,ρ)-entry a22 and the D ≤ 0 guard.
+    */
+  val q134: String =
+    """WITH b AS (
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), dif AS (
+      |  SELECT *,
+      |    lag(y) OVER w AS y1,
+      |    lag(y, 2) OVER w AS y2
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id, event_type
+      |    ORDER BY ts, event_id)
+      |), d2 AS (
+      |  SELECT user_id, event_type, y1, y - y1 AS dy, y1 - y2 AS dw
+      |  FROM dif WHERE y2 IS NOT NULL
+      |), mom AS (
+      |  SELECT user_id, event_type, count(*) AS m,
+      |    sum(y1) AS su, sum(dw) AS sw, sum(dy) AS sv,
+      |    sum(CAST(y1 AS HUGEINT) * y1) AS suu,
+      |    sum(CAST(y1 AS HUGEINT) * dw) AS suw,
+      |    sum(CAST(dw AS HUGEINT) * dw) AS sww,
+      |    sum(CAST(y1 AS HUGEINT) * dy) AS suv,
+      |    sum(CAST(dw AS HUGEINT) * dy) AS swv,
+      |    sum(CAST(dy AS HUGEINT) * dy) AS svv
+      |  FROM d2 GROUP BY 1, 2 HAVING count(*) >= 12
+      |), aa AS (
+      |  SELECT *,
+      |    CAST(CAST(m AS HUGEINT) * suu - CAST(su AS HUGEINT) * su
+      |      AS DOUBLE) AS a11,
+      |    CAST(CAST(m AS HUGEINT) * suw - CAST(su AS HUGEINT) * sw
+      |      AS DOUBLE) AS a12,
+      |    CAST(CAST(m AS HUGEINT) * sww - CAST(sw AS HUGEINT) * sw
+      |      AS DOUBLE) AS a22,
+      |    CAST(CAST(m AS HUGEINT) * suv - CAST(su AS HUGEINT) * sv
+      |      AS DOUBLE) AS b1,
+      |    CAST(CAST(m AS HUGEINT) * swv - CAST(sw AS HUGEINT) * sv
+      |      AS DOUBLE) AS b2
+      |  FROM mom
+      |), ch AS (
+      |  SELECT *, a11 * a22 - a12 * a12 AS ddet FROM aa
+      |), ch2 AS (
+      |  SELECT *,
+      |    CASE WHEN ddet > 0
+      |      THEN (a22 * b1 - a12 * b2) / ddet END AS rho,
+      |    CASE WHEN ddet > 0
+      |      THEN (a11 * b2 - a12 * b1) / ddet END AS gam
+      |  FROM ch
+      |), ch3 AS (
+      |  SELECT *,
+      |    (CAST(sv AS DOUBLE) - rho * CAST(su AS DOUBLE)
+      |      - gam * CAST(sw AS DOUBLE)) / CAST(m AS DOUBLE) AS alpha
+      |  FROM ch2
+      |), ch4 AS (
+      |  SELECT *,
+      |    CAST(svv AS DOUBLE) - alpha * CAST(sv AS DOUBLE)
+      |      - rho * CAST(suv AS DOUBLE)
+      |      - gam * CAST(swv AS DOUBLE) AS rss
+      |  FROM ch3
+      |), fin AS (
+      |  SELECT user_id, event_type, m AS n_trans,
+      |    CASE WHEN ddet > 0
+      |      THEN CAST(floor(rho * 1000000.0 + 0.5) AS BIGINT) END AS rho6,
+      |    CASE WHEN ddet > 0
+      |      THEN CAST(floor(gam * 1000000.0 + 0.5) AS BIGINT) END AS gamma6,
+      |    CASE WHEN ddet > 0 AND rss > 0 THEN
+      |      CAST(floor(rho / sqrt(rss / (CAST(m AS DOUBLE) - 3.0)
+      |        * CAST(m AS DOUBLE) * a22 / ddet)
+      |        * 1000000.0 + 0.5) AS BIGINT) END AS adf_lag_t6
+      |  FROM ch4
+      |)
+      |SELECT user_id, event_type, n_trans, rho6, gamma6, adf_lag_t6,
+      |  CASE WHEN adf_lag_t6 < -2860000 THEN 1 ELSE 0 END
+      |    AS stationary_flag
       |FROM fin
       |ORDER BY user_id, event_type""".stripMargin
 

@@ -2736,6 +2736,54 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(p1(4L).isNullAt(p1(4L).fieldIndex("adf_lag_t6")), p1(4L).toString)
   }
 
+  test("q134 level lag-ADF: the mean-reverting-increment walk fools " +
+    "p=0 q113 but not q134; AR-noise mean reversion still rejects") {
+    import spark.implicits._
+    var seed = 7L
+    def lcg(): Int = {
+      seed = (seed * 1103515245L + 12345L) % 2147483648L
+      ((seed >> 16) % 5).toInt - 2
+    }
+    // user 1: an I(1) walk whose increments mean-revert — q113's p=0
+    // level regression misreads it (prototyped t ≈ −6.7 < −2.86), the
+    // γ·Δy_{t−1} term absorbs it (prototyped t ≈ −2.2)
+    var w = 500.0
+    var d = 0.0
+    val walk = (1 to 60).map { i =>
+      val e = lcg(); d = -0.8 * d + 3 * e; w += d; (1L, w, i)
+    }
+    // user 2: genuinely level-stationary AR(1) noise around 100 —
+    // power retained (prototyped p1 t ≈ −5.1)
+    var eps = 0.0
+    val ts = (1 to 60).map { i =>
+      eps = 0.3 * eps + lcg(); (2L, 100.0 + 4.0 * eps, i)
+    }
+    // user 3: noiseless line — Δy constant ⇒ Δy_{t−1} collinear with
+    // the intercept, exact determinant 0, designed NULL; user 4:
+    // constant — same degeneracy
+    val rows = walk ++ ts ++
+      (1 to 60).map(i => (3L, 10.0 + 2.0 * i, i)) ++
+      (1 to 60).map(i => (4L, 42.0, i))
+    val df = rows.map { case (u, v, i) =>
+      (u, "x", u * 1000 + i, java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("q134spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val p0 = SignalOps.q113AdfUnitRoot(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val p1 = SignalOps.q134AdfLevelLag(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(p0(1L).getAs[Int]("stationary_flag") == 1, p0(1L).toString)
+    assert(p1(1L).getAs[Int]("stationary_flag") == 0 &&
+      p1(1L).getAs[Long]("adf_lag_t6") > -2860000L, p1(1L).toString)
+    assert(p1(1L).getAs[Long]("gamma6") < -400000L, p1(1L).toString)
+    assert(p1(2L).getAs[Int]("stationary_flag") == 1 &&
+      p1(2L).getAs[Long]("adf_lag_t6") < -2860000L, p1(2L).toString)
+    assert(p1(3L).isNullAt(p1(3L).fieldIndex("adf_lag_t6")), p1(3L).toString)
+    assert(p1(4L).isNullAt(p1(4L).fieldIndex("adf_lag_t6")), p1(4L).toString)
+  }
+
   test("p16 changepoint panel: a planted step is corroborated, a " +
     "constant is stable on five eligible detectors, thin is insufficient") {
     import spark.implicits._
