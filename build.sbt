@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC wall and the run's tail degraded 10-50x (369 s vs 89 s total).
   // The box has 128 GiB; size the single local[32] JVM accordingly.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 260 bench queries generate thousands of codegen classes; the JDK
+  // default 240m code cache fills mid-suite, JIT compilation stops,
+  // and late compute-heavy entries run interpreted (observed: q108
+  // 61s in-suite INCLUDING its end-of-suite retime vs 25s isolated
+  // on identical code — not GC, gc_sec was 1.3s). Size the cache for
+  // the whole suite.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -68,5 +68,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "kendall_census"),
       (children: Seq[Expression]) =>
         graft.functions.KendallCensus(children(0), children(1))))
+    // ccf_moments(a, b, maxLag): maxLag is a construction parameter
+    // (the compiled loop bound), so the SQL form requires a foldable
+    // integer literal — word_ngrams' convention.
+    ext.injectFunction((
+      new FunctionIdentifier("ccf_moments"),
+      new ExpressionInfo(classOf[graft.functions.CcfMoments].getName,
+        "ccf_moments"),
+      (children: Seq[Expression]) => {
+        val lagExpr = children(2)
+        if (!lagExpr.foldable)
+          throw new IllegalArgumentException(
+            "ccf_moments(a, b, maxLag): maxLag must be a literal integer")
+        val maxLag = lagExpr.eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"ccf_moments: integer literal expected, got $other")
+        }
+        graft.functions.CcfMoments(children(0), children(1), maxLag)
+      }))
   }
 }

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** ccf_moments(a, b, maxLag) → array<struct<lag:int, n:bigint, sx, sy,
+  * sxx, syy, sxy:bigint>> — the exact per-lag Pearson moment sums of
+  * q108's cross-correlogram over the COMMON days of two DAY-SORTED
+  * close series (each an `array<struct<day:date, y:long>>`, the
+  * per-ticker `sort_array(collect_list(...))` shape KendallCensus
+  * also consumes).
+  *
+  * One compiled pass merge-intersects the two sorted arrays by day
+  * (O(da + db)), aligning the common closes into two flat long
+  * arrays; then for every lag ℓ ∈ −maxLag..+maxLag the five moment
+  * sums run over the length-(d − |ℓ|) overlap of (ya_i, yb_{i+ℓ}) —
+  * exactly the rows the join-form plan's pair-key lead/lag window +
+  * null filter kept, so the downstream decimal num/dx/dy chain is
+  * bit-identical. Everything here is exact long arithmetic: with
+  * closes on the 1e-4 grid (|y| ≤ 1e8 for values ≤ 10^4), each
+  * product is ≤ 1e16 and the sums stay inside a signed 64-bit long
+  * for d ≲ 900 common days (~3.5 trading years) — calendar-bounded
+  * corpora sit orders of magnitude under that; beyond it, fall back
+  * to the join form rather than widening the accumulator.
+  *
+  * Replaces: pair-day join rows → pair-key window sort → ×(2L+1)
+  * explode → shuffled groupBy (152M intermediate rows at sf0.1) with
+  * an in-task loop over broadcast-joined ticker arrays — nothing
+  * pair-sized ever shuffles. Registered as SQL `ccf_moments` (maxLag
+  * a required integer literal) via [[graft.GraftExtensions]].
+  */
+case class CcfMoments(left: Expression, right: Expression, maxLag: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lag", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("sx", LongType, nullable = false),
+    StructField("sy", LongType, nullable = false),
+    StructField("sxx", LongType, nullable = false),
+    StructField("syy", LongType, nullable = false),
+    StructField("sxy", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(StructType(Array(f0, f1)), _) =>
+        f0.dataType == DateType && f1.dataType == LongType
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType) && maxLag >= 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array<struct<day:date,y:bigint>> expected, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CcfMoments.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], maxLag)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CcfMoments.compute($a, $b, $maxLag);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CcfMoments =
+    copy(left = newLeft, right = newRight)
+}
+
+object CcfMoments {
+  /** Shared by eval and codegen. Inputs MUST be day-sorted. */
+  def compute(xa: ArrayData, xb: ArrayData, maxLag: Int): ArrayData = {
+    val na = xa.numElements()
+    val nb = xb.numElements()
+    val cap = math.min(na, nb)
+    val ya = new Array[Long](cap)
+    val yb = new Array[Long](cap)
+    var i = 0
+    var j = 0
+    var d = 0
+    while (i < na && j < nb) {
+      val da = xa.getStruct(i, 2).getInt(0)
+      val db = xb.getStruct(j, 2).getInt(0)
+      if (da < db) i += 1
+      else if (db < da) j += 1
+      else {
+        ya(d) = xa.getStruct(i, 2).getLong(1)
+        yb(d) = xb.getStruct(j, 2).getLong(1)
+        d += 1; i += 1; j += 1
+      }
+    }
+    val out = new Array[Any](2 * maxLag + 1)
+    var l = -maxLag
+    while (l <= maxLag) {
+      // overlap of (ya_i, yb_{i+l}) within [0, d): i from max(0, -l)
+      // to d - 1 - max(0, l)
+      val lo = math.max(0, -l)
+      val hi = d - math.max(0, l)
+      var sx = 0L; var sy = 0L; var sxx = 0L; var syy = 0L; var sxy = 0L
+      var n = 0L
+      var p = lo
+      while (p < hi) {
+        val x = ya(p)
+        val y = yb(p + l)
+        sx += x; sy += y
+        sxx += x * x; syy += y * y; sxy += x * y
+        n += 1
+        p += 1
+      }
+      out(l + maxLag) = InternalRow(l, n, sx, sy, sxx, syy, sxy)
+      l += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -2477,21 +2477,26 @@ object SignalOps {
       .filter(col("rd") === 1)
       .select(col("user_id"), col("event_type"), col("day"),
         col("v4l").as("y"))
-    val a = closes.select(col("event_type"), col("day"),
-      col("user_id").as("user_a"), col("y").as("ya"))
-    val b = closes.select(col("event_type"), col("day"),
-      col("user_id").as("user_b"), col("y").as("yb"))
-    a.join(b, Seq("event_type", "day"))
+    // round-13 rewrite (q108/q129's posture): per-ticker day-sorted
+    // close arrays, broadcast pair join, the lag-0 CcfMoments cell —
+    // the (event_type, day) join + 21.7M-row shuffled groupBy gone;
+    // identical exact moment sums feed the unchanged decimal chain,
+    // so the join-form oracle stays
+    val byTicker = closes
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+    val lhs = byTicker.select(col("event_type"),
+      col("user_id").as("user_a"), col("arr").as("aa"))
+    val rhs = byTicker.select(col("event_type"),
+      col("user_id").as("user_b"), col("arr").as("ab"))
+    lhs.join(broadcast(rhs), Seq("event_type"))
       .filter(col("user_a") < col("user_b"))
-      .groupBy(col("event_type"), col("user_a"), col("user_b"))
-      .agg(count(lit(1)).as("n_days"),
-        sum(col("ya")).as("sx"), sum(col("yb")).as("sy"),
-        sum((d19(col("ya")) * d19(col("ya"))).cast("decimal(38,0)"))
-          .as("sxx"),
-        sum((d19(col("yb")) * d19(col("yb"))).cast("decimal(38,0)"))
-          .as("syy"),
-        sum((d19(col("ya")) * d19(col("yb"))).cast("decimal(38,0)"))
-          .as("sxy"))
+      .withColumn("sh", expr("ccf_moments(aa, ab, 0)").getItem(0))
+      .select(col("event_type"), col("user_a"), col("user_b"),
+        col("sh.n").as("n_days"),
+        col("sh.sx").as("sx"), col("sh.sy").as("sy"),
+        dec(col("sh.sxx")).as("sxx"), dec(col("sh.syy")).as("syy"),
+        dec(col("sh.sxy")).as("sxy"))
       .filter(col("n_days") >= minDays)
       .withColumn("num",
         (dec(col("n_days")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
@@ -3209,19 +3214,29 @@ object SignalOps {
     * IEEE chain 1e-6-floored, < minDays overlaps excluded
     * identically.
     *
-    * Scale shape: corpus → close table once (one (ticker, day)
-    * exchange); q94's pair join runs ONCE (not per lag — shifting in
-    * common-day steps lets one pair-key window produce all 7 shifted
-    * columns), the ×7 lag axis is a ROW-LOCAL explode after the
-    * window, and the (pair, lag) moments map-side combine. Measured
-    * at sf0.1: per-calendar-lag re-join 124 s, 42-wide conditional
-    * aggregates 68 s, this explode-then-combine plan 41 s — 3× the
-    * single-lag q94 for 7 lags.
+    * Scale shape (round-13 rewrite, q129's posture): corpus → close
+    * table once (one (ticker, day) exchange), each ticker collapsed
+    * to ONE day-sorted close array; one side broadcasts and the
+    * ticker-pair BroadcastHashJoin generates each pair IN-TASK, where
+    * the native [[graft.functions.CcfMoments]] expression
+    * merge-intersects the arrays and computes ALL 2·maxLag+1 per-lag
+    * exact moment sets in one compiled pass; the lag explode is
+    * row-local over its 7-struct result and NOTHING pair-sized ever
+    * shuffles. The per-lag overlap rows are exactly those the old
+    * pair-key lead/lag window + null filter kept, and the moment sums
+    * are the same exact integers, so the decimal num/dx/dy chain —
+    * and the join-form ORACLE — are unchanged. Plan history at sf0.1:
+    * per-calendar-lag re-join 124 s → 42-wide conditional aggregates
+    * 68 s → explode-then-combine over 152M intermediate rows 41 s
+    * (25–61 s as measured in r12/r13 suites) → this in-task plan.
+    * Output is (pair, lag)-sized: quadratic in CATALOG by semantics,
+    * like q94 — the same pair-budget gate applies; broadcast side =
+    * tickers × d closes (q129's ~100 MB-at-750k-tickers bound,
+    * bucketed ticker-pair join past it).
     */
   def q108CrossCorrelation(s: SparkSession, dir: String, maxLag: Int = 3,
       minDays: Int = 5): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val d19 = (c: Column) => c.cast("decimal(19,0)")
     val wDay = Window.partitionBy(col("user_id"), col("event_type"),
       col("day")).orderBy(col("ts").desc, col("event_id").desc)
     val closes = Tables.events(s, dir)
@@ -3232,42 +3247,24 @@ object SignalOps {
       .filter(col("rd") === 1)
       .select(col("user_id"), col("event_type"), col("day"),
         col("v4l").as("y"))
-    val a = closes.select(col("event_type"), col("day"),
-      col("user_id").as("user_a"), col("y").as("ya"))
-    val b = closes.select(col("event_type"), col("day"),
-      col("user_id").as("user_b"), col("y").as("yb"))
-    val wPair = Window.partitionBy(col("event_type"), col("user_a"),
-      col("user_b")).orderBy(col("day"))
-    // window shifts materialize as plain attributes FIRST (their own
-    // projection), so the null filter below never reaches into a
-    // window expression through the explode
-    val shiftCols = (-maxLag to maxLag).map { l =>
-      val c = if (l >= 0) lead(col("yb"), l).over(wPair)
-        else lag(col("yb"), -l).over(wPair)
-      c.as(s"yb_${l + maxLag}")
-    }
-    val joined = a.join(b, Seq("event_type", "day"))
+    val byTicker = closes
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+    val lhs = byTicker.select(col("event_type"),
+      col("user_id").as("user_a"), col("arr").as("aa"))
+    val rhs = byTicker.select(col("event_type"),
+      col("user_id").as("user_b"), col("arr").as("ab"))
+    // broadcast the per-ticker close arrays; pairs are born in-task,
+    // all 2·maxLag+1 exact per-lag moment sets come out of ONE
+    // compiled CcfMoments pass, and the explode is row-local
+    lhs.join(broadcast(rhs), Seq("event_type"))
       .filter(col("user_a") < col("user_b"))
-    val withShifts = joined.select(
-      (Seq(col("event_type"), col("user_a"), col("user_b"),
-        col("ya")) ++ shiftCols): _*)
-    val packed = (-maxLag to maxLag).map { l =>
-      struct(lit(l).as("lag"), col(s"yb_${l + maxLag}").as("ybl"))
-    }
-    withShifts
-      .withColumn("sh", explode(array(packed: _*)))
+      .withColumn("sh", explode(expr(s"ccf_moments(aa, ab, $maxLag)")))
       .select(col("event_type"), col("user_a"), col("user_b"),
-        col("sh.lag").as("lag"), col("ya"), col("sh.ybl").as("yb"))
-      .filter(col("yb").isNotNull)
-      .groupBy(col("event_type"), col("user_a"), col("user_b"), col("lag"))
-      .agg(count(lit(1)).as("n_days"),
-        sum(col("ya")).as("sx"), sum(col("yb")).as("sy"),
-        sum((d19(col("ya")) * d19(col("ya"))).cast("decimal(38,0)"))
-          .as("sxx"),
-        sum((d19(col("yb")) * d19(col("yb"))).cast("decimal(38,0)"))
-          .as("syy"),
-        sum((d19(col("ya")) * d19(col("yb"))).cast("decimal(38,0)"))
-          .as("sxy"))
+        col("sh.lag").as("lag"), col("sh.n").as("n_days"),
+        col("sh.sx").as("sx"), col("sh.sy").as("sy"),
+        dec(col("sh.sxx")).as("sxx"), dec(col("sh.syy")).as("syy"),
+        dec(col("sh.sxy")).as("sxy"))
       .filter(col("n_days") >= minDays)
       .withColumn("num",
         (dec(col("n_days")) * col("sxy") - dec(col("sx")) * dec(col("sy")))

@@ -101,4 +101,29 @@ class ExtensionsSpec extends AnyFunSuite {
         .stripMargin).head().getSeq[Long](0)
     assert(none == Seq(0L, 0L, 0L, 0L, 0L))
   }
+
+  test("ccf_moments computes exact per-lag overlap moment sums") {
+    // common days (1,2,4): ya = (1,2,4), yb = (10,20,40) aligned;
+    // lag 0: n=3, sx=7, sy=70, sxx=21, syy=2100, sxy=210;
+    // lag +1 pairs (ya_i, yb_{i+1}): (1,20),(2,40) → n=2, sx=3,
+    // sy=60, sxy=100; lag −1 pairs (2,10),(4,20) → sxy=100 too
+    val rows = spark.sql(
+      """SELECT explode(ccf_moments(
+        |  array(named_struct('day', DATE'2024-01-01', 'y', 1L),
+        |        named_struct('day', DATE'2024-01-02', 'y', 2L),
+        |        named_struct('day', DATE'2024-01-03', 'y', 3L),
+        |        named_struct('day', DATE'2024-01-04', 'y', 4L)),
+        |  array(named_struct('day', DATE'2024-01-01', 'y', 10L),
+        |        named_struct('day', DATE'2024-01-02', 'y', 20L),
+        |        named_struct('day', DATE'2024-01-04', 'y', 40L),
+        |        named_struct('day', DATE'2024-01-05', 'y', 50L)),
+        |  1)) AS m""".stripMargin)
+      .select("m.lag", "m.n", "m.sx", "m.sy", "m.sxx", "m.syy", "m.sxy")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(rows(0) == ((3L, 7L, 70L, 21L, 2100L, 210L)), rows(0).toString)
+    assert(rows(1) == ((2L, 3L, 60L, 5L, 2000L, 100L)), rows(1).toString)
+    assert(rows(-1) == ((2L, 6L, 30L, 20L, 500L, 100L)), rows(-1).toString)
+  }
 }
