@@ -88,5 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.CcfMoments(children(0), children(1), maxLag)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("pair_lag_moments"),
+      new ExpressionInfo(classOf[graft.functions.PairLagMoments].getName,
+        "pair_lag_moments"),
+      (children: Seq[Expression]) =>
+        graft.functions.PairLagMoments(children(0), children(1))))
   }
 }

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** pair_lag_moments(a, b) → struct of the twenty exact moment sums
+  * q111 (Granger) and q112 (Engle–Granger) consume over a ticker
+  * pair's common-day close sequence — the lag-conditioned sibling of
+  * [[CcfMoments]], same day-sorted `array<struct<day:date, y:long>>`
+  * inputs, same one-pass merge intersection.
+  *
+  * Field contract (x = A's close, y = B's close, aligned on common
+  * days; "lag rows" are indices i ≥ 1, pairing (x_i, y_i) with the
+  * PREVIOUS common day's (x_{i−1}, y_{i−1}) — exactly the rows the
+  * join-form plans' pair-key lag window produced, with the
+  * lag-conditioned guards q112's prodIf applied):
+  *   nf, ua, ub, uaa, uab            — full-sample: count, Σx, Σy,
+  *                                     Σx², Σxy (q112 step 1)
+  *   m                               — lag rows (= max(0, nf − 1))
+  *   sya, syb, sya1, syb1            — lag-row Σx, Σy, Σx₋, Σy₋
+  *   saa, sbb, sab                   — lag-row Σx², Σy², Σxy
+  *   sa1a1, sb1b1, sa1b1             — Σx₋², Σy₋², Σx₋y₋
+  *   saa1, sbb1, sab1, sba1          — Σx·x₋, Σy·y₋, Σx·y₋, Σy·x₋
+  * All exact long arithmetic (CcfMoments' |y| ≤ 1e8, d ≲ 900 bound).
+  * The consumers cast product sums to decimal(38,0) so their
+  * downstream chains — and the join-form ORACLES — are unchanged.
+  * Registered as SQL `pair_lag_moments` via [[graft.GraftExtensions]].
+  */
+case class PairLagMoments(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(
+    PairLagMoments.fields.map(f => StructField(f, LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(StructType(Array(f0, f1)), _) =>
+        f0.dataType == DateType && f1.dataType == LongType
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array<struct<day:date,y:bigint>> expected, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PairLagMoments.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PairLagMoments.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PairLagMoments =
+    copy(left = newLeft, right = newRight)
+}
+
+object PairLagMoments {
+  val fields: Seq[String] = Seq(
+    "nf", "ua", "ub", "uaa", "uab",
+    "m", "sya", "syb", "sya1", "syb1",
+    "saa", "sbb", "sab", "sa1a1", "sb1b1", "sa1b1",
+    "saa1", "sbb1", "sab1", "sba1")
+
+  /** Shared by eval and codegen. Inputs MUST be day-sorted. */
+  def compute(xa: ArrayData, xb: ArrayData): InternalRow = {
+    val na = xa.numElements()
+    val nb = xb.numElements()
+    val cap = math.min(na, nb)
+    val ya = new Array[Long](cap)
+    val yb = new Array[Long](cap)
+    var i = 0
+    var j = 0
+    var d = 0
+    while (i < na && j < nb) {
+      val da = xa.getStruct(i, 2).getInt(0)
+      val db = xb.getStruct(j, 2).getInt(0)
+      if (da < db) i += 1
+      else if (db < da) j += 1
+      else {
+        ya(d) = xa.getStruct(i, 2).getLong(1)
+        yb(d) = xb.getStruct(j, 2).getLong(1)
+        d += 1; i += 1; j += 1
+      }
+    }
+    var ua = 0L; var ub = 0L; var uaa = 0L; var uab = 0L
+    var p = 0
+    while (p < d) {
+      val x = ya(p); val y = yb(p)
+      ua += x; ub += y; uaa += x * x; uab += x * y
+      p += 1
+    }
+    var sya = 0L; var syb = 0L; var sya1 = 0L; var syb1 = 0L
+    var saa = 0L; var sbb = 0L; var sab = 0L
+    var sa1a1 = 0L; var sb1b1 = 0L; var sa1b1 = 0L
+    var saa1 = 0L; var sbb1 = 0L; var sab1 = 0L; var sba1 = 0L
+    p = 1
+    while (p < d) {
+      val x = ya(p); val y = yb(p)
+      val x1 = ya(p - 1); val y1 = yb(p - 1)
+      sya += x; syb += y; sya1 += x1; syb1 += y1
+      saa += x * x; sbb += y * y; sab += x * y
+      sa1a1 += x1 * x1; sb1b1 += y1 * y1; sa1b1 += x1 * y1
+      saa1 += x * x1; sbb1 += y * y1; sab1 += x * y1; sba1 += y * x1
+      p += 1
+    }
+    InternalRow(
+      d.toLong, ua, ub, uaa, uab,
+      math.max(0, d - 1).toLong, sya, syb, sya1, syb1,
+      saa, sbb, sab, sa1a1, sb1b1, sa1b1,
+      saa1, sbb1, sab1, sba1)
+  }
+}

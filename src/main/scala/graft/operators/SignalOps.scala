@@ -3387,33 +3387,31 @@ object SignalOps {
       .filter(col("rd") === 1)
       .select(col("user_id"), col("event_type"), col("day"),
         col("v4l").as("y"))
-    val a = closes.select(col("event_type"), col("day"),
-      col("user_id").as("user_a"), col("y").as("ya"))
-    val b = closes.select(col("event_type"), col("day"),
-      col("user_id").as("user_b"), col("y").as("yb"))
-    val wPair = Window.partitionBy(col("event_type"), col("user_a"),
-      col("user_b")).orderBy(col("day"))
-    val lagged = a.join(b, Seq("event_type", "day"))
+    // round-13 rewrite (q94/q108/q129's posture): per-ticker
+    // day-sorted close arrays, broadcast pair join, the compiled
+    // PairLagMoments pass — the (event_type, day) join + pair lag
+    // window + shuffled 14-agg groupBy are gone; identical exact
+    // moment sums feed the unchanged chain, so the join-form oracle
+    // stays
+    val byTicker = closes
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+    val lhs = byTicker.select(col("event_type"),
+      col("user_id").as("user_a"), col("arr").as("aa"))
+    val rhs = byTicker.select(col("event_type"),
+      col("user_id").as("user_b"), col("arr").as("ab"))
+    val mom = lhs.join(broadcast(rhs), Seq("event_type"))
       .filter(col("user_a") < col("user_b"))
-      .select(col("event_type"), col("user_a"), col("user_b"), col("day"),
-        col("ya"), col("yb"))
-      .withColumn("ya1", lag(col("ya"), 1).over(wPair))
-      .withColumn("yb1", lag(col("yb"), 1).over(wPair))
-      .filter(col("ya1").isNotNull)
-    val mom = lagged
-      .groupBy(col("event_type"), col("user_a"), col("user_b"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("ya")).as("sya"), sum(col("yb")).as("syb"),
-        sum(col("ya1")).as("sya1"), sum(col("yb1")).as("syb1"),
-        prod(col("ya"), col("ya")).as("saa"),
-        prod(col("yb"), col("yb")).as("sbb"),
-        prod(col("ya1"), col("ya1")).as("sa1a1"),
-        prod(col("yb1"), col("yb1")).as("sb1b1"),
-        prod(col("ya1"), col("yb1")).as("sa1b1"),
-        prod(col("yb"), col("yb1")).as("sbb1"),
-        prod(col("yb"), col("ya1")).as("sba1"),
-        prod(col("ya"), col("ya1")).as("saa1"),
-        prod(col("ya"), col("yb1")).as("sab1"))
+      .withColumn("mo", expr("pair_lag_moments(aa, ab)"))
+      .select(col("event_type"), col("user_a"), col("user_b"),
+        col("mo.m").as("n"),
+        col("mo.sya").as("sya"), col("mo.syb").as("syb"),
+        col("mo.sya1").as("sya1"), col("mo.syb1").as("syb1"),
+        dec(col("mo.saa")).as("saa"), dec(col("mo.sbb")).as("sbb"),
+        dec(col("mo.sa1a1")).as("sa1a1"), dec(col("mo.sb1b1")).as("sb1b1"),
+        dec(col("mo.sa1b1")).as("sa1b1"), dec(col("mo.sbb1")).as("sbb1"),
+        dec(col("mo.sba1")).as("sba1"), dec(col("mo.saa1")).as("saa1"),
+        dec(col("mo.sab1")).as("sab1"))
       .filter(col("n") >= minDays)
     // S' = n·Σxy − Σx·Σy (exact decimal), then the shared IEEE chain
     def sm(sxy: Column, sx: Column, sy: Column): Column =
@@ -3499,43 +3497,34 @@ object SignalOps {
       .filter(col("rd") === 1)
       .select(col("user_id"), col("event_type"), col("day"),
         col("v4l").as("y"))
-    val a = closes.select(col("event_type"), col("day"),
-      col("user_id").as("user_a"), col("y").as("ya"))
-    val b = closes.select(col("event_type"), col("day"),
-      col("user_id").as("user_b"), col("y").as("yb"))
-    val wPair = Window.partitionBy(col("event_type"), col("user_a"),
-      col("user_b")).orderBy(col("day"))
-    val lagged = a.join(b, Seq("event_type", "day"))
+    // round-13 rewrite (q111's twin): broadcast per-ticker arrays +
+    // the compiled PairLagMoments pass replace the join + lag window
+    // + shuffled 20-agg groupBy; the lag-conditioned guards the old
+    // prodIf applied are the expression's i ≥ 1 loop, so every sum is
+    // the same exact integer and the oracle stays
+    val byTicker = closes
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+    val lhs = byTicker.select(col("event_type"),
+      col("user_id").as("user_a"), col("arr").as("aa"))
+    val rhs = byTicker.select(col("event_type"),
+      col("user_id").as("user_b"), col("arr").as("ab"))
+    val mom = lhs.join(broadcast(rhs), Seq("event_type"))
       .filter(col("user_a") < col("user_b"))
-      .select(col("event_type"), col("user_a"), col("user_b"), col("day"),
-        col("ya"), col("yb"))
-      .withColumn("ya1", lag(col("ya"), 1).over(wPair))
-      .withColumn("yb1", lag(col("yb"), 1).over(wPair))
-    val hasLag = col("ya1").isNotNull
-    val mom = lagged
-      .groupBy(col("event_type"), col("user_a"), col("user_b"))
-      .agg(
-        // step 1: full-sample level moments
-        count(lit(1)).as("nf"),
-        sum(col("ya")).as("ua"), sum(col("yb")).as("ub"),
-        prod(col("ya"), col("ya")).as("uaa"),
-        prod(col("ya"), col("yb")).as("uab"),
-        // step 2: transition moments (lagged factors NULL out the
-        // first row on their own; current-only sums need the guard)
-        count(col("ya1")).as("m"),
-        sum(when(hasLag, col("ya"))).as("sya"),
-        sum(when(hasLag, col("yb"))).as("syb"),
-        sum(col("ya1")).as("sya1"), sum(col("yb1")).as("syb1"),
-        prodIf(hasLag, col("ya"), col("ya")).as("saa"),
-        prodIf(hasLag, col("yb"), col("yb")).as("sbb"),
-        prodIf(hasLag, col("ya"), col("yb")).as("sab"),
-        prod(col("ya1"), col("ya1")).as("sa1a1"),
-        prod(col("yb1"), col("yb1")).as("sb1b1"),
-        prod(col("ya1"), col("yb1")).as("sa1b1"),
-        prod(col("ya"), col("ya1")).as("saa1"),
-        prod(col("yb"), col("yb1")).as("sbb1"),
-        prod(col("ya"), col("yb1")).as("sab1"),
-        prod(col("yb"), col("ya1")).as("sba1"))
+      .withColumn("mo", expr("pair_lag_moments(aa, ab)"))
+      .select(col("event_type"), col("user_a"), col("user_b"),
+        col("mo.nf").as("nf"),
+        col("mo.ua").as("ua"), col("mo.ub").as("ub"),
+        dec(col("mo.uaa")).as("uaa"), dec(col("mo.uab")).as("uab"),
+        col("mo.m").as("m"),
+        col("mo.sya").as("sya"), col("mo.syb").as("syb"),
+        col("mo.sya1").as("sya1"), col("mo.syb1").as("syb1"),
+        dec(col("mo.saa")).as("saa"), dec(col("mo.sbb")).as("sbb"),
+        dec(col("mo.sab")).as("sab"),
+        dec(col("mo.sa1a1")).as("sa1a1"), dec(col("mo.sb1b1")).as("sb1b1"),
+        dec(col("mo.sa1b1")).as("sa1b1"),
+        dec(col("mo.saa1")).as("saa1"), dec(col("mo.sbb1")).as("sbb1"),
+        dec(col("mo.sab1")).as("sab1"), dec(col("mo.sba1")).as("sba1"))
       .filter(col("m") >= minDays)
     val chain = mom
       .withColumn("bden", dd((dec(col("nf")) * col("uaa") -
