@@ -126,11 +126,19 @@ object Bench {
     // and it throws instead of running, which must surface in the
     // "errors" JSON field and a nonzero exit — never as a fast timing
     val breakKey = sys.env.get("SPARK_GRAFT_BENCH_BREAK")
-    def minOf(a: Either[String, (Double, Double)],
+    // Resample merge. A second sample exists only for measurement (the
+    // streaming best-of-2, the end-of-suite slow-tail retime) — the
+    // query already ran successfully once, so a flaky resample must
+    // NOT convert a green entry into an error and a nonzero exit
+    // (ADVICE r13): keep the real first-pass timing and record the
+    // flake in the artifact's "resample_errors" field instead.
+    val resampleErrs = scala.collection.mutable.SortedMap[String, String]()
+    def minOf(name: String,
+        a: Either[String, (Double, Double)],
         b: Either[String, (Double, Double)])
         : Either[String, (Double, Double)] = (a, b) match {
       case (Right(x), Right(y)) => Right(if (x._1 <= y._1) x else y)
-      case (Right(_), left)     => left // flaky second run is still an error
+      case (Right(x), Left(e))  => resampleErrs(name) = e; Right(x)
       case (left, _)            => left
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -150,7 +158,7 @@ object Bench {
         // single sample (or a mean) stays noise-dominated.
         val timed =
           if (name.startsWith("st") && first.isRight)
-            minOf(first, timeOne(fn))
+            minOf(name, first, timeOne(fn))
           else first
         (name, fn, timed)
       }
@@ -169,7 +177,7 @@ object Bench {
     }.toMap
     val results = firstPass.map { case (n, _, timed) =>
       val merged = retimed.get(n) match {
-        case Some((second, _)) => minOf(timed, second)
+        case Some((second, _)) => minOf(n, timed, second)
         case None              => timed
       }
       n -> merged
@@ -222,9 +230,18 @@ object Bench {
         """the round-12 oracle graduation costs ~1s absolute; """ +
         """remainder is the documented stream start/stop noise """ +
         """class, not a plan regression"}"""
+    val res = resampleErrs.map { case (k, e) =>
+      s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    // "estimator" marks the timing methodology so round-over-round
+    // totals are compared like-for-like: min-settled-v2 = settle()
+    // before every sample, streaming best-of-2, >4 s-tail end-of-suite
+    // retime with min published (rounds 13+); earlier rounds were
+    // single-sample.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""gc_sec":$gcs,"retimed_first_sec":$rts,"notes":$notes,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""estimator":"min-settled-v2","queries":$qs,""" +
+        s""""gc_sec":$gcs,"retimed_first_sec":$rts,""" +
+        s""""resample_errors":$res,"notes":$notes,""" +
         s""""errors":$es,"ann_recall":$recall,"sf":"$sfDir"}"""
     println(line)
     val out = new java.io.PrintWriter("bench_out.json")

@@ -57,27 +57,15 @@ case class KendallCensus(left: Expression, right: Expression)
 }
 
 object KendallCensus {
-  /** Shared by eval and codegen. Inputs MUST be day-sorted. */
+  /** Shared by eval and codegen. Inputs MUST be day-sorted. Null
+    * day/y elements are skipped ([[PairSeries]]); sign comparison has
+    * no product-overflow domain, so the intersect runs unguarded.
+    */
   def compute(xa: ArrayData, xb: ArrayData): ArrayData = {
-    val na = xa.numElements()
-    val nb = xb.numElements()
-    val cap = math.min(na, nb)
+    val cap = math.min(xa.numElements(), xb.numElements())
     val ya = new Array[Long](cap)
     val yb = new Array[Long](cap)
-    var i = 0
-    var j = 0
-    var d = 0
-    while (i < na && j < nb) {
-      val da = xa.getStruct(i, 2).getInt(0)
-      val db = xb.getStruct(j, 2).getInt(0)
-      if (da < db) i += 1
-      else if (db < da) j += 1
-      else {
-        ya(d) = xa.getStruct(i, 2).getLong(1)
-        yb(d) = xb.getStruct(j, 2).getLong(1)
-        d += 1; i += 1; j += 1
-      }
-    }
+    val d = PairSeries.intersect(xa, xb, ya, yb, guard = false)
     var c = 0L
     var dis = 0L
     var t1 = 0L

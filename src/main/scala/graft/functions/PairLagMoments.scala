@@ -68,27 +68,15 @@ object PairLagMoments {
     "saa", "sbb", "sab", "sa1a1", "sb1b1", "sa1b1",
     "saa1", "sbb1", "sab1", "sba1")
 
-  /** Shared by eval and codegen. Inputs MUST be day-sorted. */
+  /** Shared by eval and codegen. Inputs MUST be day-sorted. Null
+    * day/y elements are skipped and the exact-long domain (|y| ≤ 1e8,
+    * d ≤ 900) is enforced — see [[PairSeries]].
+    */
   def compute(xa: ArrayData, xb: ArrayData): InternalRow = {
-    val na = xa.numElements()
-    val nb = xb.numElements()
-    val cap = math.min(na, nb)
+    val cap = math.min(xa.numElements(), xb.numElements())
     val ya = new Array[Long](cap)
     val yb = new Array[Long](cap)
-    var i = 0
-    var j = 0
-    var d = 0
-    while (i < na && j < nb) {
-      val da = xa.getStruct(i, 2).getInt(0)
-      val db = xb.getStruct(j, 2).getInt(0)
-      if (da < db) i += 1
-      else if (db < da) j += 1
-      else {
-        ya(d) = xa.getStruct(i, 2).getLong(1)
-        yb(d) = xb.getStruct(j, 2).getLong(1)
-        d += 1; i += 1; j += 1
-      }
-    }
+    val d = PairSeries.intersect(xa, xb, ya, yb, guard = true)
     var ua = 0L; var ub = 0L; var uaa = 0L; var uab = 0L
     var p = 0
     while (p < d) {

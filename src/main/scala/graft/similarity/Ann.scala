@@ -658,7 +658,12 @@ object Ann {
           .as("sc"))
         .select(col("vec_id"), transform(col("sc"), x => x("code")).as("cv")),
         Seq("vec_id"))
-    svs.unpersist()
+    // svs and v stay cached: `encoded` (via assign) and the final
+    // shortlist/re-rank plan both reference them AFTER this point —
+    // unpersisting here forced the embeddings scan and residual
+    // explode to recompute in probes.collect(), the qVecs collect, and
+    // every downstream job (ADVICE r13). Bench/Verify sweep all caches
+    // after each entry, which is the lifetime owner.
     // per-query probed cells: s03's centroid ranking
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -671,7 +676,6 @@ object Ann {
           .orderBy(col("dist"), col("cid"))))
       .filter(col("prk") <= nProbe)
       .select(col("query_id"), col("cid"))
-    v.unpersist()
     // driver-side ADC tables, one per (query, probed cell): residual
     // q − c(cid), then dt[mi][ci] = ‖(q−c)_mi − codeword‖², each cell
     // the same sequential squared-diff fold the oracle replays

@@ -126,4 +126,56 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(1) == ((2L, 3L, 60L, 5L, 2000L, 100L)), rows(1).toString)
     assert(rows(-1) == ((2L, 6L, 30L, 20L, 500L, 100L)), rows(-1).toString)
   }
+
+  test("pair kernels skip null day/y elements (join-form parity)") {
+    // day 2 carries a null y in a: the join-form aggregates these
+    // kernels replaced ignored that row, so the kernels must skip it
+    // rather than read 0 — common days collapse to 1 and 3, one
+    // concordant pair (a: 1→3 up, b: 5→7 up)
+    val a =
+      """array(named_struct('day', DATE'2024-01-01', 'y', 1L),
+        |      named_struct('day', DATE'2024-01-02', 'y', CAST(NULL AS BIGINT)),
+        |      named_struct('day', DATE'2024-01-03', 'y', 3L))""".stripMargin
+    val b =
+      """array(named_struct('day', DATE'2024-01-01', 'y', 5L),
+        |      named_struct('day', DATE'2024-01-02', 'y', 6L),
+        |      named_struct('day', DATE'2024-01-03', 'y', 7L))""".stripMargin
+    val cen = spark.sql(s"SELECT kendall_census($a, $b) AS c")
+      .head().getSeq[Long](0)
+    assert(cen == Seq(2L, 1L, 0L, 0L, 0L))
+    val m0 = spark.sql(s"SELECT explode(ccf_moments($a, $b, 0)) AS m")
+      .select("m.n", "m.sx", "m.sy", "m.sxy").head()
+    assert((m0.getLong(0), m0.getLong(1), m0.getLong(2), m0.getLong(3)) ==
+      ((2L, 4L, 12L, 26L))) // (1,5),(3,7): sxy = 5 + 21
+    val pl = spark.sql(s"SELECT pair_lag_moments($a, $b) AS m")
+      .select("m.nf", "m.ua", "m.ub", "m.m", "m.sab1").head()
+    // lag row pairs (x,y)=(3,7) with (x₋,y₋)=(1,5): sab1 = Σx·y₋ = 15
+    assert((pl.getLong(0), pl.getLong(1), pl.getLong(2), pl.getLong(3),
+      pl.getLong(4)) == ((2L, 4L, 12L, 1L, 15L)))
+  }
+
+  test("product-sum kernels throw loudly past the exact-long domain") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.{CcfMoments, KendallCensus, PairLagMoments}
+    // |y| > 1e8: a silently wrapped product sum would corrupt the
+    // published statistics — the guard must throw instead (ADVICE r13)
+    val big = new GenericArrayData(Array[Any](InternalRow(19723, 200000000L)))
+    val one = new GenericArrayData(Array[Any](InternalRow(19723, 1L)))
+    val e1 = intercept[ArithmeticException](CcfMoments.compute(big, one, 0))
+    assert(e1.getMessage.contains("exact-long domain"))
+    val e2 = intercept[ArithmeticException](PairLagMoments.compute(big, one))
+    assert(e2.getMessage.contains("exact-long domain"))
+    // > 900 common days: same guard on the term count
+    val long901 = new GenericArrayData(
+      (0 until 901).map(i => InternalRow(i, 1L)).toArray[Any])
+    val e3 = intercept[ArithmeticException](
+      PairLagMoments.compute(long901, long901))
+    assert(e3.getMessage.contains("900"))
+    // kendall_census compares signs only — no product, no guard:
+    // the same inputs census fine
+    val cen = KendallCensus.compute(long901, long901)
+    assert(cen.getLong(0) == 901L)
+    assert(KendallCensus.compute(big, one).getLong(0) == 1L)
+  }
 }

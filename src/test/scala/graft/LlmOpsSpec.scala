@@ -245,9 +245,10 @@ class LlmOpsSpec extends AnyFunSuite {
     val rows = Ann.ivfPqTopK(spark, dir).collect()
     val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // coarse nProbe=8/16 lists pruned, residual-PQ ADC shortlist 40·k
-    // re-ranked exactly — recall is bounded by the IVF probe set, so
-    // the published bar matches s03's 0.7
+    // coarse nProbe=10/16 lists pruned, residual-PQ ADC shortlist 80·k
+    // re-ranked exactly (the ivfPqTopK defaults; oracle prk<=10 /
+    // ark<=400) — recall is bounded by the IVF probe set, so the
+    // published bar matches s03's 0.7
     assert(recall >= 0.7, s"IVF-PQ recall too low: $recall")
     // 5 ranked rows per query, distances ascending
     rows.groupBy(_.getLong(0)).values.foreach { g =>
