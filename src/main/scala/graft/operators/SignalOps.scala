@@ -2478,19 +2478,11 @@ object SignalOps {
       .select(col("user_id"), col("event_type"), col("day"),
         col("v4l").as("y"))
     // round-13 rewrite (q108/q129's posture): per-ticker day-sorted
-    // close arrays, broadcast pair join, the lag-0 CcfMoments cell —
-    // the (event_type, day) join + 21.7M-row shuffled groupBy gone;
-    // identical exact moment sums feed the unchanged decimal chain,
-    // so the join-form oracle stays
-    val byTicker = closes
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
-    val lhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_a"), col("arr").as("aa"))
-    val rhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_b"), col("arr").as("ab"))
-    lhs.join(broadcast(rhs), Seq("event_type"))
-      .filter(col("user_a") < col("user_b"))
+    // close arrays, budget-gated pair join (PairPlan), the lag-0
+    // CcfMoments cell — the (event_type, day) join + 21.7M-row
+    // shuffled groupBy gone; identical exact moment sums feed the
+    // unchanged decimal chain, so the join-form oracle stays
+    PairPlan.tickerPairs(s, closes)
       .withColumn("sh", expr("ccf_moments(aa, ab, 0)").getItem(0))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("sh.n").as("n_days"),
@@ -3247,18 +3239,10 @@ object SignalOps {
       .filter(col("rd") === 1)
       .select(col("user_id"), col("event_type"), col("day"),
         col("v4l").as("y"))
-    val byTicker = closes
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
-    val lhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_a"), col("arr").as("aa"))
-    val rhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_b"), col("arr").as("ab"))
-    // broadcast the per-ticker close arrays; pairs are born in-task,
-    // all 2·maxLag+1 exact per-lag moment sets come out of ONE
-    // compiled CcfMoments pass, and the explode is row-local
-    lhs.join(broadcast(rhs), Seq("event_type"))
-      .filter(col("user_a") < col("user_b"))
+    // budget-gated pair join (PairPlan); pairs are born in-task, all
+    // 2·maxLag+1 exact per-lag moment sets come out of ONE compiled
+    // CcfMoments pass, and the explode is row-local
+    PairPlan.tickerPairs(s, closes)
       .withColumn("sh", explode(expr(s"ccf_moments(aa, ab, $maxLag)")))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("sh.lag").as("lag"), col("sh.n").as("n_days"),
@@ -3388,20 +3372,12 @@ object SignalOps {
       .select(col("user_id"), col("event_type"), col("day"),
         col("v4l").as("y"))
     // round-13 rewrite (q94/q108/q129's posture): per-ticker
-    // day-sorted close arrays, broadcast pair join, the compiled
-    // PairLagMoments pass — the (event_type, day) join + pair lag
-    // window + shuffled 14-agg groupBy are gone; identical exact
-    // moment sums feed the unchanged chain, so the join-form oracle
-    // stays
-    val byTicker = closes
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
-    val lhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_a"), col("arr").as("aa"))
-    val rhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_b"), col("arr").as("ab"))
-    val mom = lhs.join(broadcast(rhs), Seq("event_type"))
-      .filter(col("user_a") < col("user_b"))
+    // day-sorted close arrays, budget-gated pair join (PairPlan), the
+    // compiled PairLagMoments pass — the (event_type, day) join +
+    // pair lag window + shuffled 14-agg groupBy are gone; identical
+    // exact moment sums feed the unchanged chain, so the join-form
+    // oracle stays
+    val mom = PairPlan.tickerPairs(s, closes)
       .withColumn("mo", expr("pair_lag_moments(aa, ab)"))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("mo.m").as("n"),
@@ -3497,20 +3473,13 @@ object SignalOps {
       .filter(col("rd") === 1)
       .select(col("user_id"), col("event_type"), col("day"),
         col("v4l").as("y"))
-    // round-13 rewrite (q111's twin): broadcast per-ticker arrays +
-    // the compiled PairLagMoments pass replace the join + lag window
-    // + shuffled 20-agg groupBy; the lag-conditioned guards the old
-    // prodIf applied are the expression's i ≥ 1 loop, so every sum is
-    // the same exact integer and the oracle stays
-    val byTicker = closes
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
-    val lhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_a"), col("arr").as("aa"))
-    val rhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_b"), col("arr").as("ab"))
-    val mom = lhs.join(broadcast(rhs), Seq("event_type"))
-      .filter(col("user_a") < col("user_b"))
+    // round-13 rewrite (q111's twin): budget-gated per-ticker-array
+    // pair join (PairPlan) + the compiled PairLagMoments pass replace
+    // the join + lag window + shuffled 20-agg groupBy; the
+    // lag-conditioned guards the old prodIf applied are the
+    // expression's i ≥ 1 loop, so every sum is the same exact integer
+    // and the oracle stays
+    val mom = PairPlan.tickerPairs(s, closes)
       .withColumn("mo", expr("pair_lag_moments(aa, ab)"))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("mo.nf").as("nf"),
@@ -4789,10 +4758,10 @@ object SignalOps {
     * the long-overflow domain bound the product form carried
     * (|value| ≳ 1.5e5 made Δya·Δyb exceed Long.MAX) is gone on both
     * engine and oracle. Output is pair-sized: quadratic in CATALOG
-    * by semantics, like q94 — the same top-K / pair-budget gate
-    * applies at 100× catalog growth, where the broadcast side
-    * (tickers × d closes) is still ~100 MB at 750k tickers; beyond
-    * that, fall back to a bucketed ticker-pair join, never to
+    * by semantics, like q94 — and the pair-budget gate is CODE now,
+    * not a docstring: [[PairPlan.tickerPairs]] measures the array
+    * table (tickers × d closes ≈ 100 MB at 750k tickers) and past
+    * the budget switches to its bucketed ticker-pair join — never to
     * pair-day rows.
     */
   def q129KendallTau(s: SparkSession, dir: String,
@@ -4807,19 +4776,11 @@ object SignalOps {
       .withColumn("rd", row_number().over(wDay))
       .filter(col("rd") === 1)
       .select(col("user_id"), col("event_type"), col("day"), col("y"))
-    val byTicker = closes
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
-    val lhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_a"), col("arr").as("aa"))
-    val rhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_b"), col("arr").as("ab"))
-    // broadcast the per-ticker close arrays; each task streams its
-    // ticker slice against them, so pair rows are born, intersected
-    // and censused in-task by the compiled expression
-    val paired = lhs.join(broadcast(rhs), Seq("event_type"))
-      .filter(col("user_a") < col("user_b"))
-    val pairs = paired
+    // budget-gated pair join (PairPlan): each task streams its ticker
+    // slice against the broadcast (or bucketed) array table, so pair
+    // rows are born, intersected and censused in-task by the compiled
+    // expression
+    val pairs = PairPlan.tickerPairs(s, closes)
       .withColumn("cen", expr("kendall_census(aa, ab)"))
       .withColumn("n_days", col("cen").getItem(0))
       .filter(col("n_days") >= minDays)

@@ -2986,4 +2986,35 @@ class SignalOpsSpec extends AnyFunSuite {
       .count(l => l.contains("Exchange hashpartitioning"))
     assert(e121 <= 2, s"expected corpus + distinct-table exchanges:\n$p121")
   }
+
+  test("PairPlan budget gate: the bucketed fallback produces the exact " +
+    "broadcast-path output on q129 and q94 at sf0.01, on a bucketed plan") {
+    import graft.operators.PairPlan
+    val d01 = "/root/testdata/sf0.01"
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // path A (default budget): the per-ticker array table broadcasts
+    val tauA = SignalOps.q129KendallTau(spark, d01)
+    val rowsA129 = sorted(tauA)
+    assert(tauA.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "default path must broadcast")
+    val rowsA94 = sorted(SignalOps.q94CorrMatrix(spark, d01))
+    assert(rowsA129.nonEmpty && rowsA94.nonEmpty)
+    // path B: force the gate past its budget — the bucketed
+    // ticker-pair join must produce the IDENTICAL pair rows (the gate
+    // changes distribution, never semantics, so the join-form oracle
+    // holds on both paths)
+    spark.conf.set(PairPlan.BudgetConfKey, "4096")
+    try {
+      val tauB = SignalOps.q129KendallTau(spark, d01)
+      val planB = tauB.queryExecution.executedPlan.toString
+      assert(!planB.contains("BroadcastHashJoin"),
+        s"gated path must not broadcast the array table:\n$planB")
+      assert(planB.contains("ShuffledHashJoin"),
+        s"gated path joins shuffle-hash on (event_type, bkt):\n$planB")
+      assert(sorted(tauB) == rowsA129, "q129 bucketed != broadcast")
+      assert(sorted(SignalOps.q94CorrMatrix(spark, d01)) == rowsA94,
+        "q94 bucketed != broadcast")
+    } finally spark.conf.unset(PairPlan.BudgetConfKey)
+  }
 }
