@@ -64,6 +64,7 @@ object SparkEntry {
     "q91_variance_ratio" -> ((s, d) => SignalOps.q91VarianceRatio(s, d)),
     "q93_hurst"          -> ((s, d) => SignalOps.q93Hurst(s, d)),
     "q94_corr_matrix"    -> ((s, d) => SignalOps.q94CorrMatrix(s, d)),
+    "s14_factor_residual" -> ((s, d) => SignalOps.s14FactorResidual(s, d)),
     "q95_ensemble_vote"  -> ((s, d) => SignalOps.q95EnsembleVote(s, d)),
     "q96_twap"           -> ((s, d) => SignalOps.q96Twap(s, d)),
     "q98_macd"           -> ((s, d) => SignalOps.q98Macd(s, d)),
@@ -468,6 +469,7 @@ object SparkEntry {
     "q91_variance_ratio" -> SignalOracle.q91,
     "q93_hurst"          -> SignalOracle.q93,
     "q94_corr_matrix"    -> SignalOracle.q94,
+    "s14_factor_residual" -> SignalOracle.s14,
     "q95_ensemble_vote"  -> SignalOracle.q95,
     "q96_twap"           -> SignalOracle.q96,
     "q98_macd"           -> SignalOracle.q98,

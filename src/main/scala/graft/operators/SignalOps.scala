@@ -5382,6 +5382,134 @@ object SignalOps {
         .otherwise("suspect"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** s14: CROSS-SECTIONAL FACTOR RESIDUAL — PCA market-mode removal,
+    * the multivariate upgrade of q55's univariate cross-sectional
+    * screen: q55 asks "is this ticker's print far from TODAY's
+    * cross-section", s14 asks "did this ticker BREAK from the market
+    * mode" — the one co-movement direction that explains most of the
+    * panel's return variance. Extracts the top principal direction of
+    * the per-day ticker-return panel (per event type), regresses each
+    * ticker's returns on that factor, and z-scores the LATEST day's
+    * residual: a market-wide move loads on the factor and cancels; a
+    * single-name break survives as residual. (The reference's
+    * peer-sanity intent — dev.R's cross-ticker checks — promoted to
+    * the classic statistical-arbitrage detector.)
+    *
+    * Algorithm (identical on both engines, s12's integer-iteration
+    * precedent): returns r = Δ(last daily close) are exact 1e-4-grid
+    * longs; the top eigenvector of the UNCENTERED second-moment
+    * matrix M = Σ_d x_d·x_dᵀ comes from `iters` fixed power
+    * iterations that never materialize M — each round is two
+    * catalog/day-sized joins: w_d = Σ_i r_{d,i}·v_i (day scores),
+    * u_i = Σ_d r_{d,i}·w_d (= (M v)_i), then the integer rescale
+    * v′ = sign(u)·((|u|·10⁶) div max|u|) keeps v an exact ±10⁶-scaled
+    * integer vector (abs/sign split so the one integral division is
+    * positive on both engines — floor = truncate there). The factor
+    * series is the final day-score normalized the same way
+    * (g_d ∈ [−10⁶, 10⁶]), so every regression moment (Σr², Σrg, Σg²)
+    * stays within the exact decimal(38,0)/HUGEINT domain at any
+    * catalog size. β = Σrg/Σg², SSE = Σr² − β²Σg² (OLS identity),
+    * z_last = (r_last − β·g_last)/√(SSE/(n−1)) are ONE shared IEEE
+    * chain, 1e-6-floored; degenerate series (zero factor, zero
+    * residual variance, n < minObs) report NULL (q85's convention).
+    * z is invariant to the factor normalization by construction.
+    *
+    * Scale shape: NO pair join anywhere — unlike q94's pair matrix
+    * this is linear in the panel: each iteration is one
+    * (ticker-day ⋈ catalog-sized v) join + day groupBy and one
+    * (ticker-day ⋈ calendar-sized w) join + ticker groupBy, both
+    * map-side combined; v/w are localCheckpointed per round (s12's
+    * lineage cut). At 100 TB the return panel shuffles once into
+    * (event_type, day)/(ticker) partitions and the iteration state
+    * is catalog-sized.
+    */
+  def s14FactorResidual(s: SparkSession, dir: String,
+      iters: Int = 4, minObs: Int = 8): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val dd = (c: Column) => c.cast("double")
+    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
+      col("day")).orderBy(col("ts").desc, col("event_id").desc)
+    val wSer = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("day"))
+    val closes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
+      .withColumn("rd", row_number().over(wDay))
+      .filter(col("rd") === 1)
+      .select(col("user_id"), col("event_type"), col("day"),
+        col("v4l").as("y"))
+    // the return panel is reused by every iteration and the final
+    // regression — materialize once (ticker-day sized)
+    val x = closes
+      .withColumn("r", col("y") - lag(col("y"), 1).over(wSer))
+      .filter(col("r").isNotNull)
+      .select(col("user_id"), col("event_type"), col("day"), col("r"))
+      .localCheckpoint()
+    // integer rescale shared by the iteration and the factor series:
+    // sign split off so the integral division is positive — floor and
+    // truncate agree there, on both engines
+    def rescale(num: String, mx: String): Column =
+      when(col(mx) > 0,
+        when(col(num) < 0, -expr(s"(abs($num) * 1000000) div $mx"))
+          .otherwise(expr(s"(abs($num) * 1000000) div $mx")))
+        .otherwise(lit(0L))
+    var v = x.select(col("user_id"), col("event_type")).distinct()
+      .withColumn("v", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val w = x.join(v, Seq("user_id", "event_type"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum((d19(col("r")) * d19(col("v"))).cast("decimal(38,0)"))
+          .as("w"))
+      val u = x.join(w, Seq("event_type", "day"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum((d19(col("r")) * col("w")).cast("decimal(38,0)")).as("u"))
+      val mx = u.groupBy(col("event_type")).agg(max(abs(col("u"))).as("mx"))
+      v = u.join(mx, Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          rescale("u", "mx").cast("long").as("v"))
+        .localCheckpoint()
+    }
+    // factor series off the FINAL loadings, normalized to ±1e6
+    val wf = x.join(v, Seq("user_id", "event_type"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum((d19(col("r")) * d19(col("v"))).cast("decimal(38,0)"))
+        .as("w"))
+    val mw = wf.groupBy(col("event_type")).agg(max(abs(col("w"))).as("mxw"))
+    val g = wf.join(mw, Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        rescale("w", "mxw").cast("long").as("g"))
+    val wLast = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("day").desc)
+    val sums = x.join(g, Seq("event_type", "day"))
+      .withColumn("lr", row_number().over(wLast))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum((d19(col("r")) * d19(col("r"))).cast("decimal(38,0)")).as("srr"),
+        sum((d19(col("r")) * d19(col("g"))).cast("decimal(38,0)")).as("srf"),
+        sum((d19(col("g")) * d19(col("g"))).cast("decimal(38,0)")).as("sff"),
+        max(when(col("lr") === 1, col("r"))).as("r_last"),
+        max(when(col("lr") === 1, col("g"))).as("g_last"))
+    sums.join(v, Seq("user_id", "event_type"))
+      .withColumn("b", when(col("sff") > 0, dd(col("srf")) / dd(col("sff"))))
+      .withColumn("sse",
+        dd(col("srr")) - col("b") * col("b") * dd(col("sff")))
+      .withColumn("e_last",
+        dd(col("r_last")) - col("b") * dd(col("g_last")))
+      .select(col("user_id"), col("event_type"), col("n_obs"),
+        col("v").as("load6"),
+        when(col("sff") > 0,
+          floor(col("b") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("beta6"),
+        when(col("sff") > 0 && col("sse") > 0 && col("n_obs") >= minObs,
+          floor(col("e_last") / sqrt(col("sse") / (col("n_obs") - 1)) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("z_last6"))
+      .withColumn("break_flag",
+        when(abs(col("z_last6")) >= 3000000L, 1).otherwise(0))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }
 
 /** DuckDB oracles for SignalOps — same fixed-point closed forms. */
@@ -11398,5 +11526,109 @@ object SignalOracle {
        |  ON bsf.user_id = spine.user_id
        |  AND bsf.event_type = spine.event_type
        |ORDER BY spine.user_id, spine.event_type""".stripMargin
+  }
+
+  /** s14: the identical integer power iteration unrolled as
+    * MATERIALIZED CTE rounds (s12's precedent) — w/u exact HUGEINT
+    * moment joins, the sign-split positive `//` rescale, the
+    * normalized factor series, and the shared OLS/IEEE residual
+    * chain.
+    */
+  val s14: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT x.event_type, x.day, SUM(CAST(x.r AS HUGEINT) * v.v) AS w
+         |  FROM x JOIN v${k - 1} v ON v.user_id = x.user_id
+         |    AND v.event_type = x.event_type
+         |  GROUP BY 1, 2
+         |), u$k AS MATERIALIZED (
+         |  SELECT x.user_id, x.event_type,
+         |    SUM(CAST(x.r AS HUGEINT) * w.w) AS u
+         |  FROM x JOIN w$k w ON w.event_type = x.event_type
+         |    AND w.day = x.day
+         |  GROUP BY 1, 2
+         |), m$k AS (
+         |  SELECT event_type, MAX(ABS(u)) AS mx FROM u$k GROUP BY 1
+         |), v$k AS MATERIALIZED (
+         |  SELECT u.user_id, u.event_type,
+         |    CASE WHEN m.mx > 0 THEN
+         |      CASE WHEN u.u < 0 THEN -((ABS(u.u) * 1000000) // m.mx)
+         |           ELSE (ABS(u.u) * 1000000) // m.mx END
+         |      ELSE 0 END AS v
+         |  FROM u$k u JOIN m$k m ON m.event_type = u.event_type
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH b AS (
+       |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4l
+       |  FROM events
+       |), cl AS (
+       |  SELECT user_id, event_type, day, v4l AS y FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type, day
+       |      ORDER BY ts DESC, event_id DESC) AS rd
+       |    FROM b
+       |  ) WHERE rd = 1
+       |), x AS MATERIALIZED (
+       |  SELECT user_id, event_type, day, r FROM (
+       |    SELECT *, y - lag(y) OVER (PARTITION BY user_id, event_type
+       |      ORDER BY day) AS r
+       |    FROM cl
+       |  ) WHERE r IS NOT NULL
+       |), v0 AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, event_type, CAST(1000000 AS HUGEINT) AS v
+       |  FROM x
+       |), $rounds, wf AS MATERIALIZED (
+       |  SELECT x.event_type, x.day, SUM(CAST(x.r AS HUGEINT) * v.v) AS w
+       |  FROM x JOIN v4 v ON v.user_id = x.user_id
+       |    AND v.event_type = x.event_type
+       |  GROUP BY 1, 2
+       |), mw AS (
+       |  SELECT event_type, MAX(ABS(w)) AS mxw FROM wf GROUP BY 1
+       |), g AS MATERIALIZED (
+       |  SELECT wf.event_type, wf.day,
+       |    CASE WHEN m.mxw > 0 THEN
+       |      CASE WHEN wf.w < 0 THEN -((ABS(wf.w) * 1000000) // m.mxw)
+       |           ELSE (ABS(wf.w) * 1000000) // m.mxw END
+       |      ELSE 0 END AS g
+       |  FROM wf JOIN mw m ON m.event_type = wf.event_type
+       |), j AS (
+       |  SELECT x.user_id, x.event_type, x.r, g.g,
+       |    row_number() OVER (PARTITION BY x.user_id, x.event_type
+       |      ORDER BY x.day DESC) AS lr
+       |  FROM x JOIN g ON g.event_type = x.event_type AND g.day = x.day
+       |), sums AS (
+       |  SELECT user_id, event_type, count(*) AS n_obs,
+       |    SUM(CAST(r AS HUGEINT) * r) AS srr,
+       |    SUM(CAST(r AS HUGEINT) * g) AS srf,
+       |    SUM(CAST(g AS HUGEINT) * g) AS sff,
+       |    MAX(CASE WHEN lr = 1 THEN r END) AS r_last,
+       |    MAX(CASE WHEN lr = 1 THEN g END) AS g_last
+       |  FROM j GROUP BY 1, 2
+       |), fin AS (
+       |  SELECT s.*, CAST(v.v AS BIGINT) AS load6,
+       |    CASE WHEN s.sff > 0
+       |      THEN CAST(s.srf AS DOUBLE) / CAST(s.sff AS DOUBLE) END AS bb
+       |  FROM sums s JOIN v4 v ON v.user_id = s.user_id
+       |    AND v.event_type = s.event_type
+       |), fin2 AS (
+       |  SELECT *,
+       |    CAST(srr AS DOUBLE) - bb * bb * CAST(sff AS DOUBLE) AS sse,
+       |    CAST(r_last AS DOUBLE) - bb * CAST(g_last AS DOUBLE) AS e_last
+       |  FROM fin
+       |), fin3 AS (
+       |  SELECT user_id, event_type, n_obs, load6,
+       |    CASE WHEN sff > 0
+       |      THEN CAST(floor(bb * 1000000.0 + 0.5) AS BIGINT) END AS beta6,
+       |    CASE WHEN sff > 0 AND sse > 0 AND n_obs >= 8 THEN
+       |      CAST(floor(e_last / sqrt(sse / (n_obs - 1)) * 1000000.0 + 0.5)
+       |        AS BIGINT) END AS z_last6
+       |  FROM fin2
+       |)
+       |SELECT user_id, event_type, n_obs, load6, beta6, z_last6,
+       |  CAST(CASE WHEN abs(z_last6) >= 3000000 THEN 1 ELSE 0 END AS INT)
+       |    AS break_flag
+       |FROM fin3
+       |ORDER BY user_id, event_type""".stripMargin
   }
 }

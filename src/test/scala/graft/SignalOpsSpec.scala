@@ -2987,6 +2987,57 @@ class SignalOpsSpec extends AnyFunSuite {
     assert(e121 <= 2, s"expected corpus + distinct-table exchanges:\n$p121")
   }
 
+  test("s14 factor residual: a single-ticker break against a common " +
+    "factor move is flagged; clean factor-following tickers are not") {
+    import spark.implicits._
+    // 10 tickers share ONE factor: ticker i's daily return is
+    // i·f_d + small idiosyncratic noise, f alternating ±(100..300)
+    // grid units over 25 return days. Ticker 1 adds a +0.1
+    // idiosyncratic shock on the LAST day — a textbook "broke from
+    // the market mode" print. The whole market moves every day (a
+    // univariate screen can't isolate the break); the factor
+    // regression must. Panel sizing matters: z of a single-day break
+    // is bounded by √(n−1) (the outlier inflates its own sd), a shock
+    // on one of T tickers leaks ~3·shock/T³ of itself into the
+    // factor's last-day score (so every clean ticker inherits a
+    // −loading·leak last-day residual), and the idiosyncratic noise
+    // floor sets the z denominator — 25 days, 10 names, shock 0.06
+    // and noise ±0.003 keep the planted z ≈ 4.8 and the worst
+    // clean-ticker z ≈ −2.
+    val n = 25
+    val f = (1 to n).map(d => (if (d % 2 == 1) 1 else -1) * (d % 3 + 1) * 100)
+    def noise(i: Int, d: Int): Long = (((i * 7 + d * 3) % 5) - 2) * 15L
+    val rows = (1 to 10).flatMap { u =>
+      var y = 1000000L // 100.0000 on the grid
+      (0 to n).map { d =>
+        if (d > 0) {
+          y += u.toLong * f(d - 1) + noise(u, d)
+          if (u == 1 && d == n) y += 600L // the planted break
+        }
+        (u.toLong, "x", u * 1000L + d,
+          java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+          y / 10000.0)
+      }
+    }
+    val df = rows.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("s14spec").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SignalOps.s14FactorResidual(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.size == 10)
+    assert(out(1L).getAs[Int]("break_flag") == 1,
+      s"planted break not flagged: ${out(1L)}")
+    (2L to 10L).foreach { u =>
+      assert(out(u).getAs[Int]("break_flag") == 0,
+        s"clean ticker $u flagged: ${out(u)}")
+    }
+    // loadings recover the planted cross-section: |load| ordered with
+    // the per-ticker betas 2 < … < 10 (ticker 1 is shock-distorted)
+    val loads = (2L to 10L).map(u => math.abs(out(u).getAs[Long]("load6")))
+    assert(loads == loads.sorted, s"loadings not monotone: $loads")
+    assert(loads.last == 1000000L, "max |loading| is the 1e6 scale cap")
+  }
+
   test("PairPlan budget gate: the bucketed fallback produces the exact " +
     "broadcast-path output on q129 and q94 at sf0.01, on a bucketed plan") {
     import graft.operators.PairPlan
