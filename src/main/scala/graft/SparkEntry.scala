@@ -376,6 +376,9 @@ object SparkEntry {
     "st39_stream_spearman" ->
       ((s, d) =>
         graft.streaming.StreamingAnomaly.st39StreamSpearman(s, d)),
+    "st40_stream_vector_admit" ->
+      ((s, d) =>
+        graft.streaming.StreamingCorpus.st40StreamVectorAdmit(s, d)),
     "st26_stream_twap" ->
       ((s, d) => graft.streaming.StreamingAnomaly.st26StreamTwap(s, d)),
     "st27_stream_ensemble" ->
@@ -424,6 +427,7 @@ object SparkEntry {
     "q18_robust_loess"   -> DecomposeOracle.q18,
     "st07_stream_corpus" -> LlmOracle.st07,
     "st12_stream_admission" -> LlmOracle.st12,
+    "st40_stream_vector_admit" -> LlmOracle.st40,
     "q19_cusum_changepoint" -> SignalOracle.q19,
     "st08_stream_cusum"  -> SignalOracle.st08,
     "st09_stream_holt"   -> SignalOracle.st09,

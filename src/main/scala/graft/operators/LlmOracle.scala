@@ -941,16 +941,15 @@ object LlmOracle {
     * shortlist (nProbe = 10 — the engine defaults) and the exact L2²
     * re-rank.
     */
-  val s13: String = {
-    val m = 8
-    val sub = 8
-    val codes = 16
-    val iters = 2
-    def sq(a: String, b: String): String =
-      s"""list_reduce(list_prepend(0.0,
-         |      list_transform(list_zip($a, $b),
-         |        p -> (p[1] - p[2]) * (p[1] - p[2]))),
-         |      (acc, x) -> acc + x)""".stripMargin
+  /** s13's training + corpus-encode CTE chain, ending at `paf` (the
+    * per-(vec, subspace) code assignment) and `res` (the coarse
+    * assignment + residuals): kmeansCtes' coarse chain, residual
+    * subvector explode, 'pqr' seeds, `iters` residual-PQ Lloyd
+    * rounds. Shared by s13's full query and st40's streaming-
+    * admission replay.
+    */
+  private def ivfPqEncodeCtes(m: Int, sub: Int, codes: Int,
+      iters: Int): String = {
     def round(k: Int): String =
       s"""pd$k AS (
          |  SELECT s.vec_id, s.m_idx, s.sv, s.sn2, c.code,
@@ -979,10 +978,7 @@ object LlmOracle {
          |    ON r.m_idx = p.m_idx AND r.code = p.code
          |)""".stripMargin
     val rounds = (1 to iters).map(round).mkString(", ")
-    val adist = (1 to m)
-      .map(i => s"qd.dt[$i][ec.cv[$i] + 1]")
-      .mkString("\n       |    + ")
-    s"""WITH ${kmeansCtes(16, 2)}, res AS MATERIALIZED (
+    s"""${kmeansCtes(16, 2)}, res AS MATERIALIZED (
        |  SELECT a.vec_id, a.cid,
        |    list_transform(list_zip(a.v, c.c), p -> p[1] - p[2]) AS rv
        |  FROM af a JOIN c$iters c ON c.cid = a.cid
@@ -1012,7 +1008,23 @@ object LlmOracle {
        |          + ${dotSql("c.c", "c.c")}, c.code) AS ar
        |    FROM svs s JOIN cb$iters c ON c.m_idx = s.m_idx)
        |  WHERE ar = 1
-       |), enc AS MATERIALIZED (
+       |)""".stripMargin
+  }
+
+  val s13: String = {
+    val m = 8
+    val sub = 8
+    val codes = 16
+    val iters = 2
+    def sq(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0,
+         |      list_transform(list_zip($a, $b),
+         |        p -> (p[1] - p[2]) * (p[1] - p[2]))),
+         |      (acc, x) -> acc + x)""".stripMargin
+    val adist = (1 to m)
+      .map(i => s"qd.dt[$i][ec.cv[$i] + 1]")
+      .mkString("\n       |    + ")
+    s"""WITH ${ivfPqEncodeCtes(m, sub, codes, iters)}, enc AS MATERIALIZED (
        |  SELECT p.vec_id, r.cid, array_agg(p.code ORDER BY p.m_idx) AS cv
        |  FROM paf p JOIN res r ON r.vec_id = p.vec_id
        |  GROUP BY 1, 2
@@ -1074,6 +1086,18 @@ object LlmOracle {
        |SELECT query_id, rk, vec_id, d2_6 FROM ranked WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
   }
+
+  /** st40: the admission encode replayed in batch — the identical
+    * training chain (the frozen banks), then the coarse cid and
+    * per-subspace codes of the streamed vec_id % 10 == 7 slice.
+    */
+  val st40: String =
+    s"""WITH ${ivfPqEncodeCtes(8, 8, 16, 2)}
+       |SELECT p.vec_id, r.cid, CAST(p.m_idx AS INT) AS m_idx, p.code
+       |FROM paf p JOIN res r ON r.vec_id = p.vec_id
+       |WHERE p.vec_id % 10 = 7
+       |ORDER BY p.vec_id, m_idx""".stripMargin
+
 
   /** d14: the same training chain and final assignment, then the
     * within-cluster i<j pair cosines at the 1e-6 grid, the ≥ τ

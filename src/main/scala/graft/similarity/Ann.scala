@@ -583,10 +583,36 @@ object Ann {
     * per-cell ADC tables, shortlist and re-rank all replay in SQL
     * (LlmOracle.s13); recall@5 ≥ 0.7 is spec-tested vs s01.
     */
-  def ivfPqTopK(s: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16,
-      nProbe: Int = 10, iters: Int = 2, m: Int = 8, codes: Int = 16,
-      shortlistFactor: Int = 80): DataFrame = {
+  /** PQ codebook table with cached |c|² (s13's residual bank shape). */
+  private def pqCodebookDf(s: SparkSession,
+      cb: Array[(Int, Int, Array[Double])]): DataFrame = {
+    import s.implicits._
+    cb.toSeq.toDF("m_idx", "code", "c")
+      .withColumn("cn2", dot(col("c"), col("c")))
+  }
+
+  /** Per-(vec, subspace) nearest-codeword assignment — s13's encode
+    * step: same sn2 − 2·dot + |c|² chain as assignTo, ties → smaller
+    * code.
+    */
+  private def pqAssign(s: SparkSession, svs: DataFrame,
+      cb: Array[(Int, Int, Array[Double])]): DataFrame =
+    svs.join(broadcast(pqCodebookDf(s, cb)), Seq("m_idx"))
+      .withColumn("dist",
+        col("sn2") - lit(2.0) * dot(col("sv"), col("c")) + col("cn2"))
+      .groupBy(col("vec_id"), col("m_idx"))
+      .agg(min(struct(col("dist"), col("code"))).as("mm"))
+      .select(col("vec_id"), col("m_idx"), col("mm.code").as("code"))
+
+  /** s13's index-build training chain, shared with st40's streaming
+    * admission: the cached corpus frame, the coarse centroid bank
+    * ('km' seeds), the residual/subvector frames and the residual-PQ
+    * codebooks ('pqr' seeds). Every collect is parameter-sized.
+    */
+  private def ivfPqTrain(s: SparkSession, dir: String, nCentroids: Int,
+      iters: Int, m: Int, codes: Int)
+      : (DataFrame, Array[(Int, Array[Double])], DataFrame, DataFrame,
+        Array[(Int, Int, Array[Double])]) = {
     val dims = 64
     val sub = dims / m
     val v = Tables
@@ -596,7 +622,6 @@ object Ann {
       .withColumn("norm2", dot(col("v"), col("v")))
       .cache()
     val cents = trainCentroids(s, v, nCentroids, iters)
-    val centB = cents.toMap
     // residuals: v − c(cid), one broadcast join + elementwise zip_with
     val res = v.join(assignTo(s, v, cents), Seq("vec_id"))
       .join(broadcast(centroidDf(s, cents)), Seq("cid"))
@@ -609,18 +634,6 @@ object Ann {
       .withColumnRenamed("col", "sv")
       .withColumn("sn2", dot(col("sv"), col("sv")))
       .cache()
-    def codebookDf(cb: Array[(Int, Int, Array[Double])]) = {
-      import s.implicits._
-      cb.toSeq.toDF("m_idx", "code", "c")
-        .withColumn("cn2", dot(col("c"), col("c")))
-    }
-    def assign(cb: Array[(Int, Int, Array[Double])]): DataFrame =
-      svs.join(broadcast(codebookDf(cb)), Seq("m_idx"))
-        .withColumn("dist",
-          col("sn2") - lit(2.0) * dot(col("sv"), col("c")) + col("cn2"))
-        .groupBy(col("vec_id"), col("m_idx"))
-        .agg(min(struct(col("dist"), col("code"))).as("mm"))
-        .select(col("vec_id"), col("m_idx"), col("mm.code").as("code"))
     // seeds over RESIDUAL subvectors, 'pqr' salt (distinct from s05's
     // raw-vector 'pq' bank)
     var cb: Array[(Int, Int, Array[Double])] = svs
@@ -636,7 +649,7 @@ object Ann {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     for (_ <- 1 to iters) {
       val recomputed = svs
-        .join(assign(cb), Seq("vec_id", "m_idx"))
+        .join(pqAssign(s, svs, cb), Seq("vec_id", "m_idx"))
         .select(col("m_idx"), col("code"), posexplode(col("sv")))
         .groupBy(col("m_idx"), col("code"), col("pos"))
         .agg((sum(col("col").cast("decimal(38,12)")).cast("double") /
@@ -650,9 +663,34 @@ object Ann {
       val byKey = recomputed.map(t => (t._1, t._2) -> t._3).toMap
       cb = cb.map { case (mi, ci, c) => (mi, ci, byKey.getOrElse((mi, ci), c)) }
     }
+    (v, cents, res, svs, cb)
+  }
+
+  /** st40's frozen-index handle: the coarse centroid bank and
+    * residual-PQ codebooks of s13's index build, trained exactly as
+    * ivfPqTopK trains them (same seeds, same Lloyd rounds) —
+    * parameter-sized driver arrays (nCentroids×64 + m×codes×(64/m)
+    * doubles) the live admission path broadcasts as literals.
+    */
+  def ivfPqCodebooks(s: SparkSession, dir: String, nCentroids: Int = 16,
+      iters: Int = 2, m: Int = 8, codes: Int = 16)
+      : (Array[(Int, Array[Double])], Array[(Int, Int, Array[Double])]) = {
+    val (_, cents, _, _, cb) = ivfPqTrain(s, dir, nCentroids, iters, m, codes)
+    (cents, cb)
+  }
+
+  def ivfPqTopK(s: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16,
+      nProbe: Int = 10, iters: Int = 2, m: Int = 8, codes: Int = 16,
+      shortlistFactor: Int = 80): DataFrame = {
+    val dims = 64
+    val sub = dims / m
+    val (v, cents, res, svs, cb) =
+      ivfPqTrain(s, dir, nCentroids, iters, m, codes)
+    val centB = cents.toMap
     // encoded corpus: (vec_id, cid, 8 codes)
     val encoded = res.select(col("vec_id"), col("cid"))
-      .join(assign(cb)
+      .join(pqAssign(s, svs, cb)
         .groupBy(col("vec_id"))
         .agg(sort_array(collect_list(struct(col("m_idx"), col("code"))))
           .as("sc"))

@@ -1733,4 +1733,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
     assert(multi.length == single.length && multi.sameElements(single))
   }
+
+  test("st40 vector admission: the live encode equals the frozen-bank " +
+    "batch encode, and kill-and-restart resumes exactly-once") {
+    import java.nio.file.Files
+    import graft.streaming.StreamingCorpus
+    val embSchema = Tables.embeddings(spark, dir).schema
+    // the encode transform applied in BATCH is the ground truth — a
+    // pure function of the frozen banks, so stream and batch must
+    // agree row-for-row
+    val arrivals = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === 7)
+    val expected = StreamingCorpus.st40Encode(spark, dir, arrivals)
+      .collect().map(_.toString).sorted
+    assert(expected.nonEmpty && expected.length % 8 == 0,
+      "8 code rows per admitted vector")
+    val live = StreamingCorpus.st40StreamVectorAdmit(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(live.sameElements(expected), "live encode != batch encode")
+    // kill-and-restart: slice the arrivals into two files, run the
+    // file sink over the first, then resume the SAME checkpoint after
+    // the second lands — offsets skip the committed file and the sink
+    // log keeps exactly-once, so the union equals one straight run
+    val ids = arrivals.select("vec_id").collect().map(_.getLong(0)).sorted
+    val half = ids(ids.length / 2)
+    val inDir = Files.createTempDirectory("st40_restart_in").toFile
+    val cp = Files.createTempDirectory("st40_restart_cp").toString
+    val outPath =
+      Files.createTempDirectory("st40_restart_out").toString + "/out"
+    def addSlice(nm: String, pred: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory(s"st40_sl_$nm").toString
+      arrivals.filter(pred).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath,
+        new java.io.File(inDir, s"$nm.parquet").toPath)
+    }
+    def stream() = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.getAbsolutePath)
+    addSlice("a", col("vec_id") < half)
+    StreamingCorpus.st40ToFileSink(spark, dir, stream(), outPath, cp)
+    val out1 = spark.read.parquet(outPath).collect().map(_.toString)
+    assert(out1.nonEmpty)
+    addSlice("b", col("vec_id") >= half)
+    StreamingCorpus.st40ToFileSink(spark, dir, stream(), outPath, cp)
+    val resumed = spark.read.parquet(outPath).collect()
+      .map(_.toString).sorted
+    assert(resumed.length > out1.length, "restart must process new slices")
+    assert(resumed.sameElements(expected),
+      s"resumed ${resumed.length} rows != batch ${expected.length}")
+  }
 }
