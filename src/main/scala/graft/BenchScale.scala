@@ -28,7 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object BenchScale {
 
-  val Copies = 10
+  /** Copy count: 10 = the standard sf1 (10×) probe; 100 = the sf10
+    * (100×) tier (SPARK_GRAFT_COPIES). Past 26 copies the text
+    * alphabet rotation and past 64 the embedding dimension rotation
+    * run out of collision-free transforms, so the 100× tier stages
+    * and probes the EVENTS axis only (ticker analytics + streaming —
+    * the catalog/state dimension that actually scales); documents/
+    * embeddings families keep their 10× datapoint.
+    */
+  val Copies: Int = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
   private val UserOff = 1000000000L
   private val DocOff = 1000000000L
   private val EventOff = 1000000000000L
@@ -240,7 +248,18 @@ object BenchScale {
     "q129_kendall_tau", "q133_adf_lag", "s13_ann_ivfpq",
     "st38_stream_psi", "st39_stream_spearman",
     // q134 = q133's ten-sum sibling on the level design
-    "q134_adf_level_lag")
+    "q134_adf_level_lag",
+    // round 14: the four broadcast-array pair plans probed DESPITE
+    // being catalog-quadratic BY SEMANTICS (q129's round-13
+    // precedent — the round-13 verdict asked for the datapoint; read
+    // time ratios against rows_ratio: 10× tickers ⇒ ~100× pairs, the
+    // output axis, while the per-pair compiled pass is
+    // calendar-bounded). s14 = the linear-panel power iteration
+    // (two panel joins + catalog-sized state per round); st40 = the
+    // stateless row-local admission encode over 10× arrivals.
+    "q94_corr_matrix", "q108_cross_correlation", "q111_granger",
+    "q112_cointegration", "s14_factor_residual",
+    "st40_stream_vector_admit")
 
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
@@ -251,7 +270,9 @@ object BenchScale {
   private val StageVersion = 3
 
   def stageSf1(s: SparkSession, srcDir: String): String = {
-    val root = new java.io.File(s"/tmp/graft_sf1/v$StageVersion")
+    val root = new java.io.File(
+      if (Copies == 10) s"/tmp/graft_sf1/v$StageVersion"
+      else s"/tmp/graft_scale/v${StageVersion}_c$Copies")
     val done = new java.io.File(root, "_STAGED")
     if (!done.exists()) {
       val ev = Tables.events(s, srcDir)
@@ -264,6 +285,17 @@ object BenchScale {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$root/events.parquet")
 
+      // documents/customer/embeddings only exist at the 10× tier —
+      // the text and dimension rotations are collision-free for at
+      // most 26 / 64 copies (see Copies scaladoc)
+      if (Copies <= 26) stageNonEvents(s, srcDir, root)
+      done.createNewFile()
+    }
+    root.getAbsolutePath
+  }
+
+  private def stageNonEvents(s: SparkSession, srcDir: String,
+      root: java.io.File): Unit = {
       // doc offset carries an extra i·7919 (prime, not ≡0 mod 25 or
       // 256): DocOff alone is divisible by both, so the id-derived
       // media content (dims mod 25, pixels mod 256) would be
@@ -301,10 +333,6 @@ object BenchScale {
           rot.as("embedding"), col("label"))
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
-
-      done.createNewFile()
-    }
-    root.getAbsolutePath
   }
 
   def main(args: Array[String]): Unit = {
@@ -318,11 +346,16 @@ object BenchScale {
     val sf1Dir = stageSf1(spark, sfDir)
     graft.streaming.StreamingAnomaly.ensureStaged(spark, sfDir)
     graft.streaming.StreamingAnomaly.ensureStaged(spark, sf1Dir)
+    graft.streaming.StreamingCorpus.ensureStaged(spark, sfDir)
     // m06 decodes STORED payloads: stage both media tables up front so
     // its first sf1 sample times the decode path, not a one-time 10×
-    // PNG-encode write
+    // PNG-encode write. The 100× tier stages the events axis only —
+    // no documents/embeddings there (see Copies scaladoc)
     graft.multimodal.Multimodal.ensureStaged(spark, sfDir)
-    graft.multimodal.Multimodal.ensureStaged(spark, sf1Dir)
+    if (Copies <= 26) {
+      graft.streaming.StreamingCorpus.ensureStaged(spark, sf1Dir)
+      graft.multimodal.Multimodal.ensureStaged(spark, sf1Dir)
+    }
 
     def sweep(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
@@ -394,10 +427,11 @@ object BenchScale {
         f"""$extra,\"sf01_rows\":$nb,\"sf1_rows\":$ns$rowsRatio}"""
     }.mkString("{", ",", "}")
     val worst = rows.map(_._4).max
-    val line = s"""{"metric":"sf1_scale_probe","copies":$Copies,""" +
+    val label = if (Copies == 10) "sf1" else s"sf${Copies / 10}"
+    val line = s"""{"metric":"${label}_scale_probe","copies":$Copies,""" +
       s""""worst_ratio":${f"$worst%.2f"},"queries":$qs}"""
     println(line)
-    val out = new java.io.PrintWriter("BENCH_sf1.json")
+    val out = new java.io.PrintWriter(s"BENCH_$label.json")
     try out.println(line) finally out.close()
     spark.stop()
   }
