@@ -285,9 +285,17 @@ object BenchScale {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$root/events.parquet")
 
-      // documents/customer/embeddings only exist at the 10× tier —
-      // the text and dimension rotations are collision-free for at
-      // most 26 / 64 copies (see Copies scaladoc)
+      // customer is a pure key offset — collision-free at any copy
+      // count, and q10's dim join needs it on every tier
+      val cust = Tables.customer(s, srcDir)
+      (0 until Copies).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i * UserOff))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$root/customer.parquet")
+
+      // documents/embeddings only exist at the 10× tier — the text
+      // and dimension rotations are collision-free for at most
+      // 26 / 64 copies (see Copies scaladoc)
       if (Copies <= 26) stageNonEvents(s, srcDir, root)
       done.createNewFile()
     }
@@ -312,12 +320,6 @@ object BenchScale {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$root/documents.parquet")
 
-      val cust = Tables.customer(s, srcDir)
-      (0 until Copies).map { i =>
-        cust.withColumn("c_custkey", col("c_custkey") + lit(i * UserOff))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$root/customer.parquet")
-
       // embeddings: vec_id offset per copy + a per-copy circular
       // DIMENSION rotation — intra-copy geometry (norms, dot products,
       // near-neighbor structure) is preserved exactly, while cross-copy
@@ -340,6 +342,11 @@ object BenchScale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // streaming memory sinks collect each probe's full output to the
+      // driver; at the 100-copy tier st02's ~6M-row output serializes
+      // past the 1 GiB default maxResultSize (the 24 GiB heap holds it
+      // comfortably — the per-probe sweep drops it right after count)
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -48,6 +48,18 @@ object StreamingAnomaly extends Serializable {
     * cost scales with partition count, and on a cluster you size it to
     * executors × state volume, not local cores.
     */
+  /** Default streaming state-partition count. 8 fits the sf0.01-0.1
+    * state volumes the suite runs at; state commit work per batch
+    * scales with keys ÷ partitions, so at 10-100× keys the fixed
+    * default saturates (the sf10 probe measured st17 at 129× before
+    * resizing). On a cluster you size this to executors × state
+    * volume; here SPARK_GRAFT_STATE_PARTITIONS overrides it — a pure
+    * sizing knob, results are key-deterministic and
+    * partition-count-invariant.
+    */
+  private[streaming] val StatePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
+
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -125,7 +137,7 @@ object StreamingAnomaly extends Serializable {
     // Update mode: the watermark can evict closed windows (Complete
     // would pin every window forever); the staged source arrives as one
     // micro-batch so the memory table still holds each group once.
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = agg.writeStream
         .outputMode(OutputMode.Update)
         .format("memory").queryName(name)
@@ -146,7 +158,7 @@ object StreamingAnomaly extends Serializable {
     */
   def st03StreamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = s"st03_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = eventStream(s, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
@@ -188,7 +200,7 @@ object StreamingAnomaly extends Serializable {
       col("user_id") === col("click_user") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = joined
         .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
           col("purchase_value"), col("click_id"), col("click_ts"))
@@ -219,7 +231,7 @@ object StreamingAnomaly extends Serializable {
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = enriched.writeStream
         .outputMode(OutputMode.Update)
         .format("memory").queryName(name)
@@ -255,7 +267,7 @@ object StreamingAnomaly extends Serializable {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,6)")).cast("double")
           .as("session_value"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = agg.writeStream
         .outputMode(OutputMode.Append)
         .format("memory").queryName(name)
@@ -437,7 +449,7 @@ object StreamingAnomaly extends Serializable {
       cfg: AnomalyConfig = AnomalyConfig(),
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st02_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st02Transform(s, stream, cfg, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -486,7 +498,7 @@ object StreamingAnomaly extends Serializable {
   def st02ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, cfg: AnomalyConfig = AnomalyConfig(),
       staleDays: Double = 8.0): String = {
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st02Transform(s, stream, cfg, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -638,7 +650,7 @@ object StreamingAnomaly extends Serializable {
   def st09FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st09_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st09Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -663,7 +675,7 @@ object StreamingAnomaly extends Serializable {
     */
   def st09ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, staleDays: Double = 8.0): String = {
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st09Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -771,7 +783,7 @@ object StreamingAnomaly extends Serializable {
     */
   def st14ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, staleDays: Double = 8.0): String = {
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st14Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -888,7 +900,7 @@ object StreamingAnomaly extends Serializable {
   def st15FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0, window: Int = 16): DataFrame = {
     val name = s"st15_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st15Transform(s, stream, staleDays, window)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -908,7 +920,7 @@ object StreamingAnomaly extends Serializable {
   def st14FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st14_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st14Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -979,7 +991,7 @@ object StreamingAnomaly extends Serializable {
       }
     }
 
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = stream
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
@@ -1196,7 +1208,7 @@ object StreamingAnomaly extends Serializable {
   def st11FromStream(s: SparkSession, stream: DataFrame,
       buckets: Int = 64, domainMax: Double = 1000.0): DataFrame = {
     val name = s"st11_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st11Transform(s, stream, buckets, domainMax)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1215,7 +1227,7 @@ object StreamingAnomaly extends Serializable {
   def st10FromStream(s: SparkSession, stream: DataFrame, k: Int = 16,
       topN: Int = 5): DataFrame = {
     val name = s"st10_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st10Transform(s, stream, k, topN)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1335,7 +1347,7 @@ object StreamingAnomaly extends Serializable {
   def st13FromStream(s: SparkSession, stream: DataFrame,
       ref: Map[String, Array[Long]]): DataFrame = {
     val name = s"st13_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st13Transform(s, stream, ref)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1444,7 +1456,7 @@ object StreamingAnomaly extends Serializable {
 
   def st16FromStream(s: SparkSession, stream: DataFrame): DataFrame = {
     val name = s"st16_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st16Transform(s, stream)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1532,7 +1544,7 @@ object StreamingAnomaly extends Serializable {
 
   def st23FromStream(s: SparkSession, stream: DataFrame): DataFrame = {
     val name = s"st23_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st23Transform(s, stream)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1579,7 +1591,7 @@ object StreamingAnomaly extends Serializable {
           (col("valid_to").isNull || col("day") < col("valid_to")))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), col("version"), col("status"), col("priority"))
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = enriched.writeStream
         .outputMode(OutputMode.Append)
         .format("memory").queryName(name)
@@ -1701,7 +1713,7 @@ object StreamingAnomaly extends Serializable {
   def st17FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st17_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st17Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1731,7 +1743,7 @@ object StreamingAnomaly extends Serializable {
     */
   def st17ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, staleDays: Double = 8.0): String = {
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st17Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1818,7 +1830,7 @@ object StreamingAnomaly extends Serializable {
   def st18FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st18_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st18Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1916,7 +1928,7 @@ object StreamingAnomaly extends Serializable {
   def st19FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st19_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st19Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2037,7 +2049,7 @@ object StreamingAnomaly extends Serializable {
   def st25FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st25_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st25Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2171,7 +2183,7 @@ object StreamingAnomaly extends Serializable {
   def st31FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st31_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st31Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2265,7 +2277,7 @@ object StreamingAnomaly extends Serializable {
 
   def st26FromStream(s: SparkSession, stream: DataFrame): DataFrame = {
     val name = s"st26_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st26Transform(s, stream)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2377,7 +2389,7 @@ object StreamingAnomaly extends Serializable {
   def st21FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st21_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st21Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2490,7 +2502,7 @@ object StreamingAnomaly extends Serializable {
   def st22FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st22_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st22Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2513,7 +2525,7 @@ object StreamingAnomaly extends Serializable {
 
   def st21ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, staleDays: Double = 8.0): String = {
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st21Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2591,7 +2603,7 @@ object StreamingAnomaly extends Serializable {
   def st20FromStream(s: SparkSession, stream: DataFrame,
       stages: (String, String, String)): DataFrame = {
     val name = s"st20_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st20Transform(s, stream, stages)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2623,7 +2635,7 @@ object StreamingAnomaly extends Serializable {
     */
   def st18ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, staleDays: Double = 8.0): String = {
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st18Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2756,7 +2768,7 @@ object StreamingAnomaly extends Serializable {
   def st27FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st27_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st27Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2859,7 +2871,7 @@ object StreamingAnomaly extends Serializable {
   def st28FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st28_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st28Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2960,7 +2972,7 @@ object StreamingAnomaly extends Serializable {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     val name = s"st29_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st29Transform(s, stream, probs, rareBelow, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3117,7 +3129,7 @@ object StreamingAnomaly extends Serializable {
       cfg: AnomalyConfig = AnomalyConfig(),
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st30_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st30Transform(s, stream, cfg, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3222,7 +3234,7 @@ object StreamingAnomaly extends Serializable {
   def st32FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st32_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st32Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3316,7 +3328,7 @@ object StreamingAnomaly extends Serializable {
   def st33FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st33_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st33Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3438,7 +3450,7 @@ object StreamingAnomaly extends Serializable {
   def st34FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st34_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st34Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3576,7 +3588,7 @@ object StreamingAnomaly extends Serializable {
       cfg: AnomalyConfig = AnomalyConfig(),
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st35_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st35Transform(s, stream, cfg, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3686,7 +3698,7 @@ object StreamingAnomaly extends Serializable {
   def st36FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st36_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st36Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3807,7 +3819,7 @@ object StreamingAnomaly extends Serializable {
   def st37FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st37_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st37Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3922,7 +3934,7 @@ object StreamingAnomaly extends Serializable {
   def st38FromStream(s: SparkSession, stream: DataFrame,
       ref: Map[String, Array[Long]], staleDays: Double = 8.0): DataFrame = {
     val name = s"st38_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st38Transform(s, stream, ref, staleDays = staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -4036,7 +4048,7 @@ object StreamingAnomaly extends Serializable {
   def st39FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0, window: Int = 16): DataFrame = {
     val name = s"st39_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st39Transform(s, stream, staleDays, window)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -4060,7 +4072,7 @@ object StreamingAnomaly extends Serializable {
   def st38ToFileSink(s: SparkSession, stream: DataFrame,
       ref: Map[String, Array[Long]], path: String, checkpoint: String,
       staleDays: Double = 8.0): String = {
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, StatePartitions) {
       val q = st38Transform(s, stream, ref, staleDays = staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
