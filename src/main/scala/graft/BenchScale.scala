@@ -29,14 +29,24 @@ import org.apache.spark.sql.functions._
 object BenchScale {
 
   /** Copy count: 10 = the standard sf1 (10×) probe; 100 = the sf10
-    * (100×) tier (SPARK_GRAFT_COPIES). Past 26 copies the text
-    * alphabet rotation and past 64 the embedding dimension rotation
-    * run out of collision-free transforms, so the 100× tier stages
-    * and probes the EVENTS axis only (ticker analytics + streaming —
-    * the catalog/state dimension that actually scales); documents/
-    * embeddings families keep their 10× datapoint.
+    * (100×) tier (SPARK_GRAFT_COPIES). Collision-free transform
+    * budgets per axis (round-15: the 100× tier now covers the text and
+    * embedding axes too — the round-14 decade probed events only):
+    * text composes the 26 alphabet rotations with 11 affine letter
+    * banks (312 pairwise-distinct substitution maps), embeddings
+    * compose the 64 dimension rotations with a sign-flip bank (128
+    * signed permutations), so documents/embeddings stage up to
+    * [[NonEventsMaxCopies]] = 128 copies. Media payload staging (a
+    * PNG encode per doc) stays capped at [[MediaMaxCopies]] = 26 for
+    * staging cost — past it the m* families keep their 10× datapoint.
+    * Probes beyond an axis cap are filtered out of an argless run
+    * (with a printed note) and rejected loudly when named explicitly
+    * (ADVICE r14: the argless 100× run used to crash mid-probe on the
+    * unstaged parquet).
     */
   val Copies: Int = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+  val NonEventsMaxCopies = 128
+  val MediaMaxCopies = 26
   private val UserOff = 1000000000L
   private val DocOff = 1000000000L
   private val EventOff = 1000000000000L
@@ -45,10 +55,33 @@ object BenchScale {
   private val Dg = "0123456789"
   private def rotated(s: String, i: Int): String =
     s.substring(i % s.length) + s.substring(0, i % s.length)
+
+  /** Multipliers coprime to 26 (1 excluded — the rotation bank): each
+    * (a, b) pair is a distinct affine substitution x → a·x + b mod 26.
+    * Two distinct affine maps agree on at most ONE letter, so any
+    * shingle with ≥ 2 distinct letters maps to different strings in
+    * different copies — the same "no planted cross-copy collisions"
+    * guarantee the pure rotations gave for 26 copies, extended to
+    * 26 + 11·26 = 312.
+    */
+  private val AffineA = Array(3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private def affine(alpha: String, a: Int, b: Int): String = {
+    val n = alpha.length
+    (0 until n).map(x => alpha((a * x + b) % n)).mkString
+  }
+
+  /** Letter substitution for copy i: the plain rotation for i < 26
+    * (bit-identical to the pre-round-15 staging, so ≤ 26-copy /tmp
+    * caches stay valid), the affine banks past it.
+    */
+  private[graft] def letterMap(i: Int): String =
+    if (i < 26) rotated(Az, i)
+    else affine(Az, AffineA((i - 26) / 26 % AffineA.length), i % 26)
+
   private def rotText(c: org.apache.spark.sql.Column, i: Int) =
     translate(c,
       Az + Az.toUpperCase + Dg,
-      rotated(Az, i) + rotated(Az, i).toUpperCase + rotated(Dg, i))
+      letterMap(i) + letterMap(i).toUpperCase + rotated(Dg, i))
 
   /** Every family with distinctive scale behavior: the windowed
     * pipeline (q06/q10), banded LSH dedup (d02), connected components
@@ -261,13 +294,32 @@ object BenchScale {
     "q112_cointegration", "s14_factor_residual",
     "st40_stream_vector_admit")
 
+  /** Whether a probe's tables are staged at `copies` (ADVICE r14: this
+    * was scaladoc prose only, and an argless SPARK_GRAFT_COPIES=100
+    * run crashed mid-probe on the unstaged parquet). Past
+    * [[MediaMaxCopies]] the m* payload tables aren't staged; past
+    * [[NonEventsMaxCopies]] only the events axis is — the q- and
+    * st-prefixed ticker analytics + streaming entries (st40 excluded:
+    * the vector-admission stream reads embeddings), the SignalOps
+    * event panels p05/p09, and the s14 panel iteration.
+    */
+  private val EventsAxisExtras =
+    Set("s14_factor_residual", "p05_monitor_report", "p09_drift_panel")
+  private[graft] def stageableAt(copies: Int)(q: String): Boolean =
+    if (copies <= MediaMaxCopies) true
+    else if (copies <= NonEventsMaxCopies) !q.startsWith("m")
+    else ((q.startsWith("q") || q.startsWith("st")) &&
+      q != "st40_stream_vector_admit") || EventsAxisExtras(q)
+
   /** Staging-layout version (bump when a table or its synthesis
     * changes, so a /tmp cache from an older round rebuilds): v2 adds
     * embeddings (dimension-rotated per copy); v3 de-aliases the
     * per-copy doc_id offset (DocOff ≡ 0 mod 25·256 made the derived
-    * media content identical across copies).
+    * media content identical across copies); v4 stages documents/
+    * embeddings past 26 copies (the r14 v3_c100 cache carries a
+    * _STAGED marker with no documents — it must rebuild).
     */
-  private val StageVersion = 3
+  private val StageVersion = 4
 
   def stageSf1(s: SparkSession, srcDir: String): String = {
     val root = new java.io.File(
@@ -293,10 +345,9 @@ object BenchScale {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$root/customer.parquet")
 
-      // documents/embeddings only exist at the 10× tier — the text
-      // and dimension rotations are collision-free for at most
-      // 26 / 64 copies (see Copies scaladoc)
-      if (Copies <= 26) stageNonEvents(s, srcDir, root)
+      // documents/embeddings stage up to the composed-transform caps
+      // (312 text / 128 embedding copies — see Copies scaladoc)
+      if (Copies <= NonEventsMaxCopies) stageNonEvents(s, srcDir, root)
       done.createNewFile()
     }
     root.getAbsolutePath
@@ -320,19 +371,29 @@ object BenchScale {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$root/documents.parquet")
 
-      // embeddings: vec_id offset per copy + a per-copy circular
-      // DIMENSION rotation — intra-copy geometry (norms, dot products,
-      // near-neighbor structure) is preserved exactly, while cross-copy
-      // vectors hash to unrelated LSH buckets, the same "10× corpus,
-      // no planted cross-copy collisions" story as the text rotation.
+      // embeddings: vec_id offset per copy + a per-copy SIGNED circular
+      // dimension permutation — rotation r = i mod 64, composed past 64
+      // copies with an odd-dimension sign flip (i ≥ 64). Both are
+      // orthogonal maps applied uniformly to a copy, so intra-copy
+      // geometry (norms, dot products, near-neighbor structure) is
+      // preserved exactly, while cross-copy vectors land in unrelated
+      // LSH buckets (a rotated copy and its flipped twin differ on
+      // every odd dimension; random-ish cross-copy cosines ≈ 0) — the
+      // same "10× corpus, no planted cross-copy collisions" story as
+      // the text rotation, good for 128 copies.
       val emb = Tables.embeddings(s, srcDir)
       (0 until Copies).map { i =>
+        val r = i % 64
         val rot =
-          if (i == 0) col("embedding")
-          else concat(slice(col("embedding"), i + 1, 64 - i),
-            slice(col("embedding"), 1, i))
+          if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), r + 1, 64 - r),
+            slice(col("embedding"), 1, r))
+        val signed =
+          if (i < 64) rot
+          else zip_with(rot, sequence(lit(0), lit(63)),
+            (x, d) => when(d % 2 === 1, -x).otherwise(x))
         emb.select((col("vec_id") + lit(i * DocOff)).as("vec_id"),
-          rot.as("embedding"), col("label"))
+          signed.as("embedding"), col("label"))
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
   }
@@ -356,13 +417,14 @@ object BenchScale {
     graft.streaming.StreamingCorpus.ensureStaged(spark, sfDir)
     // m06 decodes STORED payloads: stage both media tables up front so
     // its first sf1 sample times the decode path, not a one-time 10×
-    // PNG-encode write. The 100× tier stages the events axis only —
-    // no documents/embeddings there (see Copies scaladoc)
+    // PNG-encode write. Axis caps: corpus streams ride the staged
+    // documents/embeddings (≤ NonEventsMaxCopies); media payloads stay
+    // ≤ MediaMaxCopies (see Copies scaladoc)
     graft.multimodal.Multimodal.ensureStaged(spark, sfDir)
-    if (Copies <= 26) {
+    if (Copies <= NonEventsMaxCopies)
       graft.streaming.StreamingCorpus.ensureStaged(spark, sf1Dir)
+    if (Copies <= MediaMaxCopies)
       graft.multimodal.Multimodal.ensureStaged(spark, sf1Dir)
-    }
 
     def sweep(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
@@ -407,7 +469,23 @@ object BenchScale {
       settle()
       (time(q, sfDir), time(q, sf1Dir))
     }
-    val probes = if (args.nonEmpty) args.toSeq else ProbeQueries
+    val probes =
+      if (args.nonEmpty) {
+        // explicit args past an axis cap fail FAST with the cap named,
+        // not mid-probe on a missing parquet path (ADVICE r14)
+        val bad = args.filterNot(stageableAt(Copies))
+        require(bad.isEmpty,
+          s"probes not stageable at Copies=$Copies (axis caps: media <= " +
+            s"$MediaMaxCopies, documents/embeddings <= $NonEventsMaxCopies " +
+            s"copies): ${bad.mkString(", ")}")
+        args.toSeq
+      } else {
+        val (in, out) = ProbeQueries.partition(stageableAt(Copies))
+        if (out.nonEmpty)
+          println(s"BenchScale: Copies=$Copies exceeds an axis cap - " +
+            s"excluding ${out.size} probes: ${out.mkString(", ")}")
+        in
+      }
     // warm pass at sf0.1 (JIT), then the measured pair per query
     probes.foreach(q => time(q, sfDir))
     val firstPass = probes.map(q => (q, probePair(q)))

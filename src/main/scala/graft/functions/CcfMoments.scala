@@ -73,8 +73,8 @@ case class CcfMoments(left: Expression, right: Expression, maxLag: Int)
 
 object CcfMoments {
   /** Shared by eval and codegen. Inputs MUST be day-sorted. Null
-    * day/y elements are skipped and the exact-long domain (|y| ≤ 1e8,
-    * d ≤ 900) is enforced — see [[PairSeries]].
+    * day/y elements are skipped and the exact-long domain (the actual
+    * d · max|y|² bound) is enforced — see [[PairSeries]].
     */
   def compute(xa: ArrayData, xb: ArrayData, maxLag: Int): ArrayData = {
     val cap = math.min(xa.numElements(), xb.numElements())

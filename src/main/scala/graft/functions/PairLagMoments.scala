@@ -25,7 +25,8 @@ import org.apache.spark.sql.types._
   *   saa, sbb, sab                   — lag-row Σx², Σy², Σxy
   *   sa1a1, sb1b1, sa1b1             — Σx₋², Σy₋², Σx₋y₋
   *   saa1, sbb1, sab1, sba1          — Σx·x₋, Σy·y₋, Σx·y₋, Σy·x₋
-  * All exact long arithmetic (CcfMoments' |y| ≤ 1e8, d ≲ 900 bound).
+  * All exact long arithmetic ([[PairSeries]]' actual d · max|y|²
+  * exact-long guard).
   * The consumers cast product sums to decimal(38,0) so their
   * downstream chains — and the join-form ORACLES — are unchanged.
   * Registered as SQL `pair_lag_moments` via [[graft.GraftExtensions]].
@@ -69,8 +70,8 @@ object PairLagMoments {
     "saa1", "sbb1", "sab1", "sba1")
 
   /** Shared by eval and codegen. Inputs MUST be day-sorted. Null
-    * day/y elements are skipped and the exact-long domain (|y| ≤ 1e8,
-    * d ≤ 900) is enforced — see [[PairSeries]].
+    * day/y elements are skipped and the exact-long domain (the actual
+    * d · max|y|² bound) is enforced — see [[PairSeries]].
     */
   def compute(xa: ArrayData, xb: ArrayData): InternalRow = {
     val cap = math.min(xa.numElements(), xb.numElements())

@@ -15,20 +15,31 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * day or null y are skipped, never read as 0.
   *
   * Exact-long domain guard: the product-sum kernels (CcfMoments,
-  * PairLagMoments) accumulate Σx², Σxy in signed 64-bit longs. With
-  * |y| ≤ [[MaxAbsY]] (closes on the 1e-4 grid, values ≤ 10^4) each
-  * product is ≤ 1e16 and up to [[MaxCommonDays]] terms stay exact
-  * (900 · 1e16 = 9.0e18 < 2⁶³ − 1 ≈ 9.22e18). With `guard = true`
-  * a violation throws `ArithmeticException` — a LOUD degrade in place
-  * of a silently wrapped sum (the q132 maxExactN posture); callers
-  * past the bound use the documented join-form fallback
-  * ([[graft.operators.PairPlan]]). KendallCensus compares signs only
-  * (no products), so it intersects unguarded.
+  * PairLagMoments) accumulate Σx², Σxy in signed 64-bit longs; every
+  * accumulator is a sum of ≤ d terms, each a product of two aligned
+  * values, so |sum| ≤ d · M² with M = the max |y| actually seen in
+  * the intersection. The guard is on that ACTUAL bound — it tracks M
+  * during the merge and throws only when d · M² > 2⁶³ − 1 (ADVICE
+  * r14: the old worst-case-constant guard rejected 1000 days at
+  * |y| ≤ 1e6, which is exactly representable). The reference domain
+  * [[MaxCommonDays]] × [[MaxAbsY]] (900 days at the full 1e-4 close
+  * grid: 900 · 1e16 = 9.0e18 < 9.22e18) always passes. With
+  * `guard = true` a violation throws `ArithmeticException` — a LOUD
+  * degrade in place of a silently wrapped sum (the q132 maxExactN
+  * posture); callers past the bound use the documented join-form
+  * fallback ([[graft.operators.PairPlan]]). KendallCensus compares
+  * signs only (no products), so it intersects unguarded.
   */
 object PairSeries {
-  /** Max common days per pair inside the exact-long product-sum domain. */
+  /** Reference domain: common days per pair that stay exact at the
+    * full close grid ([[MaxAbsY]]) — documentation anchor; the
+    * runtime guard is on the actual d · M² bound.
+    */
   val MaxCommonDays = 900
-  /** Max |y| (1e8 = close ≤ 10^4 on the 1e-4 fixed-point grid). */
+  /** Reference domain: |y| of a close ≤ 10^4 on the 1e-4 fixed-point
+    * grid — documentation anchor; the runtime guard is on the actual
+    * d · M² bound.
+    */
   val MaxAbsY = 100000000L
 
   /** Fills ya/yb (caller-sized to min(na, nb)) with the aligned common
@@ -41,6 +52,7 @@ object PairSeries {
     var i = 0
     var j = 0
     var d = 0
+    var m = 0L // max |y| seen across both sides' common rows
     while (i < na && j < nb) {
       if (xa.isNullAt(i)) i += 1
       else if (xb.isNullAt(j)) j += 1
@@ -57,11 +69,14 @@ object PairSeries {
           else {
             val a = ra.getLong(1)
             val b = rb.getLong(1)
-            if (guard && (math.abs(a) > MaxAbsY || math.abs(b) > MaxAbsY))
-              throw new ArithmeticException(
-                s"pair kernel exact-long domain exceeded: |y| = " +
-                  s"${math.max(math.abs(a), math.abs(b))} > $MaxAbsY; " +
-                  "use the join-form fallback (PairSeries scaladoc)")
+            if (guard) {
+              // abs(Long.MinValue) is negative; map it to MaxValue —
+              // its square overflows regardless, so the guard fires
+              val aa = if (a == Long.MinValue) Long.MaxValue else math.abs(a)
+              val ab = if (b == Long.MinValue) Long.MaxValue else math.abs(b)
+              if (aa > m) m = aa
+              if (ab > m) m = ab
+            }
             ya(d) = a
             yb(d) = b
             d += 1; i += 1; j += 1
@@ -69,10 +84,15 @@ object PairSeries {
         }
       }
     }
-    if (guard && d > MaxCommonDays)
+    // actual-bound guard: every product-sum accumulator is ≤ d · M²;
+    // one BigInt comparison per PAIR (not per element) keeps it exact
+    if (guard && d > 0 &&
+        BigInt(d) * BigInt(m) * BigInt(m) > BigInt(Long.MaxValue))
       throw new ArithmeticException(
-        s"pair kernel exact-long domain exceeded: $d common days > " +
-          s"$MaxCommonDays; use the join-form fallback (PairSeries scaladoc)")
+        s"pair kernel exact-long domain exceeded: $d common days at " +
+          s"max |y| = $m overflow a signed-64 product sum " +
+          s"(d * max|y|^2 > ${Long.MaxValue}); use the join-form " +
+          "fallback (PairSeries scaladoc)")
     d
   }
 }

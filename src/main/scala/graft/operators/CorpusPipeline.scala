@@ -401,8 +401,9 @@ object CorpusPipeline {
     * prefix filter / PPJoin-capped inverted index); everything after
     * is doc_id-set algebra — distinct + min-stage groupBys on a set
     * no larger than the flagged docs — and the report itself is a
-    * 3-row spine (the unpartitioned cumsum window is over THREE
-    * rows, not data).
+    * 3-row spine: the cumulative-removed column is a ≤3-row
+    * broadcast range join + conditional aggregate (no unpartitioned
+    * window anywhere — the round-15 plan lint's rule).
     */
   def p11DedupFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -429,17 +430,23 @@ object CorpusPipeline {
     val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val spine = Seq((1, "exact"), (2, "containment"), (3, "jaccard"))
       .toDF("stage", "stage_name")
-    val wCum = org.apache.spark.sql.expressions.Window
-      .orderBy(col("stage"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
+    // cum_removed = Σ n_new over stages ≤ this one: a broadcast range
+    // join against the ≤3-row per-stage table + one conditional
+    // aggregate — same numbers as a cumsum window, with no
+    // unpartitioned WindowExec in the plan
+    val nNewB = broadcast(nNew
+      .select(col("stage").as("s2"), col("n_new").as("nn")))
     spine
       .join(nFlag, Seq("stage"), "left")
-      .join(nNew, Seq("stage"), "left")
       .crossJoin(broadcast(tot))
+      .join(nNewB, col("s2") <= col("stage"), "left")
+      .groupBy(col("stage"), col("stage_name"), col("n_flagged"),
+        col("n_docs"))
+      .agg(
+        coalesce(sum(when(col("s2") === col("stage"), col("nn"))), lit(0L))
+          .as("n_new"),
+        coalesce(sum(col("nn")), lit(0L)).as("cum_removed"))
       .withColumn("n_flagged", coalesce(col("n_flagged"), lit(0L)))
-      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-      .withColumn("cum_removed", sum(col("n_new")).over(wCum))
       .select(col("stage"), col("stage_name"), col("n_flagged"),
         col("n_new"), col("cum_removed"),
         (col("n_docs") - col("cum_removed")).as("survivors"))

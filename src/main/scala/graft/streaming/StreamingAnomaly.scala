@@ -48,17 +48,66 @@ object StreamingAnomaly extends Serializable {
     * cost scales with partition count, and on a cluster you size it to
     * executors × state volume, not local cores.
     */
-  /** Default streaming state-partition count. 8 fits the sf0.01-0.1
-    * state volumes the suite runs at; state commit work per batch
-    * scales with keys ÷ partitions, so at 10-100× keys the fixed
-    * default saturates (the sf10 probe measured st17 at 129× before
-    * resizing). On a cluster you size this to executors × state
-    * volume; here SPARK_GRAFT_STATE_PARTITIONS overrides it — a pure
-    * sizing knob, results are key-deterministic and
-    * partition-count-invariant.
+  /** Target state keys per state partition, calibrated on the sf10
+    * decade's two measured operating points (round 14): 7.5k keys ran
+    * clean on 8 partitions (the old hardcoded default), and 750k keys
+    * needed 64 (st17 128.6× at 8, 8.86× resized to 64). ceil(keys/12k)
+    * clamped to [8, 1024] reproduces both: sf0.1 → 8, 100× → 63.
     */
-  private[streaming] val StatePartitions: Int =
-    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(8)
+  private val KeysPerStatePartition = 12000L
+  private val keyEstCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Streaming state-partition count — DERIVED from the source's key
+    * cardinality instead of a hardcoded 8 (round-14 verdict: the sf10
+    * probe proved the sizing law but the remedy was a manual env var).
+    * The number of state stores per stateful operator is frozen at
+    * the query's first start, so it must be sized before the stream
+    * runs: one approx_count_distinct scan of the batch events table
+    * estimates the per-(user, event_type) catalog — the dominant
+    * state-key axis of every stateful entry here — cached per dir so
+    * 40+ streaming entries pay it once per JVM. Results are
+    * key-deterministic and partition-count-invariant; this is a pure
+    * sizing knob. Precedence: SPARK_GRAFT_STATE_PARTITIONS env (the
+    * harness/operator override) > spark.graft.stream.statePartitions
+    * session conf (the cluster deployment knob) > the derived count.
+    * The 1024 clamp bounds tiny-batch commit overhead; a 1000-executor
+    * deployment with billions of live keys sizes via the conf.
+    */
+  private[graft] def statePartitions(s: SparkSession, dir: String): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt)
+      .orElse(s.conf.getOption("spark.graft.stream.statePartitions")
+        .map(_.toInt))
+      .getOrElse {
+        val keys = keyEstCache.computeIfAbsent(dir, d =>
+          graft.Tables.events(s, d)
+            .agg(approx_count_distinct(
+              struct(col("user_id"), col("event_type"))).as("k"))
+            .head().getLong(0))
+        val derived = (keys + KeysPerStatePartition - 1) / KeysPerStatePartition
+        math.max(8L, math.min(1024L, derived)).toInt
+      }
+
+  /** Session-conf carrier for the derived count: written by
+    * [[eventStream]] (the one place every dir-scoped entry builds its
+    * source), read by the FromStream cores below, which receive a
+    * stream rather than a dir. Sticky by design — it describes the
+    * session's current source scale, and the next eventStream against
+    * another dir overwrites it.
+    */
+  private val DerivedStateConfKey =
+    "spark.graft.stream.statePartitions.derived"
+
+  /** The FromStream cores' sizing: env override > explicit session
+    * conf > the [[eventStream]]-derived count > the legacy 8 (spec
+    * entry points that hand-build a stream without a dir).
+    */
+  private def statePartitions(s: SparkSession): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt)
+      .orElse(s.conf.getOption("spark.graft.stream.statePartitions")
+        .map(_.toInt))
+      .orElse(s.conf.getOption(DerivedStateConfKey).map(_.toInt))
+      .getOrElse(8)
 
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -121,6 +170,10 @@ object StreamingAnomaly extends Serializable {
   /** Events as a file stream over the staged µs copy. */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     val staged = stageEvents(s, dir)
+    // pin the derived state sizing for the FromStream cores this
+    // source feeds — they receive a stream, not a dir, so the sizing
+    // travels via the session conf (see statePartitions(s))
+    s.conf.set(DerivedStateConfKey, statePartitions(s, dir).toString)
     s.readStream.schema(eventSchema).parquet(staged.getAbsolutePath)
   }
 
@@ -137,7 +190,7 @@ object StreamingAnomaly extends Serializable {
     // Update mode: the watermark can evict closed windows (Complete
     // would pin every window forever); the staged source arrives as one
     // micro-batch so the memory table still holds each group once.
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s, dir)) {
       val q = agg.writeStream
         .outputMode(OutputMode.Update)
         .format("memory").queryName(name)
@@ -158,7 +211,7 @@ object StreamingAnomaly extends Serializable {
     */
   def st03StreamDedup(s: SparkSession, dir: String): DataFrame = {
     val name = s"st03_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s, dir)) {
       val q = eventStream(s, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
@@ -200,7 +253,7 @@ object StreamingAnomaly extends Serializable {
       col("user_id") === col("click_user") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s, dir)) {
       val q = joined
         .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
           col("purchase_value"), col("click_id"), col("click_ts"))
@@ -231,7 +284,7 @@ object StreamingAnomaly extends Serializable {
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s, dir)) {
       val q = enriched.writeStream
         .outputMode(OutputMode.Update)
         .format("memory").queryName(name)
@@ -267,7 +320,7 @@ object StreamingAnomaly extends Serializable {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(28,6)")).cast("double")
           .as("session_value"))
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s, dir)) {
       val q = agg.writeStream
         .outputMode(OutputMode.Append)
         .format("memory").queryName(name)
@@ -449,7 +502,7 @@ object StreamingAnomaly extends Serializable {
       cfg: AnomalyConfig = AnomalyConfig(),
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st02_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st02Transform(s, stream, cfg, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -498,7 +551,7 @@ object StreamingAnomaly extends Serializable {
   def st02ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, cfg: AnomalyConfig = AnomalyConfig(),
       staleDays: Double = 8.0): String = {
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st02Transform(s, stream, cfg, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -650,7 +703,7 @@ object StreamingAnomaly extends Serializable {
   def st09FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st09_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st09Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -675,7 +728,7 @@ object StreamingAnomaly extends Serializable {
     */
   def st09ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, staleDays: Double = 8.0): String = {
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st09Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -783,7 +836,7 @@ object StreamingAnomaly extends Serializable {
     */
   def st14ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, staleDays: Double = 8.0): String = {
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st14Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -900,7 +953,7 @@ object StreamingAnomaly extends Serializable {
   def st15FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0, window: Int = 16): DataFrame = {
     val name = s"st15_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st15Transform(s, stream, staleDays, window)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -920,7 +973,7 @@ object StreamingAnomaly extends Serializable {
   def st14FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st14_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st14Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -991,7 +1044,7 @@ object StreamingAnomaly extends Serializable {
       }
     }
 
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = stream
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))
@@ -1208,7 +1261,7 @@ object StreamingAnomaly extends Serializable {
   def st11FromStream(s: SparkSession, stream: DataFrame,
       buckets: Int = 64, domainMax: Double = 1000.0): DataFrame = {
     val name = s"st11_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st11Transform(s, stream, buckets, domainMax)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1227,7 +1280,7 @@ object StreamingAnomaly extends Serializable {
   def st10FromStream(s: SparkSession, stream: DataFrame, k: Int = 16,
       topN: Int = 5): DataFrame = {
     val name = s"st10_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st10Transform(s, stream, k, topN)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1347,7 +1400,7 @@ object StreamingAnomaly extends Serializable {
   def st13FromStream(s: SparkSession, stream: DataFrame,
       ref: Map[String, Array[Long]]): DataFrame = {
     val name = s"st13_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st13Transform(s, stream, ref)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1456,7 +1509,7 @@ object StreamingAnomaly extends Serializable {
 
   def st16FromStream(s: SparkSession, stream: DataFrame): DataFrame = {
     val name = s"st16_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st16Transform(s, stream)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1544,7 +1597,7 @@ object StreamingAnomaly extends Serializable {
 
   def st23FromStream(s: SparkSession, stream: DataFrame): DataFrame = {
     val name = s"st23_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st23Transform(s, stream)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1591,7 +1644,7 @@ object StreamingAnomaly extends Serializable {
           (col("valid_to").isNull || col("day") < col("valid_to")))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), col("version"), col("status"), col("priority"))
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s, dir)) {
       val q = enriched.writeStream
         .outputMode(OutputMode.Append)
         .format("memory").queryName(name)
@@ -1713,7 +1766,7 @@ object StreamingAnomaly extends Serializable {
   def st17FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st17_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st17Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1743,7 +1796,7 @@ object StreamingAnomaly extends Serializable {
     */
   def st17ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, staleDays: Double = 8.0): String = {
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st17Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1830,7 +1883,7 @@ object StreamingAnomaly extends Serializable {
   def st18FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st18_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st18Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -1928,7 +1981,7 @@ object StreamingAnomaly extends Serializable {
   def st19FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st19_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st19Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2049,7 +2102,7 @@ object StreamingAnomaly extends Serializable {
   def st25FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st25_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st25Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2183,7 +2236,7 @@ object StreamingAnomaly extends Serializable {
   def st31FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st31_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st31Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2277,7 +2330,7 @@ object StreamingAnomaly extends Serializable {
 
   def st26FromStream(s: SparkSession, stream: DataFrame): DataFrame = {
     val name = s"st26_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st26Transform(s, stream)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2389,7 +2442,7 @@ object StreamingAnomaly extends Serializable {
   def st21FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st21_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st21Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2502,7 +2555,7 @@ object StreamingAnomaly extends Serializable {
   def st22FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st22_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st22Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2525,7 +2578,7 @@ object StreamingAnomaly extends Serializable {
 
   def st21ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, staleDays: Double = 8.0): String = {
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st21Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2603,7 +2656,7 @@ object StreamingAnomaly extends Serializable {
   def st20FromStream(s: SparkSession, stream: DataFrame,
       stages: (String, String, String)): DataFrame = {
     val name = s"st20_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st20Transform(s, stream, stages)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2635,7 +2688,7 @@ object StreamingAnomaly extends Serializable {
     */
   def st18ToFileSink(s: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, staleDays: Double = 8.0): String = {
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st18Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2768,7 +2821,7 @@ object StreamingAnomaly extends Serializable {
   def st27FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st27_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st27Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2871,7 +2924,7 @@ object StreamingAnomaly extends Serializable {
   def st28FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st28_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st28Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -2972,7 +3025,7 @@ object StreamingAnomaly extends Serializable {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     val name = s"st29_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st29Transform(s, stream, probs, rareBelow, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3129,7 +3182,7 @@ object StreamingAnomaly extends Serializable {
       cfg: AnomalyConfig = AnomalyConfig(),
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st30_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st30Transform(s, stream, cfg, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3234,7 +3287,7 @@ object StreamingAnomaly extends Serializable {
   def st32FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st32_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st32Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3328,7 +3381,7 @@ object StreamingAnomaly extends Serializable {
   def st33FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st33_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st33Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3450,7 +3503,7 @@ object StreamingAnomaly extends Serializable {
   def st34FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st34_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st34Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3588,7 +3641,7 @@ object StreamingAnomaly extends Serializable {
       cfg: AnomalyConfig = AnomalyConfig(),
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st35_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st35Transform(s, stream, cfg, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3698,7 +3751,7 @@ object StreamingAnomaly extends Serializable {
   def st36FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st36_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st36Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3819,7 +3872,7 @@ object StreamingAnomaly extends Serializable {
   def st37FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0): DataFrame = {
     val name = s"st37_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st37Transform(s, stream, staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -3934,7 +3987,7 @@ object StreamingAnomaly extends Serializable {
   def st38FromStream(s: SparkSession, stream: DataFrame,
       ref: Map[String, Array[Long]], staleDays: Double = 8.0): DataFrame = {
     val name = s"st38_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st38Transform(s, stream, ref, staleDays = staleDays)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -4048,7 +4101,7 @@ object StreamingAnomaly extends Serializable {
   def st39FromStream(s: SparkSession, stream: DataFrame,
       staleDays: Double = 8.0, window: Int = 16): DataFrame = {
     val name = s"st39_out_${counter.incrementAndGet()}"
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st39Transform(s, stream, staleDays, window)
         .writeStream
         .outputMode(OutputMode.Append)
@@ -4072,7 +4125,7 @@ object StreamingAnomaly extends Serializable {
   def st38ToFileSink(s: SparkSession, stream: DataFrame,
       ref: Map[String, Array[Long]], path: String, checkpoint: String,
       staleDays: Double = 8.0): String = {
-    withStatePartitions(s, StatePartitions) {
+    withStatePartitions(s, statePartitions(s)) {
       val q = st38Transform(s, stream, ref, staleDays = staleDays)
         .writeStream
         .outputMode(OutputMode.Append)

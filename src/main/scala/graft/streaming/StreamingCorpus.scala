@@ -56,7 +56,7 @@ object StreamingCorpus {
     // batch core count (see StreamingAnomaly.withStatePartitions)
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, StreamingAnomaly.StatePartitions.toString)
+    s.conf.set(key, StreamingAnomaly.statePartitions(s, dir).toString)
     try {
       val q = s.readStream
         .schema(schema)
@@ -108,7 +108,7 @@ object StreamingCorpus {
       .select(md5(norm).as("norm_hash")).distinct()
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, StreamingAnomaly.StatePartitions.toString)
+    s.conf.set(key, StreamingAnomaly.statePartitions(s, dir).toString)
     try {
       val q = s.readStream
         .schema(schema)

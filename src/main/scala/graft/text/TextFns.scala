@@ -277,7 +277,11 @@ object TextFns {
     val hit = qTerms.indices
       .map(i => (col(s"tf_$i") > 0).cast("long")).reduceLeft(_ + _)
     // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
-    // heaps, no global sort); the rank window then runs over k rows
+    // heaps, no global sort); the rank over the k survivors comes
+    // from ONE global aggregate — sorted-array collapse + posexplode
+    // (struct order (−score6, doc_id) = score desc, id asc, exactly
+    // row_number's key; see t23) — so the plan carries no WindowExec
+    // and re-reads nothing
     base.crossJoin(broadcast(stats))
       .withColumn("score6",
         qTerms.indices.map(c6).reduceLeft(_ + _) / lit(1000000.0))
@@ -285,9 +289,14 @@ object TextFns {
       .filter(col("n_terms_hit") > 0)
       .orderBy(col("score6").desc, col("doc_id"))
       .limit(k)
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("score6").desc, col("doc_id"))))
-      .select(col("rk"), col("doc_id"), col("score6"), col("n_terms_hit"))
+      .agg(sort_array(collect_list(struct(
+        (-col("score6")).as("ns"), col("doc_id").as("doc_id"),
+        col("score6").as("score6"), col("n_terms_hit").as("n_terms_hit"))))
+        .as("a"))
+      .select(posexplode(col("a")))
+      .select((col("pos") + 1).cast("int").as("rk"),
+        col("col.doc_id").as("doc_id"), col("col.score6").as("score6"),
+        col("col.n_terms_hit").as("n_terms_hit"))
       .orderBy(col("rk"))
   }
 
@@ -1097,9 +1106,9 @@ object TextFns {
     * Scale shape: tokenization is row-local; the edge list and degree
     * table are vocabulary-sized (distinct pairs, not occurrences);
     * each iteration is ONE edge hash join + ONE map-side-combined
-    * groupBy (s12's class). The final top-K is a rank window over the
-    * VOCABULARY (not the corpus) — at web scale cut with ORDER BY
-    * LIMIT's distributed TopK instead.
+    * groupBy (s12's class). The final top-K is orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps) so the vocabulary
+    * never single-partitions; the rank window runs over k rows only.
     */
   def t23TextrankKeywords(s: SparkSession, dir: String, minLen: Int = 4,
       iters: Int = 5, topK: Int = 20): DataFrame = {
@@ -1148,10 +1157,22 @@ object TextFns {
     }
     val df = toks.groupBy(col("t").as("tok"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val wRank = Window.orderBy(col("r").desc, col("tok"))
+    // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, no single-partition vocabulary sort; round-14 verdict:
+    // the old rank window single-partitioned the whole dictionary).
+    // The rank over the k survivors comes from ONE global aggregate:
+    // collapse them into a sorted array (struct order (−r, tok) =
+    // r desc, tok asc — exactly row_number's key) and posexplode, so
+    // the plan carries no WindowExec at all, no size-blind planning
+    // warning, and no duplicated upstream subtree.
     ranks
-      .withColumn("keyword_rank", row_number().over(wRank))
-      .filter(col("keyword_rank") <= topK)
+      .orderBy(col("r").desc, col("tok")).limit(topK)
+      .agg(sort_array(collect_list(
+        struct((-col("r")).as("nr"), col("tok").as("tok"),
+          col("r").as("r")))).as("a"))
+      .select(posexplode(col("a")))
+      .select((col("pos") + 1).cast("int").as("keyword_rank"),
+        col("col.tok").as("tok"), col("col.r").as("r"))
       .join(df, Seq("tok"))
       .select(col("keyword_rank"), col("tok").as("token"),
         col("r").as("pagerank9"), col("n_docs"))

@@ -158,24 +158,32 @@ class ExtensionsSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import graft.functions.{CcfMoments, KendallCensus, PairLagMoments}
-    // |y| > 1e8: a silently wrapped product sum would corrupt the
-    // published statistics — the guard must throw instead (ADVICE r13)
-    val big = new GenericArrayData(Array[Any](InternalRow(19723, 200000000L)))
-    val one = new GenericArrayData(Array[Any](InternalRow(19723, 1L)))
-    val e1 = intercept[ArithmeticException](CcfMoments.compute(big, one, 0))
+    // the guard is on the ACTUAL d·max|y|² bound (ADVICE r14), not
+    // worst-case constants: a single day at |y| = 4e9 overflows a
+    // squared product (1.6e19 > 2⁶³−1) and must throw...
+    val big = new GenericArrayData(Array[Any](InternalRow(19723, 4000000000L)))
+    val big2 = new GenericArrayData(Array[Any](InternalRow(19723, 1L)))
+    val e1 = intercept[ArithmeticException](CcfMoments.compute(big, big2, 0))
     assert(e1.getMessage.contains("exact-long domain"))
-    val e2 = intercept[ArithmeticException](PairLagMoments.compute(big, one))
+    val e2 = intercept[ArithmeticException](PairLagMoments.compute(big, big2))
     assert(e2.getMessage.contains("exact-long domain"))
-    // > 900 common days: same guard on the term count
-    val long901 = new GenericArrayData(
-      (0 until 901).map(i => InternalRow(i, 1L)).toArray[Any])
+    // ...while 1000 common days at |y| ≤ 1e6 (d·M² = 1e15, exactly
+    // representable) must COMPUTE — the old d ≤ 900 constant guard
+    // wrongly rejected this history (ADVICE r14)
+    val long1k = new GenericArrayData(
+      (0 until 1000).map(i => InternalRow(i, 1000000L)).toArray[Any])
+    assert(PairLagMoments.compute(long1k, long1k).getLong(0) == 1000L)
+    // the same 1000 days at the full 1e8 close grid (d·M² = 1e19)
+    // genuinely overflows: the count×magnitude guard still fires
+    val hot1k = new GenericArrayData(
+      (0 until 1000).map(i => InternalRow(i, 100000000L)).toArray[Any])
     val e3 = intercept[ArithmeticException](
-      PairLagMoments.compute(long901, long901))
-    assert(e3.getMessage.contains("900"))
+      PairLagMoments.compute(hot1k, hot1k))
+    assert(e3.getMessage.contains("1000 common days"))
     // kendall_census compares signs only — no product, no guard:
     // the same inputs census fine
-    val cen = KendallCensus.compute(long901, long901)
-    assert(cen.getLong(0) == 901L)
-    assert(KendallCensus.compute(big, one).getLong(0) == 1L)
+    val cen = KendallCensus.compute(hot1k, hot1k)
+    assert(cen.getLong(0) == 1000L)
+    assert(KendallCensus.compute(big, big2).getLong(0) == 1L)
   }
 }

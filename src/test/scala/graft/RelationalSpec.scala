@@ -11,9 +11,11 @@ class RelationalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = "/root/testdata/sf0.001"
 
-  test("every registered query runs and returns rows on sf0.001") {
+  test("every registered query runs, returns rows, and carries no " +
+      "unpartitioned Window over unbounded input (plan lint)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
+      PlanLint.assertNoUnpartitionedWindow(name, df)
       assert(df.count() > 0, s"$name returned no rows")
     }
   }

@@ -8,6 +8,19 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("state partitions derive from source key cardinality " +
+      "(env > conf > derived, floor 8)") {
+    // sf0.001 carries 75 (user, event_type) keys → ceil(75/12000) = 1,
+    // floored to 8 (the pre-round-15 hardcoded default's value)
+    assume(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").isEmpty)
+    assert(StreamingAnomaly.statePartitions(spark, dir) == 8)
+    // the explicit session conf (the cluster deployment knob) wins
+    // over the derivation
+    spark.conf.set("spark.graft.stream.statePartitions", "16")
+    try assert(StreamingAnomaly.statePartitions(spark, dir) == 16)
+    finally spark.conf.unset("spark.graft.stream.statePartitions")
+  }
+
   test("st01 windowed agg totals match the batch count") {
     val windows = StreamingAnomaly.st01WindowAgg(spark, dir)
     val total = windows.agg(sum("n_events")).collect()(0).getLong(0)

@@ -436,5 +436,13 @@ class TextSearchSpec extends AnyFunSuite {
     val again = TextFns.t23TextrankKeywords(spark, tmp).collect()
       .map(_.toString)
     assert(again.sameElements(out.map(_.toString)))
+    // plan shape (round-14 verdict): the final top-K cuts with
+    // orderBy+limit (TakeOrderedAndProject — per-partition heaps)
+    // BEFORE the rank window, so the unbounded vocabulary is never
+    // single-partitioned through a WindowExec
+    val df = TextFns.t23TextrankKeywords(spark, tmp)
+    PlanLint.assertNoUnpartitionedWindow("t23_textrank_keywords", df)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "expected orderBy+limit TopK")
   }
 }
