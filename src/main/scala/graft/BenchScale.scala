@@ -58,11 +58,23 @@ object BenchScale {
 
   /** Multipliers coprime to 26 (1 excluded — the rotation bank): each
     * (a, b) pair is a distinct affine substitution x → a·x + b mod 26.
-    * Two distinct affine maps agree on at most ONE letter, so any
-    * shingle with ≥ 2 distinct letters maps to different strings in
-    * different copies — the same "no planted cross-copy collisions"
-    * guarantee the pure rotations gave for 26 copies, extended to
-    * 26 + 11·26 = 312.
+    * Agreement class (round-15 ADVICE: the old "at most ONE letter"
+    * claim was wrong for an even modulus): every unit of Z/26 is odd,
+    * so two DISTINCT affine maps differ by an even multiplier Δa and
+    * agree where Δa·x + Δb ≡ 0 (mod 26) — zero letters, or exactly
+    * TWO letters 13 apart ({x, x+13}), never one and never more
+    * (Δa·13 ≡ 0 kills the odd-gap solutions; gcd(Δa, 26) ∈ {2, 26}
+    * caps the solution count at 2). Affine maps over Z/26 cannot do
+    * better. Residual planted-collision class for copies ≥ 26: only a
+    * token/shingle whose DISTINCT letters all lie inside one such
+    * {x, x+13} pair (e.g. "bob" = {b,o}, "ana" = {a,n}) collides
+    * across exactly the copy pairs that agree there — with digits
+    * also rotating per copy, the corpus frequency of ≥3-gram shingles
+    * built from a single 13-apart letter pair is ~0 (no English
+    * 3-gram over {x, x+13} × {x, x+13} × {x, x+13} is common text),
+    * so the text decade's "no cross-copy duplicates" read is
+    * unaffected at measurement precision; a collision-FREE extension
+    * would need non-affine permutation banks.
     */
   private val AffineA = Array(3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
   private def affine(alpha: String, a: Int, b: Int): String = {

@@ -4,7 +4,7 @@ import graft.functions.{ArrayDotProduct, BpeCount, MinHashSignature,
   SimHashPack, SymbolEntropy, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions registration so graft's native expressions
   * are first-class SQL functions — `SELECT array_dot(a, b)` works in
@@ -68,31 +68,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "kendall_census"),
       (children: Seq[Expression]) =>
         graft.functions.KendallCensus(children(0), children(1))))
-    // ccf_moments(a, b, maxLag): maxLag is a construction parameter
-    // (the compiled loop bound), so the SQL form requires a foldable
-    // integer literal — word_ngrams' convention.
+    // ccf_moments(a, b, [maxA, maxB,] maxLag): maxLag is a
+    // construction parameter (the compiled loop bound), so the SQL
+    // form requires a foldable integer literal — word_ngrams'
+    // convention. The 3-arg form omits the per-side max|y| bounds;
+    // the kernel then derives its exact-long domain guard by scan
+    // (PairSeries sentinel −1). The 5-arg form is the pair-plan hot
+    // path: PairPlan precomputes the bounds per ticker, O(1)/pair.
     ext.injectFunction((
       new FunctionIdentifier("ccf_moments"),
       new ExpressionInfo(classOf[graft.functions.CcfMoments].getName,
         "ccf_moments"),
       (children: Seq[Expression]) => {
-        val lagExpr = children(2)
+        if (children.size != 3 && children.size != 5)
+          throw new IllegalArgumentException(
+            "ccf_moments(a, b, maxLag) or ccf_moments(a, b, maxA, maxB, maxLag)")
+        val lagExpr = children.last
         if (!lagExpr.foldable)
           throw new IllegalArgumentException(
-            "ccf_moments(a, b, maxLag): maxLag must be a literal integer")
+            "ccf_moments: maxLag must be a literal integer")
         val maxLag = lagExpr.eval() match {
           case i: Int  => i
           case l: Long => l.toInt
           case other => throw new IllegalArgumentException(
             s"ccf_moments: integer literal expected, got $other")
         }
-        graft.functions.CcfMoments(children(0), children(1), maxLag)
+        val unknown = Literal(-1L)
+        if (children.size == 3)
+          graft.functions.CcfMoments(children(0), children(1),
+            unknown, unknown, maxLag)
+        else
+          graft.functions.CcfMoments(children(0), children(1),
+            children(2), children(3), maxLag)
       }))
+    // pair_lag_moments(a, b[, maxA, maxB]) — same bound convention.
     ext.injectFunction((
       new FunctionIdentifier("pair_lag_moments"),
       new ExpressionInfo(classOf[graft.functions.PairLagMoments].getName,
         "pair_lag_moments"),
-      (children: Seq[Expression]) =>
-        graft.functions.PairLagMoments(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        if (children.size != 2 && children.size != 4)
+          throw new IllegalArgumentException(
+            "pair_lag_moments(a, b) or pair_lag_moments(a, b, maxA, maxB)")
+        if (children.size == 2)
+          graft.functions.PairLagMoments(children(0), children(1),
+            Literal(-1L), Literal(-1L))
+        else
+          graft.functions.PairLagMoments(children(0), children(1),
+            children(2), children(3))
+      }))
   }
 }

@@ -753,11 +753,18 @@ object Dedup {
       .groupBy(col("a.source").as("source_a"),
         col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
-    broadcast(sizes.select(col("source").as("source_a"),
-        col("n_grams").as("n_grams_a")))
-      .crossJoin(broadcast(sizes.select(col("source").as("source_b"),
-        col("n_grams").as("n_grams_b"))))
-      .filter(col("source_a") < col("source_b"))
+    // unordered source pairs born ROW-LOCALLY from one collected
+    // catalog row (global collect_list aggregate -> explode x explode)
+    // instead of the r15 sizes x sizes cross join, whose grouped-agg
+    // sides the r16 physical lint could not prove bounded
+    val sizesRow = sizes.agg(collect_list(
+      struct(col("source").as("src"), col("n_grams").as("ng"))).as("arr"))
+    sizesRow
+      .select(explode(col("arr")).as("a"), col("arr"))
+      .select(col("a"), explode(col("arr")).as("b"))
+      .filter(col("a.src") < col("b.src"))
+      .select(col("a.src").as("source_a"), col("b.src").as("source_b"),
+        col("a.ng").as("n_grams_a"), col("b.ng").as("n_grams_b"))
       .join(shared, Seq("source_a", "source_b"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .select(col("source_a"), col("source_b"), col("n_grams_a"),

@@ -65,7 +65,7 @@ object KendallCensus {
     val cap = math.min(xa.numElements(), xb.numElements())
     val ya = new Array[Long](cap)
     val yb = new Array[Long](cap)
-    val d = PairSeries.intersect(xa, xb, ya, yb, guard = false)
+    val d = PairSeries.intersect(xa, xb, ya, yb)
     var c = 0L
     var dis = 0L
     var t1 = 0L

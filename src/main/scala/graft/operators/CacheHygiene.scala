@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
@@ -16,28 +16,45 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * relation in any long-lived library session (round-14 verdict /
   * ADVICE).
   *
-  * Contract: after the FIRST completed action (success or failure)
-  * whose analyzed plan contains any of `cached` as a subtree —
-  * detected with canonical-plan `sameResult`, so further transforms
-  * stacked on the returned frame still match — the cached frames are
-  * unpersisted and the listener unregisters itself. Unpersist is safe
-  * mid-query (Spark recomputes evicted blocks), so a second
-  * concurrent action at worst loses the cache benefit, never
+  * Contract: after `skipMatches` + 1 completed actions (success or
+  * failure) whose analyzed plans contain any of `cached` as a
+  * subtree — detected with canonical-plan `sameResult`, so further
+  * transforms stacked on the returned frame still match — the cached
+  * frames are unpersisted and the listener unregisters itself.
+  *
+  * `skipMatches` exists for the round-15 ADVICE race: the
+  * ExecutionListenerBus is ASYNC, so a builder action (PairPlan's
+  * census) that completed before registration can still have its end
+  * event queued, and the queue delivers to listeners registered
+  * before dispatch. Registering BEFORE that builder action with
+  * `skipMatches = 1` makes the ordering deterministic instead: the
+  * bus is FIFO, the builder's event is enqueued before any caller
+  * action can finish, so the skipped match is provably the builder's
+  * own — provided the cached plan cannot alias an EARLIER execution's
+  * plan (PairPlan guarantees that with a per-call unique tag literal
+  * in the collapse; any helper using skipMatches must make its cached
+  * plan per-call unique the same way).
+  *
+  * Unpersist is safe mid-query (Spark recomputes evicted blocks), so
+  * a second concurrent action at worst loses the cache benefit, never
   * correctness. If the caller never runs an action the listener stays
   * registered but idle; the cost is one subtree scan per subsequent
   * action (canonicalization is cached per plan).
   */
 object CacheHygiene {
-  def releaseAfterFirstUse(s: SparkSession, cached: Seq[DataFrame]): Unit = {
+  def releaseAfterFirstUse(s: SparkSession, cached: Seq[DataFrame],
+      skipMatches: Int = 0): Unit = {
     if (cached.isEmpty) return
     val targets = cached.map(_.queryExecution.analyzed)
     val listener: QueryExecutionListener = new QueryExecutionListener {
+      private val toSkip = new AtomicInteger(skipMatches)
       private val done = new AtomicBoolean(false)
       private def maybeRelease(qe: QueryExecution): Unit = {
         val hit =
           try targets.exists(t => qe.analyzed.exists(_.sameResult(t)))
           catch { case _: Throwable => false }
-        if (hit && done.compareAndSet(false, true)) {
+        if (hit && toSkip.getAndDecrement() <= 0 &&
+            done.compareAndSet(false, true)) {
           cached.foreach { df =>
             try df.unpersist() catch { case _: Throwable => () }
           }

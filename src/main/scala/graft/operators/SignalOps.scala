@@ -2483,7 +2483,7 @@ object SignalOps {
     // shuffled groupBy gone; identical exact moment sums feed the
     // unchanged decimal chain, so the join-form oracle stays
     PairPlan.tickerPairs(s, closes)
-      .withColumn("sh", expr("ccf_moments(aa, ab, 0)").getItem(0))
+      .withColumn("sh", expr("ccf_moments(aa, ab, ma, mb, 0)").getItem(0))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("sh.n").as("n_days"),
         col("sh.sx").as("sx"), col("sh.sy").as("sy"),
@@ -3243,7 +3243,7 @@ object SignalOps {
     // 2·maxLag+1 exact per-lag moment sets come out of ONE compiled
     // CcfMoments pass, and the explode is row-local
     PairPlan.tickerPairs(s, closes)
-      .withColumn("sh", explode(expr(s"ccf_moments(aa, ab, $maxLag)")))
+      .withColumn("sh", explode(expr(s"ccf_moments(aa, ab, ma, mb, $maxLag)")))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("sh.lag").as("lag"), col("sh.n").as("n_days"),
         col("sh.sx").as("sx"), col("sh.sy").as("sy"),
@@ -3378,7 +3378,7 @@ object SignalOps {
     // exact moment sums feed the unchanged chain, so the join-form
     // oracle stays
     val mom = PairPlan.tickerPairs(s, closes)
-      .withColumn("mo", expr("pair_lag_moments(aa, ab)"))
+      .withColumn("mo", expr("pair_lag_moments(aa, ab, ma, mb)"))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("mo.m").as("n"),
         col("mo.sya").as("sya"), col("mo.syb").as("syb"),
@@ -3480,7 +3480,7 @@ object SignalOps {
     // expression's i ≥ 1 loop, so every sum is the same exact integer
     // and the oracle stays
     val mom = PairPlan.tickerPairs(s, closes)
-      .withColumn("mo", expr("pair_lag_moments(aa, ab)"))
+      .withColumn("mo", expr("pair_lag_moments(aa, ab, ma, mb)"))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("mo.nf").as("nf"),
         col("mo.ua").as("ua"), col("mo.ub").as("ub"),

@@ -28,7 +28,12 @@ object Ann {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm2", dot(col("v"), col("v")))
-    val q = v.filter(col("vec_id") < nQueries)
+    // limit(nQueries) is a row-level no-op (vec_id is unique, so the
+    // filter already yields <= nQueries rows) that makes the query
+    // side STATICALLY bounded - the r16 physical plan lint proves the
+    // non-equi broadcast join's build side small by plan, not by
+    // data-dependent argument
+    val q = v.filter(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm2").as("qn"))
     val w = Window.partitionBy(col("query_id"))
@@ -109,7 +114,12 @@ object Ann {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm2", dot(col("v"), col("v")))
-    val q = v.filter(col("vec_id") < nQueries)
+    // limit(nQueries) is a row-level no-op (vec_id is unique, so the
+    // filter already yields <= nQueries rows) that makes the query
+    // side STATICALLY bounded - the r16 physical plan lint proves the
+    // non-equi broadcast join's build side small by plan, not by
+    // data-dependent argument
+    val q = v.filter(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm2").as("qn"))
     val w = Window.partitionBy(col("query_id"))
@@ -354,7 +364,12 @@ object Ann {
     // in session storage memory after the operator returns.
     v.unpersist()
     val lists = v.join(assign(cents), Seq("vec_id"))
-    val q = v.filter(col("vec_id") < nQueries)
+    // limit(nQueries) is a row-level no-op (vec_id is unique, so the
+    // filter already yields <= nQueries rows) that makes the query
+    // side STATICALLY bounded - the r16 physical plan lint proves the
+    // non-equi broadcast join's build side small by plan, not by
+    // data-dependent argument
+    val q = v.filter(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm2").as("qn"))
     val probes = q.crossJoin(broadcast(centroidDfL(cents)))
@@ -708,7 +723,12 @@ object Ann {
     // every downstream job (ADVICE r13). Release happens after the
     // returned plan's first action (CacheHygiene, registered below).
     // per-query probed cells: s03's centroid ranking
-    val q = v.filter(col("vec_id") < nQueries)
+    // limit(nQueries) is a row-level no-op (vec_id is unique, so the
+    // filter already yields <= nQueries rows) that makes the query
+    // side STATICALLY bounded - the r16 physical plan lint proves the
+    // non-equi broadcast join's build side small by plan, not by
+    // data-dependent argument
+    val q = v.filter(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm2").as("qn"))
     val probes = q.crossJoin(broadcast(centroidDf(s, cents)))
@@ -875,7 +895,9 @@ object Ann {
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("n_tok", size(col("toks")))
       .filter(col("n_tok") > 0)
-    val seeds = d.filter(col("doc_id") < nQueries)
+    // limit = statically-bounded seed side for the non-equi broadcast
+    // join (row-level no-op: doc_id unique), the r16 plan-lint posture
+    val seeds = d.filter(col("doc_id") < nQueries).limit(nQueries)
       .select(col("doc_id").as("query_id"), col("toks").as("qtoks"),
         col("n_tok").as("qn"))
     val wJ = Window.partitionBy(col("query_id"))
@@ -933,7 +955,12 @@ object Ann {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm2", dot(col("v"), col("v")))
-    val q = v.filter(col("vec_id") < nQueries)
+    // limit(nQueries) is a row-level no-op (vec_id is unique, so the
+    // filter already yields <= nQueries rows) that makes the query
+    // side STATICALLY bounded - the r16 physical plan lint proves the
+    // non-equi broadcast join's build side small by plan, not by
+    // data-dependent argument
+    val q = v.filter(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm2").as("qn"))
     val wP = Window.partitionBy(col("query_id"))

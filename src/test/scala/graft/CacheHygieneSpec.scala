@@ -26,6 +26,14 @@ class CacheHygieneSpec extends AnyFunSuite {
     // the census head() inside tickerPairs materialized the cache
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
       "expected the array table cached after the census")
+    // round-15 ADVICE race regression check: give the async listener
+    // bus time to dispatch the census's own SQLExecutionEnd event —
+    // the skip-one counter must absorb it, NOT release the cache
+    // before the first caller action
+    Thread.sleep(2000)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "census end event released the cache before any caller action " +
+        "(skip-one miscounted)")
     // one pair within each event_type
     assert(pairs.count() == 2)
     // the QueryExecutionListener fires asynchronously after the action

@@ -16,6 +16,7 @@ class RelationalSpec extends AnyFunSuite {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
       PlanLint.assertNoUnpartitionedWindow(name, df)
+      PlanLint.assertNoUnboundedNestedLoop(name, df)
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
