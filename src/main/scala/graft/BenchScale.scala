@@ -528,8 +528,14 @@ object BenchScale {
     val line = s"""{"metric":"${label}_scale_probe","copies":$Copies,""" +
       s""""worst_ratio":${f"$worst%.2f"},"queries":$qs}"""
     println(line)
-    val out = new java.io.PrintWriter(s"BENCH_$label.json")
-    try out.println(line) finally out.close()
+    // argless (full ProbeQueries) runs own the round artifact; a
+    // named-subset run is a local iteration probe and must not
+    // overwrite the committed full record (round 16: a single-entry
+    // d08 probe did exactly that — recovered from git)
+    if (args.isEmpty) {
+      val out = new java.io.PrintWriter(s"BENCH_$label.json")
+      try out.println(line) finally out.close()
+    }
     spark.stop()
   }
 }

@@ -117,5 +117,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.PairLagMoments(children(0), children(1),
             children(2), children(3))
       }))
+    // bloom_filter_agg(xxhash64(x), items, bits) / might_contain(
+    // bloom, xxhash64(x)): Spark ships both expressions for its
+    // automatic runtime-filter rewrite (SPARK-32268) but registers
+    // neither as a SQL function; graft's decontamination Bloom
+    // pre-filter (optimization guide §3.2 — drop definitely-non-
+    // matching rows from the big side BEFORE its shuffle) builds the
+    // filter explicitly as a bloom_filter_agg scalar subquery and
+    // probes it with might_contain. Each expression's own type check
+    // enforces its required shape (long-hash child, foldable sizes,
+    // constant/scalar-subquery bloom side), so a misuse fails
+    // analysis, not execution.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]
+          .getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]
+          .getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
   }
 }

@@ -42,6 +42,36 @@ object Decontaminate {
     */
   val ProductionNgramN = 13
 
+  /** Bloom pre-filter sizing (round-15 verdict item 3: d08 was the
+    * dedup pillar's worst 100-copy ratio at 18.2× because past the
+    * broadcast threshold the gram join full-width-shuffles every
+    * exploded (doc_id, gram) train pair). The filter is built over
+    * `xxhash64(gram)` of the BENCH side — the small fixed suite, so
+    * its distinct-gram count is bounded by suite size, not corpus
+    * size — and applied to the train side BEFORE the join, i.e.
+    * before any exchange (guide §3.2). False positives only leak a
+    * few extra rows into the exact gram equi-join that still decides;
+    * false negatives are impossible, so the result set is unchanged
+    * row-for-row. 1M expected items / 2²³ bits ≈ 1 MB filter, ~0.3 %
+    * FPP at 1M grams (within Spark's runtime-filter caps of 4M items
+    * / 64M bits); an empty bench side yields a NULL filter and
+    * might_contain(NULL, x) = NULL drops every row — identical to the
+    * empty-join result.
+    */
+  val BloomItems = 1000000L
+  val BloomBits = 8388608L
+
+  /** Bench-side size floor (planner estimate, bytes) below which the
+    * Bloom pre-filter is skipped: a truly suite-sized gram set makes
+    * a small, cache-friendly broadcast hash relation and the probe-
+    * per-train-gram filter is pure overhead there (sf0.1 estimate
+    * ~0.2 MB → off; 100-copy decade ~19 MB → on). Mirrors the intent
+    * of Spark's runtime-filter creationSideThreshold (10 MB default).
+    * Conf-overridable per session via [[BloomMinBenchBytesKey]].
+    */
+  val BloomMinBenchBytes = 8L << 20
+  val BloomMinBenchBytesKey = "spark.graft.d08.bloomMinBenchBytes"
+
   // the shared zip-shift n-gram construction (see TextFns.wordNgrams:
   // O(len) per doc, not the O(len²) slice-per-index lambda)
   private def wordNgrams(ws: Column, n: Int): Column =
@@ -74,7 +104,46 @@ object Decontaminate {
     // shuffle; count_distinct dedups the hits inside the aggregate
     val trainGrams = grams(train, n)
       .select(col("doc_id"), explode(col("ngrams")).as("gram"))
-    trainGrams
+    // Bloom pre-filter over the bench gram set (see [[BloomItems]]):
+    // a scalar subquery builds the ~1 MB filter once, each train gram
+    // pays one codegen'd might_contain probe, and the definitely-
+    // non-matching majority never reaches the join — so when the
+    // bench side is past the broadcast threshold (the 100-copy
+    // decade), the sort-merge exchange carries only candidate rows
+    // instead of the full exploded corpus. Exact semantics: the
+    // equi-join below still decides membership; the filter has no
+    // false negatives.
+    //
+    // GATED on the planner's size estimate of the bench side (round
+    // 16, measured both ways at sf0.1 and the 100-copy decade): under
+    // [[BloomMinBenchBytes]] the gram set is a genuinely small
+    // broadcast hash relation and the filter is pure per-row overhead
+    // (it cost d08 ~1 s at sf0.1 in-suite); above it the filter wins
+    // even when the join still broadcasts — 20M exploded train grams
+    // probing a ~1 MB cache-resident bitset and dropping ~95 % of
+    // rows beats 20M string probes into a ~100 MB hash relation
+    // (100-copy A/B: 38.5 s ungated-off vs 11.9 s with the filter) —
+    // and wins bigger once the join degrades to sort-merge. The gate
+    // reads optimizedPlan.stats (the planner's own estimate), so it
+    // is plan-time deterministic, never data-sampled.
+    val sess = train.sparkSession
+    val benchEstBytes = benchGrams.queryExecution.optimizedPlan
+      .stats.sizeInBytes
+    val minBytes = sess.conf
+      .getOption(BloomMinBenchBytesKey).map(_.toLong)
+      .getOrElse(BloomMinBenchBytes)
+    val preFiltered =
+      if (benchEstBytes <= BigInt(minBytes))
+        trainGrams
+      else {
+        val bf = benchGrams
+          .agg(expr(s"bloom_filter_agg(xxhash64(gram), ${BloomItems}L, " +
+            s"${BloomBits}L)").as("bf"))
+          .scalar()
+        trainGrams
+          .where(call_function("might_contain", bf, xxhash64(col("gram"))))
+      }
+    preFiltered
       .join(benchGrams, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_shared"),

@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -95,25 +94,51 @@ object CcfMoments {
     val ya = new Array[Long](cap)
     val yb = new Array[Long](cap)
     val d = PairSeries.intersect(xa, xb, ya, yb)
+    // One pass of FULL-series moments: lag ℓ only trims the window's
+    // edges, so each lag's sx/sxx (over ya[lo, hi)) and sy/syy (over
+    // yb[lo+ℓ, hi+ℓ)) is the total minus at most |ℓ| head/tail terms
+    // — only the cross moment sxy still needs its per-lag product
+    // loop. 1 multiply + 1 add per element per lag instead of 5 of
+    // each (round-16, guide §1.2 "per-task work": the five pair
+    // analytics share this kernel-bound stage). Every partial here is
+    // a sub-sum of the guarded d·M² domain, so the subtractions stay
+    // exact; the emitted sums are the same integers as the one-loop
+    // form's, term for term.
+    var tx = 0L; var ty = 0L; var txx = 0L; var tyy = 0L
+    var i = 0
+    while (i < d) {
+      val x = ya(i); val y = yb(i)
+      tx += x; ty += y; txx += x * x; tyy += y * y
+      i += 1
+    }
     val out = new Array[Any](2 * maxLag + 1)
     var l = -maxLag
     while (l <= maxLag) {
-      // overlap of (ya_i, yb_{i+l}) within [0, d): i from max(0, -l)
-      // to d - 1 - max(0, l)
+      // overlap of (ya_i, yb_{i+l}) within [0, d): i in [lo, hi)
       val lo = math.max(0, -l)
       val hi = d - math.max(0, l)
-      var sx = 0L; var sy = 0L; var sxx = 0L; var syy = 0L; var sxy = 0L
-      var n = 0L
-      var p = lo
-      while (p < hi) {
-        val x = ya(p)
-        val y = yb(p + l)
-        sx += x; sy += y
-        sxx += x * x; syy += y * y; sxy += x * y
-        n += 1
-        p += 1
+      if (hi <= lo) {
+        // fewer common days than |l|: the old loop ran zero times
+        out(l + maxLag) = new GenericInternalRow(
+          Array[Any](l, 0L, 0L, 0L, 0L, 0L, 0L))
+      } else {
+        var sx = tx; var sxx = txx
+        var j = 0
+        while (j < lo) { val x = ya(j); sx -= x; sxx -= x * x; j += 1 }
+        j = hi
+        while (j < d) { val x = ya(j); sx -= x; sxx -= x * x; j += 1 }
+        var sy = ty; var syy = tyy
+        val ylo = lo + l // = max(l, 0); y's window is [lo+l, hi+l)
+        j = 0
+        while (j < ylo) { val y = yb(j); sy -= y; syy -= y * y; j += 1 }
+        j = hi + l // = d + min(l, 0)
+        while (j < d) { val y = yb(j); sy -= y; syy -= y * y; j += 1 }
+        var sxy = 0L
+        var p = lo
+        while (p < hi) { sxy += ya(p) * yb(p + l); p += 1 }
+        out(l + maxLag) = new GenericInternalRow(
+          Array[Any](l, (hi - lo).toLong, sx, sy, sxx, syy, sxy))
       }
-      out(l + maxLag) = InternalRow(l, n, sx, sy, sxx, syy, sxy)
       l += 1
     }
     new GenericArrayData(out)

@@ -477,9 +477,18 @@ object CorpusPipeline {
     import org.apache.spark.sql.expressions.Window
     val labels = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"))
-    val lof = graft.similarity.Ann.s11Lof(s, dir)
+    // ONE kNN graph for both components (round 16): s11 and s12 both
+    // ride s08's exact n²-cosine block join — computing it per
+    // component made the card pay the quadratic stage twice. The
+    // localCheckpoint materializes k·n edge rows once; both consumers
+    // reuse the checkpointed blocks, and the integer edge set — hence
+    // every published hash — is unchanged.
+    val graph = graft.similarity.Ann.knnGraphEdges(s, dir)
+      .localCheckpoint()
+    val lof = graft.similarity.Ann.s11Lof(s, dir, graph = Some(graph))
       .select(col("vec_id"), col("outlier_flag"))
-    val pr = graft.similarity.Ann.s12KnnPagerank(s, dir)
+    val pr = graft.similarity.Ann.s12KnnPagerank(s, dir,
+      graph = Some(graph))
     val base = labels
       .join(lof, Seq("vec_id"), "left")
       .join(pr, Seq("vec_id"), "left")

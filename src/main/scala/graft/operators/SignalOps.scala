@@ -2442,6 +2442,32 @@ object SignalOps {
       .orderBy(col("user_id"), col("event_type"), col("day"))
   }
 
+  /** Last print per (ticker, day) as the 1e-4 fixed-point close —
+    * the shared daily-close spine of the five pair analytics
+    * (q94/q108/q111/q112/q129). Round 16: ONE hash aggregate
+    * (max_by over the (ts, event_id) print order) replaces the
+    * row_number window + rd = 1 filter each query carried — the
+    * window form full-shuffles and SORTS every print to rank it,
+    * while max_by partial-combines map-side and ships at most one
+    * candidate per (ticker, day) per map task (guide §2.3 "aggregate
+    * before you shuffle"); the sort disappears outright (§2.4).
+    * Selection is identical row-for-row: the window's ORDER BY
+    * ts DESC, event_id DESC rank-1 row IS the max of the
+    * struct(ts, event_id) ordering (event_id breaks ts ties and the
+    * pair is unique per print), so max_by returns that row's close
+    * and every downstream moment — and the join-form oracles — are
+    * unchanged.
+    */
+  private def dailyCloses(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long")
+          .as("v4l"))
+      .groupBy(col("user_id"), col("event_type"), col("day"))
+      .agg(max_by(col("v4l"), struct(col("ts"), col("event_id")))
+        .as("y"))
+
   /** q94: pairwise ticker CORRELATION MATRIX — the full heatmap q59's
     * per-ticker peer-mean score aggregates away: every unordered
     * ticker pair within an event type, Pearson r over their common
@@ -2467,16 +2493,7 @@ object SignalOps {
       minDays: Int = 5): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val d19 = (c: Column) => c.cast("decimal(19,0)")
-    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
-      col("day")).orderBy(col("ts").desc, col("event_id").desc)
-    val closes = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
-        to_date(col("ts")).as("day"),
-        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
-      .withColumn("rd", row_number().over(wDay))
-      .filter(col("rd") === 1)
-      .select(col("user_id"), col("event_type"), col("day"),
-        col("v4l").as("y"))
+    val closes = dailyCloses(s, dir)
     // round-13 rewrite (q108/q129's posture): per-ticker day-sorted
     // close arrays, budget-gated pair join (PairPlan), the lag-0
     // CcfMoments cell — the (event_type, day) join + 21.7M-row
@@ -2770,16 +2787,7 @@ object SignalOps {
       window: Int = 8, minN: Int = 4): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val d19 = (c: Column) => c.cast("decimal(19,0)")
-    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
-      col("day")).orderBy(col("ts").desc, col("event_id").desc)
-    val closes = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
-        to_date(col("ts")).as("day"),
-        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
-      .withColumn("rd", row_number().over(wDay))
-      .filter(col("rd") === 1)
-      .select(col("user_id"), col("event_type"), col("day"),
-        col("v4l").as("y"))
+    val closes = dailyCloses(s, dir)
     val a = closes.select(col("event_type"), col("day"),
       col("user_id").as("user_a"), col("y").as("ya"))
     val b = closes.select(col("event_type"), col("day"),
@@ -3229,16 +3237,7 @@ object SignalOps {
   def q108CrossCorrelation(s: SparkSession, dir: String, maxLag: Int = 3,
       minDays: Int = 5): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
-      col("day")).orderBy(col("ts").desc, col("event_id").desc)
-    val closes = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
-        to_date(col("ts")).as("day"),
-        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
-      .withColumn("rd", row_number().over(wDay))
-      .filter(col("rd") === 1)
-      .select(col("user_id"), col("event_type"), col("day"),
-        col("v4l").as("y"))
+    val closes = dailyCloses(s, dir)
     // budget-gated pair join (PairPlan); pairs are born in-task, all
     // 2·maxLag+1 exact per-lag moment sets come out of ONE compiled
     // CcfMoments pass, and the explode is row-local
@@ -3361,16 +3360,7 @@ object SignalOps {
     val d19 = (c: Column) => c.cast("decimal(19,0)")
     def prod(x: Column, y: Column): Column =
       sum((d19(x) * d19(y)).cast("decimal(38,0)"))
-    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
-      col("day")).orderBy(col("ts").desc, col("event_id").desc)
-    val closes = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
-        to_date(col("ts")).as("day"),
-        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
-      .withColumn("rd", row_number().over(wDay))
-      .filter(col("rd") === 1)
-      .select(col("user_id"), col("event_type"), col("day"),
-        col("v4l").as("y"))
+    val closes = dailyCloses(s, dir)
     // round-13 rewrite (q94/q108/q129's posture): per-ticker
     // day-sorted close arrays, budget-gated pair join (PairPlan), the
     // compiled PairLagMoments pass — the (event_type, day) join +
@@ -3463,16 +3453,7 @@ object SignalOps {
       sum((d19(x) * d19(y)).cast("decimal(38,0)"))
     def prodIf(g: Column, x: Column, y: Column): Column =
       sum(when(g, (d19(x) * d19(y)).cast("decimal(38,0)")))
-    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
-      col("day")).orderBy(col("ts").desc, col("event_id").desc)
-    val closes = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
-        to_date(col("ts")).as("day"),
-        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("v4l"))
-      .withColumn("rd", row_number().over(wDay))
-      .filter(col("rd") === 1)
-      .select(col("user_id"), col("event_type"), col("day"),
-        col("v4l").as("y"))
+    val closes = dailyCloses(s, dir)
     // round-13 rewrite (q111's twin): budget-gated per-ticker-array
     // pair join (PairPlan) + the compiled PairLagMoments pass replace
     // the join + lag window + shuffled 20-agg groupBy; the
@@ -4767,15 +4748,7 @@ object SignalOps {
   def q129KendallTau(s: SparkSession, dir: String,
       minDays: Int = 5): DataFrame = {
     val dd = (c: Column) => c.cast("double")
-    val wDay = Window.partitionBy(col("user_id"), col("event_type"),
-      col("day")).orderBy(col("ts").desc, col("event_id").desc)
-    val closes = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
-        to_date(col("ts")).as("day"),
-        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("y"))
-      .withColumn("rd", row_number().over(wDay))
-      .filter(col("rd") === 1)
-      .select(col("user_id"), col("event_type"), col("day"), col("y"))
+    val closes = dailyCloses(s, dir)
     // budget-gated pair join (PairPlan): each task streams its ticker
     // slice against the broadcast (or bucketed) array table, so pair
     // rows are born, intersected and censused in-task by the compiled

@@ -1050,6 +1050,19 @@ object Ann {
     * node (hash exchange on node id over the n² pair rows) selects k.
     */
   def knnGraph(s: SparkSession, dir: String, k: Int = 5,
+      blockSize: Int = 128, maxExactRows: Long = 1000000L): DataFrame =
+    knnGraphEdges(s, dir, k, blockSize, maxExactRows)
+      .orderBy(col("node_id"), col("rk"))
+
+  /** s08's edge set WITHOUT the presentation sort — the composition
+    * surface (round 16): s11/s12/p15 consume the edges through their
+    * own key-partitioned groupBys/joins, so the graph's global
+    * ORDER BY is pure wasted work there (s12's localCheckpoint even
+    * MATERIALIZED it — the checkpoint cuts the plan before the
+    * optimizer could prove the sort unused). Same rows, same columns,
+    * no ordering contract.
+    */
+  private[graft] def knnGraphEdges(s: SparkSession, dir: String, k: Int = 5,
       blockSize: Int = 128, maxExactRows: Long = 1000000L): DataFrame = {
     import s.implicits._
     val v = Tables
@@ -1089,7 +1102,6 @@ object Ann {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("node_id"), col("rk"), col("nbr_id"), col("cos6"))
-      .orderBy(col("node_id"), col("rk"))
   }
 
   /** s11: LOCAL OUTLIER FACTOR (Breunig et al. 2000) over the
@@ -1116,8 +1128,12 @@ object Ann {
     * neighborhood, the join/groupBy chain is unchanged.
     */
   def s11Lof(s: SparkSession, dir: String, k: Int = 5,
-      lofFlagAt: Long = 1500000L): DataFrame = {
-    val g = knnGraph(s, dir, k)
+      lofFlagAt: Long = 1500000L, graph: Option[DataFrame] = None)
+      : DataFrame = {
+    // graph: a precomputed knnGraphEdges frame — p15 builds the
+    // n²-cosine graph ONCE and feeds both s11 and s12 (round 16: the
+    // card used to pay the block pair join twice)
+    val g = graph.getOrElse(knnGraphEdges(s, dir, k))
       .select(col("node_id"), col("nbr_id"),
         (lit(1000000L) -
           floor(col("cos6") * lit(1000000.0) + lit(0.5)).cast("long"))
@@ -1175,8 +1191,9 @@ object Ann {
     * corpus scale feed the same loop s02/s03 candidate edges.
     */
   def s12KnnPagerank(s: SparkSession, dir: String, k: Int = 5,
-      iters: Int = 5): DataFrame = {
-    val edges = knnGraph(s, dir, k)
+      iters: Int = 5, graph: Option[DataFrame] = None): DataFrame = {
+    // graph: see s11Lof — p15 shares one materialized edge set
+    val edges = graph.getOrElse(knnGraphEdges(s, dir, k))
       .select(col("node_id"), col("nbr_id"))
       .localCheckpoint()
     val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
