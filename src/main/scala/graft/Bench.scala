@@ -53,18 +53,31 @@ object Bench {
       // kernel-warm JVM. 40k synthetic pairs push the kernel statics
       // through the C2 threshold in well under a second.
       spark.range(40000).select(
-        expr("transform(sequence(0, 14), i -> struct(" +
-          "date_add(date'2020-01-01', cast(i * 2 + id % 3 as int)), " +
-          "cast((id * 37 + i * 11) % 20000 - 10000 as bigint)))").as("aa"),
-        expr("transform(sequence(0, 14), i -> struct(" +
-          "date_add(date'2020-01-01', cast(i * 2 + (id + 1) % 3 as int)), " +
-          "cast((id * 53 + i * 7) % 20000 - 10000 as bigint)))").as("ab"))
-        .select(expr("ccf_moments(aa, ab, 3)").as("c"),
-          expr("pair_lag_moments(aa, ab)").as("p"),
-          expr("kendall_census(aa, ab)").as("k"))
+        expr("transform(sequence(0, 14), i -> " +
+          "date_add(date'2020-01-01', cast(i * 2 + id % 3 as int)))")
+          .as("da"),
+        expr("transform(sequence(0, 14), i -> " +
+          "cast((id * 37 + i * 11) % 20000 - 10000 as bigint))").as("ya"),
+        expr("transform(sequence(0, 14), i -> " +
+          "date_add(date'2020-01-01', cast(i * 2 + (id + 1) % 3 as int)))")
+          .as("db"),
+        expr("transform(sequence(0, 14), i -> " +
+          "cast((id * 53 + i * 7) % 20000 - 10000 as bigint))").as("yb"))
+        .select(expr("ccf_moments(da, ya, db, yb, 3)").as("c"),
+          expr("pair_lag_moments(da, ya, db, yb)").as("p"),
+          expr("kendall_census(da, ya, db, yb)").as("k"))
         .select(explode(col("c")).as("e"), col("p"), col("k"))
         .agg(sum(col("e.n") + col("p.nf") + element_at(col("k"), 1)))
-        .count()
+        // head(), NOT count(): count() of a global aggregate is 1 row
+        // whatever the sum is, so column pruning DELETED the sum — and
+        // with it pair_lag_moments and kendall_census, whose kernels
+        // therefore entered the suite cold (round-17 PrintCompilation
+        // forensics: PairLagMoments.compute's first JIT compile
+        // happened 2 s INTO q111's timed first pass, not here; only
+        // ccf_moments survived pruning because explode's cardinality
+        // needs the array). head() forces the sum to be computed, so
+        // all three kernels really do pass the C2 threshold here.
+        .head()
       // full first-touch of the remaining bench tables: documents
       // (+ the md5/normText digest path d01 runs first alphabetically),
       // embeddings, orders, customer — so the alphabetically-early
@@ -171,6 +184,12 @@ object Bench {
           if (breakKey.contains(name))
             (_, _) => sys.error("injected bench fault")
           else fn0
+        // progress marker on STDERR only (the stdout contract stays one
+        // JSON line): lets a profiler (jstack / PrintCompilation) be
+        // correlated with the query that was running — round-17 q108
+        // forensics needed exactly this and had to guess from stacks
+        System.err.println(
+          s"[bench] ${System.currentTimeMillis()} start $name")
         val first = timeOne(fn)
         // Streaming queries carry 1-3 s of non-operator harness cost
         // (query start/stop, state-store init) that varies ~±50%
@@ -195,6 +214,7 @@ object Bench {
       .collect { case (n, fn, Right((sec, _))) if sec > 4.0 => (n, fn, sec) }
       .sortBy(-_._3).take(12)
     val retimed = retime.map { case (n, fn, firstSec) =>
+      System.err.println(s"[bench] ${System.currentTimeMillis()} retime $n")
       n -> (timeOne(fn), firstSec)
     }.toMap
     val results = firstPass.map { case (n, _, timed) =>
@@ -278,13 +298,20 @@ object Bench {
     // iteration probe, and letting it overwrite the round artifact
     // destroys the full record it exists to preserve (it did, once).
     if (only.isEmpty) try {
-      val pat = "BENCH_r(\\d+)\\.json".r
+      // Round inference (round-16 verdict item 3): the old max over
+      // BENCH_r*.json alone misnumbered the driver's SECOND run in a
+      // round (its first run writes BENCH_r{N}_full.json, the second
+      // still saw max = N-1 and collided on the same name). Take the
+      // max over EVERY BENCH_r<digits>... artifact — .json, _full.json,
+      // _c8.json alike — and allow an explicit SPARK_GRAFT_ROUND pin.
+      val pat = "BENCH_r(\\d+)[._].*".r
       val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => f.getName match {
           case pat(n) => Some(n.toInt)
           case _      => None
         })
-      val round = (if (prev.isEmpty) 0 else prev.max) + 1
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+        .getOrElse((if (prev.isEmpty) 0 else prev.max) + 1)
       val full = new java.io.PrintWriter(s"BENCH_r${round}_full.json")
       try full.println(line) finally full.close()
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -4,7 +4,7 @@ import graft.functions.{ArrayDotProduct, BpeCount, MinHashSignature,
   SimHashPack, SymbolEntropy, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions registration so graft's native expressions
   * are first-class SQL functions — `SELECT array_dot(a, b)` works in
@@ -62,27 +62,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordNgrams(children(0), n)
       }))
+    // The three pair kernels take each side as PARALLEL PRIMITIVE
+    // ARRAYS — days (array<date>, ascending, null-free) + closes
+    // (array<bigint>, null-free) — round 17's replacement for the
+    // struct-array form (see PairSeries: one UnsafeRow allocation per
+    // merged element made the merge loop the suite's top JFR frame).
+    // The r15/r16 precomputed max|y| bound arguments are gone: on
+    // primitive arrays the kernel derives its exact-long guard with a
+    // tight in-kernel scan.
     ext.injectFunction((
       new FunctionIdentifier("kendall_census"),
       new ExpressionInfo(classOf[graft.functions.KendallCensus].getName,
         "kendall_census"),
-      (children: Seq[Expression]) =>
-        graft.functions.KendallCensus(children(0), children(1))))
-    // ccf_moments(a, b, [maxA, maxB,] maxLag): maxLag is a
-    // construction parameter (the compiled loop bound), so the SQL
-    // form requires a foldable integer literal — word_ngrams'
-    // convention. The 3-arg form omits the per-side max|y| bounds;
-    // the kernel then derives its exact-long domain guard by scan
-    // (PairSeries sentinel −1). The 5-arg form is the pair-plan hot
-    // path: PairPlan precomputes the bounds per ticker, O(1)/pair.
+      (children: Seq[Expression]) => {
+        if (children.size != 4)
+          throw new IllegalArgumentException(
+            "kendall_census(days_a, closes_a, days_b, closes_b)")
+        graft.functions.KendallCensus(children(0), children(1),
+          children(2), children(3))
+      }))
+    // ccf_moments(da, ya, db, yb, maxLag): maxLag is a construction
+    // parameter (the compiled loop bound), so the SQL form requires a
+    // foldable integer literal — word_ngrams' convention.
     ext.injectFunction((
       new FunctionIdentifier("ccf_moments"),
       new ExpressionInfo(classOf[graft.functions.CcfMoments].getName,
         "ccf_moments"),
       (children: Seq[Expression]) => {
-        if (children.size != 3 && children.size != 5)
+        if (children.size != 5)
           throw new IllegalArgumentException(
-            "ccf_moments(a, b, maxLag) or ccf_moments(a, b, maxA, maxB, maxLag)")
+            "ccf_moments(days_a, closes_a, days_b, closes_b, maxLag)")
         val lagExpr = children.last
         if (!lagExpr.foldable)
           throw new IllegalArgumentException(
@@ -93,29 +102,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"ccf_moments: integer literal expected, got $other")
         }
-        val unknown = Literal(-1L)
-        if (children.size == 3)
-          graft.functions.CcfMoments(children(0), children(1),
-            unknown, unknown, maxLag)
-        else
-          graft.functions.CcfMoments(children(0), children(1),
-            children(2), children(3), maxLag)
+        graft.functions.CcfMoments(children(0), children(1),
+          children(2), children(3), maxLag)
       }))
-    // pair_lag_moments(a, b[, maxA, maxB]) — same bound convention.
     ext.injectFunction((
       new FunctionIdentifier("pair_lag_moments"),
       new ExpressionInfo(classOf[graft.functions.PairLagMoments].getName,
         "pair_lag_moments"),
       (children: Seq[Expression]) => {
-        if (children.size != 2 && children.size != 4)
+        if (children.size != 4)
           throw new IllegalArgumentException(
-            "pair_lag_moments(a, b) or pair_lag_moments(a, b, maxA, maxB)")
-        if (children.size == 2)
-          graft.functions.PairLagMoments(children(0), children(1),
-            Literal(-1L), Literal(-1L))
-        else
-          graft.functions.PairLagMoments(children(0), children(1),
-            children(2), children(3))
+            "pair_lag_moments(days_a, closes_a, days_b, closes_b)")
+        graft.functions.PairLagMoments(children(0), children(1),
+          children(2), children(3))
       }))
     // bloom_filter_agg(xxhash64(x), items, bits) / might_contain(
     // bloom, xxhash64(x)): Spark ships both expressions for its

@@ -129,13 +129,33 @@ object Decontaminate {
     val sess = train.sparkSession
     val benchEstBytes = benchGrams.queryExecution.optimizedPlan
       .stats.sizeInBytes
+    // name the offending key on a malformed value — a bare
+    // NumberFormatException at plan time pointed at nothing (ADVICE r16)
     val minBytes = sess.conf
-      .getOption(BloomMinBenchBytesKey).map(_.toLong)
+      .getOption(BloomMinBenchBytesKey).map { v =>
+        try v.toLong
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"$BloomMinBenchBytesKey must be a byte count, got '$v'", e)
+        }
+      }
       .getOrElse(BloomMinBenchBytes)
     val preFiltered =
       if (benchEstBytes <= BigInt(minBytes))
         trainGrams
       else {
+        // the two SPARK-32268 expressions resolve BY NAME and ship
+        // unregistered in vanilla Spark — GraftExtensions injects them.
+        // The gate makes the dependency scale-latent (small tests never
+        // cross it), so fail HERE with the fix spelled out instead of
+        // an unresolved-function analysis error later (ADVICE r16)
+        require(
+          sess.catalog.functionExists("might_contain") &&
+            sess.catalog.functionExists("bloom_filter_agg"),
+          "d08's Bloom pre-filter needs bloom_filter_agg/might_contain " +
+            "(Spark-internal, not SQL-registered by default): build the " +
+            "session with graft.GraftSession or add graft.GraftExtensions " +
+            "to spark.sql.extensions")
         val bf = benchGrams
           .agg(expr(s"bloom_filter_agg(xxhash64(gram), ${BloomItems}L, " +
             s"${BloomBits}L)").as("bf"))

@@ -1,41 +1,37 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** ccf_moments(a, b, maxA, maxB, maxLag) → array<struct<lag:int,
+/** ccf_moments(da, ya, db, yb, maxLag) → array<struct<lag:int,
   * n:bigint, sx, sy, sxx, syy, sxy:bigint>> — the exact per-lag
   * Pearson moment sums of q108's cross-correlogram over the COMMON
-  * days of two DAY-SORTED close series (each an
-  * `array<struct<day:date, y:long>>`, the per-ticker
-  * `sort_array(collect_list(...))` shape KendallCensus also consumes).
+  * days of two day-sorted close series, each given as PARALLEL
+  * PRIMITIVE ARRAYS (`array<date>` days ascending + `array<bigint>`
+  * closes, null-free — [[graft.operators.PairPlan]]'s collapse shape;
+  * see [[PairSeries]] for why the round-13-16 struct-array form was
+  * replaced: one UnsafeRow allocation per merged element, 47 % of
+  * q111's JFR samples).
   *
-  * One compiled pass merge-intersects the two sorted arrays by day
-  * (O(da + db)), aligning the common closes into two flat long
-  * arrays; then for every lag ℓ ∈ −maxLag..+maxLag the five moment
-  * sums run over the length-(d − |ℓ|) overlap of (ya_i, yb_{i+ℓ}) —
-  * exactly the rows the join-form plan's pair-key lead/lag window +
-  * null filter kept, so the downstream decimal num/dx/dy chain is
-  * bit-identical. Everything here is exact long arithmetic, guarded
-  * by [[PairSeries.guardPair]] BEFORE the merge: maxA/maxB are
-  * per-side max|y| bounds precomputed once per ticker in
-  * [[graft.operators.PairPlan]]'s collapse (O(1) per pair here);
-  * a negative bound means "derive by scan" — the safety of the
-  * 3-arg SQL convenience form. The merge and moment loops carry no
-  * guard work (the round-15 per-element guard branch cost q94
-  * 2.97 → 11.44 s at sf0.1 — round-15 verdict item 1). Past the
-  * bound, fall back to the join form rather than widening the
-  * accumulator.
+  * One compiled pass merge-intersects the two sorted day axes
+  * (O(da + db), primitive merge), aligning the common closes into two
+  * flat long arrays; then one full-series moment pass, and for every
+  * lag ℓ ∈ −maxLag..+maxLag the per-lag sx/sy/sxx/syy come out as the
+  * totals minus ≤|ℓ| edge terms — only the cross moment sxy keeps a
+  * per-lag product loop. The per-lag overlap rows are exactly those
+  * the old join-form plan's pair-key lead/lag window + null filter
+  * kept, so the downstream decimal num/dx/dy chain is bit-identical.
+  * Everything is exact long arithmetic behind [[PairSeries]]'s
+  * per-pair d·M² domain guard; past the bound the kernel throws and
+  * callers use the documented join-form fallback. Result rows are
+  * UnsafeRows written field-by-field — no boxed longs (the round-16
+  * GenericInternalRow form boxed 7 values per lag row).
   *
-  * Replaces: pair-day join rows → pair-key window sort → ×(2L+1)
-  * explode → shuffled groupBy (152M intermediate rows at sf0.1) with
-  * an in-task loop over broadcast-joined ticker arrays — nothing
-  * pair-sized ever shuffles. Registered as SQL `ccf_moments` —
-  * `(a, b, maxLag)` or `(a, b, maxA, maxB, maxLag)`, maxLag a
-  * required integer literal — via [[graft.GraftExtensions]].
+  * Registered as SQL `ccf_moments(da, ya, db, yb, maxLag)` (maxLag a
+  * required integer literal) via [[graft.GraftExtensions]].
   */
 case class CcfMoments(first: Expression, second: Expression,
     third: Expression, fourth: Expression, maxLag: Int)
@@ -51,28 +47,30 @@ case class CcfMoments(first: Expression, second: Expression,
     StructField("sxy", LongType, nullable = false))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(StructType(Array(f0, f1)), _) =>
-        f0.dataType == DateType && f1.dataType == LongType
+    def days(dt: DataType) = dt match {
+      case ArrayType(DateType, _) => true
       case _ => false
     }
-    if (ok(first.dataType) && ok(second.dataType) &&
-        third.dataType == LongType && fourth.dataType == LongType &&
-        maxLag >= 0)
+    def closes(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (days(first.dataType) && closes(second.dataType) &&
+        days(third.dataType) && closes(fourth.dataType) && maxLag >= 0)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"(array<struct<day:date,y:bigint>> x2, bigint x2) expected, got " +
+      s"(array<date>, array<bigint>) x2 expected, got " +
         s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
         s"${third.dataType.simpleString}, ${fourth.dataType.simpleString})")
   }
 
-  override def nullSafeEval(a: Any, b: Any, ma: Any, mb: Any): Any =
-    CcfMoments.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      ma.asInstanceOf[Long], mb.asInstanceOf[Long], maxLag)
+  override def nullSafeEval(da: Any, ya: Any, db: Any, yb: Any): Any =
+    CcfMoments.compute(da.asInstanceOf[ArrayData], ya.asInstanceOf[ArrayData],
+      db.asInstanceOf[ArrayData], yb.asInstanceOf[ArrayData], maxLag)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b, ma, mb) =>
-      s"${ev.value} = graft.functions.CcfMoments.compute($a, $b, $ma, $mb, $maxLag);")
+    nullSafeCodeGen(ctx, ev, (da, ya, db, yb) =>
+      s"${ev.value} = graft.functions.CcfMoments.compute($da, $ya, $db, $yb, $maxLag);")
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression,
@@ -82,62 +80,80 @@ case class CcfMoments(first: Expression, second: Expression,
 }
 
 object CcfMoments {
-  /** Shared by eval and codegen. Inputs MUST be day-sorted. Null
-    * day/y elements are skipped and the exact-long product-sum domain
-    * is enforced in O(1) before the merge — see [[PairSeries]].
-    * maxA/maxB: per-side max|y| bounds (negative ⇒ derive by scan).
+  private val Fields = 7
+  private val RowBytes = UnsafeRow.calculateBitSetWidthInBytes(Fields) +
+    Fields * 8
+
+  private def lagRow(l: Int, n: Long, sx: Long, sy: Long, sxx: Long,
+      syy: Long, sxy: Long): UnsafeRow = {
+    val row = new UnsafeRow(Fields)
+    row.pointTo(new Array[Byte](RowBytes), RowBytes)
+    row.setInt(0, l)
+    row.setLong(1, n)
+    row.setLong(2, sx)
+    row.setLong(3, sy)
+    row.setLong(4, sxx)
+    row.setLong(5, syy)
+    row.setLong(6, sxy)
+    row
+  }
+
+  /** Shared by eval and codegen. Day arrays MUST be ascending; all
+    * four arrays null-free ([[PairSeries]] throws loudly otherwise).
+    * The exact-long product-sum domain is guarded per pair before any
+    * accumulation.
     */
-  def compute(xa: ArrayData, xb: ArrayData, maxA: Long, maxB: Long,
-      maxLag: Int): ArrayData = {
-    PairSeries.guardPair(xa, xb, maxA, maxB)
-    val cap = math.min(xa.numElements(), xb.numElements())
-    val ya = new Array[Long](cap)
-    val yb = new Array[Long](cap)
-    val d = PairSeries.intersect(xa, xb, ya, yb)
+  def compute(xda: ArrayData, xya: ArrayData, xdb: ArrayData,
+      xyb: ArrayData, maxLag: Int): ArrayData = {
+    val da = PairSeries.dayArray(xda)
+    val ya = PairSeries.closeArray(xya, da)
+    val db = PairSeries.dayArray(xdb)
+    val yb = PairSeries.closeArray(xyb, db)
+    PairSeries.guardPair(ya, yb)
+    val cap = math.min(da.length, db.length)
+    val oa = new Array[Long](cap)
+    val ob = new Array[Long](cap)
+    val d = PairSeries.intersect(da, ya, db, yb, oa, ob)
     // One pass of FULL-series moments: lag ℓ only trims the window's
-    // edges, so each lag's sx/sxx (over ya[lo, hi)) and sy/syy (over
-    // yb[lo+ℓ, hi+ℓ)) is the total minus at most |ℓ| head/tail terms
+    // edges, so each lag's sx/sxx (over oa[lo, hi)) and sy/syy (over
+    // ob[lo+ℓ, hi+ℓ)) is the total minus at most |ℓ| head/tail terms
     // — only the cross moment sxy still needs its per-lag product
-    // loop. 1 multiply + 1 add per element per lag instead of 5 of
-    // each (round-16, guide §1.2 "per-task work": the five pair
-    // analytics share this kernel-bound stage). Every partial here is
+    // loop (round-16, guide §1.2 per-task work). Every partial here is
     // a sub-sum of the guarded d·M² domain, so the subtractions stay
     // exact; the emitted sums are the same integers as the one-loop
     // form's, term for term.
     var tx = 0L; var ty = 0L; var txx = 0L; var tyy = 0L
     var i = 0
     while (i < d) {
-      val x = ya(i); val y = yb(i)
+      val x = oa(i); val y = ob(i)
       tx += x; ty += y; txx += x * x; tyy += y * y
       i += 1
     }
     val out = new Array[Any](2 * maxLag + 1)
     var l = -maxLag
     while (l <= maxLag) {
-      // overlap of (ya_i, yb_{i+l}) within [0, d): i in [lo, hi)
+      // overlap of (oa_i, ob_{i+l}) within [0, d): i in [lo, hi)
       val lo = math.max(0, -l)
       val hi = d - math.max(0, l)
       if (hi <= lo) {
         // fewer common days than |l|: the old loop ran zero times
-        out(l + maxLag) = new GenericInternalRow(
-          Array[Any](l, 0L, 0L, 0L, 0L, 0L, 0L))
+        out(l + maxLag) = lagRow(l, 0L, 0L, 0L, 0L, 0L, 0L)
       } else {
         var sx = tx; var sxx = txx
         var j = 0
-        while (j < lo) { val x = ya(j); sx -= x; sxx -= x * x; j += 1 }
+        while (j < lo) { val x = oa(j); sx -= x; sxx -= x * x; j += 1 }
         j = hi
-        while (j < d) { val x = ya(j); sx -= x; sxx -= x * x; j += 1 }
+        while (j < d) { val x = oa(j); sx -= x; sxx -= x * x; j += 1 }
         var sy = ty; var syy = tyy
         val ylo = lo + l // = max(l, 0); y's window is [lo+l, hi+l)
         j = 0
-        while (j < ylo) { val y = yb(j); sy -= y; syy -= y * y; j += 1 }
+        while (j < ylo) { val y = ob(j); sy -= y; syy -= y * y; j += 1 }
         j = hi + l // = d + min(l, 0)
-        while (j < d) { val y = yb(j); sy -= y; syy -= y * y; j += 1 }
+        while (j < d) { val y = ob(j); sy -= y; syy -= y * y; j += 1 }
         var sxy = 0L
         var p = lo
-        while (p < hi) { sxy += ya(p) * yb(p + l); p += 1 }
-        out(l + maxLag) = new GenericInternalRow(
-          Array[Any](l, (hi - lo).toLong, sx, sy, sxx, syy, sxy))
+        while (p < hi) { sxy += oa(p) * ob(p + l); p += 1 }
+        out(l + maxLag) = lagRow(l, (hi - lo).toLong, sx, sy, sxx, syy, sxy)
       }
       l += 1
     }

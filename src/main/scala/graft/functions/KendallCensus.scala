@@ -1,71 +1,88 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** kendall_census(a, b) → array<long>[n_days, concordant, discordant,
-  * ties_a, ties_b] — the exact Kendall pair census over the common
-  * days of two DAY-SORTED close series, each an
-  * `array<struct<day:date, y:long>>` (the per-ticker shape
-  * `sort_array(collect_list(struct(day, y)))` produces).
+/** kendall_census(da, ya, db, yb) → array<long>[n_days, concordant,
+  * discordant, ties_a, ties_b] — the exact Kendall pair census over
+  * the common days of two day-sorted close series, each given as
+  * PARALLEL PRIMITIVE ARRAYS (`array<date>` days ascending +
+  * `array<bigint>` closes, null-free —
+  * [[graft.operators.PairPlan]]'s collapse shape; see [[PairSeries]]
+  * for why the struct-array form was replaced).
   *
-  * One compiled pass merge-intersects the two sorted arrays by day
-  * (O(da + db) — the sorted precondition is what makes this linear),
-  * then censuses the d common closes: for every i < j, concordant /
-  * discordant by SIGN COMPARISON (no Δya·Δyb product, so no overflow
-  * value-domain bound at any close magnitude), ties in a / ties in b
-  * counted separately (the τ-b correction terms). The census loop is
-  * O(d²) integer compares on calendar-bounded d (≈ tens; a decade of
-  * trading days is ~6·10⁶ compares, microseconds compiled) — at that
-  * bound a compiled d²/2 loop beats a merge-sort inversion count's
-  * constant factors and stays allocation-free, which is the entire
-  * point versus the interpreted higher-order-function form (~50×
-  * slower: one closure dispatch + boxed struct per comparison).
+  * One compiled pass merge-intersects the two sorted day axes
+  * (O(da + db), pure primitive merge), then censuses the d common
+  * closes: for every i < j, concordant / discordant by SIGN
+  * COMPARISON (no Δya·Δyb product, so no overflow value-domain bound
+  * at any close magnitude), ties in a / ties in b counted separately
+  * (the τ-b correction terms). The census loop is O(d²) integer
+  * compares on calendar-bounded d (≈ tens; a decade of trading days
+  * is ~6·10⁶ compares, microseconds compiled) — at that bound a
+  * compiled d²/2 loop beats a merge-sort inversion count's constant
+  * factors and stays allocation-free.
   *
   * Registered as SQL `kendall_census` via [[graft.GraftExtensions]].
   */
-case class KendallCensus(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class KendallCensus(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(StructType(Array(f0, f1)), _) =>
-        f0.dataType == DateType && f1.dataType == LongType
+    def days(dt: DataType) = dt match {
+      case ArrayType(DateType, _) => true
       case _ => false
     }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    def closes(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (days(first.dataType) && closes(second.dataType) &&
+        days(third.dataType) && closes(fourth.dataType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"array<struct<day:date,y:bigint>> expected, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+      s"(array<date>, array<bigint>) x2 expected, got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString}, ${fourth.dataType.simpleString})")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    KendallCensus.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(da: Any, ya: Any, db: Any, yb: Any): Any =
+    KendallCensus.compute(da.asInstanceOf[ArrayData],
+      ya.asInstanceOf[ArrayData], db.asInstanceOf[ArrayData],
+      yb.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.KendallCensus.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (da, ya, db, yb) =>
+      s"${ev.value} = graft.functions.KendallCensus.compute($da, $ya, $db, $yb);")
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): KendallCensus =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): KendallCensus =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }
 
 object KendallCensus {
-  /** Shared by eval and codegen. Inputs MUST be day-sorted. Null
-    * day/y elements are skipped ([[PairSeries]]); sign comparison has
-    * no product-overflow domain, so the intersect runs unguarded.
+  /** Shared by eval and codegen. Day arrays MUST be ascending; all
+    * four arrays null-free ([[PairSeries]] throws loudly otherwise).
+    * Sign comparison has no product-overflow domain, so the intersect
+    * runs unguarded.
     */
-  def compute(xa: ArrayData, xb: ArrayData): ArrayData = {
-    val cap = math.min(xa.numElements(), xb.numElements())
-    val ya = new Array[Long](cap)
-    val yb = new Array[Long](cap)
-    val d = PairSeries.intersect(xa, xb, ya, yb)
+  def compute(xda: ArrayData, xya: ArrayData, xdb: ArrayData,
+      xyb: ArrayData): ArrayData = {
+    val da = PairSeries.dayArray(xda)
+    val ya = PairSeries.closeArray(xya, da)
+    val db = PairSeries.dayArray(xdb)
+    val yb = PairSeries.closeArray(xyb, db)
+    val cap = math.min(da.length, db.length)
+    val oa = new Array[Long](cap)
+    val ob = new Array[Long](cap)
+    val d = PairSeries.intersect(da, ya, db, yb, oa, ob)
     var c = 0L
     var dis = 0L
     var t1 = 0L
@@ -74,8 +91,8 @@ object KendallCensus {
     while (p < d) {
       var q = p + 1
       while (q < d) {
-        val sa = java.lang.Long.compare(ya(p), ya(q))
-        val sb = java.lang.Long.compare(yb(p), yb(q))
+        val sa = java.lang.Long.compare(oa(p), oa(q))
+        val sb = java.lang.Long.compare(ob(p), ob(q))
         if (sa == 0) t1 += 1
         if (sb == 0) t2 += 1
         if (sa != 0 && sb != 0) {
@@ -85,6 +102,6 @@ object KendallCensus {
       }
       p += 1
     }
-    new GenericArrayData(Array(d.toLong, c, dis, t1, t2))
+    UnsafeArrayData.fromPrimitiveArray(Array(d.toLong, c, dis, t1, t2))
   }
 }

@@ -2,20 +2,19 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** pair_lag_moments(a, b, maxA, maxB) → struct of the twenty exact
+/** pair_lag_moments(da, ya, db, yb) → struct of the twenty exact
   * moment sums q111 (Granger) and q112 (Engle–Granger) consume over a
   * ticker pair's common-day close sequence — the lag-conditioned
-  * sibling of [[CcfMoments]], same day-sorted
-  * `array<struct<day:date, y:long>>` inputs, same one-pass merge
-  * intersection, same O(1) pre-merge domain guard
-  * ([[PairSeries.guardPair]]; maxA/maxB are per-ticker max|y| bounds
-  * from [[graft.operators.PairPlan]]'s collapse, negative ⇒ derive
-  * by scan — the 2-arg SQL convenience form).
+  * sibling of [[CcfMoments]], same parallel-primitive-array inputs
+  * (`array<date>` days ascending + `array<bigint>` closes, null-free —
+  * [[graft.operators.PairPlan]]'s collapse shape), same one-pass
+  * primitive merge intersection, same per-pair exact-long domain
+  * guard ([[PairSeries]]).
   *
   * Field contract (x = A's close, y = B's close, aligned on common
   * days; "lag rows" are indices i ≥ 1, pairing (x_i, y_i) with the
@@ -31,8 +30,11 @@ import org.apache.spark.sql.types._
   *   saa1, sbb1, sab1, sba1          — Σx·x₋, Σy·y₋, Σx·y₋, Σy·x₋
   * All exact long arithmetic; the consumers cast product sums to
   * decimal(38,0) so their downstream chains — and the join-form
-  * ORACLES — are unchanged. Registered as SQL `pair_lag_moments`
-  * (2- or 4-arg) via [[graft.GraftExtensions]].
+  * ORACLES — are unchanged. The result row is ONE UnsafeRow written
+  * field-by-field: the round-16 `InternalRow(...)` varargs form built
+  * a Seq, boxed all twenty longs and `toArray`-copied it per pair —
+  * 24 % of q111's JFR samples. Registered as SQL `pair_lag_moments`
+  * via [[graft.GraftExtensions]].
   */
 case class PairLagMoments(first: Expression, second: Expression,
     third: Expression, fourth: Expression)
@@ -42,27 +44,31 @@ case class PairLagMoments(first: Expression, second: Expression,
     PairLagMoments.fields.map(f => StructField(f, LongType, nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(StructType(Array(f0, f1)), _) =>
-        f0.dataType == DateType && f1.dataType == LongType
+    def days(dt: DataType) = dt match {
+      case ArrayType(DateType, _) => true
       case _ => false
     }
-    if (ok(first.dataType) && ok(second.dataType) &&
-        third.dataType == LongType && fourth.dataType == LongType)
+    def closes(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (days(first.dataType) && closes(second.dataType) &&
+        days(third.dataType) && closes(fourth.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"(array<struct<day:date,y:bigint>> x2, bigint x2) expected, got " +
+      s"(array<date>, array<bigint>) x2 expected, got " +
         s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
         s"${third.dataType.simpleString}, ${fourth.dataType.simpleString})")
   }
 
-  override def nullSafeEval(a: Any, b: Any, ma: Any, mb: Any): Any =
-    PairLagMoments.compute(a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData], ma.asInstanceOf[Long], mb.asInstanceOf[Long])
+  override def nullSafeEval(da: Any, ya: Any, db: Any, yb: Any): Any =
+    PairLagMoments.compute(da.asInstanceOf[ArrayData],
+      ya.asInstanceOf[ArrayData], db.asInstanceOf[ArrayData],
+      yb.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b, ma, mb) =>
-      s"${ev.value} = graft.functions.PairLagMoments.compute($a, $b, $ma, $mb);")
+    nullSafeCodeGen(ctx, ev, (da, ya, db, yb) =>
+      s"${ev.value} = graft.functions.PairLagMoments.compute($da, $ya, $db, $yb);")
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression,
@@ -78,22 +84,30 @@ object PairLagMoments {
     "saa", "sbb", "sab", "sa1a1", "sb1b1", "sa1b1",
     "saa1", "sbb1", "sab1", "sba1")
 
-  /** Shared by eval and codegen. Inputs MUST be day-sorted. Null
-    * day/y elements are skipped and the exact-long product-sum domain
-    * is enforced in O(1) before the merge — see [[PairSeries]].
-    * maxA/maxB: per-side max|y| bounds (negative ⇒ derive by scan).
+  private val NumFields = fields.size
+  private val RowBytes = UnsafeRow.calculateBitSetWidthInBytes(NumFields) +
+    NumFields * 8
+
+  /** Shared by eval and codegen. Day arrays MUST be ascending; all
+    * four arrays null-free ([[PairSeries]] throws loudly otherwise).
+    * The exact-long product-sum domain is guarded per pair before any
+    * accumulation.
     */
-  def compute(xa: ArrayData, xb: ArrayData, maxA: Long,
-      maxB: Long): InternalRow = {
-    PairSeries.guardPair(xa, xb, maxA, maxB)
-    val cap = math.min(xa.numElements(), xb.numElements())
-    val ya = new Array[Long](cap)
-    val yb = new Array[Long](cap)
-    val d = PairSeries.intersect(xa, xb, ya, yb)
+  def compute(xda: ArrayData, xya: ArrayData, xdb: ArrayData,
+      xyb: ArrayData): InternalRow = {
+    val da = PairSeries.dayArray(xda)
+    val ya = PairSeries.closeArray(xya, da)
+    val db = PairSeries.dayArray(xdb)
+    val yb = PairSeries.closeArray(xyb, db)
+    PairSeries.guardPair(ya, yb)
+    val cap = math.min(da.length, db.length)
+    val oa = new Array[Long](cap)
+    val ob = new Array[Long](cap)
+    val d = PairSeries.intersect(da, ya, db, yb, oa, ob)
     var ua = 0L; var ub = 0L; var uaa = 0L; var uab = 0L
     var p = 0
     while (p < d) {
-      val x = ya(p); val y = yb(p)
+      val x = oa(p); val y = ob(p)
       ua += x; ub += y; uaa += x * x; uab += x * y
       p += 1
     }
@@ -103,18 +117,36 @@ object PairLagMoments {
     var saa1 = 0L; var sbb1 = 0L; var sab1 = 0L; var sba1 = 0L
     p = 1
     while (p < d) {
-      val x = ya(p); val y = yb(p)
-      val x1 = ya(p - 1); val y1 = yb(p - 1)
+      val x = oa(p); val y = ob(p)
+      val x1 = oa(p - 1); val y1 = ob(p - 1)
       sya += x; syb += y; sya1 += x1; syb1 += y1
       saa += x * x; sbb += y * y; sab += x * y
       sa1a1 += x1 * x1; sb1b1 += y1 * y1; sa1b1 += x1 * y1
       saa1 += x * x1; sbb1 += y * y1; sab1 += x * y1; sba1 += y * x1
       p += 1
     }
-    InternalRow(
-      d.toLong, ua, ub, uaa, uab,
-      math.max(0, d - 1).toLong, sya, syb, sya1, syb1,
-      saa, sbb, sab, sa1a1, sb1b1, sa1b1,
-      saa1, sbb1, sab1, sba1)
+    val row = new UnsafeRow(NumFields)
+    row.pointTo(new Array[Byte](RowBytes), RowBytes)
+    row.setLong(0, d.toLong)
+    row.setLong(1, ua)
+    row.setLong(2, ub)
+    row.setLong(3, uaa)
+    row.setLong(4, uab)
+    row.setLong(5, math.max(0, d - 1).toLong)
+    row.setLong(6, sya)
+    row.setLong(7, syb)
+    row.setLong(8, sya1)
+    row.setLong(9, syb1)
+    row.setLong(10, saa)
+    row.setLong(11, sbb)
+    row.setLong(12, sab)
+    row.setLong(13, sa1a1)
+    row.setLong(14, sb1b1)
+    row.setLong(15, sa1b1)
+    row.setLong(16, saa1)
+    row.setLong(17, sbb1)
+    row.setLong(18, sab1)
+    row.setLong(19, sba1)
+    row
   }
 }

@@ -2,51 +2,51 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.util.ArrayData
 
-/** Shared merge-intersect for the compiled pair kernels
-  * ([[KendallCensus]], [[CcfMoments]], [[PairLagMoments]]): aligns two
-  * DAY-SORTED `array<struct<day:date, y:long>>` series on their common
-  * days in one O(da + db) pass.
+/** Shared primitive-array core of the compiled pair kernels
+  * ([[KendallCensus]], [[CcfMoments]], [[PairLagMoments]]).
   *
-  * Null semantics: `collect_list` drops null STRUCTS but keeps structs
-  * whose FIELDS are null, so a null source close arrives here as a
-  * non-null element with a null `y`. The join-form aggregate plans
-  * these kernels replaced (sum/count over nullable columns) ignored
-  * such rows; parity demands the same here, so elements with a null
-  * day or null y are skipped, never read as 0.
+  * Round-17 layout: each side of a pair arrives as TWO PARALLEL
+  * PRIMITIVE ARRAYS — `array<date>` days (ascending, distinct) and
+  * `array<bigint>` closes — instead of round 13-16's single
+  * `array<struct<day, y>>`. The struct form made the merge-intersect
+  * pay one `ArrayData.getStruct` per element, and on the
+  * `UnsafeArrayData` hot path every such call ALLOCATES an UnsafeRow
+  * wrapper: JFR over the round-16 suite showed `PairSeries.intersect`
+  * alone at 47 % of q111's samples, ~3 allocations per merged element
+  * × ~22 elements × 5.6M pairs × 5 queries — hundreds of millions of
+  * allocations per suite, the memory-bound hot path behind the pair
+  * family's 32-core anti-scaling. The parallel-array form converts
+  * each side with ONE bulk `toIntArray`/`toLongArray` copy
+  * (`Platform.copyMemory` on the unsafe path) and merges pure
+  * primitives — no per-element wrapper, no virtual dispatch in the
+  * loop.
+  *
+  * Null contract: the arrays must be NULL-FREE and equal-length per
+  * side. [[graft.operators.PairPlan]] guarantees it (its collapse
+  * filters null day/close rows — exactly the rows the join-form
+  * aggregates these kernels replaced ignored, so parity is preserved
+  * one step earlier). A foreign SQL caller violating it gets a LOUD
+  * `IllegalArgumentException` from [[dayArray]]/[[closeArray]], never
+  * a silently-zeroed element.
   *
   * Exact-long domain guard: the product-sum kernels (CcfMoments,
   * PairLagMoments) accumulate Σx², Σxy in signed 64-bit longs; every
   * accumulator is a sum of ≤ d terms, each a product of two aligned
-  * values, so |sum| ≤ d · M² with M a bound on |y| over the merged
-  * rows. Round 15 tracked M INSIDE the merge loop (two abs + two
-  * compares per matched element, three BigInt allocations per pair) —
-  * the round-15 verdict's isolated A/B measured that branch costing
-  * q94 2.97 → 11.44 s at sf0.1. The guard is now O(1) per pair and
-  * runs BEFORE the merge ([[checkBound]]): callers pass per-side
-  * bounds maxA, maxB ≥ max|y| of each array — precomputed once per
-  * TICKER in [[graft.operators.PairPlan]]'s collapse aggregate, so
-  * the hot path pays two longs of plumbing and one 128-bit compare
-  * per pair — and the check is d_cap · M² > 2⁶³−1 with
-  * d_cap = min(na, nb) ≥ d common days and M = max(maxA, maxB).
-  * Conservative bound ≥ the actual d · max|y_common|² bound, still
-  * far above the reference domain (900 days at the full 1e-4 close
-  * grid: 900 · 1e16 = 9.0e18 < 9.22e18 passes), and ADVICE r14's
-  * case (1000 days at |y| ≤ 1e6, d·M² = 1e15) computes. A violation
-  * throws `ArithmeticException` — a LOUD degrade in place of a
-  * silently wrapped sum (the q132 maxExactN posture); callers past
-  * the bound use the documented join-form fallback
-  * ([[graft.operators.PairPlan]]). A NEGATIVE maxA/maxB is the
-  * "unknown" sentinel: the kernel derives the bound itself with one
-  * tight scan per array ([[maxAbsY]]) — still outside the merge
-  * loop — so the 2/3-arg SQL forms stay safe without precomputed
-  * bounds. KendallCensus compares signs only (no products), so it
-  * intersects unguarded.
-  *
-  * Trust contract: a caller-supplied NON-NEGATIVE maxA/maxB is taken
-  * as truth; passing a bound smaller than the array's true max|y|
-  * re-opens silent wraparound. PairPlan derives it as
-  * `max(abs(y))` over exactly the rows the collapse aggregates, so
-  * the pair plans cannot violate it.
+  * values, so |sum| ≤ d · M² with M = max|y| over both sides. The
+  * guard is [[checkBound]] — d_cap · M² > 2⁶³−1 in exact 128-bit
+  * arithmetic (`Math.multiplyHigh`), with d_cap = min(na, nb) and M
+  * from one tight [[maxAbs]] scan per primitive array (outside the
+  * merge loop; the round-15/16 precomputed per-ticker bound columns
+  * are gone — on primitive arrays the scan costs ~d compares, which
+  * profiling can no longer distinguish from the plumbing that carried
+  * the bounds). Still conservative ≥ the actual d · max|y_common|²,
+  * still passing the reference domain (900 days at the full 1e-4
+  * close grid: 900 · 1e16 < 2⁶³−1) and ADVICE r14's 1000-day |y| ≤ 1e6
+  * case. A violation throws `ArithmeticException` — a LOUD degrade in
+  * place of a silently wrapped sum; callers past the bound use the
+  * documented join-form fallback ([[graft.operators.PairPlan]]).
+  * KendallCensus compares signs only (no products), so it intersects
+  * unguarded.
   */
 object PairSeries {
   /** Reference domain: common days per pair that stay exact at the
@@ -60,24 +60,49 @@ object PairSeries {
     */
   val MaxAbsY = 100000000L
 
-  /** max |y| over the array's non-null elements (0 for none);
-    * `abs(Long.MinValue)` maps to Long.MaxValue — its square
-    * overflows regardless, so the guard fires. One tight scan, used
-    * only on the sentinel (no precomputed bound) path.
+  private def rejectNulls(a: ArrayData, what: String): Unit = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"pair kernel $what array has a null element at $i: the " +
+            "day/close arrays must be null-free (PairPlan's collapse " +
+            "filters null rows; see PairSeries)")
+      i += 1
+    }
+  }
+
+  /** Day axis as a primitive int[] (DateType's physical form). One
+    * null-check pass (cheap bit tests), one bulk copy.
     */
-  def maxAbsY(xa: ArrayData): Long = {
-    val n = xa.numElements()
+  def dayArray(a: ArrayData): Array[Int] = {
+    rejectNulls(a, "day")
+    a.toIntArray()
+  }
+
+  /** Close axis as a primitive long[]. */
+  def closeArray(a: ArrayData, days: Array[Int]): Array[Long] = {
+    rejectNulls(a, "close")
+    val ys = a.toLongArray()
+    if (ys.length != days.length)
+      throw new IllegalArgumentException(
+        s"pair kernel day/close arrays differ in length: " +
+          s"${days.length} days vs ${ys.length} closes")
+    ys
+  }
+
+  /** max |y| over a primitive close array (0 for empty);
+    * `abs(Long.MinValue)` maps to Long.MaxValue — its square
+    * overflows regardless, so the guard fires.
+    */
+  def maxAbs(ys: Array[Long]): Long = {
     var i = 0
     var m = 0L
-    while (i < n) {
-      if (!xa.isNullAt(i)) {
-        val r = xa.getStruct(i, 2)
-        if (!r.isNullAt(0) && !r.isNullAt(1)) {
-          val y = r.getLong(1)
-          val a = if (y == Long.MinValue) Long.MaxValue else math.abs(y)
-          if (a > m) m = a
-        }
-      }
+    while (i < ys.length) {
+      val y = ys(i)
+      val a = if (y == Long.MinValue) Long.MaxValue else math.abs(y)
+      if (a > m) m = a
       i += 1
     }
     m
@@ -104,49 +129,35 @@ object PairSeries {
           "fallback (PairSeries scaladoc)")
   }
 
-  /** Applies [[checkBound]] with the caller's per-side bounds,
-    * deriving any negative (sentinel) side via [[maxAbsY]]. dCap is
-    * min(na, nb) — an upper bound on the common-day count without
-    * merging.
+  /** [[checkBound]] over the two decoded sides: dCap = min(na, nb)
+    * (an upper bound on the common-day count without merging), M from
+    * one tight scan per side.
     */
-  def guardPair(xa: ArrayData, xb: ArrayData, maxA: Long, maxB: Long): Unit = {
-    val ma = if (maxA < 0L) maxAbsY(xa) else maxA
-    val mb = if (maxB < 0L) maxAbsY(xb) else maxB
-    checkBound(math.min(xa.numElements(), xb.numElements()).toLong,
-      math.max(ma, mb))
-  }
+  def guardPair(ya: Array[Long], yb: Array[Long]): Unit =
+    checkBound(math.min(ya.length, yb.length).toLong,
+      math.max(maxAbs(ya), maxAbs(yb)))
 
-  /** Fills ya/yb (caller-sized to min(na, nb)) with the aligned common
-    * closes and returns their count d. Inputs MUST be day-sorted.
-    * No domain guard here — product-sum callers run [[guardPair]]
-    * first; the merge loop carries no other work.
+  /** Fills oa/ob (caller-sized to min(na, nb)) with the aligned common
+    * closes and returns their count d. Day arrays MUST be ascending.
+    * Pure primitive merge — no allocation, no dispatch.
     */
-  def intersect(xa: ArrayData, xb: ArrayData,
-      ya: Array[Long], yb: Array[Long]): Int = {
-    val na = xa.numElements()
-    val nb = xb.numElements()
+  def intersect(da: Array[Int], ya: Array[Long],
+      db: Array[Int], yb: Array[Long],
+      oa: Array[Long], ob: Array[Long]): Int = {
+    val na = da.length
+    val nb = db.length
     var i = 0
     var j = 0
     var d = 0
     while (i < na && j < nb) {
-      if (xa.isNullAt(i)) i += 1
-      else if (xb.isNullAt(j)) j += 1
+      val x = da(i)
+      val y = db(j)
+      if (x < y) i += 1
+      else if (y < x) j += 1
       else {
-        val ra = xa.getStruct(i, 2)
-        val rb = xb.getStruct(j, 2)
-        if (ra.isNullAt(0) || ra.isNullAt(1)) i += 1
-        else if (rb.isNullAt(0) || rb.isNullAt(1)) j += 1
-        else {
-          val da = ra.getInt(0)
-          val db = rb.getInt(0)
-          if (da < db) i += 1
-          else if (db < da) j += 1
-          else {
-            ya(d) = ra.getLong(1)
-            yb(d) = rb.getLong(1)
-            d += 1; i += 1; j += 1
-          }
-        }
+        oa(d) = ya(i)
+        ob(d) = yb(j)
+        d += 1; i += 1; j += 1
       }
     }
     d

@@ -483,8 +483,10 @@ object CorpusPipeline {
     // localCheckpoint materializes k·n edge rows once; both consumers
     // reuse the checkpointed blocks, and the integer edge set — hence
     // every published hash — is unchanged.
-    val graph = graft.similarity.Ann.knnGraphEdges(s, dir)
-      .localCheckpoint()
+    // Materialize.cut = localCheckpoint by default; conf-gated to a
+    // reliable checkpoint for cluster runs (r16 verdict item 7 — an
+    // executor loss must recompute, not kill, the card at scale)
+    val graph = Materialize.cut(graft.similarity.Ann.knnGraphEdges(s, dir))
     val lof = graft.similarity.Ann.s11Lof(s, dir, graph = Some(graph))
       .select(col("vec_id"), col("outlier_flag"))
     val pr = graft.similarity.Ann.s12KnnPagerank(s, dir,

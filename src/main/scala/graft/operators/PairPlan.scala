@@ -10,25 +10,48 @@ import org.apache.spark.sql.functions._
   * q112 cointegration, q129 Kendall τ-b) — and the code-enforced
   * budget gate their round-13 docstrings only documented.
   *
-  * Shape: each ticker collapses to ONE day-sorted close array
-  * (`sort_array(collect_list(struct(day, y)))`, catalog-sized) plus
-  * its max|y| bound (`max(abs(y))` — the O(1)-per-pair input of the
-  * product-sum kernels' exact-long domain guard, round-15 verdict
-  * item 1), and unordered pairs are born IN-TASK from an equi-join
-  * on event_type — the compiled pair kernels
-  * ([[graft.functions.KendallCensus]], [[graft.functions.CcfMoments]],
-  * [[graft.functions.PairLagMoments]]) then merge-intersect the two
-  * arrays per pair. Nothing pair-sized or print-volume-sized ever
-  * shuffles; only the d close rows per ticker cross the wire once,
-  * in the collapse. Output columns: (event_type, user_a, user_b,
-  * aa, ab, ma, mb) — ma/mb feed the kernels' 4/5-arg SQL forms.
+  * Shape (round 17): each ticker collapses to TWO PARALLEL PRIMITIVE
+  * ARRAYS — its ascending common-calendar day axis (`array<date>`)
+  * and the matching closes (`array<bigint>`), both null-free — plus
+  * nothing else: the round-15/16 per-ticker max|y| bound column is
+  * gone (the kernels re-derive their exact-long guard with a tight
+  * primitive scan; see [[graft.functions.PairSeries]]). Unordered
+  * pairs are born IN-TASK from an equi-join on event_type — the
+  * compiled pair kernels ([[graft.functions.KendallCensus]],
+  * [[graft.functions.CcfMoments]], [[graft.functions.PairLagMoments]])
+  * then merge-intersect the two day axes per pair as pure primitive
+  * arrays. Round 13-16 carried ONE `array<struct<day, y>>` per ticker
+  * instead; every merged element then paid an `ArrayData.getStruct`
+  * (an UnsafeRow ALLOCATION on the cached/unsafe path) — JFR over the
+  * round-16 suite put that merge loop at 47 % of q111's samples and
+  * behind the pair family's 32-core anti-scaling. Nothing pair-sized
+  * or print-volume-sized ever shuffles; only the d close rows per
+  * ticker cross the wire once, in the collapse. Output columns:
+  * (event_type, user_a, user_b, ad_a, ay_a, ad_b, ay_b).
+  *
+  * Null parity: the collapse filters null-day rows and null closes
+  * BEFORE collecting — exactly the rows the join-form aggregates the
+  * kernels replaced ignored (and the rows the round-16 kernels
+  * skipped inside the merge), so every downstream moment is the same
+  * integer.
+  *
+  * Parallelism (round 17): the probe side is explicitly repartitioned
+  * to the context's default parallelism before the pair join. Without
+  * it, AQE correctly coalesces the collapse's few-MB shuffle output
+  * to ~1 partition — right for the exchange, WRONG for the join
+  * stage fused on top of it, whose per-row cost is a whole broadcast
+  * probe × kernel pass (catalog-quadratic work funneled through a
+  * handful of tasks: JFR showed only ~5 of 32 cores busy through
+  * q111's kernel burst). The exchange moves only the catalog-sized
+  * array table (~tickers × avg-days × 12 B), and the count scales
+  * with the context instead of being a local[32] constant.
   *
   * The gate: the fast path BROADCASTS the array table, which is only
   * safe while it fits an executor — tickers × avg-days × 12 B
-  * (struct<date:int, y:long> payload) plus per-row overhead, ~100 MB
-  * at 750k tickers × a month of days. The helper MEASURES that size
-  * (one count/sum over the cached catalog-sized table — not a guess
-  * from stats) and, past [[BroadcastBudgetBytes]], switches to the
+  * (int day + long close) plus per-row overhead, ~100 MB at 750k
+  * tickers × a month of days. The helper MEASURES that size (one
+  * count/sum over the cached catalog-sized table — not a guess from
+  * stats) and, past [[BroadcastBudgetBytes]], switches to the
   * bucketed ticker-pair join: the build side is hash-bucketed on
   * user_b into ⌈size/budget⌉ buckets, the probe side replicates
   * row-locally across buckets (an explode, no extra exchange of the
@@ -78,11 +101,9 @@ object PairPlan {
     */
   val MaxBuckets = 4096
 
-  /** Bytes per close element: struct<date:int(4), y:long(8)>. */
+  /** Bytes per close element: date int(4) + close long(8). */
   private val BytesPerDay = 12L
-  /** Per-ticker row overhead: keys + array header + the max|y|
-    * bound column, rounded up.
-    */
+  /** Per-ticker row overhead: keys + two array headers, rounded up. */
   private val BytesPerTicker = 72L
 
   /** Per-call plan tag — makes each collapse plan canonically unique
@@ -93,16 +114,25 @@ object PairPlan {
 
   /** `closes`: (user_id, event_type, day, y) — one row per ticker-day.
     * Returns the unordered-pair frame (event_type, user_a, user_b,
-    * aa, ab, ma, mb) with aa/ab the two day-sorted close arrays and
-    * ma/mb their max|y| bounds, ready for a compiled pair kernel.
+    * ad_a, ay_a, ad_b, ay_b) with ad/ay the day-sorted primitive
+    * day/close arrays of each side, ready for a compiled pair kernel.
     */
   def tickerPairs(s: SparkSession, closes: DataFrame): DataFrame = {
     val budgetBytes = s.conf.getOption(BudgetConfKey)
       .map(_.toLong).getOrElse(BroadcastBudgetBytes)
     val byTicker = closes
+      // parity with the join-form aggregates (and the r16 kernels'
+      // in-merge skip): null-day and null-close rows contribute to
+      // nothing downstream — drop them before the collect
+      .where(col("day").isNotNull && col("y").isNotNull)
       .groupBy(col("user_id"), col("event_type"))
-      .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("arr"),
-        coalesce(max(abs(col("y"))), lit(0L)).as("my"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("arr"))
+      // split the sorted struct array into the kernels' parallel
+      // primitive arrays — row-local over ≤ calendar-length arrays
+      .select(col("user_id"), col("event_type"),
+        expr("transform(arr, x -> x.day)").as("ad"),
+        expr("transform(arr, x -> x.y)").as("ay"))
       .withColumn("pp_tag", lit(callSeq.incrementAndGet()))
       .cache()
     // register BEFORE the census: with the unique pp_tag the census is
@@ -111,15 +141,23 @@ object PairPlan {
     CacheHygiene.releaseAfterFirstUse(s, Seq(byTicker), skipMatches = 1)
     val census = byTicker
       .agg(count(lit(1)).as("tickers"),
-        coalesce(sum(size(col("arr"))), lit(0L)).as("day_rows"))
+        coalesce(sum(size(col("ad"))), lit(0L)).as("day_rows"))
       .head()
     val tickers = census.getLong(0)
     val dayRows = census.getLong(1)
     val estBytes = dayRows * BytesPerDay + tickers * BytesPerTicker
-    val lhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_a"), col("arr").as("aa"), col("my").as("ma"))
+    // spread the catalog-quadratic probe work over the real
+    // parallelism — see the class doc (AQE's ~1-partition coalesce of
+    // the tiny collapse otherwise serializes the kernel stage)
+    val par = math.max(1, s.sparkContext.defaultParallelism)
+    val lhs = byTicker
+      .repartition(par, col("user_id"), col("event_type"))
+      .select(col("event_type"),
+        col("user_id").as("user_a"), col("ad").as("ad_a"),
+        col("ay").as("ay_a"))
     val rhs = byTicker.select(col("event_type"),
-      col("user_id").as("user_b"), col("arr").as("ab"), col("my").as("mb"))
+      col("user_id").as("user_b"), col("ad").as("ad_b"),
+      col("ay").as("ay_b"))
     if (estBytes <= budgetBytes) {
       lhs.join(broadcast(rhs), Seq("event_type"))
         .filter(col("user_a") < col("user_b"))

@@ -2500,7 +2500,8 @@ object SignalOps {
     // shuffled groupBy gone; identical exact moment sums feed the
     // unchanged decimal chain, so the join-form oracle stays
     PairPlan.tickerPairs(s, closes)
-      .withColumn("sh", expr("ccf_moments(aa, ab, ma, mb, 0)").getItem(0))
+      .withColumn("sh",
+        expr("ccf_moments(ad_a, ay_a, ad_b, ay_b, 0)").getItem(0))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("sh.n").as("n_days"),
         col("sh.sx").as("sx"), col("sh.sy").as("sy"),
@@ -3242,7 +3243,8 @@ object SignalOps {
     // 2·maxLag+1 exact per-lag moment sets come out of ONE compiled
     // CcfMoments pass, and the explode is row-local
     PairPlan.tickerPairs(s, closes)
-      .withColumn("sh", explode(expr(s"ccf_moments(aa, ab, ma, mb, $maxLag)")))
+      .withColumn("sh",
+        explode(expr(s"ccf_moments(ad_a, ay_a, ad_b, ay_b, $maxLag)")))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("sh.lag").as("lag"), col("sh.n").as("n_days"),
         col("sh.sx").as("sx"), col("sh.sy").as("sy"),
@@ -3368,7 +3370,7 @@ object SignalOps {
     // exact moment sums feed the unchanged chain, so the join-form
     // oracle stays
     val mom = PairPlan.tickerPairs(s, closes)
-      .withColumn("mo", expr("pair_lag_moments(aa, ab, ma, mb)"))
+      .withColumn("mo", expr("pair_lag_moments(ad_a, ay_a, ad_b, ay_b)"))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("mo.m").as("n"),
         col("mo.sya").as("sya"), col("mo.syb").as("syb"),
@@ -3461,7 +3463,7 @@ object SignalOps {
     // expression's i ≥ 1 loop, so every sum is the same exact integer
     // and the oracle stays
     val mom = PairPlan.tickerPairs(s, closes)
-      .withColumn("mo", expr("pair_lag_moments(aa, ab, ma, mb)"))
+      .withColumn("mo", expr("pair_lag_moments(ad_a, ay_a, ad_b, ay_b)"))
       .select(col("event_type"), col("user_a"), col("user_b"),
         col("mo.nf").as("nf"),
         col("mo.ua").as("ua"), col("mo.ub").as("ub"),
@@ -4754,7 +4756,7 @@ object SignalOps {
     // rows are born, intersected and censused in-task by the compiled
     // expression
     val pairs = PairPlan.tickerPairs(s, closes)
-      .withColumn("cen", expr("kendall_census(aa, ab)"))
+      .withColumn("cen", expr("kendall_census(ad_a, ay_a, ad_b, ay_b)"))
       .withColumn("n_days", col("cen").getItem(0))
       .filter(col("n_days") >= minDays)
     pairs

@@ -1132,7 +1132,10 @@ object Ann {
       : DataFrame = {
     // graph: a precomputed knnGraphEdges frame — p15 builds the
     // n²-cosine graph ONCE and feeds both s11 and s12 (round 16: the
-    // card used to pay the block pair join twice)
+    // card used to pay the block pair join twice). A supplied graph
+    // OVERRIDES k: neighborhoods come from the frame as built, and a
+    // mismatched caller k is ignored (ADVICE r16 — pass the k you
+    // built the graph with, or None to build one here)
     val g = graph.getOrElse(knnGraphEdges(s, dir, k))
       .select(col("node_id"), col("nbr_id"),
         (lit(1000000L) -
@@ -1192,12 +1195,18 @@ object Ann {
     */
   def s12KnnPagerank(s: SparkSession, dir: String, k: Int = 5,
       iters: Int = 5, graph: Option[DataFrame] = None): DataFrame = {
-    // graph: see s11Lof — p15 shares one materialized edge set
-    val edges = graph.getOrElse(knnGraphEdges(s, dir, k))
-      .select(col("node_id"), col("nbr_id"))
-      .localCheckpoint()
-    val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
-      .localCheckpoint()
+    // graph: see s11Lof — p15 shares one materialized edge set; as
+    // there, a supplied graph OVERRIDES k (ADVICE r16). A
+    // caller-supplied graph is ALREADY checkpointed (p15's contract),
+    // so only the self-built path pays the n² edge materialization —
+    // checkpointing again re-materialized the k·n edge set a second
+    // time for nothing (round-16 ADVICE).
+    val edges = graph
+      .map(_.select(col("node_id"), col("nbr_id")))
+      .getOrElse(graft.operators.Materialize.cut(
+        knnGraphEdges(s, dir, k).select(col("node_id"), col("nbr_id"))))
+    val nodes = graft.operators.Materialize.cut(
+      Tables.embeddings(s, dir).select(col("vec_id")))
     val n = nodes.count()
     // empty corpus: no ranks to compute (and r0 below would divide by
     // zero) — return the empty frame with the output schema
@@ -1225,7 +1234,7 @@ object Ann {
           (lit(teleport) +
             expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
-        .localCheckpoint()
+      ranks = graft.operators.Materialize.cut(ranks)
     }
     // no global rank window: a row_number over the whole node set is
     // a single-partition sort at 10^9 vectors — consumers ORDER BY

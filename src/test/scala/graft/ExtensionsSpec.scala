@@ -65,41 +65,38 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("kendall_census intersects by day and counts C/D/tie pairs exactly") {
-    // a: days 1..5 values 1,2,3,4,5 ; b: days 2..6 values 9,7,8,7
-    // (missing day 3) → common days 2,4,5 with (2,9),(4,8),(5,7):
-    // pairs (2,4): a up, b down → discordant; (2,5): a up, b down →
-    // discordant; (4,5): a up, b down → discordant. One b-tie pair? no
-    // — b values 9,8,7 distinct. So [3, 0, 3, 0, 0].
+    // a: days 1..5 values 1,2,3,4,5 ; b: days 2,4,5,6 values 9,8,7,7
+    // → common days 2,4,5 with (2,9),(4,8),(5,7): all three pairs a
+    // up / b down → discordant. So [3, 0, 3, 0, 0].
     val cen = spark.sql(
       """SELECT kendall_census(
-        |  array(named_struct('day', DATE'2024-01-01', 'y', 1L),
-        |        named_struct('day', DATE'2024-01-02', 'y', 2L),
-        |        named_struct('day', DATE'2024-01-03', 'y', 3L),
-        |        named_struct('day', DATE'2024-01-04', 'y', 4L),
-        |        named_struct('day', DATE'2024-01-05', 'y', 5L)),
-        |  array(named_struct('day', DATE'2024-01-02', 'y', 9L),
-        |        named_struct('day', DATE'2024-01-04', 'y', 8L),
-        |        named_struct('day', DATE'2024-01-05', 'y', 7L),
-        |        named_struct('day', DATE'2024-01-06', 'y', 7L))) AS c"""
+        |  array(DATE'2024-01-01', DATE'2024-01-02', DATE'2024-01-03',
+        |        DATE'2024-01-04', DATE'2024-01-05'),
+        |  array(1L, 2L, 3L, 4L, 5L),
+        |  array(DATE'2024-01-02', DATE'2024-01-04', DATE'2024-01-05',
+        |        DATE'2024-01-06'),
+        |  array(9L, 8L, 7L, 7L)) AS c"""
         .stripMargin).head().getSeq[Long](0)
     assert(cen == Seq(3L, 0L, 3L, 0L, 0L))
     // ties on both sides: a = (1,1), b = (5,5) on two common days →
     // n_days 2, no C/D (both zero-sign), one tie pair each side
     val tied = spark.sql(
       """SELECT kendall_census(
-        |  array(named_struct('day', DATE'2024-01-01', 'y', 1L),
-        |        named_struct('day', DATE'2024-01-02', 'y', 1L)),
-        |  array(named_struct('day', DATE'2024-01-01', 'y', 5L),
-        |        named_struct('day', DATE'2024-01-02', 'y', 5L))) AS c"""
+        |  array(DATE'2024-01-01', DATE'2024-01-02'), array(1L, 1L),
+        |  array(DATE'2024-01-01', DATE'2024-01-02'), array(5L, 5L)) AS c"""
         .stripMargin).head().getSeq[Long](0)
     assert(tied == Seq(2L, 0L, 0L, 1L, 1L))
     // disjoint day ranges → zero common days, all-zero census
     val none = spark.sql(
       """SELECT kendall_census(
-        |  array(named_struct('day', DATE'2024-01-01', 'y', 1L)),
-        |  array(named_struct('day', DATE'2024-02-01', 'y', 1L))) AS c"""
+        |  array(DATE'2024-01-01'), array(1L),
+        |  array(DATE'2024-02-01'), array(1L)) AS c"""
         .stripMargin).head().getSeq[Long](0)
     assert(none == Seq(0L, 0L, 0L, 0L, 0L))
+    // arity is enforced loudly at resolution
+    val e = intercept[Exception](spark.sql(
+      "SELECT kendall_census(array(DATE'2024-01-01'), array(1L))"))
+    assert(e.getMessage.contains("kendall_census"))
   }
 
   test("ccf_moments computes exact per-lag overlap moment sums") {
@@ -109,14 +106,12 @@ class ExtensionsSpec extends AnyFunSuite {
     // sy=60, sxy=100; lag −1 pairs (2,10),(4,20) → sxy=100 too
     val rows = spark.sql(
       """SELECT explode(ccf_moments(
-        |  array(named_struct('day', DATE'2024-01-01', 'y', 1L),
-        |        named_struct('day', DATE'2024-01-02', 'y', 2L),
-        |        named_struct('day', DATE'2024-01-03', 'y', 3L),
-        |        named_struct('day', DATE'2024-01-04', 'y', 4L)),
-        |  array(named_struct('day', DATE'2024-01-01', 'y', 10L),
-        |        named_struct('day', DATE'2024-01-02', 'y', 20L),
-        |        named_struct('day', DATE'2024-01-04', 'y', 40L),
-        |        named_struct('day', DATE'2024-01-05', 'y', 50L)),
+        |  array(DATE'2024-01-01', DATE'2024-01-02', DATE'2024-01-03',
+        |        DATE'2024-01-04'),
+        |  array(1L, 2L, 3L, 4L),
+        |  array(DATE'2024-01-01', DATE'2024-01-02', DATE'2024-01-04',
+        |        DATE'2024-01-05'),
+        |  array(10L, 20L, 40L, 50L),
         |  1)) AS m""".stripMargin)
       .select("m.lag", "m.n", "m.sx", "m.sy", "m.sxx", "m.syy", "m.sxy")
       .collect().map(r => r.getInt(0) ->
@@ -127,93 +122,92 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(-1) == ((2L, 6L, 30L, 20L, 500L, 100L)), rows(-1).toString)
   }
 
-  test("pair kernels skip null day/y elements (join-form parity)") {
-    // day 2 carries a null y in a: the join-form aggregates these
-    // kernels replaced ignored that row, so the kernels must skip it
-    // rather than read 0 — common days collapse to 1 and 3, one
-    // concordant pair (a: 1→3 up, b: 5→7 up)
-    val a =
-      """array(named_struct('day', DATE'2024-01-01', 'y', 1L),
-        |      named_struct('day', DATE'2024-01-02', 'y', CAST(NULL AS BIGINT)),
-        |      named_struct('day', DATE'2024-01-03', 'y', 3L))""".stripMargin
-    val b =
-      """array(named_struct('day', DATE'2024-01-01', 'y', 5L),
-        |      named_struct('day', DATE'2024-01-02', 'y', 6L),
-        |      named_struct('day', DATE'2024-01-03', 'y', 7L))""".stripMargin
-    val cen = spark.sql(s"SELECT kendall_census($a, $b) AS c")
+  test("null day/y rows never reach the kernels (join-form parity " +
+      "moved into PairPlan's collapse; kernels reject nulls loudly)") {
+    import spark.implicits._
+    // ticker 1 has a null close on day 2 and ticker 2 a null day row:
+    // the join-form aggregates the kernels replaced ignored such rows,
+    // so PairPlan's collapse must drop them BEFORE collecting — the
+    // pair then shares days 1 and 3 only, one concordant pair
+    // (a: 1→3 up, b: 5→7 up)
+    val closes = Seq(
+      (1L, "a", Option(java.sql.Date.valueOf("2024-01-01")), Option(1L)),
+      (1L, "a", Option(java.sql.Date.valueOf("2024-01-02")), None),
+      (1L, "a", Option(java.sql.Date.valueOf("2024-01-03")), Option(3L)),
+      (2L, "a", Option(java.sql.Date.valueOf("2024-01-01")), Option(5L)),
+      (2L, "a", Option(java.sql.Date.valueOf("2024-01-02")), Option(6L)),
+      (2L, "a", Option(java.sql.Date.valueOf("2024-01-03")), Option(7L)),
+      (2L, "a", None, Option(99L)))
+      .toDF("user_id", "event_type", "day", "y")
+    val pair = graft.operators.PairPlan.tickerPairs(spark, closes)
+    val cen = pair
+      .selectExpr("kendall_census(ad_a, ay_a, ad_b, ay_b) AS c")
       .head().getSeq[Long](0)
     assert(cen == Seq(2L, 1L, 0L, 0L, 0L))
-    val m0 = spark.sql(s"SELECT explode(ccf_moments($a, $b, 0)) AS m")
+    val m0 = graft.operators.PairPlan.tickerPairs(spark, closes)
+      .selectExpr("explode(ccf_moments(ad_a, ay_a, ad_b, ay_b, 0)) AS m")
       .select("m.n", "m.sx", "m.sy", "m.sxy").head()
     assert((m0.getLong(0), m0.getLong(1), m0.getLong(2), m0.getLong(3)) ==
       ((2L, 4L, 12L, 26L))) // (1,5),(3,7): sxy = 5 + 21
-    val pl = spark.sql(s"SELECT pair_lag_moments($a, $b) AS m")
+    val pl = graft.operators.PairPlan.tickerPairs(spark, closes)
+      .selectExpr("pair_lag_moments(ad_a, ay_a, ad_b, ay_b) AS m")
       .select("m.nf", "m.ua", "m.ub", "m.m", "m.sab1").head()
     // lag row pairs (x,y)=(3,7) with (x₋,y₋)=(1,5): sab1 = Σx·y₋ = 15
     assert((pl.getLong(0), pl.getLong(1), pl.getLong(2), pl.getLong(3),
       pl.getLong(4)) == ((2L, 4L, 12L, 1L, 15L)))
+    // a null element handed directly to a kernel is a CONTRACT
+    // violation and must throw, never read as 0
+    val e = intercept[Exception](spark.sql(
+      """SELECT kendall_census(
+        |  array(DATE'2024-01-01', DATE'2024-01-02'),
+        |  array(1L, CAST(NULL AS BIGINT)),
+        |  array(DATE'2024-01-01', DATE'2024-01-02'),
+        |  array(5L, 6L))""".stripMargin).head())
+    assert(e.getMessage.contains("null"), e.getMessage)
   }
 
   test("product-sum kernels throw loudly past the exact-long domain") {
-    import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import graft.functions.{CcfMoments, KendallCensus, PairLagMoments}
-    // the guard is the O(1) pre-merge min(na,nb)·max|y|² bound
-    // (round-15 verdict item 1: data-derived, not worst-case
-    // constants, and OUT of the hot merge loop; −1 = the self-scan
-    // sentinel the SQL convenience forms use): a single day at
-    // |y| = 4e9 overflows a squared product (1.6e19 > 2⁶³−1) and
-    // must throw...
-    val big = new GenericArrayData(Array[Any](InternalRow(19723, 4000000000L)))
-    val big2 = new GenericArrayData(Array[Any](InternalRow(19723, 1L)))
-    val e1 = intercept[ArithmeticException](CcfMoments.compute(big, big2, -1L, -1L, 0))
+    def days(n: Int): GenericArrayData =
+      new GenericArrayData((0 until n).map(i => i: Any).toArray)
+    def ys(n: Int, v: Long): GenericArrayData =
+      new GenericArrayData(Array.fill[Any](n)(v))
+    // the guard is the pre-merge min(na,nb)·max|y|² bound (round-15
+    // verdict item 1, rederived in-kernel from the primitive arrays
+    // since round 17 — one tight scan, still outside the merge loop):
+    // a single day at |y| = 4e9 overflows a squared product
+    // (1.6e19 > 2⁶³−1) and must throw...
+    val d1 = days(1)
+    val big = ys(1, 4000000000L)
+    val one = ys(1, 1L)
+    val e1 = intercept[ArithmeticException](
+      CcfMoments.compute(d1, big, d1, one, 0))
     assert(e1.getMessage.contains("exact-long domain"))
-    val e2 = intercept[ArithmeticException](PairLagMoments.compute(big, big2, -1L, -1L))
+    val e2 = intercept[ArithmeticException](
+      PairLagMoments.compute(d1, big, d1, one))
     assert(e2.getMessage.contains("exact-long domain"))
     // ...while 1000 common days at |y| ≤ 1e6 (d·M² = 1e15, exactly
     // representable) must COMPUTE — the old d ≤ 900 constant guard
     // wrongly rejected this history (ADVICE r14)
-    val long1k = new GenericArrayData(
-      (0 until 1000).map(i => InternalRow(i, 1000000L)).toArray[Any])
-    assert(PairLagMoments.compute(long1k, long1k, -1L, -1L).getLong(0) == 1000L)
+    val d1k = days(1000)
+    val long1k = ys(1000, 1000000L)
+    assert(PairLagMoments.compute(d1k, long1k, d1k, long1k)
+      .getLong(0) == 1000L)
     // the same 1000 days at the full 1e8 close grid (d·M² = 1e19)
     // genuinely overflows: the count×magnitude guard still fires
-    val hot1k = new GenericArrayData(
-      (0 until 1000).map(i => InternalRow(i, 100000000L)).toArray[Any])
+    val hot1k = ys(1000, 100000000L)
     val e3 = intercept[ArithmeticException](
-      PairLagMoments.compute(hot1k, hot1k, -1L, -1L))
+      PairLagMoments.compute(d1k, hot1k, d1k, hot1k))
     assert(e3.getMessage.contains("1000 common days"))
     // kendall_census compares signs only — no product, no guard:
     // the same inputs census fine
-    val cen = KendallCensus.compute(hot1k, hot1k)
+    val cen = KendallCensus.compute(d1k, hot1k, d1k, hot1k)
     assert(cen.getLong(0) == 1000L)
-    assert(KendallCensus.compute(big, big2).getLong(0) == 1L)
-    // trusted caller-supplied bounds (the PairPlan hot path): same
-    // verdicts in O(1) without any scan — the guard fires from the
-    // bounds alone, and in-domain bounds compute identical sums
-    val e4 = intercept[ArithmeticException](
-      PairLagMoments.compute(hot1k, hot1k, 100000000L, 100000000L))
-    assert(e4.getMessage.contains("exact-long domain"))
-    assert(PairLagMoments.compute(long1k, long1k, 1000000L, 1000000L)
-      .getLong(0) == 1000L)
-  }
-
-  test("5-arg ccf_moments (precomputed bounds) matches the 3-arg form") {
-    val a =
-      """array(named_struct('day', DATE'2024-01-01', 'y', 1L),
-        |      named_struct('day', DATE'2024-01-02', 'y', 2L),
-        |      named_struct('day', DATE'2024-01-03', 'y', -7L))""".stripMargin
-    val b =
-      """array(named_struct('day', DATE'2024-01-01', 'y', 5L),
-        |      named_struct('day', DATE'2024-01-03', 'y', 6L))""".stripMargin
-    val self = spark.sql(s"SELECT ccf_moments($a, $b, 1) AS m").head().toString
-    val given = spark.sql(s"SELECT ccf_moments($a, $b, 7L, 6L, 1) AS m")
-      .head().toString
-    assert(self == given)
-    val pl0 = spark.sql(s"SELECT pair_lag_moments($a, $b) AS m")
-      .head().toString
-    val pl1 = spark.sql(s"SELECT pair_lag_moments($a, $b, 7L, 6L) AS m")
-      .head().toString
-    assert(pl0 == pl1)
+    assert(KendallCensus.compute(d1, big, d1, one).getLong(0) == 1L)
+    // mismatched day/close lengths are a contract violation, loudly
+    val e4 = intercept[IllegalArgumentException](
+      PairLagMoments.compute(d1k, ys(999, 1L), d1k, long1k))
+    assert(e4.getMessage.contains("length"))
   }
 }
