@@ -1076,7 +1076,16 @@ object Ann {
         s"maxExactRows=$maxExactRows (~${n * n} directed pairs). Build the " +
         "graph from s02/s03 candidates at corpus scale, or raise " +
         "maxExactRows deliberately.")
-    val nBlocks = math.max(1, ((n + blockSize - 1) / blockSize).toInt)
+    // block count: at least n/blockSize (the executor-memory bound),
+    // but never fewer than ~4 blocks per core — the (bi, bj) block
+    // pair is the unit of parallelism, and the r17 JFR showed the
+    // whole n² stage squeezed through a handful of tasks at the
+    // default 16 blocks (guide §2: size partitioning to the
+    // parallelism actually available, derived, not a constant)
+    val par = math.max(1, s.sparkContext.defaultParallelism)
+    val nBlocks = math.max(1,
+      math.max((n + blockSize - 1) / blockSize,
+        math.min(4L * par, n)).toInt)
     val tasks = (0 until nBlocks)
       .flatMap(i => (i until nBlocks).map(j => (i, j)))
       .toDF("bi", "bj")
@@ -1096,12 +1105,22 @@ object Ann {
         col("cos6"))
       .unionAll(pairs.select(col("id_y").as("node_id"),
         col("id_x").as("nbr_id"), col("cos6")))
-    val w = Window.partitionBy(col("node_id"))
-      .orderBy(col("cos6").desc, col("nbr_id"))
+    // top-k per node via the bounded heap aggregate, NOT a row_number
+    // window: the window form shuffled and SORTED all ~n² directed
+    // pair rows to keep k per node (r17 JFR: BaseOrdering.compare in
+    // the window sort was the #1 frame of s08/s11/s12/p15, on ~1 of
+    // 32 cores); top_k_by partial-combines in the n²-generation tasks
+    // and ships at most k tuples per node per map task (guide §2.3
+    // "aggregate before you shuffle"). Identical rows: the heap orders
+    // by (cos6 desc, nbr_id asc) — exactly the window's ORDER BY — and
+    // posexplode of the sorted array reproduces rk = row_number.
     directed
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("node_id"), col("rk"), col("nbr_id"), col("cos6"))
+      .groupBy(col("node_id"))
+      .agg(graft.functions.TopKAggregate
+        .top_k_by(col("cos6"), col("nbr_id"), k).as("top"))
+      .select(col("node_id"), posexplode(col("top")))
+      .select(col("node_id"), (col("pos") + 1).as("rk"),
+        col("col.tie").as("nbr_id"), col("col.sort_val").as("cos6"))
   }
 
   /** s11: LOCAL OUTLIER FACTOR (Breunig et al. 2000) over the
