@@ -1112,24 +1112,37 @@ object TextFns {
     */
   def t23TextrankKeywords(s: SparkSession, dir: String, minLen: Int = 4,
       iters: Int = 5, topK: Int = 20): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    // ONE tokenization pass: the corpus regex scan dominated t23's
+    // profile (r17 JFR: java.util.regex was the top frame) and the
+    // old shape ran it three times — edge pairs, node vocabulary,
+    // document frequencies. Each document collapses ROW-LOCALLY to
+    // its consecutive-pair array + distinct-token array, and the cut
+    // materializes that once for all three consumers (guide §1.2).
+    // The pairs come from the token array directly — the old
+    // posexplode + lead() window re-shuffled and re-SORTED rows that
+    // were already in document order (guide §2.4: removes one
+    // Exchange + Sort + Window from the hot path).
+    val tok = graft.operators.Materialize.cut(Tables.documents(s, dir)
       .select(col("doc_id"),
         filter(regexp_extract_all(normText(col("text")),
           lit("[a-z0-9]+"), lit(0)), t => length(t) >= minLen).as("fl"))
-      .select(col("doc_id"), posexplode(col("fl")))
-      .select(col("doc_id"), col("pos"), col("col").as("t"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val e0 = toks
-      .withColumn("nx", lead(col("t"), 1).over(wDoc))
-      .filter(col("nx").isNotNull && col("t") =!= col("nx"))
-      .select(least(col("t"), col("nx")).as("x"),
-        greatest(col("t"), col("nx")).as("y"))
+      .select(col("doc_id"),
+        expr("""
+          filter(
+            transform(slice(fl, 1, greatest(size(fl) - 1, 0)), (t, i) ->
+              named_struct('x', least(t, fl[i + 1]),
+                           'y', greatest(t, fl[i + 1]))),
+            p -> p.x != p.y)""").as("prs"),
+        array_distinct(col("fl")).as("dt")))
+    val e0 = tok.select(explode(col("prs")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
       .distinct()
-    val edges = e0.select(col("x").as("node_id"), col("y").as("nbr_id"))
-      .unionAll(e0.select(col("y").as("node_id"), col("x").as("nbr_id")))
-      .localCheckpoint() // feeds outdeg + every iteration
-    val nodes = toks.select(col("t").as("tok")).distinct()
-      .localCheckpoint()
+    val edges = graft.operators.Materialize.cut(
+      e0.select(col("x").as("node_id"), col("y").as("nbr_id"))
+        .unionAll(e0.select(col("y").as("node_id"),
+          col("x").as("nbr_id")))) // feeds outdeg + every iteration
+    val nodes = graft.operators.Materialize.cut(
+      tok.select(explode(col("dt")).as("tok")).distinct())
     val n = nodes.count()
     if (n == 0)
       return nodes.select(lit(0).as("keyword_rank"),
@@ -1153,10 +1166,14 @@ object TextFns {
           (lit(teleport) +
             expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
-        .localCheckpoint() // s12's per-iteration lineage cut
+      ranks = graft.operators.Materialize.cut(ranks) // s12's per-iteration lineage cut
     }
-    val df = toks.groupBy(col("t").as("tok"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // (doc, token) appears once after the per-doc array_distinct, so a
+    // plain count IS the distinct-document count — no two-phase
+    // count-distinct expansion on the shuffle (guide §2.3)
+    val df = tok.select(explode(col("dt")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_docs"))
     // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
     // heaps, no single-partition vocabulary sort; round-14 verdict:
     // the old rank window single-partitioned the whole dictionary).

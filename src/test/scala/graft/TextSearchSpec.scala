@@ -445,4 +445,41 @@ class TextSearchSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"), "expected orderBy+limit TopK")
   }
+
+  test("t23 edge construction: the array-local consecutive pairs equal " +
+      "the old lead-window form on empty/single/duplicate-token docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa bbbb aaaa aaaa cccc"), // adjacent-duplicate pair dropped
+      (2L, "dddd"), // single token: no pairs
+      (3L, "of to it"), // everything length-filtered: empty array
+      (4L, ""), // empty text
+      (5L, "zzzz eeee")) // one pair, normalized to (eeee, zzzz)
+      .toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"),
+      filter(regexp_extract_all(graft.dedup.Dedup.normText(col("text")),
+        lit("[a-z0-9]+"), lit(0)), t => length(t) >= 4).as("fl"))
+    // the t23 shape: pairs built inside the token array
+    val arrPairs = base.select(explode(expr(
+        """filter(
+             transform(slice(fl, 1, greatest(size(fl) - 1, 0)), (t, i) ->
+               named_struct('x', least(t, fl[i + 1]),
+                            'y', greatest(t, fl[i + 1]))),
+             p -> p.x != p.y)""")).as("p"))
+      .select(col("p.x"), col("p.y")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the pre-r17 shape: posexplode + lead() over the document window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val winPairs = base.select(col("doc_id"), posexplode(col("fl")))
+      .select(col("doc_id"), col("pos"), col("col").as("t"))
+      .withColumn("nx", lead(col("t"), 1).over(w))
+      .filter(col("nx").isNotNull && col("t") =!= col("nx"))
+      .select(least(col("t"), col("nx")).as("x"),
+        greatest(col("t"), col("nx")).as("y"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(arrPairs == winPairs, s"$arrPairs vs $winPairs")
+    assert(arrPairs == Set(("aaaa", "bbbb"), ("aaaa", "cccc"),
+      ("eeee", "zzzz")), arrPairs.toString)
+  }
 }
