@@ -291,9 +291,14 @@ object Dedup {
         posexplode(grams))
       .withColumnRenamed("pos", "p")
       .withColumnRenamed("col", "gram")
+    // "gram appears in >= 2 distinct docs" needs no distinct count:
+    // min(doc_id) != max(doc_id) is the same predicate as ONE fully
+    // map-side-combinable aggregate (guide §2.3) — count_distinct
+    // planned a two-phase (gram, doc_id) dedup expansion over the
+    // corpus-token-sized position table before the count
     val rep = pos.groupBy(col("gram"))
-      .agg(count_distinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min(col("doc_id")).as("gd0"), max(col("doc_id")).as("gd1"))
+      .filter(col("gd0") =!= col("gd1"))
       .select(col("gram"))
     val hits = pos.join(rep, Seq("gram"))
     val wnd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
@@ -344,9 +349,14 @@ object Dedup {
     val pos = base.select(col("doc_id"), posexplode(col("g")))
       .withColumnRenamed("pos", "p")
       .withColumnRenamed("col", "gram")
+    // "gram appears in >= 2 distinct docs" needs no distinct count:
+    // min(doc_id) != max(doc_id) is the same predicate as ONE fully
+    // map-side-combinable aggregate (guide §2.3) — count_distinct
+    // planned a two-phase (gram, doc_id) dedup expansion over the
+    // corpus-token-sized position table before the count
     val rep = pos.groupBy(col("gram"))
-      .agg(count_distinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min(col("doc_id")).as("gd0"), max(col("doc_id")).as("gd1"))
+      .filter(col("gd0") =!= col("gd1"))
       .select(col("gram"))
     val covered = pos.join(rep, Seq("gram"))
       .select(col("doc_id"),
@@ -406,9 +416,14 @@ object Dedup {
     val pos = base.select(col("doc_id"), posexplode(col("g")))
       .withColumnRenamed("pos", "p")
       .withColumnRenamed("col", "gram")
+    // "gram appears in >= 2 distinct docs" needs no distinct count:
+    // min(doc_id) != max(doc_id) is the same predicate as ONE fully
+    // map-side-combinable aggregate (guide §2.3) — count_distinct
+    // planned a two-phase (gram, doc_id) dedup expansion over the
+    // corpus-token-sized position table before the count
     val rep = pos.groupBy(col("gram"))
-      .agg(count_distinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min(col("doc_id")).as("gd0"), max(col("doc_id")).as("gd1"))
+      .filter(col("gd0") =!= col("gd1"))
       .select(col("gram"))
     val wnd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val runs = pos.join(rep, Seq("gram"))

@@ -540,9 +540,11 @@ object SignalOps {
       .select(col("user_id"), col("event_type"), col("day"),
         floor(col("value") * lit(10000.0) + lit(0.5)).cast("long")
           .as("x4l"))
+    // grp has ONE consumer (the broadcast build below) — the old
+    // localCheckpoint added an eager materialization job for nothing;
+    // the broadcast exchange materializes the aggregate anyway
     val grp = daily.groupBy(col("event_type"), col("day"))
       .agg(sum(col("x4l")).as("gs"), count(lit(1)).as("gc"))
-      .localCheckpoint()
     val base = daily.join(broadcast(grp), Seq("event_type", "day"))
       .filter(col("gc") > 1)
       .withColumn("y4l", expr("(gs - x4l) div (gc - 1)"))
@@ -1512,9 +1514,10 @@ object SignalOps {
       .select(col("user_id"), col("event_type"), col("day"),
         floor(col("value") * lit(10000.0) + lit(0.5)).cast("long")
           .as("x4l"))
+    // grp has ONE consumer (the broadcast build below) — no cut; the
+    // broadcast exchange materializes the aggregate anyway
     val grp = daily.groupBy(col("event_type"), col("day"))
       .agg(sum(col("x4l")).as("gs"), count(lit(1)).as("gc"))
-      .localCheckpoint()
     val base = daily.join(broadcast(grp), Seq("event_type", "day"))
       .filter(col("gc") > 1)
       .withColumn("y4l", expr("(gs - x4l) div (gc - 1)"))
@@ -1814,9 +1817,10 @@ object SignalOps {
       .select(col("user_id"), col("event_type"), col("day"),
         floor(col("value") * lit(10000.0) + lit(0.5)).cast("long")
           .as("x4l"))
+    // grp has ONE consumer (the broadcast build below) — no cut; the
+    // broadcast exchange materializes the aggregate anyway
     val grp = daily.groupBy(col("event_type"), col("day"))
       .agg(sum(col("x4l")).as("gs"), count(lit(1)).as("gc"))
-      .localCheckpoint()
     val wx = Window.partitionBy(key: _*).orderBy(col("x4l"), col("day"))
     val wy = Window.partitionBy(key: _*).orderBy(col("y4l"), col("day"))
     daily.join(broadcast(grp), Seq("event_type", "day"))
@@ -5394,8 +5398,10 @@ object SignalOps {
     * this is linear in the panel: each iteration is one
     * (ticker-day ⋈ catalog-sized v) join + day groupBy and one
     * (ticker-day ⋈ calendar-sized w) join + ticker groupBy, both
-    * map-side combined; v/w are localCheckpointed per round (s12's
-    * lineage cut). At 100 TB the return panel shuffles once into
+    * map-side combined; the normalizer is a whole-partition window
+    * max (single-reference), so the power loop is linear lineage
+    * fused into one job — only the final loadings (two consumers)
+    * are cut. At 100 TB the return panel shuffles once into
     * (event_type, day)/(ticker) partitions and the iteration state
     * is catalog-sized.
     */
@@ -5431,6 +5437,15 @@ object SignalOps {
         when(col(num) < 0, -expr(s"(abs($num) * 1000000) div $mx"))
           .otherwise(expr(s"(abs($num) * 1000000) div $mx")))
         .otherwise(lit(0L))
+    // the per-event_type max|·| normalizer as a WHOLE-PARTITION window
+    // max, not a groupBy + join back: the join form referenced its
+    // input TWICE, which is what forced an eager localCheckpoint every
+    // iteration (uncut, the doubly-referenced subtree re-executes 2^iters
+    // times); with one reference per iteration the whole power loop is
+    // LINEAR lineage and fuses into the final job — four eager
+    // checkpoint jobs gone, same exact integers (max over the same
+    // rows, one exchange either way)
+    val wTypeMax = Window.partitionBy(col("event_type"))
     var v = x.select(col("user_id"), col("event_type")).distinct()
       .withColumn("v", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -5441,19 +5456,20 @@ object SignalOps {
       val u = x.join(w, Seq("event_type", "day"))
         .groupBy(col("user_id"), col("event_type"))
         .agg(sum((d19(col("r")) * col("w")).cast("decimal(38,0)")).as("u"))
-      val mx = u.groupBy(col("event_type")).agg(max(abs(col("u"))).as("mx"))
-      v = u.join(mx, Seq("event_type"))
+      v = u.withColumn("mx", max(abs(col("u"))).over(wTypeMax))
         .select(col("user_id"), col("event_type"),
           rescale("u", "mx").cast("long").as("v"))
-        .localCheckpoint()
     }
+    // the final loadings feed BOTH the factor series and the
+    // regression join — the loop's one remaining multi-consumer
+    // frame, cut once (catalog-sized)
+    v = graft.operators.Materialize.cut(v)
     // factor series off the FINAL loadings, normalized to ±1e6
     val wf = x.join(v, Seq("user_id", "event_type"))
       .groupBy(col("event_type"), col("day"))
       .agg(sum((d19(col("r")) * d19(col("v"))).cast("decimal(38,0)"))
         .as("w"))
-    val mw = wf.groupBy(col("event_type")).agg(max(abs(col("w"))).as("mxw"))
-    val g = wf.join(mw, Seq("event_type"))
+    val g = wf.withColumn("mxw", max(abs(col("w"))).over(wTypeMax))
       .select(col("event_type"), col("day"),
         rescale("w", "mxw").cast("long").as("g"))
     val wLast = Window.partitionBy(col("user_id"), col("event_type"))

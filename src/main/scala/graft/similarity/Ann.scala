@@ -282,19 +282,56 @@ object Ann {
       .withColumn("cn2", dot(col("c"), col("c")))
   }
 
-  /** Nearest-centroid assignment: squared L2 = |v|² − 2 v·c + |c|²;
-    * min over a (dist, cid) struct keeps ties deterministic. Broadcast
-    * cross join (nCentroids rows) + min-by — map-side only, no corpus
-    * shuffle.
+  /** One LITERAL (id, vector) bank, id-ascending, for the row-local
+    * argmins below (st40's admission posture: an unrolled least()
+    * over per-id structs blew the 64 KB codegen method limit; ONE
+    * aggregate() fold stays whole-stage-codegen'd).
     */
-  private def assignTo(s: SparkSession, v: DataFrame,
-      cents: Array[(Int, Array[Double])]): DataFrame =
-    v.crossJoin(broadcast(centroidDf(s, cents)))
-      .withColumn("dist",
-        col("norm2") - lit(2.0) * dot(col("v"), col("c")) + col("cn2"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+  private def bankLit(entries: Seq[(Int, Array[Double])]): Column =
+    typedlit(entries.sortBy(_._1).map { case (i, c) => (i, c.toSeq) })
+
+  /** argmin id over a literal (id, vector) bank by `dist` — what the
+    * Lloyd/encode consumers used to compute as a broadcast cross join
+    * + min(struct(dist, id)) hash re-aggregation + corpus self-join
+    * back on the row key, as ONE codegen'd fold per row. Identical
+    * output: the fold visits ids ascending and the strict < keeps the
+    * earlier (smaller) id on exact ties — min(struct)'s (dist, id)
+    * order — and the dist arithmetic each caller passes is the join
+    * form's verbatim expression, so the doubles are bit-identical
+    * (st40's live-admission argmin, oracle-proven equal to the batch
+    * join chain since round 15). What it buys at scale (guide §2.1):
+    * the bank-sized row fan, the re-aggregation exchange and the
+    * corpus-sized assignment self-join are simply gone — assignment
+    * is map-side work on the scan.
+    */
+  private def argminOver(bank: Column, dist: Column => Column): Column =
+    aggregate(bank,
+      struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("i")),
+      (acc, e) => {
+        val d = dist(e.getField("_2"))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), e.getField("_1").as("i"))).otherwise(acc)
+      },
+      acc => acc.getField("i"))
+
+  /** Row-local nearest-centroid cid for a (v, norm2) row: squared
+    * L2 = |v|² − 2 v·c + |c|², ties to the smaller cid.
+    */
+  private def assignLocal(cents: Array[(Int, Array[Double])]): Column =
+    argminOver(bankLit(cents.toSeq),
+      c => col("norm2") - lit(2.0) * dot(col("v"), c) + dot(c, c))
+
+  /** Row-local nearest-codeword code for a (m_idx, sv, sn2) subvector
+    * row — the subspace's bank selected from one literal map, same
+    * dist chain and tie rule as [[assignLocal]].
+    */
+  private def pqAssignLocal(cb: Array[(Int, Int, Array[Double])]): Column = {
+    val banks = typedlit(cb.groupBy(_._1).map { case (mi, es) =>
+      mi -> es.sortBy(_._2).map { case (_, code, cw) => (code, cw.toSeq) }.toSeq
+    })
+    argminOver(element_at(banks, col("m_idx")),
+      c => col("sn2") - lit(2.0) * dot(col("sv"), c) + dot(c, c))
+  }
 
   /** Content-addressed k-means seed rank: the md5 digest₆₀ of the
     * vector id (salted), modulo a prime — d03/d21's split-hash
@@ -324,8 +361,8 @@ object Ann {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
     for (_ <- 1 to iters) {
-      val assigned = assignTo(s, v, cents)
-      val recomputed = v.join(assigned, Seq("vec_id"))
+      val recomputed = v
+        .withColumn("cid", assignLocal(cents))
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("col").cast("decimal(38,12)")).cast("double") /
@@ -353,8 +390,6 @@ object Ann {
       .cache()
 
     def centroidDfL(cents: Array[(Int, Array[Double])]) = centroidDf(s, cents)
-    def assign(cents: Array[(Int, Array[Double])]): DataFrame =
-      assignTo(s, v, cents)
 
     val cents = trainCentroids(s, v, nCentroids, iters)
 
@@ -363,7 +398,7 @@ object Ann {
     // scan instead — one cheap codegen'd pass — so nothing stays pinned
     // in session storage memory after the operator returns.
     v.unpersist()
-    val lists = v.join(assign(cents), Seq("vec_id"))
+    val lists = v.withColumn("cid", assignLocal(cents))
     // limit(nQueries) is a row-level no-op (vec_id is unique, so the
     // filter already yields <= nQueries rows) that makes the query
     // side STATICALLY bounded - the r16 physical plan lint proves the
@@ -437,21 +472,6 @@ object Ann {
       .withColumn("sn2", dot(col("sv"), col("sv")))
       .cache()
 
-    def codebookDf(cb: Array[(Int, Int, Array[Double])]) = {
-      import s.implicits._
-      cb.toSeq.toDF("m_idx", "code", "c")
-        .withColumn("cn2", dot(col("c"), col("c")))
-    }
-    // nearest codeword per (vec_id, m_idx); (dist, code) struct-min
-    // keeps ties deterministic
-    def assign(cb: Array[(Int, Int, Array[Double])]): DataFrame =
-      svs.join(broadcast(codebookDf(cb)), Seq("m_idx"))
-        .withColumn("dist",
-          col("sn2") - lit(2.0) * dot(col("sv"), col("c")) + col("cn2"))
-        .groupBy(col("vec_id"), col("m_idx"))
-        .agg(min(struct(col("dist"), col("code"))).as("mm"))
-        .select(col("vec_id"), col("m_idx"), col("mm.code").as("code"))
-
     // seeds: per subspace, the `codes` subvectors with smallest salted
     // hash — one window over the (small) hash ranking per m_idx
     var cb: Array[(Int, Int, Array[Double])] = svs
@@ -467,8 +487,13 @@ object Ann {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
 
     for (_ <- 1 to iters) {
+      // nearest codeword per (vec_id, m_idx) computed ROW-LOCALLY over
+      // the literal banks (same dist chain, ties to the smaller code —
+      // see argminOver): the broadcast codebook join, the (vec_id,
+      // m_idx) min re-aggregation and the svs self-join are gone from
+      // every Lloyd round
       val recomputed = svs
-        .join(assign(cb), Seq("vec_id", "m_idx"))
+        .withColumn("code", pqAssignLocal(cb))
         .select(col("m_idx"), col("code"), posexplode(col("sv")))
         .groupBy(col("m_idx"), col("code"), col("pos"))
         .agg((sum(col("col").cast("decimal(38,12)")).cast("double") /
@@ -482,14 +507,23 @@ object Ann {
       val byKey = recomputed.map(t => (t._1, t._2) -> t._3).toMap
       cb = cb.map { case (mi, ci, c) => (mi, ci, byKey.getOrElse((mi, ci), c)) }
     }
-
-    // encoded corpus: one row per vector, codes packed as an array
-    val encoded = assign(cb)
-      .groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("m_idx"), col("code"))))
-        .as("sc"))
-      .select(col("vec_id"), transform(col("sc"), x => x("code")).as("cv"))
     svs.unpersist()
+
+    // encoded corpus: one row per vector, codes packed as an array —
+    // all m argmins evaluated inside the corpus scan (st40's admission
+    // shape: sv/sn2 are the svs frame's verbatim slice/dot expressions,
+    // so the codes are bit-identical to the old explode + min-agg +
+    // collect_list chain, with ZERO exchanges in place of three)
+    val cbByM = cb.groupBy(_._1)
+    def codeCol(mi: Int): Column = {
+      val sv = slice(col("v"), mi * sub + 1, sub)
+      val sn2 = dot(sv, sv)
+      argminOver(bankLit(cbByM(mi).toSeq.map { case (_, code, cw) =>
+        (code, cw) }),
+        c => sn2 - lit(2.0) * dot(sv, c) + dot(c, c))
+    }
+    val encoded = v.select(col("vec_id"),
+      array((0 until m).map(codeCol): _*).as("cv"))
 
     // per-query ADC tables: dt[m][code] = exact L2² between the query
     // subvector and the codeword, as a nested array literal column
@@ -598,27 +632,6 @@ object Ann {
     * per-cell ADC tables, shortlist and re-rank all replay in SQL
     * (LlmOracle.s13); recall@5 ≥ 0.7 is spec-tested vs s01.
     */
-  /** PQ codebook table with cached |c|² (s13's residual bank shape). */
-  private def pqCodebookDf(s: SparkSession,
-      cb: Array[(Int, Int, Array[Double])]): DataFrame = {
-    import s.implicits._
-    cb.toSeq.toDF("m_idx", "code", "c")
-      .withColumn("cn2", dot(col("c"), col("c")))
-  }
-
-  /** Per-(vec, subspace) nearest-codeword assignment — s13's encode
-    * step: same sn2 − 2·dot + |c|² chain as assignTo, ties → smaller
-    * code.
-    */
-  private def pqAssign(s: SparkSession, svs: DataFrame,
-      cb: Array[(Int, Int, Array[Double])]): DataFrame =
-    svs.join(broadcast(pqCodebookDf(s, cb)), Seq("m_idx"))
-      .withColumn("dist",
-        col("sn2") - lit(2.0) * dot(col("sv"), col("c")) + col("cn2"))
-      .groupBy(col("vec_id"), col("m_idx"))
-      .agg(min(struct(col("dist"), col("code"))).as("mm"))
-      .select(col("vec_id"), col("m_idx"), col("mm.code").as("code"))
-
   /** s13's index-build training chain, shared with st40's streaming
     * admission: the cached corpus frame, the coarse centroid bank
     * ('km' seeds), the residual/subvector frames and the residual-PQ
@@ -637,11 +650,15 @@ object Ann {
       .withColumn("norm2", dot(col("v"), col("v")))
       .cache()
     val cents = trainCentroids(s, v, nCentroids, iters)
-    // residuals: v − c(cid), one broadcast join + elementwise zip_with
-    val res = v.join(assignTo(s, v, cents), Seq("vec_id"))
-      .join(broadcast(centroidDf(s, cents)), Seq("cid"))
+    // residuals: cid row-locally (argminOver), v − c(cid) by one
+    // zip_with against the cid-selected literal centroid — st40's
+    // admission shape; the assignment join and its exchange are gone
+    val centMap = typedlit(cents.map { case (cid, c) =>
+      cid -> c.toSeq }.toMap)
+    val res = v.withColumn("cid", assignLocal(cents))
       .select(col("vec_id"), col("cid"),
-        zip_with(col("v"), col("c"), (x, y) => x - y).as("rv"))
+        zip_with(col("v"), element_at(centMap, col("cid")),
+          (x, y) => x - y).as("rv"))
     val svs = res.select(col("vec_id"), col("cid"),
         posexplode(array((0 until m).map(i =>
           slice(col("rv"), i * sub + 1, sub)): _*)))
@@ -663,8 +680,10 @@ object Ann {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     for (_ <- 1 to iters) {
+      // row-local codeword assignment (see pqTopK's loop note): no
+      // codebook join, no min re-aggregation, no svs self-join
       val recomputed = svs
-        .join(pqAssign(s, svs, cb), Seq("vec_id", "m_idx"))
+        .withColumn("code", pqAssignLocal(cb))
         .select(col("m_idx"), col("code"), posexplode(col("sv")))
         .groupBy(col("m_idx"), col("code"), col("pos"))
         .agg((sum(col("col").cast("decimal(38,12)")).cast("double") /
@@ -708,45 +727,50 @@ object Ann {
     val (v, cents, res, svs, cb) =
       ivfPqTrain(s, dir, nCentroids, iters, m, codes)
     val centB = cents.toMap
-    // encoded corpus: (vec_id, cid, 8 codes)
-    val encoded = res.select(col("vec_id"), col("cid"))
-      .join(pqAssign(s, svs, cb)
-        .groupBy(col("vec_id"))
-        .agg(sort_array(collect_list(struct(col("m_idx"), col("code"))))
-          .as("sc"))
-        .select(col("vec_id"), transform(col("sc"), x => x("code")).as("cv")),
-        Seq("vec_id"))
-    // svs and v stay cached: `encoded` (via assign) and the final
-    // shortlist/re-rank plan both reference them AFTER this point —
-    // unpersisting here forced the embeddings scan and residual
-    // explode to recompute in probes.collect(), the qVecs collect, and
-    // every downstream job (ADVICE r13). Release happens after the
-    // returned plan's first action (CacheHygiene, registered below).
-    // per-query probed cells: s03's centroid ranking
-    // limit(nQueries) is a row-level no-op (vec_id is unique, so the
-    // filter already yields <= nQueries rows) that makes the query
-    // side STATICALLY bounded - the r16 physical plan lint proves the
-    // non-equi broadcast join's build side small by plan, not by
-    // data-dependent argument
-    val q = v.filter(col("vec_id") < nQueries).limit(nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm2").as("qn"))
-    val probes = q.crossJoin(broadcast(centroidDf(s, cents)))
-      .withColumn("dist",
-        col("qn") - lit(2.0) * dot(col("qv"), col("c")) + col("cn2"))
-      .withColumn("prk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("dist"), col("cid"))))
-      .filter(col("prk") <= nProbe)
-      .select(col("query_id"), col("cid"))
-    // driver-side ADC tables, one per (query, probed cell): residual
-    // q − c(cid), then dt[mi][ci] = ‖(q−c)_mi − codeword‖², each cell
-    // the same sequential squared-diff fold the oracle replays
+    // encoded corpus (vec_id, cid, 8 codes): all m codeword argmins
+    // evaluated row-locally inside res's map-side plan (st40's
+    // admission shape — sv/sn2 below are the svs frame's verbatim
+    // slice/dot expressions, so the codes are bit-identical to the old
+    // explode + min-agg + collect_list + join chain); the encode costs
+    // ZERO exchanges now
+    val cbByM = cb.groupBy(_._1)
+    def codeCol(mi: Int): Column = {
+      val sv = slice(col("rv"), mi * sub + 1, sub)
+      val sn2 = dot(sv, sv)
+      argminOver(bankLit(cbByM(mi).toSeq.map { case (_, code, cw) =>
+        (code, cw) }),
+        c => sn2 - lit(2.0) * dot(sv, c) + dot(c, c))
+    }
+    val encoded = res.select(col("vec_id"), col("cid"),
+      array((0 until m).map(codeCol): _*).as("cv"))
+    // the training loop was svs's LAST consumer (the encode above is
+    // res-based) — release its cache now; v stays cached for the
+    // qVecs collect and the re-rank plan below
+    svs.unpersist()
+    // per-query probed cells: s03's centroid ranking computed on the
+    // DRIVER from the one qVecs collect — dist = qn − 2·q·c + |c|²
+    // with the same sequential left-fold dot (array_dot's loop, no
+    // FMA in JVM double semantics) and the same (dist, cid) sort the
+    // old crossJoin + row_number plan ordered by, so the probe set is
+    // identical and one whole Spark job (catalog crossJoin + window +
+    // collect) leaves the training chain
     val cbB = cb.map { case (mi, ci, c) => (mi, ci) -> c }.toMap
-    val probedCells = probes.collect()
-      .map(r => (r.getLong(0), r.getInt(1)))
-    val qVecs = v.filter(col("vec_id") < nQueries).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val qRows = v.filter(col("vec_id") < nQueries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val qVecs = qRows.map { case (qid, qv, _) => qid -> qv }.toMap
+    val probedCells: Array[(Long, Int)] = qRows.flatMap { case (qid, qv, qn) =>
+      cents.map { case (cid, c) => (qn - 2.0 * dotD(qv, c) + dotD(c, c), cid) }
+        .sortBy(identity)
+        .take(nProbe)
+        .map { case (_, cid) => (qid, cid) }
+    }
     val qdtRows = probedCells.map { case (qid, cid) =>
       val qv = qVecs(qid)
       val c = centB(cid)
@@ -784,11 +808,11 @@ object Ann {
       .withColumn("qn", dot(col("qv"), col("qv")))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("d2_6"), col("vec_id"))
-    // v/svs stayed cached through every internal collect above; the
-    // returned plan is their last consumer — release them after its
-    // first action instead of leaking them to the harness sweep
+    // v stayed cached through every internal collect above; the
+    // returned plan is its last consumer — release it after its
+    // first action instead of leaking it to the harness sweep
     // (round-14 verdict/ADVICE)
-    graft.operators.CacheHygiene.releaseAfterFirstUse(s, Seq(v, svs))
+    graft.operators.CacheHygiene.releaseAfterFirstUse(s, Seq(v))
     short
       .join(v.withColumn("n2", dot(col("v"), col("v")))
         .select(col("vec_id"), col("v"), col("n2")), Seq("vec_id"))
@@ -839,11 +863,12 @@ object Ann {
       .cache()
     val cents = trainCentroids(s, v, nCentroids, iters)
     // three consumers (both pair sides + the final select) — checkpoint
-    // the assignment once or each replays the broadcast-assign subtree
-    // over a re-read corpus (the §8 shared-table discipline; at 100 TB
-    // this is persist(DISK) of (vec_id, v, cid))
-    val assigned = v.join(assignTo(s, v, cents), Seq("vec_id"))
-      .localCheckpoint()
+    // the assignment once or each replays the assign subtree over a
+    // re-read corpus (the §8 shared-table discipline; at 100 TB this
+    // is persist(DISK) of (vec_id, v, cid)). cid is the row-local
+    // argmin — no assignment join left to replay
+    val assigned = graft.operators.Materialize.cut(
+      v.withColumn("cid", assignLocal(cents)))
     v.unpersist()
     val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm2").as("na"))
@@ -1243,17 +1268,21 @@ object Ann {
         .select(col("nbr_id").as("vec_id"), expr("r div deg").as("c"))
         .groupBy(col("vec_id"))
         .agg(sum(col("c")).as("m"))
-      // cut the per-iteration lineage: without this the final plan
-      // nests `iters` join+agg subtrees (re-derived on every action);
-      // the rank table is node-sized, so the checkpoint is cheap and
-      // the integer ops — hence the published hashes — are unchanged
+      // NO per-iteration lineage cut (round-17, verdict item 5): each
+      // rank subtree is referenced exactly ONCE (by the next
+      // iteration's contribs), so the fused plan is LINEAR in iters —
+      // nothing re-derives — and the one action runs the whole loop as
+      // one job instead of `iters` eager localCheckpoint jobs. Bonus:
+      // the five identical outdeg subtrees now sit in ONE plan, so
+      // exchange reuse computes the degree aggregate once where the
+      // per-iteration cut jobs each paid it. The integer ops — hence
+      // the published hashes — are unchanged.
       ranks = nodes
         .join(contribs, Seq("vec_id"), "left")
         .select(col("vec_id"),
           (lit(teleport) +
             expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
-      ranks = graft.operators.Materialize.cut(ranks)
     }
     // no global rank window: a row_number over the whole node set is
     // a single-partition sort at 10^9 vectors — consumers ORDER BY

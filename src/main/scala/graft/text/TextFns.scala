@@ -1166,7 +1166,10 @@ object TextFns {
           (lit(teleport) +
             expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
-      ranks = graft.operators.Materialize.cut(ranks) // s12's per-iteration lineage cut
+      // NO per-iteration cut (s12's round-17 fused-loop posture): each
+      // rank subtree is referenced once by the next iteration, so the
+      // fused plan is linear in iters and the one action runs the whole
+      // loop as one job instead of `iters` eager checkpoint jobs
     }
     // (doc, token) appears once after the per-doc array_distinct, so a
     // plain count IS the distinct-document count — no two-phase
