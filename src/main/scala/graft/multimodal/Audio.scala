@@ -318,9 +318,13 @@ object Audio {
 
   /** m09 core over any (media_id, payload) audio table. */
   def audioNearDup(audio: DataFrame, tau: Double, maxDf: Int): DataFrame = {
-    val fh = frameFingerprints(audio)
-      .filter(col("_corrupt") === 0)
-      .select(col("media_id"), col("h")).distinct()
+    // fh feeds the stoplist AND the anti-join, and `cold` feeds sizes
+    // and both pair-join sides — one cut runs the fingerprint decode
+    // once instead of up to four times (m08's fix, §8 shared-table)
+    val fh = graft.operators.Materialize.cut(
+      frameFingerprints(audio)
+        .filter(col("_corrupt") === 0)
+        .select(col("media_id"), col("h")).distinct())
     val hot = fh.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)

@@ -413,10 +413,16 @@ object Multimodal {
     // bands, so reject it rather than silently under-report pairs
     require(r >= 0 && r <= 3,
       s"4-band pigeonhole join is exact only for hamming radius <= 3, got $r")
+    // BOTH join sides read the hash table, and the caller's `hs` plan
+    // carries the per-image PNG decode (mapPartitions — a typed-object
+    // barrier exchange reuse does not cross): cut the 3-longs-per-image
+    // table once so the decode runs once, not per side (§8 shared-table
+    // discipline; m06/m11 measured the decode as the dominant stage)
+    val hsCut = graft.operators.Materialize.cut(hs)
     def band(i: Int, c: Column): Column =
       struct(lit(i).as("bi"),
         shiftrightunsigned(c, 16 * (i % 2)).bitwiseAND(lit(65535L)).as("bv"))
-    val bands = hs.select(col("media_id"), col("h_lo"), col("h_hi"),
+    val bands = hsCut.select(col("media_id"), col("h_lo"), col("h_hi"),
       explode(array(
         band(0, col("h_lo")), band(1, col("h_lo")),
         band(2, col("h_hi")), band(3, col("h_hi")))).as("b"))

@@ -395,9 +395,15 @@ object Video {
   /** m08 core over any (media_id, payload) video table. */
   def videoNearDup(videos: DataFrame, tau: Double,
       maxDf: Int): DataFrame = {
-    val fh = frameHashes(videos, FrameStride)
-      .filter(col("_corrupt") === 0)
-      .select(col("media_id"), col("h_lo"), col("h_hi")).distinct()
+    // fh feeds the stoplist AND the anti-join side, and `cold` below
+    // feeds sizes and both pair-join sides — without a cut the frame
+    // DECODE subtree (mapPartitions PNG reads, the dominant stage)
+    // re-executes up to four times; one cut of the 3-longs-per-frame
+    // table runs it once (§8 shared-table discipline)
+    val fh = graft.operators.Materialize.cut(
+      frameHashes(videos, FrameStride)
+        .filter(col("_corrupt") === 0)
+        .select(col("media_id"), col("h_lo"), col("h_hi")).distinct())
     val hot = fh.groupBy(col("h_lo"), col("h_hi"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)

@@ -247,16 +247,43 @@ object Sampling {
           .as("n_tok"))
       .withColumn("nq", -col("q6")) // ascending nq = descending quality
       .localCheckpoint()
-    val sel = prefixBoundaryLong(feats, "nq", "n_tok", budget) match {
-      case None => feats
-      case Some((v, rem)) =>
-        val grp = feats.filter(col("nq") === v)
-        val inGrp = prefixBoundaryLong(grp, "doc_id", "n_tok", rem) match {
-          case None => grp
-          case Some((d, _)) => grp.filter(col("doc_id") < d)
+    // count is ~free on the checkpointed blocks and buys the local
+    // tier decision (LocalSelectMaxRows — see kthSmallestLong's doc)
+    val nFeats = feats.count()
+    val sel =
+      if (nFeats <= LocalSelectMaxRows) {
+        // local tier: walk the EXACT prefix order (nq asc = quality
+        // desc, doc_id asc) once on the driver; the first overflowing
+        // document is the boundary — identical selection to the
+        // two-stage radix boundary below (same "no skip-ahead" rule)
+        import s.implicits._
+        val rows = feats.select(col("nq"), col("doc_id"), col("n_tok"))
+          .as[(Long, Long, Long)].collect()
+          .sortBy { case (nq, d, _) => (nq, d) }
+        var acc = 0L
+        var cut: Option[(Long, Long)] = None
+        var i = 0
+        while (cut.isEmpty && i < rows.length) {
+          val (nq, d, w) = rows(i)
+          if (acc + w > budget) cut = Some((nq, d)) else acc += w
+          i += 1
         }
-        feats.filter(col("nq") < v).unionByName(inGrp)
-    }
+        cut match {
+          case None => feats
+          case Some((v, d)) =>
+            feats.filter(col("nq") < v ||
+              (col("nq") === v && col("doc_id") < d))
+        }
+      } else prefixBoundaryLong(feats, "nq", "n_tok", budget) match {
+        case None => feats
+        case Some((v, rem)) =>
+          val grp = feats.filter(col("nq") === v)
+          val inGrp = prefixBoundaryLong(grp, "doc_id", "n_tok", rem) match {
+            case None => grp
+            case Some((d, _)) => grp.filter(col("doc_id") < d)
+          }
+          feats.filter(col("nq") < v).unionByName(inGrp)
+      }
     sel
       .select(col("doc_id"), (col("q6") / lit(1000000.0)).as("quality"),
         col("n_tok"))
@@ -300,6 +327,17 @@ object Sampling {
           expr("n_tokens * 1000000L div all_tokens")).as("corpus_share6"))
       .orderBy(col("source"), col("quality"))
   }
+
+  /** Adaptive local-selection tier for the radix threshold machinery
+    * (componentsFrom's ≤1M-edge decision shape): when the per-document
+    * table is driver-small, the ≤4-pass histogram chain is pure
+    * job-scheduling overhead (2-6 collect jobs of 65536-row
+    * histograms), so collect the 2-3 longs per row ONCE and scan on
+    * the driver — identical thresholds, identical selections. The
+    * radix path stays the at-scale branch (billions of docs at
+    * 100 TB take it).
+    */
+  private val LocalSelectMaxRows = 1L << 20
 
   private def kthSmallestLong(df: DataFrame, c: String, k: Long): Long = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -419,7 +457,19 @@ object Sampling {
     val selCond: Column =
       if (k <= 0) lit(false)
       else if (k >= n) lit(true)
-      else {
+      else if (n <= LocalSelectMaxRows) {
+        // local tier: the k-th row under the published rank rule
+        // (w_e9 desc, doc_id asc) IS the selection boundary — one
+        // collect replaces the 3-6 histogram/count jobs below, same
+        // rows selected (doc_id is unique, so the boundary pair
+        // decides ties exactly like the radix doc_id cut)
+        import raw.sparkSession.implicits._
+        val sorted = all.select(col("w_e9"), col("doc_id"))
+          .as[(Long, Long)].collect()
+          .sortBy { case (w, d) => (-w, d) }
+        val (wk, dk) = sorted(k.toInt - 1)
+        col("w_e9") > wk || (col("w_e9") === wk && col("doc_id") <= dk)
+      } else {
         // k-th LARGEST weight = (n-k+1)-th smallest; rows strictly
         // above the cut are in, ties resolved by the doc_id cut
         val t = kthSmallestLong(all, "w_e9", n - k + 1)
